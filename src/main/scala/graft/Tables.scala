@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Shared helpers for loading the driver's parquet tables and for the
+  * determinism conventions every oracle-checked query follows (SURVEY §2.3):
+  *   - total deterministic ORDER BY on a unique key;
+  *   - double aggregates summed as DECIMAL(18,6) then cast back to DOUBLE.
+  *
+  * Why decimal sums: double addition is order-dependent, and Spark's
+  * partition-parallel aggregation does not fix an order. Decimal addition is
+  * exact, so the sum is independent of partitioning, and DuckDB computes the
+  * identical value. The double→decimal(…,6) cast itself is deterministic
+  * across engines because a tie at the rounding digit would require a double
+  * exactly equal to a scale-7 decimal ending in 5 — impossible in binary
+  * floating point (the denominator would need a factor of 5^7).
+  */
+object Tables {
+  def t(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    if (name == "events") {
+      // events.ts is parquet TIMESTAMP(NANOS) — Spark has no nanosecond
+      // timestamp type, so read it as a nanos Long and truncate to micros.
+      // DIV is exact integer division (a double division would lose
+      // precision above 2^53 ns); DuckDB performs the same truncation when
+      // it narrows nanos to its micros timestamp, so oracles agree.
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(s"$sfDir/$name.parquet")
+        .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+    } else {
+      spark.read.parquet(s"$sfDir/$name.parquet")
+    }
+
+  /** DECIMAL(18,6) entry cast for double measures (TPC-H-ish magnitudes). */
+  def dec(c: Column): Column = c.cast(DecimalType(18, 6))
+
+  /** Rescale an exact decimal aggregate to scale 6 and cast to DOUBLE.
+    * The scale-6 step is load-bearing: decimal→double conversion is only
+    * engine-identical when the unscaled value fits in 2^53 (one exact
+    * int→double conversion + one correctly-rounded division by 10^6).
+    * Higher-scale decimals (e.g. the scale-12 disc_price sum) take
+    * different multi-rounding paths in Spark (BigDecimal) vs DuckDB
+    * (int128/10^s) and can differ by 1 ulp. */
+  def decOut(c: Column): Column = c.cast(DecimalType(28, 6)).cast("double")
+
+  /** Exact, partition-order-independent sum of a double measure → DOUBLE. */
+  def dsum(c: Column): Column = decOut(sum(dec(c)))
+
+  /** Exact average: decimal sum cast double / count — identical operand
+    * conversions and one IEEE division in both engines. */
+  def davg(c: Column): Column = decOut(sum(dec(c))) / count(lit(1))
+}

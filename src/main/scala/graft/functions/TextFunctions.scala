@@ -1,0 +1,72 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis building blocks for the training-data-pipeline surface
+  * ([ext] rows of SURVEY §2.2): tokenization, language-ID heuristic, quality
+  * scoring, token counting, document fingerprinting. All pure `Column`
+  * combinators over built-ins (codegen'd, shuffle-free per row) so they
+  * scale linearly with input bytes.
+  */
+object TextFunctions {
+
+  /** Whitespace tokens, empties dropped (split on single space — the
+    * documents corpus is single-space separated; `tokensRe` handles the
+    * general case). */
+  def tokens(text: Column): Column =
+    filter(split(text, " "), t => t =!= "")
+
+  /** BPE-ish token segmentation: letter runs, digit runs, or single
+    * non-alphanumeric marks — the classic pre-tokenizer regex. */
+  val TokenRegex = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+  def approxTokenCount(text: Column): Column =
+    regexp_count(text, lit(TokenRegex)).cast("long")
+
+  /** Tiny per-language stopword lists for the n-gram/stopword language-ID
+    * heuristic. Deterministic and SQL-expressible for the oracle. */
+  val StopwordLists: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "es" -> Seq("el", "la", "de", "que", "y"),
+    "fr" -> Seq("le", "la", "les", "et", "est"),
+    "zh" -> Seq("的", "是", "了", "我", "不"))
+
+  /** Count of tokens that appear in `words`. */
+  def stopwordHits(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => t.isInCollection(words))).cast("long")
+
+  /** Quality score in [0,1]: mix of length saturation, alpha ratio and
+    * stopword ratio. Fixed expression tree → identical IEEE arithmetic in
+    * any engine that mirrors it. */
+  def qualityScore(text: Column): Column = {
+    val toks = tokens(text)
+    val nTok = size(toks).cast("double")
+    val lenSat = least(length(text).cast("double") / 500d, lit(1d))
+    val alphaRatio =
+      (length(text) - length(regexp_replace(text, "[a-zA-Z]", ""))).cast("double") /
+        length(text)
+    val stopRatio = stopwordHits(toks, StopwordLists.head._2).cast("double") / nTok
+    lit(0.4) * lenSat + lit(0.4) * alphaRatio + lit(0.2) * least(stopRatio * 5d, lit(1d))
+  }
+
+  /** Deterministic 64-bit document fingerprint: xxhash64 of the
+    * space-normalized text (the "exact-dup key at scale" — cheaper than md5,
+    * collision-safe enough for blocking; md5 remains the byte-exact key). */
+  def fingerprint64(text: Column): Column =
+    xxhash64(regexp_replace(trim(text), "\\s+", " "))
+
+  /** Rolling polynomial hash over the token stream (order-sensitive — two
+    * docs with the same bag of words but different order differ). Computed
+    * as a sequential fold via the `aggregate` HOF; mod 1e9+7 keeps every
+    * intermediate in exact Long range (max (p-1)*31 + tokHash < 2^63).
+    * The per-token hash uses only cross-engine primitives (length + first/
+    * last code point) so DuckDB can mirror it for the oracle. */
+  def rollingFingerprint(text: Column): Column = {
+    val p = lit(1000000007L)
+    val tokHashes = transform(tokens(text), t =>
+      (length(t).cast("long") * 1009L + ascii(t) * 31L + ascii(reverse(t))) % p)
+    aggregate(tokHashes, lit(0L), (acc, x) => (acc * 31L + x) % p)
+  }
+}

@@ -1,0 +1,140 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables._
+
+/** Event-table queries (SURVEY §2.3): string/date functions, JSON
+  * extraction, event-time tumbling windows, and gap sessionization.
+  *
+  * Timestamps never appear raw in an output: they are formatted to strings
+  * (UTC session timezone) so the parquet-vs-DuckDB compare is byte-stable.
+  * Gap comparisons happen in exact integer microseconds.
+  *
+  * The tumbling/sessionize queries are written batch-first with pure
+  * event-time semantics; `graft.streaming.EventStreams` lifts the identical
+  * logic onto Structured Streaming (SURVEY §7.6).
+  */
+object EventQueries {
+
+  private def fmtTs(c: Column): Column = date_format(c, "yyyy-MM-dd HH:mm:ss")
+
+  /** Month bucket × event type: date_trunc + string functions + exact sums. */
+  def qStringDate(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "events")
+      .groupBy(
+        date_format(date_trunc("month", col("ts")), "yyyy-MM-dd").as("month"),
+        col("event_type"))
+      .agg(count(lit(1)).as("cnt"), dsum(col("value")).as("sum_value"))
+      .withColumn("label", concat_ws("-", col("month"), upper(col("event_type"))))
+      .select("month", "event_type", "label", "cnt", "sum_value")
+      .orderBy("month", "event_type")
+
+  val qStringDateSql: String =
+    """SELECT strftime(date_trunc('month', ts), '%Y-%m-%d') AS month,
+      |       event_type,
+      |       strftime(date_trunc('month', ts), '%Y-%m-%d') || '-' || upper(event_type) AS label,
+      |       count(*) AS cnt,
+      |       CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(28,6)) AS DOUBLE) AS sum_value
+      |FROM events
+      |GROUP BY 1, 2
+      |ORDER BY month, event_type""".stripMargin
+
+  /** JSON path extraction aggregated per event type. */
+  def qJsonExtract(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "events")
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("cnt"), sum(col("k")).as("sum_k"),
+        max(col("k")).as("max_k"))
+      .orderBy("event_type")
+
+  val qJsonExtractSql: String =
+    """SELECT event_type, count(*) AS cnt,
+      |       sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+      |       max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** Tumbling 1-hour event-time windows via Spark's `window()` — epoch
+    * aligned, so DuckDB's date_trunc('hour') is the exact oracle. */
+  def qTumblingWindow(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "events")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("cnt"),
+        countDistinct(col("user_id")).as("n_users"),
+        dsum(col("value")).as("sum_value"))
+      .select(fmtTs(col("window.start")).as("hour_start"),
+        col("cnt"), col("n_users"), col("sum_value"))
+      .orderBy("hour_start")
+
+  val qTumblingWindowSql: String =
+    """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+      |       count(*) AS cnt,
+      |       count(DISTINCT user_id) AS n_users,
+      |       CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(28,6)) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY 1 ORDER BY hour_start""".stripMargin
+
+  /** 30-minute-gap sessionization: lag → new-session flag → cumulative sum
+    * as session index (the classic batch formulation; same logic feeds the
+    * streaming wrapper). Gap test in exact microseconds, strictly greater. */
+  def sessionized(events: DataFrame): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val gapMicros = 30L * 60 * 1000000
+    events
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("is_new",
+        when(col("prev_ts").isNull ||
+          unix_micros(col("ts")) - unix_micros(col("prev_ts")) > gapMicros, 1)
+          .otherwise(0))
+      .withColumn("session_id",
+        sum(col("is_new")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+  }
+
+  def qSessionize(spark: SparkSession, sfDir: String): DataFrame =
+    sessionized(t(spark, sfDir, "events"))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        fmtTs(min(col("ts"))).as("start_ts"),
+        ((unix_micros(max(col("ts"))) - unix_micros(min(col("ts"))))
+          .cast("double") / 1000000d).as("duration_sec"),
+        dsum(col("value")).as("sum_value"))
+      .orderBy("user_id", "session_id")
+
+  val qSessionizeSql: String =
+    """WITH lagged AS (
+      |  SELECT user_id, event_id, ts, value,
+      |         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      |  FROM events),
+      |flagged AS (
+      |  SELECT *, CASE WHEN prev_ts IS NULL
+      |                   OR ts - prev_ts > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS is_new
+      |  FROM lagged),
+      |sess AS (
+      |  SELECT user_id, event_id, ts, value,
+      |         CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+      |  FROM flagged)
+      |SELECT user_id, session_id,
+      |       count(*) AS n_events,
+      |       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS start_ts,
+      |       CAST(epoch_us(max(ts)) - epoch_us(min(ts)) AS DOUBLE) / 1000000 AS duration_sec,
+      |       CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(28,6)) AS DOUBLE) AS sum_value
+      |FROM sess
+      |GROUP BY user_id, session_id
+      |ORDER BY user_id, session_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_string_date" -> (qStringDate _),
+    "q_json_extract" -> (qJsonExtract _),
+    "q_tumbling_window" -> (qTumblingWindow _),
+    "q_sessionize" -> (qSessionize _))
+
+  val oracles: Map[String, String] = Map(
+    "q_string_date" -> qStringDateSql,
+    "q_json_extract" -> qJsonExtractSql,
+    "q_tumbling_window" -> qTumblingWindowSql,
+    "q_sessionize" -> qSessionizeSql)
+}

@@ -1,0 +1,233 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables._
+
+/** Relational breadth (SURVEY §2.3): scans, joins, aggregations, windows,
+  * set ops, rollup, distinct. All Catalyst built-ins — the plans are what a
+  * 1000-executor cluster wants: filters/projections pushed into the parquet
+  * scan, small dimensions broadcast (no shuffle of the fact table for the
+  * star join), partial aggregation map-side, AQE free to re-plan skew.
+  */
+object RelationalQueries {
+
+  /** Projection + predicate pushed to the scan; total order on the
+    * (l_orderkey, l_linenumber) unique key. */
+  def qScanProjectFilter(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+      .orderBy("l_orderkey", "l_linenumber")
+
+  val qScanProjectFilterSql: String =
+    """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      |  AND l_shipdate <  TIMESTAMP '1998-01-01'
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  /** Star join: orders ⋈ customer ⋈ nation ⋈ region, revenue per region.
+    * nation/region are tiny → explicit broadcast; customer⋈orders shuffles
+    * on the join key only. Decimal-cast revenue for exact reproducibility. */
+  def qJoinStar(spark: SparkSession, sfDir: String): DataFrame = {
+    val customer = t(spark, sfDir, "customer")
+    val nation = broadcast(t(spark, sfDir, "nation"))
+    val region = broadcast(t(spark, sfDir, "region"))
+    val orders = t(spark, sfDir, "orders")
+    orders
+      .join(customer, col("o_custkey") === col("c_custkey"))
+      .join(nation, col("c_nationkey") === col("n_nationkey"))
+      .join(region, col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(
+        dsum(col("o_totalprice")).as("revenue"),
+        count(lit(1)).as("n_orders"))
+      .orderBy("r_name")
+  }
+
+  val qJoinStarSql: String =
+    """SELECT r_name,
+      |       CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DECIMAL(28,6)) AS DOUBLE) AS revenue,
+      |       count(*) AS n_orders
+      |FROM orders
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name
+      |ORDER BY r_name""".stripMargin
+
+  /** Semi + anti join, labeled and unioned. */
+  def qSemiAnti(spark: SparkSession, sfDir: String): DataFrame = {
+    val customer = t(spark, sfDir, "customer")
+    val orders = t(spark, sfDir, "orders")
+    val withO = customer.join(orders, col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(lit("with_orders").as("tag"), col("c_custkey"))
+    val withoutO = customer.join(orders, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(lit("without_orders").as("tag"), col("c_custkey"))
+    withO.unionAll(withoutO).orderBy("tag", "c_custkey")
+  }
+
+  val qSemiAntiSql: String =
+    """SELECT 'with_orders' AS tag, c_custkey FROM customer
+      |WHERE c_custkey IN (SELECT o_custkey FROM orders)
+      |UNION ALL
+      |SELECT 'without_orders' AS tag, c_custkey FROM customer
+      |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+      |ORDER BY tag, c_custkey""".stripMargin
+
+  /** TPC-H Q1 shape: multi-aggregate hash agg with exact decimal arithmetic.
+    * disc_price = dec(price)·dec(1-discount) stays decimal end-to-end. */
+  def qAggQ1(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "lineitem")
+      .filter(col("l_shipdate") <= lit("2000-12-01").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        decOut(sum(dec(col("l_extendedprice")) * dec(lit(1) - col("l_discount"))))
+          .as("sum_disc_price"),
+        davg(col("l_quantity")).as("avg_qty"),
+        davg(col("l_discount")).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  val qAggQ1Sql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |       CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DECIMAL(28,6)) AS DOUBLE) AS sum_qty,
+      |       CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DECIMAL(28,6)) AS DOUBLE) AS sum_base_price,
+      |       CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))
+      |                * CAST(1 - l_discount AS DECIMAL(18,6))) AS DECIMAL(28,6)) AS DOUBLE) AS sum_disc_price,
+      |       CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DECIMAL(28,6)) AS DOUBLE) / count(*) AS avg_qty,
+      |       CAST(CAST(sum(CAST(l_discount AS DECIMAL(18,6))) AS DECIMAL(28,6)) AS DOUBLE) / count(*) AS avg_disc,
+      |       count(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '2000-12-01'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** Grouping sets via rollup; subtotal rows' null keys coalesced to a
+    * sentinel so the total ORDER BY is unambiguous in both engines. */
+  def qRollup(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("cnt"), dsum(col("l_quantity")).as("sum_qty"))
+      .select(
+        coalesce(col("l_returnflag"), lit("(all)")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("(all)")).as("linestatus"),
+        col("cnt"), col("sum_qty"))
+      .orderBy("returnflag", "linestatus")
+
+  val qRollupSql: String =
+    """SELECT coalesce(l_returnflag, '(all)') AS returnflag,
+      |       coalesce(l_linestatus, '(all)') AS linestatus,
+      |       count(*) AS cnt,
+      |       CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DECIMAL(28,6)) AS DOUBLE) AS sum_qty
+      |FROM lineitem
+      |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+      |ORDER BY returnflag, linestatus""".stripMargin
+
+  /** Exact distinct aggregate (expands to a two-phase agg in Spark). */
+  def qDistinctExact(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"))
+      .orderBy("l_returnflag")
+
+  val qDistinctExactSql: String =
+    """SELECT l_returnflag,
+      |       count(DISTINCT l_partkey) AS n_parts,
+      |       count(DISTINCT l_suppkey) AS n_supps
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** Top-3 orders per customer: rank inside a window, deterministic
+    * tie-break on the unique o_orderkey. */
+  def qWindowTopk(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    t(spark, sfDir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 3)
+      .orderBy("o_custkey", "rn")
+  }
+
+  val qWindowTopkSql: String =
+    """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |         row_number() OVER (PARTITION BY o_custkey
+      |                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      |  FROM orders)
+      |WHERE rn <= 3
+      |ORDER BY o_custkey, rn""".stripMargin
+
+  /** Running sum per user over event time. The running frame is summed in
+    * DECIMAL so the prefix values are exact (DuckDB's segment-tree window
+    * aggregation groups double additions differently than Spark's
+    * sequential frame — decimal removes the divergence). */
+  def qWindowRunning(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(spark, sfDir, "events")
+      .select(col("user_id"), col("event_id"),
+        decOut(sum(dec(col("value"))).over(w)).as("running_value"))
+      .orderBy("user_id", "event_id")
+  }
+
+  val qWindowRunningSql: String =
+    """SELECT user_id, event_id,
+      |       CAST(CAST(sum(CAST(value AS DECIMAL(18,6)))
+      |            OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                  ROWS UNBOUNDED PRECEDING) AS DECIMAL(28,6)) AS DOUBLE) AS running_value
+      |FROM events
+      |ORDER BY user_id, event_id""".stripMargin
+
+  /** Distinct-based set algebra over customer vs supplier nation keys. */
+  def qSetOps(spark: SparkSession, sfDir: String): DataFrame = {
+    val spark0 = spark
+    val c = t(spark0, sfDir, "customer").select(col("c_nationkey").as("k"))
+    val s = t(spark0, sfDir, "supplier").select(col("s_nationkey").as("k"))
+    val u = c.union(s).distinct().select(lit("union").as("op"), col("k"))
+    val i = c.intersect(s).select(lit("intersect").as("op"), col("k"))
+    val e = c.except(s).select(lit("except").as("op"), col("k"))
+    u.unionAll(i).unionAll(e).orderBy("op", "k")
+  }
+
+  val qSetOpsSql: String =
+    """SELECT 'union' AS op, k FROM
+      |  (SELECT c_nationkey AS k FROM customer UNION SELECT s_nationkey FROM supplier)
+      |UNION ALL
+      |SELECT 'intersect' AS op, k FROM
+      |  (SELECT c_nationkey AS k FROM customer INTERSECT SELECT s_nationkey FROM supplier)
+      |UNION ALL
+      |SELECT 'except' AS op, k FROM
+      |  (SELECT c_nationkey AS k FROM customer EXCEPT SELECT s_nationkey FROM supplier)
+      |ORDER BY op, k""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_scan_project_filter" -> (qScanProjectFilter _),
+    "q_join_star" -> (qJoinStar _),
+    "q_semi_anti" -> (qSemiAnti _),
+    "q_agg_q1" -> (qAggQ1 _),
+    "q_rollup" -> (qRollup _),
+    "q_distinct_exact" -> (qDistinctExact _),
+    "q_window_topk" -> (qWindowTopk _),
+    "q_window_running" -> (qWindowRunning _),
+    "q_set_ops" -> (qSetOps _))
+
+  val oracles: Map[String, String] = Map(
+    "q_scan_project_filter" -> qScanProjectFilterSql,
+    "q_join_star" -> qJoinStarSql,
+    "q_semi_anti" -> qSemiAntiSql,
+    "q_agg_q1" -> qAggQ1Sql,
+    "q_rollup" -> qRollupSql,
+    "q_distinct_exact" -> qDistinctExactSql,
+    "q_window_topk" -> qWindowTopkSql,
+    "q_set_ops" -> qSetOpsSql,
+    "q_window_running" -> qWindowRunningSql)
+}

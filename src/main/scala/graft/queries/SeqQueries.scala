@@ -1,0 +1,122 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables._
+import graft.functions.SeqFunctions._
+
+/** Sequence-expression queries (SURVEY §2.3 q_seq_stats / q_kmer_explode /
+  * q_codon_explode / q_kmer_map) over `documents.text` as the sequence
+  * surrogate. `seq` = upper(text with spaces removed) gives a biology-ish
+  * alphabet-dense string; raw `text` exercises the case-sensitive literal
+  * counts exactly as the reference defines them.
+  *
+  * Scale notes: every query here is a narrow per-row pipeline followed by a
+  * keyed aggregation — no joins, map-side combine applies, and the explode
+  * fan-out (len·~1 windows per doc) partitions on doc_id naturally. At 100 TB
+  * the only knob is input split size; nothing accumulates on the driver.
+  */
+object SeqQueries {
+
+  private def surrogate(c: org.apache.spark.sql.Column) =
+    upper(regexp_replace(c, " ", ""))
+
+  def qSeqStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = t(spark, sfDir, "documents")
+    docs
+      .select(
+        col("doc_id"),
+        seqLength(col("text")).as("seq_len"),
+        gcContent(surrogate(col("text"))).as("gc_frac"),
+        nCount(col("text")).as("n_cnt"),
+        seqHash(col("text"), 8).as("seq_hash"))
+      .filter(col("seq_len") >= 50)
+      .orderBy("doc_id")
+  }
+
+  val qSeqStatsSql: String =
+    """SELECT doc_id,
+      |       length(text) AS seq_len,
+      |       CAST(length(u) - length(replace(replace(u,'G',''),'C','')) AS DOUBLE)
+      |         / length(u) AS gc_frac,
+      |       length(text) - length(replace(text,'N','')) AS n_cnt,
+      |       substr(md5(text), 1, 8) AS seq_hash
+      |FROM (SELECT *, upper(replace(text,' ','')) AS u FROM documents)
+      |WHERE length(text) >= 50
+      |ORDER BY doc_id""".stripMargin
+
+  /** Shared explode→count→freq tail for kmer/codon queries. freq is an exact
+    * BIGINT/BIGINT IEEE division — deterministic across engines. */
+  private def windowFreqs(docs: DataFrame, arrCol: org.apache.spark.sql.Column): DataFrame = {
+    val w = Window.partitionBy("doc_id")
+    docs
+      .select(col("doc_id"), explode(arrCol).as("gram"))
+      .filter(!col("gram").contains("N"))
+      .groupBy("doc_id", "gram")
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("freq", col("cnt").cast("double") / sum("cnt").over(w))
+      .orderBy("doc_id", "gram")
+  }
+
+  def qKmerExplode(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = t(spark, sfDir, "documents")
+      .select(col("doc_id"), surrogate(col("text")).as("s"))
+    windowFreqs(docs, kmerArray(col("s"), 3))
+  }
+
+  val qKmerExplodeSql: String =
+    """WITH seqs AS (SELECT doc_id, upper(replace(text,' ','')) AS s FROM documents),
+      |grams AS (
+      |  SELECT doc_id, substr(s, i, 3) AS gram
+      |  FROM seqs, LATERAL unnest(generate_series(1, length(s)-2)) AS t(i)
+      |),
+      |cnts AS (
+      |  SELECT doc_id, gram, count(*) AS cnt FROM grams
+      |  WHERE gram NOT LIKE '%N%' GROUP BY doc_id, gram
+      |)
+      |SELECT doc_id, gram, cnt,
+      |       CAST(cnt AS DOUBLE) / sum(cnt) OVER (PARTITION BY doc_id) AS freq
+      |FROM cnts ORDER BY doc_id, gram""".stripMargin
+
+  def qCodonExplode(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = t(spark, sfDir, "documents")
+      .select(col("doc_id"), surrogate(col("text")).as("s"))
+    windowFreqs(docs, codonArray(col("s")))
+  }
+
+  val qCodonExplodeSql: String =
+    """WITH seqs AS (SELECT doc_id, upper(replace(text,' ','')) AS s FROM documents),
+      |grams AS (
+      |  SELECT doc_id, substr(s, i, 3) AS gram
+      |  FROM seqs, LATERAL unnest(generate_series(1, length(s)-2, 3)) AS t(i)
+      |),
+      |cnts AS (
+      |  SELECT doc_id, gram, count(*) AS cnt FROM grams
+      |  WHERE gram NOT LIKE '%N%' GROUP BY doc_id, gram
+      |)
+      |SELECT doc_id, gram, cnt,
+      |       CAST(cnt AS DOUBLE) / sum(cnt) OVER (PARTITION BY doc_id) AS freq
+      |FROM cnts ORDER BY doc_id, gram""".stripMargin
+
+  /** E6 full-map output via the Scala UDF — `no-oracle` (map iteration order
+    * is unspecified); equivalence with qKmerExplode is unit-tested. */
+  def qKmerMap(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = t(spark, sfDir, "documents")
+    docs
+      .select(col("doc_id"),
+        kmerFrequencies(surrogate(col("text")), 3).as("kmer_freqs"))
+      .orderBy("doc_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_seq_stats" -> (qSeqStats _),
+    "q_kmer_explode" -> (qKmerExplode _),
+    "q_codon_explode" -> (qCodonExplode _),
+    "q_kmer_map" -> (qKmerMap _))
+
+  val oracles: Map[String, String] = Map(
+    "q_seq_stats" -> qSeqStatsSql,
+    "q_kmer_explode" -> qKmerExplodeSql,
+    "q_codon_explode" -> qCodonExplodeSql)
+}

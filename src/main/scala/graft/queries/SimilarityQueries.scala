@@ -1,0 +1,163 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** Similarity search over `embeddings.embedding` (ARRAY<FLOAT>, 64-dim).
+  *
+  * Exactness strategy — fixed-point quantization: vq = floor(v · 2^20) as
+  * BIGINT. Multiplying a double by a power of two is exact (exponent shift)
+  * and floor of an exact double is engine-identical, so both engines derive
+  * the same integer vectors. All dot products / norms are then integer sums
+  * (|vq| ≤ 2^20 ⇒ products ≤ 2^40, 64-dim sums ≤ 2^46 < 2^53), which are
+  * exact in ANY summation order and convert exactly to DOUBLE. The final
+  * cosine is one sqrt+divide chain on identical doubles. Quantization error
+  * vs true float cosine < 2^-19 — well inside ANN tolerance, and the
+  * integer pipeline is also faster than decimal/float at scale (packs into
+  * codegen'd long arithmetic).
+  *
+  * Scale strategy: q_simsearch is probe-vs-all (O(n·d) with a broadcast
+  * single-row probe — the brute-force ANN baseline). q_embed_neardup uses
+  * deterministic sign-LSH bucketing (sign bits of the 8 leading dims) so
+  * the candidate space shrinks ~2^8× before any exact math — the bucket
+  * equi-join IS the 100 TB path; swap the hash family for seeded random
+  * hyperplanes in production.
+  */
+object SimilarityQueries {
+
+  /** vec_id, pos, vq (exact fixed-point BIGINT) — exploded embeddings. */
+  private def flat(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "embeddings")
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "vf")))
+      .select(col("vec_id"), col("pos"),
+        floor(col("vf").cast("double") * 1048576d).cast("long").as("vq"))
+
+  private val FlatSqlCte: String =
+    """flat AS (
+      |  SELECT vec_id, i AS pos,
+      |         CAST(floor(CAST(embedding[i] AS DOUBLE) * 1048576) AS BIGINT) AS vq
+      |  FROM embeddings, LATERAL unnest(generate_series(1, len(embedding))) AS t(i))""".stripMargin
+
+  /** Top-5 cosine neighbors of vec_id 0 (quantized-exact). */
+  def qSimsearch(spark: SparkSession, sfDir: String): DataFrame = {
+    val f = flat(spark, sfDir)
+    val probe = f.filter(col("vec_id") === 0)
+      .select(col("pos"), col("vq").as("qv"))
+    val dots = f.filter(col("vec_id") =!= 0)
+      .join(broadcast(probe), "pos")
+      .groupBy("vec_id")
+      .agg(sum(col("vq") * col("qv")).as("dot"))
+    val norms = f.groupBy("vec_id")
+      .agg(sum(col("vq") * col("vq")).as("norm2"))
+    val qnorm = norms.filter(col("vec_id") === 0)
+      .select(col("norm2").as("qnorm2"))
+    dots
+      .join(norms, "vec_id")
+      .crossJoin(broadcast(qnorm))
+      .select(col("vec_id"),
+        (col("dot").cast("double") /
+          (sqrt(col("norm2").cast("double")) * sqrt(col("qnorm2").cast("double"))))
+          .as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+      .limit(5)
+  }
+
+  val qSimsearchSql: String =
+    s"""WITH $FlatSqlCte,
+       |q AS (SELECT pos, vq AS qv FROM flat WHERE vec_id = 0),
+       |dots AS (
+       |  SELECT vec_id, CAST(sum(vq * qv) AS BIGINT) AS dot
+       |  FROM flat JOIN q USING (pos) WHERE vec_id <> 0 GROUP BY vec_id),
+       |norms AS (
+       |  SELECT vec_id, CAST(sum(vq * vq) AS BIGINT) AS norm2
+       |  FROM flat GROUP BY vec_id)
+       |SELECT d.vec_id,
+       |       CAST(d.dot AS DOUBLE)
+       |         / (sqrt(CAST(n.norm2 AS DOUBLE)) * sqrt(CAST(qn.qnorm2 AS DOUBLE))) AS cosine
+       |FROM dots d
+       |JOIN norms n ON d.vec_id = n.vec_id
+       |CROSS JOIN (SELECT norm2 AS qnorm2 FROM norms WHERE vec_id = 0) qn
+       |ORDER BY cosine DESC, d.vec_id
+       |LIMIT 5""".stripMargin
+
+  /** Deterministic sign-LSH bucket key: '+'/'-' of the first 8 dims.
+    * Float sign compare is exact — no rounding hazard. */
+  private def signBucket(emb: Column): Column =
+    concat((1 to 8).map(i =>
+      when(element_at(emb, i) >= 0f, lit("+")).otherwise(lit("-"))): _*)
+
+  /** Embedding near-dup pairs: same sign-LSH bucket AND quantized cosine
+    * ≥ 0.3. Bucket equi-join replaces the O(n²) cross join; exact integer
+    * cosine re-ranks inside buckets only. */
+  def qEmbedNeardup(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = t(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding"), signBucket(col("embedding")).as("bucket"))
+    val norms = flat(spark, sfDir).groupBy("vec_id")
+      .agg(sum(col("vq") * col("vq")).as("norm2"))
+    val pairs = emb.as("a").join(emb.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("v1"), col("b.vec_id").as("v2"),
+        col("a.embedding").as("e1"), col("b.embedding").as("e2"))
+    val dots = pairs
+      .select(col("v1"), col("v2"),
+        posexplode(arrays_zip(col("e1"), col("e2"))).as(Seq("pos", "z")))
+      .select(col("v1"), col("v2"),
+        (floor(col("z.e1").cast("double") * 1048576d).cast("long") *
+          floor(col("z.e2").cast("double") * 1048576d).cast("long")).as("p"))
+      .groupBy("v1", "v2")
+      .agg(sum(col("p")).as("dot"))
+    dots
+      .join(norms.select(col("vec_id").as("v1"), col("norm2").as("n1")), "v1")
+      .join(norms.select(col("vec_id").as("v2"), col("norm2").as("n2")), "v2")
+      .select(col("v1"), col("v2"),
+        (col("dot").cast("double") /
+          (sqrt(col("n1").cast("double")) * sqrt(col("n2").cast("double")))).as("cosine"))
+      .filter(col("cosine") >= 0.3)
+      .orderBy("v1", "v2")
+  }
+
+  val qEmbedNeardupSql: String =
+    s"""WITH emb AS (
+       |  SELECT vec_id, embedding,
+       |         concat(
+       |           CASE WHEN embedding[1] >= 0 THEN '+' ELSE '-' END,
+       |           CASE WHEN embedding[2] >= 0 THEN '+' ELSE '-' END,
+       |           CASE WHEN embedding[3] >= 0 THEN '+' ELSE '-' END,
+       |           CASE WHEN embedding[4] >= 0 THEN '+' ELSE '-' END,
+       |           CASE WHEN embedding[5] >= 0 THEN '+' ELSE '-' END,
+       |           CASE WHEN embedding[6] >= 0 THEN '+' ELSE '-' END,
+       |           CASE WHEN embedding[7] >= 0 THEN '+' ELSE '-' END,
+       |           CASE WHEN embedding[8] >= 0 THEN '+' ELSE '-' END) AS bucket
+       |  FROM embeddings),
+       |$FlatSqlCte,
+       |norms AS (
+       |  SELECT vec_id, CAST(sum(vq * vq) AS BIGINT) AS norm2
+       |  FROM flat GROUP BY vec_id),
+       |pairs AS (
+       |  SELECT a.vec_id AS v1, b.vec_id AS v2, a.embedding AS e1, b.embedding AS e2
+       |  FROM emb a JOIN emb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+       |dots AS (
+       |  SELECT v1, v2,
+       |         CAST(sum(CAST(floor(CAST(e1[i] AS DOUBLE) * 1048576) AS BIGINT)
+       |                  * CAST(floor(CAST(e2[i] AS DOUBLE) * 1048576) AS BIGINT)) AS BIGINT) AS dot
+       |  FROM pairs, LATERAL unnest(generate_series(1, len(e1))) AS t(i)
+       |  GROUP BY v1, v2)
+       |SELECT v1, v2,
+       |       CAST(dot AS DOUBLE)
+       |         / (sqrt(CAST(n1.norm2 AS DOUBLE)) * sqrt(CAST(n2.norm2 AS DOUBLE))) AS cosine
+       |FROM dots
+       |JOIN norms n1 ON n1.vec_id = v1
+       |JOIN norms n2 ON n2.vec_id = v2
+       |WHERE CAST(dot AS DOUBLE)
+       |         / (sqrt(CAST(n1.norm2 AS DOUBLE)) * sqrt(CAST(n2.norm2 AS DOUBLE))) >= 0.3
+       |ORDER BY v1, v2""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_simsearch" -> (qSimsearch _),
+    "q_embed_neardup" -> (qEmbedNeardup _))
+
+  val oracles: Map[String, String] = Map(
+    "q_simsearch" -> qSimsearchSql,
+    "q_embed_neardup" -> qEmbedNeardupSql)
+}

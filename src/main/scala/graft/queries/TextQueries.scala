@@ -1,0 +1,168 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+import graft.functions.TextFunctions._
+
+/** Text-analysis + exact-dedup queries over `documents` ([ext] rows of
+  * SURVEY §2.2): token frequencies, exact dedup, language-ID heuristic,
+  * quality scoring, token counting, rolling fingerprints, binary metadata.
+  * All narrow per-row pipelines + keyed aggregations — linear at 100 TB.
+  */
+object TextQueries {
+
+  /** Top-20 token frequencies; the tie-break on token makes the LIMIT a
+    * deterministic total order. */
+  def qTextTokens(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "documents")
+      .select(explode(tokens(col("text"))).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token").asc)
+      .limit(20)
+
+  val qTextTokensSql: String =
+    """SELECT token, count(*) AS cnt
+      |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+      |WHERE token <> ''
+      |GROUP BY token
+      |ORDER BY cnt DESC, token ASC
+      |LIMIT 20""".stripMargin
+
+  /** Exact dedup accounting: distinct md5(text) survivors per language. */
+  def qDedupExact(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "documents")
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(md5(col("text").cast("binary"))).as("n_unique"))
+      .withColumn("n_dups", col("n_docs") - col("n_unique"))
+      .orderBy("lang")
+
+  val qDedupExactSql: String =
+    """SELECT lang, count(*) AS n_docs,
+      |       count(DISTINCT md5(text)) AS n_unique,
+      |       count(*) - count(DISTINCT md5(text)) AS n_dups
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
+  /** Stopword-hit language-ID heuristic: score each language's tiny
+    * stopword list, argmax with a fixed tie order (list order). */
+  def qLangId(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = t(spark, sfDir, "documents")
+      .select(col("doc_id"), col("lang"), tokens(col("text")).as("toks"))
+    val scored = StopwordLists.foldLeft(docs) { case (df, (lang, words)) =>
+      df.withColumn(s"hits_$lang", stopwordHits(col("toks"), words))
+    }
+    // argmax via greatest + chained when, ties resolved by list order
+    val hitCols = StopwordLists.map { case (l, _) => col(s"hits_$l") }
+    val best = greatest(hitCols: _*)
+    val pred = StopwordLists.foldRight(lit("und")) { case ((l, _), acc) =>
+      when(col(s"hits_$l") === best && best > 0, lit(l)).otherwise(acc)
+    }
+    // foldRight puts the FIRST list entry as the outermost when → first wins ties
+    scored
+      .withColumn("pred_lang", pred)
+      .select((Seq(col("doc_id"), col("lang"), col("pred_lang")) ++
+        StopwordLists.map { case (l, _) => col(s"hits_$l") }): _*)
+      .orderBy("doc_id")
+  }
+
+  val qLangIdSql: String = {
+    def hits(lang: String, words: Seq[String]): String = {
+      val inList = words.map(w => s"'$w'").mkString(", ")
+      s"(SELECT count(*) FROM unnest(string_split(text,' ')) AS u(tok) WHERE tok IN ($inList))"
+    }
+    val hitExprs = StopwordLists
+      .map { case (l, ws) => s"  ${hits(l, ws)} AS hits_$l" }.mkString(",\n")
+    val bestExpr = StopwordLists.map { case (l, _) => s"hits_$l" }
+      .mkString("greatest(", ", ", ")")
+    val caseArms = StopwordLists
+      .map { case (l, _) => s"WHEN hits_$l = $bestExpr AND $bestExpr > 0 THEN '$l'" }
+      .mkString(" ")
+    s"""WITH scored AS (
+       |SELECT doc_id, lang,
+       |$hitExprs
+       |FROM documents)
+       |SELECT doc_id, lang,
+       |       CASE $caseArms ELSE 'und' END AS pred_lang,
+       |       ${StopwordLists.map { case (l, _) => s"hits_$l" }.mkString(", ")}
+       |FROM scored ORDER BY doc_id""".stripMargin
+  }
+
+  /** Quality scoring: length saturation, alpha ratio, stopword ratio. */
+  def qQualityScore(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        size(tokens(col("text"))).cast("long").as("n_tokens"),
+        approxTokenCount(col("text")).as("n_bpeish_tokens"),
+        qualityScore(col("text")).as("quality"))
+      .orderBy("doc_id")
+
+  val qQualityScoreSql: String = {
+    val stop = StopwordLists.head._2.map(w => s"'$w'").mkString(", ")
+    s"""SELECT doc_id,
+       |  len(list_filter(string_split(text,' '), t -> t <> '')) AS n_tokens,
+       |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_bpeish_tokens,
+       |  0.4 * least(CAST(length(text) AS DOUBLE) / 500, 1.0)
+       |  + 0.4 * (CAST(length(text) - length(regexp_replace(text, '[a-zA-Z]', '', 'g')) AS DOUBLE)
+       |           / length(text))
+       |  + 0.2 * least(CAST((SELECT count(*) FROM unnest(string_split(text,' ')) AS u(tok)
+       |                      WHERE tok IN ($stop)) AS DOUBLE)
+       |                / len(list_filter(string_split(text,' '), t -> t <> '')) * 5, 1.0)
+       |    AS quality
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
+  /** Order-sensitive rolling fingerprint + exact-dup key per doc. */
+  def qFingerprint(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        rollingFingerprint(col("text")).as("rolling_fp"),
+        md5(col("text").cast("binary")).as("md5_fp"))
+      .orderBy("doc_id")
+
+  val qFingerprintSql: String =
+    """SELECT doc_id,
+      |  list_reduce(
+      |    list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(list_filter(string_split(text,' '), t -> t <> ''),
+      |        t -> (length(t) * 1009 + ascii(t) * 31 + ascii(reverse(t))) % 1000000007)),
+      |    (acc, x) -> (acc * 31 + x) % 1000000007) AS rolling_fp,
+      |  md5(text) AS md5_fp
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Multimodal plumbing surrogate: opaque binary payload + typed metadata
+    * (byte length, content hash) — the schema/partitioning pattern for
+    * image/audio columns; real decode lives in graft.multimodal. */
+  def qBinaryMeta(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .select(col("doc_id"),
+        // length() on BinaryType counts bytes (octet_length equivalent)
+        length(col("payload")).cast("long").as("n_bytes"),
+        md5(col("payload")).as("content_md5"))
+      .orderBy("doc_id")
+
+  val qBinaryMetaSql: String =
+    """SELECT doc_id,
+      |       octet_length(CAST(text AS BLOB)) AS n_bytes,
+      |       md5(text) AS content_md5
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_tokens" -> (qTextTokens _),
+    "q_dedup_exact" -> (qDedupExact _),
+    "q_lang_id" -> (qLangId _),
+    "q_quality_score" -> (qQualityScore _),
+    "q_fingerprint" -> (qFingerprint _),
+    "q_binary_meta" -> (qBinaryMeta _))
+
+  val oracles: Map[String, String] = Map(
+    "q_text_tokens" -> qTextTokensSql,
+    "q_dedup_exact" -> qDedupExactSql,
+    "q_lang_id" -> qLangIdSql,
+    "q_quality_score" -> qQualityScoreSql,
+    "q_fingerprint" -> qFingerprintSql,
+    "q_binary_meta" -> qBinaryMetaSql)
+}

@@ -1,0 +1,30 @@
+package graft
+
+/** Every SparkEntry query runs at sf0.001 and returns rows with the
+  * expected columns; entry() (the driver's t1 smoke) returns rows > 0.
+  * Hash-level correctness is the driver's DuckDB compare (locally:
+  * tools/local_verify.py after runMain graft.Verify).
+  */
+class QueriesSmokeSpec extends SparkSpec {
+
+  test("entry returns rows at sf0.001") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("oracleSql keys are a subset of queries keys") {
+    val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(missing.isEmpty, s"oracle without query: $missing")
+  }
+
+  for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
+    test(s"$name runs at sf0.001 and returns rows") {
+      val df = fn(spark, TestSpark.Sf0001)
+      assert(df.columns.nonEmpty)
+      val n = df.count()
+      // near-dup pair queries may legitimately be sparse, but must not error
+      if (name != "q_embed_neardup" && name != "q_jaccard_pairs" && name != "q_minhash_lsh")
+        assert(n > 0, s"$name returned no rows")
+      else assert(n >= 0)
+    }
+  }
+}
