@@ -40,12 +40,20 @@ object DedupQueries {
       |  FROM toks, LATERAL unnest(generate_series(1, len(tk) - 2)) AS t(i))""".stripMargin
 
   /** Exact n-gram Jaccard near-dup pairs via the shingle inverted index:
-    * docs sharing ≥1 shingle → |∩| by join-count, |∪| from set sizes. */
+    * docs sharing ≥1 shingle → |∩| by join-count, |∪| from set sizes.
+    *
+    * Scale shape: shingles are joined as xxhash64 LONG keys, not strings —
+    * an 8-byte shuffle key instead of ~20+ byte text (collision odds at
+    * 100 TB shingle cardinality ~2^40 keys are ~2^-a lot; any collision
+    * only perturbs one `inter` count). The hashed shingle set is cached:
+    * it feeds the set-size aggregate and both sides of the self-join. */
   def qJaccardPairs(spark: SparkSession, sfDir: String): DataFrame = {
     val sh = docShingles(spark, sfDir)
+      .select(col("doc_id"), xxhash64(col("sh")).as("h"))
+      .cache()
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val inter = sh.as("a").join(sh.as("b"),
-        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .agg(count(lit(1)).as("inter"))
     inter
@@ -73,21 +81,37 @@ object DedupQueries {
        |WHERE CAST(inter AS DOUBLE) / (s1.sz + s2.sz - inter) >= 0.2
        |ORDER BY d1, d2""".stripMargin
 
-  /** MinHash(16) + LSH(4 bands × 4 rows) candidate pairs. */
+  /** MinHash(16) + LSH(4 bands × 4 rows) candidate pairs.
+    *
+    * Hash family: the j-th hash of a shingle is the j-th 4-hex-digit window
+    * of md5("a:"+sh) (j<8) or md5("b:"+sh) (j≥8) — 16 independent 16-bit
+    * hashes from TWO md5 evaluations per shingle, compared as fixed-width
+    * hex strings (string min ≡ numeric min). md5 is the hash both engines
+    * share bit-exactly, which makes the whole LSH pipeline oracle-checkable.
+    *
+    * Shape: NO per-hash explode — one groupBy(doc_id) computes all 16
+    * signature mins as parallel aggregates (map-side combine collapses each
+    * partition to one row per doc before the shuffle); bands then unpivot
+    * 4 rows/doc for the bucket self-join. This is the canonical
+    * shingle→minhash→band→bucket-join dedup at any scale. */
   def qMinhashLsh(spark: SparkSession, sfDir: String): DataFrame = {
-    val sh = docShingles(spark, sfDir)
-    val sig = sh
-      .select(col("doc_id"), explode(sequence(lit(0), lit(15))).as("j"), col("sh"))
-      .select(col("doc_id"), col("j"),
-        md5(concat(col("j").cast("string"), lit(":"), col("sh")).cast("binary")).as("h"))
-      .groupBy("doc_id", "j")
-      .agg(min(col("h")).as("mh"))
+    val hx = docShingles(spark, sfDir)
+      .select(col("doc_id"),
+        md5(concat(lit("a:"), col("sh")).cast("binary")).as("m1"),
+        md5(concat(lit("b:"), col("sh")).cast("binary")).as("m2"))
+    val mins = (0 until 16).map { j =>
+      val src = if (j < 8) col("m1") else col("m2")
+      min(substring(src, (j % 8) * 4 + 1, 4)).as(s"h$j")
+    }
+    val sig = hx.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+    val bandStructs = (0 until 4).map { b =>
+      struct(lit(b).cast("long").as("band"),
+        concat((0 until 4).map(r => col(s"h${b * 4 + r}")): _*).as("band_key"))
+    }
     val bandKeys = sig
-      .withColumn("band", floor(col("j") / 4).cast("long"))
-      .groupBy("doc_id", "band")
-      .agg(md5(array_join(
-        transform(array_sort(collect_list(struct(col("j"), col("mh")))), x => x.getField("mh")),
-        ",").cast("binary")).as("band_key"))
+      .select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.band_key").as("band_key"))
+      .cache()
     bandKeys.as("a").join(bandKeys.as("b"),
         col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -96,17 +120,24 @@ object DedupQueries {
       .orderBy("d1", "d2")
   }
 
-  val qMinhashLshSql: String =
+  val qMinhashLshSql: String = {
+    val minExprs = (0 until 16).map { j =>
+      val src = if (j < 8) "m1" else "m2"
+      s"min(substr($src, ${(j % 8) * 4 + 1}, 4)) AS h$j"
+    }.mkString(",\n       |  ")
+    val bandSelects = (0 until 4).map { b =>
+      val key = (0 until 4).map(r => s"h${b * 4 + r}").mkString(" || ")
+      s"SELECT doc_id, CAST($b AS BIGINT) AS band, $key AS band_key FROM sig"
+    }.mkString("\n       |  UNION ALL ")
     s"""WITH $ShinglesSqlCte,
+       |hx AS (
+       |  SELECT doc_id, md5('a:' || sh) AS m1, md5('b:' || sh) AS m2 FROM sh),
        |sig AS (
-       |  SELECT doc_id, j, min(md5(CAST(j AS VARCHAR) || ':' || sh)) AS mh
-       |  FROM sh, LATERAL unnest(generate_series(0, 15)) AS t(j)
-       |  GROUP BY doc_id, j),
+       |  SELECT doc_id,
+       |  $minExprs
+       |  FROM hx GROUP BY doc_id),
        |bands AS (
-       |  SELECT doc_id, CAST(floor(j / 4.0) AS BIGINT) AS band,
-       |         md5(string_agg(mh, ',' ORDER BY j)) AS band_key
-       |  FROM sig
-       |  GROUP BY doc_id, band),
+       |  $bandSelects),
        |pairs AS (
        |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS n_bands
        |  FROM bands a
@@ -114,6 +145,7 @@ object DedupQueries {
        |              AND a.doc_id < b.doc_id
        |  GROUP BY 1, 2)
        |SELECT d1, d2, n_bands FROM pairs ORDER BY d1, d2""".stripMargin
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_jaccard_pairs" -> (qJaccardPairs _),

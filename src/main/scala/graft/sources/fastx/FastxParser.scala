@@ -1,0 +1,163 @@
+package graft.sources.fastx
+
+import java.io.InputStream
+
+/** A parsed FASTX record. `quality` is null for FASTA.
+  *
+  * Record semantics mirror needletail 0.7.0 (the reference's parser backend,
+  * reference `pyproject.toml:8`, consumed at `fastx_parsers.py:113-114`):
+  * `header` is the full line after the `>`/`@` marker including any
+  * description after the first space; `sequence` concatenates all sequence
+  * lines (multi-line FASTA); `quality` is the Phred string (FASTQ only).
+  */
+final case class FastxRecord(header: String, sequence: String, quality: String)
+
+/** Byte-offset-tracking line reader: the building block for splittable
+  * reads. Returns lines without their terminator; handles LF and CRLF
+  * (trailing `\r` stripped — in FASTX, `\r` only occurs as part of CRLF).
+  * `position` is the absolute byte offset of the next unread byte
+  * (`baseOffset` + bytes consumed), advancing past terminators.
+  */
+final class PosLineReader(in: InputStream, baseOffset: Long = 0L) {
+  private var pos: Long = baseOffset
+  private val buf = new Array[Byte](64 * 1024)
+  private var bufLen = 0
+  private var bufPos = 0
+  private var eof = false
+
+  def position: Long = pos
+
+  private def fill(): Boolean = {
+    if (eof) return false
+    bufLen = in.read(buf)
+    bufPos = 0
+    if (bufLen <= 0) { eof = true; false } else true
+  }
+
+  /** Next line (terminator stripped), or null at EOF. */
+  def readLine(): String = {
+    val sb = new java.lang.StringBuilder(128)
+    var sawAny = false
+    var done = false
+    while (!done) {
+      if (bufPos >= bufLen && !fill()) {
+        done = true
+      } else {
+        sawAny = true
+        var i = bufPos
+        var nl = -1
+        while (i < bufLen && nl < 0) {
+          if (buf(i) == '\n') nl = i else i += 1
+        }
+        if (nl >= 0) {
+          sb.append(new String(buf, bufPos, nl - bufPos, "UTF-8"))
+          pos += (nl - bufPos + 1)
+          bufPos = nl + 1
+          done = true
+        } else {
+          sb.append(new String(buf, bufPos, bufLen - bufPos, "UTF-8"))
+          pos += (bufLen - bufPos)
+          bufPos = bufLen
+        }
+      }
+    }
+    if (!sawAny) null
+    else {
+      val s = sb.toString
+      if (s.nonEmpty && s.charAt(s.length - 1) == '\r') s.substring(0, s.length - 1) else s
+    }
+  }
+}
+
+/** Streaming FASTA/FASTQ record parsing over a [[PosLineReader]].
+  *
+  * FASTA: a record starts at a `>` line; sequence lines are concatenated
+  * until the next `>` or EOF. FASTQ: strict 4-line records (`@`header,
+  * sequence, `+`separator, quality) — quality lines may begin with `@`,
+  * which is why FASTQ is parsed positionally, never by sniffing `@`
+  * (SURVEY §7.3.1 ambiguity).
+  *
+  * Split ownership (FASTA): Hadoop text-split convention. A split
+  * [start, end) owns every record whose `>` line starts at offset p with
+  * p <= end, where the caller has already discarded the (possibly partial)
+  * first line when start > 0 — so the line starting exactly at `end` is
+  * read by this split and discarded by the next. The last owned record is
+  * always read to completion past `end`.
+  */
+object FastxParser {
+
+  /** Sniff format from the first byte marker, as needletail does from the
+    * first record (`fastx_parsers.py:87-88`). */
+  def sniffFormat(firstByte: Int): String = firstByte match {
+    case '>' => "fasta"
+    case '@' => "fastq"
+    case -1  => "fasta" // empty file: degenerate, yields no records
+    case b   => throw new IllegalArgumentException(
+      s"Not a FASTX file: first byte '${b.toChar}' is neither '>' nor '@'")
+  }
+
+  /** FASTA records whose header line starts at offset <= ownedEnd.
+    * The reader may be positioned mid-record (after a split seek + partial
+    * line discard): lines before the first owned `>` are skipped. */
+  def fastaRecords(reader: PosLineReader, ownedEnd: Long = Long.MaxValue): Iterator[FastxRecord] =
+    new Iterator[FastxRecord] {
+      private var pendingHeader: String = null
+      locate()
+
+      private def locate(): Unit = {
+        var before = reader.position
+        var line = reader.readLine()
+        while (line != null && !line.startsWith(">")) {
+          before = reader.position
+          line = reader.readLine()
+        }
+        if (line != null && before <= ownedEnd) pendingHeader = line.substring(1)
+      }
+
+      override def hasNext: Boolean = pendingHeader != null
+
+      override def next(): FastxRecord = {
+        val header = pendingHeader
+        pendingHeader = null
+        val seq = new java.lang.StringBuilder(256)
+        var done = false
+        while (!done) {
+          val before = reader.position
+          val line = reader.readLine()
+          if (line == null) done = true
+          else if (line.startsWith(">")) {
+            if (before <= ownedEnd) pendingHeader = line.substring(1)
+            done = true
+          } else seq.append(line)
+        }
+        FastxRecord(header, seq.toString, null)
+      }
+    }
+
+  /** Strict 4-line FASTQ records from the stream start (non-splittable). */
+  def fastqRecords(reader: PosLineReader): Iterator[FastxRecord] =
+    new Iterator[FastxRecord] {
+      private var nextRec: FastxRecord = fetch()
+
+      private def fetch(): FastxRecord = {
+        var h = reader.readLine()
+        while (h != null && h.isEmpty) h = reader.readLine() // tolerate blank separator lines
+        if (h == null) return null
+        if (!h.startsWith("@"))
+          throw new IllegalArgumentException(s"Malformed FASTQ: expected '@' header, got: $h")
+        val s = reader.readLine()
+        val plus = reader.readLine()
+        val q = reader.readLine()
+        if (s == null || plus == null || q == null)
+          throw new IllegalArgumentException(s"Malformed FASTQ: truncated record '$h'")
+        if (!plus.startsWith("+"))
+          throw new IllegalArgumentException(s"Malformed FASTQ: expected '+' separator, got: $plus")
+        FastxRecord(h.substring(1), s, q)
+      }
+
+      override def hasNext: Boolean = nextRec != null
+      override def next(): FastxRecord = {
+        val r = nextRec; nextRec = fetch(); r
+      }
+    }
+}
