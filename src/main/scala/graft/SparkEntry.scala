@@ -24,7 +24,8 @@ object SparkEntry {
       EventQueries.queries ++
       TextQueries.queries ++
       SimilarityQueries.queries ++
-      DedupQueries.queries
+      DedupQueries.queries ++
+      FastxQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys (map-typed outputs) get the
@@ -35,5 +36,6 @@ object SparkEntry {
       EventQueries.oracles ++
       TextQueries.oracles ++
       SimilarityQueries.oracles ++
-      DedupQueries.oracles
+      DedupQueries.oracles ++
+      FastxQueries.oracles
 }

@@ -1,0 +1,109 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing for a training-data pipeline: media payloads
+  * travel as opaque BINARY columns beside typed metadata, and decode /
+  * feature-extraction runs partition-parallel with per-partition decoder
+  * initialization (the Spark-side shape that matters at 100 TB — payloads
+  * never pass through the driver, decoders initialize once per task, and
+  * the output is a flat columnar schema ready for the similarity/dedup
+  * operators).
+  *
+  * The actual byte→pixels decode is STUBBED (`MediaDecoder.decode` —
+  * image/audio codecs are not available in this environment): the default
+  * [[DeterministicFakeDecoder]] derives stable pseudo-features from the
+  * payload bytes so every downstream contract (schema, batching,
+  * partitioning, determinism) is real and tested; swap in a JNI/codec
+  * implementation per modality in production.
+  */
+object Multimodal {
+
+  /** A media row: id + opaque payload + typed metadata. */
+  case class MediaRecord(media_id: Long, mime: String, payload: Array[Byte])
+
+  /** Extracted features: decoded dimensions + a unit-scale embedding. */
+  case class MediaFeatures(media_id: Long, mime: String, n_bytes: Long,
+                           width: Int, height: Int, embedding: Array[Float])
+
+  /** Per-partition decoder contract. Implementations may hold heavyweight
+    * native state — `open()` runs once per partition, not per row. */
+  trait MediaDecoder extends Serializable {
+    def open(): Unit = ()
+    def decode(mime: String, payload: Array[Byte]): (Int, Int, Array[Float])
+    def close(): Unit = ()
+  }
+
+  /** Deterministic stand-in for a real codec: dimensions and embedding are
+    * pure functions of the payload bytes (FNV-1a over byte windows). */
+  object DeterministicFakeDecoder extends MediaDecoder {
+    private def fnv(bytes: Array[Byte], from: Int, until: Int): Long = {
+      var h = 0xcbf29ce484222325L
+      var i = from
+      while (i < until && i < bytes.length) {
+        h ^= (bytes(i) & 0xffL); h *= 0x100000001b3L; i += 1
+      }
+      h
+    }
+    override def decode(mime: String, payload: Array[Byte]): (Int, Int, Array[Float]) = {
+      val h = fnv(payload, 0, payload.length)
+      val w = 64 + (h & 0x3f).toInt
+      val ht = 64 + ((h >>> 6) & 0x3f).toInt
+      val emb = Array.tabulate(16) { k =>
+        val hk = fnv(payload, k * 7, k * 7 + 64)
+        ((hk >>> 11).toDouble / (1L << 53).toDouble - 0.5).toFloat
+      }
+      (w, ht, emb)
+    }
+  }
+
+  /** Wrap a text/binary DataFrame as media records (fixture builder: any
+    * bytes column works — in production this is the raw image/audio scan). */
+  def asMedia(df: DataFrame, idCol: String, bytesCol: String,
+              mime: String = "application/octet-stream"): Dataset[MediaRecord] = {
+    import df.sparkSession.implicits._
+    df.select(col(idCol).cast("long").as("media_id"),
+        lit(mime).as("mime"),
+        col(bytesCol).cast("binary").as("payload"))
+      .as[MediaRecord]
+  }
+
+  /** Partition-parallel decode + feature extraction. `mapPartitions` (not a
+    * per-row UDF) so the decoder amortizes `open()` across the partition —
+    * the standard pattern for native codecs. */
+  def extractFeatures(media: Dataset[MediaRecord],
+                      decoder: MediaDecoder = DeterministicFakeDecoder): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      decoder.open()
+      val out = it.map { r =>
+        val (w, h, emb) = decoder.decode(r.mime, r.payload)
+        MediaFeatures(r.media_id, r.mime, r.payload.length.toLong, w, h, emb)
+      }
+      new Iterator[MediaFeatures] {
+        override def hasNext: Boolean = {
+          val more = out.hasNext
+          if (!more) decoder.close()
+          more
+        }
+        override def next(): MediaFeatures = out.next()
+      }
+    }
+  }
+
+  /** Frame/sample-style batching: deterministic byte-window sampling of a
+    * payload (the video-frame-sampling shape: n evenly spaced windows). */
+  def sampleWindows(media: Dataset[MediaRecord], n: Int, window: Int): DataFrame = {
+    import media.sparkSession.implicits._
+    media.flatMap { r =>
+      val len = r.payload.length
+      if (len == 0) Seq.empty
+      else (0 until n).map { i =>
+        val off = (len.toLong * i / n).toInt
+        val until = math.min(off + window, len)
+        (r.media_id, i, java.util.Arrays.copyOfRange(r.payload, off, until))
+      }
+    }.toDF("media_id", "frame_idx", "frame_bytes")
+  }
+}

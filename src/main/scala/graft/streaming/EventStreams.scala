@@ -1,0 +1,107 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming lift of the event pipeline (SURVEY §7.6): the
+  * batch queries in EventQueries define the semantics; these wrappers run
+  * the same logic incrementally with event-time watermarks.
+  *
+  * Batch-first design: `tumblingCounts` is literally the q_tumbling_window
+  * aggregation applied to a streaming DataFrame — Catalyst plans the
+  * incremental version (partial aggregates + state store) from the same
+  * declarative plan. `sessionize` needs custom state (open sessions), so it
+  * drops to `flatMapGroupsWithState` — the Spark-native analog of a
+  * stateful stream operator, with event-time timeouts closing idle
+  * sessions at the watermark.
+  */
+object EventStreams {
+
+  /** The events schema as a stream source expects it: `ts` arrives as
+    * nanosecond Longs (see Tables.t) and is truncated to micros. */
+  val EventsRawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  /** Streaming read of an events parquet directory. */
+  def readEventStream(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // the streaming file source wants a directory: point it at sfDir and
+    // glob-filter to the events file
+    spark.readStream
+      .schema(EventsRawSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+  }
+
+  /** Tumbling 1-hour event-time counts — identical aggregation to
+    * q_tumbling_window; watermark bounds state. */
+  def tumblingCounts(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("value").cast(DecimalType(18, 6))).cast(DecimalType(28, 6))
+          .cast("double").as("sum_value"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour_start"),
+        col("cnt"), col("sum_value"))
+
+  case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long, value: Double)
+  case class SessionState(start: Long, last: Long, nEvents: Long, sumValue: Double)
+  case class Session(user_id: Long, start_ts: java.sql.Timestamp,
+                     end_ts: java.sql.Timestamp, n_events: Long, sum_value: Double)
+
+  /** Gap duration (event-time) that closes a session — 30 min, matching
+    * the batch q_sessionize. */
+  val GapMs: Long = 30L * 60 * 1000
+
+  /** Stateful streaming sessionization: per-user open-session state;
+    * events extend the session or close it (gap > 30 min) and emit;
+    * event-time timeout at watermark + gap flushes idle sessions.
+    *
+    * State is O(active users); emission is append-mode (closed sessions
+    * are immutable) — the shape that scales to unbounded streams.
+    */
+  def sessionize(events: Dataset[Event]): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "1 hour")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (userId, it, state: GroupState[SessionState]) =>
+          def toSession(s: SessionState): Session =
+            Session(userId, new java.sql.Timestamp(s.start), new java.sql.Timestamp(s.last),
+              s.nEvents, s.sumValue)
+          if (state.hasTimedOut) {
+            val out = state.getOption.map(toSession).toSeq
+            state.remove()
+            out.iterator
+          } else {
+            val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            var cur = state.getOption.orNull
+            val closed = Seq.newBuilder[Session]
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              if (cur == null) cur = SessionState(t, t, 1, e.value)
+              else if (t - cur.last > GapMs) {
+                closed += toSession(cur)
+                cur = SessionState(t, t, 1, e.value)
+              } else {
+                cur = SessionState(cur.start, math.max(cur.last, t),
+                  cur.nEvents + 1, cur.sumValue + e.value)
+              }
+            }
+            if (cur != null) {
+              state.update(cur)
+              state.setTimeoutTimestamp(cur.last + GapMs)
+            }
+            closed.result().iterator
+          }
+      }
+  }
+}

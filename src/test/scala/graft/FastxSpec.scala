@@ -1,0 +1,201 @@
+package graft
+
+import java.io.{File, FileOutputStream}
+import java.nio.charset.StandardCharsets
+import java.nio.file.Files
+import java.util.zip.GZIPOutputStream
+
+import graft.sources.fastx.{FastxParser, PosLineReader}
+
+/** FASTX fixtures from FIXTURES.md §A: multi-line FASTA, FASTQ with
+  * `@`-leading quality, gzip, CRLF, no trailing newline. Parser semantics
+  * pinned against needletail behavior (SURVEY §1.1): header keeps the
+  * description; multi-line sequences concatenate; FASTQ parsed positionally.
+  */
+object FastxFixtures {
+  lazy val dir: File = {
+    val d = Files.createTempDirectory("fastx_fixtures").toFile
+    d.deleteOnExit()
+    write(d, "tiny.fasta",
+      ">id1 first record\nACGT\n>id2\nacg\ntNNa\nCC\n>id3 desc with  spaces\nGGGG\n")
+    write(d, "tiny.fastq",
+      "@r1 desc\nACGT\n+\n!!!!\n@r2\nNNNN\n+r2\n@@@@\n@r3\nAC\n+\n#!\n")
+    write(d, "edge.fasta",
+      ">empty\n>allN\nNNNN\n>len5\nACGTA\n>lower\nacgt\n")
+    write(d, "crlf.fasta", ">a one\r\nACGT\r\nTT\r\n>b\r\nGG") // no trailing newline
+    gzip(d, "tiny.fasta.gz",
+      ">id1 first record\nACGT\n>id2\nacg\ntNNa\nCC\n>id3 desc with  spaces\nGGGG\n")
+    d
+  }
+
+  private def write(d: File, name: String, content: String): Unit =
+    Files.write(new File(d, name).toPath, content.getBytes(StandardCharsets.UTF_8))
+
+  private def gzip(d: File, name: String, content: String): Unit = {
+    val out = new GZIPOutputStream(new FileOutputStream(new File(d, name)))
+    out.write(content.getBytes(StandardCharsets.UTF_8)); out.close()
+  }
+
+  def path(name: String): String = new File(dir, name).getAbsolutePath
+}
+
+class FastxParserSpec extends SparkSpec {
+
+  private def parseFasta(content: String): Seq[(String, String)] = {
+    val in = new java.io.ByteArrayInputStream(content.getBytes(StandardCharsets.UTF_8))
+    FastxParser.fastaRecords(new PosLineReader(in)).map(r => (r.header, r.sequence)).toSeq
+  }
+
+  test("multi-line FASTA concatenates; header keeps description") {
+    val rs = parseFasta(">id1 first record\nACGT\n>id2\nacg\ntNNa\nCC\n")
+    assert(rs == Seq(("id1 first record", "ACGT"), ("id2", "acgtNNaCC")))
+  }
+
+  test("CRLF and missing trailing newline") {
+    val rs = parseFasta(">a one\r\nACGT\r\nTT\r\n>b\r\nGG")
+    assert(rs == Seq(("a one", "ACGTTT"), ("b", "GG")))
+  }
+
+  test("empty sequence record") {
+    val rs = parseFasta(">empty\n>next\nAC\n")
+    assert(rs == Seq(("empty", ""), ("next", "AC")))
+  }
+
+  test("FASTQ positional parse tolerates @-leading quality lines") {
+    val content = "@r1 desc\nACGT\n+\n!!!!\n@r2\nNNNN\n+r2\n@@@@\n@r3\nAC\n+\n#!\n"
+    val in = new java.io.ByteArrayInputStream(content.getBytes(StandardCharsets.UTF_8))
+    val rs = FastxParser.fastqRecords(new PosLineReader(in))
+      .map(r => (r.header, r.sequence, r.quality)).toSeq
+    assert(rs == Seq(("r1 desc", "ACGT", "!!!!"), ("r2", "NNNN", "@@@@"), ("r3", "AC", "#!")))
+  }
+
+  test("format sniff: > fasta, @ fastq, other rejected") {
+    assert(FastxParser.sniffFormat('>') == "fasta")
+    assert(FastxParser.sniffFormat('@') == "fastq")
+    intercept[IllegalArgumentException](FastxParser.sniffFormat('A'))
+  }
+
+  test("split ownership: each record parsed exactly once across any split point") {
+    val content = ">r0 x\nAAAA\nCC\n>r1\nGGGG\n>r2 yy\nTT\nTT\n>r3\nACGT\n"
+    val bytes = content.getBytes(StandardCharsets.UTF_8)
+    val whole = parseFasta(content)
+    // every possible 2-way split boundary must preserve the record set
+    for (cut <- 1 until bytes.length) {
+      def reader(start: Int): PosLineReader = {
+        val in = new java.io.ByteArrayInputStream(bytes, start, bytes.length - start)
+        new PosLineReader(in, start)
+      }
+      // split 1: [0, cut) — owns records whose '>' starts at offset <= cut
+      val r1 = FastxParser.fastaRecords(reader(0), cut).map(r => (r.header, r.sequence)).toSeq
+      // split 2: [cut, len) — discard partial first line, own the rest
+      val rd2 = reader(cut)
+      rd2.readLine()
+      val r2 = FastxParser.fastaRecords(rd2, bytes.length.toLong).map(r => (r.header, r.sequence)).toSeq
+      assert(r1 ++ r2 == whole, s"cut=$cut r1=$r1 r2=$r2")
+    }
+  }
+}
+
+class FastxConnectorSpec extends SparkSpec {
+
+  test("schema sniff: FASTA 2 columns, FASTQ 3 columns") {
+    val fa = spark.read.format("fastx").load(FastxFixtures.path("tiny.fasta"))
+    assert(fa.columns.toSeq == Seq("header", "sequence"))
+    val fq = spark.read.format("fastx").load(FastxFixtures.path("tiny.fastq"))
+    assert(fq.columns.toSeq == Seq("header", "sequence", "quality"))
+  }
+
+  test("FASTA rows: multi-line concat, case preserved, descriptions kept") {
+    val rows = spark.read.format("fastx").load(FastxFixtures.path("tiny.fasta"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(rows == Seq(
+      ("id1 first record", "ACGT"),
+      ("id2", "acgtNNaCC"),
+      ("id3 desc with  spaces", "GGGG")))
+  }
+
+  test("FASTQ rows incl. @-leading quality") {
+    val rows = spark.read.format("fastx").load(FastxFixtures.path("tiny.fastq"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSeq
+    assert(rows == Seq(
+      ("r1 desc", "ACGT", "!!!!"), ("r2", "NNNN", "@@@@"), ("r3", "AC", "#!")))
+  }
+
+  test("gzip transparent decompression parity") {
+    val plain = spark.read.format("fastx").load(FastxFixtures.path("tiny.fasta")).collect()
+    val gz = spark.read.format("fastx").load(FastxFixtures.path("tiny.fasta.gz")).collect()
+    assert(plain.toSeq == gz.toSeq)
+  }
+
+  test("CRLF + no trailing newline") {
+    val rows = spark.read.format("fastx").load(FastxFixtures.path("crlf.fasta"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(rows == Seq(("a one", "ACGTTT"), ("b", "GG")))
+  }
+
+  test("column pruning pushes into the scan") {
+    val df = spark.read.format("fastx").load(FastxFixtures.path("tiny.fasta"))
+      .select("header")
+    assert(df.collect().map(_.getString(0)).toSeq ==
+      Seq("id1 first record", "id2", "id3 desc with  spaces"))
+    val physical = df.queryExecution.executedPlan.toString
+    assert(physical.contains("cols=header"), s"pruning not visible in plan:\n$physical")
+  }
+
+  test("splittable FASTA: many tiny splits return the same rows as one") {
+    // 500 records, some multi-line, ~30 bytes each
+    val sb = new StringBuilder
+    for (i <- 0 until 500) {
+      sb.append(s">rec$i desc$i\n")
+      sb.append("ACGTN" * (1 + i % 3)).append("\n")
+      if (i % 4 == 0) sb.append("ggcc\n")
+    }
+    val f = new File(FastxFixtures.dir, "big.fasta")
+    Files.write(f.toPath, sb.toString.getBytes(StandardCharsets.UTF_8))
+    val whole = spark.read.format("fastx").load(f.getAbsolutePath)
+      .collect().map(_.toSeq).toSet
+    for (split <- Seq(64, 257, 1000, 4096)) {
+      val parts = spark.read.format("fastx").option("maxSplitBytes", split.toString)
+        .load(f.getAbsolutePath)
+      val rows = parts.collect().map(_.toSeq)
+      assert(rows.length == 500, s"split=$split returned ${rows.length} rows")
+      assert(rows.toSet == whole, s"split=$split row mismatch")
+      assert(parts.rdd.getNumPartitions > 1, s"split=$split did not split")
+    }
+  }
+
+  test("empty FASTA file yields zero rows") {
+    val f = new File(FastxFixtures.dir, "empty.fasta")
+    Files.write(f.toPath, Array.emptyByteArray)
+    assert(spark.read.format("fastx").load(f.getAbsolutePath).count() == 0)
+  }
+}
+
+class FastaStatsSpec extends SparkSpec {
+
+  test("fasta_stats pipeline: fields, filters, nested-to-json, TSV golden") {
+    val out = Files.createTempDirectory("fasta_stats_out").toFile
+    FastaStats.run(spark, FastxFixtures.path("tiny.fasta"), out.getAbsolutePath,
+      fields = Seq("header", "length", "gc_content", "n_count", "hash", "codon_usage", "bogus"),
+      minLen = 4, maxLen = 0, k = 3, hashLen = 8)
+    val lines = new File(out, ".").listFiles().filter(_.getName.endsWith(".csv"))
+      .flatMap(f => scala.io.Source.fromFile(f).getLines().toSeq).toSeq
+    val header = lines.head
+    assert(header == "header\tlength\tgc_content\tn_count\thash\tcodon_usage")
+    val data = lines.tail.sorted
+    // id2 len 9 (acgtNNaCC), id1/id3 len 4; minLen=4 keeps all 3
+    assert(data.length == 3)
+    val id1 = data.find(_.startsWith("id1")).get.split("\t")
+    assert(id1(1) == "4")
+    assert(id1(2) == "0.5") // G,C of "ACGT" -> 2/4
+    // codon_usage of ACGT -> {"ACG":1.0}; Spark CSV escapes inner quotes
+    // with backslashes: "{\"ACG\":1.0}"
+    assert(id1(5) == "\"{\\\"ACG\\\":1.0}\"", s"got: ${id1(5)}")
+  }
+
+  test("stats honors truthiness: minLen=0 disables the bound") {
+    val df = FastaStats.stats(spark, FastxFixtures.path("edge.fasta"),
+      fields = Seq("header", "length"), minLen = 0)
+    assert(df.count() == 4) // includes the empty-sequence record
+  }
+}

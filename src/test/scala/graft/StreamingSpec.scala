@@ -1,0 +1,65 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.streaming.EventStreams
+import graft.streaming.EventStreams.{Event, Session}
+
+/** Streaming semantics = batch semantics: the tumbling-window stream over
+  * the events parquet must produce exactly the rows of the batch
+  * q_tumbling_window aggregation; the stateful sessionizer must close
+  * sessions on gap and on watermark timeout.
+  */
+class StreamingSpec extends SparkSpec {
+  import TestSpark.spark.implicits._
+
+  test("streaming tumbling counts equal batch aggregation (complete mode)") {
+    val stream = EventStreams.readEventStream(spark, TestSpark.Sf0001)
+    val q = EventStreams.tumblingCounts(stream)
+      .writeStream.format("memory").queryName("tumbling_test")
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val streamed = spark.table("tumbling_test")
+      .select("hour_start", "cnt", "sum_value")
+      .collect().map(_.toSeq).toSet
+
+    val batch = graft.queries.EventQueries
+      .qTumblingWindow(spark, TestSpark.Sf0001)
+      .select("hour_start", "cnt", "sum_value")
+      .collect().map(_.toSeq).toSet
+
+    assert(streamed == batch)
+  }
+
+  test("stateful sessionizer: gap closes a session, watermark flushes the tail") {
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[Event]
+    val sessions = EventStreams.sessionize(input.toDS())
+    val q = sessions.writeStream.format("memory").queryName("session_test")
+      .outputMode("append").start()
+    try {
+      // offset from epoch: the initial watermark is 0, and rows with
+      // ts <= watermark are dropped as late
+      def ts(min: Long) = new Timestamp((100000 + min) * 60000L)
+      // user 1: events at t=0,10 then a 40-min gap then t=50
+      input.addData(Event(1, ts(0), 1L, 1.0), Event(2, ts(10), 1L, 2.0),
+        Event(3, ts(50), 1L, 4.0))
+      q.processAllAvailable()
+      // first session (0..10) closed by the in-batch gap
+      val afterGap = spark.table("session_test").as[Session].collect()
+      assert(afterGap.map(s => (s.user_id, s.n_events, s.sum_value)).toSet ==
+        Set((1L, 2L, 3.0)))
+      // advance watermark far: t=50 session times out (watermark 1h + gap)
+      input.addData(Event(9, ts(50 + 200), 2L, 9.0))
+      q.processAllAvailable()
+      input.addData(Event(10, ts(50 + 400), 2L, 1.0))
+      q.processAllAvailable()
+      val all = spark.table("session_test").as[Session].collect()
+      assert(all.exists(s => s.user_id == 1L && s.n_events == 1L && s.sum_value == 4.0),
+        s"open session not flushed: ${all.mkString(", ")}")
+    } finally q.stop()
+  }
+}
