@@ -1,0 +1,123 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions.tokens
+
+/** Deduplication operators for a training-data pipeline ([ext] rows of
+  * SURVEY §2.2): exact content dedup, shingle-Jaccard, MinHash+LSH and
+  * SimHash near-dup — all expressed as relational plans whose candidate
+  * generation is an equi-join on a hash key (never an O(n²) cross join),
+  * which is the property that survives a 100 TB corpus.
+  */
+object Dedup {
+
+  /** Exact dedup by content hash: first row per md5(text) wins
+    * (deterministic winner via min id). */
+  def exactByContent(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val keyed = df.withColumn("__key", md5(col(textCol).cast("binary")))
+    val winners = keyed.groupBy(col("__key"))
+      .agg(min(col(idCol)).as(idCol))
+      .drop("__key")
+    df.join(winners, Seq(idCol), "left_semi")
+  }
+
+  /** Distinct word n-shingles per row: (id, sh). */
+  def shingleSets(df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame = {
+    val tk = tokens(col(textCol))
+    val arr = when(size(tk) >= n,
+      array_distinct(transform(sequence(lit(0), size(tk) - n, lit(1)), i =>
+        concat_ws(" ", (0 until n).map(d => element_at(tk, i + d + 1)): _*))))
+      .otherwise(array().cast("array<string>"))
+    df.select(col(idCol).as("id"), explode(arr).as("sh"))
+  }
+
+  /** Exact shingle-Jaccard pairs via the inverted index (xxhash64 join
+    * keys; hashed set cached for the size aggregate + both join sides). */
+  def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                   n: Int = 3, minJaccard: Double = 0.2): DataFrame = {
+    val sh = shingleSets(df, idCol, textCol, n)
+      .select(col("id"), xxhash64(col("sh")).as("h"))
+      .cache()
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
+    sh.as("a").join(sh.as("b"),
+        col("a.h") === col("b.h") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("d1"), col("b.id").as("d2"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("id").as("d1"), col("sz").as("sz1")), "d1")
+      .join(sizes.select(col("id").as("d2"), col("sz").as("sz2")), "d2")
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("sz1") + col("sz2") - col("inter")))
+      .filter(col("jaccard") >= minJaccard)
+      .select("d1", "d2", "inter", "jaccard")
+  }
+
+  /** MinHash+LSH candidate pairs. Hash family: 4-hex-digit windows of
+    * md5("a:"+sh) / md5("b:"+sh) — `bands`×`rowsPerBand` ≤ 16 signature
+    * rows from two md5 evaluations per shingle, min-aggregated in ONE
+    * groupBy (no per-hash explode), compared as fixed-width hex strings.
+    * Engine-portable (md5-only), hence oracle-checkable. */
+  def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
+                      n: Int = 3, bands: Int = 4, rowsPerBand: Int = 4): DataFrame = {
+    val total = bands * rowsPerBand
+    require(total <= 16, "hash family provides 16 independent 16-bit hashes")
+    val hx = shingleSets(df, idCol, textCol, n)
+      .select(col("id"),
+        md5(concat(lit("a:"), col("sh")).cast("binary")).as("m1"),
+        md5(concat(lit("b:"), col("sh")).cast("binary")).as("m2"))
+    val mins = (0 until total).map { j =>
+      val src = if (j < 8) col("m1") else col("m2")
+      min(substring(src, (j % 8) * 4 + 1, 4)).as(s"h$j")
+    }
+    val sig = hx.groupBy("id").agg(mins.head, mins.tail: _*)
+    val bandStructs = (0 until bands).map { b =>
+      struct(lit(b).cast("long").as("band"),
+        concat((0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}")): _*).as("band_key"))
+    }
+    val bandKeys = sig
+      .select(col("id"), explode(array(bandStructs: _*)).as("bk"))
+      .select(col("id"), col("bk.band").as("band"), col("bk.band_key").as("band_key"))
+      .cache()
+    bandKeys.as("a").join(bandKeys.as("b"),
+        col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key") &&
+          col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("d1"), col("b.id").as("d2"))
+      .agg(count(lit(1)).as("n_bands"))
+  }
+
+  /** 64 bit-mask literals 1L<<0 … 1L<<63. */
+  private val Masks: Column = array((0 until 64).map(b => lit(1L << b)): _*)
+
+  /** 64-bit SimHash of the token stream as a pure Column expression (no
+    * UDF — stays inside whole-stage codegen): per-token xxhash64, ±1 votes
+    * per bit, sign of the vote vector packed back into a Long. */
+  def simhash64(textCol: Column): Column = {
+    val hs = transform(tokens(textCol), t => xxhash64(t))
+    val votes = aggregate(hs, array_repeat(lit(0L), 64), (acc, h) =>
+      zip_with(acc, Masks, (a, m) =>
+        a + when(h.bitwiseAND(m) =!= 0L, 1L).otherwise(-1L)))
+    aggregate(zip_with(votes, Masks, (v, m) => when(v > 0L, m).otherwise(0L)),
+      lit(0L), (a, x) => a.bitwiseOR(x))
+  }
+
+  /** SimHash near-dup pairs: candidates share ≥1 of 4 exact 16-bit blocks
+    * (any pair within Hamming distance 3 must — pigeonhole), then exact
+    * Hamming ≤ maxHamming via bit_count(xor). Bucket equi-join shape. */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int = 3): DataFrame = {
+    val sh = df.select(col(idCol).as("id"), simhash64(col(textCol)).as("sh"))
+    val blocks = sh.select(col("id"), col("sh"),
+        explode(array((0 until 4).map(b =>
+          struct(lit(b).as("blk"),
+            shiftrightunsigned(col("sh"), b * 16).bitwiseAND(lit(0xffffL)).as("key"))): _*)).as("bk"))
+      .select(col("id"), col("sh"), col("bk.blk").as("blk"), col("bk.key").as("key"))
+      .cache()
+    blocks.as("a").join(blocks.as("b"),
+        col("a.blk") === col("b.blk") && col("a.key") === col("b.key") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("d1"), col("b.id").as("d2"),
+        bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+}

@@ -1,0 +1,136 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity-search operators over ARRAY<FLOAT> embedding columns:
+  * brute-force cosine top-k (the exact baseline), sign-LSH bucketed
+  * near-dup, and an IVF (inverted-file) index — the three standard rungs
+  * of the ANN ladder. Dot products run as `zip_with`+`aggregate` HOFs in
+  * whole-stage codegen; nothing leaves the JVM and nothing but the tiny
+  * centroid table ever reaches the driver.
+  */
+object Similarity {
+
+  /** Sequential-fold double dot product of two float arrays (HOF — exact
+    * left-to-right IEEE, codegen'd). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0d), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Brute-force exact cosine top-k neighbors of one probe vector: the
+    * probe row is broadcast, the scan is embarrassingly parallel. */
+  def cosineTopK(emb: DataFrame, idCol: String, vecCol: String,
+                 probeId: Long, k: Int): DataFrame = {
+    val probe = broadcast(emb.filter(col(idCol) === probeId)
+      .select(col(vecCol).as("__q")))
+    emb.filter(col(idCol) =!= probeId)
+      .crossJoin(probe)
+      .select(col(idCol), cosine(col(vecCol), col("__q")).as("cosine"))
+      .orderBy(col("cosine").desc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /** Deterministic sign-LSH bucket key from the leading `bits` dims. */
+  def signBucket(vecCol: Column, bits: Int = 8): Column =
+    concat((1 to bits).map(i =>
+      when(element_at(vecCol, i) >= 0f, lit("+")).otherwise(lit("-"))): _*)
+
+  /** Near-dup pairs: same sign-LSH bucket AND exact cosine ≥ minCosine.
+    * The bucket equi-join shrinks the pair space ~2^bits before any exact
+    * math. */
+  def lshNearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
+                      bits: Int = 8, minCosine: Double = 0.3): DataFrame = {
+    val b = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
+      signBucket(col(vecCol), bits).as("bucket"))
+    b.as("a").join(b.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("v1"), col("b.id").as("v2"),
+        cosine(col("a.v"), col("b.v")).as("cosine"))
+      .filter(col("cosine") >= minCosine)
+  }
+
+  /** IVF coarse index: `nCells` centroids refined by `iters` Lloyd steps
+    * from a deterministic seed (every nth vector). Centroids are tiny —
+    * they live broadcast; assignments are one narrow pass.
+    * Returns (centroids, assignments(id, cell)). */
+  def ivfIndex(emb: DataFrame, idCol: String, vecCol: String,
+               nCells: Int = 16, iters: Int = 2): (Array[(Int, Array[Double])], DataFrame) = {
+    val spark = emb.sparkSession
+    val n = emb.count()
+    val stride = math.max(1L, n / nCells)
+
+    // deterministic seed: every stride-th vector by id rank
+    var centroids: Array[(Int, Array[Double])] = emb
+      .select(col(idCol), col(vecCol))
+      .withColumn("__rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col(idCol))).cast("long"))
+      .filter((col("__rank") - 1) % stride === 0 && (col("__rank") - 1) / stride < nCells)
+      .collect()
+      .zipWithIndex
+      .map { case (r, i) =>
+        i -> r.getSeq[Float](1).map(_.toDouble).toArray
+      }
+
+    def assignExpr(cs: Array[(Int, Array[Double])]): Column = {
+      // argmin over squared L2 distance to each centroid, tie → lowest cell
+      val dists = cs.map { case (cid, c) =>
+        val cArr = array(c.map(lit): _*)
+        struct(aggregate(zip_with(col(vecCol), cArr,
+          (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
+          lit(0d), (acc, x) => acc + x).as("d"), lit(cid).as("cell"))
+      }
+      array_min(array(dists: _*)).getField("cell")
+    }
+
+    for (_ <- 0 until iters) {
+      val assigned = emb.select(col(idCol), col(vecCol),
+        assignExpr(centroids).as("cell"))
+      val dim = centroids.head._2.length
+      val means = assigned
+        .select(col("cell"), posexplode(col(vecCol)).as(Seq("pos", "x")))
+        .groupBy("cell", "pos").agg(avg(col("x").cast("double")).as("m"))
+        .groupBy("cell")
+        .agg(map_from_entries(collect_list(struct(col("pos"), col("m")))).as("mm"))
+        .collect()
+        .map { r =>
+          val mm = r.getMap[Int, Double](1)
+          r.getInt(0) -> Array.tabulate(dim)(i => mm.getOrElse(i, 0d))
+        }
+      if (means.nonEmpty) centroids = means.sortBy(_._1)
+    }
+
+    val assignments = emb.select(col(idCol).as("id"),
+      assignExpr(centroids).as("cell"))
+    (centroids, assignments)
+  }
+
+  /** IVF search: probe the `nProbe` nearest cells only, exact cosine
+    * re-rank inside them — the scale path when brute force is too wide. */
+  def ivfTopK(emb: DataFrame, idCol: String, vecCol: String,
+              centroids: Array[(Int, Array[Double])], assignments: DataFrame,
+              probeId: Long, k: Int, nProbe: Int = 4): DataFrame = {
+    val probeVec = emb.filter(col(idCol) === probeId)
+      .select(col(vecCol)).collect()(0).getSeq[Float](0).map(_.toDouble).toArray
+    val cells = centroids
+      .map { case (cid, c) =>
+        val d = c.zip(probeVec).map { case (a, b) => (a - b) * (a - b) }.sum
+        (d, cid)
+      }
+      .sortBy(identity).take(nProbe).map(_._2).toSeq
+    val candidates = assignments.filter(col("cell").isInCollection(cells))
+      .select(col("id").as(idCol + "__c"))
+    val probe = broadcast(emb.filter(col(idCol) === probeId)
+      .select(col(vecCol).as("__q")))
+    emb.join(candidates, col(idCol) === col(idCol + "__c"), "left_semi")
+      .filter(col(idCol) =!= probeId)
+      .crossJoin(probe)
+      .select(col(idCol), cosine(col(vecCol), col("__q")).as("cosine"))
+      .orderBy(col("cosine").desc, col(idCol).asc)
+      .limit(k)
+  }
+}

@@ -1,9 +1,7 @@
 package graft.queries
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.Tables._
-import graft.functions.TextFunctions.tokens
 
 /** Near-duplicate detection over `documents` ([ext] dedup rows of SURVEY
   * §2.2): word-shingle Jaccard with a shingle-inverted-index join, and a
@@ -19,18 +17,7 @@ import graft.functions.TextFunctions.tokens
   */
 object DedupQueries {
 
-  /** Distinct word-3-shingles per doc (order-preserving windows over the
-    * token stream). Empty when < 3 tokens. */
-  private def shingleArr(tk: Column): Column =
-    when(size(tk) >= 3,
-      array_distinct(transform(sequence(lit(0), size(tk) - 3, lit(1)), i =>
-        concat_ws(" ", element_at(tk, i + 1), element_at(tk, i + 2), element_at(tk, i + 3)))))
-      .otherwise(array().cast("array<string>"))
-
-  private def docShingles(spark: SparkSession, sfDir: String): DataFrame =
-    t(spark, sfDir, "documents")
-      .select(col("doc_id"), explode(shingleArr(tokens(col("text")))).as("sh"))
-
+  /** DuckDB mirror of [[graft.operators.Dedup.shingleSets]]. */
   private val ShinglesSqlCte: String =
     """toks AS (
       |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS tk
@@ -39,32 +26,13 @@ object DedupQueries {
       |  SELECT DISTINCT doc_id, tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS sh
       |  FROM toks, LATERAL unnest(generate_series(1, len(tk) - 2)) AS t(i))""".stripMargin
 
-  /** Exact n-gram Jaccard near-dup pairs via the shingle inverted index:
-    * docs sharing ≥1 shingle → |∩| by join-count, |∪| from set sizes.
-    *
-    * Scale shape: shingles are joined as xxhash64 LONG keys, not strings —
-    * an 8-byte shuffle key instead of ~20+ byte text (collision odds at
-    * 100 TB shingle cardinality ~2^40 keys are ~2^-a lot; any collision
-    * only perturbs one `inter` count). The hashed shingle set is cached:
-    * it feeds the set-size aggregate and both sides of the self-join. */
-  def qJaccardPairs(spark: SparkSession, sfDir: String): DataFrame = {
-    val sh = docShingles(spark, sfDir)
-      .select(col("doc_id"), xxhash64(col("sh")).as("h"))
-      .cache()
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    val inter = sh.as("a").join(sh.as("b"),
-        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-      .agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.select(col("doc_id").as("d1"), col("sz").as("sz1")), "d1")
-      .join(sizes.select(col("doc_id").as("d2"), col("sz").as("sz2")), "d2")
-      .withColumn("jaccard",
-        col("inter").cast("double") / (col("sz1") + col("sz2") - col("inter")))
-      .filter(col("jaccard") >= 0.2)
-      .select("d1", "d2", "inter", "jaccard")
+  /** Exact n-gram Jaccard near-dup pairs via the shingle inverted index —
+    * thin wrapper over [[graft.operators.Dedup.jaccardPairs]] (xxhash64
+    * long join keys, cached hashed set; see the operator's scale notes). */
+  def qJaccardPairs(spark: SparkSession, sfDir: String): DataFrame =
+    graft.operators.Dedup
+      .jaccardPairs(t(spark, sfDir, "documents"), "doc_id", "text", n = 3, minJaccard = 0.2)
       .orderBy("d1", "d2")
-  }
 
   val qJaccardPairsSql: String =
     s"""WITH $ShinglesSqlCte,
@@ -94,31 +62,18 @@ object DedupQueries {
     * partition to one row per doc before the shuffle); bands then unpivot
     * 4 rows/doc for the bucket self-join. This is the canonical
     * shingle→minhash→band→bucket-join dedup at any scale. */
-  def qMinhashLsh(spark: SparkSession, sfDir: String): DataFrame = {
-    val hx = docShingles(spark, sfDir)
-      .select(col("doc_id"),
-        md5(concat(lit("a:"), col("sh")).cast("binary")).as("m1"),
-        md5(concat(lit("b:"), col("sh")).cast("binary")).as("m2"))
-    val mins = (0 until 16).map { j =>
-      val src = if (j < 8) col("m1") else col("m2")
-      min(substring(src, (j % 8) * 4 + 1, 4)).as(s"h$j")
-    }
-    val sig = hx.groupBy("doc_id").agg(mins.head, mins.tail: _*)
-    val bandStructs = (0 until 4).map { b =>
-      struct(lit(b).cast("long").as("band"),
-        concat((0 until 4).map(r => col(s"h${b * 4 + r}")): _*).as("band_key"))
-    }
-    val bandKeys = sig
-      .select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
-      .select(col("doc_id"), col("bk.band").as("band"), col("bk.band_key").as("band_key"))
-      .cache()
-    bandKeys.as("a").join(bandKeys.as("b"),
-        col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-      .agg(count(lit(1)).as("n_bands"))
+  def qMinhashLsh(spark: SparkSession, sfDir: String): DataFrame =
+    graft.operators.Dedup
+      .minhashLshPairs(t(spark, sfDir, "documents"), "doc_id", "text",
+        n = 3, bands = 4, rowsPerBand = 4)
       .orderBy("d1", "d2")
-  }
+
+  /** SimHash near-dup pairs (no-oracle: the 64-bit token hash is Spark's
+    * xxhash64, which DuckDB lacks; semantics pinned by DedupSpec). */
+  def qSimhashPairs(spark: SparkSession, sfDir: String): DataFrame =
+    graft.operators.Dedup
+      .simhashPairs(t(spark, sfDir, "documents"), "doc_id", "text", maxHamming = 3)
+      .orderBy("d1", "d2")
 
   val qMinhashLshSql: String = {
     val minExprs = (0 until 16).map { j =>
@@ -149,7 +104,8 @@ object DedupQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_jaccard_pairs" -> (qJaccardPairs _),
-    "q_minhash_lsh" -> (qMinhashLsh _))
+    "q_minhash_lsh" -> (qMinhashLsh _),
+    "q_simhash_pairs" -> (qSimhashPairs _))
 
   val oracles: Map[String, String] = Map(
     "q_jaccard_pairs" -> qJaccardPairsSql,

@@ -144,6 +144,17 @@ object RelationalQueries {
       |       count(DISTINCT l_suppkey) AS n_supps
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** HLL approximate distinct beside the exact count (no-oracle: Spark's
+    * HyperLogLog++ differs from DuckDB's sketch; rows-only check. The
+    * relative error bound is asserted in QueriesSmokeSpec). */
+  def qApproxDistinct(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_partkey")).as("exact_parts"),
+        approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"))
+      .orderBy("l_returnflag")
+
   /** Top-3 orders per customer: rank inside a window, deterministic
     * tie-break on the unique o_orderkey. */
   def qWindowTopk(spark: SparkSession, sfDir: String): DataFrame = {
@@ -216,6 +227,7 @@ object RelationalQueries {
     "q_agg_q1" -> (qAggQ1 _),
     "q_rollup" -> (qRollup _),
     "q_distinct_exact" -> (qDistinctExact _),
+    "q_approx_distinct" -> (qApproxDistinct _),
     "q_window_topk" -> (qWindowTopk _),
     "q_window_running" -> (qWindowRunning _),
     "q_set_ops" -> (qSetOps _))

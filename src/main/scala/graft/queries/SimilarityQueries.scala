@@ -153,9 +153,29 @@ object SimilarityQueries {
        |         / (sqrt(CAST(n1.norm2 AS DOUBLE)) * sqrt(CAST(n2.norm2 AS DOUBLE))) >= 0.3
        |ORDER BY v1, v2""".stripMargin
 
+  /** Brute-force HOF-cosine top-5 (the production fast path of
+    * [[graft.operators.Similarity.cosineTopK]]) — no-oracle: double fold
+    * order is Spark-defined; equivalence with the quantized q_simsearch is
+    * asserted in SimilaritySpec. */
+  def qSimsearchBrute(spark: SparkSession, sfDir: String): DataFrame =
+    graft.operators.Similarity
+      .cosineTopK(t(spark, sfDir, "embeddings"), "vec_id", "embedding", probeId = 0L, k = 5)
+
+  /** IVF index + probe search (no-oracle: centroid means are
+    * order-sensitive double avgs; recall pinned in SimilaritySpec). */
+  def qAnnIvf(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = t(spark, sfDir, "embeddings")
+    val (centroids, assignments) =
+      graft.operators.Similarity.ivfIndex(emb, "vec_id", "embedding", nCells = 16, iters = 2)
+    graft.operators.Similarity
+      .ivfTopK(emb, "vec_id", "embedding", centroids, assignments, probeId = 0L, k = 5, nProbe = 4)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_simsearch" -> (qSimsearch _),
-    "q_embed_neardup" -> (qEmbedNeardup _))
+    "q_embed_neardup" -> (qEmbedNeardup _),
+    "q_simsearch_brute" -> (qSimsearchBrute _),
+    "q_ann_ivf" -> (qAnnIvf _))
 
   val oracles: Map[String, String] = Map(
     "q_simsearch" -> qSimsearchSql,

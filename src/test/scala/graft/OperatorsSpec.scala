@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Similarity}
+
+/** Semantics of the reusable operator layer: exact dedup keeps one winner
+  * per content, SimHash finds planted near-dups within Hamming 3, LSH/IVF
+  * candidate search agrees with brute force, and the quantized oracle
+  * query ranks like the double-precision fast path.
+  */
+class OperatorsSpec extends SparkSpec {
+  import TestSpark.spark.implicits._
+
+  private def docs = spark.read.parquet(s"${TestSpark.Sf0001}/documents.parquet")
+  private def emb = spark.read.parquet(s"${TestSpark.Sf0001}/embeddings.parquet")
+
+  test("exactByContent keeps min-id winner per duplicate text") {
+    val df = Seq((1L, "aaa"), (2L, "bbb"), (3L, "aaa"), (4L, "aaa"))
+      .toDF("doc_id", "text")
+    val out = Dedup.exactByContent(df, "doc_id", "text")
+      .orderBy("doc_id").select("doc_id").as[Long].collect().toSeq
+    assert(out == Seq(1L, 2L))
+  }
+
+  test("simhash64 is deterministic and order-sensitive but near-dup tolerant") {
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again tonight"), // 1 token differs
+      (3L, "completely different words about spark query engines and shuffles")
+    ).toDF("doc_id", "text")
+    val hs = df.select(col("doc_id"), Dedup.simhash64(col("text")).as("h"))
+      .as[(Long, Long)].collect().toMap
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(hs(1L), hs(2L)) < hamming(hs(1L), hs(3L)),
+      s"near-dup pair should be closer: ${hs.toSeq}")
+    // deterministic across evaluations
+    val again = df.select(col("doc_id"), Dedup.simhash64(col("text")).as("h"))
+      .as[(Long, Long)].collect().toMap
+    assert(hs == again)
+  }
+
+  test("simhashPairs finds a planted near-duplicate (bag-of-words invariant)") {
+    val base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa " * 5).trim
+    // SimHash is bag-of-words: a token permutation has Hamming distance 0
+    val near = base.split(" ").reverse.mkString(" ")
+    val far = "one two three four five six seven eight nine ten " * 5
+    val df = Seq((1L, base), (2L, near), (3L, far)).toDF("doc_id", "text")
+    val pairs = Dedup.simhashPairs(df, "doc_id", "text", maxHamming = 3)
+      .select("d1", "d2").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)), s"planted pair missing: $pairs")
+    assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)))
+  }
+
+  test("quantized q_simsearch ranking equals double-precision brute force") {
+    val quant = graft.queries.SimilarityQueries.qSimsearch(spark, TestSpark.Sf0001)
+      .select("vec_id").as[Long].collect().toSeq
+    val brute = Similarity.cosineTopK(emb, "vec_id", "embedding", 0L, 5)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(quant == brute, s"quantized=$quant brute=$brute")
+  }
+
+  test("IVF top-k achieves recall vs brute force on its probed cells") {
+    val (centroids, assignments) =
+      Similarity.ivfIndex(emb, "vec_id", "embedding", nCells = 8, iters = 2)
+    assert(centroids.length == 8)
+    val ivf = Similarity.ivfTopK(emb, "vec_id", "embedding", centroids, assignments,
+      probeId = 0L, k = 5, nProbe = 4).select("vec_id").as[Long].collect().toSet
+    val brute = Similarity.cosineTopK(emb, "vec_id", "embedding", 0L, 20)
+      .select("vec_id").as[Long].collect().toSeq
+    // every IVF hit must be a genuinely close vector (top-20 of brute force)
+    assert(ivf.size == 5)
+    assert(ivf.forall(brute.toSet.contains), s"ivf=$ivf brute20=$brute")
+  }
+
+  test("lshNearDupPairs is a subset of brute-force pairs above threshold") {
+    val pairs = Similarity.lshNearDupPairs(emb, "vec_id", "embedding",
+      bits = 8, minCosine = 0.3)
+      .select("v1", "v2").as[(Long, Long)].collect().toSet
+    assert(pairs.nonEmpty)
+    // spot-check one pair's true cosine
+    val (v1, v2) = pairs.head
+    val c = emb.as("a").join(emb.as("b"),
+        col("a.vec_id") === v1 && col("b.vec_id") === v2)
+      .select(Similarity.cosine(col("a.embedding"), col("b.embedding")))
+      .as[Double].collect()(0)
+    assert(c >= 0.3)
+  }
+}
