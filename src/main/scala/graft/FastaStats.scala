@@ -30,8 +30,8 @@ object FastaStats {
     "gc_content" -> gcContent(col("sequence")),
     "n_count" -> nCount(col("sequence")),
     "hash" -> seqHash(col("sequence"), hashLen),
-    "codon_usage" -> codonUsage(col("sequence")),
-    "kmer_frequencies" -> kmerFrequencies(col("sequence"), k))
+    "codon_usage" -> graft.plans.SeqExpressions.codonUsageNative(col("sequence")),
+    "kmer_frequencies" -> graft.plans.SeqExpressions.kmerFrequenciesNative(col("sequence"), k))
 
   /** Build the stats DataFrame (separated from the sink for testability). */
   def stats(spark: SparkSession, inputPath: String,

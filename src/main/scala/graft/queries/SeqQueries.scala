@@ -110,13 +110,15 @@ object SeqQueries {
       |       CAST(cnt AS DOUBLE) / sum(cnt) OVER (PARTITION BY doc_id) AS freq
       |FROM cnts ORDER BY doc_id, gram""".stripMargin
 
-  /** E6 full-map output via the Scala UDF — `no-oracle` (map iteration order
-    * is unspecified); equivalence with qKmerExplode is unit-tested. */
+  /** E6 full-map output via the native codegen expression (SURVEY §7.5) —
+    * `no-oracle` (map iteration order is unspecified); equivalence with the
+    * UDF reference impl and qKmerExplode is unit-tested. */
   def qKmerMap(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = t(spark, sfDir, "documents")
     docs
       .select(col("doc_id"),
-        kmerFrequencies(surrogate(col("text")), 3).as("kmer_freqs"))
+        graft.plans.SeqExpressions
+          .kmerFrequenciesNative(surrogate(col("text")), 3).as("kmer_freqs"))
       .orderBy("doc_id")
   }
 

@@ -1,0 +1,63 @@
+package graft
+
+/** Plan-shape regression gates: these assert the physical-plan properties
+  * that matter at 100 TB — filters and projections reaching the parquet
+  * scan, tiny dimensions broadcast (no fact-table shuffle), two-phase
+  * aggregation (map-side combine), and narrow per-row pipelines staying in
+  * one codegen span. A query that silently loses one of these still passes
+  * correctness; this spec is what fails.
+  */
+class PlanQualitySpec extends SparkSpec {
+
+  private def plan(q: String): String =
+    SparkEntry.queries(q)(spark, TestSpark.Sf0001).queryExecution.executedPlan.toString
+
+  test("q_scan_project_filter: predicate and projection pushed to parquet") {
+    val p = plan("q_scan_project_filter")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), GreaterThanOrEqual(l_shipdate"),
+      s"filter not pushed:\n$p")
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_linenumber:int,l_quantity:double,l_extendedprice:double,l_shipdate"),
+      s"projection not pruned:\n$p")
+  }
+
+  test("q_join_star: dimension joins broadcast, no fact-table shuffle join") {
+    val p = plan("q_join_star")
+    assert(p.split("BroadcastHashJoin").length >= 3, s"expected broadcast joins:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"unexpected shuffle join:\n$p")
+  }
+
+  test("q_agg_q1: two-phase hash aggregation (map-side partial)") {
+    val p = plan("q_agg_q1")
+    assert(p.split("HashAggregate").length >= 3, s"expected partial+final agg:\n$p")
+  }
+
+  test("q_seq_stats: narrow per-row pipeline — only the output sort exchanges") {
+    val p = plan("q_seq_stats")
+    val exchanges = p.split("Exchange").length - 1
+    assert(exchanges <= 1, s"per-row stats should not shuffle except for the sort:\n$p")
+    assert(p.contains("PushedFilters"), s"scan missing:\n$p")
+  }
+
+  test("q_semi_anti: semi/anti joins are broadcast at this scale") {
+    val p = plan("q_semi_anti")
+    assert(p.contains("LeftSemi") && p.contains("LeftAnti"), s"join types missing:\n$p")
+  }
+
+  test("q_kmer_explode: single repartition serves both aggregate and window") {
+    val p = plan("q_kmer_explode")
+    // exactly two exchanges: REPARTITION_BY_COL(doc_id) and the final
+    // orderBy rangepartitioning — the (doc_id, gram) aggregation and the
+    // per-doc window both reuse the doc_id partitioning
+    val exchanges = p.split("Exchange ").length - 1
+    assert(exchanges == 2, s"expected 2 exchanges, plan:\n$p")
+    assert(p.contains("REPARTITION_BY_COL"), s"repartition missing:\n$p")
+    assert(p.split("HashAggregate").length >= 3, s"partial agg missing:\n$p")
+  }
+
+  test("fastx scan: column pruning reaches the reader") {
+    val df = spark.read.format("fastx").load(FastxFixtures.path("tiny.fasta"))
+      .select("header")
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("cols=header"), s"fastx pruning missing:\n$p")
+  }
+}

@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.SeqFunctions
+import graft.plans.SeqExpressions
+
+/** The native codegen expressions must agree exactly with the reference
+  * UDF implementations on every input class, stay inside whole-stage
+  * codegen, and be callable from SQL after registration.
+  */
+class SeqExpressionsSpec extends SparkSpec {
+  import TestSpark.spark.implicits._
+
+  private val cases = Seq(
+    "", "A", "AC", "ACG", "ACGT", "ACGACG", "ACGAC", "acgacg", "ACGANG",
+    "ACGAnG", "NNNNNN", "AAAA", "ACGNA", "ACGTACGT", "aCgTnNaCgT",
+    "the quick brown fox", "ACGT" * 100)
+
+  test("native kmer_frequencies equals UDF implementation on all cases") {
+    val df = cases.toDF("s")
+    val both = df.select(
+      col("s"),
+      SeqExpressions.kmerFrequenciesNative(col("s"), 3).as("native"),
+      SeqFunctions.kmerFrequencies(col("s"), 3).as("udf"))
+      .collect()
+    both.foreach { r =>
+      assert(r.getMap[String, Double](1) == r.getMap[String, Double](2),
+        s"mismatch for '${r.getString(0)}'")
+    }
+  }
+
+  test("native codon_usage equals UDF implementation on all cases") {
+    val df = cases.toDF("s")
+    val both = df.select(
+      col("s"),
+      SeqExpressions.codonUsageNative(col("s")).as("native"),
+      SeqFunctions.codonUsage(col("s")).as("udf"))
+      .collect()
+    both.foreach { r =>
+      assert(r.getMap[String, Double](1) == r.getMap[String, Double](2),
+        s"mismatch for '${r.getString(0)}'")
+    }
+  }
+
+  test("null input yields null") {
+    val r = Seq(Option.empty[String]).toDF("s")
+      .select(SeqExpressions.kmerFrequenciesNative(col("s"), 3)).collect()(0)
+    assert(r.isNullAt(0))
+  }
+
+  test("native expression runs inside WholeStageCodegen (no UDF wrapper)") {
+    // parquet-backed source so the projection isn't constant-folded away
+    val df = spark.read.parquet(s"${TestSpark.Sf0001}/documents.parquet")
+      .select(SeqExpressions.kmerFrequenciesNative(upper(col("text")), 3).as("m"))
+    val plan = df.queryExecution.executedPlan.toString
+    // `*(n)` prefixes mark operators inside a WholeStageCodegen span
+    assert(plan.contains("*(1) Project [kmer_frequencies"), s"no codegen span:\n$plan")
+    assert(!plan.contains("UDF"), s"udf wrapper present:\n$plan")
+    assert(df.count() == 500) // and it executes
+  }
+
+  test("SQL registration: kmer_frequencies/codon_usage callable from SQL") {
+    SeqExpressions.register(spark)
+    val m = spark.sql("SELECT kmer_frequencies('ACGT', 3) AS m, codon_usage('ACGTTT') AS c")
+      .collect()(0)
+    assert(m.getMap[String, Double](0) == Map("ACG" -> 0.5, "CGT" -> 0.5))
+    assert(m.getMap[String, Double](1) == Map("ACG" -> 0.5, "TTT" -> 0.5))
+  }
+}
