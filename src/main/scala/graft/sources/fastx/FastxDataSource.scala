@@ -111,13 +111,18 @@ class FastxTable(paths: Seq[String], tableSchema: StructType)
 }
 
 /** ScanBuilder with column pruning — the DSv2 twin of the plugin's
-  * `with_columns` pushdown (`fastx_parsers.py:96,123-124`). Filters/limit
-  * are left to Spark (always correct; SURVEY §0.1.5 explains why the
-  * reference's limit pushdown is subtly wrong under a pushed predicate). */
+  * `with_columns` pushdown (`fastx_parsers.py:96,123-124`) — plus limit
+  * pushdown. Unlike the reference (which decrements its limit by the
+  * PRE-predicate batch size, SURVEY §0.1.5), Catalyst only offers
+  * `pushLimit` when the limit sits directly on the scan (no intervening
+  * filter), and Spark re-applies the global limit — so capping each
+  * partition reader at `limit` rows is always correct and skips parsing
+  * the rest of every split. Filters are left to Spark. */
 class FastxScanBuilder(paths: Seq[String], full: StructType,
                        options: CaseInsensitiveStringMap)
-  extends ScanBuilder with SupportsPushDownRequiredColumns {
+  extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownLimit {
   private var required: StructType = full
+  private var limit: Int = -1
 
   override def pruneColumns(requiredSchema: StructType): Unit = {
     // preserve source column order; Spark may request any subset
@@ -125,22 +130,28 @@ class FastxScanBuilder(paths: Seq[String], full: StructType,
     required = StructType(full.fields.filter(f => names.contains(f.name)))
   }
 
+  override def pushLimit(n: Int): Boolean = {
+    limit = n
+    false // partial: each partition honors it, Spark still applies the global limit
+  }
+
   override def build(): Scan = {
     val maxSplit = Option(options.get("maxSplitBytes")).map(_.toLong)
       .getOrElse(128L * 1024 * 1024)
-    new FastxScan(paths, full, required, maxSplit)
+    new FastxScan(paths, full, required, maxSplit, limit)
   }
 }
 
 final case class FastxInputPartition(file: String, start: Long, length: Long,
-                                     format: String) extends InputPartition
+                                     format: String, limit: Int) extends InputPartition
 
 class FastxScan(paths: Seq[String], full: StructType, required: StructType,
-                maxSplitBytes: Long) extends Scan with Batch {
+                maxSplitBytes: Long, limit: Int = -1) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
-    s"fastx ${paths.mkString(",")} cols=${required.fieldNames.mkString(",")}"
+    s"fastx ${paths.mkString(",")} cols=${required.fieldNames.mkString(",")}" +
+      (if (limit >= 0) s" limit=$limit" else "")
 
   override def planInputPartitions(): Array[InputPartition] = {
     val conf = new Configuration()
@@ -152,10 +163,10 @@ class FastxScan(paths: Seq[String], full: StructType, required: StructType,
       if (fmt == "fasta" && !compressed && st.getLen > maxSplitBytes) {
         // splittable: byte ranges with \n> resync in the reader
         (0L until st.getLen by maxSplitBytes).map { off =>
-          FastxInputPartition(p.toString, off, math.min(maxSplitBytes, st.getLen - off), fmt)
+          FastxInputPartition(p.toString, off, math.min(maxSplitBytes, st.getLen - off), fmt, limit)
         }
       } else {
-        Seq(FastxInputPartition(p.toString, 0L, st.getLen, fmt))
+        Seq(FastxInputPartition(p.toString, 0L, st.getLen, fmt, limit))
       }
     }.toArray
   }
@@ -202,9 +213,12 @@ class FastxPartitionReader(part: FastxInputPartition, columns: Array[String])
   }
 
   private var current: FastxRecord = _
+  private var emitted = 0
 
   override def next(): Boolean = {
-    if (records.hasNext) { current = records.next(); true } else false
+    if (part.limit >= 0 && emitted >= part.limit) false
+    else if (records.hasNext) { current = records.next(); emitted += 1; true }
+    else false
   }
 
   override def get(): InternalRow = {

@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Skew
+
+class SkewSpec extends SparkSpec {
+  import TestSpark.spark.implicits._
+
+  test("saltedJoin equals plain join on a skewed key distribution") {
+    // 10k rows, 90% on one hot key
+    val left = spark.range(10000)
+      .select(when(col("id") % 10 =!= 0, lit(1L)).otherwise(col("id")).as("k"),
+        col("id").as("payload"))
+    val right = Seq((1L, "hot"), (20L, "cold"), (30L, "cold2")).toDF("k", "attr")
+    val plain = left.join(right, "k").select("k", "payload", "attr")
+    val salted = Skew.saltedJoin(left, right, "k", salt = 8, leftStableCol = "payload")
+      .select("k", "payload", "attr")
+    assert(plain.exceptAll(salted).isEmpty && salted.exceptAll(plain).isEmpty)
+    assert(salted.count() == plain.count())
+  }
+
+  test("saltedSum equals plain groupBy sum (long-exact)") {
+    val df = spark.range(10000)
+      .select((col("id") % 3).as("k"), col("id").as("v"))
+    val plain = df.groupBy("k").agg(sum("v").as("sum_v"))
+      .orderBy("k").as[(Long, Long)].collect().toSeq
+    val salted = Skew.saltedSum(df, "k", "v", salt = 8, stableCol = "v")
+      .orderBy("k").as[(Long, Long)].collect().toSeq
+    assert(plain == salted)
+  }
+
+  test("fastx limit pushdown caps per-partition parsing") {
+    val df = spark.read.format("fastx").load(FastxFixtures.path("tiny.fasta")).limit(2)
+    assert(df.count() == 2)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("limit=2"), s"limit not pushed to fastx scan:\n$p")
+  }
+}
