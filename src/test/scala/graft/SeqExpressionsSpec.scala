@@ -66,4 +66,9 @@ class SeqExpressionsSpec extends SparkSpec {
     assert(m.getMap[String, Double](0) == Map("ACG" -> 0.5, "CGT" -> 0.5))
     assert(m.getMap[String, Double](1) == Map("ACG" -> 0.5, "TTT" -> 0.5))
   }
+
+  test("GraftExtensions injects the native functions without error") {
+    val exts = new org.apache.spark.sql.SparkSessionExtensions
+    new graft.GraftExtensions().apply(exts)   // builder registration must not throw
+  }
 }
