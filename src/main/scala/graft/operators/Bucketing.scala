@@ -1,0 +1,29 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Bucketed-table helpers: pre-shuffling fact tables into N buckets on the
+  * join/aggregation key once at write time removes the exchange from every
+  * subsequent join/agg on that key — the standard way to amortize shuffles
+  * across a 100 TB pipeline's repeated joins.
+  */
+object Bucketing {
+
+  /** Write `df` as a bucketed+sorted managed table (both sides of a future
+    * join must use the same key and bucket count). */
+  def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int,
+                    mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write
+      .mode(mode)
+      .bucketBy(buckets, key)
+      .sortBy(key)
+      .format("parquet")
+      .saveAsTable(table)
+
+  /** Join two same-key bucketed tables — planner sees the bucketing output
+    * partitioning and elides both exchanges (verify via
+    * `spark.sql.sources.bucketing.enabled`, on by default). */
+  def bucketedJoin(spark: SparkSession, leftTable: String, rightTable: String,
+                   key: String): DataFrame =
+    spark.table(leftTable).join(spark.table(rightTable), key)
+}

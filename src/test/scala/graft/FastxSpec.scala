@@ -199,3 +199,77 @@ class FastaStatsSpec extends SparkSpec {
     assert(df.count() == 4) // includes the empty-sequence record
   }
 }
+
+class FastxIOSpec extends SparkSpec {
+  test("typed records veneer: FASTA yields null quality, FASTQ keeps it") {
+    val fa = FastxIO.records(spark, FastxFixtures.path("tiny.fasta")).collect()
+    assert(fa.length == 3 && fa.forall(_.quality == null))
+    assert(fa.head == graft.sources.fastx.FastxRecord("id1 first record", "ACGT", null))
+    val fq = FastxIO.records(spark, FastxFixtures.path("tiny.fastq")).collect()
+    assert(fq.length == 3 && fq.forall(_.quality != null))
+  }
+
+  test("scanFastx/readFastx are the same lazy scan") {
+    val a = FastxIO.scanFastx(spark, FastxFixtures.path("tiny.fasta")).collect()
+    val b = FastxIO.readFastx(spark, FastxFixtures.path("tiny.fasta")).collect()
+    assert(a.toSeq == b.toSeq)
+  }
+}
+
+class FastxFuzzSpec extends SparkSpec {
+
+  test("CRLF straddling the 64KB reader buffer boundary") {
+    // place the \r at exactly byte 65535 so \n lands in the next buffer fill
+    val pad = 65535 - ">x\r\n>".length - 2
+    val content = ">x\r\n>" + ("A" * 0) + "h" + ("e" * pad) + "\r\nACGT\r\n>tail\r\nGG\r\n"
+    val in = new java.io.ByteArrayInputStream(content.getBytes(StandardCharsets.UTF_8))
+    val rs = FastxParser.fastaRecords(new PosLineReader(in))
+      .map(r => (r.header, r.sequence)).toSeq
+    assert(rs.length == 3)
+    assert(rs(1)._2 == "ACGT" && rs(2) == (("tail", "GG")))
+    assert(!rs.exists { case (h, s) => h.contains("\r") || s.contains("\r") })
+  }
+
+  test("random FASTA roundtrip: generated records -> file -> connector -> identical") {
+    val rnd = new scala.util.Random(7)
+    val records = (0 until 300).map { i =>
+      val header = s"r$i " + rnd.alphanumeric.take(rnd.nextInt(20)).mkString
+      val seq = (0 until (1 + rnd.nextInt(5))).map { _ =>
+        val len = rnd.nextInt(80)
+        (0 until len).map(_ => "ACGTNacgtn".charAt(rnd.nextInt(10))).mkString
+      }
+      (header.trim, seq)
+    }
+    val content = records.map { case (h, lines) =>
+      s">$h\n" + lines.map(_ + "\n").mkString
+    }.mkString
+    val f = new File(FastxFixtures.dir, "fuzz.fasta")
+    Files.write(f.toPath, content.getBytes(StandardCharsets.UTF_8))
+    val expected = records.map { case (h, lines) => (h, lines.mkString) }
+    for (split <- Seq(Int.MaxValue, 997)) {
+      val got = spark.read.format("fastx").option("maxSplitBytes", split.toString)
+        .load(f.getAbsolutePath)
+        .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+      assert(got.toSet == expected.toSet, s"split=$split")
+      assert(got.length == expected.length, s"split=$split")
+    }
+  }
+
+  test("random FASTQ roundtrip incl. @ and + in quality strings") {
+    val rnd = new scala.util.Random(11)
+    val records = (0 until 200).map { i =>
+      val len = 1 + rnd.nextInt(60)
+      val seq = (0 until len).map(_ => "ACGTN".charAt(rnd.nextInt(5))).mkString
+      // quality over the printable Phred range '!'..'~' — includes '@' and '+'
+      val qual = (0 until len).map(_ => ('!' + rnd.nextInt(94)).toChar).mkString
+      (s"q$i", seq, qual)
+    }
+    val content = records.map { case (h, s, q) => s"@$h\n$s\n+\n$q\n" }.mkString
+    val f = new File(FastxFixtures.dir, "fuzz.fastq")
+    Files.write(f.toPath, content.getBytes(StandardCharsets.UTF_8))
+    val got = spark.read.format("fastx").load(f.getAbsolutePath)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSeq
+    assert(got == records)
+  }
+}
+
