@@ -28,7 +28,10 @@ object EventQueries {
         col("event_type"))
       .agg(count(lit(1)).as("cnt"), dsum(col("value")).as("sum_value"))
       .withColumn("label", concat_ws("-", col("month"), upper(col("event_type"))))
-      .select("month", "event_type", "label", "cnt", "sum_value")
+      // round() on an exact double: both engines round half away from zero,
+      // and exact .5 doubles stringify exactly — engine-identical
+      .withColumn("sum_value_round", round(col("sum_value")))
+      .select("month", "event_type", "label", "cnt", "sum_value", "sum_value_round")
       .orderBy("month", "event_type")
 
   val qStringDateSql: String =
@@ -36,7 +39,8 @@ object EventQueries {
       |       event_type,
       |       strftime(date_trunc('month', ts), '%Y-%m-%d') || '-' || upper(event_type) AS label,
       |       count(*) AS cnt,
-      |       CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(28,6)) AS DOUBLE) AS sum_value
+      |       CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(28,6)) AS DOUBLE) AS sum_value,
+      |       round(CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(28,6)) AS DOUBLE)) AS sum_value_round
       |FROM events
       |GROUP BY 1, 2
       |ORDER BY month, event_type""".stripMargin

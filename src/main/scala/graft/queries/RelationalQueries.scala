@@ -200,9 +200,8 @@ object RelationalQueries {
 
   /** Distinct-based set algebra over customer vs supplier nation keys. */
   def qSetOps(spark: SparkSession, sfDir: String): DataFrame = {
-    val spark0 = spark
-    val c = t(spark0, sfDir, "customer").select(col("c_nationkey").as("k"))
-    val s = t(spark0, sfDir, "supplier").select(col("s_nationkey").as("k"))
+    val c = t(spark, sfDir, "customer").select(col("c_nationkey").as("k"))
+    val s = t(spark, sfDir, "supplier").select(col("s_nationkey").as("k"))
     val u = c.union(s).distinct().select(lit("union").as("op"), col("k"))
     val i = c.intersect(s).select(lit("intersect").as("op"), col("k"))
     val e = c.except(s).select(lit("except").as("op"), col("k"))
