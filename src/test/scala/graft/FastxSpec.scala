@@ -273,3 +273,28 @@ class FastxFuzzSpec extends SparkSpec {
   }
 }
 
+class FastxMultiFileSpec extends SparkSpec {
+  test("directory and glob loads read all files, sorted by path") {
+    val d = Files.createTempDirectory("fastx_multi").toFile
+    Files.write(new File(d, "a.fasta").toPath, ">a1\nAC\n>a2\nGT\n".getBytes(StandardCharsets.UTF_8))
+    Files.write(new File(d, "b.fasta").toPath, ">b1\nTT\n".getBytes(StandardCharsets.UTF_8))
+    val fromDir = spark.read.format("fastx").load(d.getAbsolutePath)
+      .collect().map(_.getString(0)).toSeq
+    assert(fromDir == Seq("a1", "a2", "b1"))
+    val fromGlob = spark.read.format("fastx").load(d.getAbsolutePath + "/*.fasta")
+      .collect().map(_.getString(0)).toSeq
+    assert(fromGlob == Seq("a1", "a2", "b1"))
+  }
+
+  test("malformed FASTQ surfaces a clear error") {
+    val d = Files.createTempDirectory("fastx_bad").toFile
+    Files.write(new File(d, "bad.fastq").toPath,
+      "@r1\nACGT\nNOPLUS\n!!!!\n".getBytes(StandardCharsets.UTF_8))
+    val e = intercept[org.apache.spark.SparkException] {
+      spark.read.format("fastx").load(new File(d, "bad.fastq").getAbsolutePath).collect()
+    }
+    assert(e.getMessage.contains("Malformed FASTQ") ||
+      Option(e.getCause).exists(_.getMessage.contains("Malformed FASTQ")))
+  }
+}
+

@@ -27,4 +27,14 @@ class QueriesSmokeSpec extends SparkSpec {
       else assert(n >= 0)
     }
   }
+
+  test("q_approx_distinct: HLL within its 2% relative-error bound (5x slack)") {
+    val rows = SparkEntry.queries("q_approx_distinct")(spark, TestSpark.Sf0001).collect()
+    rows.foreach { r =>
+      val exact = r.getAs[Long]("exact_parts").toDouble
+      val approx = r.getAs[Long]("approx_parts").toDouble
+      assert(math.abs(approx - exact) / exact <= 0.10,
+        s"approx=$approx exact=$exact")
+    }
+  }
 }
