@@ -129,6 +129,26 @@ object RelationalQueries {
       |GROUP BY ROLLUP (l_returnflag, l_linestatus)
       |ORDER BY returnflag, linestatus""".stripMargin
 
+  /** Full cube over (returnflag, linestatus) — all 4 grouping sets. */
+  def qCube(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "lineitem")
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("cnt"), dsum(col("l_extendedprice")).as("sum_price"))
+      .select(
+        coalesce(col("l_returnflag"), lit("(all)")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("(all)")).as("linestatus"),
+        col("cnt"), col("sum_price"))
+      .orderBy("returnflag", "linestatus")
+
+  val qCubeSql: String =
+    """SELECT coalesce(l_returnflag, '(all)') AS returnflag,
+      |       coalesce(l_linestatus, '(all)') AS linestatus,
+      |       count(*) AS cnt,
+      |       CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DECIMAL(28,6)) AS DOUBLE) AS sum_price
+      |FROM lineitem
+      |GROUP BY CUBE (l_returnflag, l_linestatus)
+      |ORDER BY returnflag, linestatus""".stripMargin
+
   /** Exact distinct aggregate (expands to a two-phase agg in Spark). */
   def qDistinctExact(spark: SparkSession, sfDir: String): DataFrame =
     t(spark, sfDir, "lineitem")
@@ -225,6 +245,7 @@ object RelationalQueries {
     "q_semi_anti" -> (qSemiAnti _),
     "q_agg_q1" -> (qAggQ1 _),
     "q_rollup" -> (qRollup _),
+    "q_cube" -> (qCube _),
     "q_distinct_exact" -> (qDistinctExact _),
     "q_approx_distinct" -> (qApproxDistinct _),
     "q_window_topk" -> (qWindowTopk _),
@@ -237,6 +258,7 @@ object RelationalQueries {
     "q_semi_anti" -> qSemiAntiSql,
     "q_agg_q1" -> qAggQ1Sql,
     "q_rollup" -> qRollupSql,
+    "q_cube" -> qCubeSql,
     "q_distinct_exact" -> qDistinctExactSql,
     "q_window_topk" -> qWindowTopkSql,
     "q_set_ops" -> qSetOpsSql,

@@ -146,12 +146,28 @@ final case class FastxInputPartition(file: String, start: Long, length: Long,
                                      format: String, limit: Int) extends InputPartition
 
 class FastxScan(paths: Seq[String], full: StructType, required: StructType,
-                maxSplitBytes: Long, limit: Int = -1) extends Scan with Batch {
+                maxSplitBytes: Long, limit: Int = -1)
+  extends Scan with Batch with SupportsReportStatistics {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
     s"fastx ${paths.mkString(",")} cols=${required.fieldNames.mkString(",")}" +
       (if (limit >= 0) s" limit=$limit" else "")
+
+  /** Size statistics from the file lengths (scaled by the pruned-column
+    * fraction) so Catalyst's broadcast-threshold and AQE decisions see a
+    * real size instead of the unknown-stats default. */
+  override def estimateStatistics(): Statistics = new Statistics {
+    private val totalBytes = {
+      val conf = new Configuration()
+      FastxDataSource.resolveFiles(paths, conf).map(_.getLen).sum
+    }
+    override def sizeInBytes(): java.util.OptionalLong = {
+      val frac = math.max(1, required.size).toDouble / math.max(1, full.size)
+      java.util.OptionalLong.of(math.max(1L, (totalBytes * frac).toLong))
+    }
+    override def numRows(): java.util.OptionalLong = java.util.OptionalLong.empty()
+  }
 
   override def planInputPartitions(): Array[InputPartition] = {
     val conf = new Configuration()

@@ -35,4 +35,20 @@ class SkewSpec extends SparkSpec {
     val p = df.queryExecution.executedPlan.toString
     assert(p.contains("limit=2"), s"limit not pushed to fastx scan:\n$p")
   }
+
+  test("fastx scan reports size statistics scaled by pruning") {
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    def scanStats(df: org.apache.spark.sql.DataFrame): Long = {
+      val scans = df.queryExecution.executedPlan.collect {
+        case b: BatchScanExec => b.scan
+      }
+      val s = scans.head.asInstanceOf[org.apache.spark.sql.connector.read.SupportsReportStatistics]
+      s.estimateStatistics().sizeInBytes().getAsLong
+    }
+    val full = scanStats(spark.read.format("fastx").load(FastxFixtures.path("tiny.fasta")))
+    val pruned = scanStats(spark.read.format("fastx").load(FastxFixtures.path("tiny.fasta"))
+      .select("header"))
+    assert(full > 0 && pruned > 0 && pruned < full, s"full=$full pruned=$pruned")
+  }
 }
+
