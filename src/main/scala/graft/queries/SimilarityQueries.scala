@@ -26,38 +26,39 @@ import graft.Tables._
   */
 object SimilarityQueries {
 
-  /** vec_id, pos, vq (exact fixed-point BIGINT) — exploded embeddings. */
-  private def flat(spark: SparkSession, sfDir: String): DataFrame =
-    t(spark, sfDir, "embeddings")
-      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "vf")))
-      .select(col("vec_id"), col("pos"),
-        floor(col("vf").cast("double") * 1048576d).cast("long").as("vq"))
-
+  /** DuckDB mirror of the quantization (exploded formulation — equivalent
+    * to the Spark side's array folds because integer addition is
+    * associative). */
   private val FlatSqlCte: String =
     """flat AS (
       |  SELECT vec_id, i AS pos,
       |         CAST(floor(CAST(embedding[i] AS DOUBLE) * 1048576) AS BIGINT) AS vq
       |  FROM embeddings, LATERAL unnest(generate_series(1, len(embedding))) AS t(i))""".stripMargin
 
-  /** Top-5 cosine neighbors of vec_id 0 (quantized-exact). */
+  /** Quantized vector as a BIGINT array: vq = floor(v·2^20). */
+  private def quantArr(emb: Column): Column =
+    transform(emb, v => floor(v.cast("double") * 1048576d).cast("long"))
+
+  /** Exact integer fold: sum of element products of two quantized arrays.
+    * Integer addition is associative, so this equals the oracle's
+    * explode+SUM bit-for-bit. */
+  private def qdot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+
+  /** Top-5 cosine neighbors of vec_id 0 (quantized-exact): ONE narrow pass —
+    * quantize, fold dot/norms per row against the broadcast probe, top-k.
+    * No explode, no aggregation shuffle; the only wide op is the top-k sort. */
   def qSimsearch(spark: SparkSession, sfDir: String): DataFrame = {
-    val f = flat(spark, sfDir)
-    val probe = f.filter(col("vec_id") === 0)
-      .select(col("pos"), col("vq").as("qv"))
-    val dots = f.filter(col("vec_id") =!= 0)
-      .join(broadcast(probe), "pos")
-      .groupBy("vec_id")
-      .agg(sum(col("vq") * col("qv")).as("dot"))
-    val norms = f.groupBy("vec_id")
-      .agg(sum(col("vq") * col("vq")).as("norm2"))
-    val qnorm = norms.filter(col("vec_id") === 0)
-      .select(col("norm2").as("qnorm2"))
-    dots
-      .join(norms, "vec_id")
-      .crossJoin(broadcast(qnorm))
+    val emb = t(spark, sfDir, "embeddings")
+    val probe = broadcast(
+      emb.filter(col("vec_id") === 0).select(quantArr(col("embedding")).as("q")))
+    emb.filter(col("vec_id") =!= 0)
+      .select(col("vec_id"), quantArr(col("embedding")).as("vq"))
+      .crossJoin(probe)
       .select(col("vec_id"),
-        (col("dot").cast("double") /
-          (sqrt(col("norm2").cast("double")) * sqrt(col("qnorm2").cast("double"))))
+        (qdot(col("vq"), col("q")).cast("double") /
+          (sqrt(qdot(col("vq"), col("vq")).cast("double")) *
+            sqrt(qdot(col("q"), col("q")).cast("double"))))
           .as("cosine"))
       .orderBy(col("cosine").desc, col("vec_id").asc)
       .limit(5)
@@ -92,27 +93,14 @@ object SimilarityQueries {
     * cosine re-ranks inside buckets only. */
   def qEmbedNeardup(spark: SparkSession, sfDir: String): DataFrame = {
     val emb = t(spark, sfDir, "embeddings")
-      .select(col("vec_id"), col("embedding"), signBucket(col("embedding")).as("bucket"))
-    val norms = flat(spark, sfDir).groupBy("vec_id")
-      .agg(sum(col("vq") * col("vq")).as("norm2"))
-    val pairs = emb.as("a").join(emb.as("b"),
+      .select(col("vec_id"), quantArr(col("embedding")).as("vq"),
+        signBucket(col("embedding")).as("bucket"))
+    emb.as("a").join(emb.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("v1"), col("b.vec_id").as("v2"),
-        col("a.embedding").as("e1"), col("b.embedding").as("e2"))
-    val dots = pairs
-      .select(col("v1"), col("v2"),
-        posexplode(arrays_zip(col("e1"), col("e2"))).as(Seq("pos", "z")))
-      .select(col("v1"), col("v2"),
-        (floor(col("z.e1").cast("double") * 1048576d).cast("long") *
-          floor(col("z.e2").cast("double") * 1048576d).cast("long")).as("p"))
-      .groupBy("v1", "v2")
-      .agg(sum(col("p")).as("dot"))
-    dots
-      .join(norms.select(col("vec_id").as("v1"), col("norm2").as("n1")), "v1")
-      .join(norms.select(col("vec_id").as("v2"), col("norm2").as("n2")), "v2")
-      .select(col("v1"), col("v2"),
-        (col("dot").cast("double") /
-          (sqrt(col("n1").cast("double")) * sqrt(col("n2").cast("double")))).as("cosine"))
+        (qdot(col("a.vq"), col("b.vq")).cast("double") /
+          (sqrt(qdot(col("a.vq"), col("a.vq")).cast("double")) *
+            sqrt(qdot(col("b.vq"), col("b.vq")).cast("double")))).as("cosine"))
       .filter(col("cosine") >= 0.3)
       .orderBy("v1", "v2")
   }
