@@ -54,7 +54,11 @@ object SeqQueries {
     * array), and the single explicit repartition on doc_id satisfies the
     * clustering requirement of BOTH the (doc_id, gram) aggregation and the
     * per-doc window — one shuffle total before the output sort. `step`
-    * = 1 for overlapping k-mers, k for non-overlapping codons. */
+    * = 1 for overlapping k-mers, k for non-overlapping codons.
+    *
+    * Measured dead end (don't repeat): a custom Generator emitting windows
+    * byte-wise was ~30% SLOWER — CodegenFallback breaks the whole-stage
+    * span, costing more than the avoided substr/array allocations. */
   private def windowFreqs(docs: DataFrame, k: Int, step: Int): DataFrame = {
     val w = Window.partitionBy("doc_id")
     docs
