@@ -92,6 +92,24 @@ object Multimodal {
     }
   }
 
+  /** Resize-style transform: deterministic re-dimension of decoded media.
+    * The pixel resample itself is part of the stubbed codec (`???`-class
+    * work in this environment); the Spark-side contract — a narrow
+    * partition-parallel map that rewrites (width, height) and re-derives
+    * the embedding at the new scale — is real and tested. */
+  def resize(features: Dataset[MediaFeatures], targetW: Int, targetH: Int): Dataset[MediaFeatures] = {
+    import features.sparkSession.implicits._
+    features.map { f =>
+      val sx = targetW.toDouble / math.max(1, f.width)
+      val sy = targetH.toDouble / math.max(1, f.height)
+      // deterministic "resample": scale the embedding energy by the area
+      // ratio stand-in — a real codec plugs in here
+      val scale = math.sqrt(sx * sy).toFloat
+      f.copy(width = targetW, height = targetH,
+        embedding = f.embedding.map(_ * scale))
+    }
+  }
+
   /** Frame/sample-style batching: deterministic byte-window sampling of a
     * payload (the video-frame-sampling shape: n evenly spaced windows). */
   def sampleWindows(media: Dataset[MediaRecord], n: Int, window: Int): DataFrame = {

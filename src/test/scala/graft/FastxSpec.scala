@@ -298,3 +298,16 @@ class FastxMultiFileSpec extends SparkSpec {
   }
 }
 
+class FastxBzip2Spec extends SparkSpec {
+  test("bzip2 transparent decompression parity") {
+    val content = ">id1 first record\nACGT\n>id2\nacg\ntNNa\nCC\n"
+    val f = new File(FastxFixtures.dir, "tiny.fasta.bz2")
+    val out = new org.apache.commons.compress.compressors.bzip2.BZip2CompressorOutputStream(
+      new FileOutputStream(f))
+    out.write(content.getBytes(StandardCharsets.UTF_8)); out.close()
+    val rows = spark.read.format("fastx").load(f.getAbsolutePath)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(rows == Seq(("id1 first record", "ACGT"), ("id2", "acgtNNaCC")))
+  }
+}
+

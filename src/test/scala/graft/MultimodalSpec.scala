@@ -43,4 +43,15 @@ class MultimodalSpec extends SparkSpec {
     assert(f0.map(_.getInt(1)).toSeq == Seq(0, 1, 2, 3))
     assert(f0.forall(_.getAs[Array[Byte]]("frame_bytes").length <= 16))
   }
+
+  test("resize rewrites dimensions deterministically, partition-independent") {
+    val feats = extractFeatures(media)
+    val r1 = Multimodal.resize(feats.repartition(1), 32, 32).collect()
+      .map(f => (f.media_id, f.width, f.height, f.embedding.toSeq)).sortBy(_._1)
+    val r4 = Multimodal.resize(feats.repartition(4), 32, 32).collect()
+      .map(f => (f.media_id, f.width, f.height, f.embedding.toSeq)).sortBy(_._1)
+    assert(r1.toSeq == r4.toSeq)
+    assert(r1.forall { case (_, w, h, _) => w == 32 && h == 32 })
+  }
 }
+
