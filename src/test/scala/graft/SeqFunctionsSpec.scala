@@ -104,4 +104,20 @@ class SeqFunctionsSpec extends SparkSpec {
     assert(fromUdf.exceptAll(fromExplode).isEmpty &&
       fromExplode.exceptAll(fromUdf).isEmpty)
   }
+
+  test("GcAggregator: corpus GC as exact counters, matches per-row expectation") {
+    import org.apache.spark.sql.functions.udaf
+    val gcUdaf = udaf(graft.functions.GcAggregator)
+    val df = Seq("GCGC", "gcgc", "GCTA", "NN").toDF("s")
+    val got = df.select(gcUdaf($"s")).collect()(0).getDouble(0)
+    // G/C (uppercase only): 4 + 0 + 2 + 0 = 6 over total length 14
+    assert(got == 6.0 / 14.0)
+    // grouped + distributed: same value regardless of partitioning
+    val many = spark.read.parquet(s"${TestSpark.Sf0001}/documents.parquet")
+      .select(upper($"text").as("s"))
+    val a = many.repartition(1).select(gcUdaf($"s")).collect()(0).getDouble(0)
+    val b = many.repartition(7).select(gcUdaf($"s")).collect()(0).getDouble(0)
+    assert(a == b && a > 0)
+  }
 }
+
