@@ -79,12 +79,12 @@ object Similarity {
     def assignExpr(cs: Array[(Int, Array[Double])]): Column = {
       // argmin over squared L2 distance to each centroid, tie → lowest cell
       val dists = cs.map { case (cid, c) =>
-        val cArr = array(c.map(lit): _*)
+        val cArr = array(c.toIndexedSeq.map(lit): _*)
         struct(aggregate(zip_with(col(vecCol), cArr,
           (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
           lit(0d), (acc, x) => acc + x).as("d"), lit(cid).as("cell"))
       }
-      array_min(array(dists: _*)).getField("cell")
+      array_min(array(dists.toIndexedSeq: _*)).getField("cell")
     }
 
     for (_ <- 0 until iters) {
