@@ -89,12 +89,35 @@ object FastxDataSource {
       }
     }.filter(_.getLen >= 0).sortBy(_.getPath.toString)
 
+  /** Wrap `raw` in the right decompressor for `path`, or return it as-is.
+    * Hadoop's codec factory covers gz/bz2/deflate; zstd and xz (which
+    * needletail also decompresses transparently) go through
+    * commons-compress since the Hadoop zstd codec needs native hadoop. */
+  def decompressed(path: Path, raw: java.io.InputStream, conf: Configuration): java.io.InputStream = {
+    val name = path.getName.toLowerCase
+    // zstd/xz go through commons-compress FIRST: Hadoop's factory claims
+    // .zst but its ZStandardCodec needs native libhadoop (absent here)
+    if (name.endsWith(".zst") || name.endsWith(".zstd"))
+      new org.apache.commons.compress.compressors.zstandard.ZstdCompressorInputStream(raw)
+    else if (name.endsWith(".xz"))
+      new org.apache.commons.compress.compressors.xz.XZCompressorInputStream(raw)
+    else {
+      val codec = new CompressionCodecFactory(conf).getCodec(path)
+      if (codec != null) codec.createInputStream(raw) else raw
+    }
+  }
+
+  /** True when `path` will be decompressed (hence non-splittable). */
+  def isCompressed(path: Path, conf: Configuration): Boolean = {
+    val name = path.getName.toLowerCase
+    new CompressionCodecFactory(conf).getCodec(path) != null ||
+      name.endsWith(".zst") || name.endsWith(".zstd") || name.endsWith(".xz")
+  }
+
   /** Sniff format from the first decompressed byte of a file. */
   def sniffFile(path: Path, conf: Configuration): String = {
     val fs = path.getFileSystem(conf)
-    val codec = new CompressionCodecFactory(conf).getCodec(path)
-    val raw = fs.open(path)
-    val in = if (codec != null) codec.createInputStream(raw) else raw
+    val in = decompressed(path, fs.open(path), conf)
     try FastxParser.sniffFormat(in.read())
     finally in.close()
   }
@@ -174,7 +197,7 @@ class FastxScan(paths: Seq[String], full: StructType, required: StructType,
     val files = FastxDataSource.resolveFiles(paths, conf)
     files.flatMap { st =>
       val p = st.getPath
-      val compressed = new CompressionCodecFactory(conf).getCodec(p) != null
+      val compressed = FastxDataSource.isCompressed(p, conf)
       val fmt = FastxDataSource.sniffFile(p, conf)
       if (fmt == "fasta" && !compressed && st.getLen > maxSplitBytes) {
         // splittable: byte ranges with \n> resync in the reader
@@ -207,15 +230,16 @@ class FastxPartitionReader(part: FastxInputPartition, columns: Array[String])
   private val conf = new Configuration()
   private val path = new Path(part.file)
   private val fs = path.getFileSystem(conf)
-  private val codec = new CompressionCodecFactory(conf).getCodec(path)
+  private val compressed = FastxDataSource.isCompressed(path, conf)
   private val rawStream = fs.open(path)
 
   private val records: Iterator[FastxRecord] = {
     if (part.format == "fastq") {
-      val in = if (codec != null) codec.createInputStream(rawStream) else rawStream
+      val in = FastxDataSource.decompressed(path, rawStream, conf)
       FastxParser.fastqRecords(new PosLineReader(in))
-    } else if (codec != null) {
-      FastxParser.fastaRecords(new PosLineReader(codec.createInputStream(rawStream)))
+    } else if (compressed) {
+      FastxParser.fastaRecords(
+        new PosLineReader(FastxDataSource.decompressed(path, rawStream, conf)))
     } else {
       // splittable FASTA range [start, start+length): Hadoop convention —
       // seek, discard the partial first line when start > 0, own records

@@ -134,7 +134,11 @@ object FastxParser {
       }
     }
 
-  /** Strict 4-line FASTQ records from the stream start (non-splittable). */
+  /** FASTQ records from the stream start (non-splittable). Multi-line
+    * tolerant, matching needletail: sequence lines accumulate until the
+    * `+` separator; quality lines accumulate until the quality length
+    * reaches the sequence length (which is why a quality line starting
+    * with `@` can never be misread as a header — SURVEY §7.3.1). */
   def fastqRecords(reader: PosLineReader): Iterator[FastxRecord] =
     new Iterator[FastxRecord] {
       private var nextRec: FastxRecord = fetch()
@@ -145,14 +149,25 @@ object FastxParser {
         if (h == null) return null
         if (!h.startsWith("@"))
           throw new IllegalArgumentException(s"Malformed FASTQ: expected '@' header, got: $h")
-        val s = reader.readLine()
-        val plus = reader.readLine()
-        val q = reader.readLine()
-        if (s == null || plus == null || q == null)
-          throw new IllegalArgumentException(s"Malformed FASTQ: truncated record '$h'")
-        if (!plus.startsWith("+"))
-          throw new IllegalArgumentException(s"Malformed FASTQ: expected '+' separator, got: $plus")
-        FastxRecord(h.substring(1), s, q)
+        val seq = new java.lang.StringBuilder(256)
+        var line = reader.readLine()
+        while (line != null && !line.startsWith("+")) {
+          seq.append(line)
+          line = reader.readLine()
+        }
+        if (line == null)
+          throw new IllegalArgumentException(s"Malformed FASTQ: missing '+' separator in '$h'")
+        val qual = new java.lang.StringBuilder(seq.length)
+        while (qual.length < seq.length) {
+          val q = reader.readLine()
+          if (q == null)
+            throw new IllegalArgumentException(s"Malformed FASTQ: truncated quality in '$h'")
+          qual.append(q)
+        }
+        if (qual.length > seq.length)
+          throw new IllegalArgumentException(
+            s"Malformed FASTQ: quality longer than sequence in '$h'")
+        FastxRecord(h.substring(1), seq.toString, qual.toString)
       }
 
       override def hasNext: Boolean = nextRec != null

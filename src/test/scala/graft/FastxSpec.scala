@@ -311,3 +311,48 @@ class FastxBzip2Spec extends SparkSpec {
   }
 }
 
+class FastxCodecAndMultilineSpec extends SparkSpec {
+  private val tinyFasta = ">id1 first record\nACGT\n>id2\nacg\ntNNa\nCC\n"
+  private val expected = Seq(("id1 first record", "ACGT"), ("id2", "acgtNNaCC"))
+
+  test("zstd transparent decompression parity") {
+    val f = new File(FastxFixtures.dir, "tiny.fasta.zst")
+    val out = new org.apache.commons.compress.compressors.zstandard.ZstdCompressorOutputStream(
+      new FileOutputStream(f))
+    out.write(tinyFasta.getBytes(StandardCharsets.UTF_8)); out.close()
+    val rows = spark.read.format("fastx").load(f.getAbsolutePath)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(rows == expected)
+  }
+
+  test("xz transparent decompression parity") {
+    val f = new File(FastxFixtures.dir, "tiny.fasta.xz")
+    val out = new org.apache.commons.compress.compressors.xz.XZCompressorOutputStream(
+      new FileOutputStream(f))
+    out.write(tinyFasta.getBytes(StandardCharsets.UTF_8)); out.close()
+    val rows = spark.read.format("fastx").load(f.getAbsolutePath)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(rows == expected)
+  }
+
+  test("multi-line FASTQ: sequence until '+', quality by length (needletail parity)") {
+    val content = "@r1 multi\nACGT\nACGT\n+\n!!!!\n@@@@\n@r2\nGG\n+r2\n!!\n"
+    val f = new File(FastxFixtures.dir, "multiline.fastq")
+    Files.write(f.toPath, content.getBytes(StandardCharsets.UTF_8))
+    val rows = spark.read.format("fastx").load(f.getAbsolutePath)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSeq
+    assert(rows == Seq(("r1 multi", "ACGTACGT", "!!!!@@@@"), ("r2", "GG", "!!")))
+  }
+
+  test("FASTQ quality overrun is rejected") {
+    val content = "@r1\nACGT\n+\n!!!!!!\n"
+    val f = new File(FastxFixtures.dir, "overrun.fastq")
+    Files.write(f.toPath, content.getBytes(StandardCharsets.UTF_8))
+    val e = intercept[org.apache.spark.SparkException] {
+      spark.read.format("fastx").load(f.getAbsolutePath).collect()
+    }
+    assert(e.getMessage.contains("quality longer") ||
+      Option(e.getCause).exists(_.getMessage.contains("quality longer")))
+  }
+}
+
