@@ -85,6 +85,31 @@ object Dedup {
       .agg(count(lit(1)).as("n_bands"))
   }
 
+  /** End-to-end near-dedup: drop the higher-id side of every MinHash-LSH
+    * candidate pair whose exact shingle Jaccard clears `minJaccard` —
+    * candidates from banding (cheap), survivors decided by exact similarity
+    * (computed only on candidates). Returns the surviving rows of `df`.
+    * The full exact-then-near cascade for a training corpus:
+    * `dedupeNear(exactByContent(df, id, text), id, text)`. */
+  def dedupeNear(df: DataFrame, idCol: String, textCol: String,
+                 n: Int = 3, minJaccard: Double = 0.5): DataFrame = {
+    val candidates = minhashLshPairs(df, idCol, textCol, n)
+      .select(col("d1"), col("d2"))
+    val sh = shingleSets(df, idCol, textCol, n)
+      .select(col("id"), xxhash64(col("sh")).as("h"))
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
+    val verified = candidates
+      .join(sh.select(col("id").as("d1"), col("h")), "d1")
+      .join(sh.select(col("id").as("d2"), col("h")), Seq("d2", "h"))
+      .groupBy("d1", "d2").agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("id").as("d1"), col("sz").as("sz1")), "d1")
+      .join(sizes.select(col("id").as("d2"), col("sz").as("sz2")), "d2")
+      .filter(col("inter").cast("double") /
+        (col("sz1") + col("sz2") - col("inter")) >= minJaccard)
+    val losers = verified.select(col("d2").as(idCol)).distinct()
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** 64 bit-mask literals 1L<<0 … 1L<<63. */
   private val Masks: Column = array((0 until 64).map(b => lit(1L << b)): _*)
 

@@ -85,4 +85,15 @@ class OperatorsSpec extends SparkSpec {
       .as[Double].collect()(0)
     assert(c >= 0.3)
   }
+
+  test("dedupeNear drops the higher-id member of verified near-dup pairs") {
+    val base = ("w%d ".format(0) + (1 to 40).map(i => s"w$i").mkString(" "))
+    val near = base.replace("w40", "w40x")         // 1 of 41 tokens differs
+    val far = (100 to 140).map(i => s"v$i").mkString(" ")
+    val df = Seq((1L, base), (2L, near), (3L, far)).toDF("doc_id", "text")
+    val kept = Dedup.dedupeNear(df, "doc_id", "text", n = 3, minJaccard = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 3L), s"kept=$kept")
+  }
 }
+
