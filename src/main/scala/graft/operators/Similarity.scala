@@ -54,6 +54,16 @@ object Similarity {
       .filter(col("cosine") >= minCosine)
   }
 
+  /** Embedding-space near-dedup: drop the higher-id member of every
+    * sign-LSH-verified pair with cosine ≥ minCosine (the embedding analog
+    * of Dedup.dedupeNear). Returns the surviving rows of `emb`. */
+  def dedupeByEmbedding(emb: DataFrame, idCol: String, vecCol: String,
+                        bits: Int = 8, minCosine: Double = 0.9): DataFrame = {
+    val losers = lshNearDupPairs(emb, idCol, vecCol, bits, minCosine)
+      .select(col("v2").as(idCol)).distinct()
+    emb.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** IVF coarse index: `nCells` centroids refined by `iters` Lloyd steps
     * from a deterministic seed (every nth vector). Centroids are tiny —
     * they live broadcast; assignments are one narrow pass.

@@ -102,12 +102,47 @@ object DedupQueries {
        |SELECT d1, d2, n_bands FROM pairs ORDER BY d1, d2""".stripMargin
   }
 
+  /** The full dedup cascade under the oracle gate: MinHash-LSH candidates →
+    * exact-Jaccard verification ≥ 0.5 → higher-id members dropped →
+    * survivors counted per language. */
+  def qDedupCascade(spark: SparkSession, sfDir: String): DataFrame =
+    graft.operators.Dedup
+      .dedupeNear(t(spark, sfDir, "documents"), "doc_id", "text", n = 3, minJaccard = 0.5)
+      .groupBy("lang")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n_kept"))
+      .orderBy("lang")
+
+  val qDedupCascadeSql: String = {
+    val minhashCtes = qMinhashLshSql
+      .substring(qMinhashLshSql.indexOf("WITH ") + 5, qMinhashLshSql.indexOf("\nSELECT d1"))
+    s"""WITH $minhashCtes,
+       |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+       |cinter AS (
+       |  SELECT p.d1, p.d2, count(*) AS inter
+       |  FROM pairs p
+       |  JOIN sh a ON a.doc_id = p.d1
+       |  JOIN sh b ON b.doc_id = p.d2 AND b.sh = a.sh
+       |  GROUP BY p.d1, p.d2),
+       |losers AS (
+       |  SELECT DISTINCT d2 FROM cinter
+       |  JOIN sizes s1 ON s1.doc_id = d1
+       |  JOIN sizes s2 ON s2.doc_id = d2
+       |  WHERE CAST(inter AS DOUBLE) / (s1.sz + s2.sz - inter) >= 0.5)
+       |SELECT lang, count(*) AS n_kept
+       |FROM documents
+       |WHERE doc_id NOT IN (SELECT d2 FROM losers)
+       |GROUP BY lang ORDER BY lang""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_jaccard_pairs" -> (qJaccardPairs _),
     "q_minhash_lsh" -> (qMinhashLsh _),
-    "q_simhash_pairs" -> (qSimhashPairs _))
+    "q_simhash_pairs" -> (qSimhashPairs _),
+    "q_dedup_cascade" -> (qDedupCascade _))
 
   val oracles: Map[String, String] = Map(
     "q_jaccard_pairs" -> qJaccardPairsSql,
-    "q_minhash_lsh" -> qMinhashLshSql)
+    "q_minhash_lsh" -> qMinhashLshSql,
+    "q_dedup_cascade" -> qDedupCascadeSql)
 }
