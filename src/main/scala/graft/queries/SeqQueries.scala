@@ -59,20 +59,16 @@ object SeqQueries {
     * Measured dead end (don't repeat): a custom Generator emitting windows
     * byte-wise was ~30% SLOWER — CodegenFallback breaks the whole-stage
     * span, costing more than the avoided substr/array allocations. */
-  private def windowFreqs(docs: DataFrame, k: Int, step: Int): DataFrame = {
-    val w = Window.partitionBy("doc_id")
+  private def windowFreqs(docs: DataFrame, k: Int, step: Int): DataFrame =
     docs
-      .filter(length(col("s")) >= k)
-      .select(col("doc_id"), col("s"),
-        explode(sequence(lit(1), length(col("s")) - (k - 1), lit(step))).as("i"))
-      .select(col("doc_id"), col("s").substr(col("i"), lit(k)).as("gram"))
-      .filter(!col("gram").contains("N"))
-      .repartition(col("doc_id"))
-      .groupBy("doc_id", "gram")
-      .agg(count(lit(1)).as("cnt"))
-      .withColumn("freq", col("cnt").cast("double") / sum("cnt").over(w))
+      .select(col("doc_id"),
+        graft.plans.SeqExpressions.windowCounts(col("s"), k, step).as("counts"))
+      .withColumn("total",
+        aggregate(map_values(col("counts")), lit(0L), (acc, x) => acc + x))
+      .select(col("doc_id"), explode(col("counts")).as(Seq("gram", "cnt")), col("total"))
+      .withColumn("freq", col("cnt").cast("double") / col("total"))
+      .drop("total")
       .orderBy("doc_id", "gram")
-  }
 
   def qKmerExplode(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = t(spark, sfDir, "documents")

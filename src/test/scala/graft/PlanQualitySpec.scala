@@ -43,15 +43,13 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("LeftSemi") && p.contains("LeftAnti"), s"join types missing:\n$p")
   }
 
-  test("q_kmer_explode: single repartition serves both aggregate and window") {
+  test("q_kmer_explode: shuffle-free until the output sort (native count map)") {
     val p = plan("q_kmer_explode")
-    // exactly two exchanges: REPARTITION_BY_COL(doc_id) and the final
-    // orderBy rangepartitioning — the (doc_id, gram) aggregation and the
-    // per-doc window both reuse the doc_id partitioning
+    // per-doc counts come from the native seq_window_counts expression —
+    // the ONLY exchange is the final orderBy rangepartitioning
     val exchanges = p.split("Exchange ").length - 1
-    assert(exchanges == 2, s"expected 2 exchanges, plan:\n$p")
-    assert(p.contains("REPARTITION_BY_COL"), s"repartition missing:\n$p")
-    assert(p.split("HashAggregate").length >= 3, s"partial agg missing:\n$p")
+    assert(exchanges == 1, s"expected 1 exchange, plan:\n$p")
+    assert(p.contains("seq_window_counts"), s"native counts expr missing:\n$p")
   }
 
   test("fastx scan: column pruning reaches the reader") {
