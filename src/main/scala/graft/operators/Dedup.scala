@@ -58,10 +58,17 @@ object Dedup {
     * groupBy (no per-hash explode), compared as fixed-width hex strings.
     * Engine-portable (md5-only), hence oracle-checkable. */
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
-                      n: Int = 3, bands: Int = 4, rowsPerBand: Int = 4): DataFrame = {
+                      n: Int = 3, bands: Int = 4, rowsPerBand: Int = 4): DataFrame =
+    minhashFromShingles(shingleSets(df, idCol, textCol, n), bands, rowsPerBand)
+
+  /** MinHash banding over a precomputed (id, sh) set — callers that also
+    * need the shingles for verification pass a cached set so the tokenize/
+    * shingle/md5 pipeline runs once, not per consumer. */
+  def minhashFromShingles(shingles: DataFrame,
+                          bands: Int = 4, rowsPerBand: Int = 4): DataFrame = {
     val total = bands * rowsPerBand
     require(total <= 16, "hash family provides 16 independent 16-bit hashes")
-    val hx = shingleSets(df, idCol, textCol, n)
+    val hx = shingles
       .select(col("id"),
         md5(concat(lit("a:"), col("sh")).cast("binary")).as("m1"),
         md5(concat(lit("b:"), col("sh")).cast("binary")).as("m2"))
@@ -93,10 +100,13 @@ object Dedup {
     * `dedupeNear(exactByContent(df, id, text), id, text)`. */
   def dedupeNear(df: DataFrame, idCol: String, textCol: String,
                  n: Int = 3, minJaccard: Double = 0.5): DataFrame = {
-    val candidates = minhashLshPairs(df, idCol, textCol, n)
+    // ONE shingle pass, cached: feeds minhash banding, both verification
+    // join sides, and the set sizes (otherwise the tokenize/shingle
+    // pipeline re-executes per consumer — measured 5× recompute)
+    val shingles = shingleSets(df, idCol, textCol, n).cache()
+    val candidates = minhashFromShingles(shingles)
       .select(col("d1"), col("d2"))
-    val sh = shingleSets(df, idCol, textCol, n)
-      .select(col("id"), xxhash64(col("sh")).as("h"))
+    val sh = shingles.select(col("id"), xxhash64(col("sh")).as("h"))
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
     val verified = candidates
       .join(sh.select(col("id").as("d1"), col("h")), "d1")

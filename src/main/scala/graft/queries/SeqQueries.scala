@@ -46,19 +46,20 @@ object SeqQueries {
       |WHERE length(text) >= 50
       |ORDER BY doc_id""".stripMargin
 
-  /** Shared explode→count→freq tail for kmer/codon queries. freq is an exact
+  /** Shared count→freq tail for kmer/codon queries. freq is an exact
     * BIGINT/BIGINT IEEE division — deterministic across engines.
     *
-    * Shape: positions are exploded as INTs and the gram substring is cut
-    * per exploded row (2× faster than materializing a per-doc string
-    * array), and the single explicit repartition on doc_id satisfies the
-    * clustering requirement of BOTH the (doc_id, gram) aggregation and the
-    * per-doc window — one shuffle total before the output sort. `step`
-    * = 1 for overlapping k-mers, k for non-overlapping codons.
+    * Shape: the native `seq_window_counts` expression builds each doc's
+    * {window → count} map in one byte-level codegen pass; exploding that
+    * map and folding its values for the denominator keeps the entire
+    * pipeline shuffle-free until the output sort (2.3× over the previous
+    * explode+substr+repartition+window plan; PlanQualitySpec pins the
+    * 1-exchange shape). `step` = 1 for overlapping k-mers, k for
+    * non-overlapping codons.
     *
-    * Measured dead end (don't repeat): a custom Generator emitting windows
-    * byte-wise was ~30% SLOWER — CodegenFallback breaks the whole-stage
-    * span, costing more than the avoided substr/array allocations. */
+    * Measured dead ends (don't repeat): a CodegenFallback window Generator
+    * was ~30% slower than explode+substr (breaks the WSCG span); the
+    * repartition+window formulation costs two more exchanges. */
   private def windowFreqs(docs: DataFrame, k: Int, step: Int): DataFrame =
     docs
       .select(col("doc_id"),
