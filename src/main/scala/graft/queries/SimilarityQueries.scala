@@ -156,7 +156,8 @@ object SimilarityQueries {
     val (centroids, assignments) =
       graft.operators.Similarity.ivfIndex(emb, "vec_id", "embedding", nCells = 16, iters = 2)
     graft.operators.Similarity
-      .ivfTopK(emb, "vec_id", "embedding", centroids, assignments, probeId = 0L, k = 5, nProbe = 4)
+      .ivfTopK(emb, "vec_id", "embedding", centroids, assignments.cache(),
+        probeId = 0L, k = 5, nProbe = 4)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
