@@ -40,6 +40,24 @@ object Similarity {
     concat((1 to bits).map(i =>
       when(element_at(vecCol, i) >= 0f, lit("+")).otherwise(lit("-"))): _*)
 
+  /** Seeded random-hyperplane LSH bucket key: `bits` hyperplanes drawn
+    * deterministically from `seed` (fixed at plan-build time, so every
+    * executor and every run sees the same planes — no RNG at runtime).
+    * Proper SimHash-for-vectors family: P(bit agrees) = 1 - θ/π, strictly
+    * better-distributed than the axis-aligned `signBucket` when vector
+    * components are correlated. */
+  def randomHyperplaneBucket(vecCol: Column, dim: Int, bits: Int = 8,
+                             seed: Long = 42L): Column = {
+    val rnd = new scala.util.Random(seed)
+    val planes = Array.fill(bits)(Array.fill(dim)(rnd.nextGaussian()))
+    concat(planes.toIndexedSeq.map { p =>
+      val pArr = array(p.toIndexedSeq.map(lit): _*)
+      val proj = aggregate(zip_with(vecCol, pArr, (x, w) => x.cast("double") * w),
+        lit(0d), (acc, x) => acc + x)
+      when(proj >= 0d, lit("+")).otherwise(lit("-"))
+    }: _*)
+  }
+
   /** Near-dup pairs: same sign-LSH bucket AND exact cosine ≥ minCosine.
     * The bucket equi-join shrinks the pair space ~2^bits before any exact
     * math. */
