@@ -62,9 +62,11 @@ object Similarity {
     * The bucket equi-join shrinks the pair space ~2^bits before any exact
     * math. */
   def lshNearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
-                      bits: Int = 8, minCosine: Double = 0.3): DataFrame = {
+                      bits: Int = 8, minCosine: Double = 0.3,
+                      bucketFn: Column => Column = null): DataFrame = {
+    val mkBucket = Option(bucketFn).getOrElse((v: Column) => signBucket(v, bits))
     val b = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
-      signBucket(col(vecCol), bits).as("bucket"))
+      mkBucket(col(vecCol)).as("bucket"))
     b.as("a").join(b.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
       .select(col("a.id").as("v1"), col("b.id").as("v2"),

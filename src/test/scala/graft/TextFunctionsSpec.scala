@@ -55,4 +55,21 @@ class TextFunctionsSpec extends SparkSpec {
     val distinct = a.values.toSet.size
     assert(distinct > 50, s"hyperplanes should spread buckets, got $distinct")
   }
+
+  test("lshNearDupPairs accepts the hyperplane family as a drop-in bucket") {
+    val emb = spark.read.parquet(s"${TestSpark.Sf0001}/embeddings.parquet")
+    val pairs = Similarity.lshNearDupPairs(emb, "vec_id", "embedding",
+      minCosine = 0.3,
+      bucketFn = v => Similarity.randomHyperplaneBucket(v, dim = 64, bits = 8))
+      .select("v1", "v2").as[(Long, Long)].collect()
+    // every returned pair genuinely clears the exact-cosine threshold
+    pairs.take(3).foreach { case (v1, v2) =>
+      val c = emb.as("a").join(emb.as("b"),
+          col("a.vec_id") === v1 && col("b.vec_id") === v2)
+        .select(Similarity.cosine(col("a.embedding"), col("b.embedding")))
+        .as[Double].collect()(0)
+      assert(c >= 0.3)
+    }
+  }
 }
+
