@@ -55,9 +55,12 @@ object EventQueries {
         max(col("k")).as("max_k"))
       .orderBy("event_type")
 
+  // sum(BIGINT) in DuckDB widens to HUGEINT, which pandas materializes as
+  // float64 ("99111.0") while Spark's sum(long) stays int64 ("99111") — the
+  // outer CAST pins the oracle back to BIGINT so the value hash matches.
   val qJsonExtractSql: String =
     """SELECT event_type, count(*) AS cnt,
-      |       sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+      |       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
       |       max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 

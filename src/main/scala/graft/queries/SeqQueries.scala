@@ -111,17 +111,50 @@ object SeqQueries {
       |       CAST(cnt AS DOUBLE) / sum(cnt) OVER (PARTITION BY doc_id) AS freq
       |FROM cnts ORDER BY doc_id, gram""".stripMargin
 
-  /** E6 full-map output via the native codegen expression (SURVEY §7.5) —
-    * `no-oracle` (map iteration order is unspecified); equivalence with the
-    * UDF reference impl and qKmerExplode is unit-tested. */
+  /** E6 full-map shape (`kmer_frequencies`, `fastx_parsers.py:52-67`) under
+    * the driver gate: the native codegen count-map is built per doc in one
+    * pass, then serialized as a *sorted, integer-valued* entry string
+    * (`GRAM=count,...`) plus the total — a byte-stable encoding both engines
+    * produce identically (raw map columns are unorderable in the harness and
+    * double freqs don't stringify portably; freq = cnt/total is recoverable
+    * exactly). The map-typed API itself (`kmerFrequenciesNative`) stays
+    * pinned against the UDF reference impl in SeqExpressionsSpec. */
   def qKmerMap(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = t(spark, sfDir, "documents")
     docs
       .select(col("doc_id"),
-        graft.plans.SeqExpressions
-          .kmerFrequenciesNative(surrogate(col("text")), 3).as("kmer_freqs"))
+        graft.plans.SeqExpressions.windowCounts(surrogate(col("text")), 3, 1).as("counts"))
+      .select(
+        col("doc_id"),
+        size(col("counts")).cast("long").as("n_kmers"),
+        aggregate(map_values(col("counts")), lit(0L), (acc, x) => acc + x).as("total"),
+        concat_ws(",", transform(array_sort(map_entries(col("counts"))),
+          e => concat(e.getField("key"), lit("="), e.getField("value").cast("string"))))
+          .as("kmer_enc"))
       .orderBy("doc_id")
   }
+
+  val qKmerMapSql: String =
+    """WITH seqs AS (SELECT doc_id, upper(replace(text,' ','')) AS s FROM documents),
+      |grams AS (
+      |  SELECT doc_id, substr(s, i, 3) AS gram
+      |  FROM seqs, LATERAL unnest(generate_series(1, length(s)-2)) AS t(i)
+      |),
+      |cnts AS (
+      |  SELECT doc_id, gram, count(*) AS cnt FROM grams
+      |  WHERE gram NOT LIKE '%N%' GROUP BY doc_id, gram
+      |),
+      |enc AS (
+      |  SELECT doc_id, count(*) AS n_kmers, CAST(sum(cnt) AS BIGINT) AS total,
+      |         string_agg(gram || '=' || cnt, ',' ORDER BY gram) AS kmer_enc
+      |  FROM cnts GROUP BY doc_id
+      |)
+      |SELECT d.doc_id,
+      |       CAST(COALESCE(e.n_kmers, 0) AS BIGINT) AS n_kmers,
+      |       CAST(COALESCE(e.total, 0) AS BIGINT) AS total,
+      |       COALESCE(e.kmer_enc, '') AS kmer_enc
+      |FROM documents d LEFT JOIN enc e ON d.doc_id = e.doc_id
+      |ORDER BY d.doc_id""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_seq_stats" -> (qSeqStats _),
@@ -132,5 +165,6 @@ object SeqQueries {
   val oracles: Map[String, String] = Map(
     "q_seq_stats" -> qSeqStatsSql,
     "q_kmer_explode" -> qKmerExplodeSql,
-    "q_codon_explode" -> qCodonExplodeSql)
+    "q_codon_explode" -> qCodonExplodeSql,
+    "q_kmer_map" -> qKmerMapSql)
 }
