@@ -84,22 +84,26 @@ object Similarity {
     emb.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** Seed-row selection for [[ivfIndex]], exposed for plan-shape tests:
+    * must stay a TakeOrderedAndProject (distributed top-k), never a global
+    * window/sort. */
+  def seedRows(emb: DataFrame, idCol: String, vecCol: String, nCells: Int): DataFrame =
+    emb.select(col(idCol), col(vecCol))
+      .orderBy(xxhash64(col(idCol)), col(idCol))
+      .limit(nCells)
+
   /** IVF coarse index: `nCells` centroids refined by `iters` Lloyd steps
-    * from a deterministic seed (every nth vector). Centroids are tiny —
-    * they live broadcast; assignments are one narrow pass.
+    * from a deterministic hash-sampled seed. Centroids are tiny — they
+    * live broadcast; assignments are one narrow pass.
     * Returns (centroids, assignments(id, cell)). */
   def ivfIndex(emb: DataFrame, idCol: String, vecCol: String,
                nCells: Int = 16, iters: Int = 2): (Array[(Int, Array[Double])], DataFrame) = {
-    val spark = emb.sparkSession
-    val n = emb.count()
-    val stride = math.max(1L, n / nCells)
-
-    // deterministic seed: every stride-th vector by id rank
-    var centroids: Array[(Int, Array[Double])] = emb
-      .select(col(idCol), col(vecCol))
-      .withColumn("__rank", row_number().over(
-        org.apache.spark.sql.expressions.Window.orderBy(col(idCol))).cast("long"))
-      .filter((col("__rank") - 1) % stride === 0 && (col("__rank") - 1) / stride < nCells)
+    // Deterministic seeding: the nCells lowest xxhash64(id) rows — a
+    // pseudo-random uniform sample with a fixed outcome. orderBy+limit
+    // plans as TakeOrderedAndProject (per-partition top-k, merge of nCells
+    // rows at the driver) — no global sort, no single-partition window,
+    // no extra count job; survives any input size.
+    var centroids: Array[(Int, Array[Double])] = seedRows(emb, idCol, vecCol, nCells)
       .collect()
       .zipWithIndex
       .map { case (r, i) =>

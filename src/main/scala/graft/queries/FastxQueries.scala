@@ -1,8 +1,6 @@
 package graft.queries
 
 import java.io.File
-import java.nio.charset.StandardCharsets
-import java.nio.file.Files
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -18,24 +16,23 @@ import graft.functions.SeqFunctions._
   */
 object FastxQueries {
 
-  /** Deterministic FASTA fixture for an sfDir; rewritten on each call. */
+  /** Deterministic FASTA fixture for an sfDir, written PARTITION-PARALLEL:
+    * each document is formatted to its full multi-line record (60-char
+    * wrapped) as one text row with embedded newlines, written with
+    * `df.write.text` (one part file per partition — nothing ever collects
+    * on the driver, so this scales with the corpus), and the directory is
+    * scanned back through the fastx glob path — which also puts the
+    * multi-file scan under the oracle gate. Rewritten on each call. */
   private def materializeFasta(spark: SparkSession, sfDir: String): String = {
-    val outDir = new File("/root/repo/target/fastx_roundtrip")
-    outDir.mkdirs()
-    val f = new File(outDir, new File(sfDir).getName + ".fasta")
+    val dir = new File("/root/repo/target/fastx_roundtrip/" + new File(sfDir).getName + "_fasta")
     val docs = t(spark, sfDir, "documents")
       .select(col("doc_id"), regexp_replace(col("text"), " ", "").as("seq"))
-      .orderBy("doc_id")
-      .collect() // fixture generation only — bounded (≤5000 docs at sf0.1)
-    val sb = new StringBuilder
-    docs.foreach { r =>
-      val id = r.getLong(0)
-      val seq = r.getString(1)
-      sb.append(s">doc_$id nchars=${seq.length}\n")
-      seq.grouped(60).foreach(chunk => sb.append(chunk).append('\n'))
-    }
-    Files.write(f.toPath, sb.toString.getBytes(StandardCharsets.UTF_8))
-    f.getAbsolutePath
+    val record = concat(
+      lit(">doc_"), col("doc_id"), lit(" nchars="), length(col("seq")), lit("\n"),
+      // newline between 60-char chunks; lookahead avoids a trailing blank line
+      regexp_replace(col("seq"), "(.{60})(?=.)", "$1\n"))
+    docs.select(record.as("value")).write.mode("overwrite").text(dir.getAbsolutePath)
+    dir.getAbsolutePath
   }
 
   def qFastxRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {

@@ -155,8 +155,10 @@ object SimilarityQueries {
     val emb = t(spark, sfDir, "embeddings")
     val (centroids, assignments) =
       graft.operators.Similarity.ivfIndex(emb, "vec_id", "embedding", nCells = 16, iters = 2)
+    // assignments is consumed exactly once by the probe-cell semi-join —
+    // caching it would only leak executor memory (VERDICT r2 #5)
     graft.operators.Similarity
-      .ivfTopK(emb, "vec_id", "embedding", centroids, assignments.cache(),
+      .ivfTopK(emb, "vec_id", "embedding", centroids, assignments,
         probeId = 0L, k = 5, nProbe = 4)
   }
 

@@ -87,7 +87,12 @@ object FastxDataSource {
         if (st.isDirectory) fs.listStatus(st.getPath).toSeq.filter(_.isFile)
         else Seq(st)
       }
-    }.filter(_.getLen >= 0).sortBy(_.getPath.toString)
+    }.filter { st =>
+      // Hadoop convention: skip hidden/metadata files (_SUCCESS, .crc) so a
+      // Spark-written directory of records scans cleanly
+      val n = st.getPath.getName
+      !n.startsWith("_") && !n.startsWith(".")
+    }.sortBy(_.getPath.toString)
 
   /** Wrap `raw` in the right decompressor for `path`, or return it as-is.
     * Hadoop's codec factory covers gz/bz2/deflate; zstd and xz (which

@@ -52,6 +52,15 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("seq_window_counts"), s"native counts expr missing:\n$p")
   }
 
+  test("ivf seeding: distributed top-k, no single-partition window or global sort") {
+    val emb = Tables.t(spark, TestSpark.Sf0001, "embeddings")
+    val p = operators.Similarity.seedRows(emb, "vec_id", "embedding", 16)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"), s"expected top-k seeding plan:\n$p")
+    assert(!p.contains("Window"), s"seeding must not use a global window:\n$p")
+    assert(!p.contains("Exchange SinglePartition"), s"single-partition exchange:\n$p")
+  }
+
   test("fastx scan: column pruning reaches the reader") {
     val df = spark.read.format("fastx").load(FastxFixtures.path("tiny.fasta"))
       .select("header")
