@@ -55,7 +55,9 @@ class FastxDataSource extends TableProvider with DataSourceRegister {
     val conf = new Configuration()
     val files = FastxDataSource.resolveFiles(paths(options), conf)
     require(files.nonEmpty, s"fastx: no input files under ${paths(options).mkString(",")}")
-    val fmt = FastxDataSource.sniffFile(files.head.getPath, conf)
+    // sniff the first NON-EMPTY file (a zero-byte part file carries no format)
+    val fmt = files.find(_.getLen > 0)
+      .map(f => FastxDataSource.sniffFile(f.getPath, conf)).getOrElse("fasta")
     FastxDataSource.schemaFor(fmt)
   }
 
@@ -138,25 +140,84 @@ class FastxTable(paths: Seq[String], tableSchema: StructType)
     new FastxScanBuilder(paths, tableSchema, options)
 }
 
+/** Record-level predicate evaluation for pushed filters — the DSv2 twin of
+  * the plugin's `predicate` arg (`fastx_parsers.py:97,125-126`). Only
+  * string predicates over the three record columns are claimed; everything
+  * else stays a post-scan filter. Evaluated rows that fail are skipped
+  * BEFORE they count toward the pushed limit — fixing the reference's
+  * pre-predicate limit decrement (SURVEY §0.1.5). */
+object FastxFilters {
+  import org.apache.spark.sql.sources._
+
+  /** Can `f` be fully evaluated against a FastxRecord? */
+  def evaluable(f: Filter): Boolean = f match {
+    case EqualTo(_, _: String)      => true
+    case StringStartsWith(_, _)     => true
+    case StringEndsWith(_, _)       => true
+    case StringContains(_, _)       => true
+    case IsNotNull(_) | IsNull(_)   => true
+    case And(l, r)                  => evaluable(l) && evaluable(r)
+    case Or(l, r)                   => evaluable(l) && evaluable(r)
+    case Not(c)                     => evaluable(c)
+    case _                          => false
+  }
+
+  private def field(rec: FastxRecord, attr: String): String = attr match {
+    case "header"   => rec.header
+    case "sequence" => rec.sequence
+    case "quality"  => rec.quality
+    case _          => null
+  }
+
+  def eval(f: Filter, rec: FastxRecord): Boolean = f match {
+    case EqualTo(a, v: String)  => field(rec, a) == v
+    case StringStartsWith(a, p) => { val s = field(rec, a); s != null && s.startsWith(p) }
+    case StringEndsWith(a, p)   => { val s = field(rec, a); s != null && s.endsWith(p) }
+    case StringContains(a, p)   => { val s = field(rec, a); s != null && s.contains(p) }
+    case IsNotNull(a)           => field(rec, a) != null
+    case IsNull(a)              => field(rec, a) == null
+    case And(l, r)              => eval(l, rec) && eval(r, rec)
+    case Or(l, r)               => eval(l, rec) || eval(r, rec)
+    case Not(c)                 => !eval(c, rec)
+    case _                      => true // unclaimed filters never reach the reader
+  }
+
+  def predicate(filters: Seq[Filter]): FastxRecord => Boolean =
+    if (filters.isEmpty) _ => true
+    else rec => filters.forall(eval(_, rec))
+}
+
 /** ScanBuilder with column pruning — the DSv2 twin of the plugin's
-  * `with_columns` pushdown (`fastx_parsers.py:96,123-124`) — plus limit
-  * pushdown. Unlike the reference (which decrements its limit by the
-  * PRE-predicate batch size, SURVEY §0.1.5), Catalyst only offers
-  * `pushLimit` when the limit sits directly on the scan (no intervening
-  * filter), and Spark re-applies the global limit — so capping each
-  * partition reader at `limit` rows is always correct and skips parsing
-  * the rest of every split. Filters are left to Spark. */
+  * `with_columns` pushdown (`fastx_parsers.py:96,123-124`) — plus filter
+  * and limit pushdown. Simple string predicates are evaluated inside the
+  * reader (skipping row materialization early, like the plugin's per-batch
+  * `df.filter`) but are ALSO returned as post-scan filters so Spark
+  * re-applies them — best-effort semantics, always safe. Unlike the
+  * reference (which decrements its limit by the PRE-predicate batch size,
+  * SURVEY §0.1.5), the per-partition limit cap counts only rows that pass
+  * the pushed predicate, and Spark still applies the global limit. */
 class FastxScanBuilder(paths: Seq[String], full: StructType,
                        options: CaseInsensitiveStringMap)
-  extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownLimit {
+  extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters with SupportsPushDownLimit {
+  import org.apache.spark.sql.sources.Filter
+
   private var required: StructType = full
   private var limit: Int = -1
+  private var pushed: Array[Filter] = Array.empty
 
   override def pruneColumns(requiredSchema: StructType): Unit = {
     // preserve source column order; Spark may request any subset
     val names = requiredSchema.fieldNames.toSet
     required = StructType(full.fields.filter(f => names.contains(f.name)))
   }
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushed = filters.filter(FastxFilters.evaluable)
+    filters // everything re-applied post-scan (best-effort contract)
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
 
   override def pushLimit(n: Int): Boolean = {
     limit = n
@@ -166,21 +227,25 @@ class FastxScanBuilder(paths: Seq[String], full: StructType,
   override def build(): Scan = {
     val maxSplit = Option(options.get("maxSplitBytes")).map(_.toLong)
       .getOrElse(128L * 1024 * 1024)
-    new FastxScan(paths, full, required, maxSplit, limit)
+    new FastxScan(paths, full, required, maxSplit, limit, pushed.toSeq)
   }
 }
 
 final case class FastxInputPartition(file: String, start: Long, length: Long,
-                                     format: String, limit: Int) extends InputPartition
+                                     format: String, limit: Int,
+                                     filters: Seq[org.apache.spark.sql.sources.Filter])
+  extends InputPartition
 
 class FastxScan(paths: Seq[String], full: StructType, required: StructType,
-                maxSplitBytes: Long, limit: Int = -1)
+                maxSplitBytes: Long, limit: Int = -1,
+                filters: Seq[org.apache.spark.sql.sources.Filter] = Seq.empty)
   extends Scan with Batch with SupportsReportStatistics {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
     s"fastx ${paths.mkString(",")} cols=${required.fieldNames.mkString(",")}" +
-      (if (limit >= 0) s" limit=$limit" else "")
+      (if (limit >= 0) s" limit=$limit" else "") +
+      (if (filters.nonEmpty) s" PushedFilters: [${filters.mkString(", ")}]" else "")
 
   /** Size statistics from the file lengths (scaled by the pruned-column
     * fraction) so Catalyst's broadcast-threshold and AQE decisions see a
@@ -199,18 +264,25 @@ class FastxScan(paths: Seq[String], full: StructType, required: StructType,
 
   override def planInputPartitions(): Array[InputPartition] = {
     val conf = new Configuration()
-    val files = FastxDataSource.resolveFiles(paths, conf)
+    // skip zero-length files (no records, nothing to sniff)
+    val files = FastxDataSource.resolveFiles(paths, conf).filter(_.getLen > 0)
+    val expected = if (full.size == 3) "fastq" else "fasta"
     files.flatMap { st =>
       val p = st.getPath
       val compressed = FastxDataSource.isCompressed(p, conf)
       val fmt = FastxDataSource.sniffFile(p, conf)
+      // fail fast on a mixed-format load: the schema was inferred from one
+      // file, so silently parsing a different format would corrupt rows
+      require(fmt == expected,
+        s"fastx: $p is $fmt but the load was planned as $expected " +
+          "(mixed FASTA/FASTQ directories are not supported — load them separately)")
       if (fmt == "fasta" && !compressed && st.getLen > maxSplitBytes) {
         // splittable: byte ranges with \n> resync in the reader
         (0L until st.getLen by maxSplitBytes).map { off =>
-          FastxInputPartition(p.toString, off, math.min(maxSplitBytes, st.getLen - off), fmt, limit)
+          FastxInputPartition(p.toString, off, math.min(maxSplitBytes, st.getLen - off), fmt, limit, filters)
         }
       } else {
-        Seq(FastxInputPartition(p.toString, 0L, st.getLen, fmt, limit))
+        Seq(FastxInputPartition(p.toString, 0L, st.getLen, fmt, limit, filters))
       }
     }.toArray
   }
@@ -257,13 +329,23 @@ class FastxPartitionReader(part: FastxInputPartition, columns: Array[String])
     }
   }
 
+  private val pred: FastxRecord => Boolean = FastxFilters.predicate(part.filters)
   private var current: FastxRecord = _
   private var emitted = 0
 
   override def next(): Boolean = {
+    // pushed predicate first; only PASSING rows count toward the pushed
+    // limit (the reference decrements pre-predicate, SURVEY §0.1.5)
     if (part.limit >= 0 && emitted >= part.limit) false
-    else if (records.hasNext) { current = records.next(); emitted += 1; true }
-    else false
+    else {
+      var found = false
+      while (!found && records.hasNext) {
+        val r = records.next()
+        if (pred(r)) { current = r; found = true }
+      }
+      if (found) emitted += 1
+      found
+    }
   }
 
   override def get(): InternalRow = {

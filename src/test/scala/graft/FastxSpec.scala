@@ -169,6 +169,41 @@ class FastxConnectorSpec extends SparkSpec {
     Files.write(f.toPath, Array.emptyByteArray)
     assert(spark.read.format("fastx").load(f.getAbsolutePath).count() == 0)
   }
+
+  test("filter pushdown: evaluated in the reader across splits, same rows") {
+    val sb = new StringBuilder
+    for (i <- 0 until 400) {
+      sb.append(s">${if (i % 7 == 0) "keep" else "drop"}$i\n")
+      sb.append("ACGT" * (1 + i % 5)).append("\n")
+    }
+    val f = new File(FastxFixtures.dir, "filterpush.fasta")
+    Files.write(f.toPath, sb.toString.getBytes(StandardCharsets.UTF_8))
+    val expected = (0 until 400 by 7).map(i => s"keep$i").toSet
+    for (split <- Seq(128, 1 << 20)) {
+      val df = spark.read.format("fastx").option("maxSplitBytes", split.toString)
+        .load(f.getAbsolutePath)
+        .filter(org.apache.spark.sql.functions.col("header").startsWith("keep"))
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("PushedFilters") && plan.contains("StringStartsWith"),
+        s"filter not pushed into fastx scan:\n$plan")
+      assert(df.collect().map(_.getString(0)).toSet == expected, s"split=$split rows wrong")
+    }
+  }
+
+  test("filter + limit pushdown: limit counts post-predicate rows") {
+    // 100 records, every other header matches; limit 10 after filter must
+    // return 10 matching rows (the reference under-delivers here, §0.1.5)
+    val sb = new StringBuilder
+    for (i <- 0 until 100)
+      sb.append(s">${if (i % 2 == 0) "m" else "x"}$i\nAC\n")
+    val f = new File(FastxFixtures.dir, "limitpush.fasta")
+    Files.write(f.toPath, sb.toString.getBytes(StandardCharsets.UTF_8))
+    val rows = spark.read.format("fastx").load(f.getAbsolutePath)
+      .filter(org.apache.spark.sql.functions.col("header").startsWith("m"))
+      .limit(10).collect()
+    assert(rows.length == 10)
+    assert(rows.forall(_.getString(0).startsWith("m")))
+  }
 }
 
 class FastaStatsSpec extends SparkSpec {
@@ -284,6 +319,29 @@ class FastxMultiFileSpec extends SparkSpec {
     val fromGlob = spark.read.format("fastx").load(d.getAbsolutePath + "/*.fasta")
       .collect().map(_.getString(0)).toSeq
     assert(fromGlob == Seq("a1", "a2", "b1"))
+  }
+
+  test("mixed FASTA/FASTQ directory fails fast with a clear error") {
+    val d = Files.createTempDirectory("fastx_mixed").toFile
+    Files.write(new File(d, "a.fasta").toPath, ">a1\nAC\n".getBytes(StandardCharsets.UTF_8))
+    Files.write(new File(d, "b.fastq").toPath, "@r1\nAC\n+\n!!\n".getBytes(StandardCharsets.UTF_8))
+    val e = intercept[Exception] {
+      spark.read.format("fastx").load(d.getAbsolutePath).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("mixed FASTA/FASTQ")), s"got: ${msgs(e)}")
+  }
+
+  test("Spark-written text directory scans cleanly (_SUCCESS/.crc skipped)") {
+    val d = Files.createTempDirectory("fastx_sparkdir").toFile.getAbsolutePath
+    val ss = spark
+    import ss.implicits._
+    Seq(">w1 a\nACGT", ">w2 b\nGG\nTT").toDF("value")
+      .repartition(2).write.mode("overwrite").text(d)
+    val rows = spark.read.format("fastx").load(d)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(rows == Set(("w1 a", "ACGT"), ("w2 b", "GGTT")))
   }
 
   test("malformed FASTQ surfaces a clear error") {
