@@ -30,6 +30,7 @@ object Bench {
     SparkEntry.queries.foreach { case (_, fn) =>
       try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
+      finally CacheScope.release()
     }
     // min over repeated runs per query: this host shows 30-200s external
     // CPU-contention stalls on otherwise-fast queries (see BASELINE.md).
@@ -43,6 +44,7 @@ object Bench {
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
         }
+        finally CacheScope.release() // each run pays its own cache fill; no leak
         (System.nanoTime() - t0) / 1e9
       }
       var best = math.min(once(), once())

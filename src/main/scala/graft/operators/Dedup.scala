@@ -22,6 +22,16 @@ object Dedup {
     df.join(winners, Seq(idCol), "left_semi")
   }
 
+  /** Default document-frequency cap: a shingle appearing in more documents
+    * than this is dropped before any self-join. A shingle shared by f docs
+    * emits f² join rows, so one boilerplate phrase ("all rights reserved")
+    * in 1M docs would emit 10^12 pairs — while carrying no dedup signal.
+    * Dropping hot shingles bounds worst-case fan-out at corpus scale
+    * (standard MinHash practice). The default sits far above any document
+    * frequency in the test corpora, so capped and uncapped results agree
+    * there (oracle-checked); production corpora tune it down. */
+  val DefaultMaxShingleDF: Int = 100000
+
   /** Distinct word n-shingles per row: (id, sh). */
   def shingleSets(df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame = {
     val tk = tokens(col(textCol))
@@ -32,13 +42,31 @@ object Dedup {
     df.select(col(idCol).as("id"), explode(arr).as("sh"))
   }
 
+  /** Drop shingles whose document frequency exceeds `maxDF` (≤0 disables).
+    * One linear count per key; the hot-key set is tiny by definition, so
+    * the removal is a broadcast anti-join — no extra shuffle of the big
+    * side beyond the count. */
+  def capShingleDF(sh: DataFrame, keyCol: String, maxDF: Int): DataFrame =
+    if (maxDF <= 0) sh
+    else {
+      val hot = sh.groupBy(col(keyCol)).agg(count(lit(1)).as("__df"))
+        .filter(col("__df") > maxDF).select(col(keyCol))
+      sh.join(broadcast(hot), Seq(keyCol), "left_anti")
+    }
+
   /** Exact shingle-Jaccard pairs via the inverted index (xxhash64 join
-    * keys; hashed set cached for the size aggregate + both join sides). */
+    * keys; hashed set cached for the size aggregate + both join sides).
+    * Jaccard is computed over the DF-capped shingle space — hot shingles
+    * above `maxShingleDF` carry no signal and are excluded from both the
+    * intersection and the set sizes. */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
-                   n: Int = 3, minJaccard: Double = 0.2): DataFrame = {
-    val sh = shingleSets(df, idCol, textCol, n)
-      .select(col("id"), xxhash64(col("sh")).as("h"))
-      .cache()
+                   n: Int = 3, minJaccard: Double = 0.2,
+                   maxShingleDF: Int = DefaultMaxShingleDF): DataFrame = {
+    val sh = graft.CacheScope.cached(
+      capShingleDF(
+        shingleSets(df, idCol, textCol, n)
+          .select(col("id"), xxhash64(col("sh")).as("h")),
+        "h", maxShingleDF))
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
     sh.as("a").join(sh.as("b"),
         col("a.h") === col("b.h") && col("a.id") < col("b.id"))
@@ -81,10 +109,9 @@ object Dedup {
       struct(lit(b).cast("long").as("band"),
         concat((0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}")): _*).as("band_key"))
     }
-    val bandKeys = sig
+    val bandKeys = graft.CacheScope.cached(sig
       .select(col("id"), explode(array(bandStructs: _*)).as("bk"))
-      .select(col("id"), col("bk.band").as("band"), col("bk.band_key").as("band_key"))
-      .cache()
+      .select(col("id"), col("bk.band").as("band"), col("bk.band_key").as("band_key")))
     bandKeys.as("a").join(bandKeys.as("b"),
         col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key") &&
           col("a.id") < col("b.id"))
@@ -99,11 +126,13 @@ object Dedup {
     * The full exact-then-near cascade for a training corpus:
     * `dedupeNear(exactByContent(df, id, text), id, text)`. */
   def dedupeNear(df: DataFrame, idCol: String, textCol: String,
-                 n: Int = 3, minJaccard: Double = 0.5): DataFrame = {
-    // ONE shingle pass, cached: feeds minhash banding, both verification
-    // join sides, and the set sizes (otherwise the tokenize/shingle
-    // pipeline re-executes per consumer — measured 5× recompute)
-    val shingles = shingleSets(df, idCol, textCol, n).cache()
+                 n: Int = 3, minJaccard: Double = 0.5,
+                 maxShingleDF: Int = DefaultMaxShingleDF): DataFrame = {
+    // ONE shingle pass, DF-capped then cached: feeds minhash banding, both
+    // verification join sides, and the set sizes (otherwise the tokenize/
+    // shingle pipeline re-executes per consumer — measured 5× recompute)
+    val shingles = graft.CacheScope.cached(
+      capShingleDF(shingleSets(df, idCol, textCol, n), "sh", maxShingleDF))
     val candidates = minhashFromShingles(shingles)
       .select(col("d1"), col("d2"))
     val sh = shingles.select(col("id"), xxhash64(col("sh")).as("h"))
@@ -146,7 +175,7 @@ object Dedup {
           struct(lit(b).as("blk"),
             shiftrightunsigned(col("sh"), b * 16).bitwiseAND(lit(0xffffL)).as("key"))): _*)).as("bk"))
       .select(col("id"), col("sh"), col("bk.blk").as("blk"), col("bk.key").as("key"))
-      .cache()
+    graft.CacheScope.cached(blocks)
     blocks.as("a").join(blocks.as("b"),
         col("a.blk") === col("b.blk") && col("a.key") === col("b.key") &&
           col("a.id") < col("b.id"))

@@ -141,6 +141,84 @@ object SimilarityQueries {
        |         / (sqrt(CAST(n1.norm2 AS DOUBLE)) * sqrt(CAST(n2.norm2 AS DOUBLE))) >= 0.3
        |ORDER BY v1, v2""".stripMargin
 
+  /** Random-hyperplane LSH (the production bucket family — axis signs in
+    * qEmbedNeardup degrade when leading components correlate): `RhBits`
+    * Gaussian hyperplanes drawn once from a fixed seed at plan-build time,
+    * QUANTIZED to integers (floor(w·2^20)) exactly like the vectors, so the
+    * projection sign is a pure BIGINT sum both engines compute identically
+    * — the whole query stays oracle-exact. |vq|≤2^20, |wq|≤~2^23, 64 terms
+    * ⇒ |proj|≤2^49 — long-exact in any summation order. Bits scale with
+    * corpus size (bucket count 2^bits should track n/avg-bucket-target);
+    * 8 bits fits the test corpus. */
+  private val RhBits = 8
+  private val RhDim = 64
+  private[queries] lazy val rhPlanesQ: Array[Array[Long]] = {
+    val rnd = new scala.util.Random(20250812L)
+    Array.fill(RhBits)(Array.fill(RhDim)(math.floor(rnd.nextGaussian() * 1048576d).toLong))
+  }
+
+  private def rhBucket(vq: Column): Column =
+    concat(rhPlanesQ.toIndexedSeq.map { p =>
+      val pArr = array(p.toIndexedSeq.map(lit): _*)
+      when(aggregate(zip_with(vq, pArr, (x, w) => x * w),
+        lit(0L), (acc, x) => acc + x) >= 0L, lit("+")).otherwise(lit("-"))
+    }: _*)
+
+  /** Embedding near-dup pairs under the hyperplane family: same bucket AND
+    * quantized cosine ≥ 0.3 — identical verify math to qEmbedNeardup, only
+    * the candidate-generation family differs. */
+  def qEmbedNeardupRh(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = t(spark, sfDir, "embeddings")
+      .select(col("vec_id"), quantArr(col("embedding")).as("vq"))
+      .withColumn("bucket", rhBucket(col("vq")))
+    emb.as("a").join(emb.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("v1"), col("b.vec_id").as("v2"),
+        (qdot(col("a.vq"), col("b.vq")).cast("double") /
+          (sqrt(qdot(col("a.vq"), col("a.vq")).cast("double")) *
+            sqrt(qdot(col("b.vq"), col("b.vq")).cast("double")))).as("cosine"))
+      .filter(col("cosine") >= 0.3)
+      .orderBy("v1", "v2")
+  }
+
+  /** Oracle: the same quantized planes rendered as a VALUES table. */
+  lazy val qEmbedNeardupRhSql: String = {
+    val planeRows = rhPlanesQ.zipWithIndex.flatMap { case (p, j) =>
+      p.zipWithIndex.map { case (w, i) => s"($j, ${i + 1}, $w)" }
+    }.mkString(", ")
+    s"""WITH $FlatSqlCte,
+       |planes(j, pos, w) AS (VALUES $planeRows),
+       |proj AS (
+       |  SELECT f.vec_id, p.j, CAST(sum(f.vq * p.w) AS BIGINT) AS pr
+       |  FROM flat f JOIN planes p ON f.pos = p.pos
+       |  GROUP BY f.vec_id, p.j),
+       |buckets AS (
+       |  SELECT vec_id,
+       |         string_agg(CASE WHEN pr >= 0 THEN '+' ELSE '-' END, '' ORDER BY j) AS bucket
+       |  FROM proj GROUP BY vec_id),
+       |norms AS (
+       |  SELECT vec_id, CAST(sum(vq * vq) AS BIGINT) AS norm2
+       |  FROM flat GROUP BY vec_id),
+       |pairs AS (
+       |  SELECT a.vec_id AS v1, b.vec_id AS v2
+       |  FROM buckets a JOIN buckets b ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+       |dots AS (
+       |  SELECT p.v1, p.v2, CAST(sum(f1.vq * f2.vq) AS BIGINT) AS dot
+       |  FROM pairs p
+       |  JOIN flat f1 ON f1.vec_id = p.v1
+       |  JOIN flat f2 ON f2.vec_id = p.v2 AND f2.pos = f1.pos
+       |  GROUP BY p.v1, p.v2)
+       |SELECT v1, v2,
+       |       CAST(dot AS DOUBLE)
+       |         / (sqrt(CAST(n1.norm2 AS DOUBLE)) * sqrt(CAST(n2.norm2 AS DOUBLE))) AS cosine
+       |FROM dots
+       |JOIN norms n1 ON n1.vec_id = v1
+       |JOIN norms n2 ON n2.vec_id = v2
+       |WHERE CAST(dot AS DOUBLE)
+       |         / (sqrt(CAST(n1.norm2 AS DOUBLE)) * sqrt(CAST(n2.norm2 AS DOUBLE))) >= 0.3
+       |ORDER BY v1, v2""".stripMargin
+  }
+
   /** Brute-force HOF-cosine top-5 (the production fast path of
     * [[graft.operators.Similarity.cosineTopK]]) — no-oracle: double fold
     * order is Spark-defined; equivalence with the quantized q_simsearch is
@@ -165,10 +243,12 @@ object SimilarityQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_simsearch" -> (qSimsearch _),
     "q_embed_neardup" -> (qEmbedNeardup _),
+    "q_embed_neardup_rh" -> (qEmbedNeardupRh _),
     "q_simsearch_brute" -> (qSimsearchBrute _),
     "q_ann_ivf" -> (qAnnIvf _))
 
   val oracles: Map[String, String] = Map(
     "q_simsearch" -> qSimsearchSql,
-    "q_embed_neardup" -> qEmbedNeardupSql)
+    "q_embed_neardup" -> qEmbedNeardupSql,
+    "q_embed_neardup_rh" -> qEmbedNeardupRhSql)
 }

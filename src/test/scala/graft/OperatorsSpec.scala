@@ -51,6 +51,42 @@ class OperatorsSpec extends SparkSpec {
     assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)))
   }
 
+  test("hot-shingle DF cap bounds join fan-out without changing cold pairs") {
+    // 20 docs all sharing one boilerplate tail (a hot shingle source) plus
+    // two planted near-dups that also overlap in their distinctive heads
+    val boiler = "all rights reserved by the example corporation of testland"
+    val rows = (0 until 20).map { i =>
+      val head = if (i < 2) s"unique alpha beta gamma delta epsilon marker$i"
+      else s"totally distinct head number$i with words $i${i * 7} x${i * 13}"
+      (i.toLong, s"$head $boiler")
+    }
+    val df = rows.toDF("doc_id", "text")
+    // cap at 10: boilerplate shingles (DF=20) drop, head shingles (DF<=2) stay
+    val capped = Dedup.jaccardPairs(df, "doc_id", "text", n = 3,
+      minJaccard = 0.05, maxShingleDF = 10)
+      .select("d1", "d2").as[(Long, Long)].collect().toSet
+    assert(capped.contains((0L, 1L)), s"planted pair lost under cap: $capped")
+    // boilerplate-only pairs (e.g. 5-6) must be gone once hot shingles drop
+    assert(!capped.exists(p => p._1 >= 2L), s"boilerplate-only pair survived: $capped")
+    // uncapped finds everything (all docs share the boilerplate shingles)
+    val uncapped = Dedup.jaccardPairs(df, "doc_id", "text", n = 3,
+      minJaccard = 0.05, maxShingleDF = 0)
+      .select("d1", "d2").as[(Long, Long)].collect().toSet
+    assert(uncapped.size > capped.size)
+    // default cap is far above any test-corpus DF: identical to uncapped
+    val default = Dedup.jaccardPairs(df, "doc_id", "text", n = 3, minJaccard = 0.05)
+      .select("d1", "d2").as[(Long, Long)].collect().toSet
+    assert(default == uncapped)
+  }
+
+  test("CacheScope.release drops operator caches") {
+    val df = Seq((1L, "a b c d e f"), (2L, "a b c d e g")).toDF("doc_id", "text")
+    Dedup.dedupeNear(df, "doc_id", "text", n = 2, minJaccard = 0.1).count()
+    assert(!spark.sharedState.cacheManager.isEmpty, "expected a registered cache")
+    CacheScope.release()
+    assert(spark.sharedState.cacheManager.isEmpty, "caches must be freed on release")
+  }
+
   test("quantized q_simsearch ranking equals double-precision brute force") {
     val quant = graft.queries.SimilarityQueries.qSimsearch(spark, TestSpark.Sf0001)
       .select("vec_id").as[Long].collect().toSeq
