@@ -62,11 +62,13 @@ object Dedup {
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
                    n: Int = 3, minJaccard: Double = 0.2,
                    maxShingleDF: Int = DefaultMaxShingleDF): DataFrame = {
-    val sh = graft.CacheScope.cached(
-      capShingleDF(
-        shingleSets(df, idCol, textCol, n)
-          .select(col("id"), xxhash64(col("sh")).as("h")),
-        "h", maxShingleDF))
+    // cache the hashed set BEFORE deriving the DF cap: the hot-key count
+    // and the anti-join then both read the cache instead of re-running the
+    // tokenize/shingle pipeline (measured 2× otherwise)
+    val raw = graft.CacheScope.cached(
+      shingleSets(df, idCol, textCol, n)
+        .select(col("id"), xxhash64(col("sh")).as("h")))
+    val sh = graft.CacheScope.cached(capShingleDF(raw, "h", maxShingleDF))
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
     sh.as("a").join(sh.as("b"),
         col("a.h") === col("b.h") && col("a.id") < col("b.id"))
@@ -128,11 +130,13 @@ object Dedup {
   def dedupeNear(df: DataFrame, idCol: String, textCol: String,
                  n: Int = 3, minJaccard: Double = 0.5,
                  maxShingleDF: Int = DefaultMaxShingleDF): DataFrame = {
-    // ONE shingle pass, DF-capped then cached: feeds minhash banding, both
-    // verification join sides, and the set sizes (otherwise the tokenize/
-    // shingle pipeline re-executes per consumer — measured 5× recompute)
-    val shingles = graft.CacheScope.cached(
-      capShingleDF(shingleSets(df, idCol, textCol, n), "sh", maxShingleDF))
+    // ONE shingle pass, cached, then DF-capped from the cache (the cap's
+    // count branch and anti-join both read the cached set); the capped set
+    // is cached too since it feeds minhash banding, both verification join
+    // sides, and the set sizes (otherwise the tokenize/shingle pipeline
+    // re-executes per consumer — measured 5× recompute)
+    val raw = graft.CacheScope.cached(shingleSets(df, idCol, textCol, n))
+    val shingles = graft.CacheScope.cached(capShingleDF(raw, "sh", maxShingleDF))
     val candidates = minhashFromShingles(shingles)
       .select(col("d1"), col("d2"))
     val sh = shingles.select(col("id"), xxhash64(col("sh")).as("h"))
