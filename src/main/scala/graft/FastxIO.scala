@@ -31,4 +31,28 @@ object FastxIO {
       else df.withColumn("quality", org.apache.spark.sql.functions.lit(null: String))
     withQuality.as[FastxRecord]
   }
+
+  /** FASTA sink — the write-side twin of the scan (the reference only
+    * ships a TSV sink, `fastx_parsers.py:222`; a FASTA writer is the
+    * natural complement for a sequence engine). Fully distributed: each
+    * row is formatted to its complete multi-line record (`wrap`-char
+    * wrapped sequence lines) as one text value with embedded newlines and
+    * written with `df.write.text` — one file per partition, nothing on the
+    * driver, and the output directory scans back via `scanFastx`.
+    *
+    * `headerCol`/`sequenceCol` name the input columns; headers are written
+    * after `>` verbatim (descriptions kept, matching needletail's header
+    * semantics). */
+  def writeFasta(df: DataFrame, path: String,
+                 headerCol: String = "header", sequenceCol: String = "sequence",
+                 wrap: Int = 60): Unit = {
+    import org.apache.spark.sql.functions._
+    require(wrap > 0, "wrap must be positive")
+    val record = concat(
+      lit(">"), col(headerCol), lit("\n"),
+      // newline between wrap-size chunks; the lookahead avoids a trailing
+      // blank line when the length is an exact multiple
+      regexp_replace(col(sequenceCol), s"(.{$wrap})(?=.)", "$1\n"))
+    df.select(record.as("value")).write.mode("overwrite").text(path)
+  }
 }

@@ -27,11 +27,10 @@ object FastxQueries {
     val dir = new File("/root/repo/target/fastx_roundtrip/" + new File(sfDir).getName + "_fasta")
     val docs = t(spark, sfDir, "documents")
       .select(col("doc_id"), regexp_replace(col("text"), " ", "").as("seq"))
-    val record = concat(
-      lit(">doc_"), col("doc_id"), lit(" nchars="), length(col("seq")), lit("\n"),
-      // newline between 60-char chunks; lookahead avoids a trailing blank line
-      regexp_replace(col("seq"), "(.{60})(?=.)", "$1\n"))
-    docs.select(record.as("value")).write.mode("overwrite").text(dir.getAbsolutePath)
+      .select(
+        concat(lit("doc_"), col("doc_id"), lit(" nchars="), length(col("seq"))).as("header"),
+        col("seq").as("sequence"))
+    graft.FastxIO.writeFasta(docs, dir.getAbsolutePath)
     dir.getAbsolutePath
   }
 

@@ -50,6 +50,21 @@ object EventStreams {
       .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour_start"),
         col("cnt"), col("sum_value"))
 
+  /** Streaming exact dedup — the stream twin of `Dedup.exactByContent`
+    * for a continuously-arriving corpus: first record per content hash
+    * wins, duplicates arriving within the watermark window are dropped,
+    * and `dropDuplicatesWithinWatermark` expires state older than the
+    * watermark (bounded state, unlike a bare `dropDuplicates` whose key
+    * set grows forever). `contentCol` is hashed so state stores 16-byte
+    * keys, not document bodies. */
+  def dedupStream(docs: DataFrame, tsCol: String, contentCol: String,
+                  watermark: String = "1 hour"): DataFrame =
+    docs
+      .withWatermark(tsCol, watermark)
+      .withColumn("__key", md5(col(contentCol).cast("binary")))
+      .dropDuplicatesWithinWatermark("__key")
+      .drop("__key")
+
   case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long, value: Double)
   case class SessionState(start: Long, last: Long, nEvents: Long, sumValue: Double)
   case class Session(user_id: Long, start_ts: java.sql.Timestamp,

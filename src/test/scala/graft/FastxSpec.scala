@@ -249,6 +249,28 @@ class FastxIOSpec extends SparkSpec {
     val b = FastxIO.readFastx(spark, FastxFixtures.path("tiny.fasta")).collect()
     assert(a.toSeq == b.toSeq)
   }
+
+  test("writeFasta roundtrip: wrap edges, descriptions, multi-partition") {
+    val ss = spark
+    import ss.implicits._
+    // lengths straddle the wrap boundary: 0 < w-1 < w < w+1 < 2w multiples
+    val rows = Seq(
+      ("a desc kept", "ACGT" * 3),         // 12 = 2×wrap(6)
+      ("b", "ACGTA"),                      // wrap-1
+      ("c", "ACGTAC"),                     // exactly wrap
+      ("d", "ACGTACG"),                    // wrap+1
+      ("e", "A" * 20))                     // several lines
+    val df = rows.toDF("header", "sequence").repartition(3)
+    val dir = Files.createTempDirectory("fasta_sink").toFile.getAbsolutePath
+    FastxIO.writeFasta(df, dir, wrap = 6)
+    val back = FastxIO.scanFastx(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(back == rows.toSet)
+    // no blank lines (exact-multiple wrap must not emit a trailing break)
+    val lines = new File(dir).listFiles.filter(_.getName.startsWith("part-"))
+      .flatMap(f => scala.io.Source.fromFile(f).getLines().toSeq)
+    assert(lines.forall(_.nonEmpty), s"blank line in output: ${lines.toSeq}")
+  }
 }
 
 class FastxFuzzSpec extends SparkSpec {

@@ -34,6 +34,36 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("streaming exact dedup: first content wins, state bounded by watermark") {
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, String)]
+    def ts(min: Long) = new Timestamp((200000 + min) * 60000L)
+    val deduped = EventStreams.dedupStream(
+      input.toDS().toDF("doc_id", "ts", "text"), "ts", "text",
+      watermark = "10 minutes")
+    val q = deduped.writeStream.format("memory").queryName("dedup_test")
+      .outputMode("append").start()
+    try {
+      input.addData((1L, ts(0), "alpha"), (2L, ts(1), "beta"), (3L, ts(2), "alpha"))
+      q.processAllAvailable()
+      val first = spark.table("dedup_test").select("doc_id").as[Long].collect().toSet
+      assert(first == Set(1L, 2L), s"in-batch duplicate not dropped: $first")
+      // same content again within the watermark window: still a duplicate
+      input.addData((4L, ts(3), "alpha"))
+      q.processAllAvailable()
+      assert(spark.table("dedup_test").select("doc_id").as[Long].collect().toSet
+        == Set(1L, 2L))
+      // far beyond the watermark: old keys expired, content re-admitted —
+      // this is the bounded-state contract, not a correctness bug
+      input.addData((5L, ts(100), "gamma"))
+      q.processAllAvailable()
+      input.addData((6L, ts(120), "alpha"))
+      q.processAllAvailable()
+      val fin = spark.table("dedup_test").select("doc_id").as[Long].collect().toSet
+      assert(fin.contains(6L), s"expired-state re-admit missing: $fin")
+    } finally q.stop()
+  }
+
   test("stateful sessionizer: gap closes a session, watermark flushes the tail") {
     implicit val sq = spark.sqlContext
     val input = MemoryStream[Event]
