@@ -25,7 +25,8 @@ object SparkEntry {
       TextQueries.queries ++
       SimilarityQueries.queries ++
       DedupQueries.queries ++
-      FastxQueries.queries
+      FastxQueries.queries ++
+      PipelineQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys (map-typed outputs) get the
@@ -37,5 +38,6 @@ object SparkEntry {
       TextQueries.oracles ++
       SimilarityQueries.oracles ++
       DedupQueries.oracles ++
-      FastxQueries.oracles
+      FastxQueries.oracles ++
+      PipelineQueries.oracles
 }

@@ -17,14 +17,17 @@ import graft.Tables._
   */
 object DedupQueries {
 
-  /** DuckDB mirror of [[graft.operators.Dedup.shingleSets]]. */
-  private val ShinglesSqlCte: String =
-    """toks AS (
-      |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS tk
-      |  FROM documents),
-      |sh AS (
-      |  SELECT DISTINCT doc_id, tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS sh
-      |  FROM toks, LATERAL unnest(generate_series(1, len(tk) - 2)) AS t(i))""".stripMargin
+  /** DuckDB mirror of [[graft.operators.Dedup.shingleSets]] over any
+    * source relation exposing (doc_id, text). */
+  private[queries] def shinglesSqlCte(src: String): String =
+    s"""toks AS (
+       |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS tk
+       |  FROM $src),
+       |sh AS (
+       |  SELECT DISTINCT doc_id, tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS sh
+       |  FROM toks, LATERAL unnest(generate_series(1, len(tk) - 2)) AS t(i))""".stripMargin
+
+  private val ShinglesSqlCte: String = shinglesSqlCte("documents")
 
   /** Exact n-gram Jaccard near-dup pairs via the shingle inverted index —
     * thin wrapper over [[graft.operators.Dedup.jaccardPairs]] (xxhash64
@@ -75,16 +78,18 @@ object DedupQueries {
       .simhashPairs(t(spark, sfDir, "documents"), "doc_id", "text", maxHamming = 3)
       .orderBy("d1", "d2")
 
-  val qMinhashLshSql: String = {
+  /** All CTEs from token shingles to LSH candidate `pairs`, over any
+    * (doc_id, text) source — the reusable half of the minhash oracle. */
+  private[queries] def minhashSqlCtes(src: String): String = {
     val minExprs = (0 until 16).map { j =>
-      val src = if (j < 8) "m1" else "m2"
-      s"min(substr($src, ${(j % 8) * 4 + 1}, 4)) AS h$j"
-    }.mkString(",\n       |  ")
+      val h = if (j < 8) "m1" else "m2"
+      s"min(substr($h, ${(j % 8) * 4 + 1}, 4)) AS h$j"
+    }.mkString(",\n  ")
     val bandSelects = (0 until 4).map { b =>
       val key = (0 until 4).map(r => s"h${b * 4 + r}").mkString(" || ")
       s"SELECT doc_id, CAST($b AS BIGINT) AS band, $key AS band_key FROM sig"
-    }.mkString("\n       |  UNION ALL ")
-    s"""WITH $ShinglesSqlCte,
+    }.mkString("\n  UNION ALL ")
+    s"""${shinglesSqlCte(src)},
        |hx AS (
        |  SELECT doc_id, md5('a:' || sh) AS m1, md5('b:' || sh) AS m2 FROM sh),
        |sig AS (
@@ -98,9 +103,28 @@ object DedupQueries {
        |  FROM bands a
        |  JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
        |              AND a.doc_id < b.doc_id
-       |  GROUP BY 1, 2)
-       |SELECT d1, d2, n_bands FROM pairs ORDER BY d1, d2""".stripMargin
+       |  GROUP BY 1, 2)""".stripMargin
   }
+
+  /** Jaccard verification of the LSH `pairs` → `losers` (higher-id members
+    * of verified pairs); reads the `sh` and `pairs` CTEs. */
+  private[queries] def losersSqlCtes(minJaccard: Double): String =
+    s"""sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+       |cinter AS (
+       |  SELECT p.d1, p.d2, count(*) AS inter
+       |  FROM pairs p
+       |  JOIN sh a ON a.doc_id = p.d1
+       |  JOIN sh b ON b.doc_id = p.d2 AND b.sh = a.sh
+       |  GROUP BY p.d1, p.d2),
+       |losers AS (
+       |  SELECT DISTINCT d2 FROM cinter
+       |  JOIN sizes s1 ON s1.doc_id = d1
+       |  JOIN sizes s2 ON s2.doc_id = d2
+       |  WHERE CAST(inter AS DOUBLE) / (s1.sz + s2.sz - inter) >= $minJaccard)""".stripMargin
+
+  val qMinhashLshSql: String =
+    s"""WITH ${minhashSqlCtes("documents")}
+       |SELECT d1, d2, n_bands FROM pairs ORDER BY d1, d2""".stripMargin
 
   /** The full dedup cascade under the oracle gate: MinHash-LSH candidates →
     * exact-Jaccard verification ≥ 0.5 → higher-id members dropped →
@@ -113,27 +137,13 @@ object DedupQueries {
         org.apache.spark.sql.functions.lit(1)).as("n_kept"))
       .orderBy("lang")
 
-  val qDedupCascadeSql: String = {
-    val minhashCtes = qMinhashLshSql
-      .substring(qMinhashLshSql.indexOf("WITH ") + 5, qMinhashLshSql.indexOf("\nSELECT d1"))
-    s"""WITH $minhashCtes,
-       |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
-       |cinter AS (
-       |  SELECT p.d1, p.d2, count(*) AS inter
-       |  FROM pairs p
-       |  JOIN sh a ON a.doc_id = p.d1
-       |  JOIN sh b ON b.doc_id = p.d2 AND b.sh = a.sh
-       |  GROUP BY p.d1, p.d2),
-       |losers AS (
-       |  SELECT DISTINCT d2 FROM cinter
-       |  JOIN sizes s1 ON s1.doc_id = d1
-       |  JOIN sizes s2 ON s2.doc_id = d2
-       |  WHERE CAST(inter AS DOUBLE) / (s1.sz + s2.sz - inter) >= 0.5)
+  val qDedupCascadeSql: String =
+    s"""WITH ${minhashSqlCtes("documents")},
+       |${losersSqlCtes(0.5)}
        |SELECT lang, count(*) AS n_kept
        |FROM documents
        |WHERE doc_id NOT IN (SELECT d2 FROM losers)
        |GROUP BY lang ORDER BY lang""".stripMargin
-  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_jaccard_pairs" -> (qJaccardPairs _),

@@ -1,0 +1,80 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+import graft.functions.TextFunctions._
+import graft.operators.Dedup
+
+/** The end-to-end training-data curation cascade — the composition every
+  * 100 TB corpus pipeline runs, here as ONE oracle-checked query:
+  *
+  *   language-ID → quality filter → exact dedup → MinHash-LSH near-dedup
+  *   → per-language corpus stats
+  *
+  * Each stage is an already-verified building block (q_lang_id,
+  * q_quality_score, q_dedup_exact, q_dedup_cascade); the pipeline query
+  * pins their COMPOSITION — filters applied before dedup, winners chosen
+  * deterministically (min doc_id), near-dup candidates generated only
+  * within the filtered survivor set — against a DuckDB oracle built from
+  * the same SQL fragments.
+  *
+  * Scale shape: stages 1–2 are narrow per-row expressions fused into the
+  * scan; exact dedup is one hash aggregation; near-dedup is the bucketed
+  * candidates-then-verify cascade (never all-pairs); the final stats are
+  * one map-side-combinable aggregation. Nothing touches the driver.
+  */
+object PipelineQueries {
+
+  val QualityMin = 0.45
+  val JaccardMin = 0.5
+
+  def qCurationPipeline(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = t(spark, sfDir, "documents")
+      .select(col("doc_id"), col("lang"), col("text"), tokens(col("text")).as("toks"))
+    // language-identifiability + quality gate (docs whose language the
+    // heuristic cannot place at all are dropped, like a real cleaning run);
+    // stats are reported per LABELED lang so the breakdown stays multi-row
+    // even though the synthetic text skews the heuristic toward 'en'
+    val filtered = TextQueries.withLangScores(docs)
+      .withColumn("pred_lang", TextQueries.predLangCol)
+      .withColumn("quality", qualityScore(col("text")))
+      .filter(col("quality") >= QualityMin && col("pred_lang") =!= "und")
+      .select("doc_id", "lang", "text", "quality")
+    val exact = Dedup.exactByContent(filtered, "doc_id", "text")
+    val kept = Dedup.dedupeNear(exact, "doc_id", "text", n = 3, minJaccard = JaccardMin)
+    kept
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_kept"), dsum(col("quality")).as("sum_quality"))
+      .orderBy("lang")
+  }
+
+  /** Oracle: identical stages from the shared SQL fragments. */
+  lazy val qCurationPipelineSql: String =
+    s"""WITH ${TextQueries.langScoredSqlCte("documents")},
+       |enriched AS (
+       |  SELECT doc_id, lang, text,
+       |         ${TextQueries.predLangSqlExpr} AS pred_lang,
+       |         ${TextQueries.qualitySqlExpr} AS quality
+       |  FROM scored),
+       |filtered AS (
+       |  SELECT * FROM enriched
+       |  WHERE quality >= $QualityMin AND pred_lang <> 'und'),
+       |winners AS (
+       |  SELECT min(doc_id) AS doc_id FROM filtered GROUP BY md5(text)),
+       |fdocs AS (
+       |  SELECT f.* FROM filtered f JOIN winners w ON w.doc_id = f.doc_id),
+       |${DedupQueries.minhashSqlCtes("fdocs")},
+       |${DedupQueries.losersSqlCtes(JaccardMin)}
+       |SELECT lang, count(*) AS n_kept,
+       |       CAST(CAST(sum(CAST(quality AS DECIMAL(18,6))) AS DECIMAL(28,6)) AS DOUBLE) AS sum_quality
+       |FROM fdocs
+       |WHERE doc_id NOT IN (SELECT d2 FROM losers)
+       |GROUP BY lang ORDER BY lang""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_curation_pipeline" -> (qCurationPipeline _))
+
+  val oracles: Map[String, String] = Map(
+    "q_curation_pipeline" -> qCurationPipelineSql)
+}

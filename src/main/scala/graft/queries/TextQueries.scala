@@ -46,49 +46,66 @@ object TextQueries {
       |       count(*) - count(DISTINCT md5(text)) AS n_dups
       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** Adds a `hits_<lang>` column per stopword list; expects a `toks`
+    * column. Shared by qLangId and the curation pipeline. */
+  private[queries] def withLangScores(df: DataFrame): DataFrame =
+    StopwordLists.foldLeft(df) { case (d, (lang, words)) =>
+      d.withColumn(s"hits_$lang", stopwordHits(col("toks"), words))
+    }
+
+  /** Argmax over the `hits_*` columns via greatest + chained when;
+    * foldRight puts the FIRST list entry outermost → first wins ties. */
+  private[queries] def predLangCol: org.apache.spark.sql.Column = {
+    val hitCols = StopwordLists.map { case (l, _) => col(s"hits_$l") }
+    val best = greatest(hitCols: _*)
+    StopwordLists.foldRight(lit("und")) { case ((l, _), acc) =>
+      when(col(s"hits_$l") === best && best > 0, lit(l)).otherwise(acc)
+    }
+  }
+
   /** Stopword-hit language-ID heuristic: score each language's tiny
     * stopword list, argmax with a fixed tie order (list order). */
   def qLangId(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = t(spark, sfDir, "documents")
       .select(col("doc_id"), col("lang"), tokens(col("text")).as("toks"))
-    val scored = StopwordLists.foldLeft(docs) { case (df, (lang, words)) =>
-      df.withColumn(s"hits_$lang", stopwordHits(col("toks"), words))
-    }
-    // argmax via greatest + chained when, ties resolved by list order
-    val hitCols = StopwordLists.map { case (l, _) => col(s"hits_$l") }
-    val best = greatest(hitCols: _*)
-    val pred = StopwordLists.foldRight(lit("und")) { case ((l, _), acc) =>
-      when(col(s"hits_$l") === best && best > 0, lit(l)).otherwise(acc)
-    }
-    // foldRight puts the FIRST list entry as the outermost when → first wins ties
-    scored
-      .withColumn("pred_lang", pred)
+    withLangScores(docs)
+      .withColumn("pred_lang", predLangCol)
       .select((Seq(col("doc_id"), col("lang"), col("pred_lang")) ++
         StopwordLists.map { case (l, _) => col(s"hits_$l") }): _*)
       .orderBy("doc_id")
   }
 
-  val qLangIdSql: String = {
-    def hits(lang: String, words: Seq[String]): String = {
+  /** `scored` CTE over `src` (which must expose `text`): every source
+    * column plus the hits_* counts. */
+  private[queries] def langScoredSqlCte(src: String): String = {
+    def hits(words: Seq[String]): String = {
       val inList = words.map(w => s"'$w'").mkString(", ")
       s"(SELECT count(*) FROM unnest(string_split(text,' ')) AS u(tok) WHERE tok IN ($inList))"
     }
     val hitExprs = StopwordLists
-      .map { case (l, ws) => s"  ${hits(l, ws)} AS hits_$l" }.mkString(",\n")
+      .map { case (l, ws) => s"  ${hits(ws)} AS hits_$l" }.mkString(",\n")
+    s"""scored AS (
+       |SELECT *,
+       |$hitExprs
+       |FROM $src)""".stripMargin
+  }
+
+  /** SQL twin of [[predLangCol]] — references the hits_* columns. */
+  private[queries] val predLangSqlExpr: String = {
     val bestExpr = StopwordLists.map { case (l, _) => s"hits_$l" }
       .mkString("greatest(", ", ", ")")
     val caseArms = StopwordLists
       .map { case (l, _) => s"WHEN hits_$l = $bestExpr AND $bestExpr > 0 THEN '$l'" }
       .mkString(" ")
-    s"""WITH scored AS (
+    s"CASE $caseArms ELSE 'und' END"
+  }
+
+  val qLangIdSql: String =
+    s"""WITH ${langScoredSqlCte("documents")}
        |SELECT doc_id, lang,
-       |$hitExprs
-       |FROM documents)
-       |SELECT doc_id, lang,
-       |       CASE $caseArms ELSE 'und' END AS pred_lang,
+       |       $predLangSqlExpr AS pred_lang,
        |       ${StopwordLists.map { case (l, _) => s"hits_$l" }.mkString(", ")}
        |FROM scored ORDER BY doc_id""".stripMargin
-  }
 
   /** Quality scoring: length saturation, alpha ratio, stopword ratio. */
   def qQualityScore(spark: SparkSession, sfDir: String): DataFrame =
@@ -99,20 +116,25 @@ object TextQueries {
         qualityScore(col("text")).as("quality"))
       .orderBy("doc_id")
 
-  val qQualityScoreSql: String = {
+  /** SQL twin of [[graft.functions.TextFunctions.qualityScore]] —
+    * references a `text` column; identical IEEE expression tree. */
+  private[queries] val qualitySqlExpr: String = {
     val stop = StopwordLists.head._2.map(w => s"'$w'").mkString(", ")
-    s"""SELECT doc_id,
-       |  len(list_filter(string_split(text,' '), t -> t <> '')) AS n_tokens,
-       |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_bpeish_tokens,
-       |  0.4 * least(CAST(length(text) AS DOUBLE) / 500, 1.0)
+    s"""0.4 * least(CAST(length(text) AS DOUBLE) / 500, 1.0)
        |  + 0.4 * (CAST(length(text) - length(regexp_replace(text, '[a-zA-Z]', '', 'g')) AS DOUBLE)
        |           / length(text))
        |  + 0.2 * least(CAST((SELECT count(*) FROM unnest(string_split(text,' ')) AS u(tok)
        |                      WHERE tok IN ($stop)) AS DOUBLE)
-       |                / len(list_filter(string_split(text,' '), t -> t <> '')) * 5, 1.0)
+       |                / len(list_filter(string_split(text,' '), t -> t <> '')) * 5, 1.0)""".stripMargin
+  }
+
+  val qQualityScoreSql: String =
+    s"""SELECT doc_id,
+       |  len(list_filter(string_split(text,' '), t -> t <> '')) AS n_tokens,
+       |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_bpeish_tokens,
+       |  $qualitySqlExpr
        |    AS quality
        |FROM documents ORDER BY doc_id""".stripMargin
-  }
 
   /** Order-sensitive rolling fingerprint + exact-dup key per doc. */
   def qFingerprint(spark: SparkSession, sfDir: String): DataFrame =
