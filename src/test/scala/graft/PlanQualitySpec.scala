@@ -52,6 +52,29 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("seq_window_counts"), s"native counts expr missing:\n$p")
   }
 
+  test("q_kmer_map: shuffle-free count map — only the output sort exchanges") {
+    val p = plan("q_kmer_map")
+    val exchanges = p.split("Exchange ").length - 1
+    assert(exchanges == 1, s"expected 1 exchange, plan:\n$p")
+    assert(p.contains("seq_window_counts"), s"native counts expr missing:\n$p")
+  }
+
+  test("q_curation_pipeline: filters fused into the scan, no cartesian join") {
+    val p = plan("q_curation_pipeline")
+    // the quality+lang gate must run AT the parquet scan (fused DataFilters),
+    // not in a separate post-shuffle stage
+    assert(p.contains("DataFilters: [isnotnull(text"), s"scan filter fusion lost:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in pipeline:\n$p")
+    assert(p.split("BroadcastHashJoin").length >= 3,
+      s"dedup winner/verify joins should broadcast at this scale:\n$p")
+  }
+
+  test("q_embed_neardup_rh: bucket equi-join, not an all-pairs cross join") {
+    val p = plan("q_embed_neardup_rh")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"all-pairs join in LSH query:\n$p")
+  }
+
   test("ivf seeding: distributed top-k, no single-partition window or global sort") {
     val emb = Tables.t(spark, TestSpark.Sf0001, "embeddings")
     val p = operators.Similarity.seedRows(emb, "vec_id", "embedding", 16)

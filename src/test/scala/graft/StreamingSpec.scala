@@ -34,6 +34,31 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("streaming MinHash-LSH candidates equal the batch banding pairs") {
+    implicit val sq = spark.sqlContext
+    import graft.streaming.DedupStreams
+    val docsDf = spark.read.parquet(s"${TestSpark.Sf0001}/documents.parquet")
+      .select("doc_id", "text").orderBy("doc_id").limit(60)
+    val batch = graft.operators.Dedup.minhashLshPairs(docsDf, "doc_id", "text")
+      .select("d1", "d2").as[(Long, Long)].collect().toSet
+    CacheScope.release()
+    val docs = docsDf.collect().map(r => DedupStreams.Doc(r.getLong(0), r.getString(1)))
+    val input = MemoryStream[DedupStreams.Doc]
+    val q = DedupStreams.candidateStream(input.toDS())
+      .writeStream.format("memory").queryName("minhash_stream_test")
+      .outputMode("append").start()
+    try {
+      // two micro-batches: exercises both in-batch pairing and cross-batch state
+      val (first, rest) = docs.splitAt(30)
+      input.addData(first.toIndexedSeq: _*); q.processAllAvailable()
+      input.addData(rest.toIndexedSeq: _*); q.processAllAvailable()
+      val streamed = spark.table("minhash_stream_test")
+        .select("d1", "d2").distinct().as[(Long, Long)].collect().toSet
+      assert(streamed == batch, s"stream=$streamed batch=$batch")
+      assert(batch.nonEmpty, "fixture should contain at least one candidate pair")
+    } finally q.stop()
+  }
+
   test("streaming exact dedup: first content wins, state bounded by watermark") {
     implicit val sq = spark.sqlContext
     val input = MemoryStream[(Long, Timestamp, String)]
