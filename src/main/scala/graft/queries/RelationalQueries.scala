@@ -166,14 +166,24 @@ object RelationalQueries {
 
   /** HLL approximate distinct beside the exact count (no-oracle: Spark's
     * HyperLogLog++ differs from DuckDB's sketch; rows-only check. The
-    * relative error bound is asserted in QueriesSmokeSpec). */
-  def qApproxDistinct(spark: SparkSession, sfDir: String): DataFrame =
-    t(spark, sfDir, "lineitem")
-      .groupBy(col("l_returnflag"))
-      .agg(
-        countDistinct(col("l_partkey")).as("exact_parts"),
-        approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"))
+    * relative error bound is asserted in QueriesSmokeSpec).
+    *
+    * Deliberately TWO aggregations joined on the tiny group key: fusing
+    * countDistinct with approx_count_distinct in one agg makes Spark carry
+    * the multi-KB HLL buffer per (flag, partkey) row through the
+    * distinct-expansion exchange — at corpus scale that's sketch-bytes ×
+    * distinct-keys of shuffle. Split, each agg keeps small state (the HLL
+    * path shuffles one sketch per flag, the exact path shuffles bare
+    * keys), and the join is a broadcast of a handful of rows. */
+  def qApproxDistinct(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = t(spark, sfDir, "lineitem")
+    val exact = li.groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("exact_parts"))
+    val approx = li.groupBy(col("l_returnflag"))
+      .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"))
+    exact.join(broadcast(approx), Seq("l_returnflag"))
       .orderBy("l_returnflag")
+  }
 
   /** Top-3 orders per customer: rank inside a window, deterministic
     * tie-break on the unique o_orderkey. */
