@@ -110,6 +110,19 @@ object Multimodal {
     }
   }
 
+  /** Media near-duplicate pairs: decode → embed → sign-LSH bucket join →
+    * exact cosine — the full multimodal dedup composition (decode feeds
+    * [[graft.operators.Similarity.lshNearDupPairs]] directly). With a real
+    * codec the embedding is perceptual and near-identical media cluster;
+    * with the deterministic fake only byte-identical payloads coincide
+    * (FNV avalanche), which is exactly what the plumbing test pins. */
+  def nearDupMedia(media: Dataset[MediaRecord],
+                   decoder: MediaDecoder = DeterministicFakeDecoder,
+                   bits: Int = 8, minCosine: Double = 0.9): DataFrame =
+    graft.operators.Similarity.lshNearDupPairs(
+      extractFeatures(media, decoder).toDF(), "media_id", "embedding",
+      bits = bits, minCosine = minCosine)
+
   /** Frame/sample-style batching: deterministic byte-window sampling of a
     * payload (the video-frame-sampling shape: n evenly spaced windows). */
   def sampleWindows(media: Dataset[MediaRecord], n: Int, window: Int): DataFrame = {

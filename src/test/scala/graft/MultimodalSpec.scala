@@ -36,6 +36,23 @@ class MultimodalSpec extends SparkSpec {
     assert(dot > 0.0)
   }
 
+  test("nearDupMedia finds byte-identical payloads via the LSH bucket join") {
+    val ss = spark
+    import ss.implicits._
+    val payloads = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"), // exact dup of 1
+      (3L, "completely different content about spark engines"),
+      (4L, "completely different content about spark engines"), // exact dup of 3
+      (5L, "a singleton payload with no duplicate anywhere"))
+    val m = Multimodal.asMedia(
+      payloads.toDF("id", "txt").select(col("id"), col("txt").cast("binary").as("b")),
+      "id", "b")
+    val pairs = Multimodal.nearDupMedia(m, minCosine = 0.99)
+      .select("v1", "v2").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L), (3L, 4L)), s"got $pairs")
+  }
+
   test("window sampling emits n frames with deterministic offsets") {
     val frames = sampleWindows(media, n = 4, window = 16)
     assert(frames.groupBy("media_id").count().filter(col("count") =!= 4).count() == 0)
