@@ -312,6 +312,26 @@ class FastxFuzzSpec extends SparkSpec {
     }
   }
 
+  test("random writeFasta roundtrip: generated rows -> sink -> scan -> identical") {
+    val ss = spark
+    import ss.implicits._
+    val rnd = new scala.util.Random(13)
+    val rows = (0 until 250).map { i =>
+      val header = s"w$i " + rnd.alphanumeric.take(rnd.nextInt(15)).mkString
+      val len = rnd.nextInt(200) // includes 0 and wrap multiples
+      val seq = (0 until len).map(_ => "ACGTNacgtn".charAt(rnd.nextInt(10))).mkString
+      (header.trim, seq)
+    }
+    val dir = Files.createTempDirectory("fasta_sink_fuzz").toFile.getAbsolutePath
+    FastxIO.writeFasta(rows.toDF("header", "sequence").repartition(5), dir, wrap = 60)
+    for (split <- Seq(Int.MaxValue, 997)) {
+      val got = spark.read.format("fastx").option("maxSplitBytes", split.toString)
+        .load(dir)
+        .collect().map(r => (r.getString(0), r.getString(1))).toSet
+      assert(got == rows.toSet, s"split=$split")
+    }
+  }
+
   test("random FASTQ roundtrip incl. @ and + in quality strings") {
     val rnd = new scala.util.Random(11)
     val records = (0 until 200).map { i =>
