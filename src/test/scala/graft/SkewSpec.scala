@@ -29,6 +29,34 @@ class SkewSpec extends SparkSpec {
     assert(plain == salted)
   }
 
+  test("AQE splits skewed join partitions at runtime (skew=true in final plan)") {
+    val confs = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "32KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "16KB",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // one hot key carrying ~200k rows vs a uniform right side: the hot
+      // shuffle partition exceeds threshold and factor×median → AQE must
+      // split it instead of letting one task drag the stage
+      val left = spark.range(200000).select(lit(1L).as("k"), col("id").as("v"))
+        .union(spark.range(50).select((col("id") + 2).as("k"), col("id").as("v")))
+      val right = spark.range(1000).select(col("id").as("k"), (col("id") * 2).as("w"))
+      val j = left.join(right, "k")
+      // collect() drives THIS dataset's QueryExecution, so AQE finalizes
+      // the plan we inspect (count() would plan a separate query)
+      assert(j.collect().length == 200000 + 50)
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"), s"AQE did not split the skewed partition:\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("fastx limit pushdown caps per-partition parsing") {
     val df = spark.read.format("fastx").load(FastxFixtures.path("tiny.fasta")).limit(2)
     assert(df.count() == 2)
