@@ -133,15 +133,56 @@ object EventQueries {
       |GROUP BY user_id, session_id
       |ORDER BY user_id, session_id""".stripMargin
 
+  /** Point-in-time join: each click gets the most recent purchase at or
+    * before it for the same user — the no-look-ahead feature join (DuckDB's
+    * native ASOF JOIN is the oracle). Purchases are deduped to one row per
+    * (user, ts) with a max-event_id tie policy so both engines match
+    * deterministically. */
+  def qAsofJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = t(spark, sfDir, "events")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"),
+        col("event_id").as("p_event_id"), col("value").as("p_value"))
+    val pDedup = purchases
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy("user_id", "ts").orderBy(col("p_event_id").desc)))
+      .filter(col("__rn") === 1).drop("__rn")
+    graft.operators.AsofJoin
+      .asofJoin(clicks, pDedup, Seq("user_id"), "ts", "ts")
+      .select(col("event_id"), col("user_id"), fmtTs(col("ts")).as("ts"),
+        col("value"), col("p_event_id"), col("p_value"))
+      .orderBy("event_id")
+  }
+
+  val qAsofJoinSql: String =
+    """WITH clicks AS (
+      |  SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'click'),
+      |p0 AS (
+      |  SELECT user_id, ts, max(event_id) AS p_event_id
+      |  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts),
+      |p AS (
+      |  SELECT p0.user_id, p0.ts, p0.p_event_id, e.value AS p_value
+      |  FROM p0 JOIN events e ON e.event_id = p0.p_event_id)
+      |SELECT c.event_id, c.user_id,
+      |       strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS ts, c.value,
+      |       p.p_event_id, p.p_value
+      |FROM clicks c ASOF LEFT JOIN p
+      |  ON c.user_id = p.user_id AND c.ts >= p.ts
+      |ORDER BY c.event_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_string_date" -> (qStringDate _),
     "q_json_extract" -> (qJsonExtract _),
     "q_tumbling_window" -> (qTumblingWindow _),
-    "q_sessionize" -> (qSessionize _))
+    "q_sessionize" -> (qSessionize _),
+    "q_asof_join" -> (qAsofJoin _))
 
   val oracles: Map[String, String] = Map(
     "q_string_date" -> qStringDateSql,
     "q_json_extract" -> qJsonExtractSql,
     "q_tumbling_window" -> qTumblingWindowSql,
-    "q_sessionize" -> qSessionizeSql)
+    "q_sessionize" -> qSessionizeSql,
+    "q_asof_join" -> qAsofJoinSql)
 }

@@ -87,6 +87,26 @@ class OperatorsSpec extends SparkSpec {
     assert(spark.sharedState.cacheManager.isEmpty, "caches must be freed on release")
   }
 
+  test("asofJoin: latest right row at-or-before each left row, atomic payload") {
+    import graft.operators.AsofJoin
+    val left = Seq((1L, 10L, "a"), (1L, 20L, "b"), (1L, 5L, "c"), (2L, 10L, "d"))
+      .toDF("k", "ts", "tag")
+    // right payload has a null column value at ts=10: the struct carry must
+    // keep (10, null) atomic, not mix w=10's x with an earlier non-null y
+    val right = Seq((1L, 8L, 100L, Some("y8")), (1L, 10L, 200L, None),
+      (3L, 1L, 300L, Some("z")))
+      .toDF("k", "ts", "x", "y")
+    val out = AsofJoin.asofJoin(left, right, Seq("k"), "ts", "ts")
+      .select("k", "ts", "tag", "x", "y")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3), r.getString(4))).toSet
+    assert(out == Set(
+      (1L, 10L, "a", 200L, null), // equal-ts right row matches, null y kept atomic
+      (1L, 20L, "b", 200L, null), // latest at-or-before 20 is ts=10
+      (1L, 5L, "c", -1L, null),   // before any right row → null payload
+      (2L, 10L, "d", -1L, null))) // key with no right rows at all
+  }
+
   test("quantized q_simsearch ranking equals double-precision brute force") {
     val quant = graft.queries.SimilarityQueries.qSimsearch(spark, TestSpark.Sf0001)
       .select("vec_id").as[Long].collect().toSeq
