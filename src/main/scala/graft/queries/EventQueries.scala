@@ -172,17 +172,45 @@ object EventQueries {
       |  ON c.user_id = p.user_id AND c.ts >= p.ts
       |ORDER BY c.event_id""".stripMargin
 
+  /** Band join: click/error pairs for the same user within ±5 minutes,
+    * via the binned equi-join (RangeJoin) — the scale-safe replacement for
+    * an inequality-predicate nested loop. */
+  def qRangeJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = t(spark, sfDir, "events")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("c_event_id"), col("ts").as("c_ts"))
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("user_id"), col("event_id").as("e_event_id"), col("ts").as("e_ts"))
+    graft.operators.RangeJoin
+      .toleranceJoin(clicks, errors, Seq("user_id"), "c_ts", "e_ts", 300000000L)
+      .select(col("user_id"), col("c_event_id"), col("e_event_id"),
+        ((unix_micros(col("e_ts")) - unix_micros(col("c_ts"))).cast("double") / 1000000d)
+          .as("dt_sec"))
+      .orderBy("c_event_id", "e_event_id")
+  }
+
+  val qRangeJoinSql: String =
+    """SELECT c.user_id, c.event_id AS c_event_id, e.event_id AS e_event_id,
+      |       CAST(epoch_us(e.ts) - epoch_us(c.ts) AS DOUBLE) / 1000000 AS dt_sec
+      |FROM events c JOIN events e
+      |  ON c.user_id = e.user_id
+      | AND c.event_type = 'click' AND e.event_type = 'error'
+      | AND abs(epoch_us(c.ts) - epoch_us(e.ts)) <= 300000000
+      |ORDER BY c_event_id, e_event_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_string_date" -> (qStringDate _),
     "q_json_extract" -> (qJsonExtract _),
     "q_tumbling_window" -> (qTumblingWindow _),
     "q_sessionize" -> (qSessionize _),
-    "q_asof_join" -> (qAsofJoin _))
+    "q_asof_join" -> (qAsofJoin _),
+    "q_range_join" -> (qRangeJoin _))
 
   val oracles: Map[String, String] = Map(
     "q_string_date" -> qStringDateSql,
     "q_json_extract" -> qJsonExtractSql,
     "q_tumbling_window" -> qTumblingWindowSql,
     "q_sessionize" -> qSessionizeSql,
-    "q_asof_join" -> qAsofJoinSql)
+    "q_asof_join" -> qAsofJoinSql,
+    "q_range_join" -> qRangeJoinSql)
 }

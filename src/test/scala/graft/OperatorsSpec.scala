@@ -107,6 +107,33 @@ class OperatorsSpec extends SparkSpec {
       (2L, 10L, "d", -1L, null))) // key with no right rows at all
   }
 
+  test("toleranceJoin equals the brute-force band join incl. bin boundaries") {
+    import graft.operators.RangeJoin
+    val rnd = new scala.util.Random(5)
+    val tol = 1000000L // 1s in micros
+    def ts(us: Long) = new java.sql.Timestamp(us / 1000)
+    // timestamps clustered around bin edges (multiples of tol) to hit the
+    // exactly-at-tolerance and cross-bin cases
+    val ls = (0 until 80).map { i =>
+      (i % 3L, i.toLong, ts(rnd.nextInt(20) * tol + rnd.nextInt(3) - 1))
+    }
+    val rs = (0 until 80).map { i =>
+      (i % 3L, 1000L + i, ts(rnd.nextInt(20) * tol + rnd.nextInt(3) - 1))
+    }
+    val left = ls.toDF("k", "lid", "lts")
+    val right = rs.toDF("k", "rid", "rts")
+    val got = RangeJoin.toleranceJoin(left, right, Seq("k"), "lts", "rts", tol)
+      .select("lid", "rid").as[(Long, Long)].collect().toSeq
+    val expected = for {
+      (lk, lid, lts) <- ls
+      (rk, rid, rts) <- rs
+      if lk == rk && math.abs(lts.getTime - rts.getTime) * 1000 <= tol
+    } yield (lid, rid)
+    // exact multiset equality: binning must neither duplicate nor drop pairs
+    assert(got.sorted == expected.sorted,
+      s"got ${got.length} pairs, expected ${expected.length}")
+  }
+
   test("quantized q_simsearch ranking equals double-precision brute force") {
     val quant = graft.queries.SimilarityQueries.qSimsearch(spark, TestSpark.Sf0001)
       .select("vec_id").as[Long].collect().toSeq

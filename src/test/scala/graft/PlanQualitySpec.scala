@@ -75,6 +75,12 @@ class PlanQualitySpec extends SparkSpec {
       s"all-pairs join in LSH query:\n$p")
   }
 
+  test("q_range_join: binned equi-join, never a nested-loop band join") {
+    val p = plan("q_range_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"band predicate fell back to a nested loop:\n$p")
+  }
+
   test("ivf seeding: distributed top-k, no single-partition window or global sort") {
     val emb = Tables.t(spark, TestSpark.Sf0001, "embeddings")
     val p = operators.Similarity.seedRows(emb, "vec_id", "embedding", 16)
