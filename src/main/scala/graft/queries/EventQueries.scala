@@ -83,6 +83,29 @@ object EventQueries {
       |       CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(28,6)) AS DOUBLE) AS sum_value
       |FROM events GROUP BY 1 ORDER BY hour_start""".stripMargin
 
+  /** Sliding event-time windows (1 h length, 15 min slide): every event
+    * lands in exactly 4 overlapping windows. The oracle replicates each
+    * event into its 4 window starts with pure integer microsecond
+    * arithmetic — the same epoch alignment Spark's window() uses. */
+  def qSlidingWindow(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "events")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"))
+      .agg(count(lit(1)).as("cnt"), dsum(col("value")).as("sum_value"))
+      .select(fmtTs(col("window.start")).as("window_start"),
+        col("cnt"), col("sum_value"))
+      .orderBy("window_start")
+
+  val qSlidingWindowSql: String =
+    """WITH slid AS (
+      |  SELECT make_timestamp((epoch_us(ts) // 900000000) * 900000000
+      |                        - k * 900000000) AS ws,
+      |         value
+      |  FROM events, LATERAL unnest(generate_series(0, 3)) AS t(k))
+      |SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+      |       count(*) AS cnt,
+      |       CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(28,6)) AS DOUBLE) AS sum_value
+      |FROM slid GROUP BY ws ORDER BY window_start""".stripMargin
+
   /** 30-minute-gap sessionization: lag → new-session flag → cumulative sum
     * as session index (the classic batch formulation; same logic feeds the
     * streaming wrapper). Gap test in exact microseconds, strictly greater. */
@@ -202,6 +225,7 @@ object EventQueries {
     "q_string_date" -> (qStringDate _),
     "q_json_extract" -> (qJsonExtract _),
     "q_tumbling_window" -> (qTumblingWindow _),
+    "q_sliding_window" -> (qSlidingWindow _),
     "q_sessionize" -> (qSessionize _),
     "q_asof_join" -> (qAsofJoin _),
     "q_range_join" -> (qRangeJoin _))
@@ -210,6 +234,7 @@ object EventQueries {
     "q_string_date" -> qStringDateSql,
     "q_json_extract" -> qJsonExtractSql,
     "q_tumbling_window" -> qTumblingWindowSql,
+    "q_sliding_window" -> qSlidingWindowSql,
     "q_sessionize" -> qSessionizeSql,
     "q_asof_join" -> qAsofJoinSql,
     "q_range_join" -> qRangeJoinSql)
