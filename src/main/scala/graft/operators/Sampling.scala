@@ -1,0 +1,35 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic, engine-portable sampling for reproducible corpus
+  * subsets. `df.sample(fraction, seed)` depends on the engine's RNG and
+  * row order — two runs over different partitionings disagree, and no
+  * other engine can reproduce the subset. Hash gating is the pipeline-
+  * grade alternative: a row is kept iff a hex prefix of md5(key) is below
+  * a threshold, which is (a) a pure row-local predicate (fused into the
+  * scan, no shuffle), (b) identical on every engine with md5 (the DuckDB
+  * oracle compares the same subset), and (c) stable under repartitioning,
+  * retries, and incremental reruns — the properties a training-data split
+  * actually needs. Sampling rate granularity is 1/16 per threshold hex
+  * digit (16^-8 ≈ 2.3e-10 at 8 digits).
+  */
+object Sampling {
+
+  /** Keep rows whose md5(key) hex prefix sorts below `hexThreshold`
+    * (lowercase hex, e.g. "4" ≈ 25%, "33333333" ≈ 20%). */
+  def sampledBelow(df: DataFrame, key: Column, hexThreshold: String): DataFrame = {
+    require(hexThreshold.nonEmpty && hexThreshold.forall(c =>
+      c.isDigit || ('a' to 'f').contains(c)), "threshold must be lowercase hex")
+    df.filter(substring(md5(key.cast("binary")), 1, hexThreshold.length) < hexThreshold)
+  }
+
+  /** Disjoint train/holdout split on the same hash: rows below the
+    * threshold are the holdout, the rest train — membership decided by
+    * content, never by ordering. */
+  def holdoutSplit(df: DataFrame, key: Column, hexThreshold: String): (DataFrame, DataFrame) = {
+    val gate = substring(md5(key.cast("binary")), 1, hexThreshold.length) < hexThreshold
+    (df.filter(!gate), df.filter(gate))
+  }
+}

@@ -72,9 +72,42 @@ object PipelineQueries {
        |WHERE doc_id NOT IN (SELECT d2 FROM losers)
        |GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** Deterministic 25% corpus sample (md5 gate < '4'): per-lang totals,
+    * sampled counts, and the decimal-exact sampled text length — the
+    * reproducible-split primitive every training pipeline needs, with the
+    * subset itself oracle-checked (both engines gate on the same md5). */
+  def qSampleDeterministic(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = t(spark, sfDir, "documents")
+    val sampled = graft.operators.Sampling.sampledBelow(docs, col("text"), "4")
+    docs.groupBy("lang").agg(count(lit(1)).as("n_total"))
+      .join(
+        sampled.groupBy("lang").agg(
+          count(lit(1)).as("n_sampled"),
+          sum(length(col("text")).cast("long")).as("sampled_chars")),
+        Seq("lang"), "left")
+      .select(col("lang"), col("n_total"),
+        coalesce(col("n_sampled"), lit(0L)).as("n_sampled"),
+        coalesce(col("sampled_chars"), lit(0L)).as("sampled_chars"))
+      .orderBy("lang")
+  }
+
+  val qSampleDeterministicSql: String =
+    """WITH s AS (
+      |  SELECT lang, count(*) AS n_sampled,
+      |         CAST(sum(length(text)) AS BIGINT) AS sampled_chars
+      |  FROM documents WHERE substr(md5(text), 1, 1) < '4'
+      |  GROUP BY lang)
+      |SELECT d.lang, count(*) AS n_total,
+      |       CAST(COALESCE(any_value(s.n_sampled), 0) AS BIGINT) AS n_sampled,
+      |       CAST(COALESCE(any_value(s.sampled_chars), 0) AS BIGINT) AS sampled_chars
+      |FROM documents d LEFT JOIN s ON d.lang = s.lang
+      |GROUP BY d.lang ORDER BY d.lang""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_curation_pipeline" -> (qCurationPipeline _))
+    "q_curation_pipeline" -> (qCurationPipeline _),
+    "q_sample_deterministic" -> (qSampleDeterministic _))
 
   val oracles: Map[String, String] = Map(
-    "q_curation_pipeline" -> qCurationPipelineSql)
+    "q_curation_pipeline" -> qCurationPipelineSql,
+    "q_sample_deterministic" -> qSampleDeterministicSql)
 }

@@ -107,6 +107,22 @@ class OperatorsSpec extends SparkSpec {
       (2L, 10L, "d", -1L, null))) // key with no right rows at all
   }
 
+  test("deterministic sampling: partition-stable, disjoint-complete split") {
+    import graft.operators.Sampling
+    val base = docs.select(col("doc_id"), col("text"))
+    val s1 = Sampling.sampledBelow(base.repartition(1), col("text"), "4")
+      .select("doc_id").as[Long].collect().toSet
+    val s8 = Sampling.sampledBelow(base.repartition(8), col("text"), "4")
+      .select("doc_id").as[Long].collect().toSet
+    assert(s1 == s8, "sample membership must not depend on partitioning")
+    assert(s1.nonEmpty && s1.size < 500, s"~25% of 500 expected, got ${s1.size}")
+    val (train, holdout) = Sampling.holdoutSplit(base, col("text"), "4")
+    val tr = train.select("doc_id").as[Long].collect().toSet
+    val ho = holdout.select("doc_id").as[Long].collect().toSet
+    assert((tr & ho).isEmpty && (tr | ho).size == 500)
+    assert(ho == s1, "holdout must be exactly the sampled subset")
+  }
+
   test("toleranceJoin equals the brute-force band join incl. bin boundaries") {
     import graft.operators.RangeJoin
     val rnd = new scala.util.Random(5)
