@@ -185,6 +185,30 @@ object RelationalQueries {
       .orderBy("l_returnflag")
   }
 
+  /** Exact percentiles per group. Spark's `percentile` and DuckDB's
+    * `quantile_cont` share the same definition — sort, index (n-1)·p,
+    * linear interpolation — and the interpolation arithmetic on identical
+    * doubles is bit-identical (verified incl. fractional p), so this is
+    * hash-exact with no quantization. `approx_percentile` (t-digest/KLL
+    * style sketches) is engine-specific and deliberately not oracled. */
+  def qPercentile(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("percentile(l_quantity, 0.5)").as("qty_p50"),
+        expr("percentile(l_quantity, 0.9)").as("qty_p90"),
+        expr("percentile(l_extendedprice, 0.25)").as("price_p25"),
+        expr("percentile(l_extendedprice, 0.75)").as("price_p75"))
+      .orderBy("l_returnflag")
+
+  val qPercentileSql: String =
+    """SELECT l_returnflag,
+      |       quantile_cont(l_quantity, 0.5) AS qty_p50,
+      |       quantile_cont(l_quantity, 0.9) AS qty_p90,
+      |       quantile_cont(l_extendedprice, 0.25) AS price_p25,
+      |       quantile_cont(l_extendedprice, 0.75) AS price_p75
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   /** Top-3 orders per customer: rank inside a window, deterministic
     * tie-break on the unique o_orderkey. */
   def qWindowTopk(spark: SparkSession, sfDir: String): DataFrame = {
@@ -258,6 +282,7 @@ object RelationalQueries {
     "q_cube" -> (qCube _),
     "q_distinct_exact" -> (qDistinctExact _),
     "q_approx_distinct" -> (qApproxDistinct _),
+    "q_percentile" -> (qPercentile _),
     "q_window_topk" -> (qWindowTopk _),
     "q_window_running" -> (qWindowRunning _),
     "q_set_ops" -> (qSetOps _))
@@ -268,6 +293,7 @@ object RelationalQueries {
     "q_semi_anti" -> qSemiAntiSql,
     "q_agg_q1" -> qAggQ1Sql,
     "q_rollup" -> qRollupSql,
+    "q_percentile" -> qPercentileSql,
     "q_cube" -> qCubeSql,
     "q_distinct_exact" -> qDistinctExactSql,
     "q_window_topk" -> qWindowTopkSql,
