@@ -273,6 +273,108 @@ object RelationalQueries {
       |  (SELECT c_nationkey AS k FROM customer EXCEPT SELECT s_nationkey FROM supplier)
       |ORDER BY op, k""".stripMargin
 
+  /** Pivot: one row per returnflag, one decimal-exact quantity column per
+    * linestatus. Pivot values are given explicitly so Spark skips the
+    * values-discovery job (an extra scan at corpus scale) and compiles the
+    * whole thing into a single hash aggregate over conditional sums — the
+    * same plan as the oracle's CASE-sum formulation, one shuffle on the
+    * 3-key group column. */
+  def qPivot(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .pivot("l_linestatus", Seq("F", "O"))
+      .agg(dsum(col("l_quantity")))
+      .withColumnRenamed("F", "qty_f")
+      .withColumnRenamed("O", "qty_o")
+      .orderBy("l_returnflag")
+
+  val qPivotSql: String =
+    """SELECT l_returnflag,
+      |       CAST(CAST(sum(CASE WHEN l_linestatus = 'F'
+      |                 THEN CAST(l_quantity AS DECIMAL(18,6)) END) AS DECIMAL(28,6)) AS DOUBLE) AS qty_f,
+      |       CAST(CAST(sum(CASE WHEN l_linestatus = 'O'
+      |                 THEN CAST(l_quantity AS DECIMAL(18,6)) END) AS DECIMAL(28,6)) AS DOUBLE) AS qty_o
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
+  /** Unpivot (melt): wide part metrics → long (partkey, metric, value).
+    * Narrow, shuffle-free: Spark expands each input row to k output rows
+    * inside the scan stage, so the plan survives any scale — no exchange
+    * at all until the output sort. */
+  def qUnpivot(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "part")
+      .select(col("p_partkey"),
+        col("p_size").cast("double").as("size"),
+        col("p_retailprice").as("retailprice"))
+      .unpivot(
+        Array(col("p_partkey")),
+        Array(col("size"), col("retailprice")),
+        "metric", "value")
+      .orderBy("p_partkey", "metric")
+
+  val qUnpivotSql: String =
+    """SELECT p_partkey, 'size' AS metric, CAST(p_size AS DOUBLE) AS value FROM part
+      |UNION ALL
+      |SELECT p_partkey, 'retailprice' AS metric, p_retailprice AS value FROM part
+      |ORDER BY p_partkey, metric""".stripMargin
+
+  /** Explicit GROUPING SETS (beyond rollup/cube's fixed lattices) with the
+    * grouping_id bitmask — Spark's `grouping_id(a,b)` and DuckDB's
+    * `GROUPING(a,b)` emit the same MSB-first bitmask. Spark expands the
+    * sets via a single Expand + one hash aggregate (rows × |sets| before
+    * partial aggregation — map-side combine keeps the shuffle at
+    * |groups| × |sets|, not |rows|). */
+  def qGroupingSets(spark: SparkSession, sfDir: String): DataFrame = {
+    t(spark, sfDir, "lineitem").createOrReplaceTempView("gs_lineitem")
+    spark.sql(
+      """SELECT coalesce(l_returnflag, '(all)') AS returnflag,
+        |       coalesce(l_linestatus, '(all)') AS linestatus,
+        |       CAST(grouping_id(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+        |       count(*) AS cnt,
+        |       CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DECIMAL(28,6)) AS DOUBLE) AS sum_price
+        |FROM gs_lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))
+        |ORDER BY returnflag, linestatus""".stripMargin)
+  }
+
+  val qGroupingSetsSql: String =
+    """SELECT coalesce(l_returnflag, '(all)') AS returnflag,
+      |       coalesce(l_linestatus, '(all)') AS linestatus,
+      |       CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+      |       count(*) AS cnt,
+      |       CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DECIMAL(28,6)) AS DOUBLE) AS sum_price
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))
+      |ORDER BY returnflag, linestatus""".stripMargin
+
+  /** Correlated scalar subquery: customers above their nation's average
+    * balance. Catalyst decorrelates this into an aggregate on c_nationkey
+    * + an equi-join — i.e. the scalable two-pass plan a hand-written
+    * version would use; nothing is executed per-row. The inner average is
+    * decimal-sum / count so both engines compare against the identical
+    * double. */
+  def qCorrSubquery(spark: SparkSession, sfDir: String): DataFrame = {
+    t(spark, sfDir, "customer").createOrReplaceTempView("cs_customer")
+    spark.sql(
+      """SELECT c.c_custkey, c.c_nationkey, c.c_acctbal
+        |FROM cs_customer c
+        |WHERE c.c_acctbal > (
+        |  SELECT CAST(CAST(sum(CAST(c2.c_acctbal AS DECIMAL(18,6))) AS DECIMAL(28,6)) AS DOUBLE) / count(*)
+        |  FROM cs_customer c2
+        |  WHERE c2.c_nationkey = c.c_nationkey)
+        |ORDER BY c.c_custkey""".stripMargin)
+  }
+
+  val qCorrSubquerySql: String =
+    """SELECT c.c_custkey, c.c_nationkey, c.c_acctbal
+      |FROM customer c
+      |WHERE c.c_acctbal > (
+      |  SELECT CAST(CAST(sum(CAST(c2.c_acctbal AS DECIMAL(18,6))) AS DECIMAL(28,6)) AS DOUBLE) / count(*)
+      |  FROM customer c2
+      |  WHERE c2.c_nationkey = c.c_nationkey)
+      |ORDER BY c.c_custkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_scan_project_filter" -> (qScanProjectFilter _),
     "q_join_star" -> (qJoinStar _),
@@ -285,7 +387,11 @@ object RelationalQueries {
     "q_percentile" -> (qPercentile _),
     "q_window_topk" -> (qWindowTopk _),
     "q_window_running" -> (qWindowRunning _),
-    "q_set_ops" -> (qSetOps _))
+    "q_set_ops" -> (qSetOps _),
+    "q_pivot" -> (qPivot _),
+    "q_unpivot" -> (qUnpivot _),
+    "q_grouping_sets" -> (qGroupingSets _),
+    "q_corr_subquery" -> (qCorrSubquery _))
 
   val oracles: Map[String, String] = Map(
     "q_scan_project_filter" -> qScanProjectFilterSql,
@@ -298,5 +404,9 @@ object RelationalQueries {
     "q_distinct_exact" -> qDistinctExactSql,
     "q_window_topk" -> qWindowTopkSql,
     "q_set_ops" -> qSetOpsSql,
-    "q_window_running" -> qWindowRunningSql)
+    "q_window_running" -> qWindowRunningSql,
+    "q_pivot" -> qPivotSql,
+    "q_unpivot" -> qUnpivotSql,
+    "q_grouping_sets" -> qGroupingSetsSql,
+    "q_corr_subquery" -> qCorrSubquerySql)
 }
