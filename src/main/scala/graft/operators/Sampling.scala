@@ -25,6 +25,23 @@ object Sampling {
     df.filter(substring(md5(key.cast("binary")), 1, hexThreshold.length) < hexThreshold)
   }
 
+  /** Stratified variant: a different hash threshold per stratum value
+    * (e.g. downsample over-represented languages, keep rare ones whole).
+    * Still a pure row-local predicate — one CASE over the stratum column,
+    * no shuffle, no per-stratum pass — so rebalancing a 100 TB corpus
+    * costs exactly one scan. Strata absent from `thresholds` are dropped
+    * (threshold "" keeps nothing; "g" keeps everything ≥ all hex). */
+  def stratifiedBelow(df: DataFrame, key: Column, stratum: Column,
+      thresholds: Map[String, String]): DataFrame = {
+    thresholds.values.foreach(t => require(t.nonEmpty && t.forall(c =>
+      c.isDigit || ('a' to 'g').contains(c)), "thresholds must be lowercase hex"))
+    val gate = thresholds.foldLeft(lit(false)) { case (acc, (s, thr)) =>
+      when(stratum === s,
+        substring(md5(key.cast("binary")), 1, thr.length) < thr).otherwise(acc)
+    }
+    df.filter(gate)
+  }
+
   /** Disjoint train/holdout split on the same hash: rows below the
     * threshold are the holdout, the rest train — membership decided by
     * content, never by ordering. */

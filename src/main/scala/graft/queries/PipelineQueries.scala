@@ -103,11 +103,56 @@ object PipelineQueries {
       |FROM documents d LEFT JOIN s ON d.lang = s.lang
       |GROUP BY d.lang ORDER BY d.lang""".stripMargin
 
+  /** Per-language sampling rates for the stratified split: downsample the
+    * over-represented `en` stratum hard, keep mid-size languages at 50%,
+    * `zh` at 25%. Hex-prefix thresholds, rate = value/16. */
+  private val StratThresholds: Map[String, String] = Map(
+    "en" -> "2", "de" -> "8", "es" -> "8", "fr" -> "8", "zh" -> "4")
+
+  /** Stratified deterministic sample: a per-language md5-gate threshold
+    * (rebalancing the corpus toward rare languages) applied as ONE
+    * row-local CASE predicate — single scan, no shuffle, engine-portable,
+    * stable under repartitioning. Reports per-lang totals vs sampled. */
+  def qSampleStratified(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = t(spark, sfDir, "documents")
+    val sampled = graft.operators.Sampling.stratifiedBelow(
+      docs, col("text"), col("lang"), StratThresholds)
+    docs.groupBy("lang").agg(count(lit(1)).as("n_total"))
+      .join(
+        sampled.groupBy("lang").agg(
+          count(lit(1)).as("n_sampled"),
+          sum(length(col("text")).cast("long")).as("sampled_chars")),
+        Seq("lang"), "left")
+      .select(col("lang"), col("n_total"),
+        coalesce(col("n_sampled"), lit(0L)).as("n_sampled"),
+        coalesce(col("sampled_chars"), lit(0L)).as("sampled_chars"))
+      .orderBy("lang")
+  }
+
+  val qSampleStratifiedSql: String = {
+    val arms = StratThresholds.toSeq.sortBy(_._1)
+      .map { case (l, thr) =>
+        s"WHEN lang = '$l' THEN substr(md5(text), 1, ${thr.length}) < '$thr'" }
+      .mkString(" ")
+    s"""WITH s AS (
+       |  SELECT lang, count(*) AS n_sampled,
+       |         CAST(sum(length(text)) AS BIGINT) AS sampled_chars
+       |  FROM documents WHERE CASE $arms ELSE FALSE END
+       |  GROUP BY lang)
+       |SELECT d.lang, count(*) AS n_total,
+       |       CAST(COALESCE(any_value(s.n_sampled), 0) AS BIGINT) AS n_sampled,
+       |       CAST(COALESCE(any_value(s.sampled_chars), 0) AS BIGINT) AS sampled_chars
+       |FROM documents d LEFT JOIN s ON d.lang = s.lang
+       |GROUP BY d.lang ORDER BY d.lang""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_curation_pipeline" -> (qCurationPipeline _),
-    "q_sample_deterministic" -> (qSampleDeterministic _))
+    "q_sample_deterministic" -> (qSampleDeterministic _),
+    "q_sample_stratified" -> (qSampleStratified _))
 
   val oracles: Map[String, String] = Map(
     "q_curation_pipeline" -> qCurationPipelineSql,
-    "q_sample_deterministic" -> qSampleDeterministicSql)
+    "q_sample_deterministic" -> qSampleDeterministicSql,
+    "q_sample_stratified" -> qSampleStratifiedSql)
 }

@@ -172,7 +172,78 @@ object TextQueries {
       |       md5(text) AS content_md5
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** TF-IDF top-5 terms per document. Plan shape for corpus scale:
+    * tf = one hash agg on (doc, token); df = a second agg over tf's
+    * already-deduplicated keys (never re-touches the corpus); the
+    * tf⋈df equi-join shuffles on token (vocabulary-sized, not
+    * corpus-sized); the per-doc top-k window partitions on doc_id.
+    * N comes from a scalar count — an aggregate, not a collect loop.
+    *
+    * Exactness: ranking and output use score_q = floor(tf·idf·2^20)
+    * (the repo's fixed-point convention) because ln() is not bit-stable
+    * across engines; a 1-ulp idf wobble only flips a floor at a 2^-32
+    * boundary coincidence. */
+  def qTfidf(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = t(spark, sfDir, "documents")
+    val n = docs.count()
+    val tf = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("score_q").desc, col("token").asc)
+    tf.join(dfreq, "token")
+      .withColumn("score_q",
+        floor(col("tf") * (log((lit(n) + 1.0) / (col("df") + 1.0)) + 1.0)
+          * 1048576d).cast("long"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 5)
+      .select("doc_id", "rnk", "token", "tf", "df", "score_q")
+      .orderBy("doc_id", "rnk")
+  }
+
+  val qTfidfSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+      |tf AS (
+      |  SELECT doc_id, token, count(*) AS tf FROM toks
+      |  WHERE token <> '' GROUP BY doc_id, token),
+      |dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+      |n AS (SELECT count(*) AS n FROM documents),
+      |scored AS (
+      |  SELECT doc_id, tf.token, tf, df,
+      |         CAST(floor(tf * (ln((n + 1.0) / (df + 1.0)) + 1.0) * 1048576) AS BIGINT) AS score_q
+      |  FROM tf JOIN dfreq USING (token) CROSS JOIN n),
+      |ranked AS (
+      |  SELECT *, row_number() OVER (PARTITION BY doc_id
+      |                               ORDER BY score_q DESC, token) AS rnk
+      |  FROM scored)
+      |SELECT doc_id, rnk, token, tf, df, score_q
+      |FROM ranked WHERE rnk <= 5
+      |ORDER BY doc_id, rnk""".stripMargin
+
+  /** Lateral explode with ordinal position (the UDTF/LATERAL VIEW shape):
+    * posexplode keeps each token's offset in the filtered token array.
+    * Narrow generate inside the scan stage — row expansion never
+    * shuffles; the only exchange is the output sort. */
+  def qLateral(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "documents")
+      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "token")))
+      .withColumn("pos", col("pos").cast("long"))
+      .select("doc_id", "pos", "token")
+      .orderBy("doc_id", "pos")
+
+  val qLateralSql: String =
+    """WITH s AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS parts
+      |  FROM documents),
+      |e AS (SELECT doc_id, parts, unnest(range(len(parts))) AS pos FROM s)
+      |SELECT doc_id, pos, parts[pos + 1] AS token
+      |FROM e ORDER BY doc_id, pos""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_tfidf" -> (qTfidf _),
+    "q_lateral" -> (qLateral _),
     "q_text_tokens" -> (qTextTokens _),
     "q_dedup_exact" -> (qDedupExact _),
     "q_lang_id" -> (qLangId _),
@@ -181,6 +252,8 @@ object TextQueries {
     "q_binary_meta" -> (qBinaryMeta _))
 
   val oracles: Map[String, String] = Map(
+    "q_tfidf" -> qTfidfSql,
+    "q_lateral" -> qLateralSql,
     "q_text_tokens" -> qTextTokensSql,
     "q_dedup_exact" -> qDedupExactSql,
     "q_lang_id" -> qLangIdSql,

@@ -123,6 +123,29 @@ class OperatorsSpec extends SparkSpec {
     assert(ho == s1, "holdout must be exactly the sampled subset")
   }
 
+  test("stratified sampling: per-stratum rates, subset of flat sample, stable") {
+    import graft.operators.Sampling
+    val base = docs.select(col("doc_id"), col("lang"), col("text"))
+    val thr = Map("en" -> "2", "de" -> "8", "es" -> "8", "fr" -> "8", "zh" -> "4")
+    val s1 = Sampling.stratifiedBelow(base.repartition(1), col("text"), col("lang"), thr)
+      .select("doc_id").as[Long].collect().toSet
+    val s8 = Sampling.stratifiedBelow(base.repartition(8), col("text"), col("lang"), thr)
+      .select("doc_id").as[Long].collect().toSet
+    assert(s1 == s8, "stratified membership must not depend on partitioning")
+    // each stratum's pick is the flat sample at that stratum's threshold
+    for ((lang, t) <- thr) {
+      val flat = Sampling.sampledBelow(base.filter(col("lang") === lang), col("text"), t)
+        .select("doc_id").as[Long].collect().toSet
+      val strat = Sampling.stratifiedBelow(base, col("text"), col("lang"), thr)
+        .filter(col("lang") === lang).select("doc_id").as[Long].collect().toSet
+      assert(strat == flat, s"stratum $lang must equal its flat-threshold sample")
+    }
+    // a stratum absent from the map is dropped entirely
+    val dropped = Sampling.stratifiedBelow(base, col("text"), col("lang"), thr - "en")
+      .filter(col("lang") === "en").count()
+    assert(dropped == 0L)
+  }
+
   test("toleranceJoin equals the brute-force band join incl. bin boundaries") {
     import graft.operators.RangeJoin
     val rnd = new scala.util.Random(5)
