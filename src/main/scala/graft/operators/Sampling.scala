@@ -17,13 +17,19 @@ import org.apache.spark.sql.functions._
   */
 object Sampling {
 
-  /** Keep rows whose md5(key) hex prefix sorts below `hexThreshold`
-    * (lowercase hex, e.g. "4" ≈ 25%, "33333333" ≈ 20%). */
-  def sampledBelow(df: DataFrame, key: Column, hexThreshold: String): DataFrame = {
+  /** The boolean gate itself — exposed so callers can fold membership into
+    * a conditional aggregation (count_if/sum-when) and report totals and
+    * sampled stats from ONE scan instead of scan + scan + join. */
+  def gateBelow(key: Column, hexThreshold: String): Column = {
     require(hexThreshold.nonEmpty && hexThreshold.forall(c =>
       c.isDigit || ('a' to 'f').contains(c)), "threshold must be lowercase hex")
-    df.filter(substring(md5(key.cast("binary")), 1, hexThreshold.length) < hexThreshold)
+    substring(md5(key.cast("binary")), 1, hexThreshold.length) < hexThreshold
   }
+
+  /** Keep rows whose md5(key) hex prefix sorts below `hexThreshold`
+    * (lowercase hex, e.g. "4" ≈ 25%, "33333333" ≈ 20%). */
+  def sampledBelow(df: DataFrame, key: Column, hexThreshold: String): DataFrame =
+    df.filter(gateBelow(key, hexThreshold))
 
   /** Stratified variant: a different hash threshold per stratum value
     * (e.g. downsample over-represented languages, keep rare ones whole).
@@ -32,14 +38,18 @@ object Sampling {
     * costs exactly one scan. Strata absent from `thresholds` are dropped
     * (threshold "" keeps nothing; "g" keeps everything ≥ all hex). */
   def stratifiedBelow(df: DataFrame, key: Column, stratum: Column,
-      thresholds: Map[String, String]): DataFrame = {
+      thresholds: Map[String, String]): DataFrame =
+    df.filter(stratifiedGate(key, stratum, thresholds))
+
+  /** The stratified gate as a Column, for conditional-aggregation use. */
+  def stratifiedGate(key: Column, stratum: Column,
+      thresholds: Map[String, String]): Column = {
     thresholds.values.foreach(t => require(t.nonEmpty && t.forall(c =>
       c.isDigit || ('a' to 'g').contains(c)), "thresholds must be lowercase hex"))
-    val gate = thresholds.foldLeft(lit(false)) { case (acc, (s, thr)) =>
+    thresholds.foldLeft(lit(false)) { case (acc, (s, thr)) =>
       when(stratum === s,
         substring(md5(key.cast("binary")), 1, thr.length) < thr).otherwise(acc)
     }
-    df.filter(gate)
   }
 
   /** Disjoint train/holdout split on the same hash: rows below the

@@ -73,21 +73,19 @@ object PipelineQueries {
        |GROUP BY lang ORDER BY lang""".stripMargin
 
   /** Deterministic 25% corpus sample (md5 gate < '4'): per-lang totals,
-    * sampled counts, and the decimal-exact sampled text length — the
-    * reproducible-split primitive every training pipeline needs, with the
-    * subset itself oracle-checked (both engines gate on the same md5). */
+    * sampled counts, and the sampled text length — the reproducible-split
+    * primitive every training pipeline needs, with the subset itself
+    * oracle-checked (both engines gate on the same md5). Membership is
+    * folded into conditional aggregates, so totals AND sampled stats come
+    * from ONE scan + one shuffle on lang — not scan + scan + join. */
   def qSampleDeterministic(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = t(spark, sfDir, "documents")
-    val sampled = graft.operators.Sampling.sampledBelow(docs, col("text"), "4")
-    docs.groupBy("lang").agg(count(lit(1)).as("n_total"))
-      .join(
-        sampled.groupBy("lang").agg(
-          count(lit(1)).as("n_sampled"),
-          sum(length(col("text")).cast("long")).as("sampled_chars")),
-        Seq("lang"), "left")
-      .select(col("lang"), col("n_total"),
-        coalesce(col("n_sampled"), lit(0L)).as("n_sampled"),
-        coalesce(col("sampled_chars"), lit(0L)).as("sampled_chars"))
+    val gate = graft.operators.Sampling.gateBelow(col("text"), "4")
+    docs.groupBy("lang").agg(
+        count(lit(1)).as("n_total"),
+        count_if(gate).as("n_sampled"),
+        coalesce(sum(when(gate, length(col("text")).cast("long"))), lit(0L))
+          .as("sampled_chars"))
       .orderBy("lang")
   }
 
@@ -111,21 +109,18 @@ object PipelineQueries {
 
   /** Stratified deterministic sample: a per-language md5-gate threshold
     * (rebalancing the corpus toward rare languages) applied as ONE
-    * row-local CASE predicate — single scan, no shuffle, engine-portable,
-    * stable under repartitioning. Reports per-lang totals vs sampled. */
+    * row-local CASE gate folded into conditional aggregates — single
+    * scan, one shuffle on lang, engine-portable, stable under
+    * repartitioning. Reports per-lang totals vs sampled. */
   def qSampleStratified(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = t(spark, sfDir, "documents")
-    val sampled = graft.operators.Sampling.stratifiedBelow(
-      docs, col("text"), col("lang"), StratThresholds)
-    docs.groupBy("lang").agg(count(lit(1)).as("n_total"))
-      .join(
-        sampled.groupBy("lang").agg(
-          count(lit(1)).as("n_sampled"),
-          sum(length(col("text")).cast("long")).as("sampled_chars")),
-        Seq("lang"), "left")
-      .select(col("lang"), col("n_total"),
-        coalesce(col("n_sampled"), lit(0L)).as("n_sampled"),
-        coalesce(col("sampled_chars"), lit(0L)).as("sampled_chars"))
+    val gate = graft.operators.Sampling.stratifiedGate(
+      col("text"), col("lang"), StratThresholds)
+    docs.groupBy("lang").agg(
+        count(lit(1)).as("n_total"),
+        count_if(gate).as("n_sampled"),
+        coalesce(sum(when(gate, length(col("text")).cast("long"))), lit(0L))
+          .as("sampled_chars"))
       .orderBy("lang")
   }
 

@@ -275,10 +275,10 @@ object RelationalQueries {
 
   /** Pivot: one row per returnflag, one decimal-exact quantity column per
     * linestatus. Pivot values are given explicitly so Spark skips the
-    * values-discovery job (an extra scan at corpus scale) and compiles the
-    * whole thing into a single hash aggregate over conditional sums — the
-    * same plan as the oracle's CASE-sum formulation, one shuffle on the
-    * 3-key group column. */
+    * values-discovery job (an extra full scan at corpus scale). The plan
+    * pre-aggregates on (returnflag, linestatus) with map-side combine —
+    * the corpus-sized shuffle carries |groups| rows — then pivots the
+    * tiny grouped result; equivalent work to the oracle's CASE-sums. */
   def qPivot(spark: SparkSession, sfDir: String): DataFrame =
     t(spark, sfDir, "lineitem")
       .groupBy(col("l_returnflag"))

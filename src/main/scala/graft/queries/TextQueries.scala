@@ -173,11 +173,15 @@ object TextQueries {
       |FROM documents ORDER BY doc_id""".stripMargin
 
   /** TF-IDF top-5 terms per document. Plan shape for corpus scale:
-    * tf = one hash agg on (doc, token); df = a second agg over tf's
-    * already-deduplicated keys (never re-touches the corpus); the
-    * tf⋈df equi-join shuffles on token (vocabulary-sized, not
-    * corpus-sized); the per-doc top-k window partitions on doc_id.
-    * N comes from a scalar count — an aggregate, not a collect loop.
+    * tf = one hash agg on (doc, token), CACHED so the df aggregation
+    * reads tf's deduplicated keys instead of re-exploding the corpus
+    * (Spark has no automatic subplan reuse — without the cache the
+    * explode+agg runs twice); the tf⋈df join shuffles on token
+    * (vocabulary-sized, not corpus-sized; Spark picks broadcast here,
+    * AQE would demote to sort-merge when the vocabulary outgrows it);
+    * the per-doc top-k is a WindowGroupLimit — top-5 applied map-side
+    * BEFORE the doc_id shuffle. N is a scalar aggregate, not a collect
+    * loop.
     *
     * Exactness: ranking and output use score_q = floor(tf·idf·2^20)
     * (the repo's fixed-point convention) because ln() is not bit-stable
@@ -186,9 +190,9 @@ object TextQueries {
   def qTfidf(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = t(spark, sfDir, "documents")
     val n = docs.count()
-    val tf = docs
+    val tf = graft.CacheScope.cached(docs
       .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
-      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf")))
     val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy(col("score_q").desc, col("token").asc)
