@@ -90,6 +90,45 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("Exchange SinglePartition"), s"single-partition exchange:\n$p")
   }
 
+  test("q_tfidf: corpus scanned once — df branch reuses the cached tf aggregate") {
+    val p = plan("q_tfidf")
+    try {
+      // both the tf consumer and the df branch must read the cached tf
+      // aggregate (each InMemoryTableScan also PRINTS the cache-build plan,
+      // so counting FileScan occurrences would overcount — count cache reads)
+      assert(p.split("InMemoryTableScan").length - 1 >= 2,
+        s"tf cache not reused by both branches:\n$p")
+      assert(p.contains("WindowGroupLimit"), s"top-k not pushed before the shuffle:\n$p")
+    } finally CacheScope.release()
+  }
+
+  test("sampling queries: single scan, membership folded into the aggregate") {
+    for (q <- Seq("q_sample_deterministic", "q_sample_stratified")) {
+      val p = plan(q)
+      assert(p.split("FileScan parquet").length - 1 == 1, s"$q scans more than once:\n$p")
+      assert(!p.contains("Join"), s"$q should not join:\n$p")
+      val exchanges = p.split("Exchange").length - 1
+      assert(exchanges <= 2, s"$q: expected agg + sort exchanges only:\n$p")
+    }
+  }
+
+  test("q_corr_subquery: decorrelated to aggregate + join, nothing per-row") {
+    val p = plan("q_corr_subquery")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"decorrelation failed:\n$p")
+    assert(p.split("HashAggregate").length >= 3,
+      s"expected two-phase aggregate for the per-nation average:\n$p")
+  }
+
+  test("q_pivot/q_unpivot: no values-discovery scan; narrow expand") {
+    val pv = plan("q_pivot")
+    assert(pv.split("FileScan parquet").length - 1 == 1,
+      s"pivot should scan once (explicit values):\n$pv")
+    val up = plan("q_unpivot")
+    assert(up.split("Exchange").length - 1 <= 1,
+      s"unpivot should only exchange for the output sort:\n$up")
+  }
+
   test("fastx scan: column pruning reaches the reader") {
     val df = spark.read.format("fastx").load(FastxFixtures.path("tiny.fasta"))
       .select("header")
