@@ -37,4 +37,23 @@ object Skew {
       .groupBy(col(key))
       .agg(sum(col("__partial")).as(s"sum_$valueCol"))
   }
+
+  /** [[saltedSum]] with the repo's decimal-exact discipline: partials sum
+    * in DECIMAL(18,6) (order-independent), the final pass sums the exact
+    * partials — so the salted two-phase result is bit-identical to a plain
+    * one-phase decimal sum, which is what makes it oracle-checkable.
+    * Also carries the row count (same two-phase shape). */
+  def saltedSumExact(df: DataFrame, key: String, valueCol: String,
+                     salt: Int, stableCol: String): DataFrame = {
+    require(salt > 1, "salt must be > 1")
+    df.withColumn("__salt", pmod(xxhash64(col(stableCol)), lit(salt)))
+      .groupBy(col(key), col("__salt"))
+      .agg(
+        sum(graft.Tables.dec(col(valueCol))).as("__partial"),
+        count(lit(1)).as("__n"))
+      .groupBy(col(key))
+      .agg(
+        graft.Tables.decOut(sum(col("__partial"))).as(s"sum_$valueCol"),
+        sum(col("__n")).as("cnt"))
+  }
 }

@@ -209,6 +209,41 @@ object RelationalQueries {
       |       quantile_cont(l_extendedprice, 0.75) AS price_p75
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** Approximate percentile (GK sketch) beside the exact value — the
+    * scale path for quantiles: exact `percentile` buffers every value of
+    * a group on one reducer (fine at test SF, a memory wall at 100 TB),
+    * while the sketch has bounded state and merges associatively.
+    * `no-oracle`: sketch internals are engine-specific; the smoke spec
+    * pins the approx within a relative-error band of the exact. */
+  def qApproxPercentile(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("percentile(l_extendedprice, 0.5)").as("exact_p50"),
+        expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("approx_p50"),
+        expr("percentile(l_extendedprice, 0.9)").as("exact_p90"),
+        expr("approx_percentile(l_extendedprice, 0.9, 1000)").as("approx_p90"))
+      .orderBy("l_returnflag")
+
+  /** Salted two-phase aggregation over a hot low-cardinality key (6 event
+    * types across the whole table — the classic hot-reducer shape when
+    * aggregate state is large or map-side combine is unavailable). The
+    * deterministic xxhash64 salt spreads each key over 8 reducer cells;
+    * the decimal partials make the re-aggregation bit-identical to the
+    * plain single-phase sum, so the oracle is just GROUP BY event_type —
+    * salting is proven semantically transparent. */
+  def qSkewSaltedAgg(spark: SparkSession, sfDir: String): DataFrame =
+    graft.operators.Skew
+      .saltedSumExact(t(spark, sfDir, "events"), "event_type", "value",
+        salt = 8, stableCol = "event_id")
+      .orderBy("event_type")
+
+  val qSkewSaltedAggSql: String =
+    """SELECT event_type,
+      |       CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(28,6)) AS DOUBLE) AS sum_value,
+      |       count(*) AS cnt
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   /** Top-3 orders per customer: rank inside a window, deterministic
     * tie-break on the unique o_orderkey. */
   def qWindowTopk(spark: SparkSession, sfDir: String): DataFrame = {
@@ -391,7 +426,9 @@ object RelationalQueries {
     "q_pivot" -> (qPivot _),
     "q_unpivot" -> (qUnpivot _),
     "q_grouping_sets" -> (qGroupingSets _),
-    "q_corr_subquery" -> (qCorrSubquery _))
+    "q_corr_subquery" -> (qCorrSubquery _),
+    "q_approx_percentile" -> (qApproxPercentile _),
+    "q_skew_salted_agg" -> (qSkewSaltedAgg _))
 
   val oracles: Map[String, String] = Map(
     "q_scan_project_filter" -> qScanProjectFilterSql,
@@ -408,5 +445,6 @@ object RelationalQueries {
     "q_pivot" -> qPivotSql,
     "q_unpivot" -> qUnpivotSql,
     "q_grouping_sets" -> qGroupingSetsSql,
-    "q_corr_subquery" -> qCorrSubquerySql)
+    "q_corr_subquery" -> qCorrSubquerySql,
+    "q_skew_salted_agg" -> qSkewSaltedAggSql)
 }

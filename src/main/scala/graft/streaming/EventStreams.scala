@@ -50,6 +50,21 @@ object EventStreams {
       .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour_start"),
         col("cnt"), col("sum_value"))
 
+  /** Sliding 1-hour windows every 15 minutes — the streaming twin of
+    * q_sliding_window. Same declarative aggregation; Spark assigns each
+    * event to its 4 overlapping windows at the map side (a row-local
+    * expand, NOT 4 shuffles), partial-aggregates, and the watermark
+    * retires window state once event time passes window.end + delay. */
+  def slidingCounts(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("value").cast(DecimalType(18, 6))).cast(DecimalType(28, 6))
+          .cast("double").as("sum_value"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        col("cnt"), col("sum_value"))
+
   /** Streaming exact dedup — the stream twin of `Dedup.exactByContent`
     * for a continuously-arriving corpus: first record per content hash
     * wins, duplicates arriving within the watermark window are dropped,

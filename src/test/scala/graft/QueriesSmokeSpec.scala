@@ -28,6 +28,17 @@ class QueriesSmokeSpec extends SparkSpec {
     }
   }
 
+  test("q_approx_percentile: sketch within 5% relative value error of exact") {
+    val rows = SparkEntry.queries("q_approx_percentile")(spark, TestSpark.Sf0001).collect()
+    rows.foreach { r =>
+      for ((e, a) <- Seq("exact_p50" -> "approx_p50", "exact_p90" -> "approx_p90")) {
+        val exact = r.getAs[Double](e)
+        val approx = r.getAs[Double](a)
+        assert(math.abs(approx - exact) / exact <= 0.05, s"$a=$approx $e=$exact")
+      }
+    }
+  }
+
   test("q_approx_distinct: HLL within its 2% relative-error bound (5x slack)") {
     val rows = SparkEntry.queries("q_approx_distinct")(spark, TestSpark.Sf0001).collect()
     rows.foreach { r =>

@@ -34,6 +34,25 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("streaming sliding counts equal batch aggregation (complete mode)") {
+    val stream = EventStreams.readEventStream(spark, TestSpark.Sf0001)
+    val q = EventStreams.slidingCounts(stream)
+      .writeStream.format("memory").queryName("sliding_test")
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val streamed = spark.table("sliding_test")
+      .select("window_start", "cnt", "sum_value")
+      .collect().map(_.toSeq).toSet
+
+    val batch = graft.queries.EventQueries
+      .qSlidingWindow(spark, TestSpark.Sf0001)
+      .select("window_start", "cnt", "sum_value")
+      .collect().map(_.toSeq).toSet
+
+    assert(streamed == batch)
+  }
+
   test("streaming MinHash-LSH candidates equal the batch banding pairs") {
     implicit val sq = spark.sqlContext
     import graft.streaming.DedupStreams
