@@ -121,15 +121,14 @@ object Dedup {
       .agg(count(lit(1)).as("n_bands"))
   }
 
-  /** End-to-end near-dedup: drop the higher-id side of every MinHash-LSH
-    * candidate pair whose exact shingle Jaccard clears `minJaccard` —
-    * candidates from banding (cheap), survivors decided by exact similarity
-    * (computed only on candidates). Returns the surviving rows of `df`.
-    * The full exact-then-near cascade for a training corpus:
-    * `dedupeNear(exactByContent(df, id, text), id, text)`. */
-  def dedupeNear(df: DataFrame, idCol: String, textCol: String,
-                 n: Int = 3, minJaccard: Double = 0.5,
-                 maxShingleDF: Int = DefaultMaxShingleDF): DataFrame = {
+  /** MinHash-LSH candidate pairs whose exact shingle Jaccard clears
+    * `minJaccard` — the verified near-dup pair graph, as (d1, d2) with
+    * d1 < d2. Candidates come from banding (cheap), similarity is computed
+    * only on candidates, and Jaccard is measured over the DF-capped shingle
+    * space (hot shingles carry no signal). */
+  def verifiedNearDupPairs(df: DataFrame, idCol: String, textCol: String,
+                           n: Int = 3, minJaccard: Double = 0.5,
+                           maxShingleDF: Int = DefaultMaxShingleDF): DataFrame = {
     // ONE shingle pass, cached, then DF-capped from the cache (the cap's
     // count branch and anti-join both read the cached set); the capped set
     // is cached too since it feeds minhash banding, both verification join
@@ -141,7 +140,7 @@ object Dedup {
       .select(col("d1"), col("d2"))
     val sh = shingles.select(col("id"), xxhash64(col("sh")).as("h"))
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
-    val verified = candidates
+    candidates
       .join(sh.select(col("id").as("d1"), col("h")), "d1")
       .join(sh.select(col("id").as("d2"), col("h")), Seq("d2", "h"))
       .groupBy("d1", "d2").agg(count(lit(1)).as("inter"))
@@ -149,9 +148,85 @@ object Dedup {
       .join(sizes.select(col("id").as("d2"), col("sz").as("sz2")), "d2")
       .filter(col("inter").cast("double") /
         (col("sz1") + col("sz2") - col("inter")) >= minJaccard)
-    val losers = verified.select(col("d2").as(idCol)).distinct()
+      .select("d1", "d2")
+  }
+
+  /** End-to-end near-dedup: drop the higher-id side of every verified
+    * near-dup pair. Returns the surviving rows of `df`.
+    * The full exact-then-near cascade for a training corpus:
+    * `dedupeNear(exactByContent(df, id, text), id, text)`.
+    *
+    * Note the pairwise drop is NOT transitive closure: in a chain a–b–c
+    * where a–c was never a candidate, c is dropped because of b even though
+    * b itself is dropped. For cluster-accurate dedup (keep exactly one doc
+    * per connected component) use [[nearDupClusters]]. */
+  def dedupeNear(df: DataFrame, idCol: String, textCol: String,
+                 n: Int = 3, minJaccard: Double = 0.5,
+                 maxShingleDF: Int = DefaultMaxShingleDF): DataFrame = {
+    val losers = verifiedNearDupPairs(df, idCol, textCol, n, minJaccard, maxShingleDF)
+      .select(col("d2").as(idCol)).distinct()
     df.join(losers, Seq(idCol), "left_anti")
   }
+
+  /** Connected components of the undirected pair graph (d1, d2) → one row
+    * per vertex: (id, cluster) where cluster = the smallest id reachable
+    * from the vertex (the canonical representative of its component).
+    *
+    * Algorithm: hash-min label propagation. Each vertex starts labeled with
+    * its own id; every round each vertex takes the min of its label and its
+    * neighbors' labels; fixpoint = components. Each round is one equi-join
+    * (edges ⋈ labels) plus one map-side-combinable `groupBy(min)` — the
+    * shape that scales to a 100 TB pair graph — and converges in
+    * O(component diameter) rounds, which for near-dup clusters is tiny
+    * (clusters are dense: every member pairs with most others). The only
+    * driver-side value per round is ONE scalar (the label-sum convergence
+    * check; the sum is monotonically non-increasing, so an unchanged sum
+    * means no label moved). `localCheckpoint` truncates the lineage each
+    * round — without it the self-referential plan doubles per iteration and
+    * planning time explodes; a production run on an unreliable cluster
+    * would use `checkpoint()` to a reliable store instead. */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    // cache the pair set first: the symmetrizing union reads it twice, and
+    // callers hand us whole verification cascades as `pairs`
+    val p = graft.CacheScope.cached(pairs.select(col("d1"), col("d2")))
+    val edges = graft.CacheScope.cached(
+      p.select(col("d1").as("src"), col("d2").as("dst"))
+        .union(p.select(col("d2").as("src"), col("d1").as("dst")))
+        .distinct())
+    var labels = edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("cluster"))
+      .localCheckpoint()
+    // decimal sum: exact, overflow-free under ANSI, null only when empty
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(coalesce(sum(col("cluster").cast("decimal(38,0)")),
+        lit(0).cast("decimal(38,0)"))).first().getDecimal(0)
+    var prev = labelSum(labels)
+    var iter = 0
+    var converged = labels.isEmpty
+    while (!converged && iter < maxIter) {
+      val next = edges.join(labels, edges("dst") === labels("id"))
+        .select(edges("src").as("id"), col("cluster"))
+        .union(labels)
+        .groupBy("id").agg(min("cluster").as("cluster"))
+        .localCheckpoint()
+      val s = labelSum(next)
+      converged = s.compareTo(prev) == 0
+      prev = s
+      labels = next
+      iter += 1
+    }
+    labels
+  }
+
+  /** Cluster-accurate near-dedup labeling: every document that appears in a
+    * verified near-dup pair, labeled with its connected component's
+    * canonical (minimum) doc id. Docs in no pair are their own singleton
+    * cluster and are simply absent from the output. */
+  def nearDupClusters(df: DataFrame, idCol: String, textCol: String,
+                      n: Int = 3, minJaccard: Double = 0.5,
+                      maxShingleDF: Int = DefaultMaxShingleDF): DataFrame =
+    connectedComponents(
+      verifiedNearDupPairs(df, idCol, textCol, n, minJaccard, maxShingleDF))
 
   /** 64 bit-mask literals 1L<<0 … 1L<<63. */
   private val Masks: Column = array((0 until 64).map(b => lit(1L << b)): _*)

@@ -106,9 +106,9 @@ object DedupQueries {
        |  GROUP BY 1, 2)""".stripMargin
   }
 
-  /** Jaccard verification of the LSH `pairs` → `losers` (higher-id members
-    * of verified pairs); reads the `sh` and `pairs` CTEs. */
-  private[queries] def losersSqlCtes(minJaccard: Double): String =
+  /** Jaccard verification of the LSH `pairs` → `vpairs` (verified near-dup
+    * pairs, d1 < d2); reads the `sh` and `pairs` CTEs. */
+  private[queries] def vpairsSqlCtes(minJaccard: Double): String =
     s"""sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
        |cinter AS (
        |  SELECT p.d1, p.d2, count(*) AS inter
@@ -116,11 +116,16 @@ object DedupQueries {
        |  JOIN sh a ON a.doc_id = p.d1
        |  JOIN sh b ON b.doc_id = p.d2 AND b.sh = a.sh
        |  GROUP BY p.d1, p.d2),
-       |losers AS (
-       |  SELECT DISTINCT d2 FROM cinter
+       |vpairs AS (
+       |  SELECT d1, d2 FROM cinter
        |  JOIN sizes s1 ON s1.doc_id = d1
        |  JOIN sizes s2 ON s2.doc_id = d2
        |  WHERE CAST(inter AS DOUBLE) / (s1.sz + s2.sz - inter) >= $minJaccard)""".stripMargin
+
+  /** `vpairs` + the higher-id members of verified pairs as `losers`. */
+  private[queries] def losersSqlCtes(minJaccard: Double): String =
+    s"""${vpairsSqlCtes(minJaccard)},
+       |losers AS (SELECT DISTINCT d2 FROM vpairs)""".stripMargin
 
   val qMinhashLshSql: String =
     s"""WITH ${minhashSqlCtes("documents")}
@@ -145,14 +150,54 @@ object DedupQueries {
        |WHERE doc_id NOT IN (SELECT d2 FROM losers)
        |GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** Near-dup CLUSTERS: verified pairs → connected components (hash-min
+    * label propagation, [[graft.operators.Dedup.connectedComponents]]) →
+    * one row per component with its canonical (min) doc id, size, and the
+    * full sorted member list. The cluster view is what a real corpus dedup
+    * keeps ("one survivor per component"), and transitive chains a–b–c make
+    * it genuinely different from the pairwise drop. Oracle: DuckDB
+    * `WITH RECURSIVE` transitive closure over the same verified pairs. */
+  def qDedupClusters(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val pairs = graft.operators.Dedup
+      .verifiedNearDupPairs(t(spark, sfDir, "documents"), "doc_id", "text",
+        n = 3, minJaccard = 0.5)
+    graft.operators.Dedup.connectedComponents(pairs)
+      .groupBy(col("cluster").as("cluster_id"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        concat_ws(",",
+          transform(sort_array(collect_list(col("id"))), _.cast("string"))).as("members"))
+      .orderBy("cluster_id")
+  }
+
+  val qDedupClustersSql: String =
+    s"""WITH RECURSIVE ${minhashSqlCtes("documents")},
+       |${vpairsSqlCtes(0.5)},
+       |edges AS (
+       |  SELECT d1 AS src, d2 AS dst FROM vpairs
+       |  UNION SELECT d2, d1 FROM vpairs),
+       |walk AS (
+       |  SELECT src, dst FROM edges
+       |  UNION
+       |  SELECT w.src, e.dst FROM walk w JOIN edges e ON e.src = w.dst),
+       |labels AS (
+       |  SELECT src AS id, least(src, min(dst)) AS cluster
+       |  FROM walk GROUP BY src)
+       |SELECT cluster AS cluster_id, count(*) AS n_docs,
+       |       string_agg(id, ',' ORDER BY id) AS members
+       |FROM labels GROUP BY cluster ORDER BY cluster_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_jaccard_pairs" -> (qJaccardPairs _),
     "q_minhash_lsh" -> (qMinhashLsh _),
     "q_simhash_pairs" -> (qSimhashPairs _),
-    "q_dedup_cascade" -> (qDedupCascade _))
+    "q_dedup_cascade" -> (qDedupCascade _),
+    "q_dedup_clusters" -> (qDedupClusters _))
 
   val oracles: Map[String, String] = Map(
     "q_jaccard_pairs" -> qJaccardPairsSql,
     "q_minhash_lsh" -> qMinhashLshSql,
-    "q_dedup_cascade" -> qDedupCascadeSql)
+    "q_dedup_cascade" -> qDedupCascadeSql,
+    "q_dedup_clusters" -> qDedupClustersSql)
 }

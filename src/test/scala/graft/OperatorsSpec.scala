@@ -217,5 +217,38 @@ class OperatorsSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSet
     assert(kept == Set(1L, 3L), s"kept=$kept")
   }
+
+  test("connectedComponents labels a chain, a triangle, and leaves them disjoint") {
+    // components: chain 1-2-3-4 (diameter 3, needs >1 round), triangle 10-11-12,
+    // isolated edge 20-21
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L),
+      (10L, 11L), (11L, 12L), (10L, 12L),
+      (20L, 21L)).toDF("d1", "d2")
+    val labels = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(Seq(1L, 2L, 3L, 4L).forall(labels(_) == 1L), s"labels=$labels")
+    assert(Seq(10L, 11L, 12L).forall(labels(_) == 10L), s"labels=$labels")
+    assert(Seq(20L, 21L).forall(labels(_) == 20L), s"labels=$labels")
+    assert(labels.size == 9)
+  }
+
+  test("connectedComponents of an empty pair set is empty") {
+    val pairs = Seq.empty[(Long, Long)].toDF("d1", "d2")
+    assert(Dedup.connectedComponents(pairs).isEmpty)
+  }
+
+  test("nearDupClusters groups a transitive near-dup chain into one component") {
+    // a~b and b~c verify, a~c may not: cluster view must still unite them
+    val w = (1 to 60).map(i => s"w$i")
+    val a = w.mkString(" ")
+    val b = w.updated(0, "x0").mkString(" ")             // differs from a in 1 token
+    val c = w.updated(0, "x0").updated(59, "x59").mkString(" ") // differs from b in 1
+    val far = (100 to 160).map(i => s"v$i").mkString(" ")
+    val df = Seq((1L, a), (2L, b), (3L, c), (9L, far)).toDF("doc_id", "text")
+    val labels = Dedup.nearDupClusters(df, "doc_id", "text", n = 3, minJaccard = 0.5)
+      .as[(Long, Long)].collect().toMap
+    assert(labels.keySet == Set(1L, 2L, 3L), s"labels=$labels")
+    assert(labels.values.toSet == Set(1L), s"labels=$labels")
+  }
 }
 
