@@ -26,7 +26,8 @@ object SparkEntry {
       SimilarityQueries.queries ++
       DedupQueries.queries ++
       FastxQueries.queries ++
-      PipelineQueries.queries
+      PipelineQueries.queries ++
+      LayoutQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys (map-typed outputs) get the
@@ -39,5 +40,6 @@ object SparkEntry {
       SimilarityQueries.oracles ++
       DedupQueries.oracles ++
       FastxQueries.oracles ++
-      PipelineQueries.oracles
+      PipelineQueries.oracles ++
+      LayoutQueries.oracles
 }

@@ -410,7 +410,67 @@ object RelationalQueries {
       |  WHERE c2.c_nationkey = c.c_nationkey)
       |ORDER BY c.c_custkey""".stripMargin
 
+  /** Window-function breadth beyond rank/frames: row_number, ntile,
+    * percent_rank, cume_dist, lag, lead in ONE window pass (single sort per
+    * partition serves all six — Spark collapses same-spec window functions
+    * into one Window operator, exactly what you want at scale).
+    * Determinism: the window orders by the globally-unique o_orderkey, so
+    * every rank is fixed; percent_rank/cume_dist are single divisions of
+    * small ints (correctly-rounded IEEE, engine-identical); lag/lead pass
+    * raw values through untouched. */
+  def qWindowStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("o_orderpriority").orderBy("o_orderkey")
+    t(spark, sfDir, "orders")
+      .select(
+        col("o_orderkey"), col("o_orderpriority"),
+        row_number().over(w).cast("long").as("rn"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        percent_rank().over(w).as("pr"),
+        cume_dist().over(w).as("cd"),
+        lag("o_totalprice", 1).over(w).as("prev_price"),
+        lead("o_totalprice", 1).over(w).as("next_price"))
+      .orderBy("o_orderkey")
+  }
+
+  val qWindowStatsSql: String =
+    """SELECT o_orderkey, o_orderpriority,
+      |       CAST(row_number() OVER w AS BIGINT) AS rn,
+      |       CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+      |       percent_rank() OVER w AS pr,
+      |       cume_dist() OVER w AS cd,
+      |       lag(o_totalprice) OVER w AS prev_price,
+      |       lead(o_totalprice) OVER w AS next_price
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_orderkey)
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** Fixed-width histogram of l_extendedprice (bin = floor(x/5000)): the
+    * binning idiom for numeric profiling at scale — one scan, map-side
+    * combinable, output rows = bin count not data size. floor of one IEEE
+    * division is engine-identical; sums are decimal-exact per §2.3. */
+  def qHistogram(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "lineitem")
+      .groupBy(floor(col("l_extendedprice") / lit(5000.0)).cast("long").as("bin"))
+      .agg(
+        count(lit(1)).as("n"),
+        dsum(col("l_extendedprice")).as("total"),
+        min(col("l_extendedprice")).as("lo"),
+        max(col("l_extendedprice")).as("hi"))
+      .orderBy("bin")
+
+  val qHistogramSql: String =
+    """SELECT CAST(floor(l_extendedprice / 5000) AS BIGINT) AS bin,
+      |       count(*) AS n,
+      |       CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DECIMAL(28,6)) AS DOUBLE) AS total,
+      |       min(l_extendedprice) AS lo,
+      |       max(l_extendedprice) AS hi
+      |FROM lineitem
+      |GROUP BY 1
+      |ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_window_stats" -> (qWindowStats _),
+    "q_histogram" -> (qHistogram _),
     "q_scan_project_filter" -> (qScanProjectFilter _),
     "q_join_star" -> (qJoinStar _),
     "q_semi_anti" -> (qSemiAnti _),
@@ -431,6 +491,8 @@ object RelationalQueries {
     "q_skew_salted_agg" -> (qSkewSaltedAgg _))
 
   val oracles: Map[String, String] = Map(
+    "q_window_stats" -> qWindowStatsSql,
+    "q_histogram" -> qHistogramSql,
     "q_scan_project_filter" -> qScanProjectFilterSql,
     "q_join_star" -> qJoinStarSql,
     "q_semi_anti" -> qSemiAntiSql,

@@ -129,6 +129,30 @@ class PlanQualitySpec extends SparkSpec {
       s"unpivot should only exchange for the output sort:\n$up")
   }
 
+  test("q_partition_prune: month filter prunes partitions at metadata time") {
+    val p = plan("q_partition_prune")
+    assert(p.contains("PartitionFilters: [ship_month") &&
+      p.contains("IN (1995-03,1995-04,1995-05"),
+      s"partition filter not applied at the scan:\n$p")
+    // the predicate must NOT degrade to a post-scan data filter
+    assert(!p.contains("PushedFilters: [In(ship_month"),
+      s"partition predicate pushed as a data filter instead:\n$p")
+  }
+
+  test("q_window_stats: six window functions share one Window operator") {
+    val p = plan("q_window_stats")
+    assert(p.split("Window ").length - 1 <= 2, // Window + WindowGroupLimit-free sort
+      s"same-spec window functions not collapsed:\n$p")
+    val exchanges = p.split("Exchange").length - 1
+    assert(exchanges <= 2, s"expected partition + output-sort exchanges only:\n$p")
+  }
+
+  test("q_histogram: two-phase aggregate, single scan") {
+    val p = plan("q_histogram")
+    assert(p.split("FileScan parquet").length - 1 == 1, s"histogram scans once:\n$p")
+    assert(p.split("HashAggregate").length >= 3, s"expected map-side partials:\n$p")
+  }
+
   test("fastx scan: column pruning reaches the reader") {
     val df = spark.read.format("fastx").load(FastxFixtures.path("tiny.fasta"))
       .select("header")
