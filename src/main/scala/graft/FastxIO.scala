@@ -55,4 +55,27 @@ object FastxIO {
       regexp_replace(col(sequenceCol), s"(.{$wrap})(?=.)", "$1\n"))
     df.select(record.as("value")).write.mode("overwrite").text(path)
   }
+
+  /** FASTQ sink — 4-line records (`@header / sequence / + / quality`),
+    * written unwrapped per FASTQ convention. Same fully-distributed shape
+    * as [[writeFasta]]: one formatted text value per record, one file per
+    * partition, nothing through the driver; the output scans back via the
+    * fastx reader (including its `@`-in-quality-line disambiguation).
+    * Rows must satisfy length(sequence) == length(quality) — violations
+    * fail the job rather than corrupt the 4-line framing downstream. */
+  def writeFastq(df: DataFrame, path: String,
+                 headerCol: String = "header", sequenceCol: String = "sequence",
+                 qualityCol: String = "quality"): Unit = {
+    import org.apache.spark.sql.functions._
+    val checkedQual = when(
+      length(col(qualityCol)) === length(col(sequenceCol)), col(qualityCol))
+      .otherwise(raise_error(concat(
+        lit("writeFastq: quality length != sequence length for header "),
+        col(headerCol))))
+    val record = concat(
+      lit("@"), col(headerCol), lit("\n"),
+      col(sequenceCol), lit("\n+\n"),
+      checkedQual)
+    df.select(record.as("value")).write.mode("overwrite").text(path)
+  }
 }

@@ -64,6 +64,30 @@ object EventQueries {
       |       max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** Same extraction through Spark 4's VARIANT type: `parse_json` decodes
+    * the string ONCE into the binary semi-structured encoding and every
+    * `variant_get` path walks that encoding — at scale this replaces
+    * per-path JSON re-parsing (`get_json_object` parses the string once per
+    * path expression) and is the representation Spark shreds into columnar
+    * storage. Output is plain longs, so the DuckDB JSON oracle applies. */
+  def qVariantExtract(spark: SparkSession, sfDir: String): DataFrame = {
+    val v = parse_json(col("props"))
+    t(spark, sfDir, "events")
+      .select(pmod(col("user_id"), lit(10L)).as("user_bucket"),
+        variant_get(v, "$.k", "long").as("k"))
+      .groupBy("user_bucket")
+      .agg(count(lit(1)).as("cnt"), sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+      .orderBy("user_bucket")
+  }
+
+  val qVariantExtractSql: String =
+    """SELECT user_id % 10 AS user_bucket, count(*) AS cnt,
+      |       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+      |       min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+      |       max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Tumbling 1-hour event-time windows via Spark's `window()` — epoch
     * aligned, so DuckDB's date_trunc('hour') is the exact oracle. */
   def qTumblingWindow(spark: SparkSession, sfDir: String): DataFrame =
@@ -224,6 +248,7 @@ object EventQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_string_date" -> (qStringDate _),
     "q_json_extract" -> (qJsonExtract _),
+    "q_variant_extract" -> (qVariantExtract _),
     "q_tumbling_window" -> (qTumblingWindow _),
     "q_sliding_window" -> (qSlidingWindow _),
     "q_sessionize" -> (qSessionize _),
@@ -233,6 +258,7 @@ object EventQueries {
   val oracles: Map[String, String] = Map(
     "q_string_date" -> qStringDateSql,
     "q_json_extract" -> qJsonExtractSql,
+    "q_variant_extract" -> qVariantExtractSql,
     "q_tumbling_window" -> qTumblingWindowSql,
     "q_sliding_window" -> qSlidingWindowSql,
     "q_sessionize" -> qSessionizeSql,

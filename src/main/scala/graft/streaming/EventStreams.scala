@@ -80,6 +80,39 @@ object EventStreams {
       .dropDuplicatesWithinWatermark("__key")
       .drop("__key")
 
+  /** Stream-static enrichment join: decorate a streaming fact with a
+    * static dimension (user tier, document metadata, …). The static side
+    * is broadcast, so the stream is never shuffled and no state store is
+    * involved — each micro-batch plans a plain broadcast hash join, and
+    * Spark re-resolves the static relation per batch (a dimension table
+    * that changes on disk is picked up without restarting the query).
+    * This is the stateless streaming join that scales; stream-stream
+    * joins (stateful, watermark-bounded) are a different operator. */
+  def enrichStream(events: DataFrame, dim: DataFrame,
+                   key: String = "user_id"): DataFrame =
+    events.join(broadcast(dim), Seq(key), "left")
+
+  /** Stream-stream interval join (impression→conversion attribution):
+    * match each `right` event to `left` events of the same user that
+    * happened within `maxGap` BEFORE it. Both sides are watermarked and
+    * the join condition bounds event-time distance, so Spark can expire
+    * buffered rows once the watermark passes `ts + maxGap` — state stays
+    * O(events per gap window), not O(stream). Without the time-range
+    * predicate the state store would grow forever; with it, this is the
+    * stateful join that survives an unbounded stream. Each side's columns
+    * are prefixed (`l_` / `r_`) so the joined schema is unambiguous. */
+  def intervalJoin(left: DataFrame, right: DataFrame, maxGap: String = "30 minutes",
+                   key: String = "user_id", watermark: String = "1 hour"): DataFrame = {
+    val l = left.withWatermark("ts", watermark)
+      .select(col(key).as("l_key"), col("ts").as("l_ts"),
+        col("event_id").as("l_event_id"))
+    val r = right.withWatermark("ts", watermark)
+      .select(col(key).as("r_key"), col("ts").as("r_ts"),
+        col("event_id").as("r_event_id"))
+    l.join(r, expr(
+      s"l_key = r_key AND l_ts <= r_ts AND r_ts <= l_ts + interval $maxGap"))
+  }
+
   case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long, value: Double)
   case class SessionState(start: Long, last: Long, nEvents: Long, sumValue: Double)
   case class Session(user_id: Long, start_ts: java.sql.Timestamp,

@@ -271,6 +271,37 @@ class FastxIOSpec extends SparkSpec {
       .flatMap(f => scala.io.Source.fromFile(f).getLines().toSeq)
     assert(lines.forall(_.nonEmpty), s"blank line in output: ${lines.toSeq}")
   }
+
+  test("writeFastq roundtrip: @/+ leading quality lines, multi-partition") {
+    val ss = spark
+    import ss.implicits._
+    // qualities deliberately start with '@' and '+' — the framing ambiguity
+    // the 4-line reader must disambiguate
+    val rows = Seq(
+      ("q1 desc", "ACGTACGT", "@IIIIIII"),
+      ("q2", "ACGT", "+@II"),
+      ("q3", "A", "@"),
+      ("q4", "ACGTN", "IIIII"))
+    val df = rows.toDF("header", "sequence", "quality").repartition(3)
+    val dir = Files.createTempDirectory("fastq_sink").toFile.getAbsolutePath
+    FastxIO.writeFastq(df, dir)
+    val back = FastxIO.scanFastx(spark, dir)
+      .select("header", "sequence", "quality")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(back == rows.toSet)
+  }
+
+  test("writeFastq rejects quality/sequence length mismatch") {
+    val ss = spark
+    import ss.implicits._
+    val df = Seq(("bad", "ACGT", "III")).toDF("header", "sequence", "quality")
+    val dir = Files.createTempDirectory("fastq_sink_bad").toFile.getAbsolutePath
+    val e = intercept[Exception] { FastxIO.writeFastq(df, dir) }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("writeFastq")), s"got: ${messages(e)}")
+  }
 }
 
 class FastxFuzzSpec extends SparkSpec {
