@@ -226,6 +226,119 @@ object TextQueries {
       |FROM ranked WHERE rnk <= 5
       |ORDER BY doc_id, rnk""".stripMargin
 
+  /** Bigram-model corpus scoring — the n-gram-LM quality-filter shape
+    * (KenLM-style) every training-data pipeline runs: TRAIN a model over
+    * the corpus (bigram → document frequency), then SCORE each document by
+    * joining its bigrams back to the model. familiarity = Σ df over the
+    * doc's distinct bigrams; n_unique = bigrams seen nowhere else. All
+    * counts are integers, so the oracle is exact — no transcendental
+    * log-prob needed to pin the plan shape.
+    *
+    * Scale shape: the model is vocabulary-sized (≪ corpus, Heaps' law), so
+    * at 100 TB the score join broadcasts or bucket-joins the model while
+    * the corpus-side bigram explode stays narrow; the bigram set is cached
+    * because it feeds both the model aggregate and the score join. */
+  def qBigramScore(spark: SparkSession, sfDir: String): DataFrame = {
+    val bgs = graft.CacheScope.cached(
+      graft.operators.Dedup.shingleSets(
+        t(spark, sfDir, "documents"), "doc_id", "text", n = 2))
+    val model = bgs.groupBy("sh").agg(count(lit(1)).as("df"))
+    bgs.join(model, "sh")
+      .groupBy(col("id").as("doc_id"))
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        sum(col("df")).as("familiarity"),
+        sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_unique"))
+      .orderBy("doc_id")
+  }
+
+  val qBigramScoreSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS tk
+      |  FROM documents),
+      |bgs AS (
+      |  SELECT DISTINCT doc_id, tk[i] || ' ' || tk[i+1] AS bg
+      |  FROM toks, LATERAL unnest(generate_series(1, len(tk) - 1)) AS t(i)),
+      |model AS (SELECT bg, count(*) AS df FROM bgs GROUP BY bg)
+      |SELECT doc_id, count(*) AS n_bigrams,
+      |       CAST(sum(df) AS BIGINT) AS familiarity,
+      |       CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique
+      |FROM bgs JOIN model USING (bg)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** Gopher-style repetition filter: per-document duplicate-token stats.
+    * Flags documents where more than half the tokens are repeats — the
+    * intra-document repetition signal (looping generations, boilerplate)
+    * every curation pipeline screens for. All outputs are integers
+    * (counts and an integer flag), so the oracle is exact.
+    *
+    * Scale shape: one narrow explode + two keyed aggregations, both on
+    * doc-local keys — the (doc_id, token) partial aggregate combines
+    * map-side, so the shuffle carries distinct (doc, token) pairs, not
+    * raw tokens. Linear at 100 TB; no global state. */
+  def qRepetition(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "documents")
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+      .groupBy("doc_id")
+      .agg(sum(col("tf")).as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        max(col("tf")).as("top_tf"))
+      .withColumn("dup_tokens", col("n_tokens") - col("n_distinct"))
+      .withColumn("flagged",
+        (col("dup_tokens") * 2 > col("n_tokens")).cast("int"))
+      .orderBy("doc_id")
+
+  val qRepetitionSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS token
+      |  FROM documents),
+      |tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2)
+      |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+      |       count(*) AS n_distinct, CAST(max(tf) AS BIGINT) AS top_tf,
+      |       CAST(sum(tf) - count(*) AS BIGINT) AS dup_tokens,
+      |       CAST(CASE WHEN (sum(tf) - count(*)) * 2 > sum(tf) THEN 1 ELSE 0 END AS INT) AS flagged
+      |FROM tf GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** Benchmark decontamination: flag corpus documents sharing any word
+    * 5-gram with a held-out "benchmark" set (docs with doc_id % 7 == 0
+    * stand in for an eval suite). This is the n-gram-overlap decontam
+    * pass (GPT-3/LLaMA-style, 13-grams in production; 5 here to suit the
+    * synthetic vocabulary) that must run over every training corpus.
+    *
+    * Scale shape: the benchmark n-gram set is eval-suite-sized — tiny
+    * relative to the corpus — so it BROADCASTS and the corpus side is one
+    * narrow explode + hash-join + per-doc aggregate; the corpus is never
+    * shuffled on the n-gram key. Reuses [[graft.operators.Dedup.shingleSets]]
+    * so the n-gram definition is shared with the dedup family. */
+  def qDecontaminate(spark: SparkSession, sfDir: String): DataFrame = {
+    val sh = graft.CacheScope.cached(graft.operators.Dedup.shingleSets(
+      t(spark, sfDir, "documents"), "doc_id", "text", n = 5))
+    val bench = sh.filter(pmod(col("id"), lit(7L)) === 0)
+      .select(col("sh")).distinct().withColumn("__hit", lit(1L))
+    sh.filter(pmod(col("id"), lit(7L)) =!= 0)
+      .join(broadcast(bench), Seq("sh"), "left")
+      .groupBy(col("id").as("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(coalesce(col("__hit"), lit(0L))).as("n_contaminated"))
+      .filter(col("n_contaminated") > 0)
+      .orderBy("doc_id")
+  }
+
+  val qDecontaminateSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS tk
+      |  FROM documents),
+      |shg AS (
+      |  SELECT DISTINCT doc_id,
+      |         tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3] || ' ' || tk[i+4] AS sh
+      |  FROM toks, LATERAL unnest(generate_series(1, len(tk) - 4)) AS t(i)),
+      |bench AS (SELECT DISTINCT sh FROM shg WHERE doc_id % 7 = 0)
+      |SELECT doc_id, count(*) AS n_shingles,
+      |       CAST(sum(CASE WHEN sh IN (SELECT sh FROM bench) THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated
+      |FROM shg WHERE doc_id % 7 <> 0
+      |GROUP BY doc_id HAVING n_contaminated > 0 ORDER BY doc_id""".stripMargin
+
   /** Lateral explode with ordinal position (the UDTF/LATERAL VIEW shape):
     * posexplode keeps each token's offset in the filtered token array.
     * Narrow generate inside the scan stage — row expansion never
@@ -247,6 +360,9 @@ object TextQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_tfidf" -> (qTfidf _),
+    "q_bigram_score" -> (qBigramScore _),
+    "q_repetition" -> (qRepetition _),
+    "q_decontaminate" -> (qDecontaminate _),
     "q_lateral" -> (qLateral _),
     "q_text_tokens" -> (qTextTokens _),
     "q_dedup_exact" -> (qDedupExact _),
@@ -257,6 +373,9 @@ object TextQueries {
 
   val oracles: Map[String, String] = Map(
     "q_tfidf" -> qTfidfSql,
+    "q_bigram_score" -> qBigramScoreSql,
+    "q_repetition" -> qRepetitionSql,
+    "q_decontaminate" -> qDecontaminateSql,
     "q_lateral" -> qLateralSql,
     "q_text_tokens" -> qTextTokensSql,
     "q_dedup_exact" -> qDedupExactSql,

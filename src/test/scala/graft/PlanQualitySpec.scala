@@ -153,6 +153,35 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.split("HashAggregate").length >= 3, s"expected map-side partials:\n$p")
   }
 
+  test("q_decontaminate: benchmark n-gram set broadcasts; corpus never shuffles on the n-gram") {
+    val p = plan("q_decontaminate")
+    assert(p.contains("BroadcastHashJoin"), s"benchmark side not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"corpus shuffled on the n-gram key — broadcast lost:\n$p")
+  }
+
+  test("q_repetition: both aggregations two-phase (map-side combine on doc-local keys)") {
+    val p = plan("q_repetition")
+    // (doc_id, token) partial + final, then doc_id partial + final = ≥4
+    assert(p.split("HashAggregate").length >= 5, s"expected two 2-phase aggs:\n$p")
+    assert(!p.contains("SortAggregate"), s"hash agg degraded to sort agg:\n$p")
+  }
+
+  test("q_variant_extract: single parse_json feeds every path via CSE") {
+    val p = plan("q_variant_extract")
+    // the project stage must evaluate parse_json once (common subexpression
+    // elimination), not once per variant_get path
+    val parses = p.split("parse_json").length - 1
+    assert(parses <= 2, s"parse_json evaluated per path:\n$p")
+  }
+
+  test("q_bigram_score: model join reuses the cached shingle set (one corpus scan)") {
+    val p = plan("q_bigram_score")
+    assert(p.split("InMemoryTableScan").length - 1 >= 2,
+      s"shingle set not reused from cache:\n$p")
+    CacheScope.release()
+  }
+
   test("fastx scan: column pruning reaches the reader") {
     val df = spark.read.format("fastx").load(FastxFixtures.path("tiny.fasta"))
       .select("header")

@@ -78,6 +78,62 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static enrichment join equals the batch join, and broadcasts") {
+    val stream = EventStreams.readEventStream(spark, TestSpark.Sf0001)
+    val batchEvents = graft.Tables.t(spark, TestSpark.Sf0001, "events")
+    // static dimension: user tier derived deterministically from user_id
+    val dim = batchEvents.select("user_id").distinct()
+      .withColumn("tier", pmod(col("user_id"), lit(3L)))
+    val enriched = EventStreams.enrichStream(stream, dim)
+      .groupBy("tier").agg(count(lit(1)).as("cnt"))
+    val q = enriched.writeStream.format("memory").queryName("enrich_test")
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("enrich_test")
+      .select("tier", "cnt").as[(Long, Long)].collect().toSet
+    val batch = batchEvents.join(dim, Seq("user_id"), "left")
+      .groupBy("tier").agg(count(lit(1)).as("cnt"))
+      .select("tier", "cnt").as[(Long, Long)].collect().toSet
+    assert(streamed == batch, s"stream=$streamed batch=$batch")
+    // the join must be a broadcast hash join — the stream side never shuffles
+    val p = EventStreams.enrichStream(stream, dim)
+      .queryExecution.analyzed.toString
+    assert(p.contains("ResolvedHint"), s"broadcast hint lost:\n$p")
+  }
+
+  test("stream-stream interval join matches the batch join on the same rows") {
+    implicit val sq = spark.sqlContext
+    def ts(min: Long) = new Timestamp((300000 + min) * 60000L)
+    // impressions (left) and clicks (right); user 1 clicks twice — one
+    // inside the 30-min gap, one outside; user 2's click precedes the
+    // impression (must NOT match); user 3 has no click
+    val imps = Seq((10L, ts(0), 1L), (11L, ts(0), 2L), (12L, ts(5), 3L))
+    val clicks = Seq((20L, ts(10), 1L), (21L, ts(50), 1L), (22L, ts(-5), 2L))
+    val li = MemoryStream[(Long, Timestamp, Long)]
+    val ri = MemoryStream[(Long, Timestamp, Long)]
+    def shape(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("_1").as("event_id"), col("_2").as("ts"), col("_3").as("user_id"))
+    val joined = EventStreams.intervalJoin(shape(li.toDS().toDF()), shape(ri.toDS().toDF()))
+      .select("l_event_id", "r_event_id")
+    val q = joined.writeStream.format("memory").queryName("ssjoin_test")
+      .outputMode("append").start()
+    try {
+      li.addData(imps: _*); ri.addData(clicks: _*)
+      q.processAllAvailable()
+      // advance both watermarks far past every buffered row so results flush
+      li.addData((98L, ts(500), 99L)); ri.addData((99L, ts(500), 98L))
+      q.processAllAvailable()
+      val streamed = spark.table("ssjoin_test")
+        .as[(Long, Long)].collect().toSet
+      val lb = shape(imps.toDF())
+      val rb = shape(clicks.toDF())
+      val batch = EventStreams.intervalJoin(lb, rb)
+        .select("l_event_id", "r_event_id").as[(Long, Long)].collect().toSet
+      assert(streamed == batch && batch == Set((10L, 20L)),
+        s"stream=$streamed batch=$batch")
+    } finally q.stop()
+  }
+
   test("streaming exact dedup: first content wins, state bounded by watermark") {
     implicit val sq = spark.sqlContext
     val input = MemoryStream[(Long, Timestamp, String)]
