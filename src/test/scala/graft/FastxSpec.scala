@@ -363,6 +363,26 @@ class FastxFuzzSpec extends SparkSpec {
     }
   }
 
+  test("random writeFastq roundtrip: generated rows -> sink -> scan -> identical") {
+    val ss = spark
+    import ss.implicits._
+    val rnd = new scala.util.Random(17)
+    val rows = (0 until 200).map { i =>
+      val len = 1 + rnd.nextInt(80)
+      val seq = (0 until len).map(_ => "ACGTNacgtn".charAt(rnd.nextInt(10))).mkString
+      // full printable Phred range — '@' and '+' leading chars included
+      val qual = (0 until len).map(_ => ('!' + rnd.nextInt(94)).toChar).mkString
+      val header = s"f$i " + rnd.alphanumeric.take(rnd.nextInt(12)).mkString
+      (header.trim, seq, qual)
+    }
+    val dir = Files.createTempDirectory("fastq_sink_fuzz").toFile.getAbsolutePath
+    FastxIO.writeFastq(rows.toDF("header", "sequence", "quality").repartition(5), dir)
+    val got = spark.read.format("fastx").load(dir)
+      .select("header", "sequence", "quality")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(got == rows.toSet)
+  }
+
   test("random FASTQ roundtrip incl. @ and + in quality strings") {
     val rnd = new scala.util.Random(11)
     val records = (0 until 200).map { i =>
