@@ -2,7 +2,7 @@ package graft.queries
 
 import java.io.File
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables._
 
@@ -58,9 +58,60 @@ object LayoutQueries {
       |GROUP BY 1, 2
       |ORDER BY 1, 2""".stripMargin
 
+  /** 16-bit Morton spread: bits of the low 16 bits of `x` moved to even
+    * positions (0,2,4,…). Pure codegen'd integer Column math — the
+    * standard mask-shift spread. */
+  private def spreadBits(x: Column): Column = {
+    val v0 = x.bitwiseAND(lit(0xFFFFL))
+    val v1 = (v0.bitwiseOR(shiftleft(v0, 8))).bitwiseAND(lit(0x00FF00FFL))
+    val v2 = (v1.bitwiseOR(shiftleft(v1, 4))).bitwiseAND(lit(0x0F0F0F0FL))
+    val v3 = (v2.bitwiseOR(shiftleft(v2, 2))).bitwiseAND(lit(0x33333333L))
+    (v3.bitwiseOR(shiftleft(v3, 1))).bitwiseAND(lit(0x55555555L))
+  }
+
+  /** Z-order (Morton) key of two 16-bit dimensions: interleaved bits, so a
+    * range of keys covers a 2-D rectangle of (a, b) space. */
+  def zorderKey(a: Column, b: Column): Column =
+    spreadBits(a).bitwiseOR(shiftleft(spreadBits(b), 1))
+
+  /** Z-order layout key — the multi-dimension data-skipping technique
+    * (Delta/Iceberg OPTIMIZE ZORDER BY): interleave the bits of
+    * (user_id, minute-of-day) so that sorting by the single Morton key
+    * co-locates rows that are close in BOTH dimensions. Parquet row-group
+    * min/max stats on zkey then skip data for predicates on either column —
+    * the layout that makes a 100 TB table selectively readable on two axes
+    * at once, where a lexicographic sort only serves its leading column.
+    * The key is pure integer bit math, so the oracle is bit-exact; the
+    * orderBy IS the layout (range partitioning = the cluster write shape). */
+  def qZorder(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = t(spark, sfDir, "events")
+      .select(col("event_id"), col("user_id"),
+        (hour(col("ts")) * 60 + minute(col("ts"))).cast("long").as("minute_of_day"))
+    ev.select(col("event_id"), col("user_id"), col("minute_of_day"),
+        zorderKey(col("user_id"), col("minute_of_day")).as("zkey"))
+      .orderBy(col("zkey"), col("event_id"))
+  }
+
+  val qZorderSql: String = {
+    def spread(x: String): String = {
+      val v0 = s"($x & 65535)"
+      val v1 = s"(($v0 | ($v0 << 8)) & 16711935)"
+      val v2 = s"(($v1 | ($v1 << 4)) & 252645135)"
+      val v3 = s"(($v2 | ($v2 << 2)) & 858993459)"
+      s"(($v3 | ($v3 << 1)) & 1431655765)"
+    }
+    val minute = "(CAST(hour(ts) AS BIGINT) * 60 + CAST(minute(ts) AS BIGINT))"
+    s"""SELECT event_id, user_id, $minute AS minute_of_day,
+       |       (${spread("user_id")} | (${spread(minute)} << 1)) AS zkey
+       |FROM events
+       |ORDER BY zkey, event_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_partition_prune" -> (qPartitionPrune _))
+    "q_partition_prune" -> (qPartitionPrune _),
+    "q_zorder" -> (qZorder _))
 
   val oracles: Map[String, String] = Map(
-    "q_partition_prune" -> qPartitionPruneSql)
+    "q_partition_prune" -> qPartitionPruneSql,
+    "q_zorder" -> qZorderSql)
 }

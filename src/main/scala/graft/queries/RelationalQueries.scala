@@ -78,6 +78,44 @@ object RelationalQueries {
       |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
       |ORDER BY tag, c_custkey""".stripMargin
 
+  /** Full outer join — snapshot reconciliation (the one outer-join shape
+    * the semi/anti/star queries don't cover): per-user event activity vs
+    * per-customer high-value orders, FULL OUTER on the shared key so the
+    * output keeps left-only (active user, no big orders), right-only
+    * (big-order customer, no events), and matched rows, labeled.
+    *
+    * Scale shape: both sides pre-aggregate BEFORE the join, so the outer
+    * join runs on two already-reduced keyed tables (distinct keys, not raw
+    * facts) — at 100 TB the shuffle carries one row per key per side. Full
+    * outer cannot drop rows, so a shuffle join on the key is the correct
+    * plan, not a missed broadcast. */
+  def qFullOuter(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = t(spark, sfDir, "events")
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n_events"))
+    val big = t(spark, sfDir, "orders")
+      .filter(col("o_totalprice") > 400000d)
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_big_orders"))
+    ev.join(big, col("user_id") === col("o_custkey"), "full_outer")
+      .select(
+        coalesce(col("user_id"), col("o_custkey")).as("key"),
+        col("n_events"), col("n_big_orders"),
+        when(col("user_id").isNull, lit("orders_only"))
+          .when(col("o_custkey").isNull, lit("events_only"))
+          .otherwise(lit("both")).as("presence"))
+      .orderBy("key")
+  }
+
+  val qFullOuterSql: String =
+    """WITH ev AS (SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id),
+      |big AS (SELECT o_custkey, count(*) AS n_big_orders FROM orders
+      |        WHERE o_totalprice > 400000 GROUP BY o_custkey)
+      |SELECT coalesce(user_id, o_custkey) AS key, n_events, n_big_orders,
+      |       CASE WHEN user_id IS NULL THEN 'orders_only'
+      |            WHEN o_custkey IS NULL THEN 'events_only'
+      |            ELSE 'both' END AS presence
+      |FROM ev FULL OUTER JOIN big ON user_id = o_custkey
+      |ORDER BY key""".stripMargin
+
   /** TPC-H Q1 shape: multi-aggregate hash agg with exact decimal arithmetic.
     * disc_price = dec(price)·dec(1-discount) stays decimal end-to-end. */
   def qAggQ1(spark: SparkSession, sfDir: String): DataFrame =
@@ -474,6 +512,7 @@ object RelationalQueries {
     "q_scan_project_filter" -> (qScanProjectFilter _),
     "q_join_star" -> (qJoinStar _),
     "q_semi_anti" -> (qSemiAnti _),
+    "q_full_outer" -> (qFullOuter _),
     "q_agg_q1" -> (qAggQ1 _),
     "q_rollup" -> (qRollup _),
     "q_cube" -> (qCube _),
@@ -496,6 +535,7 @@ object RelationalQueries {
     "q_scan_project_filter" -> qScanProjectFilterSql,
     "q_join_star" -> qJoinStarSql,
     "q_semi_anti" -> qSemiAntiSql,
+    "q_full_outer" -> qFullOuterSql,
     "q_agg_q1" -> qAggQ1Sql,
     "q_rollup" -> qRollupSql,
     "q_percentile" -> qPercentileSql,

@@ -240,8 +240,66 @@ object SimilarityQueries {
         probeId = 0L, k = 5, nProbe = 4)
   }
 
+  /** Per-label centroids + pairwise label cosine — the cluster-summary op
+    * for an embedding pipeline (label drift, near-duplicate classes).
+    * Exactness: quantize components (floor(v·2^20)), sum as integers
+    * (order-free), centroid component = floor(s/n) back on the integer
+    * grid, then integer dot/norms; one final sqrt+divide chain on
+    * identical doubles, quantized. |s| ≤ n·2^20 < 2^53 ⇒ every integer
+    * step is exact in both engines.
+    *
+    * Scale shape: the exploded (label, pos) aggregate is two-phase (the
+    * shuffle carries labels×dims rows, not vectors); the centroid table is
+    * labels×dims — tiny — so the pairwise stage is driver-free and the
+    * pos-keyed self-join broadcasts. Linear in corpus size, quadratic only
+    * in #labels. */
+  def qEmbedCentroids(spark: SparkSession, sfDir: String): DataFrame = {
+    val comp = t(spark, sfDir, "embeddings")
+      .select(col("label"), posexplode(quantArr(col("embedding"))).as(Seq("pos", "vq")))
+      .groupBy(col("label"), col("pos"))
+      .agg(sum(col("vq")).as("s"), count(lit(1)).as("n"))
+      .select(col("label"), col("pos"),
+        floor(col("s").cast("double") / col("n").cast("double")).cast("long").as("cq"))
+    val cent = graft.CacheScope.cached(comp)
+    val norms = cent.groupBy(col("label")).agg(sum(col("cq") * col("cq")).as("nq"))
+    val dots = cent.select(col("label").as("l1"), col("pos"), col("cq").as("cq1"))
+      .join(cent.select(col("label").as("l2"), col("pos"), col("cq").as("cq2")), Seq("pos"))
+      .filter(col("l1") < col("l2"))
+      .groupBy("l1", "l2").agg(sum(col("cq1") * col("cq2")).as("dot"))
+    dots
+      .join(broadcast(norms.select(col("label").as("l1"), col("nq").as("nq1"))), Seq("l1"))
+      .join(broadcast(norms.select(col("label").as("l2"), col("nq").as("nq2"))), Seq("l2"))
+      .select(col("l1"), col("l2"),
+        floor(col("dot").cast("double") /
+          sqrt(col("nq1").cast("double") * col("nq2").cast("double")) * 1048576d)
+          .cast("long").as("cos_q"))
+      .orderBy("l1", "l2")
+  }
+
+  val qEmbedCentroidsSql: String =
+    """WITH comp AS (
+      |  SELECT label, i - 1 AS pos,
+      |         CAST(sum(CAST(floor(CAST(embedding[i] AS DOUBLE) * 1048576) AS BIGINT)) AS BIGINT) AS s,
+      |         count(*) AS n
+      |  FROM embeddings, LATERAL unnest(generate_series(1, len(embedding))) AS t(i)
+      |  GROUP BY 1, 2),
+      |cent AS (SELECT label, pos,
+      |                CAST(floor(CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) AS BIGINT) AS cq
+      |         FROM comp),
+      |norms AS (SELECT label, CAST(sum(cq * cq) AS BIGINT) AS nq FROM cent GROUP BY label),
+      |dots AS (SELECT a.label AS l1, b.label AS l2, CAST(sum(a.cq * b.cq) AS BIGINT) AS dot
+      |         FROM cent a JOIN cent b ON a.pos = b.pos AND a.label < b.label
+      |         GROUP BY 1, 2)
+      |SELECT l1, l2,
+      |       CAST(floor(CAST(dot AS DOUBLE) / sqrt(CAST(na.nq AS DOUBLE) * CAST(nb.nq AS DOUBLE)) * 1048576) AS BIGINT) AS cos_q
+      |FROM dots
+      |JOIN norms na ON na.label = dots.l1
+      |JOIN norms nb ON nb.label = dots.l2
+      |ORDER BY l1, l2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_simsearch" -> (qSimsearch _),
+    "q_embed_centroids" -> (qEmbedCentroids _),
     "q_embed_neardup" -> (qEmbedNeardup _),
     "q_embed_neardup_rh" -> (qEmbedNeardupRh _),
     "q_simsearch_brute" -> (qSimsearchBrute _),
@@ -249,6 +307,7 @@ object SimilarityQueries {
 
   val oracles: Map[String, String] = Map(
     "q_simsearch" -> qSimsearchSql,
+    "q_embed_centroids" -> qEmbedCentroidsSql,
     "q_embed_neardup" -> qEmbedNeardupSql,
     "q_embed_neardup_rh" -> qEmbedNeardupRhSql)
 }

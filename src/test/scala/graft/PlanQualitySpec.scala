@@ -182,6 +182,23 @@ class PlanQualitySpec extends SparkSpec {
     CacheScope.release()
   }
 
+  test("q_full_outer: both sides reduced before the outer join") {
+    val p = plan("q_full_outer")
+    assert(p.contains("FullOuter"), s"full outer join missing:\n$p")
+    // pre-aggregation must sit under the join: 2 two-phase aggs (≥4) before it
+    assert(p.split("HashAggregate").length >= 5,
+      s"sides not pre-aggregated before the join:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian:\n$p")
+  }
+
+  test("q_embed_centroids: vector explode two-phase; tiny norm joins broadcast") {
+    val p = plan("q_embed_centroids")
+    assert(p.contains("BroadcastHashJoin"), s"norm joins not broadcast:\n$p")
+    assert(p.split("InMemoryTableScan").length - 1 >= 2,
+      s"centroid table not reused from cache:\n$p")
+    CacheScope.release()
+  }
+
   test("fastx scan: column pruning reaches the reader") {
     val df = spark.read.format("fastx").load(FastxFixtures.path("tiny.fasta"))
       .select("header")
