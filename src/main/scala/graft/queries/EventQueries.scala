@@ -88,6 +88,24 @@ object EventQueries {
       |       max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Frequent-items sketch: `approx_top_k` (count-min-style bounded-state
+    * top-k) over event_type. The sketch tracks 100 items — far above the
+    * column's cardinality — so its counts are EXACT here and the plain
+    * GROUP BY top-3 is a hash-exact oracle; at 100 TB the same plan keeps
+    * fixed memory per partition where an exact distinct-count aggregation
+    * would shuffle every group. Tie-broken on item for a total order. */
+  def qApproxTopk(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "events")
+      .agg(expr("approx_top_k(event_type, 3, 100)").as("topk"))
+      .select(explode(col("topk")).as("e"))
+      .select(col("e.item").as("item"), col("e.count").as("cnt"))
+      .orderBy(col("cnt").desc, col("item"))
+
+  val qApproxTopkSql: String =
+    """SELECT event_type AS item, count(*) AS cnt
+      |FROM events GROUP BY 1
+      |ORDER BY cnt DESC, item LIMIT 3""".stripMargin
+
   /** Tumbling 1-hour event-time windows via Spark's `window()` — epoch
     * aligned, so DuckDB's date_trunc('hour') is the exact oracle. */
   def qTumblingWindow(spark: SparkSession, sfDir: String): DataFrame =
@@ -249,6 +267,7 @@ object EventQueries {
     "q_string_date" -> (qStringDate _),
     "q_json_extract" -> (qJsonExtract _),
     "q_variant_extract" -> (qVariantExtract _),
+    "q_approx_topk" -> (qApproxTopk _),
     "q_tumbling_window" -> (qTumblingWindow _),
     "q_sliding_window" -> (qSlidingWindow _),
     "q_sessionize" -> (qSessionize _),
@@ -259,6 +278,7 @@ object EventQueries {
     "q_string_date" -> qStringDateSql,
     "q_json_extract" -> qJsonExtractSql,
     "q_variant_extract" -> qVariantExtractSql,
+    "q_approx_topk" -> qApproxTopkSql,
     "q_tumbling_window" -> qTumblingWindowSql,
     "q_sliding_window" -> qSlidingWindowSql,
     "q_sessionize" -> qSessionizeSql,
