@@ -106,6 +106,32 @@ object EventQueries {
       |FROM events GROUP BY 1
       |ORDER BY cnt DESC, item LIMIT 3""".stripMargin
 
+  /** Changelog compaction (CDC log → current state): the latest event per
+    * user, deterministically tie-broken on event_id. The rank-1 window
+    * filter plans as WindowGroupLimit (Spark 3.5+): each map task keeps
+    * only its per-key top-1 BEFORE the shuffle, so the exchange carries
+    * ~one row per key per partition — the scalable "latest row" plan, not
+    * a full-table sort. This is the compaction every CDC/upsert ingest
+    * runs to materialize a snapshot from an append log. */
+  def qChangelogCompact(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    t(spark, sfDir, "events")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_str"))
+      .orderBy("user_id")
+  }
+
+  val qChangelogCompactSql: String =
+    """SELECT user_id, event_id, event_type,
+      |       strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str
+      |FROM (SELECT *, row_number() OVER
+      |        (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      |      FROM events)
+      |WHERE rn = 1 ORDER BY user_id""".stripMargin
+
   /** Tumbling 1-hour event-time windows via Spark's `window()` — epoch
     * aligned, so DuckDB's date_trunc('hour') is the exact oracle. */
   def qTumblingWindow(spark: SparkSession, sfDir: String): DataFrame =
@@ -268,6 +294,7 @@ object EventQueries {
     "q_json_extract" -> (qJsonExtract _),
     "q_variant_extract" -> (qVariantExtract _),
     "q_approx_topk" -> (qApproxTopk _),
+    "q_changelog_compact" -> (qChangelogCompact _),
     "q_tumbling_window" -> (qTumblingWindow _),
     "q_sliding_window" -> (qSlidingWindow _),
     "q_sessionize" -> (qSessionize _),
@@ -279,6 +306,7 @@ object EventQueries {
     "q_json_extract" -> qJsonExtractSql,
     "q_variant_extract" -> qVariantExtractSql,
     "q_approx_topk" -> qApproxTopkSql,
+    "q_changelog_compact" -> qChangelogCompactSql,
     "q_tumbling_window" -> qTumblingWindowSql,
     "q_sliding_window" -> qSlidingWindowSql,
     "q_sessionize" -> qSessionizeSql,

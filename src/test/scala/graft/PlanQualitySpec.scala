@@ -199,6 +199,57 @@ class PlanQualitySpec extends SparkSpec {
     CacheScope.release()
   }
 
+  test("q_changelog_compact: rank-1 filter becomes a map-side WindowGroupLimit") {
+    val p = plan("q_changelog_compact")
+    assert(p.contains("WindowGroupLimit"),
+      s"latest-row filter not pushed to a group limit:\n$p")
+  }
+
+  test("runtime bloom filter prunes the fact side of a selective shuffle join") {
+    // the 100 TB feature: a selective dim-side predicate on a NON-broadcast
+    // join injects a bloom filter into the fact scan, so most fact rows die
+    // at the scan instead of crossing the shuffle. Thresholds are tuned for
+    // test-scale data; at cluster scale the defaults (10M creation / 10G
+    // application) trigger on real selective joins.
+    import org.apache.spark.sql.functions._
+    val confs = Map(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      val li = Tables.t(spark, TestSpark.Sf0001, "lineitem")
+      val sel = Tables.t(spark, TestSpark.Sf0001, "orders")
+        .filter(col("o_totalprice") > 400000d)
+      val j = li.join(sel, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderstatus").agg(count(lit(1)).as("n"))
+      val p = j.queryExecution.optimizedPlan.toString
+      assert(p.contains("might_contain") || p.contains("bloom_filter"),
+        s"no runtime bloom filter injected:\n$p")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  test("zorder key is bijective on the 16-bit grid (no key collisions)") {
+    import org.apache.spark.sql.functions._
+    val ss = spark
+    import ss.implicits._
+    val rnd = new scala.util.Random(23)
+    val pairs = (0 until 2000).map(_ => (rnd.nextInt(65536).toLong, rnd.nextInt(65536).toLong)).distinct
+    val df = pairs.toDF("a", "b")
+      .select(col("a"), col("b"),
+        graft.queries.LayoutQueries.zorderKey(col("a"), col("b")).as("z"))
+    val n = df.select("z").distinct().count()
+    assert(n == pairs.size, s"zorder collision: $n distinct keys for ${pairs.size} pairs")
+    // interleave of 16-bit inputs stays within 32 bits
+    val mx = df.agg(max("z")).head.getLong(0)
+    assert(mx < (1L << 32), s"zkey exceeded 32 bits: $mx")
+  }
+
   test("fastx scan: column pruning reaches the reader") {
     val df = spark.read.format("fastx").load(FastxFixtures.path("tiny.fasta"))
       .select("header")
