@@ -201,6 +201,47 @@ object EventQueries {
         dsum(col("value")).as("sum_value"))
       .orderBy("user_id", "session_id")
 
+  /** Same sessionization through the BUILT-IN `session_window` aggregate:
+    * Catalyst plans merging session instances inside a two-phase aggregate
+    * (partial sessions map-side, merged after one shuffle on user_id) —
+    * no window-function sort over the whole log, which is what makes it
+    * the preferred batch form at scale and the form that lifts directly
+    * to streaming state. Semantics differ from [[qSessionize]] ONLY at an
+    * exact-gap boundary: session windows are half-open, so a row at
+    * prev_ts + gap starts a NEW session (oracle uses >=, not >). */
+  def qSessionWindow(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "events")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+      .select(col("user_id"),
+        fmtTs(col("sw.start")).as("session_start"),
+        fmtTs(col("sw.end")).as("session_end"),
+        col("n_events"), col("sum_value"))
+      .orderBy("user_id", "session_start")
+
+  val qSessionWindowSql: String =
+    """WITH lagged AS (
+      |  SELECT user_id, event_id, ts, value,
+      |         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      |  FROM events),
+      |flagged AS (
+      |  SELECT *, CASE WHEN prev_ts IS NULL
+      |                   OR ts - prev_ts >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS is_new
+      |  FROM lagged),
+      |sess AS (
+      |  SELECT user_id, ts, value,
+      |         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                           ROWS UNBOUNDED PRECEDING) AS grp
+      |  FROM flagged)
+      |SELECT user_id,
+      |       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+      |       strftime(max(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS session_end,
+      |       count(*) AS n_events,
+      |       CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(28,6)) AS DOUBLE) AS sum_value
+      |FROM sess
+      |GROUP BY user_id, grp
+      |ORDER BY user_id, session_start""".stripMargin
+
   val qSessionizeSql: String =
     """WITH lagged AS (
       |  SELECT user_id, event_id, ts, value,
@@ -295,6 +336,7 @@ object EventQueries {
     "q_variant_extract" -> (qVariantExtract _),
     "q_approx_topk" -> (qApproxTopk _),
     "q_changelog_compact" -> (qChangelogCompact _),
+    "q_session_window" -> (qSessionWindow _),
     "q_tumbling_window" -> (qTumblingWindow _),
     "q_sliding_window" -> (qSlidingWindow _),
     "q_sessionize" -> (qSessionize _),
@@ -307,6 +349,7 @@ object EventQueries {
     "q_variant_extract" -> qVariantExtractSql,
     "q_approx_topk" -> qApproxTopkSql,
     "q_changelog_compact" -> qChangelogCompactSql,
+    "q_session_window" -> qSessionWindowSql,
     "q_tumbling_window" -> qTumblingWindowSql,
     "q_sliding_window" -> qSlidingWindowSql,
     "q_sessionize" -> qSessionizeSql,
