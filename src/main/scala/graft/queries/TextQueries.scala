@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.Tables._
 import graft.functions.TextFunctions._
 
@@ -339,6 +340,54 @@ object TextQueries {
       |FROM shg WHERE doc_id % 7 <> 0
       |GROUP BY doc_id HAVING n_contaminated > 0 ORDER BY doc_id""".stripMargin
 
+  /** Sequence packing — the pre-training batch-prep op: concatenate
+    * documents in a fixed order and cut into fixed token-capacity packs
+    * (capacity 2048 here), reporting per-pack document count, token sum,
+    * and id range. A pack's id is the capacity-quotient of its starting
+    * token offset, i.e. greedy concat-and-cut, the packing LLM data loaders
+    * actually use (not NP-hard bin packing).
+    *
+    * Scale shape: GLOBAL sequential packing is inherently serial, so the
+    * corpus is sharded (doc_id % 32 — deterministic, engine-portable) and
+    * packed WITHIN shards: the running-offset window partitions by shard,
+    * so every shard packs in parallel and state per task is one counter.
+    * At 100 TB: more shards, same plan; pack ids are (shard, local pack). */
+  def qPackSequences(spark: SparkSession, sfDir: String): DataFrame = {
+    val capacity = 2048L
+    val docs = t(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        size(tokens(col("text"))).cast("long").as("n_tokens"),
+        pmod(col("doc_id"), lit(32L)).as("shard"))
+    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+    docs
+      .withColumn("start_offset", sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .withColumn("pack_id", (col("start_offset") / lit(capacity)).cast("long"))
+      .groupBy(col("shard"), col("pack_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("pack_tokens"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+      .orderBy("shard", "pack_id")
+  }
+
+  val qPackSequencesSql: String =
+    """WITH sized AS (
+      |  SELECT doc_id,
+      |         len(list_filter(string_split(text, ' '), t -> t <> '')) AS n_tokens,
+      |         doc_id % 32 AS shard
+      |  FROM documents),
+      |offs AS (
+      |  SELECT *, sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+      |                                ROWS UNBOUNDED PRECEDING) - n_tokens AS start_offset
+      |  FROM sized)
+      |SELECT shard, CAST(start_offset // 2048 AS BIGINT) AS pack_id,
+      |       count(*) AS n_docs,
+      |       CAST(sum(n_tokens) AS BIGINT) AS pack_tokens,
+      |       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+      |FROM offs
+      |GROUP BY 1, 2
+      |ORDER BY 1, 2""".stripMargin
+
   /** Lateral explode with ordinal position (the UDTF/LATERAL VIEW shape):
     * posexplode keeps each token's offset in the filtered token array.
     * Narrow generate inside the scan stage — row expansion never
@@ -363,6 +412,7 @@ object TextQueries {
     "q_bigram_score" -> (qBigramScore _),
     "q_repetition" -> (qRepetition _),
     "q_decontaminate" -> (qDecontaminate _),
+    "q_pack_sequences" -> (qPackSequences _),
     "q_lateral" -> (qLateral _),
     "q_text_tokens" -> (qTextTokens _),
     "q_dedup_exact" -> (qDedupExact _),
@@ -376,6 +426,7 @@ object TextQueries {
     "q_bigram_score" -> qBigramScoreSql,
     "q_repetition" -> qRepetitionSql,
     "q_decontaminate" -> qDecontaminateSql,
+    "q_pack_sequences" -> qPackSequencesSql,
     "q_lateral" -> qLateralSql,
     "q_text_tokens" -> qTextTokensSql,
     "q_dedup_exact" -> qDedupExactSql,
