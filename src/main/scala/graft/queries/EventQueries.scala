@@ -206,9 +206,10 @@ object EventQueries {
     * (partial sessions map-side, merged after one shuffle on user_id) —
     * no window-function sort over the whole log, which is what makes it
     * the preferred batch form at scale and the form that lifts directly
-    * to streaming state. Semantics differ from [[qSessionize]] ONLY at an
-    * exact-gap boundary: session windows are half-open, so a row at
-    * prev_ts + gap starts a NEW session (oracle uses >=, not >). */
+    * to streaming state. Exact-gap boundary (pinned in QueriesSmokeSpec):
+    * a row at exactly prev_ts + gap MERGES — session intervals are closed
+    * at the end — matching [[qSessionize]]'s strict-> break, so both
+    * sessionizers share one grouping semantic. */
   def qSessionWindow(spark: SparkSession, sfDir: String): DataFrame =
     t(spark, sfDir, "events")
       .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
@@ -226,7 +227,7 @@ object EventQueries {
       |  FROM events),
       |flagged AS (
       |  SELECT *, CASE WHEN prev_ts IS NULL
-      |                   OR ts - prev_ts >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS is_new
+      |                   OR ts - prev_ts > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS is_new
       |  FROM lagged),
       |sess AS (
       |  SELECT user_id, ts, value,

@@ -28,6 +28,24 @@ class QueriesSmokeSpec extends SparkSpec {
     }
   }
 
+  test("session_window boundary: exact-gap row MERGES, gap+1min breaks") {
+    import org.apache.spark.sql.functions._
+    val ss = spark
+    import ss.implicits._
+    def ts(min: Long) = new java.sql.Timestamp((400000 + min) * 60000L)
+    // t=30 is exactly prev + gap — session intervals are CLOSED at the
+    // end, so it merges (matches the lag sessionizer's strict-> break);
+    // t=75 is 45 min after the (extended) last event — breaks
+    val df = Seq((1L, ts(0)), (1L, ts(30)), (1L, ts(75))).toDF("user_id", "ts")
+    val sessions = df
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("sw.start").cast("long").as("start"), col("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(sessions == Set((ts(0).getTime / 1000, 2L), (ts(75).getTime / 1000, 1L)),
+      s"unexpected sessions: $sessions")
+  }
+
   test("q_approx_percentile: sketch within 5% relative value error of exact") {
     val rows = SparkEntry.queries("q_approx_percentile")(spark, TestSpark.Sf0001).collect()
     rows.foreach { r =>
