@@ -199,6 +199,20 @@ class PlanQualitySpec extends SparkSpec {
     CacheScope.release()
   }
 
+  test("q_pack_sequences: packing window partitions by shard, never a global sort") {
+    val p = plan("q_pack_sequences")
+    assert(p.contains("hashpartitioning(shard"),
+      s"running-offset window not sharded:\n$p")
+    assert(!p.contains("SinglePartition"), s"single-partition stage in packing:\n$p")
+  }
+
+  test("q_session_window: sessionization is an aggregate, not a window sort") {
+    val p = plan("q_session_window")
+    assert(!p.contains("Window "), s"unexpected window operator:\n$p")
+    assert(p.contains("session_window") || p.contains("UpdatingSessions"),
+      s"session aggregate missing:\n$p")
+  }
+
   test("q_changelog_compact: rank-1 filter becomes a map-side WindowGroupLimit") {
     val p = plan("q_changelog_compact")
     assert(p.contains("WindowGroupLimit"),
