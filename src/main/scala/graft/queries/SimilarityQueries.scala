@@ -254,12 +254,18 @@ object SimilarityQueries {
     * pos-keyed self-join broadcasts. Linear in corpus size, quadratic only
     * in #labels. */
   def qEmbedCentroids(spark: SparkSession, sfDir: String): DataFrame = {
+    // vector-sum UDAF: one Long-array state per label per partition — the
+    // scan never explodes; rows × dims stays inside the aggregate buffer
+    // and the shuffle carries #labels × d longs (bit-identical to the
+    // exploded oracle form, integer addition being order-free)
+    val vsum = udaf(graft.functions.VectorSumAggregator)
     val comp = t(spark, sfDir, "embeddings")
-      .select(col("label"), posexplode(quantArr(col("embedding"))).as(Seq("pos", "vq")))
-      .groupBy(col("label"), col("pos"))
-      .agg(sum(col("vq")).as("s"), count(lit(1)).as("n"))
+      .select(col("label"), quantArr(col("embedding")).as("vq"))
+      .groupBy(col("label"))
+      .agg(vsum(col("vq")).as("s"), count(lit(1)).as("n"))
+      .select(col("label"), col("n"), posexplode(col("s")).as(Seq("pos", "sv")))
       .select(col("label"), col("pos"),
-        floor(col("s").cast("double") / col("n").cast("double")).cast("long").as("cq"))
+        floor(col("sv").cast("double") / col("n").cast("double")).cast("long").as("cq"))
     val cent = graft.CacheScope.cached(comp)
     val norms = cent.groupBy(col("label")).agg(sum(col("cq") * col("cq")).as("nq"))
     val dots = cent.select(col("label").as("l1"), col("pos"), col("cq").as("cq1"))

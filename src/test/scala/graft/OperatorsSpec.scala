@@ -237,6 +237,22 @@ class OperatorsSpec extends SparkSpec {
     assert(Dedup.connectedComponents(pairs).isEmpty)
   }
 
+  test("VectorSumAggregator: elementwise group sums, dimension mismatch fails") {
+    import org.apache.spark.sql.functions.udaf
+    val vsum = udaf(graft.functions.VectorSumAggregator)
+    val df = Seq((0, Array(1L, 2L, 3L)), (0, Array(10L, 20L, 30L)),
+      (1, Array(5L, 5L, 5L))).toDF("g", "v")
+    val got = df.groupBy("g").agg(vsum(col("v")).as("s"))
+      .as[(Int, Array[Long])].collect().toMap
+    assert(got(0).toSeq == Seq(11L, 22L, 33L) && got(1).toSeq == Seq(5L, 5L, 5L))
+    val bad = Seq((0, Array(1L)), (0, Array(1L, 2L))).toDF("g", "v")
+      .groupBy("g").agg(vsum(col("v")))
+    val e = intercept[Exception] { bad.collect() }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("dimension mismatch")), s"got: ${msgs(e)}")
+  }
+
   test("nearDupClusters groups a transitive near-dup chain into one component") {
     // a~b and b~c verify, a~c may not: cluster view must still unite them
     val w = (1 to 60).map(i => s"w$i")
