@@ -41,3 +41,35 @@ object VectorSumAggregator extends Aggregator[Array[Long], Array[Long], Array[Lo
 
   override def outputEncoder: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
 }
+
+/** Double twin of [[VectorSumAggregator]] for mean/centroid computation
+  * where the pipeline is already floating-point (e.g. Lloyd refinement —
+  * recall-pinned, not hash-compared): same one-array-per-group state and
+  * shuffle shape. FP addition order follows partition merge order, exactly
+  * like the built-in `avg` it replaces. */
+object DoubleVectorSumAggregator extends Aggregator[Array[Double], Array[Double], Array[Double]] {
+
+  override def zero: Array[Double] = Array.emptyDoubleArray
+
+  private def add(a: Array[Double], b: Array[Double]): Array[Double] =
+    if (a.isEmpty) b.clone()
+    else if (b.isEmpty) a
+    else {
+      require(a.length == b.length,
+        s"DoubleVectorSumAggregator: dimension mismatch ${a.length} vs ${b.length}")
+      var i = 0
+      while (i < a.length) { a(i) += b(i); i += 1 }
+      a
+    }
+
+  override def reduce(buf: Array[Double], v: Array[Double]): Array[Double] =
+    if (v == null) buf else add(buf, v)
+
+  override def merge(a: Array[Double], b: Array[Double]): Array[Double] = add(a, b)
+
+  override def finish(r: Array[Double]): Array[Double] = r
+
+  override def bufferEncoder: Encoder[Array[Double]] = ExpressionEncoder[Array[Double]]()
+
+  override def outputEncoder: Encoder[Array[Double]] = ExpressionEncoder[Array[Double]]()
+}

@@ -121,19 +121,21 @@ object Similarity {
       array_min(array(dists.toIndexedSeq: _*)).getField("cell")
     }
 
+    // Lloyd mean step via the vector-sum UDAF: one Double-array buffer per
+    // cell per partition — rows never explode, the shuffle carries
+    // nCells × dim doubles (vs rows × dim exploded rows with the
+    // avg-per-position formulation)
+    val vsum = udaf(graft.functions.DoubleVectorSumAggregator)
     for (_ <- 0 until iters) {
       val assigned = emb.select(col(idCol), col(vecCol),
         assignExpr(centroids).as("cell"))
-      val dim = centroids.head._2.length
       val means = assigned
-        .select(col("cell"), posexplode(col(vecCol)).as(Seq("pos", "x")))
-        .groupBy("cell", "pos").agg(avg(col("x").cast("double")).as("m"))
-        .groupBy("cell")
-        .agg(map_from_entries(collect_list(struct(col("pos"), col("m")))).as("mm"))
+        .select(col("cell"), transform(col(vecCol), _.cast("double")).as("v"))
+        .groupBy("cell").agg(vsum(col("v")).as("s"), count(lit(1)).as("n"))
         .collect()
         .map { r =>
-          val mm = r.getMap[Int, Double](1)
-          r.getInt(0) -> Array.tabulate(dim)(i => mm.getOrElse(i, 0d))
+          val n = r.getLong(2).toDouble
+          r.getInt(0) -> r.getSeq[Double](1).map(_ / n).toArray
         }
       if (means.nonEmpty) centroids = means.sortBy(_._1)
     }
