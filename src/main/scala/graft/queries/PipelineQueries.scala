@@ -141,13 +141,108 @@ object PipelineQueries {
        |GROUP BY d.lang ORDER BY d.lang""".stripMargin
   }
 
+  /** The FULL training-data prep line, curation through batch prep, as one
+    * oracle-checked query:
+    *
+    *   lang/quality gate → exact dedup → benchmark decontamination
+    *   (drop eval docs and anything sharing a 5-gram with them) →
+    *   sharded 2048-token sequence packing → per-shard pack stats
+    *
+    * Every stage is an individually-verified block (q_curation_pipeline,
+    * q_dedup_exact, q_decontaminate, q_pack_sequences); this pins the
+    * composition: dedup before decontamination (winners only), the
+    * benchmark set built from the FULL corpus (an eval doc that was
+    * quality-filtered still contaminates), packing only over clean
+    * survivors.
+    *
+    * Scale shape: narrow gates fused into the scan → one hash agg → one
+    * broadcast semi/anti pair on the benchmark n-grams → per-shard
+    * running-offset window. No stage is quadratic; nothing is
+    * driver-side. */
+  def qPrepPipeline(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = t(spark, sfDir, "documents")
+      .select(col("doc_id"), col("lang"), col("text"), tokens(col("text")).as("toks"))
+    val filtered = TextQueries.withLangScores(docs)
+      .withColumn("pred_lang", TextQueries.predLangCol)
+      .withColumn("quality", qualityScore(col("text")))
+      .filter(col("quality") >= QualityMin && col("pred_lang") =!= "und")
+      .select("doc_id", "text")
+    val exact = Dedup.exactByContent(filtered, "doc_id", "text")
+    // benchmark 5-grams from the FULL corpus — contamination does not care
+    // whether the eval doc itself survived the quality gate
+    val shAll = graft.CacheScope.cached(Dedup.shingleSets(
+      t(spark, sfDir, "documents"), "doc_id", "text", n = 5))
+    val bench = shAll.filter(pmod(col("id"), lit(7L)) === 0)
+      .select(col("sh")).distinct()
+    val contaminated = shAll.join(broadcast(bench), Seq("sh"), "left_semi")
+      .select(col("id").as("doc_id")).distinct()
+    val clean = exact.filter(pmod(col("doc_id"), lit(7L)) =!= 0)
+      .join(contaminated, Seq("doc_id"), "left_anti")
+    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+    clean
+      .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("n_tokens"),
+        pmod(col("doc_id"), lit(32L)).as("shard"))
+      .withColumn("start_offset", sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .withColumn("pack_id", (col("start_offset") / lit(2048L)).cast("long"))
+      .groupBy(col("shard"), col("pack_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("pack_tokens"))
+      .orderBy("shard", "pack_id")
+  }
+
+  lazy val qPrepPipelineSql: String =
+    s"""WITH ${TextQueries.langScoredSqlCte("documents")},
+       |enriched AS (
+       |  SELECT doc_id, text,
+       |         ${TextQueries.predLangSqlExpr} AS pred_lang,
+       |         ${TextQueries.qualitySqlExpr} AS quality
+       |  FROM scored),
+       |filtered AS (
+       |  SELECT doc_id, text FROM enriched
+       |  WHERE quality >= $QualityMin AND pred_lang <> 'und'),
+       |winners AS (
+       |  SELECT min(doc_id) AS doc_id FROM filtered GROUP BY md5(text)),
+       |fdocs AS (
+       |  SELECT f.* FROM filtered f JOIN winners w ON w.doc_id = f.doc_id),
+       |toks5 AS (
+       |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS tk
+       |  FROM documents),
+       |shg AS (
+       |  SELECT DISTINCT doc_id,
+       |         tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3] || ' ' || tk[i+4] AS sh
+       |  FROM toks5, LATERAL unnest(generate_series(1, len(tk) - 4)) AS t(i)),
+       |bench AS (SELECT DISTINCT sh FROM shg WHERE doc_id % 7 = 0),
+       |contaminated AS (
+       |  SELECT DISTINCT doc_id FROM shg WHERE sh IN (SELECT sh FROM bench)),
+       |clean AS (
+       |  SELECT * FROM fdocs
+       |  WHERE doc_id % 7 <> 0
+       |    AND doc_id NOT IN (SELECT doc_id FROM contaminated)),
+       |sized AS (
+       |  SELECT doc_id,
+       |         len(list_filter(string_split(text, ' '), t -> t <> '')) AS n_tokens,
+       |         doc_id % 32 AS shard
+       |  FROM clean),
+       |offs AS (
+       |  SELECT *, sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+       |                                ROWS UNBOUNDED PRECEDING) - n_tokens AS start_offset
+       |  FROM sized)
+       |SELECT shard, CAST(start_offset // 2048 AS BIGINT) AS pack_id,
+       |       count(*) AS n_docs,
+       |       CAST(sum(n_tokens) AS BIGINT) AS pack_tokens
+       |FROM offs
+       |GROUP BY 1, 2
+       |ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_curation_pipeline" -> (qCurationPipeline _),
+    "q_prep_pipeline" -> (qPrepPipeline _),
     "q_sample_deterministic" -> (qSampleDeterministic _),
     "q_sample_stratified" -> (qSampleStratified _))
 
   val oracles: Map[String, String] = Map(
     "q_curation_pipeline" -> qCurationPipelineSql,
+    "q_prep_pipeline" -> qPrepPipelineSql,
     "q_sample_deterministic" -> qSampleDeterministicSql,
     "q_sample_stratified" -> qSampleStratifiedSql)
 }
