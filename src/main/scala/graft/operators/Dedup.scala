@@ -94,9 +94,10 @@ object Dedup {
   /** MinHash banding over a precomputed (id, sh) set — callers that also
     * need the shingles for verification pass a cached set so the tokenize/
     * shingle/md5 pipeline runs once, not per consumer. */
-  def minhashFromShingles(shingles: DataFrame,
-                          bands: Int = 4, rowsPerBand: Int = 4): DataFrame = {
-    val total = bands * rowsPerBand
+  /** MinHash signature table (id, h0..h{total-1}) from a (id, sh) set —
+    * the 4-hex-window md5 family the banding uses, exposed for estimator
+    * calibration (`matching components / total ≈ Jaccard`). */
+  def minhashSignatures(shingles: DataFrame, total: Int = 16): DataFrame = {
     require(total <= 16, "hash family provides 16 independent 16-bit hashes")
     val hx = shingles
       .select(col("id"),
@@ -106,7 +107,13 @@ object Dedup {
       val src = if (j < 8) col("m1") else col("m2")
       min(substring(src, (j % 8) * 4 + 1, 4)).as(s"h$j")
     }
-    val sig = hx.groupBy("id").agg(mins.head, mins.tail: _*)
+    hx.groupBy("id").agg(mins.head, mins.tail: _*)
+  }
+
+  def minhashFromShingles(shingles: DataFrame,
+                          bands: Int = 4, rowsPerBand: Int = 4): DataFrame = {
+    val total = bands * rowsPerBand
+    val sig = minhashSignatures(shingles, total)
     val bandStructs = (0 until bands).map { b =>
       struct(lit(b).cast("long").as("band"),
         concat((0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}")): _*).as("band_key"))

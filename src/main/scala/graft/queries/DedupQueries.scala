@@ -131,6 +131,69 @@ object DedupQueries {
     s"""WITH ${minhashSqlCtes("documents")}
        |SELECT d1, d2, n_bands FROM pairs ORDER BY d1, d2""".stripMargin
 
+  /** MinHash estimator calibration: for every LSH candidate pair, the
+    * integer count of matching signature components (estimate ≈ n_match/16)
+    * beside the exact quantized Jaccard — the measurement a dedup pipeline
+    * runs to pick bands×rows before committing a corpus pass. All outputs
+    * integer/quantized, so the whole calibration table is oracle-exact.
+    *
+    * Scale shape: signatures and candidates reuse ONE cached shingle set;
+    * the exact-Jaccard side is the inverted-index equi-join (DF-capped at
+    * corpus scale), never all-pairs. */
+  def qMinhashEst(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val Dedup = graft.operators.Dedup
+    val sh = graft.CacheScope.cached(Dedup.shingleSets(
+      t(spark, sfDir, "documents"), "doc_id", "text", n = 3))
+    val cand = Dedup.minhashFromShingles(sh)
+    val sig = Dedup.minhashSignatures(sh)
+    val sa = sig.toDF(sig.columns.map(c => if (c == "id") "d1" else s"a_$c").toIndexedSeq: _*)
+    val sb = sig.toDF(sig.columns.map(c => if (c == "id") "d2" else s"b_$c").toIndexedSeq: _*)
+    val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("sz"))
+    val hashed = sh.select(col("id"), xxhash64(col("sh")).as("h"))
+    val inter = hashed.as("x").join(hashed.as("y"),
+        col("x.h") === col("y.h") && col("x.id") < col("y.id"))
+      .groupBy(col("x.id").as("d1"), col("y.id").as("d2"))
+      .agg(count(lit(1)).as("inter"))
+    val nMatch = (0 until 16)
+      .map(j => when(col(s"a_h$j") === col(s"b_h$j"), 1).otherwise(0))
+      .reduce(_ + _)
+    cand.join(sa, "d1").join(sb, "d2")
+      .join(sizes.select(col("id").as("d1"), col("sz").as("sz1")), "d1")
+      .join(sizes.select(col("id").as("d2"), col("sz").as("sz2")), "d2")
+      .join(inter, Seq("d1", "d2"), "left")
+      .withColumn("i", coalesce(col("inter"), lit(0L)))
+      .select(col("d1"), col("d2"), col("n_bands"), nMatch.as("n_match"),
+        floor(col("i").cast("double") /
+          (col("sz1") + col("sz2") - col("i")) * 1048576d).cast("long").as("jacc_q"))
+      .orderBy("d1", "d2")
+  }
+
+  val qMinhashEstSql: String = {
+    val matchSum = (0 until 16)
+      .map(j => s"CASE WHEN sa.h$j = sb.h$j THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH ${minhashSqlCtes("documents")},
+       |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+       |cinter AS (
+       |  SELECT p.d1, p.d2, count(*) AS inter
+       |  FROM pairs p
+       |  JOIN sh a ON a.doc_id = p.d1
+       |  JOIN sh b ON b.doc_id = p.d2 AND b.sh = a.sh
+       |  GROUP BY p.d1, p.d2)
+       |SELECT p.d1, p.d2, p.n_bands,
+       |       $matchSum AS n_match,
+       |       CAST(floor(CAST(COALESCE(ci.inter, 0) AS DOUBLE)
+       |            / (s1.sz + s2.sz - COALESCE(ci.inter, 0)) * 1048576) AS BIGINT) AS jacc_q
+       |FROM pairs p
+       |JOIN sig sa ON sa.doc_id = p.d1
+       |JOIN sig sb ON sb.doc_id = p.d2
+       |JOIN sizes s1 ON s1.doc_id = p.d1
+       |JOIN sizes s2 ON s2.doc_id = p.d2
+       |LEFT JOIN cinter ci ON ci.d1 = p.d1 AND ci.d2 = p.d2
+       |ORDER BY p.d1, p.d2""".stripMargin
+  }
+
   /** The full dedup cascade under the oracle gate: MinHash-LSH candidates →
     * exact-Jaccard verification ≥ 0.5 → higher-id members dropped →
     * survivors counted per language. */
@@ -191,6 +254,7 @@ object DedupQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_jaccard_pairs" -> (qJaccardPairs _),
     "q_minhash_lsh" -> (qMinhashLsh _),
+    "q_minhash_est" -> (qMinhashEst _),
     "q_simhash_pairs" -> (qSimhashPairs _),
     "q_dedup_cascade" -> (qDedupCascade _),
     "q_dedup_clusters" -> (qDedupClusters _))
@@ -198,6 +262,7 @@ object DedupQueries {
   val oracles: Map[String, String] = Map(
     "q_jaccard_pairs" -> qJaccardPairsSql,
     "q_minhash_lsh" -> qMinhashLshSql,
+    "q_minhash_est" -> qMinhashEstSql,
     "q_dedup_cascade" -> qDedupCascadeSql,
     "q_dedup_clusters" -> qDedupClustersSql)
 }
