@@ -305,6 +305,53 @@ object EventQueries {
       |  ON c.user_id = p.user_id AND c.ts >= p.ts
       |ORDER BY c.event_id""".stripMargin
 
+  /** Time-series resampling with gap fill: per-user daily activity on a
+    * dense calendar grid (min..max active day per user), missing days
+    * zero-counted and the last observed daily sum carried forward
+    * (`last(…, ignoreNulls)`). The grid is generated per key with
+    * `sequence` + `explode` from a two-column aggregate — no driver loop
+    * and no cross join against a global calendar — so grid size grows with
+    * span × keys, never with event count; the fill is one window per key
+    * and the gap join is an equi-join on (user_id, day). This is the
+    * standard feature-engineering densification step (metrics-per-day
+    * matrices, forward-filled state) that event logs need before model
+    * training. */
+  def qResample(spark: SparkSession, sfDir: String): DataFrame = {
+    // daily feeds both the grid bounds and the gap join — cache the tiny
+    // (keys × days) aggregate so events is scanned once, not twice
+    val daily = graft.CacheScope.cached(t(spark, sfDir, "events")
+      .groupBy(col("user_id"), date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("cnt"), dsum(col("value")).as("day_value")))
+    val grid = daily.groupBy("user_id")
+      .agg(min(col("day")).as("mn"), max(col("day")).as("mx"))
+      .select(col("user_id"),
+        explode(sequence(col("mn"), col("mx"), expr("interval 1 day"))).as("day"))
+    val fill = Window.partitionBy("user_id").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    grid.join(daily, Seq("user_id", "day"), "left")
+      .select(col("user_id"),
+        date_format(col("day"), "yyyy-MM-dd").as("day"),
+        coalesce(col("cnt"), lit(0L)).as("cnt"),
+        col("day_value"),
+        last(col("day_value"), ignoreNulls = true).over(fill).as("filled_value"))
+      .orderBy("user_id", "day")
+  }
+
+  val qResampleSql: String =
+    """WITH daily AS (
+      |  SELECT user_id, date_trunc('day', ts) AS day, count(*) AS cnt,
+      |         CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(28,6)) AS DOUBLE) AS day_value
+      |  FROM events GROUP BY 1, 2),
+      |grid AS (
+      |  SELECT user_id, unnest(generate_series(mn, mx, INTERVAL 1 DAY)) AS day
+      |  FROM (SELECT user_id, min(day) AS mn, max(day) AS mx FROM daily GROUP BY 1))
+      |SELECT g.user_id AS user_id, strftime(g.day, '%Y-%m-%d') AS day,
+      |       coalesce(d.cnt, 0) AS cnt, d.day_value,
+      |       last_value(d.day_value IGNORE NULLS) OVER
+      |         (PARTITION BY g.user_id ORDER BY g.day ROWS UNBOUNDED PRECEDING) AS filled_value
+      |FROM grid g LEFT JOIN daily d ON d.user_id = g.user_id AND d.day = g.day
+      |ORDER BY g.user_id, g.day""".stripMargin
+
   /** Band join: click/error pairs for the same user within ±5 minutes,
     * via the binned equi-join (RangeJoin) — the scale-safe replacement for
     * an inequality-predicate nested loop. */
@@ -342,7 +389,8 @@ object EventQueries {
     "q_sliding_window" -> (qSlidingWindow _),
     "q_sessionize" -> (qSessionize _),
     "q_asof_join" -> (qAsofJoin _),
-    "q_range_join" -> (qRangeJoin _))
+    "q_range_join" -> (qRangeJoin _),
+    "q_resample" -> (qResample _))
 
   val oracles: Map[String, String] = Map(
     "q_string_date" -> qStringDateSql,
@@ -355,5 +403,6 @@ object EventQueries {
     "q_sliding_window" -> qSlidingWindowSql,
     "q_sessionize" -> qSessionizeSql,
     "q_asof_join" -> qAsofJoinSql,
-    "q_range_join" -> qRangeJoinSql)
+    "q_range_join" -> qRangeJoinSql,
+    "q_resample" -> qResampleSql)
 }

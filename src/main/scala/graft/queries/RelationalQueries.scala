@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables._
@@ -506,6 +506,84 @@ object RelationalQueries {
       |GROUP BY 1
       |ORDER BY 1""".stripMargin
 
+  /** Statistical moments from exact integer power sums: per (returnflag,
+    * linestatus), sample variance / stddev of l_quantity and the Pearson
+    * correlation between quantity and linenumber. The aggregation carries
+    * only long-typed partials (n, Σx, Σx², Σy, Σy², Σxy) — map-side
+    * combinable, partition-order-free — and the moments come out in a
+    * final projection whose few IEEE double ops are written identically
+    * in the oracle, so the result is bit-exact cross-engine (the built-in
+    * `stddev_samp`'s streaming update order would not be; its agreement
+    * with this form is pinned in QueriesSmokeSpec). This is the scalable
+    * shape for any second-moment statistic: one shuffle of six longs per
+    * group. */
+  def qStatsMoments(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = t(spark, sfDir, "lineitem").select(
+      col("l_returnflag"), col("l_linestatus"),
+      col("l_quantity").cast("long").as("q"),
+      col("l_linenumber").cast("long").as("ln"))
+    val d = (c: Column) => c.cast("double")
+    li.groupBy("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"),
+        sum(col("q")).as("s"), sum(col("q") * col("q")).as("ss"),
+        sum(col("ln")).as("sl"), sum(col("ln") * col("ln")).as("sll"),
+        sum(col("q") * col("ln")).as("sq"))
+      .select(col("l_returnflag"), col("l_linestatus"), col("n"),
+        ((d(col("ss")) - d(col("s")) * d(col("s")) / d(col("n")))
+          / (d(col("n")) - 1)).as("var_q"),
+        sqrt((d(col("ss")) - d(col("s")) * d(col("s")) / d(col("n")))
+          / (d(col("n")) - 1)).as("std_q"),
+        ((d(col("sq")) - d(col("s")) * d(col("sl")) / d(col("n")))
+          / sqrt((d(col("ss")) - d(col("s")) * d(col("s")) / d(col("n")))
+            * (d(col("sll")) - d(col("sl")) * d(col("sl")) / d(col("n")))))
+          .as("corr_q_ln"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  val qStatsMomentsSql: String =
+    """WITH s AS (
+      |  SELECT l_returnflag, l_linestatus, count(*) AS n,
+      |         sum(CAST(l_quantity AS BIGINT)) AS s,
+      |         sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS ss,
+      |         sum(CAST(l_linenumber AS BIGINT)) AS sl,
+      |         sum(CAST(l_linenumber AS BIGINT) * CAST(l_linenumber AS BIGINT)) AS sll,
+      |         sum(CAST(l_quantity AS BIGINT) * CAST(l_linenumber AS BIGINT)) AS sq
+      |  FROM lineitem GROUP BY 1, 2)
+      |SELECT l_returnflag, l_linestatus, n,
+      |       (CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+      |         / (CAST(n AS DOUBLE) - 1) AS var_q,
+      |       sqrt((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+      |         / (CAST(n AS DOUBLE) - 1)) AS std_q,
+      |       (CAST(sq AS DOUBLE) - CAST(s AS DOUBLE) * CAST(sl AS DOUBLE) / CAST(n AS DOUBLE))
+      |         / sqrt((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+      |                * (CAST(sll AS DOUBLE) - CAST(sl AS DOUBLE) * CAST(sl AS DOUBLE) / CAST(n AS DOUBLE))) AS corr_q_ln
+      |FROM s ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** Rank-family breadth beyond q_window_stats: ntile quartiles,
+    * percent_rank, and cume_dist sharing ONE window (single per-segment
+    * sort). The ordering key (acctbal, custkey) is total, so every output
+    * is a ratio of small exact integers — one IEEE division, hash-exact
+    * cross-engine with no quantization. */
+  def qWindowRanks(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("c_mktsegment")
+      .orderBy(col("c_acctbal"), col("c_custkey"))
+    t(spark, sfDir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"),
+        ntile(4).over(w).as("quartile"),
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cume"))
+      .orderBy("c_custkey")
+  }
+
+  val qWindowRanksSql: String =
+    """SELECT c_custkey, c_mktsegment, c_acctbal,
+      |       ntile(4) OVER w AS quartile,
+      |       percent_rank() OVER w AS pct_rank,
+      |       cume_dist() OVER w AS cume
+      |FROM customer
+      |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+      |ORDER BY c_custkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_window_stats" -> (qWindowStats _),
     "q_histogram" -> (qHistogram _),
@@ -527,7 +605,9 @@ object RelationalQueries {
     "q_grouping_sets" -> (qGroupingSets _),
     "q_corr_subquery" -> (qCorrSubquery _),
     "q_approx_percentile" -> (qApproxPercentile _),
-    "q_skew_salted_agg" -> (qSkewSaltedAgg _))
+    "q_skew_salted_agg" -> (qSkewSaltedAgg _),
+    "q_stats_moments" -> (qStatsMoments _),
+    "q_window_ranks" -> (qWindowRanks _))
 
   val oracles: Map[String, String] = Map(
     "q_window_stats" -> qWindowStatsSql,
@@ -548,5 +628,7 @@ object RelationalQueries {
     "q_unpivot" -> qUnpivotSql,
     "q_grouping_sets" -> qGroupingSetsSql,
     "q_corr_subquery" -> qCorrSubquerySql,
-    "q_skew_salted_agg" -> qSkewSaltedAggSql)
+    "q_skew_salted_agg" -> qSkewSaltedAggSql,
+    "q_stats_moments" -> qStatsMomentsSql,
+    "q_window_ranks" -> qWindowRanksSql)
 }

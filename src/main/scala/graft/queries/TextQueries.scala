@@ -407,7 +407,35 @@ object TextQueries {
       |SELECT doc_id, pos, parts[pos + 1] AS token
       |FROM e ORDER BY doc_id, pos""".stripMargin
 
+  /** Regex extraction + array-function breadth: all ≥5-letter words per
+    * doc via `regexp_extract_all`, then pure array combinators (size /
+    * array_distinct / array_sort / slice / concat_ws). Stays narrow — the
+    * array never leaves its row, no explode, no shuffle until the output
+    * sort. The sort-after-distinct ordering is pinned on both sides
+    * because Spark's array_distinct keeps first-occurrence order while
+    * DuckDB's list_distinct does not guarantee one. */
+  def qRegexArray(spark: SparkSession, sfDir: String): DataFrame =
+    graft.Tables.t(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        regexp_extract_all(col("text"), lit("[a-z]{5,}"), lit(0)).as("m"))
+      .select(col("doc_id"),
+        size(col("m")).as("n_matches"),
+        size(array_distinct(col("m"))).as("n_uniq"),
+        concat_ws(",", slice(array_sort(array_distinct(col("m"))), 1, 3))
+          .as("top3"))
+      .orderBy("doc_id")
+
+  val qRegexArraySql: String =
+    """SELECT doc_id,
+      |       len(m) AS n_matches,
+      |       len(list_distinct(m)) AS n_uniq,
+      |       array_to_string(list_sort(list_distinct(m))[1:3], ',') AS top3
+      |FROM (SELECT doc_id, regexp_extract_all(text, '[a-z]{5,}') AS m
+      |      FROM documents)
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_regex_array" -> (qRegexArray _),
     "q_tfidf" -> (qTfidf _),
     "q_bigram_score" -> (qBigramScore _),
     "q_repetition" -> (qRepetition _),
@@ -422,6 +450,7 @@ object TextQueries {
     "q_binary_meta" -> (qBinaryMeta _))
 
   val oracles: Map[String, String] = Map(
+    "q_regex_array" -> qRegexArraySql,
     "q_tfidf" -> qTfidfSql,
     "q_bigram_score" -> qBigramScoreSql,
     "q_repetition" -> qRepetitionSql,

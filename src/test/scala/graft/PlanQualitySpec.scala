@@ -147,6 +147,43 @@ class PlanQualitySpec extends SparkSpec {
     assert(exchanges <= 2, s"expected partition + output-sort exchanges only:\n$p")
   }
 
+  test("q_stats_moments: two-phase aggregate of long partials, single scan") {
+    val p = plan("q_stats_moments")
+    assert(p.split("FileScan parquet").length - 1 == 1, s"moments scan once:\n$p")
+    assert(p.split("HashAggregate").length >= 3, s"expected map-side partials:\n$p")
+  }
+
+  test("q_window_ranks: three rank functions share one Window operator") {
+    val p = plan("q_window_ranks")
+    assert(p.split("Window ").length - 1 <= 1,
+      s"same-spec rank functions not collapsed:\n$p")
+  }
+
+  test("q_resample: daily aggregate cached (events scanned once), equi-join grid") {
+    val p = plan("q_resample")
+    assert(p.split("InMemoryTableScan").length - 1 >= 2,
+      s"daily aggregate not reused via cache:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"grid join must be an equi-join:\n$p")
+  }
+
+  test("q_regex_array: row-local arrays — only the output sort exchanges") {
+    val p = plan("q_regex_array")
+    val exchanges = p.split("Exchange").length - 1
+    assert(exchanges <= 1, s"regex/array pipeline should not shuffle:\n$p")
+  }
+
+  test("q_chunk_dedup: equi-joins only; rebuild is an aggregation, not a global sort") {
+    val p = plan("q_chunk_dedup")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"chunk dedup must stay on equi-joins:\n$p")
+    // one Window (first-occurrence) + the output sort — the rebuild must be
+    // a hash aggregate on doc_id, not a second windowed sort
+    assert(p.split("Window ").length - 1 == 1, s"expected one window:\n$p")
+    assert(p.contains("HashAggregate") || p.contains("ObjectHashAggregate"),
+      s"rebuild should aggregate:\n$p")
+  }
+
   test("q_histogram: two-phase aggregate, single scan") {
     val p = plan("q_histogram")
     assert(p.split("FileScan parquet").length - 1 == 1, s"histogram scans once:\n$p")

@@ -66,4 +66,35 @@ class QueriesSmokeSpec extends SparkSpec {
         s"approx=$approx exact=$exact")
     }
   }
+
+  test("q_stats_moments: power-sum stddev matches built-in stddev_samp") {
+    import org.apache.spark.sql.functions._
+    val builtin = Tables.t(spark, TestSpark.Sf0001, "lineitem")
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(stddev_samp(col("l_quantity")).as("b"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    val ours = SparkEntry.queries("q_stats_moments")(spark, TestSpark.Sf0001)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getAs[Double]("std_q"))
+    assert(ours.nonEmpty)
+    ours.foreach { case (k, v) =>
+      assert(math.abs(v - builtin(k)) <= 1e-9 * math.max(1.0, v),
+        s"$k: power-sum $v vs built-in ${builtin(k)}")
+    }
+  }
+
+  test("q_resample: grid is dense per user; fill echoes actual on active days") {
+    val rows = SparkEntry.queries("q_resample")(spark, TestSpark.Sf0001).collect()
+    rows.filter(_.getAs[Long]("cnt") > 0).foreach { r =>
+      assert(r.getAs[Double]("filled_value") == r.getAs[Double]("day_value"))
+    }
+    rows.groupBy(_.getAs[Long]("user_id")).foreach { case (u, rs) =>
+      val days = rs.map(_.getAs[String]("day")).sorted
+      val span = java.time.temporal.ChronoUnit.DAYS.between(
+        java.time.LocalDate.parse(days.head),
+        java.time.LocalDate.parse(days.last)) + 1
+      assert(rs.length.toLong == span, s"user $u: ${rs.length} rows over $span days")
+    }
+  }
 }
