@@ -315,7 +315,40 @@ object DedupQueries {
       |FROM totals t LEFT JOIN kept k ON k.doc_id = t.doc_id
       |ORDER BY t.doc_id""".stripMargin
 
+  /** Edit-distance verification over LSH candidates: Levenshtein distance
+    * between the (truncated) texts of each MinHash-LSH candidate pair —
+    * the character-level near-dup verifier that complements set-based
+    * Jaccard (catches reorderings Jaccard forgives, and vice versa).
+    * Distance runs ONLY on candidate pairs from banding (never all pairs)
+    * and on 80-char prefixes, so the O(n·m) DP cost per pair is bounded —
+    * the two properties that make edit-distance dedup feasible at corpus
+    * scale. Both engines implement unit-cost Levenshtein, so the distance
+    * is integer-exact. */
+  def qEditDistance(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val docs = t(spark, sfDir, "documents")
+    val sh = graft.CacheScope.cached(graft.operators.Dedup
+      .shingleSets(docs, "doc_id", "text", n = 3))
+    val cand = graft.operators.Dedup.minhashFromShingles(sh)
+    val ta = docs.select(col("doc_id").as("d1"), substring(col("text"), 1, 80).as("t1"))
+    val tb = docs.select(col("doc_id").as("d2"), substring(col("text"), 1, 80).as("t2"))
+    cand.join(ta, "d1").join(tb, "d2")
+      .select(col("d1"), col("d2"), col("n_bands"),
+        levenshtein(col("t1"), col("t2")).as("edit_dist"))
+      .orderBy("d1", "d2")
+  }
+
+  val qEditDistanceSql: String =
+    s"""WITH ${minhashSqlCtes("documents")}
+       |SELECT p.d1, p.d2, p.n_bands,
+       |       levenshtein(substr(a.text, 1, 80), substr(b.text, 1, 80)) AS edit_dist
+       |FROM pairs p
+       |JOIN documents a ON a.doc_id = p.d1
+       |JOIN documents b ON b.doc_id = p.d2
+       |ORDER BY p.d1, p.d2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_edit_distance" -> (qEditDistance _),
     "q_chunk_dedup" -> (qChunkDedup _),
     "q_jaccard_pairs" -> (qJaccardPairs _),
     "q_minhash_lsh" -> (qMinhashLsh _),
@@ -325,6 +358,7 @@ object DedupQueries {
     "q_dedup_clusters" -> (qDedupClusters _))
 
   val oracles: Map[String, String] = Map(
+    "q_edit_distance" -> qEditDistanceSql,
     "q_chunk_dedup" -> qChunkDedupSql,
     "q_jaccard_pairs" -> qJaccardPairsSql,
     "q_minhash_lsh" -> qMinhashLshSql,

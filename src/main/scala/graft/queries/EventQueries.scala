@@ -352,6 +352,34 @@ object EventQueries {
       |FROM grid g LEFT JOIN daily d ON d.user_id = g.user_id AND d.day = g.day
       |ORDER BY g.user_id, g.day""".stripMargin
 
+  /** RANGE-frame window (value-based frame, not row-based): per event, the
+    * count and exact decimal sum of the same user's events in the trailing
+    * hour [ts−1h, ts]. The frame is expressed on exact integer microseconds
+    * (`unix_micros`), so frame membership is integer comparison in both
+    * engines; peers (equal timestamps) are included by RANGE semantics in
+    * both, which keeps the sum deterministic without a tie-break. One sort
+    * per user partition — the sliding-aggregation shape that needs no
+    * self-join. */
+  def qRangeFrame(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(unix_micros(col("ts")))
+      .rangeBetween(-3600000000L, 0)
+    t(spark, sfDir, "events")
+      .select(col("event_id"), col("user_id"), fmtTs(col("ts")).as("ts_str"),
+        count(lit(1)).over(w).as("trailing_cnt"),
+        decOut(sum(dec(col("value"))).over(w)).as("trailing_sum"))
+      .orderBy("event_id")
+  }
+
+  val qRangeFrameSql: String =
+    """SELECT event_id, user_id,
+      |       strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str,
+      |       count(*) OVER w AS trailing_cnt,
+      |       CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w AS DECIMAL(28,6)) AS DOUBLE) AS trailing_sum
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+      |             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+      |ORDER BY event_id""".stripMargin
+
   /** Band join: click/error pairs for the same user within ±5 minutes,
     * via the binned equi-join (RangeJoin) — the scale-safe replacement for
     * an inequality-predicate nested loop. */
@@ -390,6 +418,7 @@ object EventQueries {
     "q_sessionize" -> (qSessionize _),
     "q_asof_join" -> (qAsofJoin _),
     "q_range_join" -> (qRangeJoin _),
+    "q_range_frame" -> (qRangeFrame _),
     "q_resample" -> (qResample _))
 
   val oracles: Map[String, String] = Map(
@@ -404,5 +433,6 @@ object EventQueries {
     "q_sessionize" -> qSessionizeSql,
     "q_asof_join" -> qAsofJoinSql,
     "q_range_join" -> qRangeJoinSql,
+    "q_range_frame" -> qRangeFrameSql,
     "q_resample" -> qResampleSql)
 }

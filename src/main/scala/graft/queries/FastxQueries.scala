@@ -23,10 +23,13 @@ object FastxQueries {
     * on the driver, so this scales with the corpus), and the directory is
     * scanned back through the fastx glob path — which also puts the
     * multi-file scan under the oracle gate. Rewritten on each call. */
-  private def materializeFasta(spark: SparkSession, sfDir: String): String = {
-    val dir = new File("/root/repo/target/fastx_roundtrip/" + new File(sfDir).getName + "_fasta")
+  private def materializeFasta(spark: SparkSession, sfDir: String,
+                               uppercase: Boolean = false): String = {
+    val suffix = if (uppercase) "_fasta_uc" else "_fasta"
+    val dir = new File("/root/repo/target/fastx_roundtrip/" + new File(sfDir).getName + suffix)
+    val base = regexp_replace(col("text"), " ", "")
     val docs = t(spark, sfDir, "documents")
-      .select(col("doc_id"), regexp_replace(col("text"), " ", "").as("seq"))
+      .select(col("doc_id"), (if (uppercase) upper(base) else base).as("seq"))
       .select(
         concat(lit("doc_"), col("doc_id"), lit(" nchars="), length(col("seq"))).as("header"),
         col("seq").as("sequence"))
@@ -57,9 +60,48 @@ object FastxQueries {
       |FROM documents
       |ORDER BY doc_id""".stripMargin
 
+  /** The reference's FULL `fasta_stats` pipeline (S1 scan → P1 length
+    * filter → P2/P5 aliased stat projection → S3 headered TSV sink) under
+    * the DuckDB gate: an uppercased FASTA fixture (so gc/n counts are
+    * non-trivial) flows through [[graft.FastaStats.run]] into a TSV
+    * directory, is read back with an explicit schema, and must match the
+    * oracle computing the same stats straight from `documents`. The
+    * gc_content doubles prove the TSV round-trips floating point exactly
+    * (Spark writes shortest-round-trip decimal strings). Everything is
+    * partition-parallel — the TSV sink streams one file per partition. */
+  def qTsvRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    val fasta = materializeFasta(spark, sfDir, uppercase = true)
+    val tsvDir = "/root/repo/target/fastx_roundtrip/" +
+      new File(sfDir).getName + "_tsv"
+    graft.FastaStats.run(spark, fasta, tsvDir,
+      fields = Seq("header", "length", "gc_content", "n_count", "hash"),
+      minLen = 50, hashLen = 16)
+    spark.read
+      .option("sep", "\t").option("header", "true")
+      .schema("header STRING, length INT, gc_content DOUBLE, n_count INT, hash STRING")
+      .csv(tsvDir)
+      .select(
+        regexp_extract(col("header"), "^doc_(\\d+)", 1).cast("long").as("doc_id"),
+        col("length"), col("gc_content"), col("n_count"), col("hash"))
+      .orderBy("doc_id")
+  }
+
+  val qTsvRoundtripSql: String =
+    """WITH s AS (SELECT doc_id, upper(replace(text, ' ', '')) AS seq FROM documents)
+      |SELECT doc_id,
+      |       length(seq) AS length,
+      |       CAST(length(seq) - length(replace(replace(seq,'G',''),'C','')) AS DOUBLE)
+      |         / length(seq) AS gc_content,
+      |       length(seq) - length(replace(seq, 'N', '')) AS n_count,
+      |       substr(md5(seq), 1, 16) AS hash
+      |FROM s WHERE length(seq) >= 50
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_fastx_roundtrip" -> (qFastxRoundtrip _))
+    "q_fastx_roundtrip" -> (qFastxRoundtrip _),
+    "q_tsv_roundtrip" -> (qTsvRoundtrip _))
 
   val oracles: Map[String, String] = Map(
-    "q_fastx_roundtrip" -> qFastxRoundtripSql)
+    "q_fastx_roundtrip" -> qFastxRoundtripSql,
+    "q_tsv_roundtrip" -> qTsvRoundtripSql)
 }

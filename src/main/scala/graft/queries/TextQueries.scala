@@ -434,7 +434,39 @@ object TextQueries {
       |      FROM documents)
       |ORDER BY doc_id""".stripMargin
 
+  /** Feature hashing (the hashing trick, HashingTF shape): every token is
+    * hashed into one of 32 buckets with the engine-portable polynomial
+    * token hash (same family as [[qFingerprint]]), and per-(doc, bucket)
+    * counts form the fixed-width sparse feature vector rows ML training
+    * consumes. Collisions are the accepted trade — the vector width is
+    * constant regardless of vocabulary size, so the op needs no
+    * vocabulary build, no dictionary broadcast, and one two-phase
+    * aggregation on doc-local keys. */
+  def qFeatureHash(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = graft.Tables.t(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        explode(filter(split(col("text"), " "), t => t =!= "")).as("t"))
+    val tokenHash =
+      (length(col("t")) * 1009 + ascii(col("t")) * 31 + ascii(reverse(col("t")))) % 1000000007
+    toks
+      .select(col("doc_id"), (tokenHash % 32).cast("long").as("bucket"))
+      .groupBy("doc_id", "bucket")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("doc_id", "bucket")
+  }
+
+  val qFeatureHashSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS t
+      |  FROM documents)
+      |SELECT doc_id,
+      |       ((length(t) * 1009 + ascii(t) * 31 + ascii(reverse(t))) % 1000000007) % 32 AS bucket,
+      |       count(*) AS cnt
+      |FROM toks GROUP BY 1, 2
+      |ORDER BY doc_id, bucket""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_feature_hash" -> (qFeatureHash _),
     "q_regex_array" -> (qRegexArray _),
     "q_tfidf" -> (qTfidf _),
     "q_bigram_score" -> (qBigramScore _),
@@ -450,6 +482,7 @@ object TextQueries {
     "q_binary_meta" -> (qBinaryMeta _))
 
   val oracles: Map[String, String] = Map(
+    "q_feature_hash" -> qFeatureHashSql,
     "q_regex_array" -> qRegexArraySql,
     "q_tfidf" -> qTfidfSql,
     "q_bigram_score" -> qBigramScoreSql,
