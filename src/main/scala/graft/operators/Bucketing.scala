@@ -10,15 +10,33 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 object Bucketing {
 
   /** Write `df` as a bucketed+sorted managed table (both sides of a future
-    * join must use the same key and bucket count). */
+    * join must use the same key and bucket count).
+    *
+    * A fresh session's catalog does not know about tables a PREVIOUS
+    * session left in the warehouse directory, and `CREATE TABLE AS`
+    * refuses to reuse the orphaned location — so drop the table and
+    * clear its location explicitly before writing. */
   def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int,
-                    mode: SaveMode = SaveMode.Overwrite): Unit =
+                    mode: SaveMode = SaveMode.Overwrite): Unit = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val warehouse = java.net.URI.create(
+      spark.conf.get("spark.sql.warehouse.dir")).getPath
+    val loc = new java.io.File(warehouse, table)
+    if (loc.exists()) {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete()
+      }
+      rm(loc)
+    }
     df.write
       .mode(mode)
       .bucketBy(buckets, key)
       .sortBy(key)
       .format("parquet")
       .saveAsTable(table)
+  }
 
   /** Join two same-key bucketed tables — planner sees the bucketing output
     * partitioning and elides both exchanges (verify via

@@ -107,11 +107,44 @@ object LayoutQueries {
        |ORDER BY zkey, event_id""".stripMargin
   }
 
+  /** Shuffle-free join on co-bucketed tables: orders and customer are
+    * written ONCE as bucketed+sorted managed tables on the join key, after
+    * which every join on that key reads bucket-aligned files and the
+    * planner elides BOTH join-side exchanges — the standard way a 100 TB
+    * pipeline amortizes its repeated fact-fact joins (the bucketed write
+    * pays the shuffle once). The `merge` hint keeps the plan a sort-merge
+    * join (a broadcast would hide the exchange elision this query
+    * demonstrates); PlanQualitySpec asserts no exchange feeds the join.
+    * Aggregation output is the usual decimal-exact revenue per segment. */
+  def qBucketedJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val sf = new File(sfDir).getName.replace('.', '_')
+    val (ot, ct) = (s"bkt_orders_$sf", s"bkt_customer_$sf")
+    graft.operators.Bucketing.writeBucketed(
+      t(spark, sfDir, "orders").select("o_orderkey", "o_custkey", "o_totalprice"),
+      ot, "o_custkey", buckets = 8)
+    graft.operators.Bucketing.writeBucketed(
+      t(spark, sfDir, "customer")
+        .select(col("c_custkey").as("o_custkey"), col("c_mktsegment")),
+      ct, "o_custkey", buckets = 8)
+    spark.table(ot).join(spark.table(ct).hint("merge"), "o_custkey")
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("sum_total"))
+      .orderBy("c_mktsegment")
+  }
+
+  val qBucketedJoinSql: String =
+    """SELECT c_mktsegment, count(*) AS n_orders,
+      |       CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DECIMAL(28,6)) AS DOUBLE) AS sum_total
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_partition_prune" -> (qPartitionPrune _),
-    "q_zorder" -> (qZorder _))
+    "q_zorder" -> (qZorder _),
+    "q_bucketed_join" -> (qBucketedJoin _))
 
   val oracles: Map[String, String] = Map(
     "q_partition_prune" -> qPartitionPruneSql,
-    "q_zorder" -> qZorderSql)
+    "q_zorder" -> qZorderSql,
+    "q_bucketed_join" -> qBucketedJoinSql)
 }

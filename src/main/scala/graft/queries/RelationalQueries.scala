@@ -584,7 +584,44 @@ object RelationalQueries {
       |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
       |ORDER BY c_custkey""".stripMargin
 
+  /** The one join type every other gate here bans, used where it is
+    * CORRECT: a deliberate cross join of two tiny dimensions (5 regions ×
+    * 5 distinct priorities) builds the dense reporting grid, and the fact
+    * side arrives pre-aggregated through a left join so zero combinations
+    * survive with n_orders = 0. Cross joins are fine when both sides are
+    * dimension-sized and broadcastable — the failure mode the other
+    * queries guard against is a FACT table entering one. */
+  def qCrossGrid(spark: SparkSession, sfDir: String): DataFrame = {
+    val region = t(spark, sfDir, "region").select(col("r_regionkey"), col("r_name"))
+    val prios = t(spark, sfDir, "orders")
+      .select(col("o_orderpriority").as("prio")).distinct()
+    val counts = t(spark, sfDir, "orders")
+      .join(t(spark, sfDir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(t(spark, sfDir, "nation"), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_regionkey").as("rk"), col("o_orderpriority").as("cprio"))
+      .agg(count(lit(1)).as("cnt"))
+    region.crossJoin(prios)
+      .join(counts,
+        col("r_regionkey") === col("rk") && col("prio") === col("cprio"), "left")
+      .select(col("r_name"), col("prio").as("o_orderpriority"),
+        coalesce(col("cnt"), lit(0L)).as("n_orders"))
+      .orderBy("r_name", "o_orderpriority")
+  }
+
+  val qCrossGridSql: String =
+    """WITH prios AS (SELECT DISTINCT o_orderpriority AS prio FROM orders),
+      |counts AS (
+      |  SELECT n_regionkey AS rk, o_orderpriority AS cprio, count(*) AS cnt
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |              JOIN nation ON c_nationkey = n_nationkey
+      |  GROUP BY 1, 2)
+      |SELECT r.r_name, p.prio AS o_orderpriority, coalesce(c.cnt, 0) AS n_orders
+      |FROM region r CROSS JOIN prios p
+      |LEFT JOIN counts c ON c.rk = r.r_regionkey AND c.cprio = p.prio
+      |ORDER BY r_name, o_orderpriority""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_cross_grid" -> (qCrossGrid _),
     "q_window_stats" -> (qWindowStats _),
     "q_histogram" -> (qHistogram _),
     "q_scan_project_filter" -> (qScanProjectFilter _),
@@ -610,6 +647,7 @@ object RelationalQueries {
     "q_window_ranks" -> (qWindowRanks _))
 
   val oracles: Map[String, String] = Map(
+    "q_cross_grid" -> qCrossGridSql,
     "q_window_stats" -> qWindowStatsSql,
     "q_histogram" -> qHistogramSql,
     "q_scan_project_filter" -> qScanProjectFilterSql,

@@ -156,13 +156,38 @@ object SeqQueries {
       |FROM documents d LEFT JOIN enc e ON d.doc_id = e.doc_id
       |ORDER BY d.doc_id""".stripMargin
 
+  /** Corpus-level GC per language through the typed [[graft.functions
+    * .GcAggregator]] UDAF (the Aggregator rung of the UDF ladder, here
+    * under the oracle gate, not just unit tests). The aggregator's state
+    * is two exact longs (gc count, total length) merged associatively —
+    * map-side combinable — and `finish` is ONE double division of those
+    * longs, which the oracle reproduces with the identical operands, so
+    * the fraction is bit-exact with no quantization. */
+  def qUdafGc(spark: SparkSession, sfDir: String): DataFrame = {
+    val gcUdaf = udaf(graft.functions.GcAggregator)
+    t(spark, sfDir, "documents")
+      .select(col("lang"), surrogate(col("text")).as("s"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), gcUdaf(col("s")).as("gc_frac"))
+      .orderBy("lang")
+  }
+
+  val qUdafGcSql: String =
+    """WITH s AS (SELECT lang, upper(replace(text, ' ', '')) AS s FROM documents)
+      |SELECT lang, count(*) AS n_docs,
+      |       CAST(sum(length(s) - length(replace(replace(s,'G',''),'C',''))) AS DOUBLE)
+      |         / sum(length(s)) AS gc_frac
+      |FROM s GROUP BY lang ORDER BY lang""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_udaf_gc" -> (qUdafGc _),
     "q_seq_stats" -> (qSeqStats _),
     "q_kmer_explode" -> (qKmerExplode _),
     "q_codon_explode" -> (qCodonExplode _),
     "q_kmer_map" -> (qKmerMap _))
 
   val oracles: Map[String, String] = Map(
+    "q_udaf_gc" -> qUdafGcSql,
     "q_seq_stats" -> qSeqStatsSql,
     "q_kmer_explode" -> qKmerExplodeSql,
     "q_codon_explode" -> qCodonExplodeSql,

@@ -184,6 +184,28 @@ class PlanQualitySpec extends SparkSpec {
       s"rebuild should aggregate:\n$p")
   }
 
+  test("q_bucketed_join: bucket-aligned scans feed the join — no join-side exchange") {
+    val p = plan("q_bucketed_join")
+    assert(p.contains("SortMergeJoin"), s"expected a sort-merge join:\n$p")
+    assert(p.split("Bucketed: true").length - 1 == 2,
+      s"both scans must read bucket-aligned:\n$p")
+    // agg + output sort only: the join-side exchanges are elided by bucketing
+    val exchanges = p.split("Exchange").length - 1
+    assert(exchanges <= 2, s"bucketed join should not shuffle its inputs:\n$p")
+  }
+
+  test("q_feature_hash: two-phase aggregate on doc-local keys, single scan") {
+    val p = plan("q_feature_hash")
+    assert(p.split("FileScan parquet").length - 1 == 1, s"one corpus scan:\n$p")
+    assert(p.split("HashAggregate").length >= 3, s"expected map-side partials:\n$p")
+  }
+
+  test("q_edit_distance: candidates only — no cartesian, texts join on ids") {
+    val p = plan("q_edit_distance")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"edit distance must run on LSH candidates, not all pairs:\n$p")
+  }
+
   test("q_histogram: two-phase aggregate, single scan") {
     val p = plan("q_histogram")
     assert(p.split("FileScan parquet").length - 1 == 1, s"histogram scans once:\n$p")
