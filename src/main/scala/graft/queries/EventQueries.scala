@@ -352,6 +352,36 @@ object EventQueries {
       |FROM grid g LEFT JOIN daily d ON d.user_id = g.user_id AND d.day = g.day
       |ORDER BY g.user_id, g.day""".stripMargin
 
+  /** Argmin/argmax aggregates (`max_by`/`min_by`): the id of each event
+    * type's highest- and lowest-valued event in ONE aggregation pass — no
+    * rank window, no self-join. `value` ties within a group would make the
+    * bare aggregate nondeterministic, so the ordering key is a fixed-width
+    * sortable encoding `printf('%010.2f', value) || '|' || lpad(event_id)`
+    * — lexicographic order equals (value, event_id) order because values
+    * carry exactly 2 decimals (5 significant digits round-trip the double
+    * exactly in both engines) and both fields are zero-padded. */
+  def qMinmaxBy(spark: SparkSession, sfDir: String): DataFrame = {
+    val ord = concat(format_string("%010.2f", col("value")), lit("|"),
+      lpad(col("event_id").cast("string"), 10, "0"))
+    t(spark, sfDir, "events")
+      .groupBy("event_type")
+      .agg(max_by(col("event_id"), ord).as("max_event"),
+        min_by(col("event_id"), ord).as("min_event"),
+        max(col("value")).as("max_value"),
+        min(col("value")).as("min_value"),
+        count(lit(1)).as("cnt"))
+      .orderBy("event_type")
+  }
+
+  val qMinmaxBySql: String =
+    """SELECT event_type,
+      |       arg_max(event_id, printf('%010.2f', value) || '|' || lpad(CAST(event_id AS VARCHAR), 10, '0')) AS max_event,
+      |       arg_min(event_id, printf('%010.2f', value) || '|' || lpad(CAST(event_id AS VARCHAR), 10, '0')) AS min_event,
+      |       max(value) AS max_value,
+      |       min(value) AS min_value,
+      |       count(*) AS cnt
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   /** RANGE-frame window (value-based frame, not row-based): per event, the
     * count and exact decimal sum of the same user's events in the trailing
     * hour [ts−1h, ts]. The frame is expressed on exact integer microseconds
@@ -419,6 +449,7 @@ object EventQueries {
     "q_asof_join" -> (qAsofJoin _),
     "q_range_join" -> (qRangeJoin _),
     "q_range_frame" -> (qRangeFrame _),
+    "q_minmax_by" -> (qMinmaxBy _),
     "q_resample" -> (qResample _))
 
   val oracles: Map[String, String] = Map(
@@ -434,5 +465,6 @@ object EventQueries {
     "q_asof_join" -> qAsofJoinSql,
     "q_range_join" -> qRangeJoinSql,
     "q_range_frame" -> qRangeFrameSql,
+    "q_minmax_by" -> qMinmaxBySql,
     "q_resample" -> qResampleSql)
 }

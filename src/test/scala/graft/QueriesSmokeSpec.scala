@@ -84,6 +84,20 @@ class QueriesSmokeSpec extends SparkSpec {
     }
   }
 
+  test("q_chunk_dedup: docs with every chunk kept rebuild to the original text") {
+    import org.apache.spark.sql.functions._
+    val orig = Tables.t(spark, TestSpark.Sf0001, "documents")
+      .select(col("doc_id"), md5(col("text").cast("binary")).as("m"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val rows = SparkEntry.queries("q_chunk_dedup")(spark, TestSpark.Sf0001).collect()
+    val full = rows.filter(r => r.getAs[Long]("n_kept") == r.getAs[Long]("n_chunks"))
+    assert(full.nonEmpty)
+    full.foreach { r =>
+      assert(r.getAs[String]("kept_md5") == orig(r.getAs[Long]("doc_id")),
+        s"doc ${r.getAs[Long]("doc_id")}: rebuilt text differs from original")
+    }
+  }
+
   test("q_resample: grid is dense per user; fill echoes actual on active days") {
     val rows = SparkEntry.queries("q_resample")(spark, TestSpark.Sf0001).collect()
     rows.filter(_.getAs[Long]("cnt") > 0).foreach { r =>
