@@ -506,6 +506,32 @@ object RelationalQueries {
       |GROUP BY 1
       |ORDER BY 1""".stripMargin
 
+  /** Mergeable distinct-count sketches — the property that matters at
+    * 100 TB: per-DAY HLL sketches are built once (the partial a pipeline
+    * would persist alongside each ingest batch), then UNIONED into
+    * per-week estimates without touching the raw data again
+    * (`hll_sketch_agg` → `hll_union_agg` → `hll_sketch_estimate`).
+    * `q_approx_distinct` shows the one-shot sketch; this shows
+    * re-aggregation, which exact distinct counts cannot do (a distinct
+    * count per day cannot be summed into a week). Exact weekly twin
+    * computed beside it; no-oracle (sketch encoding is engine-specific),
+    * accuracy pinned in QueriesSmokeSpec. */
+  def qHllMerge(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = t(spark, sfDir, "events")
+      .select(col("user_id"), date_trunc("day", col("ts")).as("day"),
+        weekofyear(col("ts")).cast("long").as("week"))
+    val daily = ev.groupBy("week", "day")
+      .agg(expr("hll_sketch_agg(user_id)").as("sk"))
+    val weekly = daily.groupBy("week")
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("est_users"),
+        count(lit(1)).as("n_days"))
+    val exact = ev.groupBy("week")
+      .agg(countDistinct(col("user_id")).as("exact_users"))
+    weekly.join(exact, "week")
+      .select(col("week"), col("n_days"), col("est_users"), col("exact_users"))
+      .orderBy("week")
+  }
+
   /** Statistical moments from exact integer power sums: per (returnflag,
     * linestatus), sample variance / stddev of l_quantity and the Pearson
     * correlation between quantity and linenumber. The aggregation carries
@@ -644,7 +670,8 @@ object RelationalQueries {
     "q_approx_percentile" -> (qApproxPercentile _),
     "q_skew_salted_agg" -> (qSkewSaltedAgg _),
     "q_stats_moments" -> (qStatsMoments _),
-    "q_window_ranks" -> (qWindowRanks _))
+    "q_window_ranks" -> (qWindowRanks _),
+    "q_hll_merge" -> (qHllMerge _))
 
   val oracles: Map[String, String] = Map(
     "q_cross_grid" -> qCrossGridSql,

@@ -67,6 +67,17 @@ class QueriesSmokeSpec extends SparkSpec {
     }
   }
 
+  test("q_hll_merge: merged daily sketches estimate weekly distincts within 5%") {
+    val rows = SparkEntry.queries("q_hll_merge")(spark, TestSpark.Sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val est = r.getAs[Long]("est_users").toDouble
+      val exact = r.getAs[Long]("exact_users").toDouble
+      assert(math.abs(est - exact) / exact <= 0.05,
+        s"week ${r.getAs[Long]("week")}: est=$est exact=$exact")
+    }
+  }
+
   test("q_stats_moments: power-sum stddev matches built-in stddev_samp") {
     import org.apache.spark.sql.functions._
     val builtin = Tables.t(spark, TestSpark.Sf0001, "lineitem")
