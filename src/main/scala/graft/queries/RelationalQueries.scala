@@ -232,11 +232,16 @@ object RelationalQueries {
   def qPercentile(spark: SparkSession, sfDir: String): DataFrame =
     t(spark, sfDir, "lineitem")
       .groupBy(col("l_returnflag"))
+      // array form: ONE sorted buffer per column serves both quantiles —
+      // scalar-per-quantile calls buffer (and sort) every value twice
       .agg(
-        expr("percentile(l_quantity, 0.5)").as("qty_p50"),
-        expr("percentile(l_quantity, 0.9)").as("qty_p90"),
-        expr("percentile(l_extendedprice, 0.25)").as("price_p25"),
-        expr("percentile(l_extendedprice, 0.75)").as("price_p75"))
+        expr("percentile(l_quantity, array(0.5D, 0.9D))").as("qty_p"),
+        expr("percentile(l_extendedprice, array(0.25D, 0.75D))").as("price_p"))
+      .select(col("l_returnflag"),
+        col("qty_p").getItem(0).as("qty_p50"),
+        col("qty_p").getItem(1).as("qty_p90"),
+        col("price_p").getItem(0).as("price_p25"),
+        col("price_p").getItem(1).as("price_p75"))
       .orderBy("l_returnflag")
 
   val qPercentileSql: String =
@@ -256,11 +261,16 @@ object RelationalQueries {
   def qApproxPercentile(spark: SparkSession, sfDir: String): DataFrame =
     t(spark, sfDir, "lineitem")
       .groupBy(col("l_returnflag"))
+      // array form halves the aggregation state: one exact buffer and one
+      // sketch serve both quantiles
       .agg(
-        expr("percentile(l_extendedprice, 0.5)").as("exact_p50"),
-        expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("approx_p50"),
-        expr("percentile(l_extendedprice, 0.9)").as("exact_p90"),
-        expr("approx_percentile(l_extendedprice, 0.9, 1000)").as("approx_p90"))
+        expr("percentile(l_extendedprice, array(0.5D, 0.9D))").as("ex"),
+        expr("approx_percentile(l_extendedprice, array(0.5D, 0.9D), 1000)").as("ap"))
+      .select(col("l_returnflag"),
+        col("ex").getItem(0).as("exact_p50"),
+        col("ap").getItem(0).as("approx_p50"),
+        col("ex").getItem(1).as("exact_p90"),
+        col("ap").getItem(1).as("approx_p90"))
       .orderBy("l_returnflag")
 
   /** Salted two-phase aggregation over a hot low-cardinality key (6 event
