@@ -111,9 +111,16 @@ object Dedup {
   }
 
   def minhashFromShingles(shingles: DataFrame,
-                          bands: Int = 4, rowsPerBand: Int = 4): DataFrame = {
-    val total = bands * rowsPerBand
-    val sig = minhashSignatures(shingles, total)
+                          bands: Int = 4, rowsPerBand: Int = 4): DataFrame =
+    minhashFromSignatures(minhashSignatures(shingles, bands * rowsPerBand),
+      bands, rowsPerBand)
+
+  /** Banding + bucket join over a PRECOMPUTED signature table — callers
+    * that also consume the signatures directly (estimator calibration)
+    * pass one cached `sig` so the 16-way min aggregation runs once, not
+    * once per consumer. */
+  def minhashFromSignatures(sig: DataFrame,
+                            bands: Int = 4, rowsPerBand: Int = 4): DataFrame = {
     val bandStructs = (0 until bands).map { b =>
       struct(lit(b).cast("long").as("band"),
         concat((0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}")): _*).as("band_key"))

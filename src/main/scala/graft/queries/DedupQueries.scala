@@ -145,8 +145,10 @@ object DedupQueries {
     val Dedup = graft.operators.Dedup
     val sh = graft.CacheScope.cached(Dedup.shingleSets(
       t(spark, sfDir, "documents"), "doc_id", "text", n = 3))
-    val cand = Dedup.minhashFromShingles(sh)
-    val sig = Dedup.minhashSignatures(sh)
+    // ONE cached signature table feeds both the banding join and the
+    // per-position match count — the 16-way min aggregation runs once
+    val sig = graft.CacheScope.cached(Dedup.minhashSignatures(sh))
+    val cand = Dedup.minhashFromSignatures(sig)
     val sa = sig.toDF(sig.columns.map(c => if (c == "id") "d1" else s"a_$c").toIndexedSeq: _*)
     val sb = sig.toDF(sig.columns.map(c => if (c == "id") "d2" else s"b_$c").toIndexedSeq: _*)
     val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("sz"))
