@@ -303,7 +303,42 @@ object SimilarityQueries {
       |JOIN norms nb ON nb.label = dots.l2
       |ORDER BY l1, l2""".stripMargin
 
+  /** Int8 scalar quantization error profile — the storage-compression
+    * prep every large vector corpus runs before ANN indexing (4× smaller
+    * than float32; recall cost measured by exactly this error profile).
+    * Per vector: L1 and max reconstruction error of `floor(x·127)`
+    * clamped to int8 range. Every arithmetic step is double-typed and
+    * written identically in the oracle, and the L1 sum folds the array
+    * SEQUENTIALLY (`aggregate` HOF ≙ DuckDB `list_reduce`) so even the
+    * order-dependent double addition is bit-identical — no output
+    * quantization needed. Row-local, shuffle-free except the output
+    * sort. */
+  def qVectorQuantize(spark: SparkSession, sfDir: String): DataFrame = {
+    val errs = transform(col("embedding"), x => {
+      val xd = x.cast("double")
+      val q = greatest(lit(-127L), least(lit(127L), floor(xd * 127).cast("long")))
+      abs(xd - q.cast("double") / 127.0d)
+    })
+    t(spark, sfDir, "embeddings")
+      .select(col("vec_id"), size(col("embedding")).as("n_dims"),
+        aggregate(errs, lit(0.0d), (acc, e) => acc + e).as("l1_err"),
+        array_max(errs).as("max_err"))
+      .orderBy("vec_id")
+  }
+
+  val qVectorQuantizeSql: String =
+    """WITH e AS (
+      |  SELECT vec_id, len(embedding) AS n_dims,
+      |         list_transform(embedding, x -> abs(CAST(x AS DOUBLE) -
+      |           CAST(greatest(-127, least(127, CAST(floor(CAST(x AS DOUBLE) * 127) AS BIGINT))) AS DOUBLE) / 127.0)) AS errs
+      |  FROM embeddings)
+      |SELECT vec_id, n_dims,
+      |       list_reduce(list_prepend(CAST(0.0 AS DOUBLE), errs), (acc, x) -> acc + x) AS l1_err,
+      |       list_max(errs) AS max_err
+      |FROM e ORDER BY vec_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_vector_quantize" -> (qVectorQuantize _),
     "q_simsearch" -> (qSimsearch _),
     "q_embed_centroids" -> (qEmbedCentroids _),
     "q_embed_neardup" -> (qEmbedNeardup _),
@@ -312,6 +347,7 @@ object SimilarityQueries {
     "q_ann_ivf" -> (qAnnIvf _))
 
   val oracles: Map[String, String] = Map(
+    "q_vector_quantize" -> qVectorQuantizeSql,
     "q_simsearch" -> qSimsearchSql,
     "q_embed_centroids" -> qEmbedCentroidsSql,
     "q_embed_neardup" -> qEmbedNeardupSql,
