@@ -273,6 +273,45 @@ object RelationalQueries {
         col("ap").getItem(1).as("approx_p90"))
       .orderBy("l_returnflag")
 
+  /** Winsorization — percentile-clipped aggregation, the robust-statistics
+    * outlier treatment a feature pipeline applies before training: per
+    * group, values are clipped into the [p05, p95] band and re-aggregated,
+    * with clip counts reported. Two passes, both scale-right: the bounds
+    * aggregate is group-cardinality-sized and BROADCASTS back onto the
+    * fact table (no fact shuffle for the join), and the clipped sum is
+    * decimal-exact. The percentile bounds are bit-identical cross-engine
+    * (same interpolation, see [[qPercentile]]), so clip comparisons and
+    * the final hash match exactly. */
+  def qWinsorize(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = t(spark, sfDir, "lineitem")
+      .select(col("l_returnflag"), col("l_extendedprice"))
+    val bounds = li.groupBy("l_returnflag")
+      .agg(expr("percentile(l_extendedprice, array(0.05D, 0.95D))").as("b"))
+      .select(col("l_returnflag"),
+        col("b").getItem(0).as("lo"), col("b").getItem(1).as("hi"))
+    val clipped = least(greatest(col("l_extendedprice"), col("lo")), col("hi"))
+    li.join(broadcast(bounds), "l_returnflag")
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("l_extendedprice") < col("lo"), 1L).otherwise(0L)).as("n_clip_lo"),
+        sum(when(col("l_extendedprice") > col("hi"), 1L).otherwise(0L)).as("n_clip_hi"),
+        dsum(clipped).as("sum_winsorized"))
+      .orderBy("l_returnflag")
+  }
+
+  val qWinsorizeSql: String =
+    """WITH b AS (
+      |  SELECT l_returnflag,
+      |         quantile_cont(l_extendedprice, 0.05) AS lo,
+      |         quantile_cont(l_extendedprice, 0.95) AS hi
+      |  FROM lineitem GROUP BY 1)
+      |SELECT l.l_returnflag, count(*) AS n,
+      |       CAST(sum(CASE WHEN l_extendedprice < lo THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_lo,
+      |       CAST(sum(CASE WHEN l_extendedprice > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_hi,
+      |       CAST(CAST(sum(CAST(least(greatest(l_extendedprice, lo), hi) AS DECIMAL(18,6))) AS DECIMAL(28,6)) AS DOUBLE) AS sum_winsorized
+      |FROM lineitem l JOIN b USING (l_returnflag)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Salted two-phase aggregation over a hot low-cardinality key (6 event
     * types across the whole table — the classic hot-reducer shape when
     * aggregate state is large or map-side combine is unavailable). The
@@ -681,7 +720,8 @@ object RelationalQueries {
     "q_skew_salted_agg" -> (qSkewSaltedAgg _),
     "q_stats_moments" -> (qStatsMoments _),
     "q_window_ranks" -> (qWindowRanks _),
-    "q_hll_merge" -> (qHllMerge _))
+    "q_hll_merge" -> (qHllMerge _),
+    "q_winsorize" -> (qWinsorize _))
 
   val oracles: Map[String, String] = Map(
     "q_cross_grid" -> qCrossGridSql,
@@ -705,5 +745,6 @@ object RelationalQueries {
     "q_corr_subquery" -> qCorrSubquerySql,
     "q_skew_salted_agg" -> qSkewSaltedAggSql,
     "q_stats_moments" -> qStatsMomentsSql,
-    "q_window_ranks" -> qWindowRanksSql)
+    "q_window_ranks" -> qWindowRanksSql,
+    "q_winsorize" -> qWinsorizeSql)
 }

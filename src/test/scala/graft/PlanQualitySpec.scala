@@ -206,6 +206,12 @@ class PlanQualitySpec extends SparkSpec {
       s"edit distance must run on LSH candidates, not all pairs:\n$p")
   }
 
+  test("q_winsorize: percentile bounds broadcast back — fact table never shuffles for the join") {
+    val p = plan("q_winsorize")
+    assert(p.contains("BroadcastHashJoin"), s"bounds must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"fact side shuffled for a tiny bounds join:\n$p")
+  }
+
   test("q_histogram: two-phase aggregate, single scan") {
     val p = plan("q_histogram")
     assert(p.split("FileScan parquet").length - 1 == 1, s"histogram scans once:\n$p")
