@@ -22,6 +22,49 @@ object Dedup {
     df.join(winners, Seq(idCol), "left_semi")
   }
 
+  /** Chunk-level exact dedup (the C4 / "Deduplicating Training Data"
+    * line-dedup shape on fixed word boundaries): each doc is cut into
+    * consecutive `chunkWords`-word chunks, a chunk KEEPS only its globally
+    * first occurrence (ordered by id, then position), and every doc is
+    * rebuilt from its surviving chunks. Returns one row per input doc:
+    * (id, n_chunks, n_kept, kept_text) — kept_text is null when every
+    * chunk was seen earlier.
+    *
+    * Scale shape: chunking is row-local; the only wide ops are the
+    * first-occurrence shuffle keyed on the chunk and the per-doc rebuild
+    * aggregate. The rebuild's ordered concat is
+    * `array_sort(collect_list(struct(pos, chunk)))` — deterministic under
+    * any partitioning. At web scale, key the first-occurrence shuffle on
+    * xxhash64(chunk) and verify collisions on the string; the raw string
+    * keeps the DuckDB oracle byte-exact (`q_chunk_dedup`). */
+  def chunkDedup(df: DataFrame, idCol: String, textCol: String,
+                 chunkWords: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = df
+      .select(col(idCol), split(col(textCol), " ").as("__w"))
+      .withColumn("n_chunks",
+        ceil(size(col("__w")).cast("double") / chunkWords).cast("long"))
+    val chunks = docs.select(col(idCol),
+      posexplode(transform(
+        sequence(lit(0L), col("n_chunks") - 1),
+        i => array_join(
+          slice(col("__w"), (i * chunkWords + 1).cast("int"), lit(chunkWords)), " ")))
+        .as(Seq("pos", "chunk")))
+    val firstSeen = Window.partitionBy("chunk").orderBy(idCol, "pos")
+    val kept = chunks
+      .withColumn("__rn", row_number().over(firstSeen))
+      .filter(col("__rn") === 1)
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("pos"), col("chunk")))),
+            s => s.getField("chunk")), " ").as("kept_text"))
+    docs.select(col(idCol), col("n_chunks"))
+      .join(kept, Seq(idCol), "left")
+      .select(col(idCol), col("n_chunks"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"), col("kept_text"))
+  }
+
   /** Default document-frequency cap: a shingle appearing in more documents
     * than this is dropped before any self-join. A shingle shared by f docs
     * emits f² join rows, so one boilerplate phrase ("all rights reserved")

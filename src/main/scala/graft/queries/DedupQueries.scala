@@ -253,49 +253,16 @@ object DedupQueries {
        |       string_agg(id, ',' ORDER BY id) AS members
        |FROM labels GROUP BY cluster ORDER BY cluster_id""".stripMargin
 
-  /** Chunk-level exact dedup (the C4 / "Deduplicating Training Data"
-    * line-dedup shape on fixed 10-word boundaries): every doc is cut into
-    * consecutive 10-word chunks, a chunk KEEPS only its globally first
-    * occurrence (ordered by doc_id, then position), and each doc is
-    * rebuilt from its surviving chunks. Output per doc: chunk counts and
-    * the md5 of the rebuilt text (proves the reconstruction bit-exact
-    * without dumping full text).
-    *
-    * Scale shape: chunking is row-local (split + sequence + transform —
-    * no second scan for totals, they come from the same row); the only
-    * wide ops are the first-occurrence shuffle keyed on the chunk string
-    * and the per-doc rebuild shuffle — exactly the two exchanges this op
-    * needs. The rebuild's ordered concat is `array_sort(collect_list(
-    * struct(pos, chunk)))`, deterministic under any partitioning. At web
-    * scale you'd key the first-occurrence shuffle on xxhash64(chunk) and
-    * verify collisions on the string; here the raw string keeps the
-    * DuckDB oracle byte-exact. */
+  /** [[graft.operators.Dedup.chunkDedup]] (C4-style 10-word chunk dedup)
+    * under the oracle gate: per doc, chunk counts and the md5 of the
+    * rebuilt text — proves the reconstruction bit-exact without dumping
+    * full text. Scale notes live on the operator. */
   def qChunkDedup(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    import org.apache.spark.sql.expressions.Window
-    val C = 10
-    val docs = t(spark, sfDir, "documents")
-      .select(col("doc_id"), split(col("text"), " ").as("w"))
-      .withColumn("n_chunks",
-        ceil(size(col("w")).cast("double") / C).cast("long"))
-    val chunks = docs.select(col("doc_id"), col("n_chunks"),
-      posexplode(transform(
-        sequence(lit(0L), col("n_chunks") - 1),
-        i => array_join(slice(col("w"), (i * C + 1).cast("int"), lit(C)), " ")))
-        .as(Seq("pos", "chunk")))
-    val firstSeen = Window.partitionBy("chunk").orderBy("doc_id", "pos")
-    val kept = chunks
-      .withColumn("rn", row_number().over(firstSeen))
-      .filter(col("rn") === 1)
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_kept"),
-        md5(array_join(
-          transform(array_sort(collect_list(struct(col("pos"), col("chunk")))),
-            s => s.getField("chunk")), " ")).as("kept_md5"))
-    docs.select(col("doc_id"), col("n_chunks"))
-      .join(kept, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_chunks"),
-        coalesce(col("n_kept"), lit(0L)).as("n_kept"), col("kept_md5"))
+    graft.operators.Dedup
+      .chunkDedup(t(spark, sfDir, "documents"), "doc_id", "text", chunkWords = 10)
+      .select(col("doc_id"), col("n_chunks"), col("n_kept"),
+        md5(col("kept_text").cast("binary")).as("kept_md5"))
       .orderBy("doc_id")
   }
 

@@ -22,6 +22,32 @@ class OperatorsSpec extends SparkSpec {
     assert(out == Seq(1L, 2L))
   }
 
+  test("chunkDedup: exact duplicate doc is fully dropped, first stays intact") {
+    // 12 words → chunks of 4: doc 1 and doc 2 identical; doc 3 unique
+    val w12 = (1 to 12).map(i => s"w$i").mkString(" ")
+    val other = (1 to 12).map(i => s"x$i").mkString(" ")
+    val df = Seq((1L, w12), (2L, w12), (3L, other)).toDF("doc_id", "text")
+    val out = Dedup.chunkDedup(df, "doc_id", "text", chunkWords = 4)
+      .orderBy("doc_id").collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ==
+      Seq((1L, 3L, 3L), (2L, 3L, 0L), (3L, 3L, 3L)))
+    assert(out(0).getString(3) == w12)      // first occurrence rebuilds intact
+    assert(out(1).isNullAt(3))              // fully-deduped doc has no text
+    assert(out(2).getString(3) == other)
+  }
+
+  test("chunkDedup: shared chunk drops only in the later doc; rest survives in order") {
+    val shared = "a b c d"                  // one full 4-word chunk
+    val df = Seq(
+      (1L, s"$shared e f g h"),             // chunks: [a b c d] [e f g h]
+      (2L, s"$shared p q r s")              // shares chunk 0 with doc 1
+    ).toDF("doc_id", "text")
+    val out = Dedup.chunkDedup(df, "doc_id", "text", chunkWords = 4)
+      .orderBy("doc_id").collect()
+    assert(out(0).getLong(2) == 2L && out(0).getString(3) == s"$shared e f g h")
+    assert(out(1).getLong(2) == 1L && out(1).getString(3) == "p q r s")
+  }
+
   test("simhash64 is deterministic and order-sensitive but near-dup tolerant") {
     val df = Seq(
       (1L, "the quick brown fox jumps over the lazy dog again and again today"),
