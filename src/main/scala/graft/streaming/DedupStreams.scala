@@ -63,6 +63,43 @@ object DedupStreams {
     }
   }
 
+  case class ChunkVerdict(doc_id: Long, pos: Long, kept: Boolean)
+
+  /** Streaming twin of [[graft.operators.Dedup.chunkDedup]]: per-chunk
+    * first-occurrence verdicts over a document stream. Chunking is
+    * row-local in `flatMap` (identical fixed word boundaries to the batch
+    * operator); one Boolean state per distinct chunk records whether it
+    * was ever claimed. Within a micro-batch the minimal (doc_id, pos)
+    * claims the chunk — so when the stream delivers docs in id order the
+    * verdicts match the batch operator's global first-occurrence exactly
+    * (pinned in StreamingSpec). State is O(distinct chunks); bound it in
+    * production with a TTL timeout or an upstream time window. */
+  def chunkVerdictStream(docs: Dataset[Doc], chunkWords: Int = 10): Dataset[ChunkVerdict] = {
+    import docs.sparkSession.implicits._
+    docs
+      .flatMap { d =>
+        val w = d.text.split(" ", -1)
+        val n = math.max(1L, math.ceil(w.length / chunkWords.toDouble).toLong)
+        (0L until n).map { i =>
+          val from = (i * chunkWords).toInt
+          (d.doc_id, i, w.slice(from, from + chunkWords).mkString(" "))
+        }
+      }
+      .groupByKey(_._3)
+      .flatMapGroupsWithState[Boolean, ChunkVerdict](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (_, rows, state: GroupState[Boolean]) =>
+          val claimed = state.getOption.getOrElse(false)
+          // deterministic intra-batch winner: minimal (doc_id, pos)
+          val sorted = rows.map(r => (r._1, r._2)).toSeq.sorted
+          val out = sorted.zipWithIndex.map { case ((id, pos), idx) =>
+            ChunkVerdict(id, pos, kept = !claimed && idx == 0)
+          }
+          state.update(true)
+          out.iterator
+      }
+  }
+
   /** Streaming candidate pairs: every new doc × every earlier member of
     * its band buckets (ids normalized d1 < d2). Works on batch Datasets
     * too (same code path — Spark plans FlatMapGroupsWithState for both). */

@@ -53,6 +53,33 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("streaming chunk verdicts equal the batch chunkDedup survival counts") {
+    implicit val sq = spark.sqlContext
+    import graft.streaming.DedupStreams
+    val docsDf = spark.read.parquet(s"${TestSpark.Sf0001}/documents.parquet")
+      .select("doc_id", "text").orderBy("doc_id").limit(80)
+    val batch = graft.operators.Dedup.chunkDedup(docsDf, "doc_id", "text", chunkWords = 10)
+      .select("doc_id", "n_kept").as[(Long, Long)].collect().toMap
+    val docs = docsDf.collect().map(r => DedupStreams.Doc(r.getLong(0), r.getString(1)))
+    val input = MemoryStream[DedupStreams.Doc]
+    val q = DedupStreams.chunkVerdictStream(input.toDS())
+      .writeStream.format("memory").queryName("chunk_stream_test")
+      .outputMode("append").start()
+    try {
+      // id-ordered delivery across two micro-batches = the batch operator's
+      // global (id, pos) first-occurrence order
+      val (first, rest) = docs.splitAt(40)
+      input.addData(first.toIndexedSeq: _*); q.processAllAvailable()
+      input.addData(rest.toIndexedSeq: _*); q.processAllAvailable()
+      val streamed = spark.table("chunk_stream_test")
+        .groupBy("doc_id")
+        .agg(sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"))
+        .as[(Long, Long)].collect().toMap
+      assert(streamed == batch, s"stream=$streamed batch=$batch")
+      assert(batch.values.exists(_ == 0L) || batch.nonEmpty)
+    } finally q.stop()
+  }
+
   test("streaming MinHash-LSH candidates equal the batch banding pairs") {
     implicit val sq = spark.sqlContext
     import graft.streaming.DedupStreams
