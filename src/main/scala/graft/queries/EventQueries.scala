@@ -305,37 +305,18 @@ object EventQueries {
       |  ON c.user_id = p.user_id AND c.ts >= p.ts
       |ORDER BY c.event_id""".stripMargin
 
-  /** Time-series resampling with gap fill: per-user daily activity on a
-    * dense calendar grid (min..max active day per user), missing days
-    * zero-counted and the last observed daily sum carried forward
-    * (`last(…, ignoreNulls)`). The grid is generated per key with
-    * `sequence` + `explode` from a two-column aggregate — no driver loop
-    * and no cross join against a global calendar — so grid size grows with
-    * span × keys, never with event count; the fill is one window per key
-    * and the gap join is an equi-join on (user_id, day). This is the
-    * standard feature-engineering densification step (metrics-per-day
-    * matrices, forward-filled state) that event logs need before model
-    * training. */
-  def qResample(spark: SparkSession, sfDir: String): DataFrame = {
-    // daily feeds both the grid bounds and the gap join — cache the tiny
-    // (keys × days) aggregate so events is scanned once, not twice
-    val daily = graft.CacheScope.cached(t(spark, sfDir, "events")
-      .groupBy(col("user_id"), date_trunc("day", col("ts")).as("day"))
-      .agg(count(lit(1)).as("cnt"), dsum(col("value")).as("day_value")))
-    val grid = daily.groupBy("user_id")
-      .agg(min(col("day")).as("mn"), max(col("day")).as("mx"))
+  /** [[graft.operators.TimeSeries.resample]] (per-user daily gap-fill
+    * grid with forward fill) under the oracle gate; scale notes live on
+    * the operator. */
+  def qResample(spark: SparkSession, sfDir: String): DataFrame =
+    graft.operators.TimeSeries
+      .resample(t(spark, sfDir, "events"), "user_id", "ts", "value", unit = "day")
       .select(col("user_id"),
-        explode(sequence(col("mn"), col("mx"), expr("interval 1 day"))).as("day"))
-    val fill = Window.partitionBy("user_id").orderBy("day")
-      .rowsBetween(Window.unboundedPreceding, 0)
-    grid.join(daily, Seq("user_id", "day"), "left")
-      .select(col("user_id"),
-        date_format(col("day"), "yyyy-MM-dd").as("day"),
-        coalesce(col("cnt"), lit(0L)).as("cnt"),
-        col("day_value"),
-        last(col("day_value"), ignoreNulls = true).over(fill).as("filled_value"))
+        date_format(col("bucket"), "yyyy-MM-dd").as("day"),
+        col("cnt"),
+        col("value_sum").as("day_value"),
+        col("value_filled").as("filled_value"))
       .orderBy("user_id", "day")
-  }
 
   val qResampleSql: String =
     """WITH daily AS (

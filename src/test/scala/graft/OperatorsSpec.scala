@@ -48,6 +48,27 @@ class OperatorsSpec extends SparkSpec {
     assert(out(1).getLong(2) == 1L && out(1).getString(3) == "p q r s")
   }
 
+  test("TimeSeries.resample: gaps zero-counted, last value carried forward") {
+    def ts(day: Int) = java.sql.Timestamp.valueOf(f"2024-01-$day%02d 10:00:00")
+    // key 1 active on days 1 and 4 (gap 2-3); key 2 single day (no grid rows added)
+    val df = Seq(
+      (1L, ts(1), 10.0), (1L, ts(1), 5.0), (1L, ts(4), 7.0),
+      (2L, ts(2), 1.0)
+    ).toDF("k", "t", "v")
+    val out = graft.operators.TimeSeries.resample(df, "k", "t", "v")
+      .orderBy("k", "bucket")
+      .select("k", "cnt", "value_sum", "value_filled")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        Option(r.get(2)).map(_.asInstanceOf[Double]), r.getDouble(3))).toSeq
+    assert(out == Seq(
+      (1L, 2L, Some(15.0), 15.0),   // day 1: two events
+      (1L, 0L, None, 15.0),         // day 2: gap, filled
+      (1L, 0L, None, 15.0),         // day 3: gap, filled
+      (1L, 1L, Some(7.0), 7.0),     // day 4: new observation
+      (2L, 1L, Some(1.0), 1.0)))
+    CacheScope.release()
+  }
+
   test("simhash64 is deterministic and order-sensitive but near-dup tolerant") {
     val df = Seq(
       (1L, "the quick brown fox jumps over the lazy dog again and again today"),
