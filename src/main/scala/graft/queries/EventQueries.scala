@@ -333,6 +333,46 @@ object EventQueries {
       |FROM grid g LEFT JOIN daily d ON d.user_id = g.user_id AND d.day = g.day
       |ORDER BY g.user_id, g.day""".stripMargin
 
+  /** Bitwise aggregates as presence bitmaps — the bitmap-index pattern:
+    * per (user, day), one `bit_or` fold of `1 << type_code` yields a
+    * 5-bit mask of which event types the user triggered that day, and
+    * `bit_count(mask)` reads the distinct-type count straight off the
+    * bits (no countDistinct state). Masks are tiny fixed-width ints that
+    * re-aggregate by further `bit_or` — the same merge-friendly shape the
+    * HLL sketches have, here exact because the domain is enumerable.
+    * `bit_xor` covers the remaining bitwise-aggregate family member. */
+  def qBitmapAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    val typeCode = when(col("event_type") === "click", 0)
+      .when(col("event_type") === "error", 1)
+      .when(col("event_type") === "purchase", 2)
+      .when(col("event_type") === "signup", 3)
+      .otherwise(4).cast("long")
+    t(spark, sfDir, "events")
+      .select(col("user_id"),
+        date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"),
+        typeCode.as("tc"))
+      .groupBy("user_id", "day")
+      .agg(bit_or(expr("shiftleft(CAST(1 AS BIGINT), CAST(tc AS INT))")).as("type_mask"),
+        bit_count(bit_or(expr("shiftleft(CAST(1 AS BIGINT), CAST(tc AS INT))"))).as("n_types"),
+        bit_xor(col("tc")).as("xor_code"),
+        count(lit(1)).as("cnt"))
+      .orderBy("user_id", "day")
+  }
+
+  val qBitmapAggSql: String =
+    """WITH coded AS (
+      |  SELECT user_id, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+      |         CASE event_type WHEN 'click' THEN 0 WHEN 'error' THEN 1
+      |              WHEN 'purchase' THEN 2 WHEN 'signup' THEN 3 ELSE 4 END AS tc
+      |  FROM events)
+      |SELECT user_id, day,
+      |       bit_or(CAST(1 AS BIGINT) << tc) AS type_mask,
+      |       CAST(bit_count(bit_or(CAST(1 AS BIGINT) << tc)) AS INTEGER) AS n_types,
+      |       bit_xor(CAST(tc AS BIGINT)) AS xor_code,
+      |       count(*) AS cnt
+      |FROM coded GROUP BY user_id, day
+      |ORDER BY user_id, day""".stripMargin
+
   /** Argmin/argmax aggregates (`max_by`/`min_by`): the id of each event
     * type's highest- and lowest-valued event in ONE aggregation pass — no
     * rank window, no self-join. `value` ties within a group would make the
@@ -431,6 +471,7 @@ object EventQueries {
     "q_range_join" -> (qRangeJoin _),
     "q_range_frame" -> (qRangeFrame _),
     "q_minmax_by" -> (qMinmaxBy _),
+    "q_bitmap_agg" -> (qBitmapAgg _),
     "q_resample" -> (qResample _))
 
   val oracles: Map[String, String] = Map(
@@ -447,5 +488,6 @@ object EventQueries {
     "q_range_join" -> qRangeJoinSql,
     "q_range_frame" -> qRangeFrameSql,
     "q_minmax_by" -> qMinmaxBySql,
+    "q_bitmap_agg" -> qBitmapAggSql,
     "q_resample" -> qResampleSql)
 }
