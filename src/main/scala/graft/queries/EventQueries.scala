@@ -333,6 +333,36 @@ object EventQueries {
       |FROM grid g LEFT JOIN daily d ON d.user_id = g.user_id AND d.day = g.day
       |ORDER BY g.user_id, g.day""".stripMargin
 
+  /** Incremental aggregation (materialized-view maintenance): a per-user
+    * state table is built from a BASE period, a DELTA period is aggregated
+    * separately, and the two partial states merge by re-aggregation — the
+    * daily-pipeline pattern that updates 100 TB aggregates by touching
+    * only the new partition instead of recomputing history. The oracle is
+    * the from-scratch aggregation over ALL events, so the query PROVES
+    * merge(base, delta) ≡ full recompute bit-for-bit — which holds because
+    * the partials carry exact decimal sums and long counts (associative,
+    * order-free); double-typed partials would not survive this test. */
+  def qIncrementalAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = t(spark, sfDir, "events")
+    val cutoff = "2024-01-21"
+    def partial(df: DataFrame): DataFrame =
+      df.groupBy("user_id").agg(
+        count(lit(1)).as("n_events"),
+        sum(dec(col("value"))).as("s"))   // stays DECIMAL: mergeable exactly
+    val base = partial(ev.filter(col("ts") < lit(cutoff).cast("timestamp")))
+    val delta = partial(ev.filter(col("ts") >= lit(cutoff).cast("timestamp")))
+    base.unionByName(delta)
+      .groupBy("user_id")
+      .agg(sum(col("n_events")).as("n_events"), sum(col("s")).as("s"))
+      .select(col("user_id"), col("n_events"), decOut(col("s")).as("sum_value"))
+      .orderBy("user_id")
+  }
+
+  val qIncrementalAggSql: String =
+    """SELECT user_id, count(*) AS n_events,
+      |       CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(28,6)) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+
   /** Bitwise aggregates as presence bitmaps — the bitmap-index pattern:
     * per (user, day), one `bit_or` fold of `1 << type_code` yields a
     * 5-bit mask of which event types the user triggered that day, and
@@ -472,6 +502,7 @@ object EventQueries {
     "q_range_frame" -> (qRangeFrame _),
     "q_minmax_by" -> (qMinmaxBy _),
     "q_bitmap_agg" -> (qBitmapAgg _),
+    "q_incremental_agg" -> (qIncrementalAgg _),
     "q_resample" -> (qResample _))
 
   val oracles: Map[String, String] = Map(
@@ -489,5 +520,6 @@ object EventQueries {
     "q_range_frame" -> qRangeFrameSql,
     "q_minmax_by" -> qMinmaxBySql,
     "q_bitmap_agg" -> qBitmapAggSql,
+    "q_incremental_agg" -> qIncrementalAggSql,
     "q_resample" -> qResampleSql)
 }
