@@ -52,6 +52,17 @@ object Sampling {
     }
   }
 
+  /** Deterministic k-fold assignment: the first 8 md5 hex digits of the
+    * key parsed as an integer, mod k — row-local, stable under
+    * repartitioning and reruns, and engine-portable (the DuckDB oracle
+    * reproduces it as `CAST('0x' || substr(md5(key),1,8) AS BIGINT) % k`).
+    * Pass a string-typed key so both engines hash identical bytes. */
+  def foldAssign(key: Column, k: Int): Column = {
+    require(k > 0, "k must be positive")
+    pmod(conv(substring(md5(key.cast("binary")), 1, 8), 16, 10).cast("long"),
+      lit(k.toLong))
+  }
+
   /** Disjoint train/holdout split on the same hash: rows below the
     * threshold are the holdout, the rest train — membership decided by
     * content, never by ordering. */

@@ -465,7 +465,29 @@ object TextQueries {
       |FROM toks GROUP BY 1, 2
       |ORDER BY doc_id, bucket""".stripMargin
 
+  /** Deterministic 5-fold assignment ([[graft.operators.Sampling
+    * .foldAssign]]) with per-(fold, lang) balance stats — the
+    * cross-validation / sharded-eval split where membership is decided by
+    * content hash, never by row order, so every engine and every rerun
+    * produces the same folds. The balance table is what a pipeline checks
+    * before trusting a split. */
+  def qKfold(spark: SparkSession, sfDir: String): DataFrame =
+    graft.Tables.t(spark, sfDir, "documents")
+      .select(col("lang"), col("n_chars"),
+        graft.operators.Sampling
+          .foldAssign(col("doc_id").cast("string"), 5).as("fold"))
+      .groupBy("fold", "lang")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      .orderBy("fold", "lang")
+
+  val qKfoldSql: String =
+    """SELECT CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 5 AS fold,
+      |       lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+      |FROM documents GROUP BY 1, 2
+      |ORDER BY fold, lang""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_kfold" -> (qKfold _),
     "q_feature_hash" -> (qFeatureHash _),
     "q_regex_array" -> (qRegexArray _),
     "q_tfidf" -> (qTfidf _),
@@ -482,6 +504,7 @@ object TextQueries {
     "q_binary_meta" -> (qBinaryMeta _))
 
   val oracles: Map[String, String] = Map(
+    "q_kfold" -> qKfoldSql,
     "q_feature_hash" -> qFeatureHashSql,
     "q_regex_array" -> qRegexArraySql,
     "q_tfidf" -> qTfidfSql,

@@ -17,7 +17,7 @@ class SqlParitySpec extends SparkSpec {
   private val portable = Seq(
     "q_agg_q1", "q_join_star", "q_semi_anti", "q_full_outer",
     "q_set_ops", "q_rollup", "q_cube", "q_distinct_exact", "q_approx_topk",
-    "q_stats_moments", "q_window_ranks", "q_cross_grid")
+    "q_stats_moments", "q_window_ranks", "q_cross_grid", "q_incremental_agg")
 
   private def registerViews(): Unit =
     Seq("region", "nation", "customer", "supplier", "part", "orders",
