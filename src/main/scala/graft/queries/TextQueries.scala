@@ -486,7 +486,45 @@ object TextQueries {
       |FROM documents GROUP BY 1, 2
       |ORDER BY fold, lang""".stripMargin
 
+  /** Deterministic frame-window sampling over opaque binary payloads —
+    * the second multimodal plumbing query beside [[qBinaryMeta]]: the
+    * payload is cut into 256-byte frames, the first 16 bytes of up to 8
+    * evenly-placed frames concatenate into a sample whose md5 the oracle
+    * reproduces. This is the video/audio "sample k frames, fingerprint
+    * them" access pattern with the codec abstracted away: all byte
+    * slicing happens ON BinaryType row-locally (no decode, no explode,
+    * no shuffle); `graft.multimodal.Multimodal` owns the real decoder
+    * shape. The oracle slices the same bytes as VARCHAR (ASCII payloads
+    * make the byte sequences identical). */
+  def qFrameSample(spark: SparkSession, sfDir: String): DataFrame =
+    graft.Tables.t(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .withColumn("n_bytes", length(col("payload")).cast("long"))
+      .withColumn("n_frames", greatest(lit(1L), expr("n_bytes DIV 256")))
+      .select(col("doc_id"), col("n_bytes"), col("n_frames"),
+        md5(expr(
+          """aggregate(
+            |  transform(sequence(0L, least(n_frames - 1, 7L)),
+            |            i -> substring(payload, int(i * 256 + 1), 16)),
+            |  cast('' as binary),
+            |  (acc, x) -> concat(acc, x))""".stripMargin)).as("sample_md5"))
+      .orderBy("doc_id")
+
+  val qFrameSampleSql: String =
+    """WITH f AS (
+      |  SELECT doc_id, length(text) AS n_bytes,
+      |         greatest(1, length(text) // 256) AS n_frames, text
+      |  FROM documents)
+      |SELECT doc_id, n_bytes, n_frames,
+      |       md5(list_reduce(
+      |         list_prepend('', list_transform(
+      |           generate_series(0, CAST(least(n_frames - 1, 7) AS BIGINT)),
+      |           i -> substring(text, CAST(i * 256 + 1 AS INTEGER), 16))),
+      |         (a, b) -> a || b)) AS sample_md5
+      |FROM f ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_frame_sample" -> (qFrameSample _),
     "q_kfold" -> (qKfold _),
     "q_feature_hash" -> (qFeatureHash _),
     "q_regex_array" -> (qRegexArray _),
@@ -504,6 +542,7 @@ object TextQueries {
     "q_binary_meta" -> (qBinaryMeta _))
 
   val oracles: Map[String, String] = Map(
+    "q_frame_sample" -> qFrameSampleSql,
     "q_kfold" -> qKfoldSql,
     "q_feature_hash" -> qFeatureHashSql,
     "q_regex_array" -> qRegexArraySql,
