@@ -333,6 +333,42 @@ object EventQueries {
       |FROM grid g LEFT JOIN daily d ON d.user_id = g.user_id AND d.day = g.day
       |ORDER BY g.user_id, g.day""".stripMargin
 
+  /** Cohort retention matrix — the canonical product-analytics rollup:
+    * each user's cohort is their first PURCHASE day, and the matrix counts
+    * distinct users active in each week-of-age since their cohort. Both
+    * inputs are pre-reduced before joining (distinct activity days;
+    * min-day cohorts) and the small cohort table broadcasts, so the fact
+    * table never shuffles for the join — at 100 TB the matrix costs one
+    * scan plus a distinct-count aggregation on (cohort, week). Day
+    * arithmetic is integer (`datediff DIV 7`, non-negative by the
+    * at-or-after filter), so the matrix is hash-exact. */
+  def qRetention(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = t(spark, sfDir, "events")
+    val activity = ev
+      .select(col("user_id"), date_trunc("day", col("ts")).as("day")).distinct()
+    val cohorts = ev.filter(col("event_type") === "purchase")
+      .groupBy("user_id")
+      .agg(min(date_trunc("day", col("ts"))).as("cohort"))
+    activity.join(broadcast(cohorts), "user_id")
+      .filter(col("day") >= col("cohort"))
+      .select(date_format(col("cohort"), "yyyy-MM-dd").as("cohort_day"),
+        expr("datediff(day, cohort) DIV 7").as("age_week"), col("user_id"))
+      .groupBy("cohort_day", "age_week")
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy("cohort_day", "age_week")
+  }
+
+  val qRetentionSql: String =
+    """WITH act AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events),
+      |coh AS (SELECT user_id, min(date_trunc('day', ts)) AS cohort
+      |        FROM events WHERE event_type = 'purchase' GROUP BY 1)
+      |SELECT strftime(cohort, '%Y-%m-%d') AS cohort_day,
+      |       date_diff('day', cohort, day) // 7 AS age_week,
+      |       count(DISTINCT act.user_id) AS n_users
+      |FROM act JOIN coh USING (user_id)
+      |WHERE day >= cohort
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   /** Incremental aggregation (materialized-view maintenance): a per-user
     * state table is built from a BASE period, a DELTA period is aggregated
     * separately, and the two partial states merge by re-aggregation — the
@@ -503,6 +539,7 @@ object EventQueries {
     "q_minmax_by" -> (qMinmaxBy _),
     "q_bitmap_agg" -> (qBitmapAgg _),
     "q_incremental_agg" -> (qIncrementalAgg _),
+    "q_retention" -> (qRetention _),
     "q_resample" -> (qResample _))
 
   val oracles: Map[String, String] = Map(
@@ -521,5 +558,6 @@ object EventQueries {
     "q_minmax_by" -> qMinmaxBySql,
     "q_bitmap_agg" -> qBitmapAggSql,
     "q_incremental_agg" -> qIncrementalAggSql,
+    "q_retention" -> qRetentionSql,
     "q_resample" -> qResampleSql)
 }
