@@ -369,6 +369,49 @@ object EventQueries {
       |WHERE day >= cohort
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** Ordered conversion funnel (view → click-after-view →
+    * purchase-after-click): each stage's per-user first timestamp must
+    * fall at-or-after the previous stage's — the staged min-aggregation
+    * pattern behind every conversion report. Each stage is one filtered
+    * aggregation producing a per-user table that BROADCASTS into the next
+    * stage's filter, so the event log is scanned narrowly per stage and
+    * never shuffled for a join. Counts are exact integers on exact
+    * microsecond comparisons. */
+  def qFunnel(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = t(spark, sfDir, "events")
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min(col("ts")).as("v_ts"))
+    val c = ev.filter(col("event_type") === "click")
+      .join(broadcast(v), "user_id")
+      .filter(col("ts") >= col("v_ts"))
+      .groupBy("user_id").agg(min(col("ts")).as("c_ts"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .join(broadcast(c), "user_id")
+      .filter(col("ts") >= col("c_ts"))
+      .groupBy("user_id").agg(min(col("ts")).as("p_ts"))
+    def stage(df: DataFrame, name: String): DataFrame =
+      df.agg(count(lit(1)).as("n_users")).select(lit(name).as("stage"), col("n_users"))
+    stage(v, "1_view")
+      .unionByName(stage(c, "2_click_after_view"))
+      .unionByName(stage(p, "3_purchase_after_click"))
+      .orderBy("stage")
+  }
+
+  val qFunnelSql: String =
+    """WITH v AS (SELECT user_id, min(ts) AS v_ts FROM events
+      |           WHERE event_type = 'view' GROUP BY 1),
+      |c AS (SELECT e.user_id, min(e.ts) AS c_ts
+      |      FROM events e JOIN v ON v.user_id = e.user_id
+      |      WHERE e.event_type = 'click' AND e.ts >= v.v_ts GROUP BY 1),
+      |p AS (SELECT e.user_id, min(e.ts) AS p_ts
+      |      FROM events e JOIN c ON c.user_id = e.user_id
+      |      WHERE e.event_type = 'purchase' AND e.ts >= c.c_ts GROUP BY 1)
+      |SELECT * FROM (
+      |  SELECT '1_view' AS stage, count(*) AS n_users FROM v
+      |  UNION ALL SELECT '2_click_after_view', count(*) FROM c
+      |  UNION ALL SELECT '3_purchase_after_click', count(*) FROM p)
+      |ORDER BY stage""".stripMargin
+
   /** Incremental aggregation (materialized-view maintenance): a per-user
     * state table is built from a BASE period, a DELTA period is aggregated
     * separately, and the two partial states merge by re-aggregation — the
@@ -540,6 +583,7 @@ object EventQueries {
     "q_bitmap_agg" -> (qBitmapAgg _),
     "q_incremental_agg" -> (qIncrementalAgg _),
     "q_retention" -> (qRetention _),
+    "q_funnel" -> (qFunnel _),
     "q_resample" -> (qResample _))
 
   val oracles: Map[String, String] = Map(
@@ -559,5 +603,6 @@ object EventQueries {
     "q_bitmap_agg" -> qBitmapAggSql,
     "q_incremental_agg" -> qIncrementalAggSql,
     "q_retention" -> qRetentionSql,
+    "q_funnel" -> qFunnelSql,
     "q_resample" -> qResampleSql)
 }
