@@ -333,6 +333,31 @@ object EventQueries {
       |FROM grid g LEFT JOIN daily d ON d.user_id = g.user_id AND d.day = g.day
       |ORDER BY g.user_id, g.day""".stripMargin
 
+  /** Event-transition matrix (first-order Markov counts): for each user's
+    * time-ordered event sequence, count every consecutive
+    * (from_type → to_type) pair via one `lead` window — the sequential-
+    * pattern summary behind next-event prediction and journey analysis.
+    * One sort per user partition, then a tiny 5×5 aggregation; ordering is
+    * total on (ts, event_id) so the matrix is hash-exact. */
+  def qTransition(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    t(spark, sfDir, "events")
+      .withColumn("to_type", lead(col("event_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("from_type", "to_type")
+  }
+
+  val qTransitionSql: String =
+    """WITH nxt AS (
+      |  SELECT event_type AS from_type,
+      |         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+      |  FROM events)
+      |SELECT from_type, to_type, count(*) AS n
+      |FROM nxt WHERE to_type IS NOT NULL
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   /** Cohort retention matrix — the canonical product-analytics rollup:
     * each user's cohort is their first PURCHASE day, and the matrix counts
     * distinct users active in each week-of-age since their cohort. Both
@@ -584,6 +609,7 @@ object EventQueries {
     "q_incremental_agg" -> (qIncrementalAgg _),
     "q_retention" -> (qRetention _),
     "q_funnel" -> (qFunnel _),
+    "q_transition" -> (qTransition _),
     "q_resample" -> (qResample _))
 
   val oracles: Map[String, String] = Map(
@@ -604,5 +630,6 @@ object EventQueries {
     "q_incremental_agg" -> qIncrementalAggSql,
     "q_retention" -> qRetentionSql,
     "q_funnel" -> qFunnelSql,
+    "q_transition" -> qTransitionSql,
     "q_resample" -> qResampleSql)
 }
