@@ -22,6 +22,23 @@ class OperatorsSpec extends SparkSpec {
     assert(out == Seq(1L, 2L))
   }
 
+  test("foldAssign: folds cover 0..k-1, are deterministic, and roughly balanced") {
+    val df = docs.select(col("doc_id").cast("string").as("k"))
+    val folds = df.select(graft.operators.Sampling.foldAssign(col("k"), 5).as("fold"))
+      .groupBy("fold").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(folds.keySet == Set(0L, 1L, 2L, 3L, 4L), s"folds: $folds")
+    val n = folds.values.sum.toDouble
+    folds.values.foreach(c =>
+      assert(math.abs(c / n - 0.2) < 0.08, s"unbalanced folds: $folds"))
+    // determinism: same assignment on a repartitioned input
+    val again = df.repartition(7)
+      .select(graft.operators.Sampling.foldAssign(col("k"), 5).as("fold"))
+      .groupBy("fold").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again == folds)
+  }
+
   test("chunkDedup: exact duplicate doc is fully dropped, first stays intact") {
     // 12 words → chunks of 4: doc 1 and doc 2 identical; doc 3 unique
     val w12 = (1 to 12).map(i => s"w$i").mkString(" ")

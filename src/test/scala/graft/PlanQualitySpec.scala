@@ -212,6 +212,20 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), s"fact side shuffled for a tiny bounds join:\n$p")
   }
 
+  test("q_retention/q_funnel: per-user tables broadcast — fact never shuffles for a join") {
+    for (q <- Seq("q_retention", "q_funnel")) {
+      val p = plan(q)
+      assert(p.contains("BroadcastHashJoin"), s"$q: expected broadcast join:\n$p")
+      assert(!p.contains("SortMergeJoin"), s"$q: fact shuffled for a tiny join:\n$p")
+    }
+  }
+
+  test("q_transition: one lead window, two-phase aggregation") {
+    val p = plan("q_transition")
+    assert(p.split("Window ").length - 1 == 1, s"expected one window:\n$p")
+    assert(p.split("HashAggregate").length >= 3, s"expected map-side partials:\n$p")
+  }
+
   test("q_histogram: two-phase aggregate, single scan") {
     val p = plan("q_histogram")
     assert(p.split("FileScan parquet").length - 1 == 1, s"histogram scans once:\n$p")
