@@ -333,6 +333,52 @@ object EventQueries {
       |FROM grid g LEFT JOIN daily d ON d.user_id = g.user_id AND d.day = g.day
       |ORDER BY g.user_id, g.day""".stripMargin
 
+  /** Deterministic A/B experiment readout: users are assigned to arms by
+    * the md5 gate (content-hash randomization — reproducible on any
+    * engine, stable under reruns, no RNG), and the one-row readout holds
+    * per-arm event/user counts, decimal-exact means, and the relative
+    * lift in ppm. One conditional aggregation over one scan — the
+    * experiment-analysis pattern where assignment, exposure counting and
+    * the metric all come from the same pass. The lift division runs on
+    * identical operands in both engines, so even its floor is
+    * hash-exact. */
+  def qAbLift(spark: SparkSession, sfDir: String): DataFrame = {
+    val armA = graft.operators.Sampling
+      .gateBelow(col("user_id").cast("string"), "8")   // ~50/50 split
+    val isA = col("arm") === "A"
+    val isB = col("arm") === "B"
+    val avgA = decOut(sum(when(isA, dec(col("value"))))) / count(when(isA, 1))
+    val avgB = decOut(sum(when(isB, dec(col("value"))))) / count(when(isB, 1))
+    t(spark, sfDir, "events")
+      .select(when(armA, "A").otherwise("B").as("arm"),
+        col("user_id"), col("value"))
+      .agg(count(when(isA, 1)).as("n_a"), count(when(isB, 1)).as("n_b"),
+        countDistinct(when(isA, col("user_id"))).as("users_a"),
+        countDistinct(when(isB, col("user_id"))).as("users_b"),
+        avgA.as("avg_a"), avgB.as("avg_b"),
+        floor((avgA / avgB - 1) * 1000000).cast("long").as("lift_ppm"))
+  }
+
+  val qAbLiftSql: String =
+    """WITH armed AS (
+      |  SELECT CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1) < '8'
+      |              THEN 'A' ELSE 'B' END AS arm, user_id, value
+      |  FROM events)
+      |SELECT count(CASE WHEN arm = 'A' THEN 1 END) AS n_a,
+      |       count(CASE WHEN arm = 'B' THEN 1 END) AS n_b,
+      |       count(DISTINCT CASE WHEN arm = 'A' THEN user_id END) AS users_a,
+      |       count(DISTINCT CASE WHEN arm = 'B' THEN user_id END) AS users_b,
+      |       CAST(CAST(sum(CASE WHEN arm = 'A' THEN CAST(value AS DECIMAL(18,6)) END) AS DECIMAL(28,6)) AS DOUBLE)
+      |         / count(CASE WHEN arm = 'A' THEN 1 END) AS avg_a,
+      |       CAST(CAST(sum(CASE WHEN arm = 'B' THEN CAST(value AS DECIMAL(18,6)) END) AS DECIMAL(28,6)) AS DOUBLE)
+      |         / count(CASE WHEN arm = 'B' THEN 1 END) AS avg_b,
+      |       CAST(floor((CAST(CAST(sum(CASE WHEN arm = 'A' THEN CAST(value AS DECIMAL(18,6)) END) AS DECIMAL(28,6)) AS DOUBLE)
+      |                     / count(CASE WHEN arm = 'A' THEN 1 END)
+      |                   / (CAST(CAST(sum(CASE WHEN arm = 'B' THEN CAST(value AS DECIMAL(18,6)) END) AS DECIMAL(28,6)) AS DOUBLE)
+      |                     / count(CASE WHEN arm = 'B' THEN 1 END))
+      |                   - 1) * 1000000) AS BIGINT) AS lift_ppm
+      |FROM armed""".stripMargin
+
   /** Event-transition matrix (first-order Markov counts): for each user's
     * time-ordered event sequence, count every consecutive
     * (from_type → to_type) pair via one `lead` window — the sequential-
@@ -610,6 +656,7 @@ object EventQueries {
     "q_retention" -> (qRetention _),
     "q_funnel" -> (qFunnel _),
     "q_transition" -> (qTransition _),
+    "q_ab_lift" -> (qAbLift _),
     "q_resample" -> (qResample _))
 
   val oracles: Map[String, String] = Map(
@@ -631,5 +678,6 @@ object EventQueries {
     "q_retention" -> qRetentionSql,
     "q_funnel" -> qFunnelSql,
     "q_transition" -> qTransitionSql,
+    "q_ab_lift" -> qAbLiftSql,
     "q_resample" -> qResampleSql)
 }
