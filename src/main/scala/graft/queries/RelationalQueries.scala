@@ -285,17 +285,14 @@ object RelationalQueries {
   def qWinsorize(spark: SparkSession, sfDir: String): DataFrame = {
     val li = t(spark, sfDir, "lineitem")
       .select(col("l_returnflag"), col("l_extendedprice"))
-    val bounds = li.groupBy("l_returnflag")
-      .agg(expr("percentile(l_extendedprice, array(0.05D, 0.95D))").as("b"))
-      .select(col("l_returnflag"),
-        col("b").getItem(0).as("lo"), col("b").getItem(1).as("hi"))
-    val clipped = least(greatest(col("l_extendedprice"), col("lo")), col("hi"))
-    li.join(broadcast(bounds), "l_returnflag")
+    val (clipLo, clipHi) = graft.operators.Robust.clipFlags("l_extendedprice")
+    graft.operators.Robust
+      .winsorize(li, Seq("l_returnflag"), "l_extendedprice", 0.05, 0.95)
       .groupBy("l_returnflag")
       .agg(count(lit(1)).as("n"),
-        sum(when(col("l_extendedprice") < col("lo"), 1L).otherwise(0L)).as("n_clip_lo"),
-        sum(when(col("l_extendedprice") > col("hi"), 1L).otherwise(0L)).as("n_clip_hi"),
-        dsum(clipped).as("sum_winsorized"))
+        sum(when(clipLo, 1L).otherwise(0L)).as("n_clip_lo"),
+        sum(when(clipHi, 1L).otherwise(0L)).as("n_clip_hi"),
+        dsum(col("l_extendedprice_w")).as("sum_winsorized"))
       .orderBy("l_returnflag")
   }
 

@@ -22,6 +22,17 @@ class OperatorsSpec extends SparkSpec {
     assert(out == Seq(1L, 2L))
   }
 
+  test("Robust.winsorize clips exactly to the per-group quantile band") {
+    // group g: values 1..20 → p0.05/p0.95 interpolated bounds clip the tails
+    val df = (1 to 20).map(i => ("g", i.toDouble)).toDF("grp", "v")
+    val out = graft.operators.Robust.winsorize(df, Seq("grp"), "v", 0.05, 0.95)
+      .select("v", "v_w").collect()
+      .map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    // percentile(1..20, 0.05) ≈ 1.95, percentile(1..20, 0.95) ≈ 19.05
+    assert(math.abs(out(1.0) - 1.95) < 1e-9 && math.abs(out(20.0) - 19.05) < 1e-9)
+    assert(out(2.0) == 2.0 && out(19.0) == 19.0)   // interior untouched
+  }
+
   test("foldAssign: folds cover 0..k-1, are deterministic, and roughly balanced") {
     val df = docs.select(col("doc_id").cast("string").as("k"))
     val folds = df.select(graft.operators.Sampling.foldAssign(col("k"), 5).as("fold"))
