@@ -15,20 +15,29 @@ object Bucketing {
     * A fresh session's catalog does not know about tables a PREVIOUS
     * session left in the warehouse directory, and `CREATE TABLE AS`
     * refuses to reuse the orphaned location — so drop the table and
-    * clear its location explicitly before writing. */
+    * clear its orphaned location explicitly before writing. The manual
+    * cleanup only applies to an unqualified table in a local-filesystem
+    * warehouse (the only case where `<warehouse>/<table>` is the actual
+    * location); qualified names are rejected and non-file warehouse URIs
+    * skip the cleanup rather than guess at a path. */
   def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int,
                     mode: SaveMode = SaveMode.Overwrite): Unit = {
+    require(!table.contains("."),
+      s"writeBucketed expects an unqualified table name in the current " +
+        s"database (got '$table'): the orphaned-location cleanup derives " +
+        s"the path as <warehouse>/<table>, which is wrong for db.tbl")
     val spark = df.sparkSession
     spark.sql(s"DROP TABLE IF EXISTS `$table`")
-    val warehouse = java.net.URI.create(
-      spark.conf.get("spark.sql.warehouse.dir")).getPath
-    val loc = new java.io.File(warehouse, table)
-    if (loc.exists()) {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete()
+    val warehouseUri = java.net.URI.create(spark.conf.get("spark.sql.warehouse.dir"))
+    if (warehouseUri.getScheme == null || warehouseUri.getScheme == "file") {
+      val loc = new java.io.File(warehouseUri.getPath, table)
+      if (loc.exists()) {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete()
+        }
+        rm(loc)
       }
-      rm(loc)
     }
     df.write
       .mode(mode)

@@ -42,9 +42,15 @@ object Dedup {
     import org.apache.spark.sql.expressions.Window
     val docs = df
       .select(col(idCol), split(col(textCol), " ").as("__w"))
+      // null text → 0 chunks (size() yields null or -1 depending on the
+      // sizeOfNull setting; either would make sequence(0, -1) emit phantom
+      // [0, -1] chunk indices — clamp to 0 and skip chunk generation)
       .withColumn("n_chunks",
-        ceil(size(col("__w")).cast("double") / chunkWords).cast("long"))
-    val chunks = docs.select(col(idCol),
+        greatest(
+          ceil(coalesce(size(col("__w")), lit(0)).cast("double") / chunkWords)
+            .cast("long"),
+          lit(0L)))
+    val chunks = docs.filter(col("n_chunks") > 0).select(col(idCol),
       posexplode(transform(
         sequence(lit(0L), col("n_chunks") - 1),
         i => array_join(

@@ -8,25 +8,54 @@ import org.apache.spark.sql.functions._
   * group-cardinality-sized aggregate that BROADCASTS back onto the fact
   * table, so clipping a 100 TB column costs two scans and no fact
   * shuffle.
+  *
+  * Two bounds paths, mirroring the q_percentile / q_approx_percentile
+  * sketch pair:
+  *  - exact (`approxAccuracy = None`): `percentile` buffers every group
+  *    value in one aggregation buffer — bit-exact, oracle-checkable, but
+  *    the state is O(group size). Right for tests and bounded groups.
+  *  - approx (`approxAccuracy = Some(acc)`): `approx_percentile`'s
+  *    Greenwald-Khanna sketch keeps O(acc) state per group regardless of
+  *    group size — the only shape that survives a 10^10-row group at
+  *    100 TB. Rank error is at most 1/acc of the group size.
   */
 object Robust {
 
   /** Per-group [pLo, pHi] quantile bounds of `valueCol` — one array-form
-    * percentile aggregate (a single sorted buffer per group serves both
-    * quantiles). Returns (groupCols*, __lo, __hi). */
+    * percentile aggregate (a single buffer per group serves both
+    * quantiles). Returns (groupCols*, __lo, __hi).
+    *
+    * @param approxAccuracy None → exact `percentile` (unbounded state);
+    *                       Some(acc) → `approx_percentile` GK sketch with
+    *                       bounded state and rank error ≤ 1/acc. */
   def quantileBounds(df: DataFrame, groupCols: Seq[String], valueCol: String,
-                     pLo: Double, pHi: Double): DataFrame =
+                     pLo: Double, pHi: Double,
+                     approxAccuracy: Option[Int] = None): DataFrame = {
+    val agg = approxAccuracy match {
+      case Some(acc) =>
+        expr(s"approx_percentile($valueCol, array(${pLo}D, ${pHi}D), $acc)")
+      case None =>
+        expr(s"percentile($valueCol, array(${pLo}D, ${pHi}D))")
+    }
     df.groupBy(groupCols.map(col): _*)
-      .agg(expr(s"percentile($valueCol, array(${pLo}D, ${pHi}D))").as("__b"))
-      .select(groupCols.map(col) :+ col("__b").getItem(0).as("__lo") :+
-        col("__b").getItem(1).as("__hi"): _*)
+      .agg(agg.as("__b"))
+      .select(groupCols.map(col) :+
+        col("__b").getItem(0).cast("double").as("__lo") :+
+        col("__b").getItem(1).cast("double").as("__hi"): _*)
+  }
 
   /** `df` with `valueCol` winsorized into its per-group [pLo, pHi] band:
     * adds `<valueCol>_w` (clipped value) plus the bound columns. The
-    * bounds join is broadcast; everything else is row-local. */
+    * bounds join is broadcast (bounds are group-cardinality-sized by
+    * construction — one row per group); everything else is row-local.
+    *
+    * @param approxAccuracy see [[quantileBounds]] — pass Some(acc) at
+    *                       scale so the bounds aggregation state stays
+    *                       bounded per group. */
   def winsorize(df: DataFrame, groupCols: Seq[String], valueCol: String,
-                pLo: Double = 0.05, pHi: Double = 0.95): DataFrame = {
-    val bounds = quantileBounds(df, groupCols, valueCol, pLo, pHi)
+                pLo: Double = 0.05, pHi: Double = 0.95,
+                approxAccuracy: Option[Int] = None): DataFrame = {
+    val bounds = quantileBounds(df, groupCols, valueCol, pLo, pHi, approxAccuracy)
     df.join(broadcast(bounds), groupCols)
       .withColumn(s"${valueCol}_w",
         least(greatest(col(valueCol), col("__lo")), col("__hi")))

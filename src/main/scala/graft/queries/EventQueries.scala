@@ -408,11 +408,13 @@ object EventQueries {
     * each user's cohort is their first PURCHASE day, and the matrix counts
     * distinct users active in each week-of-age since their cohort. Both
     * inputs are pre-reduced before joining (distinct activity days;
-    * min-day cohorts) and the small cohort table broadcasts, so the fact
-    * table never shuffles for the join — at 100 TB the matrix costs one
-    * scan plus a distinct-count aggregation on (cohort, week). Day
-    * arithmetic is integer (`datediff DIV 7`, non-negative by the
-    * at-or-after filter), so the matrix is hash-exact. */
+    * min-day cohorts). The join strategy is deliberately left to AQE:
+    * the cohort table is one row per purchasing user, so it broadcasts at
+    * test scale but must shuffle-hash once users outgrow the broadcast
+    * limit (10^8+ users is >8 GB) — a forced broadcast() here would
+    * hard-fail or OOM at cluster scale. Day arithmetic is integer
+    * (`datediff DIV 7`, non-negative by the at-or-after filter), so the
+    * matrix is hash-exact. */
   def qRetention(spark: SparkSession, sfDir: String): DataFrame = {
     val ev = t(spark, sfDir, "events")
     val activity = ev
@@ -420,7 +422,7 @@ object EventQueries {
     val cohorts = ev.filter(col("event_type") === "purchase")
       .groupBy("user_id")
       .agg(min(date_trunc("day", col("ts"))).as("cohort"))
-    activity.join(broadcast(cohorts), "user_id")
+    activity.join(cohorts, "user_id")
       .filter(col("day") >= col("cohort"))
       .select(date_format(col("cohort"), "yyyy-MM-dd").as("cohort_day"),
         expr("datediff(day, cohort) DIV 7").as("age_week"), col("user_id"))
@@ -444,20 +446,22 @@ object EventQueries {
     * purchase-after-click): each stage's per-user first timestamp must
     * fall at-or-after the previous stage's — the staged min-aggregation
     * pattern behind every conversion report. Each stage is one filtered
-    * aggregation producing a per-user table that BROADCASTS into the next
-    * stage's filter, so the event log is scanned narrowly per stage and
-    * never shuffled for a join. Counts are exact integers on exact
+    * aggregation producing a per-user table that joins into the next
+    * stage's filter; the strategy is left to AQE because the stage tables
+    * are one row per user — broadcast at test scale, shuffle-hash once
+    * the user base outgrows the broadcast limit (a forced broadcast()
+    * would OOM a 10^8-user funnel). Counts are exact integers on exact
     * microsecond comparisons. */
   def qFunnel(spark: SparkSession, sfDir: String): DataFrame = {
     val ev = t(spark, sfDir, "events")
     val v = ev.filter(col("event_type") === "view")
       .groupBy("user_id").agg(min(col("ts")).as("v_ts"))
     val c = ev.filter(col("event_type") === "click")
-      .join(broadcast(v), "user_id")
+      .join(v, "user_id")
       .filter(col("ts") >= col("v_ts"))
       .groupBy("user_id").agg(min(col("ts")).as("c_ts"))
     val p = ev.filter(col("event_type") === "purchase")
-      .join(broadcast(c), "user_id")
+      .join(c, "user_id")
       .filter(col("ts") >= col("c_ts"))
       .groupBy("user_id").agg(min(col("ts")).as("p_ts"))
     def stage(df: DataFrame, name: String): DataFrame =

@@ -181,8 +181,11 @@ object TextQueries {
     * (vocabulary-sized, not corpus-sized; Spark picks broadcast here,
     * AQE would demote to sort-merge when the vocabulary outgrows it);
     * the per-doc top-k is a WindowGroupLimit — top-5 applied map-side
-    * BEFORE the doc_id shuffle. N is a scalar aggregate, not a collect
-    * loop.
+    * BEFORE the doc_id shuffle. N (corpus size) is a 1-row scalar
+    * aggregate over the cached tf, broadcast-cross-joined into the plan —
+    * no separate count() action, no extra corpus scan. (N counts docs
+    * with ≥1 token — the indexed corpus, matching the oracle's tf-derived
+    * count.)
     *
     * Exactness: ranking and output use score_q = floor(tf·idf·2^20)
     * (the repo's fixed-point convention) because ln() is not bit-stable
@@ -190,16 +193,17 @@ object TextQueries {
     * boundary coincidence. */
   def qTfidf(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = t(spark, sfDir, "documents")
-    val n = docs.count()
     val tf = graft.CacheScope.cached(docs
       .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
       .groupBy("doc_id", "token").agg(count(lit(1)).as("tf")))
+    val nDf = tf.agg(countDistinct(col("doc_id")).as("__n"))
     val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy(col("score_q").desc, col("token").asc)
     tf.join(dfreq, "token")
+      .crossJoin(broadcast(nDf))
       .withColumn("score_q",
-        floor(col("tf") * (log((lit(n) + 1.0) / (col("df") + 1.0)) + 1.0)
+        floor(col("tf") * (log((col("__n") + 1.0) / (col("df") + 1.0)) + 1.0)
           * 1048576d).cast("long"))
       .withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= 5)
@@ -214,7 +218,7 @@ object TextQueries {
       |  SELECT doc_id, token, count(*) AS tf FROM toks
       |  WHERE token <> '' GROUP BY doc_id, token),
       |dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
-      |n AS (SELECT count(*) AS n FROM documents),
+      |n AS (SELECT count(DISTINCT doc_id) AS n FROM tf),
       |scored AS (
       |  SELECT doc_id, tf.token, tf, df,
       |         CAST(floor(tf * (ln((n + 1.0) / (df + 1.0)) + 1.0) * 1048576) AS BIGINT) AS score_q

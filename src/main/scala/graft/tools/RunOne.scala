@@ -22,14 +22,17 @@ object RunOne {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    names.split(",").foreach { name =>
+    val dumped = names.split(",").toSet
+    dumped.foreach { name =>
       val fn = graft.SparkEntry.queries(name)
       fn(spark, sfDir).coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
       graft.CacheScope.release()
       println(s"[runone] dumped $name")
     }
     // refresh the oracle map so local_verify.py sees oracles added since
-    // the last full graft.Verify run (same escaping rules as Verify)
+    // the last full graft.Verify run (same escaping rules as Verify) —
+    // restricted to the dumped queries so the verifier doesn't error on
+    // oracle keys whose dump is absent from this partial outDir
     def q(s: String): String = "\"" + s.flatMap {
       case '"'  => "\\\""
       case '\\' => "\\\\"
@@ -39,7 +42,7 @@ object RunOne {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = graft.SparkEntry.oracleSql
+    val json = graft.SparkEntry.oracleSql.filter(kv => dumped(kv._1))
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(s"$outDir/oracle_sql.json"), json)

@@ -33,6 +33,30 @@ class OperatorsSpec extends SparkSpec {
     assert(out(2.0) == 2.0 && out(19.0) == 19.0)   // interior untouched
   }
 
+  test("Robust.quantileBounds approx path tracks exact within the sketch error band") {
+    // The bounded-state scale path (approx_percentile GK sketch) must land
+    // within the sketch's rank-error band of the exact bounds — mirrors the
+    // q_approx_percentile 5% pin. 2000 values, accuracy 1000 → rank error
+    // ≤ 2 ranks ≈ 0.1% of the value range; 5% is a generous ceiling.
+    val df = (1 to 2000).map(i => ("g", i.toDouble)).toDF("grp", "v")
+    def bounds(acc: Option[Int]) = {
+      val r = graft.operators.Robust
+        .quantileBounds(df, Seq("grp"), "v", 0.05, 0.95, acc).collect().head
+      (r.getDouble(1), r.getDouble(2))
+    }
+    val (exLo, exHi) = bounds(None)
+    val (apLo, apHi) = bounds(Some(1000))
+    assert(math.abs(apLo - exLo) / exLo < 0.05, s"lo: approx $apLo vs exact $exLo")
+    assert(math.abs(apHi - exHi) / exHi < 0.05, s"hi: approx $apHi vs exact $exHi")
+    // and the approx-winsorized output still clips tails / keeps interior
+    val w = graft.operators.Robust
+      .winsorize(df, Seq("grp"), "v", 0.05, 0.95, Some(1000))
+      .select("v", "v_w").collect()
+      .map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    assert(w(1.0) > 1.0 && w(2000.0) < 2000.0)   // tails clipped
+    assert(w(1000.0) == 1000.0)                  // interior untouched
+  }
+
   test("foldAssign: folds cover 0..k-1, are deterministic, and roughly balanced") {
     val df = docs.select(col("doc_id").cast("string").as("k"))
     val folds = df.select(graft.operators.Sampling.foldAssign(col("k"), 5).as("fold"))
@@ -74,6 +98,16 @@ class OperatorsSpec extends SparkSpec {
       .orderBy("doc_id").collect()
     assert(out(0).getLong(2) == 2L && out(0).getString(3) == s"$shared e f g h")
     assert(out(1).getLong(2) == 1L && out(1).getString(3) == "p q r s")
+  }
+
+  test("chunkDedup: null text yields 0 chunks / 0 kept, no phantom chunk rows") {
+    val df = Seq((1L, "a b c d"), (2L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val out = Dedup.chunkDedup(df, "doc_id", "text", chunkWords = 4)
+      .orderBy("doc_id").collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ==
+      Seq((1L, 1L, 1L), (2L, 0L, 0L)))
+    assert(out(1).isNullAt(3))
   }
 
   test("TimeSeries.resample: gaps zero-counted, last value carried forward") {

@@ -58,8 +58,9 @@ class StreamingSpec extends SparkSpec {
     import graft.streaming.DedupStreams
     val docsDf = spark.read.parquet(s"${TestSpark.Sf0001}/documents.parquet")
       .select("doc_id", "text").orderBy("doc_id").limit(80)
-    val batch = graft.operators.Dedup.chunkDedup(docsDf, "doc_id", "text", chunkWords = 10)
-      .select("doc_id", "n_kept").as[(Long, Long)].collect().toMap
+    val batchRows = graft.operators.Dedup.chunkDedup(docsDf, "doc_id", "text", chunkWords = 10)
+      .select("doc_id", "n_chunks", "n_kept").as[(Long, Long, Long)].collect()
+    val batch = batchRows.map(r => r._1 -> r._3).toMap
     val docs = docsDf.collect().map(r => DedupStreams.Doc(r.getLong(0), r.getString(1)))
     val input = MemoryStream[DedupStreams.Doc]
     val q = DedupStreams.chunkVerdictStream(input.toDS())
@@ -76,7 +77,10 @@ class StreamingSpec extends SparkSpec {
         .agg(sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"))
         .as[(Long, Long)].collect().toMap
       assert(streamed == batch, s"stream=$streamed batch=$batch")
-      assert(batch.values.exists(_ == 0L) || batch.nonEmpty)
+      // the parity check above is only meaningful if the fixture actually
+      // contains duplicated chunks — pin that dedup was exercised
+      assert(batchRows.exists(r => r._3 < r._2),
+        "fixture contains no duplicated chunk — parity check is vacuous")
     } finally q.stop()
   }
 
