@@ -37,6 +37,56 @@ object FastxQueries {
     dir.getAbsolutePath
   }
 
+  /** Deterministic FASTQ fixture: sequence = text without spaces, quality =
+    * a repeated `@+!~IJKLMNOP` pattern cut to sequence length — every
+    * record's quality line STARTS WITH '@' (and has '+' second), so a
+    * split landing mid-record exercises the resync disambiguation on every
+    * boundary. Written partition-parallel via [[graft.FastxIO.writeFastq]]. */
+  private def materializeFastq(spark: SparkSession, sfDir: String): String = {
+    val dir = new File("/root/repo/target/fastx_roundtrip/" + new File(sfDir).getName + "_fastq")
+    val docs = t(spark, sfDir, "documents")
+      .select(col("doc_id"), regexp_replace(col("text"), " ", "").as("seq"))
+      .filter(length(col("seq")) > 0)
+      .select(
+        concat(lit("doc_"), col("doc_id"), lit(" nchars="), length(col("seq"))).as("header"),
+        col("seq").as("sequence"),
+        expr("substring(repeat('@+!~IJKLMNOP', cast(ceil(length(seq)/12.0) as int)), 1, length(seq))")
+          .as("quality"))
+    graft.FastxIO.writeFastq(docs, dir.getAbsolutePath)
+    dir.getAbsolutePath
+  }
+
+  /** FASTQ twin of [[qFastxRoundtrip]]: proves the SPLITTABLE FASTQ read
+    * path (64 KB forced splits over a multi-file directory, 4-line-invariant
+    * resync with '@'-leading quality on every record) roundtrips sequence
+    * AND quality byte-exactly — md5s recomputed by the oracle straight from
+    * `documents`. */
+  def qFastqRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = materializeFastq(spark, sfDir)
+    spark.read.format("fastx")
+      .option("maxSplitBytes", (64 * 1024).toString) // force multi-split reads
+      .load(path)
+      .select(
+        regexp_extract(col("header"), "^doc_(\\d+)", 1).cast("long").as("doc_id"),
+        seqLength(col("sequence")).as("seq_len"),
+        seqHash(col("sequence"), 16).as("seq_md5"),
+        seqHash(col("quality"), 16).as("qual_md5"))
+      .orderBy("doc_id")
+  }
+
+  val qFastqRoundtripSql: String =
+    """WITH s AS (SELECT doc_id, replace(text, ' ', '') AS seq FROM documents),
+      |q AS (SELECT doc_id, seq,
+      |        substr(repeat('@+!~IJKLMNOP', CAST(ceil(length(seq)/12.0) AS INTEGER)),
+      |               1, length(seq)) AS qual
+      |      FROM s WHERE length(seq) > 0)
+      |SELECT doc_id,
+      |       length(seq) AS seq_len,
+      |       substr(md5(seq), 1, 16) AS seq_md5,
+      |       substr(md5(qual), 1, 16) AS qual_md5
+      |FROM q
+      |ORDER BY doc_id""".stripMargin
+
   def qFastxRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
     val path = materializeFasta(spark, sfDir)
     spark.read.format("fastx")
@@ -99,9 +149,11 @@ object FastxQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_fastx_roundtrip" -> (qFastxRoundtrip _),
+    "q_fastq_roundtrip" -> (qFastqRoundtrip _),
     "q_tsv_roundtrip" -> (qTsvRoundtrip _))
 
   val oracles: Map[String, String] = Map(
     "q_fastx_roundtrip" -> qFastxRoundtripSql,
+    "q_fastq_roundtrip" -> qFastqRoundtripSql,
     "q_tsv_roundtrip" -> qTsvRoundtripSql)
 }

@@ -24,11 +24,16 @@ import org.apache.spark.unsafe.types.UTF8String
   *  - column pruning pushed into the reader
   *    (`SupportsPushDownRequiredColumns` — the Catalyst negotiation that
   *    replaces the plugin's `with_columns` arg, `fastx_parsers.py:96`);
-  *  - SPLITTABLE plain-FASTA reads: files are carved into
-  *    `spark.sql.files.maxPartitionBytes` ranges with `\n>` resync
-  *    (Hadoop text-split ownership convention), so one 1 TB FASTA fans out
-  *    across a whole cluster instead of one task. FASTQ (4-line-ambiguous)
-  *    and compressed files read as one partition per file;
+  *  - SPLITTABLE plain FASTA *and* FASTQ reads: files are carved into
+  *    byte ranges (Hadoop text-split ownership convention), so one 1 TB
+  *    file fans out across a whole cluster instead of one task. FASTA
+  *    resyncs on `\n>`; FASTQ resyncs via the strict-4-line invariant +
+  *    `+`-separator lookahead (a bare `@` sniff is ambiguous because
+  *    quality lines may start with `@` — SURVEY §7.3.1). Multi-line FASTQ
+  *    (rare; needletail-tolerated) must disable splitting with
+  *    `option("fastqSplit", "false")` — a multi-line record under
+  *    splitting fails fast in the strict parser, never corrupts silently.
+  *    Compressed files read as one partition per file;
   *  - transparent decompression via the Hadoop codec factory (gzip/bzip2/…)
   *    matching needletail's behavior.
   *
@@ -227,7 +232,8 @@ class FastxScanBuilder(paths: Seq[String], full: StructType,
   override def build(): Scan = {
     val maxSplit = Option(options.get("maxSplitBytes")).map(_.toLong)
       .getOrElse(128L * 1024 * 1024)
-    new FastxScan(paths, full, required, maxSplit, limit, pushed.toSeq)
+    val fastqSplit = Option(options.get("fastqSplit")).forall(_.toBoolean)
+    new FastxScan(paths, full, required, maxSplit, limit, pushed.toSeq, fastqSplit)
   }
 }
 
@@ -238,7 +244,8 @@ final case class FastxInputPartition(file: String, start: Long, length: Long,
 
 class FastxScan(paths: Seq[String], full: StructType, required: StructType,
                 maxSplitBytes: Long, limit: Int = -1,
-                filters: Seq[org.apache.spark.sql.sources.Filter] = Seq.empty)
+                filters: Seq[org.apache.spark.sql.sources.Filter] = Seq.empty,
+                fastqSplit: Boolean = true)
   extends Scan with Batch with SupportsReportStatistics {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -276,8 +283,11 @@ class FastxScan(paths: Seq[String], full: StructType, required: StructType,
       require(fmt == expected,
         s"fastx: $p is $fmt but the load was planned as $expected " +
           "(mixed FASTA/FASTQ directories are not supported — load them separately)")
-      if (fmt == "fasta" && !compressed && st.getLen > maxSplitBytes) {
-        // splittable: byte ranges with \n> resync in the reader
+      val splittable = !compressed && st.getLen > maxSplitBytes &&
+        (fmt == "fasta" || (fmt == "fastq" && fastqSplit))
+      if (splittable) {
+        // splittable: byte ranges; the reader resyncs (\n> for FASTA,
+        // 4-line invariant + '+' lookahead for FASTQ)
         (0L until st.getLen by maxSplitBytes).map { off =>
           FastxInputPartition(p.toString, off, math.min(maxSplitBytes, st.getLen - off), fmt, limit, filters)
         }
@@ -311,9 +321,22 @@ class FastxPartitionReader(part: FastxInputPartition, columns: Array[String])
   private val rawStream = fs.open(path)
 
   private val records: Iterator[FastxRecord] = {
-    if (part.format == "fastq") {
+    val wholeFile = part.start == 0 &&
+      (compressed || part.length >= fs.getFileStatus(path).getLen)
+    if (part.format == "fastq" && wholeFile) {
+      // whole-file stream: multi-line-tolerant parser (needletail parity)
       val in = FastxDataSource.decompressed(path, rawStream, conf)
       FastxParser.fastqRecords(new PosLineReader(in))
+    } else if (part.format == "fastq") {
+      // FASTQ byte range [start, start+length) of a multi-split file:
+      // strict-4-line split parser. start > 0 seeks, discards the partial
+      // first line, and resyncs on the 4-line invariant; the first split
+      // starts at a true record start and only needs the ownership bound.
+      rawStream.seek(part.start)
+      val reader = new PosLineReader(rawStream, part.start)
+      if (part.start > 0) reader.readLine()
+      FastxParser.fastqRecordsSplit(reader, part.start + part.length,
+        resync = part.start > 0)
     } else if (compressed) {
       FastxParser.fastaRecords(
         new PosLineReader(FastxDataSource.decompressed(path, rawStream, conf)))

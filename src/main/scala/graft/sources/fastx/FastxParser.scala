@@ -175,4 +175,95 @@ object FastxParser {
         val r = nextRec; nextRec = fetch(); r
       }
     }
+
+  /** FASTQ records for a byte-range split [start, end) of a STRICT 4-line
+    * FASTQ file (one sequence line, one quality line per record — the
+    * universal layout of real sequencing output; needletail's multi-line
+    * tolerance is kept on the whole-file path).
+    *
+    * Resync (SURVEY §7.3.1): a split cannot sniff `@` alone because
+    * quality lines may start with `@`. A line L at a line boundary is a
+    * record start iff L starts with `@`, the line two ahead starts with
+    * `+` (the separator — sequence lines are base alphabet, never `+`),
+    * and the lines one and three ahead (sequence, quality) have equal
+    * length. A quality line that starts with `@` fails the separator
+    * check (two lines ahead is the NEXT record's sequence), so the
+    * candidate scan lands on the true header in at most 4 lines.
+    *
+    * Ownership matches [[fastaRecords]]: this split owns records whose
+    * `@` header line starts at offset p <= ownedEnd; the caller has
+    * already discarded the (possibly partial) first line when seeking to
+    * start > 0, so a header starting exactly at `start` is consumed by
+    * the discard here and owned by the PREVIOUS split (p <= its end).
+    * The last owned record is read to completion past `end`. */
+  def fastqRecordsSplit(reader: PosLineReader, ownedEnd: Long,
+                        resync: Boolean): Iterator[FastxRecord] =
+    new Iterator[FastxRecord] {
+      // lookahead queue of (line, absolute start offset of the line)
+      private val lookahead = scala.collection.mutable.Queue.empty[(String, Long)]
+
+      private def readRaw(): (String, Long) = {
+        val p = reader.position
+        val l = reader.readLine()
+        if (l == null) null else (l, p)
+      }
+      /** i-th unconsumed line, or null past EOF. */
+      private def peek(i: Int): (String, Long) = {
+        while (lookahead.length <= i) {
+          val r = readRaw()
+          if (r == null) return null
+          lookahead.enqueue(r)
+        }
+        lookahead(i)
+      }
+      private def take(): (String, Long) =
+        if (lookahead.nonEmpty) lookahead.dequeue() else readRaw()
+
+      /** Is the head of the stream a 4-line record start? */
+      private def headIsRecordStart: Boolean = {
+        val h = peek(0)
+        if (h == null || !h._1.startsWith("@")) return false
+        val sep = peek(2)
+        if (sep == null || !sep._1.startsWith("+")) return false
+        val s = peek(1); val q = peek(3)
+        // truncated final record: let the parser raise its malformed error
+        q == null || s._1.length == q._1.length
+      }
+
+      if (resync) {
+        // drop mid-record lines until the head is a true record start;
+        // trailing non-record lines (all owned by an earlier split) drain
+        // to EOF and the iterator is simply empty
+        while (peek(0) != null && !headIsRecordStart) take()
+      }
+
+      private var nextRec: FastxRecord = fetch()
+
+      private def fetch(): FastxRecord = {
+        var h = take()
+        while (h != null && h._1.isEmpty) h = take()
+        if (h == null || h._2 > ownedEnd) return null // next split's record
+        if (!h._1.startsWith("@"))
+          throw new IllegalArgumentException(
+            s"Malformed FASTQ: expected '@' header, got: ${h._1}")
+        val seq = take()
+        val sep = take()
+        if (seq == null || sep == null || !sep._1.startsWith("+"))
+          throw new IllegalArgumentException(
+            s"Malformed FASTQ: missing '+' separator in '${h._1}'")
+        val qual = take()
+        if (qual == null)
+          throw new IllegalArgumentException(
+            s"Malformed FASTQ: truncated quality in '${h._1}'")
+        if (qual._1.length != seq._1.length)
+          throw new IllegalArgumentException(
+            s"Malformed FASTQ: quality/sequence length mismatch in '${h._1}'")
+        FastxRecord(h._1.substring(1), seq._1, qual._1)
+      }
+
+      override def hasNext: Boolean = nextRec != null
+      override def next(): FastxRecord = {
+        val r = nextRec; nextRec = fetch(); r
+      }
+    }
 }

@@ -94,6 +94,38 @@ class FastxParserSpec extends SparkSpec {
       assert(r1 ++ r2 == whole, s"cut=$cut r1=$r1 r2=$r2")
     }
   }
+
+  test("FASTQ split ownership: exactly-once across any split point, @/+ quality") {
+    // strict 4-line records with adversarial quality lines: '@'-leading
+    // (fake header), '+'-leading (fake separator), and a quality line that
+    // IS a plausible '@name' string — the resync must reject all of them
+    val content =
+      "@r0 x\nACGT\n+\n@@+!\n" +
+      "@r1\nGGTTA\n+r1\n+@!!!\n" +
+      "@r2\nAC\n+\n@x\n" +
+      "@r3\nACGTN\n+\n@!+~I\n" +
+      "@r4\nT\n+\n~\n"
+    val bytes = content.getBytes(StandardCharsets.UTF_8)
+    val wholeIn = new java.io.ByteArrayInputStream(bytes)
+    val whole = FastxParser.fastqRecords(new PosLineReader(wholeIn))
+      .map(r => (r.header, r.sequence, r.quality)).toSeq
+    assert(whole.length == 5)
+    for (cut <- 1 until bytes.length) {
+      def reader(start: Int): PosLineReader = {
+        val in = new java.io.ByteArrayInputStream(bytes, start, bytes.length - start)
+        new PosLineReader(in, start)
+      }
+      // split 1: [0, cut) — record start at offset 0, owns headers <= cut
+      val r1 = FastxParser.fastqRecordsSplit(reader(0), cut, resync = false)
+        .map(r => (r.header, r.sequence, r.quality)).toSeq
+      // split 2: [cut, len) — discard partial first line, resync, own rest
+      val rd2 = reader(cut)
+      rd2.readLine()
+      val r2 = FastxParser.fastqRecordsSplit(rd2, bytes.length.toLong, resync = true)
+        .map(r => (r.header, r.sequence, r.quality)).toSeq
+      assert(r1 ++ r2 == whole, s"cut=$cut r1=$r1 r2=$r2")
+    }
+  }
 }
 
 class FastxConnectorSpec extends SparkSpec {
@@ -162,6 +194,45 @@ class FastxConnectorSpec extends SparkSpec {
       assert(rows.toSet == whole, s"split=$split row mismatch")
       assert(parts.rdd.getNumPartitions > 1, s"split=$split did not split")
     }
+  }
+
+  test("splittable FASTQ: many tiny splits return the same rows as one") {
+    // 500 strict-4-line records with '@'/'+'-leading quality lines — every
+    // split boundary class (mid-header, mid-sequence, on the separator,
+    // mid-quality, between records) occurs across these split sizes
+    val rnd = new scala.util.Random(23)
+    val sb = new StringBuilder
+    for (i <- 0 until 500) {
+      val len = 1 + rnd.nextInt(40)
+      val seq = (0 until len).map(_ => "ACGTN".charAt(rnd.nextInt(5))).mkString
+      val qual = (0 until len).map(_ => ('!' + rnd.nextInt(94)).toChar).mkString
+      sb.append(s"@sq$i d$i\n$seq\n${if (i % 3 == 0) "+" else s"+sq$i"}\n$qual\n")
+    }
+    val f = new File(FastxFixtures.dir, "big.fastq")
+    Files.write(f.toPath, sb.toString.getBytes(StandardCharsets.UTF_8))
+    val whole = spark.read.format("fastx").load(f.getAbsolutePath)
+      .collect().map(_.toSeq).toSet
+    assert(whole.size == 500)
+    for (split <- Seq(64, 257, 1000, 4096)) {
+      val parts = spark.read.format("fastx").option("maxSplitBytes", split.toString)
+        .load(f.getAbsolutePath)
+      val rows = parts.collect().map(_.toSeq)
+      assert(rows.length == 500, s"split=$split returned ${rows.length} rows")
+      assert(rows.toSet == whole, s"split=$split row mismatch")
+      assert(parts.rdd.getNumPartitions > 1, s"split=$split did not split")
+    }
+  }
+
+  test("fastqSplit=false forces one partition per FASTQ file") {
+    val f = new File(FastxFixtures.dir, "nosplit.fastq")
+    val sb = new StringBuilder
+    for (i <- 0 until 200) sb.append(s"@n$i\nACGT\n+\n!@+~\n")
+    Files.write(f.toPath, sb.toString.getBytes(StandardCharsets.UTF_8))
+    val df = spark.read.format("fastx")
+      .option("maxSplitBytes", "500").option("fastqSplit", "false")
+      .load(f.getAbsolutePath)
+    assert(df.rdd.getNumPartitions == 1)
+    assert(df.count() == 200)
   }
 
   test("empty FASTA file yields zero rows") {
@@ -395,9 +466,12 @@ class FastxFuzzSpec extends SparkSpec {
     val content = records.map { case (h, s, q) => s"@$h\n$s\n+\n$q\n" }.mkString
     val f = new File(FastxFixtures.dir, "fuzz.fastq")
     Files.write(f.toPath, content.getBytes(StandardCharsets.UTF_8))
-    val got = spark.read.format("fastx").load(f.getAbsolutePath)
-      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSeq
-    assert(got == records)
+    for (split <- Seq(Int.MaxValue, 997, 64)) {
+      val got = spark.read.format("fastx").option("maxSplitBytes", split.toString)
+        .load(f.getAbsolutePath)
+        .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSeq
+      assert(got == records, s"split=$split")
+    }
   }
 }
 
