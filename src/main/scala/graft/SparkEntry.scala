@@ -27,7 +27,8 @@ object SparkEntry {
       DedupQueries.queries ++
       FastxQueries.queries ++
       PipelineQueries.queries ++
-      LayoutQueries.queries
+      LayoutQueries.queries ++
+      StreamQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys (map-typed outputs) get the
@@ -41,5 +42,6 @@ object SparkEntry {
       DedupQueries.oracles ++
       FastxQueries.oracles ++
       PipelineQueries.oracles ++
-      LayoutQueries.oracles
+      LayoutQueries.oracles ++
+      StreamQueries.oracles
 }

@@ -100,6 +100,27 @@ class OperatorsSpec extends SparkSpec {
     assert(out(1).getLong(2) == 1L && out(1).getString(3) == "p q r s")
   }
 
+  test("chunkDedup: pathological hot chunk — one chunk duplicated across 20k docs") {
+    // worst-case dedup skew: every doc shares the SAME first chunk, plus a
+    // unique second chunk. The rank-1 filter must keep the hot chunk only
+    // in the min-(id,pos) doc and every unique chunk everywhere — and the
+    // plan's WindowGroupLimit (gated in PlanQualitySpec) keeps the hot key
+    // from piling into a single window partition at scale.
+    val hot = "h1 h2 h3 h4"
+    val df = spark.range(0, 20000).selectExpr(
+      "id AS doc_id",
+      s"concat('$hot', ' u', id, ' v', id, ' w', id, ' x', id) AS text")
+    val out = Dedup.chunkDedup(df, "doc_id", "text", chunkWords = 4)
+    val agg = out.selectExpr(
+      "sum(n_kept) AS kept",
+      "sum(CASE WHEN n_kept = 2 THEN 1 ELSE 0 END) AS full_docs",
+      "min(doc_id) FILTER (WHERE n_kept = 2) AS winner").collect().head
+    // 20000 unique second chunks + exactly 1 surviving hot chunk
+    assert(agg.getLong(0) == 20001L, s"kept=${agg.getLong(0)}")
+    assert(agg.getLong(1) == 1L && agg.getLong(2) == 0L,
+      s"hot chunk must survive only in doc 0: $agg")
+  }
+
   test("chunkDedup: null text yields 0 chunks / 0 kept, no phantom chunk rows") {
     val df = Seq((1L, "a b c d"), (2L, null.asInstanceOf[String]))
       .toDF("doc_id", "text")

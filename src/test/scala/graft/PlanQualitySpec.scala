@@ -304,6 +304,15 @@ class PlanQualitySpec extends SparkSpec {
       s"latest-row filter not pushed to a group limit:\n$p")
   }
 
+  test("q_chunk_dedup: first-occurrence filter is a map-side WindowGroupLimit") {
+    // dedup input is duplicate-heavy by definition: a 10^6-duplicate hot
+    // chunk must be cut to 1 row per partition BEFORE the chunk shuffle,
+    // not piled into one window partition and ranked there
+    val p = plan("q_chunk_dedup")
+    assert(p.contains("WindowGroupLimit"),
+      s"rank-1 first-occurrence filter not pushed to a group limit:\n$p")
+  }
+
   test("runtime bloom filter prunes the fact side of a selective shuffle join") {
     // the 100 TB feature: a selective dim-side predicate on a NON-broadcast
     // join injects a bloom filter into the fact scan, so most fact rows die
