@@ -38,6 +38,11 @@ object Bench {
     // up to three more while the min still exceeds 3.5s (every query's
     // quiet-host cost is below that) — bounded, so a genuinely slow query
     // costs at most 5 runs.
+    // retry threshold: a query above this is re-run (contention suspicion).
+    // 3.5 s fits sf0.1 quiet-host costs; larger SFs (e.g. the 10× ScaleUp
+    // fixture) should raise it via SPARK_GRAFT_RETRY_SEC or pay up to 5
+    // runs for every legitimately-slow query.
+    val retrySec = sys.env.getOrElse("SPARK_GRAFT_RETRY_SEC", "3.5").toDouble
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       def once(): Double = {
         val t0 = System.nanoTime()
@@ -49,7 +54,7 @@ object Bench {
       }
       var best = math.min(once(), once())
       var extra = 0
-      while (best > 3.5 && extra < 3) { best = math.min(best, once()); extra += 1 }
+      while (best > retrySec && extra < 3) { best = math.min(best, once()); extra += 1 }
       // release operator caches between QUERIES (not runs): repeat runs of
       // one query measure the steady warm-cache state, but nothing leaks
       // into the next query's numbers or accumulates across the session
