@@ -70,4 +70,45 @@ object Sampling {
     val gate = substring(md5(key.cast("binary")), 1, hexThreshold.length) < hexThreshold
     (df.filter(!gate), df.filter(gate))
   }
+
+  /** Quantized 20-bit hash-uniform for a row key: the first 5 md5 hex
+    * digits as an integer in [0, 2^20) — the `u` of an acceptance test
+    * `u < rate_q` against [[temperatureRates]]' quantized rates.
+    * Engine-portable (DuckDB: `CAST('0x'||substr(md5(k),1,5) AS BIGINT)`). */
+  def hashUniform20(key: Column): Column =
+    conv(substring(md5(key.cast("binary")), 1, 5), 16, 10).cast("long")
+
+  /** Temperature (α = 0.5) source-rebalancing rates — the multilingual
+    * corpus-mix op (mBERT/XLM-style exponent sampling): source s with n_s
+    * rows is kept at rate (n_min/n_s)^(1-α) = sqrt(n_min/n_s), so the
+    * rarest source is kept whole (rate 1) and over-represented sources
+    * are flattened toward it. Returns one row per source:
+    * (sourceCol, n_rows, rate_q) with rate_q = floor(rate·2^20), to be
+    * broadcast-joined back and tested against [[hashUniform20]].
+    *
+    * α is fixed at 0.5 deliberately: the rate is then one correctly-
+    * rounded division, one correctly-rounded sqrt, and an EXACT
+    * power-of-two scale — bit-identical in every IEEE-754 engine, so the
+    * sampled subset is oracle-checkable. (A general α needs pow(), which
+    * is only 1-ulp-accurate and could flip a floor at a coincidence
+    * boundary.)
+    *
+    * Scale shape: one tiny counts aggregate (|sources| rows) + a 1-row
+    * min cross-joined in; the gate is a broadcast join + row-local
+    * predicate, so rebalancing a 100 TB corpus costs one scan. */
+  def temperatureRates(df: DataFrame, sourceCol: String): DataFrame = {
+    val counts = df.groupBy(col(sourceCol)).agg(count(lit(1)).as("n_rows"))
+    val nMin = counts.agg(min(col("n_rows")).as("__n_min"))
+    counts.crossJoin(broadcast(nMin))
+      .select(col(sourceCol), col("n_rows"),
+        floor(sqrt(col("__n_min").cast("double") / col("n_rows")) * (1L << 20))
+          .cast("long").as("rate_q"))
+  }
+
+  /** The rebalanced subset: rows of `df` kept at their source's
+    * temperature rate, decided by content hash — deterministic under
+    * repartitioning, reruns, and engine changes. */
+  def temperatureSample(df: DataFrame, key: Column, sourceCol: String): DataFrame =
+    df.join(broadcast(temperatureRates(df, sourceCol)), sourceCol)
+      .filter(hashUniform20(key) < col("rate_q"))
 }

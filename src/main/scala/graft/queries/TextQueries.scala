@@ -490,6 +490,46 @@ object TextQueries {
       |FROM documents GROUP BY 1, 2
       |ORDER BY fold, lang""".stripMargin
 
+  /** Temperature (α=0.5) source rebalancing — the multilingual corpus-mix
+    * op: over-represented sources are down-sampled toward the rarest
+    * source at rate sqrt(n_min/n_s), membership decided per row by a
+    * 20-bit content-hash uniform against the quantized rate. Readout is
+    * per-source (n_docs, rate_q, n_kept, kept_chars), proving the exact
+    * sampled SUBSET matches (kept counts + kept char mass), not just the
+    * rates. Bit-exact across engines: the rate is one correctly-rounded
+    * division + one correctly-rounded sqrt + an exact 2^20 scale (why α
+    * is pinned to 0.5 — see `Sampling.temperatureRates`).
+    *
+    * Scale shape: tiny counts agg (|sources| rows) broadcast back; gate
+    * is row-local; one corpus scan for counts + one for the readout. */
+  def qTemperatureSample(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = graft.Tables.t(spark, sfDir, "documents")
+    val rates = graft.operators.Sampling.temperatureRates(docs, "source")
+    val kept = graft.operators.Sampling
+      .hashUniform20(col("doc_id").cast("string")) < col("rate_q")
+    docs.join(broadcast(rates.withColumnRenamed("n_rows", "n_docs")), "source")
+      .groupBy("source")
+      .agg(max(col("n_docs")).as("n_docs"), max(col("rate_q")).as("rate_q"),
+        sum(when(kept, 1L).otherwise(0L)).as("n_kept"),
+        sum(when(kept, col("n_chars")).otherwise(0L)).as("kept_chars"))
+      .orderBy("source")
+  }
+
+  val qTemperatureSampleSql: String =
+    """WITH c AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY 1),
+      |m AS (SELECT min(n_docs) AS n_min FROM c),
+      |r AS (SELECT source, n_docs,
+      |        CAST(floor(sqrt(CAST(n_min AS DOUBLE) / n_docs) * 1048576) AS BIGINT) AS rate_q
+      |      FROM c CROSS JOIN m)
+      |SELECT r.source, r.n_docs, r.rate_q,
+      |       CAST(sum(CASE WHEN CAST(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 5)) AS BIGINT) < rate_q
+      |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      |       CAST(sum(CASE WHEN CAST(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 5)) AS BIGINT) < rate_q
+      |                     THEN d.n_chars ELSE 0 END) AS BIGINT) AS kept_chars
+      |FROM documents d JOIN r ON d.source = r.source
+      |GROUP BY r.source, r.n_docs, r.rate_q
+      |ORDER BY r.source""".stripMargin
+
   /** Deterministic frame-window sampling over opaque binary payloads —
     * the second multimodal plumbing query beside [[qBinaryMeta]]: the
     * payload is cut into 256-byte frames, the first 16 bytes of up to 8
@@ -529,6 +569,7 @@ object TextQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_frame_sample" -> (qFrameSample _),
+    "q_temperature_sample" -> (qTemperatureSample _),
     "q_kfold" -> (qKfold _),
     "q_feature_hash" -> (qFeatureHash _),
     "q_regex_array" -> (qRegexArray _),
@@ -547,6 +588,7 @@ object TextQueries {
 
   val oracles: Map[String, String] = Map(
     "q_frame_sample" -> qFrameSampleSql,
+    "q_temperature_sample" -> qTemperatureSampleSql,
     "q_kfold" -> qKfoldSql,
     "q_feature_hash" -> qFeatureHashSql,
     "q_regex_array" -> qRegexArraySql,

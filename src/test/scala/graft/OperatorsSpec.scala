@@ -57,6 +57,28 @@ class OperatorsSpec extends SparkSpec {
     assert(w(1000.0) == 1000.0)                  // interior untouched
   }
 
+  test("temperatureRates/Sample: rarest source kept whole, rates sqrt-flattened, deterministic") {
+    // sources with 4:1 imbalance: rate(b)=1 (rarest), rate(a)=sqrt(1/4)=0.5
+    val df = ((1 to 400).map(i => (s"d$i", "a")) ++ (1 to 100).map(i => (s"e$i", "b")))
+      .toDF("k", "source")
+    val rates = graft.operators.Sampling.temperatureRates(df, "source")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(rates("a") == ((400L, (1L << 19))) && rates("b") == ((100L, (1L << 20))),
+      s"rates: $rates")
+    val out = graft.operators.Sampling.temperatureSample(df, col("k"), "source")
+    val kept = out.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kept("b") == 100L, s"rarest source must be kept whole: $kept")
+    // source a keeps ~50%: hash-gated, so pin a generous band not an exact n
+    assert(kept("a") > 120L && kept("a") < 280L, s"flattened source off-band: $kept")
+    // determinism under repartitioning
+    val again = graft.operators.Sampling
+      .temperatureSample(df.repartition(7), col("k"), "source")
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(again == kept)
+  }
+
   test("foldAssign: folds cover 0..k-1, are deterministic, and roughly balanced") {
     val df = docs.select(col("doc_id").cast("string").as("k"))
     val folds = df.select(graft.operators.Sampling.foldAssign(col("k"), 5).as("fold"))

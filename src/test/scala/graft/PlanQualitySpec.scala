@@ -226,6 +226,13 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("q_temperature_sample: rate table broadcasts — corpus never shuffles for the gate") {
+    val p = plan("q_temperature_sample")
+    assert(p.contains("BroadcastHashJoin"), s"rates must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"corpus shuffled for a |sources|-row rate join:\n$p")
+  }
+
   test("q_transition: one lead window, two-phase aggregation") {
     val p = plan("q_transition")
     assert(p.split("Window ").length - 1 == 1, s"expected one window:\n$p")
