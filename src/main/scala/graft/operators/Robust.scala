@@ -64,4 +64,32 @@ object Robust {
   /** The clip indicator columns for conditional aggregation. */
   def clipFlags(valueCol: String): (Column, Column) =
     (col(valueCol) < col("__lo"), col(valueCol) > col("__hi"))
+
+  /** Per-group (median, MAD) — the robust location/scale pair behind
+    * outlier detection (MAD tolerates up to 50% contamination where
+    * stddev is dragged by the outliers it is meant to find). Two passes:
+    * a per-group median, broadcast back; then the median of absolute
+    * residuals. Returns (groupCols*, __med, __mad). Same exact/approx
+    * split as [[quantileBounds]]: exact `percentile` is oracle-grade but
+    * O(group) state; `approxAccuracy` bounds state for 100 TB groups. */
+  def mad(df: DataFrame, groupCols: Seq[String], valueCol: String,
+          approxAccuracy: Option[Int] = None): DataFrame = {
+    val med = quantileBounds(df, groupCols, valueCol, 0.5, 0.5, approxAccuracy)
+      .select(groupCols.map(col) :+ col("__lo").as("__med"): _*)
+    val resAgg = approxAccuracy match {
+      case Some(acc) => expr(s"approx_percentile(__absdev, 0.5D, $acc)")
+      case None      => expr("percentile(__absdev, 0.5D)")
+    }
+    df.join(broadcast(med), groupCols)
+      .withColumn("__absdev", abs(col(valueCol) - col("__med")))
+      .groupBy(groupCols.map(col): _*)
+      .agg(max(col("__med")).as("__med"), resAgg.cast("double").as("__mad"))
+  }
+
+  /** The outlier indicator for conditional aggregation: |x − med| > k·mad
+    * (strict, so a zero-MAD group flags only true deviants). Every op is
+    * one correctly-rounded IEEE step on engine-identical inputs, so the
+    * flag is oracle-exact. */
+  def anomalyFlag(valueCol: String, k: Double = 3.0): Column =
+    abs(col(valueCol) - col("__med")) > lit(k) * col("__mad")
 }

@@ -641,7 +641,44 @@ object EventQueries {
       | AND abs(epoch_us(c.ts) - epoch_us(e.ts)) <= 300000000
       |ORDER BY c_event_id, e_event_id""".stripMargin
 
+  /** Robust (median/MAD) anomaly readout per event type — the outlier
+    * monitor every metrics pipeline runs where mean/stddev would be
+    * dragged by the very outliers under detection. Built on
+    * [[graft.operators.Robust.mad]]: two tiny per-type aggregates
+    * broadcast back; the flag is row-local; the fact table never shuffles
+    * for a join. med/mad are interpolated percentiles (hash-exact vs
+    * quantile_cont — see q_percentile) and the 3·MAD comparison is one
+    * correctly-rounded multiply on identical doubles, so counts are
+    * oracle-exact. */
+  def qAnomalyMad(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = t(spark, sfDir, "events")
+    val stats = graft.operators.Robust.mad(ev, Seq("event_type"), "value")
+    ev.join(broadcast(stats), Seq("event_type"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        max(col("__med")).as("med"),
+        max(col("__mad")).as("mad"),
+        sum(when(graft.operators.Robust.anomalyFlag("value"), 1L).otherwise(0L))
+          .as("n_outliers"))
+      .orderBy("event_type")
+  }
+
+  val qAnomalyMadSql: String =
+    """WITH med AS (SELECT event_type, quantile_cont(value, 0.5) AS med
+      |             FROM events GROUP BY 1),
+      |mad AS (SELECT e.event_type, m.med,
+      |               quantile_cont(abs(e.value - m.med), 0.5) AS mad
+      |        FROM events e JOIN med m ON e.event_type = m.event_type
+      |        GROUP BY e.event_type, m.med)
+      |SELECT m.event_type, count(*) AS n, m.med, m.mad,
+      |       CAST(sum(CASE WHEN abs(e.value - m.med) > 3.0 * m.mad
+      |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+      |FROM events e JOIN mad m ON e.event_type = m.event_type
+      |GROUP BY m.event_type, m.med, m.mad
+      |ORDER BY m.event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_anomaly_mad" -> (qAnomalyMad _),
     "q_string_date" -> (qStringDate _),
     "q_json_extract" -> (qJsonExtract _),
     "q_variant_extract" -> (qVariantExtract _),
@@ -664,6 +701,7 @@ object EventQueries {
     "q_resample" -> (qResample _))
 
   val oracles: Map[String, String] = Map(
+    "q_anomaly_mad" -> qAnomalyMadSql,
     "q_string_date" -> qStringDateSql,
     "q_json_extract" -> qJsonExtractSql,
     "q_variant_extract" -> qVariantExtractSql,

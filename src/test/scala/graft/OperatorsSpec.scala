@@ -57,6 +57,23 @@ class OperatorsSpec extends SparkSpec {
     assert(w(1000.0) == 1000.0)                  // interior untouched
   }
 
+  test("Robust.mad: crafted group — exact median/MAD, outlier flag catches the plant") {
+    // values 1..9 plus one planted outlier 1000: med of 10 values
+    // (1..9,1000) = 5.5; |x-5.5| = 4.5,3.5,...,3.5,994.5 → mad = 2.5
+    val df = ((1 to 9).map(_.toDouble) :+ 1000.0).map(v => ("g", v)).toDF("grp", "v")
+    val stats = graft.operators.Robust.mad(df, Seq("grp"), "v").collect().head
+    assert(stats.getDouble(1) == 5.5 && stats.getDouble(2) == 2.5, s"got $stats")
+    val flagged = df.join(graft.operators.Robust.mad(df, Seq("grp"), "v"), Seq("grp"))
+      .filter(graft.operators.Robust.anomalyFlag("v"))
+      .select("v").collect().map(_.getDouble(0)).toSet
+    // |x-5.5| > 7.5 → x < -2 or x > 13: only the plant
+    assert(flagged == Set(1000.0), s"flagged: $flagged")
+    // approx path stays in the error band and still catches the plant
+    val approx = graft.operators.Robust.mad(df, Seq("grp"), "v", Some(1000)).collect().head
+    assert(math.abs(approx.getDouble(1) - 5.5) <= 1.0 &&
+      math.abs(approx.getDouble(2) - 2.5) <= 1.5, s"approx: $approx")
+  }
+
   test("temperatureRates/Sample: rarest source kept whole, rates sqrt-flattened, deterministic") {
     // sources with 4:1 imbalance: rate(b)=1 (rarest), rate(a)=sqrt(1/4)=0.5
     val df = ((1 to 400).map(i => (s"d$i", "a")) ++ (1 to 100).map(i => (s"e$i", "b")))

@@ -226,6 +226,13 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("q_anomaly_mad: med/mad stats broadcast back — fact never shuffles for the join") {
+    val p = plan("q_anomaly_mad")
+    assert(p.contains("BroadcastHashJoin"), s"stats must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"fact shuffled for a |groups|-row stats join:\n$p")
+  }
+
   test("q_temperature_sample: rate table broadcasts — corpus never shuffles for the gate") {
     val p = plan("q_temperature_sample")
     assert(p.contains("BroadcastHashJoin"), s"rates must broadcast:\n$p")
