@@ -316,7 +316,63 @@ object DedupQueries {
        |JOIN documents b ON b.doc_id = p.d2
        |ORDER BY p.d1, p.d2""".stripMargin
 
+  /** Leakage-safe train/holdout split — the eval-contamination guard: a
+    * near-duplicate of a holdout document must NOT land in train, or the
+    * eval set leaks. Composition of three verified blocks: LSH candidates
+    * → exact-Jaccard verification → connected components (near-dup
+    * clusters), then the split is decided by a content-hash gate on the
+    * CLUSTER label (singletons = own doc_id), so an entire duplicate
+    * cluster moves to one side atomically — by construction, not by
+    * post-hoc filtering. Readout is per-side doc/cluster/char-mass
+    * counts; the oracle reproduces the clusters via recursive CTE and the
+    * same md5 gate, so the exact membership is hash-checked.
+    *
+    * Scale shape: everything up to labels is the verified-cascade shape
+    * (bucketed candidates, no all-pairs); the gate is row-local on the
+    * broadcast-joined label; the corpus shuffles once for the label join. */
+  def qLeakageSplit(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val docs = t(spark, sfDir, "documents")
+    val pairs = graft.operators.Dedup
+      .verifiedNearDupPairs(docs, "doc_id", "text", n = 3, minJaccard = 0.5)
+    val labels = graft.operators.Dedup.connectedComponents(pairs)
+      .withColumnRenamed("id", "doc_id")
+    docs.join(broadcast(labels), Seq("doc_id"), "left")
+      .withColumn("cluster", coalesce(col("cluster"), col("doc_id")))
+      .withColumn("side",
+        when(graft.operators.Sampling.gateBelow(col("cluster").cast("string"), "4"),
+          "holdout").otherwise("train"))
+      .groupBy("side")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("cluster")).as("n_clusters"),
+        sum(col("n_chars")).as("sum_chars"))
+      .orderBy("side")
+  }
+
+  val qLeakageSplitSql: String =
+    s"""WITH RECURSIVE ${minhashSqlCtes("documents")},
+       |${vpairsSqlCtes(0.5)},
+       |edges AS (
+       |  SELECT d1 AS src, d2 AS dst FROM vpairs
+       |  UNION SELECT d2, d1 FROM vpairs),
+       |walk AS (
+       |  SELECT src, dst FROM edges
+       |  UNION
+       |  SELECT w.src, e.dst FROM walk w JOIN edges e ON e.src = w.dst),
+       |labels AS (
+       |  SELECT src AS id, least(src, min(dst)) AS cluster
+       |  FROM walk GROUP BY src),
+       |sided AS (
+       |  SELECT d.doc_id, d.n_chars, coalesce(l.cluster, d.doc_id) AS cluster,
+       |         CASE WHEN substr(md5(CAST(coalesce(l.cluster, d.doc_id) AS VARCHAR)), 1, 1) < '4'
+       |              THEN 'holdout' ELSE 'train' END AS side
+       |  FROM documents d LEFT JOIN labels l ON l.id = d.doc_id)
+       |SELECT side, count(*) AS n_docs, count(DISTINCT cluster) AS n_clusters,
+       |       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+       |FROM sided GROUP BY side ORDER BY side""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_leakage_split" -> (qLeakageSplit _),
     "q_edit_distance" -> (qEditDistance _),
     "q_chunk_dedup" -> (qChunkDedup _),
     "q_jaccard_pairs" -> (qJaccardPairs _),
@@ -327,6 +383,7 @@ object DedupQueries {
     "q_dedup_clusters" -> (qDedupClusters _))
 
   val oracles: Map[String, String] = Map(
+    "q_leakage_split" -> qLeakageSplitSql,
     "q_edit_distance" -> qEditDistanceSql,
     "q_chunk_dedup" -> qChunkDedupSql,
     "q_jaccard_pairs" -> qJaccardPairsSql,

@@ -57,6 +57,22 @@ class OperatorsSpec extends SparkSpec {
     assert(w(1000.0) == 1000.0)                  // interior untouched
   }
 
+  test("leakage-safe split: no near-dup cluster spans train/holdout, both sides populated") {
+    val d = docs.select("doc_id", "text")
+    val pairs = Dedup.verifiedNearDupPairs(d, "doc_id", "text", n = 3, minJaccard = 0.5)
+    val labels = Dedup.connectedComponents(pairs).withColumnRenamed("id", "doc_id")
+    val sided = d.join(labels, Seq("doc_id"), "left")
+      .withColumn("cluster", coalesce(col("cluster"), col("doc_id")))
+      .withColumn("side", when(graft.operators.Sampling
+        .gateBelow(col("cluster").cast("string"), "4"), "holdout").otherwise("train"))
+    val spanning = sided.groupBy("cluster")
+      .agg(countDistinct(col("side")).as("ns")).filter(col("ns") > 1).count()
+    assert(spanning == 0L, "a duplicate cluster leaked across the split")
+    val sides = sided.select("side").distinct().count()
+    assert(sides == 2L, "gate degenerated to one side on the fixture")
+    CacheScope.release()
+  }
+
   test("Robust.mad: crafted group — exact median/MAD, outlier flag catches the plant") {
     // values 1..9 plus one planted outlier 1000: med of 10 values
     // (1..9,1000) = 5.5; |x-5.5| = 4.5,3.5,...,3.5,994.5 → mad = 2.5
