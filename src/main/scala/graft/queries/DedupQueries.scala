@@ -337,7 +337,10 @@ object DedupQueries {
       .verifiedNearDupPairs(docs, "doc_id", "text", n = 3, minJaccard = 0.5)
     val labels = graft.operators.Dedup.connectedComponents(pairs)
       .withColumnRenamed("id", "doc_id")
-    docs.join(broadcast(labels), Seq("doc_id"), "left")
+    // join strategy left to AQE: labels is one row per CLUSTERED doc —
+    // tiny on lightly-duplicated corpora, O(corpus) on heavily-duplicated
+    // ones, so a forced broadcast would be the q_retention hazard again
+    docs.join(labels, Seq("doc_id"), "left")
       .withColumn("cluster", coalesce(col("cluster"), col("doc_id")))
       .withColumn("side",
         when(graft.operators.Sampling.gateBelow(col("cluster").cast("string"), "4"),
