@@ -81,16 +81,25 @@ object EventStreams {
       .drop("__key")
 
   /** Stream-static enrichment join: decorate a streaming fact with a
-    * static dimension (user tier, document metadata, …). The static side
-    * is broadcast, so the stream is never shuffled and no state store is
-    * involved — each micro-batch plans a plain broadcast hash join, and
-    * Spark re-resolves the static relation per batch (a dimension table
-    * that changes on disk is picked up without restarting the query).
-    * This is the stateless streaming join that scales; stream-stream
-    * joins (stateful, watermark-bounded) are a different operator. */
+    * static dimension (user tier, document metadata, …). No state store
+    * is involved — each micro-batch plans a plain join against the
+    * static relation, which Spark re-resolves per batch (a dimension
+    * table that changes on disk is picked up without restarting the
+    * query). This is the stateless streaming join that scales;
+    * stream-stream joins (stateful, watermark-bounded) are a different
+    * operator.
+    *
+    * `hintBroadcast` (default true) marks the dim side broadcastable so
+    * every micro-batch is a broadcast hash join and the stream never
+    * shuffles — right for bounded dims (tiers, configs, vocabularies).
+    * Pass false for a dim that grows with an entity population (per-user
+    * tables at 10^8+ users outgrow the 8 GB broadcast limit): the
+    * planner then shuffles the micro-batch against the dim instead of
+    * OOMing executors. */
   def enrichStream(events: DataFrame, dim: DataFrame,
-                   key: String = "user_id"): DataFrame =
-    events.join(broadcast(dim), Seq(key), "left")
+                   key: String = "user_id",
+                   hintBroadcast: Boolean = true): DataFrame =
+    events.join(if (hintBroadcast) broadcast(dim) else dim, Seq(key), "left")
 
   /** Stream-stream interval join (impression→conversion attribution):
     * match each `right` event to `left` events of the same user that
