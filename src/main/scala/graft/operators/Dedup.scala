@@ -164,19 +164,42 @@ object Dedup {
     minhashFromSignatures(minhashSignatures(shingles, bands * rowsPerBand),
       bands, rowsPerBand)
 
+  /** Default LSH band-bucket size cap, mirroring [[DefaultMaxShingleDF]]:
+    * a band bucket holding B docs emits B² candidate rows before
+    * verification, so one degenerate bucket (templated boilerplate that
+    * survives exact dedup) can dominate the whole corpus pass — while a
+    * bucket that large carries no discriminative signal anyway (its
+    * members are candidates of everything in it). Buckets above the cap
+    * are dropped before the self-join; the default sits far above any
+    * test-corpus bucket density (oracle-checked agreement), production
+    * corpora tune it down. */
+  val DefaultMaxBandBucket: Int = 100000
+
   /** Banding + bucket join over a PRECOMPUTED signature table — callers
     * that also consume the signatures directly (estimator calibration)
     * pass one cached `sig` so the 16-way min aggregation runs once, not
-    * once per consumer. */
+    * once per consumer. Buckets larger than `maxBucketSize` (≤0 disables)
+    * are removed by count + broadcast anti-join — the hot-bucket set is
+    * tiny by definition, so the removal costs one linear count and no
+    * extra shuffle of the band table. */
   def minhashFromSignatures(sig: DataFrame,
-                            bands: Int = 4, rowsPerBand: Int = 4): DataFrame = {
+                            bands: Int = 4, rowsPerBand: Int = 4,
+                            maxBucketSize: Int = DefaultMaxBandBucket): DataFrame = {
     val bandStructs = (0 until bands).map { b =>
       struct(lit(b).cast("long").as("band"),
         concat((0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}")): _*).as("band_key"))
     }
-    val bandKeys = graft.CacheScope.cached(sig
+    val raw = graft.CacheScope.cached(sig
       .select(col("id"), explode(array(bandStructs: _*)).as("bk"))
       .select(col("id"), col("bk.band").as("band"), col("bk.band_key").as("band_key")))
+    val bandKeys =
+      if (maxBucketSize <= 0) raw
+      else {
+        val hot = raw.groupBy(col("band"), col("band_key"))
+          .agg(count(lit(1)).as("__n")).filter(col("__n") > maxBucketSize)
+          .select(col("band"), col("band_key"))
+        raw.join(broadcast(hot), Seq("band", "band_key"), "left_anti")
+      }
     bandKeys.as("a").join(bandKeys.as("b"),
         col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key") &&
           col("a.id") < col("b.id"))
@@ -290,6 +313,54 @@ object Dedup {
                       maxShingleDF: Int = DefaultMaxShingleDF): DataFrame =
     connectedComponents(
       verifiedNearDupPairs(df, idCol, textCol, n, minJaccard, maxShingleDF))
+
+  /** Near-dup cluster label for EVERY document, with exact duplicates
+    * collapsed before pair enumeration — the composition that makes
+    * clustering linear in duplicate count on a duplicate-heavy corpus.
+    * Returns (id, cluster); cluster = the doc's own id for docs with no
+    * exact or near duplicate.
+    *
+    * Why: [[verifiedNearDupPairs]] over the raw corpus materializes every
+    * intra-clique pair, so a k-member exact-duplicate clique costs O(k²)
+    * candidate rows (measured ~45× wall for 10× duplicated data). Exact
+    * duplicates are by construction LSH candidates with Jaccard 1.0, so
+    * collapsing each md5(text) group to its min-id representative FIRST,
+    * clustering only representatives, and re-expanding membership through
+    * the content-hash map yields provably identical labels:
+    *  - the min id of a full-graph component is always a representative
+    *    (its exact twins are in the same component, so its content group's
+    *    min is itself), and
+    *  - any full-graph edge (x, y) projects to a representative edge
+    *    (rep(x), rep(y)) — identical text means identical shingles, hence
+    *    identical signatures, bands, and Jaccard — so rep-graph
+    *    connectivity equals projected full-graph connectivity.
+    * The driver's unchanged (uncollapsed) DuckDB oracles for
+    * q_dedup_clusters / q_leakage_split hash-check this equivalence.
+    *
+    * Scale shape: the collapse is one linear groupBy on md5(text) plus a
+    * semi-join; pair enumeration then runs on the deduplicated corpus
+    * (web-scale corpora: typically 2–5× smaller, with cliques gone); the
+    * re-expansion is one equi-join of the O(corpus) id→rep map against the
+    * (small) rep label table, which AQE broadcasts when it fits. */
+  def collapsedClusterLabels(df: DataFrame, idCol: String, textCol: String,
+                             n: Int = 3, minJaccard: Double = 0.5,
+                             maxShingleDF: Int = DefaultMaxShingleDF): DataFrame = {
+    // id → representative (min id sharing md5(text)); cached — it feeds the
+    // representative filter and the final re-expansion join
+    val keyed = graft.CacheScope.cached(
+      df.select(col(idCol).as("id"), md5(col(textCol).cast("binary")).as("__key")))
+    val repMap = graft.CacheScope.cached(
+      keyed.join(keyed.groupBy(col("__key")).agg(min(col("id")).as("__rep")), "__key")
+        .select(col("id"), col("__rep")))
+    val repDocs = df.join(
+      repMap.filter(col("id") === col("__rep")).select(col("id").as(idCol)),
+      Seq(idCol), "left_semi")
+    val repLabels = connectedComponents(
+        verifiedNearDupPairs(repDocs, idCol, textCol, n, minJaccard, maxShingleDF))
+      .withColumnRenamed("id", "__rep")
+    repMap.join(repLabels, Seq("__rep"), "left")
+      .select(col("id"), coalesce(col("cluster"), col("__rep")).as("cluster"))
+  }
 
   /** 64 bit-mask literals 1L<<0 … 1L<<63. */
   private val Masks: Column = array((0 until 64).map(b => lit(1L << b)): _*)

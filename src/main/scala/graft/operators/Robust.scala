@@ -51,12 +51,19 @@ object Robust {
     *
     * @param approxAccuracy see [[quantileBounds]] — pass Some(acc) at
     *                       scale so the bounds aggregation state stays
-    *                       bounded per group. */
+    *                       bounded per group.
+    * @param hintBroadcast  true (default) forces the bounds join to
+    *                       broadcast — right for bounded group keys
+    *                       (enums, types, sources). Pass false for
+    *                       entity-scale group keys (per-user bounds at
+    *                       10^8+ users outgrow the broadcast limit) so
+    *                       AQE picks the join strategy instead. */
   def winsorize(df: DataFrame, groupCols: Seq[String], valueCol: String,
                 pLo: Double = 0.05, pHi: Double = 0.95,
-                approxAccuracy: Option[Int] = None): DataFrame = {
+                approxAccuracy: Option[Int] = None,
+                hintBroadcast: Boolean = true): DataFrame = {
     val bounds = quantileBounds(df, groupCols, valueCol, pLo, pHi, approxAccuracy)
-    df.join(broadcast(bounds), groupCols)
+    df.join(if (hintBroadcast) broadcast(bounds) else bounds, groupCols)
       .withColumn(s"${valueCol}_w",
         least(greatest(col(valueCol), col("__lo")), col("__hi")))
   }
@@ -71,16 +78,19 @@ object Robust {
     * a per-group median, broadcast back; then the median of absolute
     * residuals. Returns (groupCols*, __med, __mad). Same exact/approx
     * split as [[quantileBounds]]: exact `percentile` is oracle-grade but
-    * O(group) state; `approxAccuracy` bounds state for 100 TB groups. */
+    * O(group) state; `approxAccuracy` bounds state for 100 TB groups.
+    * `hintBroadcast` as in [[winsorize]]: default-forced broadcast of the
+    * one-row-per-group median table, opt out for entity-scale keys. */
   def mad(df: DataFrame, groupCols: Seq[String], valueCol: String,
-          approxAccuracy: Option[Int] = None): DataFrame = {
+          approxAccuracy: Option[Int] = None,
+          hintBroadcast: Boolean = true): DataFrame = {
     val med = quantileBounds(df, groupCols, valueCol, 0.5, 0.5, approxAccuracy)
       .select(groupCols.map(col) :+ col("__lo").as("__med"): _*)
     val resAgg = approxAccuracy match {
       case Some(acc) => expr(s"approx_percentile(__absdev, 0.5D, $acc)")
       case None      => expr("percentile(__absdev, 0.5D)")
     }
-    df.join(broadcast(med), groupCols)
+    df.join(if (hintBroadcast) broadcast(med) else med, groupCols)
       .withColumn("__absdev", abs(col(valueCol) - col("__med")))
       .groupBy(groupCols.map(col): _*)
       .agg(max(col("__med")).as("__med"), resAgg.cast("double").as("__mad"))

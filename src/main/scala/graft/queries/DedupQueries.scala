@@ -224,15 +224,22 @@ object DedupQueries {
     * `WITH RECURSIVE` transitive closure over the same verified pairs. */
   def qDedupClusters(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    val pairs = graft.operators.Dedup
-      .verifiedNearDupPairs(t(spark, sfDir, "documents"), "doc_id", "text",
+    // exact-collapse composition ([[graft.operators.Dedup.collapsedClusterLabels]]):
+    // cluster one representative per md5(text), re-expand membership — linear
+    // in duplicate count where clustering the raw corpus is quadratic per
+    // clique. Labels are provably identical (see the operator's scaladoc);
+    // the UNCOLLAPSED recursive-CTE oracle below hash-checks that claim.
+    // Expanded singleton clusters (size 1 ⟺ the doc had no exact or near
+    // dup ⟺ it was absent from the raw pair graph) are filtered to match.
+    graft.operators.Dedup
+      .collapsedClusterLabels(t(spark, sfDir, "documents"), "doc_id", "text",
         n = 3, minJaccard = 0.5)
-    graft.operators.Dedup.connectedComponents(pairs)
       .groupBy(col("cluster").as("cluster_id"))
       .agg(
         count(lit(1)).as("n_docs"),
         concat_ws(",",
           transform(sort_array(collect_list(col("id"))), _.cast("string"))).as("members"))
+      .filter(col("n_docs") >= 2)
       .orderBy("cluster_id")
   }
 
@@ -328,18 +335,22 @@ object DedupQueries {
     * same md5 gate, so the exact membership is hash-checked.
     *
     * Scale shape: everything up to labels is the verified-cascade shape
-    * (bucketed candidates, no all-pairs); the gate is row-local on the
-    * broadcast-joined label; the corpus shuffles once for the label join. */
+    * (bucketed candidates, no all-pairs) run over EXACT-DUP-COLLAPSED
+    * representatives ([[graft.operators.Dedup.collapsedClusterLabels]]) —
+    * a k-member exact-dup clique costs k map rows, not k² pair rows, which
+    * is the difference between ~80 s and linear on a 10×-duplicated
+    * fixture; the gate is row-local on the joined label; the corpus
+    * shuffles once for the label join. The oracle deliberately stays the
+    * UNCOLLAPSED direct formulation, so hash-green here proves the
+    * collapse-recompose is semantics-preserving. */
   def qLeakageSplit(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.functions._
     val docs = t(spark, sfDir, "documents")
-    val pairs = graft.operators.Dedup
-      .verifiedNearDupPairs(docs, "doc_id", "text", n = 3, minJaccard = 0.5)
-    val labels = graft.operators.Dedup.connectedComponents(pairs)
+    val labels = graft.operators.Dedup
+      .collapsedClusterLabels(docs, "doc_id", "text", n = 3, minJaccard = 0.5)
       .withColumnRenamed("id", "doc_id")
-    // join strategy left to AQE: labels is one row per CLUSTERED doc —
-    // tiny on lightly-duplicated corpora, O(corpus) on heavily-duplicated
-    // ones, so a forced broadcast would be the q_retention hazard again
+    // join strategy left to AQE: labels is one row per doc (the id→cluster
+    // map), so a forced broadcast would be the q_retention hazard again
     docs.join(labels, Seq("doc_id"), "left")
       .withColumn("cluster", coalesce(col("cluster"), col("doc_id")))
       .withColumn("side",

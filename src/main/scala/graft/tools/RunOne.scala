@@ -31,8 +31,13 @@ object RunOne {
     }
     // refresh the oracle map so local_verify.py sees oracles added since
     // the last full graft.Verify run (same escaping rules as Verify) —
-    // restricted to the dumped queries so the verifier doesn't error on
-    // oracle keys whose dump is absent from this partial outDir
+    // restricted to queries with a dump PRESENT in outDir (this run's plus
+    // any earlier RunOne's into the same dir), so sequential partial runs
+    // accumulate oracle coverage instead of clobbering each other's keys
+    val present = Option(new java.io.File(outDir).listFiles())
+      .getOrElse(Array.empty)
+      .filter(f => f.isDirectory && graft.SparkEntry.queries.contains(f.getName))
+      .map(_.getName).toSet ++ dumped
     def q(s: String): String = "\"" + s.flatMap {
       case '"'  => "\\\""
       case '\\' => "\\\\"
@@ -42,7 +47,7 @@ object RunOne {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = graft.SparkEntry.oracleSql.filter(kv => dumped(kv._1))
+    val json = graft.SparkEntry.oracleSql.filter(kv => present(kv._1))
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(s"$outDir/oracle_sql.json"), json)

@@ -438,6 +438,72 @@ class OperatorsSpec extends SparkSpec {
     assert(msgs(e).exists(_.contains("dimension mismatch")), s"got: ${msgs(e)}")
   }
 
+  test("collapsedClusterLabels == direct clustering on a duplicate-heavy fixture") {
+    // adversarial shape: exact-dup cliques (1,2,3 share text a; 4,5 share
+    // text b; a~b near-dup), a transitive chain through a clique member,
+    // and content-singletons (7 near 6; 9 isolated). The collapsed path
+    // must label every doc exactly as clustering the raw pair graph does.
+    val w = (1 to 60).map(i => s"w$i")
+    val a = w.mkString(" ")
+    val b = w.updated(0, "x0").mkString(" ")
+    val c = w.updated(0, "x0").updated(59, "x59").mkString(" ")
+    val far = (100 to 160).map(i => s"v$i").mkString(" ")
+    val farNear = ((100 to 159).map(i => s"v$i") :+ "z160").mkString(" ")
+    val df = Seq((1L, a), (2L, a), (3L, a), (4L, b), (5L, b), (6L, far),
+      (7L, farNear), (9L, c)).toDF("doc_id", "text")
+    val direct = {
+      val pairs = Dedup.verifiedNearDupPairs(df, "doc_id", "text", n = 3, minJaccard = 0.5)
+      val labels = Dedup.connectedComponents(pairs).as[(Long, Long)].collect().toMap
+      // direct path covers only paired docs; extend to all docs as the
+      // queries do (cluster = own id when unpaired)
+      Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L, 9L).map(i => i -> labels.getOrElse(i, i)).toMap
+    }
+    CacheScope.release()
+    val collapsed = Dedup.collapsedClusterLabels(df, "doc_id", "text", n = 3, minJaccard = 0.5)
+      .as[(Long, Long)].collect().toMap
+    CacheScope.release()
+    assert(collapsed == direct, s"collapsed=$collapsed direct=$direct")
+    // and the fixture exercised what it claims: cliques merged across
+    // content groups (1..5,9 one cluster), singleton-content pair 6~7
+    assert(direct(5L) == 1L && direct(9L) == 1L && direct(7L) == 6L && direct(6L) == 6L)
+  }
+
+  test("minhashFromSignatures drops degenerate band buckets above maxBucketSize") {
+    // 10 identical docs → every band bucket has 10 members → 45 pairs
+    // uncapped; with maxBucketSize=5 every bucket is dropped → 0 candidates
+    val txt = (1 to 30).map(i => s"w$i").mkString(" ")
+    val df = (1L to 10L).map(i => (i, txt)).toDF("doc_id", "text")
+    val sh = Dedup.shingleSets(df, "doc_id", "text", n = 3)
+    val sig = Dedup.minhashSignatures(sh)
+    assert(Dedup.minhashFromSignatures(sig).count() == 45L)
+    CacheScope.release()
+    assert(Dedup.minhashFromSignatures(sig, maxBucketSize = 5).count() == 0L)
+    CacheScope.release()
+    // a mixed corpus: the mega-clique is capped out, the small pair survives
+    val w2 = (100 to 140).map(i => s"v$i")
+    val mixed = df.union(Seq((20L, w2.mkString(" ")),
+      (21L, w2.updated(0, "z").mkString(" "))).toDF("doc_id", "text"))
+    val shM = Dedup.shingleSets(mixed, "doc_id", "text", n = 3)
+    val capped = Dedup.minhashFromSignatures(Dedup.minhashSignatures(shM), maxBucketSize = 5)
+      .select("d1", "d2").as[(Long, Long)].collect().toSet
+    CacheScope.release()
+    assert(capped == Set((20L, 21L)), s"capped=$capped")
+  }
+
+  test("Robust.winsorize/mad shuffle path (hintBroadcast=false) matches broadcast path") {
+    val df = (1 to 20).map(i => ("g", i.toDouble)).toDF("grp", "v")
+    val b = graft.operators.Robust.winsorize(df, Seq("grp"), "v", 0.05, 0.95)
+      .select("v", "v_w").as[(Double, Double)].collect().toMap
+    val s = graft.operators.Robust
+      .winsorize(df, Seq("grp"), "v", 0.05, 0.95, hintBroadcast = false)
+      .select("v", "v_w").as[(Double, Double)].collect().toMap
+    assert(b == s, s"broadcast=$b shuffle=$s")
+    val mb = graft.operators.Robust.mad(df, Seq("grp"), "v").collect().head
+    val ms = graft.operators.Robust.mad(df, Seq("grp"), "v", hintBroadcast = false)
+      .collect().head
+    assert(mb.getDouble(1) == ms.getDouble(1) && mb.getDouble(2) == ms.getDouble(2))
+  }
+
   test("nearDupClusters groups a transitive near-dup chain into one component") {
     // a~b and b~c verify, a~c may not: cluster view must still unite them
     val w = (1 to 60).map(i => s"w$i")
