@@ -23,11 +23,18 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // optional subset (comma list in SPARK_GRAFT_QUERIES) for targeted
+    // scale measurements — e.g. re-timing one family on a ScaleUp fixture
+    // without paying for the full sweep
+    val only = sys.env.get("SPARK_GRAFT_QUERIES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = SparkEntry.queries
+      .filter { case (name, _) => only.forall(_(name)) }
     // warmup: run every query shape once at the smallest SF so JIT +
     // whole-stage-codegen compilation is paid before measurement (first
     // execution of a plan shape otherwise dominates its timing)
     val warmDir = "/root/testdata/sf0.001"
-    SparkEntry.queries.foreach { case (_, fn) =>
+    selected.foreach { case (_, fn) =>
       try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
       finally CacheScope.release()
@@ -43,7 +50,7 @@ object Bench {
     // fixture) should raise it via SPARK_GRAFT_RETRY_SEC or pay up to 5
     // runs for every legitimately-slow query.
     val retrySec = sys.env.getOrElse("SPARK_GRAFT_RETRY_SEC", "3.5").toDouble
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       def once(): Double = {
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()

@@ -27,7 +27,8 @@ object FastxQueries {
                                uppercase: Boolean = false): String = {
     val suffix = if (uppercase) "_fasta_uc" else "_fasta"
     val dir = new File("/root/repo/target/fastx_roundtrip/" + new File(sfDir).getName + suffix)
-    val base = regexp_replace(col("text"), " ", "")
+    // same whitespace/control strip as materializeFastq (see there)
+    val base = regexp_replace(col("text"), "[ \\t\\r\\n]", "")
     val docs = t(spark, sfDir, "documents")
       .select(col("doc_id"), (if (uppercase) upper(base) else base).as("seq"))
       .select(
@@ -45,7 +46,11 @@ object FastxQueries {
   private def materializeFastq(spark: SparkSession, sfDir: String): String = {
     val dir = new File("/root/repo/target/fastx_roundtrip/" + new File(sfDir).getName + "_fastq")
     val docs = t(spark, sfDir, "documents")
-      .select(col("doc_id"), regexp_replace(col("text"), " ", "").as("seq"))
+      // strip ALL whitespace/control chars, not just spaces: a stray
+      // \r/\n/\t in text would otherwise emit a corrupt multi-line FASTQ
+      // record and fail the oracle confusingly (the oracle strips the
+      // same class, so the fixture stays hash-identical)
+      .select(col("doc_id"), regexp_replace(col("text"), "[ \\t\\r\\n]", "").as("seq"))
       .filter(length(col("seq")) > 0)
       .select(
         concat(lit("doc_"), col("doc_id"), lit(" nchars="), length(col("seq"))).as("header"),
@@ -75,7 +80,7 @@ object FastxQueries {
   }
 
   val qFastqRoundtripSql: String =
-    """WITH s AS (SELECT doc_id, replace(text, ' ', '') AS seq FROM documents),
+    """WITH s AS (SELECT doc_id, regexp_replace(text, '[ \t\r\n]', '', 'g') AS seq FROM documents),
       |q AS (SELECT doc_id, seq,
       |        substr(repeat('@+!~IJKLMNOP', CAST(ceil(length(seq)/12.0) AS INTEGER)),
       |               1, length(seq)) AS qual
@@ -103,10 +108,10 @@ object FastxQueries {
   /** Oracle recomputes the same stats straight from `documents`. */
   val qFastxRoundtripSql: String =
     """SELECT doc_id,
-      |       length(replace(text, ' ', '')) AS seq_len,
-      |       length(replace(text, ' ', ''))
-      |         - length(replace(replace(text, ' ', ''), 'N', '')) AS n_cnt,
-      |       substr(md5(replace(text, ' ', '')), 1, 16) AS seq_md5
+      |       length(regexp_replace(text, '[ \t\r\n]', '', 'g')) AS seq_len,
+      |       length(regexp_replace(text, '[ \t\r\n]', '', 'g'))
+      |         - length(replace(regexp_replace(text, '[ \t\r\n]', '', 'g'), 'N', '')) AS n_cnt,
+      |       substr(md5(regexp_replace(text, '[ \t\r\n]', '', 'g')), 1, 16) AS seq_md5
       |FROM documents
       |ORDER BY doc_id""".stripMargin
 
@@ -137,7 +142,7 @@ object FastxQueries {
   }
 
   val qTsvRoundtripSql: String =
-    """WITH s AS (SELECT doc_id, upper(replace(text, ' ', '')) AS seq FROM documents)
+    """WITH s AS (SELECT doc_id, upper(regexp_replace(text, '[ \t\r\n]', '', 'g')) AS seq FROM documents)
       |SELECT doc_id,
       |       length(seq) AS length,
       |       CAST(length(seq) - length(replace(replace(seq,'G',''),'C','')) AS DOUBLE)

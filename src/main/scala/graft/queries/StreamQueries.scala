@@ -8,18 +8,20 @@ import org.apache.spark.sql.streaming.Trigger
 import graft.Tables.t
 
 /** Puts the Structured Streaming path itself under the driver's DuckDB
-  * gate (the in-JVM StreamingSpec twins prove batch parity; this proves
-  * the full readStream → stateful agg → parquet sink → read-back loop
-  * end-to-end against an external oracle).
+  * gate (the in-JVM StreamingSpec twins prove batch parity; these prove
+  * the full readStream → stateful op → checkpointed parquet sink →
+  * read-back loop end-to-end against an external oracle). Two queries:
+  * the AGGREGATING path (tumbling windows) and the CUSTOM-STATE path
+  * (flatMapGroupsWithState sessionization).
   *
   * Watermark mechanics make a finite stream tricky: with append output,
-  * a window only emits once the event-time watermark passes its end, so
-  * the windows near max(ts) would be held in state forever when the
-  * input runs dry. The fixture therefore appends ONE sentinel event 4
-  * hours past max(ts): when `Trigger.AvailableNow` drains the input, the
-  * final watermark (sentinel − 2 h delay) clears every real window, and
-  * the sentinel's own (incomplete, never-emitted) window is excluded
-  * from the result by construction. At production scale the stream is
+  * a window/session only emits once the event-time watermark passes its
+  * end, so the state near max(ts) would be held forever when the input
+  * runs dry. The fixture therefore appends ONE sentinel event 4 hours
+  * past max(ts): when `Trigger.AvailableNow` drains the input, the final
+  * watermark (sentinel − delay) clears every real window and flushes
+  * every real session, and the sentinel's own (incomplete, never-emitted)
+  * output is excluded by construction. At production scale the stream is
   * unbounded and no sentinel is needed — this is purely the
   * finite-fixture harness.
   */
@@ -30,25 +32,44 @@ object StreamQueries {
     f.delete()
   }
 
+  /** Scratch root for the stream fixtures: `graft.streamWorkDir` conf if
+    * set, else `<cwd>/target/stream_oracle` — never a hardcoded repo
+    * path. */
+  private def workBase(spark: SparkSession, sfDir: String, sub: String): File = {
+    val root = spark.conf.getOption("graft.streamWorkDir")
+      .getOrElse(new File(sys.props("user.dir"), "target/stream_oracle").getAbsolutePath)
+    new File(root, new File(sfDir).getName + "_" + sub)
+  }
+
+  /** The events projection plus the sentinel row 4 h past max(ts).
+    * Fails fast (not with an opaque NPE) on an empty events table. */
+  private def withSentinel(spark: SparkSession, sfDir: String): (DataFrame, java.sql.Timestamp) = {
+    val ev = t(spark, sfDir, "events")
+      .select(col("event_id"), col("ts"), col("user_id"), col("value"))
+    // one scalar to the driver: the sentinel timestamp
+    val maxRow = ev.agg(max(col("ts"))).head()
+    require(!maxRow.isNullAt(0),
+      s"events table at $sfDir is empty — the finite-stream fixture needs at least one event")
+    val maxTs = maxRow.getTimestamp(0)
+    val sentinelTs = new java.sql.Timestamp(maxTs.getTime + 4L * 3600 * 1000)
+    val sentinel = spark.range(1).select(
+      lit(-1L).as("event_id"), lit(sentinelTs).as("ts"),
+      lit(-1L).as("user_id"), lit(0.0).as("value"))
+    (ev.unionByName(sentinel), sentinelTs)
+  }
+
   /** Streaming twin of q_tumbling_window (minus the n_users distinct —
     * a distinct aggregate is not incrementally computable in append mode),
     * run for real through a checkpointed parquet sink. */
   def qStreamTumbling(spark: SparkSession, sfDir: String): DataFrame = {
-    val base = new File("/root/repo/target/stream_oracle/" + new File(sfDir).getName)
+    val base = workBase(spark, sfDir, "tumbling")
     rm(base)
     val inDir = new File(base, "in").getAbsolutePath
     val outDir = new File(base, "out").getAbsolutePath
     val ckpt = new File(base, "ckpt").getAbsolutePath
 
-    val ev = t(spark, sfDir, "events")
-      .select(col("event_id"), col("ts"), col("user_id"), col("value"))
-    // one scalar to the driver: the sentinel timestamp
-    val maxTs = ev.agg(max(col("ts"))).head().getTimestamp(0)
-    val sentinelTs = new java.sql.Timestamp(maxTs.getTime + 4L * 3600 * 1000)
-    val sentinel = spark.range(1).select(
-      lit(-1L).as("event_id"), lit(sentinelTs).as("ts"),
-      lit(-1L).as("user_id"), lit(0.0).as("value"))
-    ev.unionByName(sentinel).write.mode("overwrite").parquet(inDir)
+    val (input, sentinelTs) = withSentinel(spark, sfDir)
+    input.write.mode("overwrite").parquet(inDir)
 
     val stream = spark.readStream
       .schema("event_id LONG, ts TIMESTAMP, user_id LONG, value DOUBLE")
@@ -78,9 +99,86 @@ object StreamQueries {
       |       CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(28,6)) AS DOUBLE) AS sum_value
       |FROM events GROUP BY 1 ORDER BY hour_start""".stripMargin
 
+  /** The CUSTOM-STATE streaming path under the oracle: 30-min-gap
+    * sessionization via `flatMapGroupsWithState`
+    * ([[graft.streaming.EventStreams.sessionize]]) — open-session state
+    * per user, gap break closes + emits, event-time timeout at
+    * watermark + gap flushes idle sessions. The sentinel's final
+    * watermark (max + 3 h) exceeds every real session's timeout
+    * (last + 30 min), so all real sessions land in the sink.
+    *
+    * Output keeps the deterministic columns (boundaries + count):
+    * session START/END and n_events are min/max/count — order- and
+    * batching-independent — while the state's running double sum is
+    * arrival-ordered and belongs to the batch q_sessionize's decimal
+    * gate, not here. The replay fixture is written as ONE ts-sorted file
+    * so the finite replay is deterministic (an unbounded production
+    * stream never replays history, so no such constraint applies there).
+    */
+  def qStreamSessionize(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val base = workBase(spark, sfDir, "sessionize")
+    rm(base)
+    val inDir = new File(base, "in").getAbsolutePath
+    val outDir = new File(base, "out").getAbsolutePath
+    val ckpt = new File(base, "ckpt").getAbsolutePath
+
+    val (input, _) = withSentinel(spark, sfDir)
+    input.repartition(1).sortWithinPartitions("ts", "event_id")
+      .write.mode("overwrite").parquet(inDir)
+
+    val stream = spark.readStream
+      .schema("event_id LONG, ts TIMESTAMP, user_id LONG, value DOUBLE")
+      .parquet(inDir)
+      .as[graft.streaming.EventStreams.Event]
+    val q = graft.streaming.EventStreams.sessionize(stream)
+      .writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    spark.read.parquet(outDir)
+      .filter(col("user_id") =!= -1L)   // the sentinel's own session
+      .select(col("user_id"),
+        date_format(col("start_ts"), "yyyy-MM-dd HH:mm:ss").as("start_ts"),
+        date_format(col("end_ts"), "yyyy-MM-dd HH:mm:ss").as("end_ts"),
+        col("n_events"))
+      .orderBy("user_id", "start_ts")
+  }
+
+  /** Oracle: the batch lag/cumsum sessionizer (same CTE as q_sessionize),
+    * reduced to the deterministic session columns. */
+  val qStreamSessionizeSql: String =
+    """WITH lagged AS (
+      |  SELECT user_id, event_id, ts,
+      |         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      |  FROM events),
+      |flagged AS (
+      |  SELECT *, CASE WHEN prev_ts IS NULL
+      |                   OR ts - prev_ts > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS is_new
+      |  FROM lagged),
+      |sess AS (
+      |  SELECT user_id, ts,
+      |         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                           ROWS UNBOUNDED PRECEDING) AS grp
+      |  FROM flagged)
+      |SELECT user_id,
+      |       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS start_ts,
+      |       strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS end_ts,
+      |       count(*) AS n_events
+      |FROM sess
+      |GROUP BY user_id, grp
+      |ORDER BY user_id, start_ts""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_stream_tumbling" -> (qStreamTumbling _))
+    "q_stream_tumbling" -> (qStreamTumbling _),
+    "q_stream_sessionize" -> (qStreamSessionize _))
 
   val oracles: Map[String, String] = Map(
-    "q_stream_tumbling" -> qStreamTumblingSql)
+    "q_stream_tumbling" -> qStreamTumblingSql,
+    "q_stream_sessionize" -> qStreamSessionizeSql)
 }

@@ -567,7 +567,67 @@ object TextQueries {
       |         (a, b) -> a || b)) AS sample_md5
       |FROM f ORDER BY doc_id""".stripMargin
 
+  /** PII redaction ([[graft.operators.Redact.scrub]]) under the oracle
+    * gate. The synthetic corpus carries no organic PII, so the fixture
+    * injects it deterministically from doc_id — every third doc an email,
+    * every fourth a phone, every fifth a 9-digit account number — making
+    * all three class counts and the rewritten bytes non-trivial. The
+    * md5 of the redacted text proves the EXACT rewrite (replacement
+    * order, token spelling, untouched surroundings) byte-for-byte against
+    * DuckDB's RE2 — see the operator scaladoc for why the pattern subset
+    * is engine-portable. Row-local throughout: one scan, no shuffle
+    * before the output sort. */
+  def qPiiRedact(spark: SparkSession, sfDir: String): DataFrame = {
+    val id = col("doc_id")
+    val withPii = t(spark, sfDir, "documents").withColumn("text",
+      concat(col("text"),
+        when(id % 3 === 0,
+          concat(lit(" contact user"), id.cast("string"), lit("@example.com")))
+          .otherwise(lit("")),
+        when(id % 4 === 0,
+          concat(lit(" call 555-"), lpad((id % 1000).cast("string"), 3, "0"),
+            lit("-"), lpad((id % 10000).cast("string"), 4, "0")))
+          .otherwise(lit("")),
+        when(id % 5 === 0,
+          concat(lit(" acct "), lpad(((id * id) % 1000000000L).cast("string"), 9, "0")))
+          .otherwise(lit(""))))
+    graft.operators.Redact.scrub(withPii, "text")
+      .select(id, col("n_emails"), col("n_phones"), col("n_ids"),
+        length(col("redacted")).as("red_len"),
+        md5(col("redacted").cast("binary")).as("red_md5"))
+      .orderBy("doc_id")
+  }
+
+  val qPiiRedactSql: String =
+    """WITH pii AS (
+      |  SELECT doc_id,
+      |    text
+      |    || CASE WHEN doc_id % 3 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END
+      |    || CASE WHEN doc_id % 4 = 0 THEN ' call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+      |            || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END
+      |    || CASE WHEN doc_id % 5 = 0 THEN ' acct ' || lpad(CAST((doc_id * doc_id) % 1000000000 AS VARCHAR), 9, '0') ELSE '' END AS t
+      |  FROM documents),
+      |s1 AS (
+      |  SELECT doc_id, len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+      |         regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t
+      |  FROM pii),
+      |s2 AS (
+      |  SELECT doc_id, n_emails,
+      |         len(regexp_extract_all(t, '\+?[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS n_phones,
+      |         regexp_replace(t, '\+?[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS t
+      |  FROM s1),
+      |s3 AS (
+      |  SELECT doc_id, n_emails, n_phones,
+      |         len(regexp_extract_all(t, '[0-9]{9,}')) AS n_ids,
+      |         regexp_replace(t, '[0-9]{9,}', '<ID>', 'g') AS t
+      |  FROM s2)
+      |SELECT doc_id, CAST(n_emails AS BIGINT) AS n_emails,
+      |       CAST(n_phones AS BIGINT) AS n_phones, CAST(n_ids AS BIGINT) AS n_ids,
+      |       length(t) AS red_len, md5(t) AS red_md5
+      |FROM s3 ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_pii_redact" -> (qPiiRedact _),
     "q_frame_sample" -> (qFrameSample _),
     "q_temperature_sample" -> (qTemperatureSample _),
     "q_kfold" -> (qKfold _),
@@ -587,6 +647,7 @@ object TextQueries {
     "q_binary_meta" -> (qBinaryMeta _))
 
   val oracles: Map[String, String] = Map(
+    "q_pii_redact" -> qPiiRedactSql,
     "q_frame_sample" -> qFrameSampleSql,
     "q_temperature_sample" -> qTemperatureSampleSql,
     "q_kfold" -> qKfoldSql,

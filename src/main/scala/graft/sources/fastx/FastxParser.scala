@@ -239,25 +239,32 @@ object FastxParser {
 
       private var nextRec: FastxRecord = fetch()
 
+      // the split path assumes strict 4-line records; a multi-line FASTQ
+      // fails fast here (never silently corrupts), and the remedy is the
+      // whole-file reader — say so in the error instead of making callers
+      // discover the opt-out in the docs
+      private def hint: String =
+        " (multi-line FASTQ? set option fastqSplit=false to use the non-split reader)"
+
       private def fetch(): FastxRecord = {
         var h = take()
         while (h != null && h._1.isEmpty) h = take()
         if (h == null || h._2 > ownedEnd) return null // next split's record
         if (!h._1.startsWith("@"))
           throw new IllegalArgumentException(
-            s"Malformed FASTQ: expected '@' header, got: ${h._1}")
+            s"Malformed FASTQ: expected '@' header, got: ${h._1}$hint")
         val seq = take()
         val sep = take()
         if (seq == null || sep == null || !sep._1.startsWith("+"))
           throw new IllegalArgumentException(
-            s"Malformed FASTQ: missing '+' separator in '${h._1}'")
+            s"Malformed FASTQ: missing '+' separator in '${h._1}'$hint")
         val qual = take()
         if (qual == null)
           throw new IllegalArgumentException(
-            s"Malformed FASTQ: truncated quality in '${h._1}'")
+            s"Malformed FASTQ: truncated quality in '${h._1}'$hint")
         if (qual._1.length != seq._1.length)
           throw new IllegalArgumentException(
-            s"Malformed FASTQ: quality/sequence length mismatch in '${h._1}'")
+            s"Malformed FASTQ: quality/sequence length mismatch in '${h._1}'$hint")
         FastxRecord(h._1.substring(1), seq._1, qual._1)
       }
 

@@ -14,13 +14,31 @@ import org.apache.spark.sql.functions._
   * datapoint (BASELINE.md) — it is NOT an oracle input; correctness stays
   * pinned at the driver's SFs.
   *
-  * Usage: runMain graft.tools.ScaleUp [srcDir] [dstDir] [n]
+  * Document text and replica mode: a bare key-shifted copy makes every
+  * document an n-member EXACT-duplicate clique, which turns every
+  * pair-output near-dup query quadratic BY CONSTRUCTION — a valid
+  * adversarial fixture for the exact-collapse path, but a dishonest one
+  * for measuring how the near-dup family scales on real (lightly
+  * duplicated) corpora. Default mode `perturb` therefore renames every
+  * token with a per-replica suffix (`the → the~3`): a BIJECTION on the
+  * token vocabulary per replica, so each replica keeps the source
+  * corpus's intra-replica shingle/Jaccard/LSH structure EXACTLY while
+  * sharing zero shingles across replicas — the 10× fixture behaves as 10
+  * independent sf0.1 corpora. (Merely appending one token, by contrast,
+  * would leave replicas at Jaccard ≈ 0.94 — still near-dup cliques.)
+  * Mode `dup` keeps byte-identical replica text as the adversarial
+  * duplicate-heavy variant. `n_chars` is recomputed from the perturbed
+  * text so the column stays consistent.
+  *
+  * Usage: runMain graft.tools.ScaleUp [srcDir] [dstDir] [n] [perturb|dup]
   */
 object ScaleUp {
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
     val dst = args.lift(1).getOrElse("/root/repo/target/sf1")
     val n = args.lift(2).map(_.toInt).getOrElse(10)
+    val mode = args.lift(3).getOrElse("perturb")
+    require(mode == "perturb" || mode == "dup", s"unknown mode $mode")
     val Off = 10000000L
 
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -39,13 +57,40 @@ object ScaleUp {
       spark.read.parquet(s"$src/$name.parquet")
         .write.mode("overwrite").parquet(s"$dst/$name.parquet")
 
-    def rep(name: String, keys: Seq[String]): Unit = {
+    def rep(name: String, keys: Seq[String], perturbText: Boolean = false,
+            perturbVec: Boolean = false): Unit = {
       val df = spark.read.parquet(s"$src/$name.parquet")
+      // replica key shifts must not collide with source keys: the stated
+      // key-uniqueness/FK guarantee silently breaks once max(key) ≥ Off
+      val maxes = df.agg(max(col(keys.head)), keys.tail.map(k => max(col(k))): _*)
+        .first()
+      keys.indices.foreach { i =>
+        val mx = maxes.getLong(i)
+        require(mx < Off,
+          s"$name.${keys(i)} max $mx >= offset $Off — raise Off or shrink src")
+      }
       val out = df.withColumn("__r", explode(sequence(lit(0), lit(n - 1))))
       val shifted = keys.foldLeft(out)((d, k) =>
-        d.withColumn(k, col(k) + col("__r").cast("long") * Off)).drop("__r")
-      shifted.write.mode("overwrite").parquet(s"$dst/$name.parquet")
-      println(s"[scaleup] $name ×$n")
+        d.withColumn(k, col(k) + col("__r").cast("long") * Off))
+      val bodied =
+        if (perturbText && mode == "perturb")
+          shifted
+            .withColumn("text", array_join(
+              transform(split(col("text"), " "),
+                t => concat(t, lit("~"), col("__r").cast("string"))), " "))
+            .withColumn("n_chars", length(col("text")))
+        else if (perturbVec && mode == "perturb")
+          // per-replica diagonal ±1 sign flip (replica 0 = identity): norms
+          // and INTRA-replica dot products are exactly preserved
+          // (Σ sᵢ²xᵢyᵢ = Σ xᵢyᵢ), while cross-replica cosines randomize —
+          // the embedding analog of the token-renaming bijection
+          shifted.withColumn("embedding",
+            transform(col("embedding"), (x, i) =>
+              when(col("__r") === 0 ||
+                pmod(xxhash64(col("__r"), i), lit(2L)) === 0L, x).otherwise(-x)))
+        else shifted
+      bodied.drop("__r").write.mode("overwrite").parquet(s"$dst/$name.parquet")
+      println(s"[scaleup] $name ×$n" + (if (perturbText && mode == "perturb") " (perturbed)" else ""))
     }
 
     copy("region"); copy("nation")
@@ -55,8 +100,8 @@ object ScaleUp {
     rep("orders", Seq("o_orderkey", "o_custkey"))
     rep("lineitem", Seq("l_orderkey", "l_partkey", "l_suppkey"))
     rep("events", Seq("event_id", "user_id"))
-    rep("documents", Seq("doc_id"))
-    rep("embeddings", Seq("vec_id"))
+    rep("documents", Seq("doc_id"), perturbText = true)
+    rep("embeddings", Seq("vec_id"), perturbVec = true)
     println(s"[scaleup] wrote $dst")
     spark.stop()
   }

@@ -504,6 +504,26 @@ class OperatorsSpec extends SparkSpec {
     assert(mb.getDouble(1) == ms.getDouble(1) && mb.getDouble(2) == ms.getDouble(2))
   }
 
+  test("Redact.scrub: class counts, sequential order, exact rewrite") {
+    val df = Seq(
+      (1L, "mail a@b.co and c.d+x@e-f.org, call +1 555-123-4567, acct 123456789012"),
+      (2L, "no pii here, short num 12345678"),
+      (3L, "id 999999999 then 555-000-1111")).toDF("doc_id", "text")
+    val out = graft.operators.Redact.scrub(df, "text")
+      .select("doc_id", "n_emails", "n_phones", "n_ids", "redacted")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    // row 1: two emails, one phone (the +1 prefix is not part of the fixed
+    // 3-3-4 shape), one 12-digit run
+    assert(out(1L) == ((2L, 1L, 1L,
+      "mail <EMAIL> and <EMAIL>, call +1 <PHONE>, acct <ID>")), s"got ${out(1L)}")
+    // row 2: 8 digits is below the 9+ threshold — untouched
+    assert(out(2L) == ((0L, 0L, 0L, "no pii here, short num 12345678")))
+    // row 3: the digit-run class must NOT see digits already inside the
+    // redacted phone (sequential order), and 999999999 is exactly 9 digits
+    assert(out(3L) == ((0L, 1L, 1L, "id <ID> then <PHONE>")), s"got ${out(3L)}")
+  }
+
   test("nearDupClusters groups a transitive near-dup chain into one component") {
     // a~b and b~c verify, a~c may not: cluster view must still unite them
     val w = (1 to 60).map(i => s"w$i")
