@@ -237,10 +237,30 @@ object Dedup {
       .select("d1", "d2")
   }
 
+  /** id → content representative (min id sharing md5(text)), cached:
+    * the exact-collapse map shared by [[dedupeNear]] and
+    * [[collapsedClusterLabels]]. Columns (id, __rep). */
+  private def contentRepMap(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val keyed = graft.CacheScope.cached(
+      df.select(col(idCol).as("id"), md5(col(textCol).cast("binary")).as("__key")))
+    graft.CacheScope.cached(
+      keyed.join(keyed.groupBy(col("__key")).agg(min(col("id")).as("__rep")), "__key")
+        .select(col("id"), col("__rep")))
+  }
+
   /** End-to-end near-dedup: drop the higher-id side of every verified
     * near-dup pair. Returns the surviving rows of `df`.
-    * The full exact-then-near cascade for a training corpus:
-    * `dedupeNear(exactByContent(df, id, text), id, text)`.
+    *
+    * Exact duplicates are collapsed FIRST (one min-id representative per
+    * md5(text)) and pair verification runs over representatives only —
+    * a k-member exact-dup clique costs k map rows instead of k²
+    * candidate pairs. The output is provably identical to the
+    * uncollapsed composition: a non-representative always loses (it
+    * pairs with its smaller exact twin — LSH candidates with Jaccard
+    * 1.0 by construction), and a representative loses a raw pair to
+    * some y < x iff it loses the rep pair to rep(y) ≤ y (identical text
+    * ⇒ identical shingles, bands, Jaccard). The unchanged DuckDB oracle
+    * of `q_dedup_cascade` hash-checks that equivalence.
     *
     * Note the pairwise drop is NOT transitive closure: in a chain a–b–c
     * where a–c was never a candidate, c is dropped because of b even though
@@ -249,9 +269,13 @@ object Dedup {
   def dedupeNear(df: DataFrame, idCol: String, textCol: String,
                  n: Int = 3, minJaccard: Double = 0.5,
                  maxShingleDF: Int = DefaultMaxShingleDF): DataFrame = {
-    val losers = verifiedNearDupPairs(df, idCol, textCol, n, minJaccard, maxShingleDF)
+    val repMap = contentRepMap(df, idCol, textCol)
+    val repDocs = df.join(
+      repMap.filter(col("id") === col("__rep")).select(col("id").as(idCol)),
+      Seq(idCol), "left_semi")
+    val losers = verifiedNearDupPairs(repDocs, idCol, textCol, n, minJaccard, maxShingleDF)
       .select(col("d2").as(idCol)).distinct()
-    df.join(losers, Seq(idCol), "left_anti")
+    repDocs.join(losers, Seq(idCol), "left_anti")
   }
 
   /** Connected components of the undirected pair graph (d1, d2) → one row
@@ -345,13 +369,9 @@ object Dedup {
   def collapsedClusterLabels(df: DataFrame, idCol: String, textCol: String,
                              n: Int = 3, minJaccard: Double = 0.5,
                              maxShingleDF: Int = DefaultMaxShingleDF): DataFrame = {
-    // id → representative (min id sharing md5(text)); cached — it feeds the
-    // representative filter and the final re-expansion join
-    val keyed = graft.CacheScope.cached(
-      df.select(col(idCol).as("id"), md5(col(textCol).cast("binary")).as("__key")))
-    val repMap = graft.CacheScope.cached(
-      keyed.join(keyed.groupBy(col("__key")).agg(min(col("id")).as("__rep")), "__key")
-        .select(col("id"), col("__rep")))
+    // cached (id, __rep) map — feeds the representative filter and the
+    // final re-expansion join
+    val repMap = contentRepMap(df, idCol, textCol)
     val repDocs = df.join(
       repMap.filter(col("id") === col("__rep")).select(col("id").as(idCol)),
       Seq(idCol), "left_semi")

@@ -35,10 +35,66 @@ object Similarity {
       .limit(k)
   }
 
-  /** Deterministic sign-LSH bucket key from the leading `bits` dims. */
-  def signBucket(vecCol: Column, bits: Int = 8): Column =
-    concat((1 to bits).map(i =>
+  /** '+'/'-' signs of dims (`from`, `until`] — the composable unit behind
+    * [[signBucket]] and the adaptive deepening extension. */
+  def signBits(vecCol: Column, from: Int, until: Int): Column =
+    concat((from + 1 to until).map(i =>
       when(element_at(vecCol, i) >= 0f, lit("+")).otherwise(lit("-"))): _*)
+
+  /** Deterministic sign-LSH bucket key from the leading `bits` dims. */
+  def signBucket(vecCol: Column, bits: Int = 8): Column = signBits(vecCol, 0, bits)
+
+  /** Default per-bucket membership bound before [[deepenBuckets]] splits a
+    * bucket further. A bucket of B members emits B²/2 candidate pairs, so
+    * a FIXED bit width turns 10× corpus growth into 100× candidate growth
+    * (measured: 7.9 k → 781 k pairs for 2 k → 20 k vectors at 8 bits).
+    * The default sits above every bucket size at the oracle SFs (max 16
+    * at sf0.1), so capped and uncapped results agree there. */
+  val DefaultMaxVecBucket: Int = 64
+
+  /** Adaptive-depth LSH bucketing: any bucket whose membership exceeds
+    * `maxBucketSize` has its key EXTENDED by `extend(level)` (more sign
+    * bits / more hyperplanes), recursively up to `maxLevels`. Dense
+    * regions get deeper keys, sparse regions keep cheap short ones — the
+    * relational analog of a variable-depth prefix tree (FAISS-style index
+    * refinement), and the property that keeps candidate generation
+    * near-linear as the corpus grows: bucket population is bounded by a
+    * CONSTANT, not by corpus density.
+    *
+    * Recall note: deepening narrows candidates exactly like choosing a
+    * wider fixed key would, but only where density demands it. At the
+    * oracle SFs no bucket exceeds the default cap, so deepened and flat
+    * results are identical (oracle-checked).
+    *
+    * Cost: one linear `groupBy(count)` + broadcast anti/semi joins per
+    * level (the hot-bucket set is tiny by definition); level keys of
+    * different depths cannot collide (strictly longer strings). */
+  def deepenBuckets(df: DataFrame, bucketCol: String,
+                    maxBucketSize: Int = DefaultMaxVecBucket,
+                    maxLevels: Int = 6)
+                   (extend: Int => Column): DataFrame = {
+    if (maxBucketSize <= 0) return df
+    var open = graft.CacheScope.cached(df)
+    val finished = scala.collection.mutable.ListBuffer.empty[DataFrame]
+    var level = 1
+    var break = false
+    while (!break && level <= maxLevels) {
+      // cached: the hot-bucket set feeds the emptiness check plus both
+      // join branches — one count aggregation per level, not three
+      val hot = graft.CacheScope.cached(open.groupBy(col(bucketCol))
+        .agg(count(lit(1)).as("__n"))
+        .filter(col("__n") > maxBucketSize).select(col(bucketCol)))
+      if (hot.isEmpty) break = true
+      else {
+        finished += open.join(broadcast(hot), Seq(bucketCol), "left_anti")
+        open = graft.CacheScope.cached(
+          open.join(broadcast(hot), Seq(bucketCol), "left_semi")
+            .withColumn(bucketCol, concat(col(bucketCol), extend(level))))
+        level += 1
+      }
+    }
+    finished.foldLeft(open)(_ unionByName _)
+  }
 
   /** Seeded random-hyperplane LSH bucket key: `bits` hyperplanes drawn
     * deterministically from `seed` (fixed at plan-build time, so every
@@ -60,13 +116,20 @@ object Similarity {
 
   /** Near-dup pairs: same sign-LSH bucket AND exact cosine ≥ minCosine.
     * The bucket equi-join shrinks the pair space ~2^bits before any exact
-    * math. */
+    * math; buckets denser than `maxBucketSize` are adaptively deepened
+    * ([[deepenBuckets]]; `extendFn(level)` supplies the extra key bits —
+    * defaults to the next sign dims; pass 0 to disable). */
   def lshNearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
                       bits: Int = 8, minCosine: Double = 0.3,
-                      bucketFn: Column => Column = null): DataFrame = {
+                      bucketFn: Column => Column = null,
+                      maxBucketSize: Int = DefaultMaxVecBucket,
+                      extendFn: (Column, Int) => Column = null): DataFrame = {
     val mkBucket = Option(bucketFn).getOrElse((v: Column) => signBucket(v, bits))
-    val b = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
+    val mkExtend = Option(extendFn).getOrElse((v: Column, level: Int) =>
+      signBits(v, bits + (level - 1) * 4, bits + level * 4))
+    val b0 = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
       mkBucket(col(vecCol)).as("bucket"))
+    val b = deepenBuckets(b0, "bucket", maxBucketSize)(l => mkExtend(col("v"), l))
     b.as("a").join(b.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
       .select(col("a.id").as("v1"), col("b.id").as("v2"),

@@ -196,9 +196,12 @@ object DedupQueries {
        |ORDER BY p.d1, p.d2""".stripMargin
   }
 
-  /** The full dedup cascade under the oracle gate: MinHash-LSH candidates →
-    * exact-Jaccard verification ≥ 0.5 → higher-id members dropped →
-    * survivors counted per language. */
+  /** The full dedup cascade under the oracle gate: exact-dup collapse (r6,
+    * inside [[graft.operators.Dedup.dedupeNear]] — output-identical, see
+    * its scaladoc) → MinHash-LSH candidates → exact-Jaccard verification
+    * ≥ 0.5 → higher-id members dropped → survivors counted per language.
+    * The oracle below stays the UNCOLLAPSED losers CTE, hash-proving the
+    * collapse equivalence. */
   def qDedupCascade(spark: SparkSession, sfDir: String): DataFrame =
     graft.operators.Dedup
       .dedupeNear(t(spark, sfDir, "documents"), "doc_id", "text", n = 3, minJaccard = 0.5)

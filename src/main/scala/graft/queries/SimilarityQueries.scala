@@ -88,13 +88,27 @@ object SimilarityQueries {
     concat((1 to 8).map(i =>
       when(element_at(emb, i) >= 0f, lit("+")).otherwise(lit("-"))): _*)
 
+  /** Sign bits of quantized dims (`from`, `until`] for adaptive bucket
+    * deepening: floor(x·2^20) ≥ 0 ⟺ x ≥ 0, so quantized signs equal the
+    * float signs the base bucket (and the oracle) uses. */
+  private def signExtQ(vq: Column, from: Int, until: Int): Column =
+    concat((from + 1 to until).map(i =>
+      when(element_at(vq, i) >= 0L, lit("+")).otherwise(lit("-"))): _*)
+
   /** Embedding near-dup pairs: same sign-LSH bucket AND quantized cosine
     * ≥ 0.3. Bucket equi-join replaces the O(n²) cross join; exact integer
-    * cosine re-ranks inside buckets only. */
+    * cosine re-ranks inside buckets only. Buckets denser than
+    * `Similarity.DefaultMaxVecBucket` deepen adaptively (4 more sign dims
+    * per level) — a FIXED 8-bit key turns 10× corpus growth into 100×
+    * candidate growth (measured 7.9 k → 781 k pairs); deepening bounds
+    * bucket population by a constant. No oracle-SF bucket exceeds the cap
+    * (max 16 at sf0.1), so the static-bucket oracle stays bit-identical. */
   def qEmbedNeardup(spark: SparkSession, sfDir: String): DataFrame = {
-    val emb = t(spark, sfDir, "embeddings")
-      .select(col("vec_id"), quantArr(col("embedding")).as("vq"),
-        signBucket(col("embedding")).as("bucket"))
+    val emb = graft.operators.Similarity.deepenBuckets(
+      t(spark, sfDir, "embeddings")
+        .select(col("vec_id"), quantArr(col("embedding")).as("vq"),
+          signBucket(col("embedding")).as("bucket")),
+      "bucket")(l => signExtQ(col("vq"), 8 + (l - 1) * 4, 8 + l * 4))
     emb.as("a").join(emb.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("v1"), col("b.vec_id").as("v2"),
@@ -152,25 +166,36 @@ object SimilarityQueries {
     * 8 bits fits the test corpus. */
   private val RhBits = 8
   private val RhDim = 64
-  private[queries] lazy val rhPlanesQ: Array[Array[Long]] = {
+  /** 24 planes drawn from one seed stream: [0,8) are the base bucket (and
+    * the oracle's VALUES table — the stream prefix is unchanged); [8,24)
+    * feed adaptive deepening only, which never fires at oracle SFs. */
+  private[queries] lazy val rhPlanesAllQ: Array[Array[Long]] = {
     val rnd = new scala.util.Random(20250812L)
-    Array.fill(RhBits)(Array.fill(RhDim)(math.floor(rnd.nextGaussian() * 1048576d).toLong))
+    Array.fill(24)(Array.fill(RhDim)(math.floor(rnd.nextGaussian() * 1048576d).toLong))
   }
+  private[queries] lazy val rhPlanesQ: Array[Array[Long]] = rhPlanesAllQ.take(RhBits)
 
-  private def rhBucket(vq: Column): Column =
-    concat(rhPlanesQ.toIndexedSeq.map { p =>
+  private def rhSigns(vq: Column, planes: Seq[Array[Long]]): Column =
+    concat(planes.map { p =>
       val pArr = array(p.toIndexedSeq.map(lit): _*)
       when(aggregate(zip_with(vq, pArr, (x, w) => x * w),
         lit(0L), (acc, x) => acc + x) >= 0L, lit("+")).otherwise(lit("-"))
     }: _*)
 
+  private def rhBucket(vq: Column): Column = rhSigns(vq, rhPlanesQ.toIndexedSeq)
+
   /** Embedding near-dup pairs under the hyperplane family: same bucket AND
     * quantized cosine ≥ 0.3 — identical verify math to qEmbedNeardup, only
-    * the candidate-generation family differs. */
+    * the candidate-generation family differs. Dense buckets deepen with 4
+    * more hyperplanes per level (planes [8,24) of the same seed stream) —
+    * see qEmbedNeardup for why; never fires at oracle SFs. */
   def qEmbedNeardupRh(spark: SparkSession, sfDir: String): DataFrame = {
-    val emb = t(spark, sfDir, "embeddings")
-      .select(col("vec_id"), quantArr(col("embedding")).as("vq"))
-      .withColumn("bucket", rhBucket(col("vq")))
+    val emb = graft.operators.Similarity.deepenBuckets(
+      t(spark, sfDir, "embeddings")
+        .select(col("vec_id"), quantArr(col("embedding")).as("vq"))
+        .withColumn("bucket", rhBucket(col("vq"))),
+      "bucket", maxLevels = 4)(l =>
+      rhSigns(col("vq"), rhPlanesAllQ.slice(8 + (l - 1) * 4, 8 + l * 4).toIndexedSeq))
     emb.as("a").join(emb.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("v1"), col("b.vec_id").as("v2"),

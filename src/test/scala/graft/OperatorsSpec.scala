@@ -401,6 +401,14 @@ class OperatorsSpec extends SparkSpec {
     val kept = Dedup.dedupeNear(df, "doc_id", "text", n = 3, minJaccard = 0.5)
       .select("doc_id").as[Long].collect().toSet
     assert(kept == Set(1L, 3L), s"kept=$kept")
+    CacheScope.release()
+    // with exact-dup cliques: the collapse path must drop exact twins (5, 6)
+    // AND the near-dup of the clique's representative (2), keep the rest
+    val df2 = Seq((1L, base), (2L, near), (3L, far), (5L, base), (6L, base))
+      .toDF("doc_id", "text")
+    val kept2 = Dedup.dedupeNear(df2, "doc_id", "text", n = 3, minJaccard = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept2 == Set(1L, 3L), s"kept=$kept2")
   }
 
   test("connectedComponents labels a chain, a triangle, and leaves them disjoint") {
@@ -502,6 +510,30 @@ class OperatorsSpec extends SparkSpec {
     val ms = graft.operators.Robust.mad(df, Seq("grp"), "v", hintBroadcast = false)
       .collect().head
     assert(mb.getDouble(1) == ms.getDouble(1) && mb.getDouble(2) == ms.getDouble(2))
+  }
+
+  test("deepenBuckets splits only oversized buckets, loses no rows, bounds membership") {
+    // 64 vectors, all sharing the 8-dim sign prefix (one mega-bucket);
+    // dims 9-12 carry 16 distinct sign patterns, 4 vectors each
+    val vecs = (0 until 64).map { i =>
+      val ext = (0 until 4).map(b => if (((i >> b) & 1) == 1) 1f else -1f)
+      (i.toLong, (Seq.fill(8)(1f) ++ ext ++ Seq.fill(4)(0.5f)).toArray)
+    }.toDF("vec_id", "embedding")
+    val b0 = vecs.select(col("vec_id"), col("embedding").as("v"),
+      Similarity.signBucket(col("embedding"), 8).as("bucket"))
+    val out = Similarity.deepenBuckets(b0, "bucket", maxBucketSize = 8, maxLevels = 3)(
+      l => Similarity.signBits(col("v"), 8 + (l - 1) * 4, 8 + l * 4))
+    val sizes = out.groupBy("bucket").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    CacheScope.release()
+    assert(sizes.map(_._2).sum == 64L, s"rows lost/duplicated: ${sizes.toSeq}")
+    assert(sizes.length == 16 && sizes.forall(_._2 == 4L), s"sizes=${sizes.toSeq}")
+    assert(sizes.forall(_._1.length == 12), s"keys=${sizes.map(_._1).toSeq}")
+    // cap above the density: untouched keys, single count job
+    val flat = Similarity.deepenBuckets(b0, "bucket", maxBucketSize = 100)(
+      l => Similarity.signBits(col("v"), 8 + (l - 1) * 4, 8 + l * 4))
+    assert(flat.select("bucket").distinct().count() == 1L)
+    CacheScope.release()
   }
 
   test("Redact.scrub: class counts, sequential order, exact rewrite") {

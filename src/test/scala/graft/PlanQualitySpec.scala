@@ -38,6 +38,15 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("PushedFilters"), s"scan missing:\n$p")
   }
 
+  test("q_pii_redact: row-local redaction — only the output sort exchanges") {
+    val p = plan("q_pii_redact")
+    val exchanges = p.split("Exchange").length - 1
+    assert(exchanges <= 1, s"redaction must be a pure map stage before the sort:\n$p")
+    // regexp_count plans as size(regexp_extract_all(...))
+    assert(p.contains("regexp_extract_all") && p.contains("regexp_replace"),
+      s"redaction exprs missing:\n$p")
+  }
+
   test("q_semi_anti: semi/anti joins are broadcast at this scale") {
     val p = plan("q_semi_anti")
     assert(p.contains("LeftSemi") && p.contains("LeftAnti"), s"join types missing:\n$p")
