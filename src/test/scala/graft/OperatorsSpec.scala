@@ -59,8 +59,9 @@ class OperatorsSpec extends SparkSpec {
 
   test("leakage-safe split: no near-dup cluster spans train/holdout, both sides populated") {
     val d = docs.select("doc_id", "text")
-    val pairs = Dedup.verifiedNearDupPairs(d, "doc_id", "text", n = 3, minJaccard = 0.5)
-    val labels = Dedup.connectedComponents(pairs).withColumnRenamed("id", "doc_id")
+    // same composition as qLeakageSplit: exact-collapse → cluster → re-expand
+    val labels = Dedup.collapsedClusterLabels(d, "doc_id", "text", n = 3, minJaccard = 0.5)
+      .withColumnRenamed("id", "doc_id")
     val sided = d.join(labels, Seq("doc_id"), "left")
       .withColumn("cluster", coalesce(col("cluster"), col("doc_id")))
       .withColumn("side", when(graft.operators.Sampling
