@@ -382,38 +382,69 @@ object Dedup {
       .select(col("id"), coalesce(col("cluster"), col("__rep")).as("cluster"))
   }
 
-  /** 64 bit-mask literals 1L<<0 … 1L<<63. */
-  private val Masks: Column = array((0 until 64).map(b => lit(1L << b)): _*)
+  /** Bit-mask literal arrays 1L<<0 … 1L<<(bits-1). */
+  private def masks(bits: Int): Column = array((0 until bits).map(b => lit(1L << b)): _*)
+  private val Masks64: Column = masks(64)
+  private val Masks60: Column = masks(60)
 
-  /** 64-bit SimHash of the token stream as a pure Column expression (no
-    * UDF — stays inside whole-stage codegen): per-token xxhash64, ±1 votes
-    * per bit, sign of the vote vector packed back into a Long. */
-  def simhash64(textCol: Column): Column = {
-    val hs = transform(tokens(textCol), t => xxhash64(t))
-    val votes = aggregate(hs, array_repeat(lit(0L), 64), (acc, h) =>
-      zip_with(acc, Masks, (a, m) =>
+  /** SimHash of the token stream as a pure Column expression (no UDF —
+    * stays inside whole-stage codegen): per-token hash, ±1 votes per bit,
+    * sign of the vote vector packed back into a Long. */
+  private def simhashOf(textCol: Column, bits: Int, tokenHash: Column => Column): Column = {
+    val mk = masks(bits)
+    val hs = transform(tokens(textCol), tokenHash)
+    val votes = aggregate(hs, array_repeat(lit(0L), bits), (acc, h) =>
+      zip_with(acc, mk, (a, m) =>
         a + when(h.bitwiseAND(m) =!= 0L, 1L).otherwise(-1L)))
-    aggregate(zip_with(votes, Masks, (v, m) => when(v > 0L, m).otherwise(0L)),
+    aggregate(zip_with(votes, mk, (v, m) => when(v > 0L, m).otherwise(0L)),
       lit(0L), (a, x) => a.bitwiseOR(x))
   }
 
-  /** SimHash near-dup pairs: candidates share ≥1 of 4 exact 16-bit blocks
+  /** 64-bit SimHash over xxhash64 token hashes — the cheap scale-path
+    * variant (one 64-bit hash op per token). Not oracle-portable (DuckDB
+    * has no xxhash64); pinned by OperatorsSpec. */
+  def simhash64(textCol: Column): Column = simhashOf(textCol, 64, t => xxhash64(t))
+
+  /** 60-bit SimHash over an md5-derived token hash — engine-portable, hence
+    * oracle-checkable: token hash = first 15 hex digits of md5(token) read
+    * as an integer (60 uniform bits; DuckDB reproduces it as
+    * `CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT)`). Same vote/pack
+    * construction as [[simhash64]]; ~3× the per-token hash cost, same
+    * linear row-local shape. */
+  def simhash60(textCol: Column): Column =
+    simhashOf(textCol, 60,
+      t => conv(substring(md5(t.cast("binary")), 1, 15), 16, 10).cast("long"))
+
+  /** SimHash near-dup pairs: candidates share ≥1 of 4 exact bit blocks
     * (any pair within Hamming distance 3 must — pigeonhole), then exact
-    * Hamming ≤ maxHamming via bit_count(xor). Bucket equi-join shape. */
+    * Hamming ≤ maxHamming via bit_count(xor). Bucket equi-join shape —
+    * never all-pairs, the same candidate-generation scale story as MinHash
+    * banding.
+    *
+    * `portable = true` (default) uses the md5-family [[simhash60]] with
+    * 4×15-bit blocks (DuckDB-oracle-checkable, `q_simhash_pairs`);
+    * `portable = false` uses the cheaper xxhash64 [[simhash64]] with
+    * 4×16-bit blocks for engine-internal corpus passes. Docs with no
+    * tokens are excluded (an empty doc's simhash is 0, which would bucket
+    * all empty docs together; the oracle's unnest drops them naturally). */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-                   maxHamming: Int = 3): DataFrame = {
-    val sh = df.select(col(idCol).as("id"), simhash64(col(textCol)).as("sh"))
+                   maxHamming: Int = 3, portable: Boolean = true): DataFrame = {
+    val (shCol, blockBits) =
+      if (portable) (simhash60(col(textCol)), 15) else (simhash64(col(textCol)), 16)
+    val blockMask = (1L << blockBits) - 1
+    val sh = df.filter(size(tokens(col(textCol))) > 0)
+      .select(col(idCol).as("id"), shCol.as("sh"))
     val blocks = sh.select(col("id"), col("sh"),
         explode(array((0 until 4).map(b =>
           struct(lit(b).as("blk"),
-            shiftrightunsigned(col("sh"), b * 16).bitwiseAND(lit(0xffffL)).as("key"))): _*)).as("bk"))
+            shiftrightunsigned(col("sh"), b * blockBits).bitwiseAND(lit(blockMask)).as("key"))): _*)).as("bk"))
       .select(col("id"), col("sh"), col("bk.blk").as("blk"), col("bk.key").as("key"))
     graft.CacheScope.cached(blocks)
     blocks.as("a").join(blocks.as("b"),
         col("a.blk") === col("b.blk") && col("a.key") === col("b.key") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("d1"), col("b.id").as("d2"),
-        bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).as("hamming"))
+        bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).cast("long").as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }

@@ -71,12 +71,47 @@ object DedupQueries {
         n = 3, bands = 4, rowsPerBand = 4)
       .orderBy("d1", "d2")
 
-  /** SimHash near-dup pairs (no-oracle: the 64-bit token hash is Spark's
-    * xxhash64, which DuckDB lacks; semantics pinned by DedupSpec). */
+  /** SimHash near-dup pairs — 60-bit md5-family SimHash ([[graft.operators.Dedup.simhash60]]),
+    * 4×15-bit block LSH, exact Hamming ≤ 3 (r6: oracle-checked; the token
+    * hash is the first 15 hex digits of md5(token) read as an integer, an
+    * idiom both engines evaluate bit-identically, so the whole vote/pack/
+    * bucket/verify pipeline is reproducible in DuckDB SQL).
+    *
+    * Scale shape: simhash is one codegen'd row-local HOF pass; candidates
+    * come from a 4-block bucket equi-join (pigeonhole-complete for
+    * Hamming ≤ 3), never all-pairs. */
   def qSimhashPairs(spark: SparkSession, sfDir: String): DataFrame =
     graft.operators.Dedup
       .simhashPairs(t(spark, sfDir, "documents"), "doc_id", "text", maxHamming = 3)
       .orderBy("d1", "d2")
+
+  /** DuckDB mirror of the portable SimHash pipeline: per-token 60-bit
+    * md5-derived hash → ±1 votes per bit (token multiplicity kept, exactly
+    * like the Spark HOF over the raw token array) → sign pack → 4×15-bit
+    * block buckets → exact Hamming via bit_count(xor). */
+  val qSimhashPairsSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS tok
+       |  FROM documents),
+       |hx AS (
+       |  SELECT doc_id, CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) AS h FROM toks),
+       |votes AS (
+       |  SELECT doc_id, b, sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+       |  FROM hx CROSS JOIN (SELECT unnest(generate_series(0, 59)) AS b) bs
+       |  GROUP BY doc_id, b),
+       |sh AS (
+       |  SELECT doc_id, sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS s
+       |  FROM votes GROUP BY doc_id),
+       |blocks AS (
+       |  SELECT doc_id, s, blk, (s >> (15 * blk)) & 32767 AS key
+       |  FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS blk) bl),
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2,
+       |         CAST(bit_count(xor(a.s, b.s)) AS BIGINT) AS hamming
+       |  FROM blocks a
+       |  JOIN blocks b ON a.blk = b.blk AND a.key = b.key AND a.doc_id < b.doc_id)
+       |SELECT d1, d2, hamming FROM pairs WHERE hamming <= 3
+       |ORDER BY d1, d2""".stripMargin
 
   /** All CTEs from token shingles to LSH candidate `pairs`, over any
     * (doc_id, text) source — the reusable half of the minhash oracle. */
@@ -406,6 +441,7 @@ object DedupQueries {
     "q_jaccard_pairs" -> qJaccardPairsSql,
     "q_minhash_lsh" -> qMinhashLshSql,
     "q_minhash_est" -> qMinhashEstSql,
+    "q_simhash_pairs" -> qSimhashPairsSql,
     "q_dedup_cascade" -> qDedupCascadeSql,
     "q_dedup_clusters" -> qDedupClustersSql)
 }

@@ -231,10 +231,12 @@ class OperatorsSpec extends SparkSpec {
     val near = base.split(" ").reverse.mkString(" ")
     val far = "one two three four five six seven eight nine ten " * 5
     val df = Seq((1L, base), (2L, near), (3L, far)).toDF("doc_id", "text")
-    val pairs = Dedup.simhashPairs(df, "doc_id", "text", maxHamming = 3)
-      .select("d1", "d2").as[(Long, Long)].collect().toSet
-    assert(pairs.contains((1L, 2L)), s"planted pair missing: $pairs")
-    assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)))
+    for (portable <- Seq(true, false)) {
+      val pairs = Dedup.simhashPairs(df, "doc_id", "text", maxHamming = 3, portable = portable)
+        .select("d1", "d2").as[(Long, Long)].collect().toSet
+      assert(pairs.contains((1L, 2L)), s"planted pair missing (portable=$portable): $pairs")
+      assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)))
+    }
   }
 
   test("hot-shingle DF cap bounds join fan-out without changing cold pairs") {
