@@ -234,15 +234,127 @@ object PipelineQueries {
        |GROUP BY 1, 2
        |ORDER BY 1, 2""".stripMargin
 
+  /** Per-source document cap — the "domain cap" every web-corpus recipe
+    * applies (bound any single domain's share of the training mix). Keeps
+    * the `SourceCap` deterministically-first docs per source, ranked by
+    * md5(doc_id) (a content-independent pseudo-random order, rerun-stable
+    * on any engine), and reports per-source totals vs kept mass.
+    *
+    * Scale shape: the rank-filter branch plans as WindowGroupLimit
+    * (Spark 3.5+) — each map task keeps only its local top-`SourceCap`
+    * rows per source BEFORE the shuffle, so the exchange carries
+    * ≤ tasks×sources×cap rows no matter how hot a source is. Totals come
+    * from a separate map-side-combinable count; both aggregates are
+    * |sources| rows, joined tiny-to-tiny. */
+  val SourceCap = 50
+
+  def qSourceCap(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = t(spark, sfDir, "documents")
+      .select(col("doc_id"), col("source"), length(col("text")).cast("long").as("n_chars"))
+    val key = md5(col("doc_id").cast("string").cast("binary"))
+    val w = Window.partitionBy(col("source")).orderBy(key, col("doc_id"))
+    val kept = docs
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= SourceCap)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_kept"), sum(col("n_chars")).as("kept_chars"))
+    val totals = docs.groupBy("source").agg(count(lit(1)).as("n_total"))
+    totals.join(kept, Seq("source"))
+      .select("source", "n_total", "n_kept", "kept_chars")
+      .orderBy("source")
+  }
+
+  val qSourceCapSql: String =
+    s"""WITH ranked AS (
+       |  SELECT source, length(text) AS n_chars,
+       |         row_number() OVER (PARTITION BY source
+       |                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+       |  FROM documents),
+       |kept AS (
+       |  SELECT source, count(*) AS n_kept, CAST(sum(n_chars) AS BIGINT) AS kept_chars
+       |  FROM ranked WHERE rn <= $SourceCap GROUP BY source),
+       |tot AS (SELECT source, count(*) AS n_total FROM documents GROUP BY source)
+       |SELECT t.source, t.n_total, k.n_kept, k.kept_chars
+       |FROM tot t JOIN kept k ON k.source = t.source
+       |ORDER BY t.source""".stripMargin
+
+  /** Deterministic global shuffle + sharding — the batch-prep step that
+    * turns a curated corpus into N training shards in a rerun-stable
+    * pseudo-random order: shard = 32-bit md5 window of doc_id mod
+    * `NShards` (row-local, the [[graft.operators.Sampling.foldAssign]]
+    * idiom), intra-shard order = an INDEPENDENTLY-salted md5 key (so
+    * position within a shard is uncorrelated with shard choice). Reports
+    * per-shard doc counts, char mass, and an order-sensitive fingerprint —
+    * md5 of the first `HeadK` doc_ids in shard order — proving both the
+    * membership and the ordering are engine-identical.
+    *
+    * Scale shape: shard/key assignment is narrow; totals are one
+    * map-side-combinable aggregate; the fingerprint's rank filter plans as
+    * WindowGroupLimit, keeping ≤ `HeadK` rows per shard map-side before
+    * any shuffle, and the ordered concat is bounded at `HeadK` ids — no
+    * unbounded per-shard state. The production write path is the same
+    * plan minus the fingerprint: repartition(shard).sortWithinPartitions
+    * (key).write. */
+  val NShards = 32
+  val HeadK = 64
+
+  def qShardShuffle(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = t(spark, sfDir, "documents")
+      .select(col("doc_id"), length(col("text")).cast("long").as("n_chars"))
+      .withColumn("shard", graft.operators.Sampling.foldAssign(
+        col("doc_id").cast("string"), NShards))
+      .withColumn("k", md5(concat(lit("shuffle:"), col("doc_id").cast("string")).cast("binary")))
+    val totals = docs.groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+    val w = Window.partitionBy(col("shard")).orderBy(col("k"), col("doc_id"))
+    val heads = docs
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= HeadK)
+      .groupBy("shard")
+      .agg(md5(array_join(transform(
+          array_sort(collect_list(struct(col("k"), col("doc_id")))),
+          s => s.getField("doc_id").cast("string")), ",").cast("binary"))
+        .as("head_fp"))
+    totals.join(heads, Seq("shard"))
+      .select("shard", "n_docs", "sum_chars", "head_fp")
+      .orderBy("shard")
+  }
+
+  val qShardShuffleSql: String =
+    s"""WITH assigned AS (
+       |  SELECT doc_id, length(text) AS n_chars,
+       |         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % $NShards AS shard,
+       |         md5('shuffle:' || CAST(doc_id AS VARCHAR)) AS k
+       |  FROM documents),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY shard ORDER BY k, doc_id) AS rn
+       |  FROM assigned),
+       |heads AS (
+       |  SELECT shard,
+       |         md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY k, doc_id)) AS head_fp
+       |  FROM ranked WHERE rn <= $HeadK GROUP BY shard),
+       |tot AS (
+       |  SELECT shard, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+       |  FROM assigned GROUP BY shard)
+       |SELECT t.shard, t.n_docs, t.sum_chars, h.head_fp
+       |FROM tot t JOIN heads h ON h.shard = t.shard
+       |ORDER BY t.shard""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_curation_pipeline" -> (qCurationPipeline _),
     "q_prep_pipeline" -> (qPrepPipeline _),
     "q_sample_deterministic" -> (qSampleDeterministic _),
-    "q_sample_stratified" -> (qSampleStratified _))
+    "q_sample_stratified" -> (qSampleStratified _),
+    "q_source_cap" -> (qSourceCap _),
+    "q_shard_shuffle" -> (qShardShuffle _))
 
   val oracles: Map[String, String] = Map(
     "q_curation_pipeline" -> qCurationPipelineSql,
     "q_prep_pipeline" -> qPrepPipelineSql,
     "q_sample_deterministic" -> qSampleDeterministicSql,
-    "q_sample_stratified" -> qSampleStratifiedSql)
+    "q_sample_stratified" -> qSampleStratifiedSql,
+    "q_source_cap" -> qSourceCapSql,
+    "q_shard_shuffle" -> qShardShuffleSql)
 }

@@ -387,4 +387,18 @@ class PlanQualitySpec extends SparkSpec {
     val p = df.queryExecution.executedPlan.toString
     assert(p.contains("cols=header"), s"fastx pruning missing:\n$p")
   }
+
+  test("q_source_cap: rank filter becomes a map-side WindowGroupLimit") {
+    val p = plan("q_source_cap")
+    assert(p.contains("WindowGroupLimit"),
+      s"per-source cap not pushed before the shuffle:\n$p")
+  }
+
+  test("q_shard_shuffle: head fingerprint rank bounded by WindowGroupLimit") {
+    val p = plan("q_shard_shuffle")
+    assert(p.contains("WindowGroupLimit"),
+      s"head-K rank not pushed before the shuffle:\n$p")
+    // the only join is the final 32-row totals-heads equi-join
+    assert(!p.contains("CartesianProduct"), s"unexpected cartesian:\n$p")
+  }
 }
