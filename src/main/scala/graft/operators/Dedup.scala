@@ -382,6 +382,105 @@ object Dedup {
       .select(col("id"), coalesce(col("cluster"), col("__rep")).as("cluster"))
   }
 
+  /** Banding bucket join where the candidate RECEIVER (probe) side is
+    * restricted to `probeIds` — the incremental-dedup shape: when a new
+    * batch arrives against a standing corpus, candidate generation must
+    * never enumerate corpus×corpus pairs (that work was already done when
+    * the corpus was built). Returns (other, probe, n_bands) with
+    * probe ∈ probeIds and other ≠ probe; a batch–batch pair appears in
+    * both orientations so the caller's drop rule can be asymmetric.
+    * Same hot-bucket cap as [[minhashFromSignatures]]. */
+  def minhashProbeCandidates(sig: DataFrame, probeIds: DataFrame,
+                             bands: Int = 4, rowsPerBand: Int = 4,
+                             maxBucketSize: Int = DefaultMaxBandBucket): DataFrame = {
+    val bandStructs = (0 until bands).map { b =>
+      struct(lit(b).cast("long").as("band"),
+        concat((0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}")): _*).as("band_key"))
+    }
+    val raw = graft.CacheScope.cached(sig
+      .select(col("id"), explode(array(bandStructs: _*)).as("bk"))
+      .select(col("id"), col("bk.band").as("band"), col("bk.band_key").as("band_key")))
+    val bandKeys =
+      if (maxBucketSize <= 0) raw
+      else {
+        val hot = raw.groupBy(col("band"), col("band_key"))
+          .agg(count(lit(1)).as("__n")).filter(col("__n") > maxBucketSize)
+          .select(col("band"), col("band_key"))
+        raw.join(broadcast(hot), Seq("band", "band_key"), "left_anti")
+      }
+    val probeBands = bandKeys.join(probeIds, Seq("id"))
+    bandKeys.as("a").join(probeBands.as("b"),
+        col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key") &&
+          col("a.id") =!= col("b.id"))
+      .groupBy(col("a.id").as("other"), col("b.id").as("probe"))
+      .agg(count(lit(1)).as("n_bands"))
+  }
+
+  /** Incremental corpus admission — the production shape for "a new crawl
+    * batch arrives against a standing deduplicated corpus": annotate every
+    * batch row with its admission status without ever re-pairing the
+    * corpus against itself.
+    *
+    *   - `exact_dup`: not the min-id winner of its md5(text) group within
+    *     the batch, or its content hash already exists in the corpus;
+    *   - `near_dup`: survived exact, but its verified shingle Jaccard vs
+    *     some corpus doc (any) or some smaller-id batch survivor clears
+    *     `minJaccard`;
+    *   - `admitted`: everything else — the rows that enter the corpus.
+    *
+    * Scale shape: the exact stage is one hash agg on the BATCH plus an
+    * anti-join against the corpus content-hash set (at 100 TB that set is
+    * a maintained table, not recomputed); the near stage shingles
+    * corpus+survivors once, but the banding join probes only batch-side
+    * buckets ([[minhashProbeCandidates]]) — candidate fan-out is
+    * |batch-side bucket rows| × bucket density, never corpus². At real
+    * scale the corpus signature table is likewise maintained incrementally
+    * and only batch signatures are computed fresh. */
+  def incrementalStatus(corpus: DataFrame, batch: DataFrame,
+                        idCol: String, textCol: String,
+                        n: Int = 3, minJaccard: Double = 0.5,
+                        maxShingleDF: Int = DefaultMaxShingleDF): DataFrame = {
+    val keyed = batch.withColumn("__key", md5(col(textCol).cast("binary")))
+    val winners = keyed.groupBy(col("__key")).agg(min(col(idCol)).as(idCol))
+      .select(col(idCol))
+    val corpusKeys = corpus
+      .select(md5(col(textCol).cast("binary")).as("__key")).distinct()
+    val bx = keyed
+      .join(winners, Seq(idCol), "left_semi")
+      .join(corpusKeys, Seq("__key"), "left_anti")
+      .drop("__key")
+    val bxIds = bx.select(col(idCol).as("id"))
+    val uni = corpus.select(col(idCol).as("id"), col(textCol).as("__t"))
+      .unionByName(bx.select(col(idCol).as("id"), col(textCol).as("__t")))
+    val raw = graft.CacheScope.cached(shingleSets(uni, "id", "__t", n))
+    val sh = graft.CacheScope.cached(capShingleDF(raw, "sh", maxShingleDF))
+    val cand = minhashProbeCandidates(minhashSignatures(sh), bxIds)
+      .select("other", "probe")
+    val shh = sh.select(col("id"), xxhash64(col("sh")).as("h"))
+    val sizes = shh.groupBy("id").agg(count(lit(1)).as("sz"))
+    val verified = cand
+      .join(shh.select(col("id").as("other"), col("h")), "other")
+      .join(shh.select(col("id").as("probe"), col("h")), Seq("probe", "h"))
+      .groupBy("other", "probe").agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("id").as("other"), col("sz").as("sz1")), "other")
+      .join(sizes.select(col("id").as("probe"), col("sz").as("sz2")), "probe")
+      .filter(col("inter").cast("double") /
+        (col("sz1") + col("sz2") - col("inter")) >= minJaccard)
+      .select("other", "probe")
+    val rejects = verified
+      .join(bxIds.select(col("id").as("other"), lit(true).as("__ob")), Seq("other"), "left")
+      .filter(col("__ob").isNull || col("other") < col("probe"))
+      .select(col("probe")).distinct()
+    batch
+      .join(bxIds.select(col("id").as(idCol), lit(true).as("__x")), Seq(idCol), "left")
+      .join(rejects.select(col("probe").as(idCol), lit(true).as("__r")), Seq(idCol), "left")
+      .withColumn("status",
+        when(col("__x").isNull, lit("exact_dup"))
+          .when(col("__r").isNotNull, lit("near_dup"))
+          .otherwise(lit("admitted")))
+      .drop("__x", "__r")
+  }
+
   /** Bit-mask literal arrays 1L<<0 … 1L<<(bits-1). */
   private def masks(bits: Int): Column = array((0 until bits).map(b => lit(1L << b)): _*)
   private val Masks64: Column = masks(64)

@@ -113,6 +113,83 @@ object DedupQueries {
        |SELECT d1, d2, hamming FROM pairs WHERE hamming <= 3
        |ORDER BY d1, d2""".stripMargin
 
+  /** Incremental corpus admission ([[graft.operators.Dedup.incrementalStatus]]):
+    * the corpus/batch split is a deterministic 75/25 md5 gate on doc_id, and
+    * every batch doc is labeled exact_dup / near_dup / admitted — exact
+    * dupes by content-hash anti-join against corpus ∪ earlier batch
+    * winners, near dupes by probe-side-only LSH candidates (corpus never
+    * pairs against itself) verified with exact shingle Jaccard ≥ 0.5.
+    * Output: per-lang admission funnel counts + admitted char mass. */
+  def qIncrementalDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val docs = t(spark, sfDir, "documents").select("doc_id", "lang", "text")
+    val gate = graft.operators.Sampling.gateBelow(col("doc_id").cast("string"), "4")
+    val batch = docs.filter(gate)
+    val corpus = docs.filter(!gate)
+    graft.operators.Dedup
+      .incrementalStatus(corpus, batch, "doc_id", "text", n = 3, minJaccard = 0.5)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_batch"),
+        count_if(col("status") === "exact_dup").as("n_exact_dup"),
+        count_if(col("status") === "near_dup").as("n_near_dup"),
+        count_if(col("status") === "admitted").as("n_admitted"),
+        coalesce(sum(when(col("status") === "admitted",
+          length(col("text")).cast("long"))), lit(0L)).as("admitted_chars"))
+      .orderBy("lang")
+  }
+
+  lazy val qIncrementalDedupSql: String =
+    s"""WITH corpus AS (
+       |  SELECT doc_id, lang, text FROM documents
+       |  WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) >= '4'),
+       |batch AS (
+       |  SELECT doc_id, lang, text FROM documents
+       |  WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '4'),
+       |bwin AS (SELECT min(doc_id) AS doc_id FROM batch GROUP BY md5(text)),
+       |bx AS (
+       |  SELECT b.* FROM batch b
+       |  JOIN bwin w ON w.doc_id = b.doc_id
+       |  WHERE md5(b.text) NOT IN (SELECT md5(text) FROM corpus)),
+       |uni AS (SELECT doc_id, text FROM corpus UNION ALL SELECT doc_id, text FROM bx),
+       |${minhashSqlCtes("uni")},
+       |cpairs AS (
+       |  SELECT a.doc_id AS other, b.doc_id AS probe
+       |  FROM bands a
+       |  JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+       |              AND a.doc_id <> b.doc_id
+       |  WHERE b.doc_id IN (SELECT doc_id FROM bx)
+       |  GROUP BY 1, 2),
+       |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+       |cinter AS (
+       |  SELECT p.other, p.probe, count(*) AS inter
+       |  FROM cpairs p
+       |  JOIN sh a ON a.doc_id = p.other
+       |  JOIN sh b ON b.doc_id = p.probe AND b.sh = a.sh
+       |  GROUP BY 1, 2),
+       |vx AS (
+       |  SELECT c.other, c.probe FROM cinter c
+       |  JOIN sizes s1 ON s1.doc_id = c.other
+       |  JOIN sizes s2 ON s2.doc_id = c.probe
+       |  WHERE CAST(inter AS DOUBLE) / (s1.sz + s2.sz - inter) >= 0.5),
+       |rejects AS (
+       |  SELECT DISTINCT probe FROM vx
+       |  WHERE other NOT IN (SELECT doc_id FROM bx) OR other < probe),
+       |adm AS (
+       |  SELECT lang, count(*) AS n_adm, CAST(sum(length(text)) AS BIGINT) AS chars
+       |  FROM bx WHERE doc_id NOT IN (SELECT probe FROM rejects)
+       |  GROUP BY lang),
+       |xs AS (SELECT lang, count(*) AS n_x FROM bx GROUP BY lang),
+       |tb AS (SELECT lang, count(*) AS n_batch FROM batch GROUP BY lang)
+       |SELECT tb.lang, tb.n_batch,
+       |       CAST(tb.n_batch - COALESCE(xs.n_x, 0) AS BIGINT) AS n_exact_dup,
+       |       CAST(COALESCE(xs.n_x, 0) - COALESCE(adm.n_adm, 0) AS BIGINT) AS n_near_dup,
+       |       CAST(COALESCE(adm.n_adm, 0) AS BIGINT) AS n_admitted,
+       |       CAST(COALESCE(adm.chars, 0) AS BIGINT) AS admitted_chars
+       |FROM tb
+       |LEFT JOIN xs ON xs.lang = tb.lang
+       |LEFT JOIN adm ON adm.lang = tb.lang
+       |ORDER BY tb.lang""".stripMargin
+
   /** All CTEs from token shingles to LSH candidate `pairs`, over any
     * (doc_id, text) source — the reusable half of the minhash oracle. */
   private[queries] def minhashSqlCtes(src: String): String = {
@@ -431,6 +508,7 @@ object DedupQueries {
     "q_minhash_lsh" -> (qMinhashLsh _),
     "q_minhash_est" -> (qMinhashEst _),
     "q_simhash_pairs" -> (qSimhashPairs _),
+    "q_incremental_dedup" -> (qIncrementalDedup _),
     "q_dedup_cascade" -> (qDedupCascade _),
     "q_dedup_clusters" -> (qDedupClusters _))
 
@@ -442,6 +520,7 @@ object DedupQueries {
     "q_minhash_lsh" -> qMinhashLshSql,
     "q_minhash_est" -> qMinhashEstSql,
     "q_simhash_pairs" -> qSimhashPairsSql,
+    "q_incremental_dedup" -> qIncrementalDedupSql,
     "q_dedup_cascade" -> qDedupCascadeSql,
     "q_dedup_clusters" -> qDedupClustersSql)
 }

@@ -22,6 +22,31 @@ class OperatorsSpec extends SparkSpec {
     assert(out == Seq(1L, 2L))
   }
 
+  test("incrementalStatus labels exact/near/admitted by the asymmetric admission rules") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 4
+    val corpus = Seq(
+      (100L, base.trim),                                    // standing corpus doc
+      (101L, "completely unrelated corpus words about engines and planners")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (200L, base.trim),                                    // exact dup of corpus
+      (201L, "fresh batch document with its own distinct vocabulary one"),
+      (202L, "fresh batch document with its own distinct vocabulary one"), // exact dup within batch (201 wins)
+      (203L, (base + "lambda").trim),                       // near dup of corpus 100
+      (204L, "fresh batch document with its own distinct vocabulary one two three"), // near dup of batch 201 (smaller id wins)
+      (205L, "entirely new admitted content nothing shares these tokens at all")
+    ).toDF("doc_id", "text")
+    val st = Dedup.incrementalStatus(corpus, batch, "doc_id", "text", n = 3, minJaccard = 0.5)
+      .select("doc_id", "status").as[(Long, String)].collect().toMap
+    assert(st(200L) == "exact_dup", st.toString)
+    assert(st(201L) == "admitted", st.toString)
+    assert(st(202L) == "exact_dup", st.toString)
+    assert(st(203L) == "near_dup", st.toString)
+    assert(st(204L) == "near_dup", st.toString)
+    assert(st(205L) == "admitted", st.toString)
+    CacheScope.release()
+  }
+
   test("Robust.winsorize clips exactly to the per-group quantile band") {
     // group g: values 1..20 → p0.05/p0.95 interpolated bounds clip the tails
     val df = (1 to 20).map(i => ("g", i.toDouble)).toDF("grp", "v")
