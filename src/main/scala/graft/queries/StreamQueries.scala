@@ -174,11 +174,68 @@ object StreamQueries {
       |GROUP BY user_id, grp
       |ORDER BY user_id, start_ts""".stripMargin
 
+  /** The STREAM-STREAM JOIN path under the oracle: click→purchase
+    * attribution via [[graft.streaming.EventStreams.intervalJoin]] — both
+    * sides watermarked, the join condition time-bounded so buffered state
+    * expires at watermark + gap (O(events per gap window), not O(stream)).
+    * Inner-join results emit on match (no watermark hold), so the finite
+    * fixture needs no sentinel: `Trigger.AvailableNow` drains the input
+    * and every matched pair lands in the sink. The oracle is the plain
+    * batch inequality join — streaming must be indistinguishable from
+    * batch. */
+  def qStreamJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = workBase(spark, sfDir, "join")
+    rm(base)
+    val inDir = new File(base, "in").getAbsolutePath
+    val outDir = new File(base, "out").getAbsolutePath
+    val ckpt = new File(base, "ckpt").getAbsolutePath
+
+    t(spark, sfDir, "events")
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+      .write.mode("overwrite").parquet(inDir)
+
+    def side(tpe: String) = spark.readStream
+      .schema("event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING")
+      .parquet(inDir)
+      .filter(col("event_type") === tpe)
+    val joined = graft.streaming.EventStreams.intervalJoin(
+      side("click"), side("purchase"), maxGap = "30 minutes")
+    val q = joined.writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    spark.read.parquet(outDir)
+      .select(col("l_key").as("user_id"),
+        col("l_event_id").as("click_id"), col("r_event_id").as("purchase_id"),
+        date_format(col("l_ts"), "yyyy-MM-dd HH:mm:ss").as("click_ts"),
+        date_format(col("r_ts"), "yyyy-MM-dd HH:mm:ss").as("purchase_ts"))
+      .orderBy("click_id", "purchase_id")
+  }
+
+  /** Oracle: the batch interval join over `events`. */
+  val qStreamJoinSql: String =
+    """SELECT c.user_id,
+      |       c.event_id AS click_id, p.event_id AS purchase_id,
+      |       strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+      |       strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts
+      |FROM events c
+      |JOIN events p ON p.user_id = c.user_id
+      |             AND c.event_type = 'click' AND p.event_type = 'purchase'
+      |             AND c.ts <= p.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+      |ORDER BY click_id, purchase_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_stream_tumbling" -> (qStreamTumbling _),
-    "q_stream_sessionize" -> (qStreamSessionize _))
+    "q_stream_sessionize" -> (qStreamSessionize _),
+    "q_stream_join" -> (qStreamJoin _))
 
   val oracles: Map[String, String] = Map(
     "q_stream_tumbling" -> qStreamTumblingSql,
-    "q_stream_sessionize" -> qStreamSessionizeSql)
+    "q_stream_sessionize" -> qStreamSessionizeSql,
+    "q_stream_join" -> qStreamJoinSql)
 }
