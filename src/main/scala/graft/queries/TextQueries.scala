@@ -231,6 +231,70 @@ object TextQueries {
       |FROM ranked WHERE rnk <= 5
       |ORDER BY doc_id, rnk""".stripMargin
 
+  /** BM25 term scoring (k1 = 1.2, b = 0.75) — the ranked-retrieval
+    * primitive beside [[qTfidf]]: idf damped by document frequency,
+    * term frequency saturated by k1, and the doc-length normalization
+    * (dl / avgdl) tf-idf lacks. Top-5 terms per doc.
+    *
+    * Scale shape: identical to tf-idf — ONE cached tf aggregate feeds the
+    * df join, the per-doc length aggregate, and the 1-row corpus stats
+    * (broadcast); the rank filter plans as WindowGroupLimit. Exactness:
+    * both engines evaluate the IDENTICAL expression tree over the same
+    * integer inputs; +-*-/ are correctly-rounded IEEE so only ln() can
+    * wobble, and the floor(·2^20) quantization absorbs it (the qTfidf
+    * convention). */
+  def qBm25(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = t(spark, sfDir, "documents")
+    val tf = graft.CacheScope.cached(docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf")))
+    val stats = tf.agg(countDistinct(col("doc_id")).as("__n"),
+      sum(col("tf")).as("__sumdl"))
+    val dls = tf.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
+    val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("score_q").desc, col("token").asc)
+    tf.join(dfreq, "token")
+      .join(dls, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("score_q",
+        floor(log((col("__n") - col("df") + 0.5) / (col("df") + 0.5) + 1.0)
+          * (col("tf") * 2.2)
+          / (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / (col("__sumdl") / col("__n"))))
+          * 1048576d).cast("long"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 5)
+      .select("doc_id", "rnk", "token", "tf", "df", "dl", "score_q")
+      .orderBy("doc_id", "rnk")
+  }
+
+  val qBm25Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+      |tf AS (
+      |  SELECT doc_id, token, count(*) AS tf FROM toks
+      |  WHERE token <> '' GROUP BY doc_id, token),
+      |dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+      |stats AS (SELECT count(DISTINCT doc_id) AS n, sum(tf) AS sumdl FROM tf),
+      |dls AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id),
+      |scored AS (
+      |  SELECT tf.doc_id, tf.token, tf, df, dl,
+      |         CAST(floor(ln((n - df + 0.5) / (df + 0.5) + 1.0)
+      |                    * (tf * 2.2)
+      |                    / (tf + 1.2 * (0.25 + 0.75 * dl / (sumdl / n)))
+      |                    * 1048576) AS BIGINT) AS score_q
+      |  FROM tf
+      |  JOIN dfreq USING (token)
+      |  JOIN dls ON dls.doc_id = tf.doc_id
+      |  CROSS JOIN stats),
+      |ranked AS (
+      |  SELECT *, row_number() OVER (PARTITION BY doc_id
+      |                               ORDER BY score_q DESC, token) AS rnk
+      |  FROM scored)
+      |SELECT doc_id, CAST(rnk AS BIGINT) AS rnk, token, tf, df, dl, score_q
+      |FROM ranked WHERE rnk <= 5
+      |ORDER BY doc_id, rnk""".stripMargin
+
   /** Bigram-model corpus scoring — the n-gram-LM quality-filter shape
     * (KenLM-style) every training-data pipeline runs: TRAIN a model over
     * the corpus (bigram → document frequency), then SCORE each document by
@@ -634,6 +698,7 @@ object TextQueries {
     "q_feature_hash" -> (qFeatureHash _),
     "q_regex_array" -> (qRegexArray _),
     "q_tfidf" -> (qTfidf _),
+    "q_bm25" -> (qBm25 _),
     "q_bigram_score" -> (qBigramScore _),
     "q_repetition" -> (qRepetition _),
     "q_decontaminate" -> (qDecontaminate _),
@@ -654,6 +719,7 @@ object TextQueries {
     "q_feature_hash" -> qFeatureHashSql,
     "q_regex_array" -> qRegexArraySql,
     "q_tfidf" -> qTfidfSql,
+    "q_bm25" -> qBm25Sql,
     "q_bigram_score" -> qBigramScoreSql,
     "q_repetition" -> qRepetitionSql,
     "q_decontaminate" -> qDecontaminateSql,
