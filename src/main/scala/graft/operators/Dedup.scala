@@ -445,10 +445,14 @@ object Dedup {
       .select(col(idCol))
     val corpusKeys = corpus
       .select(md5(col(textCol).cast("binary")).as("__key")).distinct()
-    val bx = keyed
+    // the exact-stage survivor set feeds four consumers (shingle union,
+    // probe ids, the corpus/batch side split of the drop rule, and the
+    // final status join) — cache it so the batch scan + winner agg +
+    // corpus anti-join run once, not per consumer
+    val bx = graft.CacheScope.cached(keyed
       .join(winners, Seq(idCol), "left_semi")
       .join(corpusKeys, Seq("__key"), "left_anti")
-      .drop("__key")
+      .drop("__key"))
     val bxIds = bx.select(col(idCol).as("id"))
     val uni = corpus.select(col(idCol).as("id"), col(textCol).as("__t"))
       .unionByName(bx.select(col(idCol).as("id"), col(textCol).as("__t")))

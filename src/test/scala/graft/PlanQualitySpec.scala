@@ -388,6 +388,27 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("cols=header"), s"fastx pruning missing:\n$p")
   }
 
+  test("q_bm25: tf/df/dl branches reuse one cached tf aggregate; top-k bounded") {
+    val p = plan("q_bm25")
+    try {
+      // tf consumer + df branch + dl branch + corpus stats all read the
+      // cached tf aggregate (counting cache reads, not FileScans — see the
+      // q_tfidf gate note)
+      assert(p.split("InMemoryTableScan").length - 1 >= 3,
+        s"tf cache not reused across branches:\n$p")
+      assert(p.contains("WindowGroupLimit"), s"top-k not pushed before the shuffle:\n$p")
+      assert(p.contains("BroadcastExchange"), s"corpus stats not broadcast:\n$p")
+    } finally CacheScope.release()
+  }
+
+  test("q_incremental_dedup: candidate join is equi-keyed, no cartesian") {
+    val p = plan("q_incremental_dedup")
+    try {
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"unexpected non-equi join in the admission plan:\n$p")
+    } finally CacheScope.release()
+  }
+
   test("q_source_cap: rank filter becomes a map-side WindowGroupLimit") {
     val p = plan("q_source_cap")
     assert(p.contains("WindowGroupLimit"),
