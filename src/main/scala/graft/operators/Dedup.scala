@@ -71,6 +71,48 @@ object Dedup {
         coalesce(col("n_kept"), lit(0L)).as("n_kept"), col("kept_text"))
   }
 
+  /** Per-document duplicated-substring coverage (the "exact substring
+    * dedup" diagnostic of Lee et al., Deduplicating Training Data Makes
+    * Language Models Better): every overlapping `windowWords`-token window
+    * is hashed, a window is DUPLICATED iff it occurs in ≥2 distinct
+    * documents, and each doc reports how many of its windows are
+    * duplicated. Suffix arrays are the single-node formulation; the
+    * shuffle-native equivalent is a groupBy on the window hash — linear in
+    * total window instances, never pairing docs.
+    *
+    * Returns one row per doc with ≥1 window:
+    * (id, n_windows, n_dup_windows). Scale shape: window generation is
+    * row-local (explode inside the scan stage); the wide ops are one
+    * distinct-doc count per window hash and one equi-join of instances
+    * against the duplicated-hash set (both keyed on the content hash, so
+    * they co-partition); a window shared by f docs costs f join rows —
+    * linear, unlike pair enumeration's f². At 100 TB, key on xxhash64 and
+    * bound per-window fan-out with [[capShingleDF]]; md5 here keeps the
+    * DuckDB oracle byte-exact. */
+  def windowDupStats(df: DataFrame, idCol: String, textCol: String,
+                     windowWords: Int = 16): DataFrame = {
+    val tk = tokens(col(textCol))
+    val wins = df
+      .select(col(idCol).as("id"), tk.as("__t"))
+      .filter(size(col("__t")) >= windowWords)
+      .select(col("id"), explode(transform(
+        sequence(lit(0), size(col("__t")) - windowWords, lit(1)),
+        i => md5(concat_ws(" ",
+          (0 until windowWords).map(d => element_at(col("__t"), i + d + 1)): _*)
+          .cast("binary")))).as("wh"))
+    // instances feed both the per-hash distinct count and the flag join —
+    // cache so tokenize+window+md5 runs once
+    val cached = graft.CacheScope.cached(wins)
+    val dup = cached.groupBy("wh")
+      .agg(countDistinct(col("id")).as("__nd"))
+      .filter(col("__nd") > 1)
+      .select(col("wh"), lit(1L).as("__dup"))
+    cached.join(dup, Seq("wh"), "left")
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_windows"),
+        sum(coalesce(col("__dup"), lit(0L))).as("n_dup_windows"))
+  }
+
   /** Default document-frequency cap: a shingle appearing in more documents
     * than this is dropped before any self-join. A shingle shared by f docs
     * emits f² join rows, so one boilerplate phrase ("all rights reserved")

@@ -111,4 +111,23 @@ object Sampling {
   def temperatureSample(df: DataFrame, key: Column, sourceCol: String): DataFrame =
     df.join(broadcast(temperatureRates(df, sourceCol)), sourceCol)
       .filter(hashUniform20(key) < col("rate_q"))
+
+  /** Deterministic weight-proportional priority key (Duffield–Lund–Thorup
+    * priority sampling): each row gets priority w/u for a hash-uniform u,
+    * and the k HIGHEST priorities are the weighted-without-replacement
+    * sample. We sort the reciprocal u/w ascending instead, computed as the
+    * scaled INTEGER quotient (u·2^20) div w — every step (md5, hex parse,
+    * shift, integer division) is exact and engine-portable, so unlike the
+    * textbook u^(1/w) exponential key there is no libm call whose 1-ulp
+    * variance could flip the selection at the k-boundary. u is 40 bits
+    * (10 md5 hex digits) + 1 so the scaled numerator stays < 2^61 and u is
+    * never 0; ties (possible after the div) break on the key column.
+    *
+    * Scale shape: row-local key + a top-k, which Spark plans as
+    * TakeOrderedAndProject (per-partition heap + driver merge of k·p
+    * rows) — no global sort, no shuffle of the corpus. */
+  def priorityKey(key: Column, weight: Column): Column = {
+    val u = conv(substring(md5(key.cast("binary")), 1, 10), 16, 10).cast("long") + lit(1L)
+    call_function("div", u * lit(1L << 20), greatest(weight.cast("long"), lit(1L)))
+  }
 }

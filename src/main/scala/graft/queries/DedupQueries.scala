@@ -406,6 +406,46 @@ object DedupQueries {
       |FROM totals t LEFT JOIN kept k ON k.doc_id = t.doc_id
       |ORDER BY t.doc_id""".stripMargin
 
+  /** [[graft.operators.Dedup.windowDupStats]] (Lee-et-al-style exact
+    * substring dedup diagnostic) under the oracle gate: per doc, how many
+    * of its overlapping 16-token windows occur in ≥2 distinct documents,
+    * aggregated per language with the affected-doc count. Scale notes live
+    * on the operator (groupBy window hash — the shuffle-native suffix-array
+    * replacement). */
+  def qSubstringDup(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val docs = t(spark, sfDir, "documents")
+    graft.operators.Dedup.windowDupStats(docs, "doc_id", "text", windowWords = 16)
+      .join(docs.select(col("doc_id").as("id"), col("lang")), Seq("id"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_windows")).as("n_windows"),
+        sum(col("n_dup_windows")).as("n_dup_windows"),
+        sum(when(col("n_dup_windows") > 0, 1L).otherwise(0L)).as("n_docs_hit"))
+      .orderBy("lang")
+  }
+
+  val qSubstringDupSql: String =
+    """WITH toked AS (
+      |  SELECT doc_id, lang, list_filter(string_split(text, ' '), t -> t <> '') AS tk
+      |  FROM documents),
+      |sized AS (SELECT doc_id, lang, tk, len(tk) AS n FROM toked WHERE len(tk) >= 16),
+      |wins AS (
+      |  SELECT doc_id, lang,
+      |         md5(array_to_string(list_slice(tk, i + 1, i + 16), ' ')) AS wh
+      |  FROM sized, LATERAL unnest(generate_series(0, n - 16)) AS g(i)),
+      |dup AS (SELECT wh FROM wins GROUP BY wh HAVING count(DISTINCT doc_id) > 1),
+      |per_doc AS (
+      |  SELECT w.doc_id, w.lang, count(*) AS n_windows,
+      |         sum(CASE WHEN d.wh IS NOT NULL THEN 1 ELSE 0 END) AS n_dup_windows
+      |  FROM wins w LEFT JOIN dup d ON d.wh = w.wh
+      |  GROUP BY w.doc_id, w.lang)
+      |SELECT lang, count(*) AS n_docs,
+      |       CAST(sum(n_windows) AS BIGINT) AS n_windows,
+      |       CAST(sum(n_dup_windows) AS BIGINT) AS n_dup_windows,
+      |       CAST(sum(CASE WHEN n_dup_windows > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_hit
+      |FROM per_doc GROUP BY lang ORDER BY lang""".stripMargin
+
   /** Edit-distance verification over LSH candidates: Levenshtein distance
     * between the (truncated) texts of each MinHash-LSH candidate pair —
     * the character-level near-dup verifier that complements set-based
@@ -504,6 +544,7 @@ object DedupQueries {
     "q_leakage_split" -> (qLeakageSplit _),
     "q_edit_distance" -> (qEditDistance _),
     "q_chunk_dedup" -> (qChunkDedup _),
+    "q_substring_dup" -> (qSubstringDup _),
     "q_jaccard_pairs" -> (qJaccardPairs _),
     "q_minhash_lsh" -> (qMinhashLsh _),
     "q_minhash_est" -> (qMinhashEst _),
@@ -516,6 +557,7 @@ object DedupQueries {
     "q_leakage_split" -> qLeakageSplitSql,
     "q_edit_distance" -> qEditDistanceSql,
     "q_chunk_dedup" -> qChunkDedupSql,
+    "q_substring_dup" -> qSubstringDupSql,
     "q_jaccard_pairs" -> qJaccardPairsSql,
     "q_minhash_lsh" -> qMinhashLshSql,
     "q_minhash_est" -> qMinhashEstSql,

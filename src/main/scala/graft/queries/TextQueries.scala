@@ -456,6 +456,81 @@ object TextQueries {
       |GROUP BY 1, 2
       |ORDER BY 1, 2""".stripMargin
 
+  /** Context-window chunking — the complement of [[qPackSequences]]: long
+    * documents are SPLIT into training-context chunks of 32 tokens with
+    * stride 24 (8-token overlap so no boundary context is lost), the
+    * standard pre-tokenization pass before sequence packing. Chunk starts
+    * are 0, 24, 48, … while they fall inside the doc, so the final chunk
+    * may be short but is never empty. Per chunk: token count and the md5
+    * of the space-joined chunk text, proving the exact split without
+    * dumping text.
+    *
+    * Scale shape: entirely row-local (sequence + transform + posexplode
+    * inside the scan stage — the generate never shuffles); the only
+    * exchange is the output sort. The start arithmetic is integer `div`,
+    * exact in both engines. */
+  def qDocChunk(spark: SparkSession, sfDir: String): DataFrame = {
+    val C = 32
+    val S = 24
+    val toked = t(spark, sfDir, "documents")
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .withColumn("n", size(col("toks")).cast("long"))
+      .filter(col("n") > 0)
+      .withColumn("last_start",
+        call_function("div", col("n") - lit(1L), lit(S.toLong)) * lit(S.toLong))
+    toked
+      .select(col("doc_id"), col("n"),
+        posexplode(transform(
+          sequence(lit(0L), col("last_start"), lit(S.toLong)),
+          start => concat_ws(" ", slice(col("toks"), (start + 1).cast("int"), lit(C)))))
+          .as(Seq("chunk_id", "chunk_text")))
+      .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
+        least(col("n") - col("chunk_id") * S, lit(C.toLong)).as("chunk_tokens"),
+        md5(col("chunk_text").cast("binary")).as("chunk_md5"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
+  val qDocChunkSql: String =
+    """WITH toked AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks
+      |  FROM documents),
+      |sized AS (SELECT doc_id, toks, len(toks) AS n FROM toked WHERE len(toks) > 0)
+      |SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,
+      |       CAST(least(n - i * 24, 32) AS BIGINT) AS chunk_tokens,
+      |       md5(array_to_string(list_slice(toks, i * 24 + 1, least(i * 24 + 32, n)), ' ')) AS chunk_md5
+      |FROM sized, LATERAL unnest(generate_series(0, (n - 1) // 24)) AS g(i)
+      |ORDER BY doc_id, chunk_id""".stripMargin
+
+  /** Weighted sampling without replacement via deterministic priority
+    * sampling ([[graft.operators.Sampling.priorityKey]]): the 100 docs
+    * with the highest hash-priority w/u, w = n_chars — i.e. a
+    * length-weighted reproducible subsample (longer docs
+    * proportionally likelier, every engine picks the IDENTICAL set).
+    * Output is the selected docs with their exact integer sort key.
+    *
+    * Scale shape: the key is row-local; the selection is a top-k
+    * (TakeOrderedAndProject: per-partition heaps, k·p driver merge — no
+    * corpus shuffle, no global sort). */
+  def qWeightedSample(spark: SparkSession, sfDir: String): DataFrame = {
+    val k = 100
+    t(spark, sfDir, "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        graft.operators.Sampling
+          .priorityKey(col("doc_id").cast("string"), col("n_chars")).as("skey"))
+      .orderBy(col("skey").asc, col("doc_id").asc)
+      .limit(k)
+      .orderBy("doc_id")
+  }
+
+  val qWeightedSampleSql: String =
+    """WITH keyed AS (
+      |  SELECT doc_id, lang, n_chars,
+      |         ((CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 10) AS BIGINT) + 1)
+      |          * 1048576) // greatest(n_chars, 1) AS skey
+      |  FROM documents),
+      |sel AS (SELECT * FROM keyed ORDER BY skey ASC, doc_id ASC LIMIT 100)
+      |SELECT doc_id, lang, n_chars, skey FROM sel ORDER BY doc_id""".stripMargin
+
   /** Lateral explode with ordinal position (the UDTF/LATERAL VIEW shape):
     * posexplode keeps each token's offset in the filtered token array.
     * Narrow generate inside the scan stage — row expansion never
@@ -703,6 +778,8 @@ object TextQueries {
     "q_repetition" -> (qRepetition _),
     "q_decontaminate" -> (qDecontaminate _),
     "q_pack_sequences" -> (qPackSequences _),
+    "q_doc_chunk" -> (qDocChunk _),
+    "q_weighted_sample" -> (qWeightedSample _),
     "q_lateral" -> (qLateral _),
     "q_text_tokens" -> (qTextTokens _),
     "q_dedup_exact" -> (qDedupExact _),
@@ -724,6 +801,8 @@ object TextQueries {
     "q_repetition" -> qRepetitionSql,
     "q_decontaminate" -> qDecontaminateSql,
     "q_pack_sequences" -> qPackSequencesSql,
+    "q_doc_chunk" -> qDocChunkSql,
+    "q_weighted_sample" -> qWeightedSampleSql,
     "q_lateral" -> qLateralSql,
     "q_text_tokens" -> qTextTokensSql,
     "q_dedup_exact" -> qDedupExactSql,

@@ -584,6 +584,39 @@ class OperatorsSpec extends SparkSpec {
     assert(out(3L) == ((0L, 1L, 1L, "id <ID> then <PHONE>")), s"got ${out(3L)}")
   }
 
+  test("windowDupStats: cross-doc windows flagged, within-doc repeats are not") {
+    val df = Seq(
+      (1L, "a b c d e"),               // 2 windows, both shared with doc 2
+      (2L, "x a b c d e y"),           // 4 windows, 2 shared with doc 1
+      (3L, "p q r s"),                 // 1 window, unique
+      (4L, "a b c"),                   // too short — no row
+      (5L, "m n o p m n o p m n o")    // 8 windows, repeats only WITHIN doc
+    ).toDF("doc_id", "text")
+    val out = Dedup.windowDupStats(df, "doc_id", "text", windowWords = 4)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    try {
+      assert(out == Map(1L -> ((2L, 2L)), 2L -> ((4L, 2L)),
+        3L -> ((1L, 0L)), 5L -> ((8L, 0L))), s"got $out")
+    } finally CacheScope.release()
+  }
+
+  test("priorityKey: exact integer quotient, weight-monotone") {
+    val df = Seq(("k1", 10L), ("k1", 500L), ("k2", 123L), ("k3", 1L))
+      .toDF("key", "w")
+    val got = df.select(col("key"), col("w"),
+        graft.operators.Sampling.priorityKey(col("key"), col("w")).as("skey"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    def manual(key: String, w: Long): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(key.getBytes("UTF-8")).map("%02x".format(_)).mkString.substring(0, 10)
+      ((java.lang.Long.parseLong(hex, 16) + 1L) * 1048576L) / math.max(w, 1L)
+    }
+    got.foreach { case ((k, w), s) =>
+      assert(s == manual(k, w), s"($k,$w): got $s want ${manual(k, w)}") }
+    // same key, 50× weight → strictly smaller reciprocal key (higher priority)
+    assert(got(("k1", 500L)) < got(("k1", 10L)))
+  }
+
   test("nearDupClusters groups a transitive near-dup chain into one component") {
     // a~b and b~c verify, a~c may not: cluster view must still unite them
     val w = (1 to 60).map(i => s"w$i")

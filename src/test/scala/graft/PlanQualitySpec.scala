@@ -409,6 +409,30 @@ class PlanQualitySpec extends SparkSpec {
     } finally CacheScope.release()
   }
 
+  test("q_weighted_sample: top-k plans as TakeOrderedAndProject, no global sort") {
+    val p = plan("q_weighted_sample")
+    assert(p.contains("TakeOrderedAndProject"), s"top-k not heap-based:\n$p")
+    assert(!p.contains("Exchange rangepartitioning") ||
+      p.indexOf("Exchange rangepartitioning") > p.indexOf("TakeOrderedAndProject"),
+      s"corpus globally sorted before the top-k:\n$p")
+  }
+
+  test("q_doc_chunk: row-local generate — only the output sort exchanges") {
+    val p = plan("q_doc_chunk")
+    val exchanges = p.split("Exchange").length - 1
+    assert(exchanges <= 1, s"chunking should not shuffle except for the sort:\n$p")
+    assert(p.contains("Generate"), s"posexplode missing:\n$p")
+  }
+
+  test("q_substring_dup: window join is equi-keyed on the content hash") {
+    val p = plan("q_substring_dup")
+    try {
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"unexpected non-equi join:\n$p")
+      assert(p.contains("InMemoryTableScan"), s"window instances not cached:\n$p")
+    } finally CacheScope.release()
+  }
+
   test("q_source_cap: rank filter becomes a map-side WindowGroupLimit") {
     val p = plan("q_source_cap")
     assert(p.contains("WindowGroupLimit"),
