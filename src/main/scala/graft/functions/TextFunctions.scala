@@ -57,6 +57,30 @@ object TextFunctions {
   def fingerprint64(text: Column): Column =
     xxhash64(regexp_replace(trim(text), "\\s+", " "))
 
+  /** Gopher-style quality gates over a token array — named boolean columns
+    * in fixed order, each an EXACT integer/boolean expression (no floats, so
+    * any engine agrees bit-for-bit; ratio thresholds are cross-multiplied):
+    * token count in [minTok, maxTok]; mean token length in
+    * [meanLen10Lo, meanLen10Hi]/10 chars (`charSum·10` vs `bound·n`); ≥ half
+    * the tokens purely alphabetic; ≥ 2 stopword occurrences (any language's
+    * list); type-token ratio ≥ 1/3 (repetition guard). All row-local —
+    * a 100 TB filter pass is one scan, no shuffle. */
+  def qualityGates(toks: Column, minTok: Long = 10L, maxTok: Long = 1000L,
+                   meanLen10Lo: Long = 20L, meanLen10Hi: Long = 120L): Seq[(String, Column)] = {
+    val n = size(toks).cast("long")
+    val charSum = aggregate(toks, lit(0L), (a, t) => a + length(t).cast("long"))
+    val alphaToks = size(filter(toks, t => t.rlike("^[a-z]+$"))).cast("long")
+    val stopAll = StopwordLists.flatMap(_._2).distinct
+    val stopHits = size(filter(toks, t => t.isInCollection(stopAll))).cast("long")
+    val distinctN = size(array_distinct(toks)).cast("long")
+    Seq(
+      "g_len" -> (n >= minTok && n <= maxTok),
+      "g_wordlen" -> (charSum * 10L >= n * meanLen10Lo && charSum * 10L <= n * meanLen10Hi),
+      "g_alpha" -> (alphaToks * 2L >= n),
+      "g_stop" -> (stopHits >= 2L),
+      "g_ttr" -> (distinctN * 3L >= n))
+  }
+
   /** Rolling polynomial hash over the token stream (order-sensitive — two
     * docs with the same bag of words but different order differ). Computed
     * as a sequential fold via the `aggregate` HOF; mod 1e9+7 keeps every

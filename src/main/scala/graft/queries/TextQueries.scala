@@ -531,6 +531,125 @@ object TextQueries {
       |sel AS (SELECT * FROM keyed ORDER BY skey ASC, doc_id ASC LIMIT 100)
       |SELECT doc_id, lang, n_chars, skey FROM sel ORDER BY doc_id""".stripMargin
 
+  /** Vocabulary coverage / out-of-vocabulary audit — the tokenizer-prep
+    * op: build the top-16 corpus vocabulary (count desc, token asc — a
+    * deterministic total order), then score every document's OOV token
+    * rate and roll the funnel up per language. (16 < the corpus's 31
+    * distinct tokens, so the OOV rate is genuinely exercised.)
+    *
+    * Scale shape: the vocabulary build is a two-phase token count + bounded
+    * top-k (TakeOrderedAndProject); the 16 tokens collect to the driver
+    * (constant-size by construction — the IVF-centroid precedent) and
+    * return to the scoring scan as an array literal, so OOV marking is
+    * row-local: the corpus is scanned twice but token instances are never
+    * exploded-and-reshuffled for the join. The final agg is |langs| rows;
+    * the rate is quantized floor(·2^20) over an IEEE-exact double division
+    * of two BIGINTs. */
+  def qVocabOov(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = t(spark, sfDir, "documents")
+    val vocab: Array[String] = docs
+      .select(explode(tokens(col("text"))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token").asc)
+      .limit(16)
+      .collect().map(_.getString(0))
+    val vocabLit = array(vocab.map(lit): _*)
+    docs.select(col("lang"), tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) > 0)
+      .select(col("lang"), size(col("toks")).cast("long").as("n_tokens"),
+        size(filter(col("toks"), t => !array_contains(vocabLit, t)))
+          .cast("long").as("n_oov"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("n_tokens"),
+        sum("n_oov").as("n_oov"),
+        floor(sum("n_oov").cast("double") / sum("n_tokens").cast("double")
+          * (1L << 20)).cast("long").as("oov_rate_q20"))
+      .orderBy("lang")
+  }
+
+  val qVocabOovSql: String =
+    """WITH vocab AS (
+      |  SELECT token FROM (
+      |    SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+      |  WHERE token <> ''
+      |  GROUP BY token ORDER BY count(*) DESC, token ASC LIMIT 16),
+      |toked AS (
+      |  SELECT doc_id, lang, list_filter(string_split(text, ' '), t -> t <> '') AS toks
+      |  FROM documents),
+      |inst AS (
+      |  SELECT doc_id, lang, unnest(toks) AS tok FROM toked WHERE len(toks) > 0),
+      |per_doc AS (
+      |  SELECT doc_id, lang, count(*) AS n_tokens,
+      |         sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS n_oov
+      |  FROM inst LEFT JOIN vocab v ON v.token = inst.tok
+      |  GROUP BY doc_id, lang)
+      |SELECT lang, count(*) AS n_docs,
+      |       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+      |       CAST(sum(n_oov) AS BIGINT) AS n_oov,
+      |       CAST(floor(CAST(sum(n_oov) AS DOUBLE) / CAST(sum(n_tokens) AS DOUBLE) * 1048576) AS BIGINT) AS oov_rate_q20
+      |FROM per_doc GROUP BY lang ORDER BY lang""".stripMargin
+
+  /** Gopher-style quality-rule funnel
+    * ([[graft.functions.TextFunctions.qualityGates]]): five exact
+    * integer/boolean gates (length range, mean word length, alpha-token
+    * fraction, stopword floor, type-token ratio) applied CUMULATIVELY, with
+    * per-language counts of documents surviving each prefix — the standard
+    * rule-based curation report. No floats anywhere (ratios are
+    * cross-multiplied), so the funnel is bit-exact in any engine.
+    * Thresholds (25 ≤ n ≤ 80, mean word length ∈ [4.3, 4.7]) sit inside
+    * the fixture's distribution so every gate genuinely discriminates.
+    *
+    * Scale shape: every gate is row-local (one scan, no explode); the only
+    * exchange is the |langs|-row final aggregate. */
+  def qQualityGates(spark: SparkSession, sfDir: String): DataFrame = {
+    val gates = graft.functions.TextFunctions.qualityGates(col("toks"),
+      minTok = 25L, maxTok = 80L, meanLen10Lo = 43L, meanLen10Hi = 47L)
+    val cum = gates.scanLeft(("", lit(true))) { case ((_, acc), (name, g)) =>
+      (name.replaceFirst("^g_", "pass_"), acc && g)
+    }.tail
+    t(spark, sfDir, "documents")
+      .select(col("lang"), tokens(col("text")).as("toks"))
+      .select(col("lang") +: cum.map { case (n, c) => c.as(n) }: _*)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        cum.map { case (n, _) =>
+          sum(when(col(n), 1L).otherwise(0L)).as(n) }: _*)
+      .orderBy("lang")
+  }
+
+  val qQualityGatesSql: String = {
+    val stop = StopwordLists.flatMap(_._2).distinct.map(w => s"'$w'").mkString(", ")
+    s"""WITH toked AS (
+       |  SELECT lang, list_filter(string_split(text, ' '), t -> t <> '') AS tk
+       |  FROM documents),
+       |ing AS (
+       |  SELECT lang, len(tk) AS n,
+       |         list_aggregate(list_transform(tk, t -> length(t)), 'sum') AS char_sum,
+       |         len(list_filter(tk, t -> regexp_matches(t, '^[a-z]+$$'))) AS alpha_n,
+       |         len(list_filter(tk, t -> t IN ($stop))) AS stop_n,
+       |         len(list_distinct(tk)) AS distinct_n
+       |  FROM toked),
+       |gated AS (
+       |  SELECT lang,
+       |         (n BETWEEN 25 AND 80) AS c1,
+       |         (n BETWEEN 25 AND 80) AND (char_sum * 10 >= n * 43 AND char_sum * 10 <= n * 47) AS c2,
+       |         (n BETWEEN 25 AND 80) AND (char_sum * 10 >= n * 43 AND char_sum * 10 <= n * 47)
+       |           AND (alpha_n * 2 >= n) AS c3,
+       |         (n BETWEEN 25 AND 80) AND (char_sum * 10 >= n * 43 AND char_sum * 10 <= n * 47)
+       |           AND (alpha_n * 2 >= n) AND (stop_n >= 2) AS c4,
+       |         (n BETWEEN 25 AND 80) AND (char_sum * 10 >= n * 43 AND char_sum * 10 <= n * 47)
+       |           AND (alpha_n * 2 >= n) AND (stop_n >= 2) AND (distinct_n * 3 >= n) AS c5
+       |  FROM ing)
+       |SELECT lang, count(*) AS n_docs,
+       |       CAST(sum(CASE WHEN c1 THEN 1 ELSE 0 END) AS BIGINT) AS pass_len,
+       |       CAST(sum(CASE WHEN c2 THEN 1 ELSE 0 END) AS BIGINT) AS pass_wordlen,
+       |       CAST(sum(CASE WHEN c3 THEN 1 ELSE 0 END) AS BIGINT) AS pass_alpha,
+       |       CAST(sum(CASE WHEN c4 THEN 1 ELSE 0 END) AS BIGINT) AS pass_stop,
+       |       CAST(sum(CASE WHEN c5 THEN 1 ELSE 0 END) AS BIGINT) AS pass_ttr
+       |FROM gated GROUP BY lang ORDER BY lang""".stripMargin
+  }
+
   /** Lateral explode with ordinal position (the UDTF/LATERAL VIEW shape):
     * posexplode keeps each token's offset in the filtered token array.
     * Narrow generate inside the scan stage — row expansion never
@@ -780,6 +899,8 @@ object TextQueries {
     "q_pack_sequences" -> (qPackSequences _),
     "q_doc_chunk" -> (qDocChunk _),
     "q_weighted_sample" -> (qWeightedSample _),
+    "q_vocab_oov" -> (qVocabOov _),
+    "q_quality_gates" -> (qQualityGates _),
     "q_lateral" -> (qLateral _),
     "q_text_tokens" -> (qTextTokens _),
     "q_dedup_exact" -> (qDedupExact _),
@@ -803,6 +924,8 @@ object TextQueries {
     "q_pack_sequences" -> qPackSequencesSql,
     "q_doc_chunk" -> qDocChunkSql,
     "q_weighted_sample" -> qWeightedSampleSql,
+    "q_vocab_oov" -> qVocabOovSql,
+    "q_quality_gates" -> qQualityGatesSql,
     "q_lateral" -> qLateralSql,
     "q_text_tokens" -> qTextTokensSql,
     "q_dedup_exact" -> qDedupExactSql,

@@ -433,6 +433,27 @@ class PlanQualitySpec extends SparkSpec {
     } finally CacheScope.release()
   }
 
+  test("q_vocab_oov: scoring pass is row-local — no explode, no token shuffle") {
+    // the vocab build runs as its own bounded job at query-construction
+    // time; the MEASURED plan (scoring) must mark OOV via the array
+    // literal, never re-exploding tokens into a join
+    val p = plan("q_vocab_oov")
+    assert(!p.contains("Generate"), s"scoring pass must not explode tokens:\n$p")
+    assert(!p.contains("Join"), s"scoring pass must not join token instances:\n$p")
+    val exchanges = p.split("Exchange").length - 1
+    assert(exchanges <= 2, s"expected only the lang agg + sort exchanges:\n$p")
+  }
+
+  test("q_quality_gates: one scan, row-local gates, only the lang agg exchanges") {
+    val p = plan("q_quality_gates")
+    assert(!p.contains("Generate") && !p.contains("Join"),
+      s"gates must stay row-local:\n$p")
+    val exchanges = p.split("Exchange").length - 1
+    assert(exchanges <= 2, s"expected only the lang agg + sort exchanges:\n$p")
+    assert(p.split("HashAggregate").length >= 3,
+      s"expected two-phase (partial+final) lang aggregation:\n$p")
+  }
+
   test("q_source_cap: rank filter becomes a map-side WindowGroupLimit") {
     val p = plan("q_source_cap")
     assert(p.contains("WindowGroupLimit"),

@@ -44,6 +44,30 @@ class TextFunctionsSpec extends SparkSpec {
     assert(q.getDouble(0) >= 0.0 && q.getDouble(1) <= 1.0)
   }
 
+  test("qualityGates: each gate trips on exactly its crafted violation") {
+    // baseline passes all five gates with the defaults (n=10 four-char
+    // alpha tokens incl. two stopwords, all distinct)
+    val pass = "the and wxyz qrst alpha beta gama delt epsi zeta"
+    val docs = Seq(
+      1L -> pass,
+      2L -> "too short",                                   // g_len (n=2 < 10)
+      3L -> pass.split(" ").map(t => t * 4).mkString(" "), // g_wordlen (mean 16 > 12)
+      4L -> "the and 11 22 33 44 55 66 77 88",             // g_alpha (8/10 digits)
+      5L -> "wxyz qrst alpha beta gama delt epsi zeta etaa thet", // g_stop (0 hits)
+      6L -> ("the and " + Seq.fill(8)("dup").mkString(" ")) // g_ttr (3 distinct / 10)
+    ).toDF("id", "t")
+    val gates = TextFunctions.qualityGates(TextFunctions.tokens($"t"))
+    val out = docs.select($"id" +: gates.map { case (n, c) => c.as(n) }: _*)
+      .collect().map(r => r.getLong(0) -> gates.indices.map(i => r.getBoolean(i + 1))).toMap
+    assert(out(1L).forall(identity), s"baseline must pass all: ${out(1L)}")
+    // doc i+1 fails gate i and no EARLIER gate (later gates may also trip)
+    Seq(2L, 3L, 4L, 5L, 6L).zipWithIndex.foreach { case (id, g) =>
+      assert(!out(id)(g), s"doc $id should fail gate $g: ${out(id)}")
+      assert(out(id).take(g).forall(identity),
+        s"doc $id must pass gates before $g: ${out(id)}")
+    }
+  }
+
   test("randomHyperplaneBucket: deterministic, fixed width, splits the corpus") {
     val emb = spark.read.parquet(s"${TestSpark.Sf0001}/embeddings.parquet")
     def buckets = emb.select($"vec_id",
