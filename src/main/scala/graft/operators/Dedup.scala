@@ -89,17 +89,26 @@ object Dedup {
     * linear, unlike pair enumeration's f². At 100 TB, key on xxhash64 and
     * bound per-window fan-out with [[capShingleDF]]; md5 here keeps the
     * DuckDB oracle byte-exact. */
+  /** md5 of every overlapping `windowWords`-token window of a token-array
+    * column — the row-local window generator shared by [[windowDupStats]]
+    * and the source-duplication graph (`q_source_pagerank`). Empty array
+    * when the doc is shorter than one window. */
+  def windowHashes(toks: Column, windowWords: Int): Column =
+    when(size(toks) >= windowWords,
+      transform(
+        sequence(lit(0), size(toks) - windowWords, lit(1)),
+        i => md5(concat_ws(" ",
+          (0 until windowWords).map(d => element_at(toks, i + d + 1)): _*)
+          .cast("binary"))))
+      .otherwise(array())
+
   def windowDupStats(df: DataFrame, idCol: String, textCol: String,
                      windowWords: Int = 16): DataFrame = {
     val tk = tokens(col(textCol))
     val wins = df
       .select(col(idCol).as("id"), tk.as("__t"))
       .filter(size(col("__t")) >= windowWords)
-      .select(col("id"), explode(transform(
-        sequence(lit(0), size(col("__t")) - windowWords, lit(1)),
-        i => md5(concat_ws(" ",
-          (0 until windowWords).map(d => element_at(col("__t"), i + d + 1)): _*)
-          .cast("binary")))).as("wh"))
+      .select(col("id"), explode(windowHashes(col("__t"), windowWords)).as("wh"))
     // instances feed both the per-hash distinct count and the flag join —
     // cache so tokenize+window+md5 runs once
     val cached = graft.CacheScope.cached(wins)

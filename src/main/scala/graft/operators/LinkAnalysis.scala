@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Link-analysis operators over derived document/source graphs. The
+  * reference engine has nothing comparable (its 15-op surface is
+  * sequence-local); this is north-star scope for crawl curation — ranking
+  * domains/documents by their position in a similarity or duplication
+  * graph.
+  */
+object LinkAnalysis {
+
+  /** Fixed-point integer PageRank: damping 17/20, total mass 2^40, every
+    * step 64-bit INTEGER arithmetic (`div` truncation included) — so any
+    * engine that mirrors the formula reproduces every bit. No float sum
+    * order, no libm, nothing to quantize: the textbook double-precision
+    * PageRank is unverifiable across engines because neighbor sums
+    * accumulate in engine-specific order, while the integer formulation
+    * makes the oracle comparison exact.
+    *
+    * Per iteration, with N = |nodes|, T = (3·2^40) div 20 div N:
+    * {{{
+    *   contrib(u) = pr(u) div deg(u)                      (deg > 0)
+    *   dangShare  = (Σ pr over deg-0 nodes) div N         (one scalar)
+    *   pr'(v)     = T + (17 · (Σ_{u→v} contrib(u) + dangShare)) div 20
+    * }}}
+    *
+    * `nodes` is the full vertex universe (isolated vertices keep
+    * teleport-only rank and shed their mass through the dangling term);
+    * `edges` must be directed (symmetrize an undirected graph before the
+    * call) and duplicate-free.
+    *
+    * Scale shape: each iteration is one equi-join of the rank table onto
+    * `edges.src` plus one map-side-combinable `groupBy(dst)` sum — the
+    * co-partitioned shape that scales to a 100 TB edge list. The dangling
+    * mass is ONE scalar aggregate to the driver per iteration (the
+    * [[Dedup.connectedComponents]] convergence-check precedent), and
+    * `localCheckpoint` truncates the self-referential lineage each round.
+    * Returns (id, deg, pr). */
+  def pagerank(nodes: DataFrame, edges: DataFrame, idCol: String,
+               srcCol: String = "src", dstCol: String = "dst",
+               iters: Int = 3): DataFrame = {
+    val n = nodes.select(col(idCol)).distinct().count()
+    require(n > 0, "pagerank needs a non-empty vertex set")
+    val massTotal = 1L << 40
+    val init = massTotal / n
+    val teleport = 3L * massTotal / 20L / n
+    val e = graft.CacheScope.cached(
+      edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst")))
+    val deg = graft.CacheScope.cached(
+      nodes.select(col(idCol).as("id")).distinct()
+        .join(e.groupBy(col("__src").as("id")).agg(count(lit(1)).as("deg")),
+          Seq("id"), "left")
+        .select(col("id"), coalesce(col("deg"), lit(0L)).as("deg")))
+    var pr = deg.select(col("id"), col("deg"), lit(init).as("pr")).localCheckpoint()
+    (1 to iters).foreach { _ =>
+      val dangling = pr.filter(col("deg") === 0L)
+        .agg(coalesce(sum(col("pr")), lit(0L))).first().getLong(0)
+      val dangShare = dangling / n
+      val inflow = pr.filter(col("deg") > 0L)
+        .withColumn("__c", call_function("div", col("pr"), col("deg")))
+        .join(e, col("id") === col("__src"))
+        .groupBy(col("__dst").as("id"))
+        .agg(sum(col("__c")).as("__in"))
+      pr = deg.join(inflow, Seq("id"), "left")
+        .select(col("id"), col("deg"),
+          (lit(teleport) + call_function("div",
+            lit(17L) * (coalesce(col("__in"), lit(0L)) + lit(dangShare)),
+            lit(20L))).as("pr"))
+        .localCheckpoint()
+    }
+    pr
+  }
+}

@@ -446,6 +446,81 @@ object DedupQueries {
       |       CAST(sum(CASE WHEN n_dup_windows > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_hit
       |FROM per_doc GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** PageRank over the cross-source duplication graph
+    * ([[graft.operators.LinkAnalysis.pagerank]]): two sources are linked
+    * iff they share a duplicated 16-token window (the
+    * [[graft.operators.Dedup.windowHashes]] key — a window in two distinct
+    * sources is cross-doc duplicated by construction), and fixed-point
+    * integer PageRank (damping 17/20, mass 2^40, 3 iterations) ranks each
+    * source's duplication centrality — the crawl-curation signal for
+    * "which domains syndicate content". Isolated sources keep
+    * teleport-only rank and exercise the dangling-mass path.
+    *
+    * Scale shape: window generation is row-local; the edge build is one
+    * distinct on (source, window-hash) plus a self-equi-join on the hash
+    * (an f-source window emits ≤ f² SOURCE pairs — f is bounded by the
+    * domain count per window, and at web scale a hot-window DF cap
+    * mirrors [[graft.operators.Dedup.DefaultMaxShingleDF]]); iterations
+    * run on the |sources|-node graph. All arithmetic is 64-bit integer,
+    * so the DuckDB twin (unrolled iterations) matches bit-for-bit. */
+  def qSourcePagerank(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val docs = t(spark, sfDir, "documents")
+    val wins = docs
+      .select(col("source"), explode(graft.operators.Dedup.windowHashes(
+        graft.functions.TextFunctions.tokens(col("text")), 16)).as("wh"))
+      .distinct()
+    val e0 = wins.as("a").join(wins.as("b"),
+        col("a.wh") === col("b.wh") && col("a.source") < col("b.source"))
+      .select(col("a.source").as("src"), col("b.source").as("dst"))
+      .distinct()
+    val edges = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+    val nodes = docs.select(col("source")).distinct()
+    try {
+      graft.operators.LinkAnalysis.pagerank(nodes, edges, "source", iters = 3)
+        .select(col("id").as("source"), col("deg"), col("pr"))
+        .orderBy("source")
+    } finally graft.CacheScope.release()
+  }
+
+  private def pagerankIterSql(prev: String, it: String): String =
+    s"""$it AS (
+       |  SELECT d.id, d.deg,
+       |         CAST(tc.t + (17 * (COALESCE(inf.s, 0)
+       |           + (SELECT COALESCE(sum(pr), 0) FROM $prev WHERE deg = 0) // nc.n)) // 20 AS BIGINT) AS pr
+       |  FROM deg d CROSS JOIN tconst tc CROSS JOIN nconst nc
+       |  LEFT JOIN (
+       |    SELECT e.dst AS id, sum(p.pr // p.deg) AS s
+       |    FROM $prev p JOIN edges e ON e.src = p.id
+       |    WHERE p.deg > 0 GROUP BY e.dst) inf ON inf.id = d.id)""".stripMargin
+
+  val qSourcePagerankSql: String =
+    s"""WITH toked AS (
+       |  SELECT source, list_filter(string_split(text, ' '), t -> t <> '') AS tk
+       |  FROM documents),
+       |sized AS (SELECT source, tk, len(tk) AS n FROM toked WHERE len(tk) >= 16),
+       |wins AS (
+       |  SELECT DISTINCT source,
+       |         md5(array_to_string(list_slice(tk, i + 1, i + 16), ' ')) AS wh
+       |  FROM sized, LATERAL unnest(generate_series(0, n - 16)) AS g(i)),
+       |e0 AS (
+       |  SELECT a.source AS s1, b.source AS s2
+       |  FROM wins a JOIN wins b ON a.wh = b.wh AND a.source < b.source
+       |  GROUP BY 1, 2),
+       |edges AS (SELECT s1 AS src, s2 AS dst FROM e0
+       |          UNION ALL SELECT s2, s1 FROM e0),
+       |nodes AS (SELECT DISTINCT source AS id FROM documents),
+       |nconst AS (SELECT count(*) AS n FROM nodes),
+       |tconst AS (SELECT 3 * 1099511627776 // 20 // n AS t FROM nconst),
+       |deg AS (
+       |  SELECT n.id, CAST(count(e.src) AS BIGINT) AS deg
+       |  FROM nodes n LEFT JOIN edges e ON e.src = n.id GROUP BY n.id),
+       |pr0 AS (SELECT id, deg, 1099511627776 // (SELECT n FROM nconst) AS pr FROM deg),
+       |${pagerankIterSql("pr0", "pr1")},
+       |${pagerankIterSql("pr1", "pr2")},
+       |${pagerankIterSql("pr2", "pr3")}
+       |SELECT id AS source, deg, pr FROM pr3 ORDER BY source""".stripMargin
+
   /** Edit-distance verification over LSH candidates: Levenshtein distance
     * between the (truncated) texts of each MinHash-LSH candidate pair —
     * the character-level near-dup verifier that complements set-based
@@ -545,6 +620,7 @@ object DedupQueries {
     "q_edit_distance" -> (qEditDistance _),
     "q_chunk_dedup" -> (qChunkDedup _),
     "q_substring_dup" -> (qSubstringDup _),
+    "q_source_pagerank" -> (qSourcePagerank _),
     "q_jaccard_pairs" -> (qJaccardPairs _),
     "q_minhash_lsh" -> (qMinhashLsh _),
     "q_minhash_est" -> (qMinhashEst _),
@@ -558,6 +634,7 @@ object DedupQueries {
     "q_edit_distance" -> qEditDistanceSql,
     "q_chunk_dedup" -> qChunkDedupSql,
     "q_substring_dup" -> qSubstringDupSql,
+    "q_source_pagerank" -> qSourcePagerankSql,
     "q_jaccard_pairs" -> qJaccardPairsSql,
     "q_minhash_lsh" -> qMinhashLshSql,
     "q_minhash_est" -> qMinhashEstSql,

@@ -617,6 +617,37 @@ class OperatorsSpec extends SparkSpec {
     assert(got(("k1", 500L)) < got(("k1", 10L)))
   }
 
+  test("pagerank: bit-exact vs a reference integer loop; star center ranks highest") {
+    // star 1-{2,3} (symmetrized) + isolated 4 (exercises dangling mass)
+    val nodes = Seq(1L, 2L, 3L, 4L).toDF("id")
+    val e0 = Seq((1L, 2L), (1L, 3L)).toDF("src", "dst")
+    val edges = e0.union(e0.select($"dst".as("src"), $"src".as("dst")))
+    val got = graft.operators.LinkAnalysis.pagerank(nodes, edges, "id", iters = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    try {
+      // independent reference loop with the same fixed-point formula
+      val n = 4L
+      val adj = Map(1L -> Seq(2L, 3L), 2L -> Seq(1L), 3L -> Seq(1L), 4L -> Seq.empty[Long])
+      val teleport = 3L * (1L << 40) / 20L / n
+      var pr = Map(1L -> (1L << 40) / n, 2L -> (1L << 40) / n,
+        3L -> (1L << 40) / n, 4L -> (1L << 40) / n)
+      (1 to 3).foreach { _ =>
+        val dangShare = pr.collect { case (v, p) if adj(v).isEmpty => p }.sum / n
+        val inflow = adj.toSeq.flatMap { case (u, vs) => vs.map(_ -> pr(u) / vs.size) }
+          .groupMapReduce(_._1)(_._2)(_ + _)
+        pr = adj.keys.map(v =>
+          v -> (teleport + 17L * (inflow.getOrElse(v, 0L) + dangShare) / 20L)).toMap
+      }
+      adj.keys.foreach { v =>
+        assert(got(v)._2 == pr(v), s"node $v: got ${got(v)._2} want ${pr(v)}")
+      }
+      assert(got(1L)._1 == 2L && got(4L)._1 == 0L)
+      assert(got(1L)._2 > got(2L)._2, "star center must outrank leaves")
+      assert(got(2L)._2 == got(3L)._2, "symmetric leaves must tie exactly")
+      assert(got(4L)._2 < got(2L)._2, "isolated node must rank lowest")
+    } finally CacheScope.release()
+  }
+
   test("nearDupClusters groups a transitive near-dup chain into one component") {
     // a~b and b~c verify, a~c may not: cluster view must still unite them
     val w = (1 to 60).map(i => s"w$i")

@@ -454,6 +454,21 @@ class PlanQualitySpec extends SparkSpec {
       s"expected two-phase (partial+final) lang aggregation:\n$p")
   }
 
+  test("source-pagerank edge build: window self-join stays equi-keyed on the hash") {
+    // the query itself materializes eagerly behind localCheckpoint, so gate
+    // the edge-build join shape directly
+    import org.apache.spark.sql.functions._
+    val wins = Tables.t(spark, TestSpark.Sf0001, "documents")
+      .select(col("source"), explode(graft.operators.Dedup.windowHashes(
+        graft.functions.TextFunctions.tokens(col("text")), 16)).as("wh"))
+      .distinct()
+    val p = wins.as("a").join(wins.as("b"),
+        col("a.wh") === col("b.wh") && col("a.source") < col("b.source"))
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"edge build must join on the window hash:\n$p")
+  }
+
   test("q_source_cap: rank filter becomes a map-side WindowGroupLimit") {
     val p = plan("q_source_cap")
     assert(p.contains("WindowGroupLimit"),
