@@ -92,7 +92,13 @@ object Dedup {
   /** md5 of every overlapping `windowWords`-token window of a token-array
     * column — the row-local window generator shared by [[windowDupStats]]
     * and the source-duplication graph (`q_source_pagerank`). Empty array
-    * when the doc is shorter than one window. */
+    * when the doc is shorter than one window.
+    *
+    * `toks` MUST be an already-materialized attribute (project the token
+    * array in a prior select), never an inline expression: the window
+    * hash references the array `windowWords`+1 times, so an inline
+    * `tokens(text)` argument is recomputed per reference — measured 20×
+    * slower than the attribute form at sf0.1. */
   def windowHashes(toks: Column, windowWords: Int): Column =
     when(size(toks) >= windowWords,
       transform(

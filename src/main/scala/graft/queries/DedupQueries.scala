@@ -466,10 +466,13 @@ object DedupQueries {
   def qSourcePagerank(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.functions._
     val docs = t(spark, sfDir, "documents")
-    val wins = docs
-      .select(col("source"), explode(graft.operators.Dedup.windowHashes(
-        graft.functions.TextFunctions.tokens(col("text")), 16)).as("wh"))
-      .distinct()
+    // tokens materialized as an attribute first — see windowHashes scaladoc
+    val wins = graft.CacheScope.cached(docs
+      .select(col("source"),
+        graft.functions.TextFunctions.tokens(col("text")).as("__t"))
+      .select(col("source"),
+        explode(graft.operators.Dedup.windowHashes(col("__t"), 16)).as("wh"))
+      .distinct())
     val e0 = wins.as("a").join(wins.as("b"),
         col("a.wh") === col("b.wh") && col("a.source") < col("b.source"))
       .select(col("a.source").as("src"), col("b.source").as("dst"))

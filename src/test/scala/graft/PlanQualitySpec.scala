@@ -459,8 +459,10 @@ class PlanQualitySpec extends SparkSpec {
     // the edge-build join shape directly
     import org.apache.spark.sql.functions._
     val wins = Tables.t(spark, TestSpark.Sf0001, "documents")
-      .select(col("source"), explode(graft.operators.Dedup.windowHashes(
-        graft.functions.TextFunctions.tokens(col("text")), 16)).as("wh"))
+      .select(col("source"),
+        graft.functions.TextFunctions.tokens(col("text")).as("__t"))
+      .select(col("source"),
+        explode(graft.operators.Dedup.windowHashes(col("__t"), 16)).as("wh"))
       .distinct()
     val p = wins.as("a").join(wins.as("b"),
         col("a.wh") === col("b.wh") && col("a.source") < col("b.source"))
