@@ -692,7 +692,100 @@ object RelationalQueries {
       |LEFT JOIN counts c ON c.rk = r.r_regionkey AND c.cprio = p.prio
       |ORDER BY r_name, o_orderpriority""".stripMargin
 
+  /** Deequ-style data-quality constraint audit — the "expectations" pass a
+    * production pipeline runs before admitting a batch: PK uniqueness, FK
+    * integrity, referential completeness, range / domain / completeness /
+    * non-negativity invariants, and a freshness monitor, each reported as
+    * (check_name, table_name, n_violations, n_rows). The fixture makes
+    * three checks fire (orphan orders, negative balances, stale shipdates)
+    * and the rest prove clean — both directions matter.
+    *
+    * Scale shape: ALL row-local checks on a table fold into ONE
+    * conditional-aggregation scan (melted to rows via explode(map)); the
+    * relational checks are anti-join counts on their FK key. Denominators
+    * join from a 3-row broadcast count table. Every number is an exact
+    * integer. */
+  def qAuditConstraints(spark: SparkSession, sfDir: String): DataFrame = {
+    val orders = t(spark, sfDir, "orders")
+    val lineitem = t(spark, sfDir, "lineitem")
+    val customer = t(spark, sfDir, "customer")
+    def melt(table: String, agg: DataFrame): DataFrame = {
+      val checkCols = agg.columns.toSeq
+      agg.select(explode(map(
+        checkCols.flatMap(c => Seq(lit(c), col(c))): _*)).as(Seq("check_name", "n_violations")))
+        .select(col("check_name"), lit(table).as("table_name"), col("n_violations"))
+    }
+    val ordersChecks = melt("orders", orders.agg(
+      (count(lit(1)) - countDistinct(col("o_orderkey"))).as("pk_unique_orders"),
+      sum(when(!col("o_orderstatus").isin("O", "F", "P"), 1L).otherwise(0L))
+        .as("domain_orderstatus")))
+    val lineitemChecks = melt("lineitem", lineitem.agg(
+      sum(when(!col("l_quantity").between(1d, 50d), 1L).otherwise(0L))
+        .as("range_quantity"),
+      sum(when(!col("l_discount").between(0d, 0.1d), 1L).otherwise(0L))
+        .as("range_discount"),
+      sum(when(col("l_shipdate") >= lit("1998-10-01").cast("timestamp"), 1L)
+        .otherwise(0L)).as("freshness_shipdate")))
+    val customerChecks = melt("customer", customer.agg(
+      sum(when(col("c_acctbal") < 0d, 1L).otherwise(0L)).as("nonneg_acctbal"),
+      sum(when(col("c_name").isNull, 1L).otherwise(0L)).as("complete_name")))
+    val fkOrders = orders.join(customer,
+        col("o_custkey") === col("c_custkey"), "left_anti")
+      .agg(count(lit(1)).as("n_violations"))
+      .select(lit("fk_orders_customer").as("check_name"),
+        lit("orders").as("table_name"), col("n_violations"))
+    val refLineitem = orders.join(lineitem,
+        col("o_orderkey") === col("l_orderkey"), "left_anti")
+      .agg(count(lit(1)).as("n_violations"))
+      .select(lit("ref_orders_lineitem").as("check_name"),
+        lit("orders").as("table_name"), col("n_violations"))
+    val counts = orders.agg(count(lit(1)).as("n_rows"))
+      .select(lit("orders").as("table_name"), col("n_rows"))
+      .union(lineitem.agg(count(lit(1)).as("n_rows"))
+        .select(lit("lineitem").as("table_name"), col("n_rows")))
+      .union(customer.agg(count(lit(1)).as("n_rows"))
+        .select(lit("customer").as("table_name"), col("n_rows")))
+    ordersChecks.union(lineitemChecks).union(customerChecks)
+      .union(fkOrders).union(refLineitem)
+      .join(broadcast(counts), Seq("table_name"))
+      .select(col("check_name"), col("table_name"),
+        col("n_violations").cast("long").as("n_violations"), col("n_rows"))
+      .orderBy("check_name")
+  }
+
+  val qAuditConstraintsSql: String =
+    """WITH counts AS (
+      |  SELECT 'orders' AS table_name, count(*) AS n_rows FROM orders
+      |  UNION ALL SELECT 'lineitem', count(*) FROM lineitem
+      |  UNION ALL SELECT 'customer', count(*) FROM customer),
+      |checks AS (
+      |  SELECT 'pk_unique_orders' AS check_name, 'orders' AS table_name,
+      |         count(*) - count(DISTINCT o_orderkey) AS n_violations FROM orders
+      |  UNION ALL SELECT 'domain_orderstatus', 'orders',
+      |         sum(CASE WHEN o_orderstatus NOT IN ('O','F','P') THEN 1 ELSE 0 END) FROM orders
+      |  UNION ALL SELECT 'range_quantity', 'lineitem',
+      |         sum(CASE WHEN l_quantity NOT BETWEEN 1 AND 50 THEN 1 ELSE 0 END) FROM lineitem
+      |  UNION ALL SELECT 'range_discount', 'lineitem',
+      |         sum(CASE WHEN l_discount NOT BETWEEN 0 AND 0.1 THEN 1 ELSE 0 END) FROM lineitem
+      |  UNION ALL SELECT 'freshness_shipdate', 'lineitem',
+      |         sum(CASE WHEN l_shipdate >= TIMESTAMP '1998-10-01' THEN 1 ELSE 0 END) FROM lineitem
+      |  UNION ALL SELECT 'nonneg_acctbal', 'customer',
+      |         sum(CASE WHEN c_acctbal < 0 THEN 1 ELSE 0 END) FROM customer
+      |  UNION ALL SELECT 'complete_name', 'customer',
+      |         sum(CASE WHEN c_name IS NULL THEN 1 ELSE 0 END) FROM customer
+      |  UNION ALL SELECT 'fk_orders_customer', 'orders',
+      |         (SELECT count(*) FROM orders o
+      |          WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+      |  UNION ALL SELECT 'ref_orders_lineitem', 'orders',
+      |         (SELECT count(*) FROM orders o
+      |          WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)))
+      |SELECT ch.check_name, ch.table_name,
+      |       CAST(ch.n_violations AS BIGINT) AS n_violations, co.n_rows
+      |FROM checks ch JOIN counts co ON co.table_name = ch.table_name
+      |ORDER BY check_name""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_audit_constraints" -> (qAuditConstraints _),
     "q_cross_grid" -> (qCrossGrid _),
     "q_window_stats" -> (qWindowStats _),
     "q_histogram" -> (qHistogram _),
@@ -721,6 +814,7 @@ object RelationalQueries {
     "q_winsorize" -> (qWinsorize _))
 
   val oracles: Map[String, String] = Map(
+    "q_audit_constraints" -> qAuditConstraintsSql,
     "q_cross_grid" -> qCrossGridSql,
     "q_window_stats" -> qWindowStatsSql,
     "q_histogram" -> qHistogramSql,

@@ -454,6 +454,14 @@ class PlanQualitySpec extends SparkSpec {
       s"expected two-phase (partial+final) lang aggregation:\n$p")
   }
 
+  test("q_audit_constraints: anti-join integrity checks equi-keyed, denominators broadcast") {
+    val p = plan("q_audit_constraints")
+    assert(p.contains("LeftAnti"), s"FK/referential checks must be anti-joins:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"audit must not cross-join:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"3-row count table must broadcast:\n$p")
+  }
+
   test("source-pagerank edge build: window self-join stays equi-keyed on the hash") {
     // the query itself materializes eagerly behind localCheckpoint, so gate
     // the edge-build join shape directly
