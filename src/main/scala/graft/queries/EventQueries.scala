@@ -677,7 +677,63 @@ object EventQueries {
       |GROUP BY m.event_type, m.med, m.mad
       |ORDER BY m.event_type""".stripMargin
 
+  /** Slowly-changing-dimension type-2 history build — the standard
+    * warehouse pattern for turning an attribute-change log into versioned
+    * validity intervals. Each user's signup events carry a derived `tier`
+    * attribute; consecutive duplicates are collapsed (only *changes* open a
+    * new version), then each version gets `[valid_from, valid_to)` bounds
+    * via `lead()` and the open version is flagged `is_current`.
+    *
+    * Scale shape: ONE shuffle on `user_id`; all three window passes
+    * (change-detect lag, version row_number, interval lead) share that
+    * partitioning, so Catalyst plans a single Exchange feeding stacked
+    * Window operators. Per-user state is a handful of rows — no skew
+    * hazard at any user count. Deterministic: ordering is (ts, event_id),
+    * never ts alone. */
+  def qScd2(spark: SparkSession, sfDir: String): DataFrame = {
+    val wOrd = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val attr = t(spark, sfDir, "events")
+      .filter(col("event_type") === "signup")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        floor(col("value") / lit(25.0d)).cast("long").as("tier"))
+    val changes = attr
+      .withColumn("prev_tier", lag(col("tier"), 1).over(wOrd))
+      .filter(col("prev_tier").isNull || col("tier") =!= col("prev_tier"))
+    changes
+      .withColumn("version", row_number().over(wOrd).cast("long"))
+      .withColumn("valid_to_ts", lead(col("ts"), 1).over(wOrd))
+      .select(col("user_id"), col("version"), col("tier"),
+        fmtTs(col("ts")).as("valid_from"),
+        coalesce(fmtTs(col("valid_to_ts")), lit("9999-12-31 00:00:00")).as("valid_to"),
+        col("valid_to_ts").isNull.as("is_current"))
+      .orderBy("user_id", "version")
+  }
+
+  val qScd2Sql: String =
+    """WITH attr AS (
+      |  SELECT user_id, ts, event_id,
+      |         CAST(floor(value / 25.0) AS BIGINT) AS tier
+      |  FROM events WHERE event_type = 'signup'),
+      |ch AS (
+      |  SELECT *, lag(tier) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |           AS prev_tier
+      |  FROM attr),
+      |per AS (
+      |  SELECT user_id, ts, event_id, tier FROM ch
+      |  WHERE prev_tier IS NULL OR tier <> prev_tier)
+      |SELECT user_id,
+      |       CAST(row_number() OVER w AS BIGINT) AS version,
+      |       tier,
+      |       strftime(ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
+      |       coalesce(strftime(lead(ts) OVER w, '%Y-%m-%d %H:%M:%S'),
+      |                '9999-12-31 00:00:00') AS valid_to,
+      |       lead(ts) OVER w IS NULL AS is_current
+      |FROM per
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |ORDER BY user_id, version""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_scd2" -> (qScd2 _),
     "q_anomaly_mad" -> (qAnomalyMad _),
     "q_string_date" -> (qStringDate _),
     "q_json_extract" -> (qJsonExtract _),
@@ -701,6 +757,7 @@ object EventQueries {
     "q_resample" -> (qResample _))
 
   val oracles: Map[String, String] = Map(
+    "q_scd2" -> qScd2Sql,
     "q_anomaly_mad" -> qAnomalyMadSql,
     "q_string_date" -> qStringDateSql,
     "q_json_extract" -> qJsonExtractSql,

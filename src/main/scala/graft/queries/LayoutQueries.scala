@@ -4,6 +4,7 @@ import java.io.File
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.Tables._
 
 /** Data-layout queries: partition-pruned scans over a hive-partitioned
@@ -138,13 +139,65 @@ object LayoutQueries {
       |FROM orders JOIN customer ON o_custkey = c_custkey
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Small-file compaction planner — the maintenance pass every
+    * lakehouse table needs (Delta OPTIMIZE / Iceberg rewrite_data_files):
+    * given a file inventory, assign small files to target-size compaction
+    * bins and emit one plan row per output file. The inventory is derived
+    * from `documents` (20 docs per pseudo-file, size = sum(n_chars));
+    * files at/above the target pass through untouched — only the
+    * small-file tail is planned.
+    *
+    * Bin assignment is offset packing: files ordered by id within a
+    * source, bin = floor(exclusive-running-size / target) — deterministic,
+    * each bin ≥ target except the last, expressible as one window sum
+    * (no iterative greedy loop). Scale shape: this plans over file
+    * METADATA (~10⁶ rows per source at 100 TB, not data rows); the
+    * per-source window is a single sorted pass after one shuffle on
+    * `source`, and the two window passes share that partitioning. */
+  def qCompactionPlan(spark: SparkSession, sfDir: String): DataFrame = {
+    val target = 40000L
+    val files = t(spark, sfDir, "documents")
+      .groupBy(col("source"),
+        floor(col("doc_id") / lit(20.0d)).cast("long").as("file_id"))
+      .agg(sum(col("n_chars")).as("size_bytes"), count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy(col("source")).orderBy(col("file_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    files.filter(col("size_bytes") < target)
+      .withColumn("off", coalesce(sum(col("size_bytes")).over(w), lit(0L)))
+      .withColumn("bin", floor(col("off") / lit(target.toDouble)).cast("long"))
+      .groupBy("source", "bin")
+      .agg(count(lit(1)).as("n_files"), sum(col("size_bytes")).as("bin_bytes"),
+        min(col("file_id")).as("first_file"), max(col("file_id")).as("last_file"))
+      .orderBy("source", "bin")
+  }
+
+  val qCompactionPlanSql: String =
+    """WITH files AS (
+      |  SELECT source, CAST(floor(doc_id / 20.0) AS BIGINT) AS file_id,
+      |         sum(n_chars) AS size_bytes, count(*) AS n_docs
+      |  FROM documents GROUP BY 1, 2),
+      |small AS (SELECT * FROM files WHERE size_bytes < 40000),
+      |packed AS (
+      |  SELECT *, coalesce(sum(size_bytes) OVER
+      |      (PARTITION BY source ORDER BY file_id
+      |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+      |  FROM small)
+      |SELECT source, CAST(floor(off / 40000.0) AS BIGINT) AS bin,
+      |       count(*) AS n_files, sum(size_bytes) AS bin_bytes,
+      |       min(file_id) AS first_file, max(file_id) AS last_file
+      |FROM packed
+      |GROUP BY 1, 2
+      |ORDER BY source, bin""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_partition_prune" -> (qPartitionPrune _),
     "q_zorder" -> (qZorder _),
+    "q_compaction_plan" -> (qCompactionPlan _),
     "q_bucketed_join" -> (qBucketedJoin _))
 
   val oracles: Map[String, String] = Map(
     "q_partition_prune" -> qPartitionPruneSql,
     "q_zorder" -> qZorderSql,
+    "q_compaction_plan" -> qCompactionPlanSql,
     "q_bucketed_join" -> qBucketedJoinSql)
 }

@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.Tables._
 import graft.functions.TextFunctions._
 import graft.operators.Dedup
@@ -342,7 +343,59 @@ object PipelineQueries {
        |FROM tot t JOIN heads h ON h.shard = t.shard
        |ORDER BY t.shard""".stripMargin
 
+  /** Training-mixture planner — given per-source token counts and target
+    * mixture weights, compute how many tokens each source must contribute
+    * to hit the mixture at a constant total budget, and the repeat factor
+    * (epochs) that requires. This is the data-mixing arithmetic every
+    * multi-source pretraining run does (cf. temperature sampling,
+    * `q_temperature_sample`, which rebalances by a power law — this one
+    * hits EXPLICIT weights). Weights here are a deterministic function of
+    * the source index (20 + 8·idx per-mille, unnormalized — the planner
+    * normalizes by their sum in-query).
+    *
+    * All-integer arithmetic: need = ⌊T·w/W⌋, epochs = ⌈need/n_tokens⌉ by
+    * integer ceil-div — bit-exact in both engines. Scale shape: one
+    * map-side-combinable scan agg to |sources| rows (the corpus is scanned
+    * exactly once and never shuffled); the W/T totals come from an
+    * unpartitioned window over those |sources| rows — a SinglePartition
+    * exchange of the tiny aggregate, never of the data. */
+  def qMixturePlan(spark: SparkSession, sfDir: String): DataFrame = {
+    val wAll = Window.partitionBy().rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    t(spark, sfDir, "documents")
+      .groupBy(col("source"))
+      .agg(sum(size(tokens(col("text"))).cast("long")).as("n_tokens"))
+      .withColumn("w_pm",
+        lit(20L) + lit(8L) * substring(col("source"), 4, 10).cast("long"))
+      .withColumn("w_total", sum(col("w_pm")).over(wAll))
+      .withColumn("t_total", sum(col("n_tokens")).over(wAll))
+      .withColumn("need_tokens",
+        expr("(t_total * w_pm) div w_total").cast("long"))
+      .withColumn("epochs",
+        expr("(need_tokens + n_tokens - 1) div n_tokens").cast("long"))
+      .select(col("source"), col("n_tokens"), col("w_pm"), col("need_tokens"),
+        col("epochs"), (col("need_tokens") > col("n_tokens")).as("upsampled"))
+      .orderBy("source")
+  }
+
+  val qMixturePlanSql: String =
+    """WITH src AS (
+      |  SELECT source,
+      |         CAST(sum(len(list_filter(string_split(text, ' '), t -> t <> ''))) AS BIGINT) AS n_tokens,
+      |         20 + 8 * CAST(substr(source, 4) AS BIGINT) AS w_pm
+      |  FROM documents GROUP BY source),
+      |tot AS (
+      |  SELECT *, sum(w_pm) OVER () AS w_total, sum(n_tokens) OVER () AS t_total
+      |  FROM src)
+      |SELECT source, n_tokens, w_pm,
+      |       (t_total * w_pm) // w_total AS need_tokens,
+      |       ((t_total * w_pm) // w_total + n_tokens - 1) // n_tokens AS epochs,
+      |       (t_total * w_pm) // w_total > n_tokens AS upsampled
+      |FROM tot
+      |ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_mixture_plan" -> (qMixturePlan _),
     "q_curation_pipeline" -> (qCurationPipeline _),
     "q_prep_pipeline" -> (qPrepPipeline _),
     "q_sample_deterministic" -> (qSampleDeterministic _),
@@ -351,6 +404,7 @@ object PipelineQueries {
     "q_shard_shuffle" -> (qShardShuffle _))
 
   val oracles: Map[String, String] = Map(
+    "q_mixture_plan" -> qMixturePlanSql,
     "q_curation_pipeline" -> qCurationPipelineSql,
     "q_prep_pipeline" -> qPrepPipelineSql,
     "q_sample_deterministic" -> qSampleDeterministicSql,

@@ -454,6 +454,32 @@ class PlanQualitySpec extends SparkSpec {
       s"expected two-phase (partial+final) lang aggregation:\n$p")
   }
 
+  test("q_scd2: all three window passes share one user_id exchange") {
+    val p = plan("q_scd2")
+    // change-detect lag, version row_number and interval lead all partition
+    // by user_id — Catalyst must plan ONE hashpartitioning exchange plus
+    // the final rangepartitioning sort, nothing else
+    val hashEx = p.split("Exchange hashpartitioning").length - 1
+    assert(hashEx == 1, s"expected one user_id exchange feeding stacked windows:\n$p")
+  }
+
+  test("q_compaction_plan: metadata-sized planning — window after one source shuffle") {
+    val p = plan("q_compaction_plan")
+    assert(p.contains("Window"), s"offset-packing window missing:\n$p")
+    assert(!p.contains("CartesianProduct"), s"planner must not cross-join:\n$p")
+    assert(p.split("HashAggregate").length >= 3,
+      s"file-inventory agg must be two-phase:\n$p")
+  }
+
+  test("q_mixture_plan: single corpus scan, totals windowed over the tiny aggregate") {
+    val p = plan("q_mixture_plan")
+    assert(p.split("FileScan parquet").length - 1 == 1,
+      s"corpus must be scanned exactly once:\n$p")
+    assert(p.contains("Window"), s"totals window missing:\n$p")
+    assert(p.split("HashAggregate").length >= 3,
+      s"per-source token agg must be two-phase:\n$p")
+  }
+
   test("q_audit_constraints: anti-join integrity checks equi-keyed, denominators broadcast") {
     val p = plan("q_audit_constraints")
     assert(p.contains("LeftAnti"), s"FK/referential checks must be anti-joins:\n$p")
