@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.plans.{CodonUsageExpr, KmerFrequenciesExpr}
+import graft.plans.{CodonUsageExpr, DamerauLevenshteinExpr, KmerFrequenciesExpr}
 
 /** Session-extension entry point: registers the native sequence expressions
   * for every session of a cluster via
@@ -28,5 +28,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("codon_usage",
         "codon_usage(seq) - non-overlapping stride-3 codon frequency map"),
       (exprs: Seq[Expression]) => CodonUsageExpr(exprs.head)))
+    e.injectFunction((
+      FunctionIdentifier("damerau_levenshtein"),
+      info("damerau_levenshtein",
+        "damerau_levenshtein(a, b) - unrestricted Damerau-Levenshtein edit distance (byte-wise)"),
+      (exprs: Seq[Expression]) => DamerauLevenshteinExpr(exprs.head, exprs(1))))
   }
 }

@@ -28,6 +28,7 @@ object SparkEntry {
       FastxQueries.queries ++
       PipelineQueries.queries ++
       LayoutQueries.queries ++
+      EntityQueries.queries ++
       StreamQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -43,5 +44,6 @@ object SparkEntry {
       FastxQueries.oracles ++
       PipelineQueries.oracles ++
       LayoutQueries.oracles ++
+      EntityQueries.oracles ++
       StreamQueries.oracles
 }

@@ -480,6 +480,19 @@ class PlanQualitySpec extends SparkSpec {
       s"per-source token agg must be two-phase:\n$p")
   }
 
+  test("q_entity_match: trigram blocking stays equi-keyed, DL verify in codegen") {
+    val p = plan("q_entity_match")
+    // the only nested-loop join allowed is the 1-row DF-cap broadcast;
+    // name-vs-name comparison must stay behind the equi-keyed trigram join
+    assert(!p.contains("CartesianProduct"),
+      s"blocking must never compare all pairs:\n$p")
+    assert(p.split("BroadcastNestedLoopJoin").length - 1 <= 1,
+      s"only the 1-row cap join may be nested-loop:\n$p")
+    assert(p.contains("damerau_levenshtein"), s"native DL expr missing:\n$p")
+    // the DL verify filter must sit inside a codegen span, not a UDF
+    assert(!p.contains("ScalaUDF"), s"DL must be the native expression:\n$p")
+  }
+
   test("q_audit_constraints: anti-join integrity checks equi-keyed, denominators broadcast") {
     val p = plan("q_audit_constraints")
     assert(p.contains("LeftAnti"), s"FK/referential checks must be anti-joins:\n$p")
