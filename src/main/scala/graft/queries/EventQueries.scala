@@ -732,7 +732,49 @@ object EventQueries {
       |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
       |ORDER BY user_id, version""".stripMargin
 
+  /** Ordered trajectory assembly — collapse each user's event stream into
+    * ONE ordered sequence string ("view>click>purchase>…") plus summary
+    * stats. This is the agent-trajectory / dialogue-assembly shape of LLM
+    * training-data prep: many small ordered records become one training
+    * example per entity, order-exactly preserved.
+    *
+    * Distributed shape: groupBy(user) + collect_list(struct(ts, event_id,
+    * type)), sorted PER GROUP with `sort_array` (struct ordering =
+    * lexicographic (ts, event_id) — a total order, since event_id is
+    * unique) then flattened with transform + array_join. The sort is local
+    * to each group after one shuffle — no global sort of the event table.
+    * Per-entity state is bounded by that entity's event count; entities
+    * are independent, so the operator scales with the number of users, not
+    * total events. */
+  def qTrajectory(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "events")
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("n_purchases"),
+        sort_array(collect_list(struct(col("ts"), col("event_id"),
+          col("event_type")))).as("ordered"))
+      .select(col("user_id"), col("n_events"), col("n_purchases"),
+        array_join(transform(col("ordered"), e => e("event_type")), ">")
+          .as("trajectory"),
+        col("ordered")(0)("event_type").as("first_type"),
+        element_at(col("ordered"), -1)("event_type").as("last_type"))
+      .orderBy("user_id")
+
+  val qTrajectorySql: String =
+    """WITH t AS (
+      |  SELECT user_id, count(*) AS n_events,
+      |         CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchases,
+      |         string_agg(event_type, '>' ORDER BY ts, event_id) AS trajectory
+      |  FROM events GROUP BY user_id)
+      |SELECT user_id, n_events, n_purchases, trajectory,
+      |       string_split(trajectory, '>')[1] AS first_type,
+      |       string_split(trajectory, '>')[-1] AS last_type
+      |FROM t ORDER BY user_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_trajectory" -> (qTrajectory _),
     "q_scd2" -> (qScd2 _),
     "q_anomaly_mad" -> (qAnomalyMad _),
     "q_string_date" -> (qStringDate _),
@@ -757,6 +799,7 @@ object EventQueries {
     "q_resample" -> (qResample _))
 
   val oracles: Map[String, String] = Map(
+    "q_trajectory" -> qTrajectorySql,
     "q_scd2" -> qScd2Sql,
     "q_anomaly_mad" -> qAnomalyMadSql,
     "q_string_date" -> qStringDateSql,

@@ -784,7 +784,50 @@ object RelationalQueries {
       |FROM checks ch JOIN counts co ON co.table_name = ch.table_name
       |ORDER BY check_name""".stripMargin
 
+  /** Bloom-filter semi-join reduction — the 100 TB join idiom when the
+    * build side is too big to broadcast but far smaller than the probe
+    * side: aggregate the selected keys into ONE bloom filter
+    * (`bloom_filter_agg`, a few MB regardless of key count), broadcast
+    * that single row, and pre-filter the fact table with `might_contain`
+    * BEFORE the shuffle — the exchange then carries only probable matches
+    * (bloom has no false negatives, so nothing real is lost; the exact
+    * semi-join afterwards removes the false positives). This is the manual
+    * form of what Spark's runtime-filter rule injects when thresholds
+    * allow; writing it explicitly pins the shape at any threshold. The
+    * final result is bloom-independent — bit-identical to the plain
+    * semi-join, which is exactly what the oracle checks. */
+  def qBloomPrune(spark: SparkSession, sfDir: String): DataFrame = {
+    val sel = t(spark, sfDir, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select("o_orderkey")
+    // Materialize the filter: ONE binary of numBits/8 bytes (~1 MB here)
+    // comes to the driver regardless of build-side row count, then ships
+    // to every probe task as a constant — the same materialize-and-ship
+    // step InjectRuntimeFilter performs via its scalar subquery
+    // (might_contain accepts only constants / scalar subqueries).
+    val bfBytes = sel.agg(graft.plans.BloomExpressions
+        .bloomFilterAgg(xxhash64(col("o_orderkey")), 1000000L, 8000000L).as("bf"))
+      .head().getAs[Array[Byte]]("bf")
+    val pruned = t(spark, sfDir, "lineitem")
+      .select("l_orderkey", "l_returnflag", "l_extendedprice")
+      .filter(graft.plans.BloomExpressions
+        .mightContain(lit(bfBytes), xxhash64(col("l_orderkey"))))
+    pruned.join(sel, pruned("l_orderkey") === sel("o_orderkey"), "left_semi")
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_items"), dsum(col("l_extendedprice")).as("revenue"))
+      .orderBy("l_returnflag")
+  }
+
+  val qBloomPruneSql: String =
+    """SELECT l_returnflag, count(*) AS n_items,
+      |       CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DECIMAL(28,6)) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+      |                     WHERE o_orderpriority = '1-URGENT')
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_bloom_prune" -> (qBloomPrune _),
     "q_audit_constraints" -> (qAuditConstraints _),
     "q_cross_grid" -> (qCrossGrid _),
     "q_window_stats" -> (qWindowStats _),
@@ -814,6 +857,7 @@ object RelationalQueries {
     "q_winsorize" -> (qWinsorize _))
 
   val oracles: Map[String, String] = Map(
+    "q_bloom_prune" -> qBloomPruneSql,
     "q_audit_constraints" -> qAuditConstraintsSql,
     "q_cross_grid" -> qCrossGridSql,
     "q_window_stats" -> qWindowStatsSql,

@@ -179,7 +179,35 @@ object SeqQueries {
       |         / sum(length(s)) AS gc_frac
       |FROM s GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** Reverse complement — the one strand-symmetry primitive every
+    * sequence toolkit ships. `reverse(translate(seq, ACGT→TGCA))` over the
+    * surrogate: both are built-in codegen'd string expressions (the
+    * Spark-first answer — no custom expression needed when two built-ins
+    * compose exactly). Non-ACGT bytes pass through untranslated, the same
+    * convention both engines share by `translate` semantics. Row-local,
+    * shuffle-free until the output sort; palindrome check (seq == its own
+    * revcomp) exercises full-string equality on the computed column. */
+  def qRevcomp(spark: SparkSession, sfDir: String): DataFrame = {
+    val u = surrogate(col("text"))
+    val rc = reverse(translate(u, "ACGT", "TGCA"))
+    t(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        substring(rc, 1, 24).as("rc_prefix"),
+        substring(md5(rc), 1, 12).as("rc_hash"),
+        (u === rc).as("is_palindrome"))
+      .orderBy("doc_id")
+  }
+
+  val qRevcompSql: String =
+    """WITH s AS (SELECT doc_id, upper(replace(text, ' ', '')) AS u FROM documents)
+      |SELECT doc_id,
+      |       substr(reverse(translate(u, 'ACGT', 'TGCA')), 1, 24) AS rc_prefix,
+      |       substr(md5(reverse(translate(u, 'ACGT', 'TGCA'))), 1, 12) AS rc_hash,
+      |       u = reverse(translate(u, 'ACGT', 'TGCA')) AS is_palindrome
+      |FROM s ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_revcomp" -> (qRevcomp _),
     "q_udaf_gc" -> (qUdafGc _),
     "q_seq_stats" -> (qSeqStats _),
     "q_kmer_explode" -> (qKmerExplode _),
@@ -187,6 +215,7 @@ object SeqQueries {
     "q_kmer_map" -> (qKmerMap _))
 
   val oracles: Map[String, String] = Map(
+    "q_revcomp" -> qRevcompSql,
     "q_udaf_gc" -> qUdafGcSql,
     "q_seq_stats" -> qSeqStatsSql,
     "q_kmer_explode" -> qKmerExplodeSql,

@@ -480,6 +480,42 @@ class PlanQualitySpec extends SparkSpec {
       s"per-source token agg must be two-phase:\n$p")
   }
 
+  test("q_bloom_prune: bloom prefilter reaches the probe scan before its exchange") {
+    val p = plan("q_bloom_prune")
+    assert(p.contains("might_contain"), s"bloom probe filter missing:\n$p")
+    assert(p.contains("LeftSemi"), s"exact semi-join missing:\n$p")
+    // the prefilter must sit directly on the probe scan (same stage): the
+    // next operator below the might_contain filter is the lineitem
+    // FileScan, with no exchange in between
+    val tail = p.substring(p.indexOf("might_contain"))
+    val scanAt = tail.indexOf("FileScan parquet")
+    val exAt = tail.indexOf("Exchange")
+    assert(scanAt >= 0 && (exAt < 0 || scanAt < exAt),
+      s"bloom filter must be in the probe scan stage, before its exchange:\n$p")
+  }
+
+  test("q_revcomp: row-local revcomp — only the output sort exchanges") {
+    val p = plan("q_revcomp")
+    val exchanges = p.split("Exchange").length - 1
+    assert(exchanges <= 1, s"revcomp must be a pure map stage before the sort:\n$p")
+    assert(p.contains("translate") && p.contains("reverse"),
+      s"built-in translate/reverse pipeline missing:\n$p")
+  }
+
+  test("q_trajectory: one shuffle, per-group local sort (no global event sort)") {
+    val p = plan("q_trajectory")
+    val hashEx = p.split("Exchange hashpartitioning").length - 1
+    assert(hashEx == 1, s"expected exactly one user_id exchange:\n$p")
+    // the ONLY Sort is the output orderBy — per-group ordering happens via
+    // sort_array inside the agg's result projection, never a global sort
+    // of the event table (sort_array itself isn't printed: result
+    // expressions don't appear in SparkPlan.toString)
+    assert(p.split("Sort \\[").length - 1 == 1,
+      s"events must not be globally sorted:\n$p")
+    assert(p.split("ObjectHashAggregate").length - 1 == 2,
+      s"expected two-phase collect_list agg:\n$p")
+  }
+
   test("q_entity_match: trigram blocking stays equi-keyed, DL verify in codegen") {
     val p = plan("q_entity_match")
     // the only nested-loop join allowed is the 1-row DF-cap broadcast;
