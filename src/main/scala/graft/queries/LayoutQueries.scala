@@ -174,7 +174,7 @@ object LayoutQueries {
   val qCompactionPlanSql: String =
     """WITH files AS (
       |  SELECT source, CAST(floor(doc_id / 20.0) AS BIGINT) AS file_id,
-      |         sum(n_chars) AS size_bytes, count(*) AS n_docs
+      |         CAST(sum(n_chars) AS BIGINT) AS size_bytes, count(*) AS n_docs
       |  FROM documents GROUP BY 1, 2),
       |small AS (SELECT * FROM files WHERE size_bytes < 40000),
       |packed AS (
@@ -183,7 +183,7 @@ object LayoutQueries {
       |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
       |  FROM small)
       |SELECT source, CAST(floor(off / 40000.0) AS BIGINT) AS bin,
-      |       count(*) AS n_files, sum(size_bytes) AS bin_bytes,
+      |       count(*) AS n_files, CAST(sum(size_bytes) AS BIGINT) AS bin_bytes,
       |       min(file_id) AS first_file, max(file_id) AS last_file
       |FROM packed
       |GROUP BY 1, 2

@@ -388,8 +388,8 @@ object PipelineQueries {
       |  SELECT *, sum(w_pm) OVER () AS w_total, sum(n_tokens) OVER () AS t_total
       |  FROM src)
       |SELECT source, n_tokens, w_pm,
-      |       (t_total * w_pm) // w_total AS need_tokens,
-      |       ((t_total * w_pm) // w_total + n_tokens - 1) // n_tokens AS epochs,
+      |       CAST((t_total * w_pm) // w_total AS BIGINT) AS need_tokens,
+      |       CAST(((t_total * w_pm) // w_total + n_tokens - 1) // n_tokens AS BIGINT) AS epochs,
       |       (t_total * w_pm) // w_total > n_tokens AS upsampled
       |FROM tot
       |ORDER BY source""".stripMargin

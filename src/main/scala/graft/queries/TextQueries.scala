@@ -276,7 +276,7 @@ object TextQueries {
       |  WHERE token <> '' GROUP BY doc_id, token),
       |dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
       |stats AS (SELECT count(DISTINCT doc_id) AS n, sum(tf) AS sumdl FROM tf),
-      |dls AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id),
+      |dls AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
       |scored AS (
       |  SELECT tf.doc_id, tf.token, tf, df, dl,
       |         CAST(floor(ln((n - df + 0.5) / (df + 0.5) + 1.0)
