@@ -50,28 +50,39 @@ object Bench {
     // fixture) should raise it via SPARK_GRAFT_RETRY_SEC or pay up to 5
     // runs for every legitimately-slow query.
     val retrySec = sys.env.getOrElse("SPARK_GRAFT_RETRY_SEC", "3.5").toDouble
+    // A failing query must not contribute its (tiny) analysis-exception
+    // time as if it were a benchmark result (round 7: 31 dead queries
+    // clocked ~0.05 s each and the total looked flattering). Failures are
+    // reported in a separate "failed" list and excluded from the total.
+    val failed = scala.collection.mutable.LinkedHashSet.empty[String]
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       def once(): Double = {
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          failed += name
         }
         (System.nanoTime() - t0) / 1e9
       }
       var best = math.min(once(), once())
       var extra = 0
-      while (best > retrySec && extra < 3) { best = math.min(best, once()); extra += 1 }
+      while (best > retrySec && extra < 3 && !failed(name)) {
+        best = math.min(best, once()); extra += 1
+      }
       // release operator caches between QUERIES (not runs): repeat runs of
       // one query measure the steady warm-cache state, but nothing leaks
       // into the next query's numbers or accumulates across the session
       CacheScope.release()
       name -> best
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val ok = results.filterNot { case (k, _) => failed(k) }
+    val qs = ok.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = ok.map(_._2).sum
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
+    if (failed.nonEmpty) sys.exit(1)
   }
 }

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.types.{DecimalType, LongType, TimestampType}
 
 /** Shared helpers for loading the driver's parquet tables and for the
   * determinism conventions every oracle-checked query follows (SURVEY §2.3):
@@ -20,14 +20,25 @@ import org.apache.spark.sql.types.DecimalType
 object Tables {
   def t(spark: SparkSession, sfDir: String, name: String): DataFrame =
     if (name == "events") {
-      // events.ts is parquet TIMESTAMP(NANOS) — Spark has no nanosecond
-      // timestamp type, so read it as a nanos Long and truncate to micros.
-      // DIV is exact integer division (a double division would lose
-      // precision above 2^53 ns); DuckDB performs the same truncation when
-      // it narrows nanos to its micros timestamp, so oracles agree.
+      // events.ts has shipped as BOTH parquet TIMESTAMP(NANOS) and
+      // TIMESTAMP(MICROS) across driver fixture regenerations, so the load
+      // path branches on the schema Spark actually infers instead of
+      // assuming either encoding:
+      //  - NANOS: Spark has no nanosecond timestamp type; with the legacy
+      //    flag it surfaces as a nanos Long, which we truncate to micros.
+      //    DIV is exact integer division (a double division would lose
+      //    precision above 2^53 ns); DuckDB performs the same truncation
+      //    when it narrows nanos to its micros timestamp, so oracles agree.
+      //  - MICROS without isAdjustedToUTC: Spark infers TIMESTAMP_NTZ;
+      //    cast to the session timestamp type (sessions pin UTC, so the
+      //    wall clock — and every date_format/window oracle — is unchanged).
+      //  - MICROS adjusted to UTC: already TimestampType; cast is a no-op.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$sfDir/$name.parquet")
-        .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      val raw = spark.read.parquet(s"$sfDir/$name.parquet")
+      raw.schema("ts").dataType match {
+        case LongType => raw.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+        case _        => raw.withColumn("ts", col("ts").cast(TimestampType))
+      }
     } else {
       spark.read.parquet(s"$sfDir/$name.parquet")
     }

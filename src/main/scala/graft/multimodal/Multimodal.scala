@@ -11,12 +11,14 @@ import org.apache.spark.sql.functions._
   * the output is a flat columnar schema ready for the similarity/dedup
   * operators).
   *
-  * The actual byte→pixels decode is STUBBED (`MediaDecoder.decode` —
-  * image/audio codecs are not available in this environment): the default
-  * [[DeterministicFakeDecoder]] derives stable pseudo-features from the
-  * payload bytes so every downstream contract (schema, batching,
-  * partitioning, determinism) is real and tested; swap in a JNI/codec
-  * implementation per modality in production.
+  * Two decoders ship behind the same [[MediaDecoder]] contract:
+  * [[ImageIoDecoder]] is a REAL codec for the formats the JVM decodes
+  * natively (PNG/BMP/GIF/JPEG via `javax.imageio`) with a perceptual
+  * block-luminance embedding; [[DeterministicFakeDecoder]] derives stable
+  * pseudo-features from raw payload bytes for formats with no in-sandbox
+  * codec (video/audio), keeping every downstream contract (schema,
+  * batching, partitioning, determinism) real and tested — swap in a
+  * JNI/codec implementation per modality in production.
   */
 object Multimodal {
 
@@ -55,6 +57,80 @@ object Multimodal {
         ((hk >>> 11).toDouble / (1L << 53).toDouble - 0.5).toFloat
       }
       (w, ht, emb)
+    }
+  }
+
+  /** REAL image decoder backed by `javax.imageio` (PNG/BMP/GIF/JPEG —
+    * ships with every JVM, no native libs): dimensions come from the
+    * decoded raster, and the embedding is a 16-dim perceptual signature —
+    * mean luminance of a 4×4 block grid, zero-centered — so
+    * near-identical images land near each other under cosine and
+    * [[nearDupMedia]] becomes a real perceptual near-dup pass for these
+    * formats. `open()` disables ImageIO's on-disk decode cache once per
+    * partition (per-row temp-file churn would dominate at scale).
+    *
+    * Decode failures (truncated/foreign payloads — inevitable in a
+    * crawled corpus) surface as (-1, -1, empty) rather than killing the
+    * task: at 100 TB a poison payload must quarantine a ROW, not a job. */
+  object ImageIoDecoder extends MediaDecoder {
+    override def open(): Unit = javax.imageio.ImageIO.setUseCache(false)
+    override def decode(mime: String, payload: Array[Byte]): (Int, Int, Array[Float]) = {
+      val img =
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+        catch { case _: java.io.IOException => null }
+      if (img == null) (-1, -1, Array.empty[Float])
+      else {
+        val w = img.getWidth; val h = img.getHeight
+        val sums = new Array[Double](16); val counts = new Array[Long](16)
+        var y = 0
+        while (y < h) {
+          val by = math.min(3, y * 4 / h)
+          var x = 0
+          while (x < w) {
+            val bx = math.min(3, x * 4 / w)
+            val rgb = img.getRGB(x, y)
+            val lum = 0.299 * ((rgb >> 16) & 0xff) +
+              0.587 * ((rgb >> 8) & 0xff) + 0.114 * (rgb & 0xff)
+            val b = by * 4 + bx
+            sums(b) += lum / 255.0; counts(b) += 1
+            x += 1
+          }
+          y += 1
+        }
+        val means = Array.tabulate(16)(b =>
+          if (counts(b) == 0) 0.0 else sums(b) / counts(b))
+        val overall = means.sum / 16.0
+        (w, h, means.map(m => (m - overall).toFloat))
+      }
+    }
+  }
+
+  /** Real image resize for ImageIO-decodable payloads: decode → bilinear
+    * `Graphics2D` resample → re-encode PNG. A narrow partition-parallel
+    * map over payloads (never through the driver); undecodable payloads
+    * pass through unchanged (same poison-row policy as the decoder). */
+  def resizeMedia(media: Dataset[MediaRecord], targetW: Int, targetH: Int): Dataset[MediaRecord] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { r =>
+        val img =
+          try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
+          catch { case _: java.io.IOException => null }
+        if (img == null) r
+        else {
+          val out = new java.awt.image.BufferedImage(
+            targetW, targetH, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val g = out.createGraphics()
+          g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+            java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+          g.drawImage(img, 0, 0, targetW, targetH, null)
+          g.dispose()
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(out, "png", bos)
+          r.copy(mime = "image/png", payload = bos.toByteArray)
+        }
+      }
     }
   }
 

@@ -19,23 +19,28 @@ import org.apache.spark.sql.types._
   */
 object EventStreams {
 
-  /** The events schema as a stream source expects it: `ts` arrives as
-    * nanosecond Longs (see Tables.t) and is truncated to micros. */
-  val EventsRawSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", LongType),
-    StructField("user_id", LongType), StructField("event_type", StringType),
-    StructField("value", DoubleType), StructField("props", StringType)))
-
-  /** Streaming read of an events parquet directory. */
+  /** Streaming read of an events parquet directory.
+    *
+    * A streaming file source needs an explicit schema, and the fixture's
+    * `ts` encoding has shipped as both TIMESTAMP(NANOS) (→ nanos Long
+    * under the legacy flag) and TIMESTAMP(MICROS) (→ TIMESTAMP_NTZ), so
+    * the schema is sniffed from the parquet footer with a plan-time batch
+    * read (footer-only — no data pages are scanned) instead of being
+    * hard-coded; the normalization branch then mirrors Tables.t exactly.
+    */
   def readEventStream(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val sniffed = spark.read.parquet(s"$sfDir/events.parquet").schema
     // the streaming file source wants a directory: point it at sfDir and
     // glob-filter to the events file
-    spark.readStream
-      .schema(EventsRawSchema)
+    val stream = spark.readStream
+      .schema(sniffed)
       .option("pathGlobFilter", "events.parquet")
       .parquet(sfDir)
-      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+    sniffed("ts").dataType match {
+      case LongType => stream.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      case _        => stream.withColumn("ts", col("ts").cast(TimestampType))
+    }
   }
 
   /** Tumbling 1-hour event-time counts — identical aggregation to

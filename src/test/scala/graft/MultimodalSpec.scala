@@ -61,6 +61,71 @@ class MultimodalSpec extends SparkSpec {
     assert(f0.forall(_.getAs[Array[Byte]]("frame_bytes").length <= 16))
   }
 
+  /** Deterministic synthetic PNG: a w×h two-tone gradient keyed by `seed`.
+    * Encoded with the same javax.imageio the decoder reads with — real
+    * bytes through a real codec, no fixtures needed. */
+  private def pngBytes(seed: Int, w: Int = 32, h: Int = 24,
+                       flipPixel: Boolean = false): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val v = (x * 255 / (w - 1) + seed * 37) % 256
+      img.setRGB(x, y, (v << 16) | (((y * 255 / (h - 1)) ^ seed) % 256 << 8) | v)
+    }
+    if (flipPixel) img.setRGB(0, 0, img.getRGB(0, 0) ^ 0x000008)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  test("ImageIoDecoder decodes real PNGs: exact dims, deterministic embedding") {
+    val ss = spark
+    import ss.implicits._
+    val rows = Seq(
+      (1L, pngBytes(seed = 1)),
+      (2L, pngBytes(seed = 1)),                    // byte-identical to 1
+      (3L, pngBytes(seed = 1, flipPixel = true)),  // 1 LSB of 1 pixel differs
+      (4L, pngBytes(seed = 9)),                    // different image
+      (5L, "not an image at all".getBytes("UTF-8"))) // poison row
+    val m = Multimodal.asMedia(
+      rows.toDF("id", "b"), "id", "b", mime = "image/png")
+    val f = extractFeatures(m, ImageIoDecoder).collect()
+      .map(x => x.media_id -> x).toMap
+    // real dims off the raster
+    assert(f(1L).width == 32 && f(1L).height == 24)
+    // identical bytes → identical embedding
+    assert(f(1L).embedding.toSeq == f(2L).embedding.toSeq)
+    // poison payload quarantined, not thrown
+    assert(f(5L).width == -1 && f(5L).embedding.isEmpty)
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+      val na = math.sqrt(a.map(x => x.toDouble * x).sum)
+      val nb = math.sqrt(b.map(x => x.toDouble * x).sum)
+      dot / (na * nb)
+    }
+    // near-identical image is near under cosine; different image is not as near
+    val near = cos(f(1L).embedding, f(3L).embedding)
+    val far = cos(f(1L).embedding, f(4L).embedding)
+    assert(near > 0.999, s"near-dup cosine $near")
+    assert(far < near, s"far=$far near=$near")
+  }
+
+  test("resizeMedia really resamples: decoded dims change, poison passes through") {
+    val ss = spark
+    import ss.implicits._
+    val m = Multimodal.asMedia(
+      Seq((1L, pngBytes(seed = 3, w = 40, h = 30)),
+          (2L, "junk".getBytes("UTF-8"))).toDF("id", "b"),
+      "id", "b", mime = "image/png")
+    val resized = Multimodal.resizeMedia(m, 16, 12)
+    val f = extractFeatures(resized, ImageIoDecoder).collect()
+      .map(x => x.media_id -> x).toMap
+    assert(f(1L).width == 16 && f(1L).height == 12)
+    assert(f(2L).width == -1) // junk unchanged, still undecodable
+    val orig = resized.filter(_.media_id == 2L).collect()(0)
+    assert(new String(orig.payload, "UTF-8") == "junk")
+  }
+
   test("resize rewrites dimensions deterministically, partition-independent") {
     val feats = extractFeatures(media)
     val r1 = Multimodal.resize(feats.repartition(1), 32, 32).collect()
