@@ -229,13 +229,78 @@ object StreamQueries {
       |             AND c.ts <= p.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
       |ORDER BY click_id, purchase_id""".stripMargin
 
+  /** The STREAMING-DEDUP path under the oracle: continuous exact dedup
+    * via [[graft.streaming.EventStreams.dedupStream]]
+    * (`dropDuplicatesWithinWatermark` on a content hash — first record
+    * per key wins, state expires at the watermark so the key set never
+    * grows unboundedly). Dedup key here is (user_id, event_type) — a key
+    * with real duplicates in the fixture — and the survivor must be the
+    * FIRST arrival, so the replay fixture is written as ONE
+    * (ts, event_id)-sorted file (the qStreamSessionize determinism
+    * convention): a single-partition source drains in file order through
+    * the key-partitioned state shuffle, making "first seen" ≡
+    * "min (ts, event_id)" and the batch argmin oracle exact. Inner
+    * emission happens on first arrival (no watermark hold), so the finite
+    * fixture needs no sentinel. */
+  def qStreamDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = workBase(spark, sfDir, "dedup")
+    rm(base)
+    val inDir = new File(base, "in").getAbsolutePath
+    val outDir = new File(base, "out").getAbsolutePath
+    val ckpt = new File(base, "ckpt").getAbsolutePath
+
+    t(spark, sfDir, "events")
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+      .repartition(1).sortWithinPartitions("ts", "event_id")
+      .write.mode("overwrite").parquet(inDir)
+
+    val stream = spark.readStream
+      .schema("event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING")
+      .parquet(inDir)
+      .withColumn("content",
+        concat_ws("::", col("user_id"), col("event_type")))
+    val deduped = graft.streaming.EventStreams
+      .dedupStream(stream, "ts", "content", watermark = "4 hours")
+      .drop("content")
+    val q = deduped.writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    spark.read.parquet(outDir)
+      .select(col("user_id"), col("event_type"),
+        col("event_id").as("first_event_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("first_ts"))
+      .orderBy("user_id", "event_type")
+  }
+
+  /** Oracle: batch argmin — the earliest (ts, event_id) row per
+    * (user_id, event_type); streaming first-arrival dedup must be
+    * indistinguishable from it on the ordered replay. */
+  val qStreamDedupSql: String =
+    """WITH ranked AS (
+      |  SELECT user_id, event_type, event_id, ts,
+      |         row_number() OVER (PARTITION BY user_id, event_type
+      |                            ORDER BY ts, event_id) AS rn
+      |  FROM events)
+      |SELECT user_id, event_type, event_id AS first_event_id,
+      |       strftime(ts, '%Y-%m-%d %H:%M:%S') AS first_ts
+      |FROM ranked WHERE rn = 1
+      |ORDER BY user_id, event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_stream_tumbling" -> (qStreamTumbling _),
     "q_stream_sessionize" -> (qStreamSessionize _),
-    "q_stream_join" -> (qStreamJoin _))
+    "q_stream_join" -> (qStreamJoin _),
+    "q_stream_dedup" -> (qStreamDedup _))
 
   val oracles: Map[String, String] = Map(
     "q_stream_tumbling" -> qStreamTumblingSql,
     "q_stream_sessionize" -> qStreamSessionizeSql,
-    "q_stream_join" -> qStreamJoinSql)
+    "q_stream_join" -> qStreamJoinSql,
+    "q_stream_dedup" -> qStreamDedupSql)
 }

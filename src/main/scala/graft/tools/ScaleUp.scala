@@ -7,8 +7,10 @@ import org.apache.spark.sql.functions._
   * key shifts, producing a dataset ~N× the rows with the same schema,
   * key-uniqueness, and join relationships (dimension tables nation/region
   * are copied unshifted; every fact/entity key moves by replica×OFFSET so
-  * FK joins still land). Events keep `ts` as the raw nanos BIGINT so the
-  * copy reads back through Tables.t exactly like the driver's files.
+  * FK joins still land). Events keep `ts` in whatever encoding the source
+  * fixture uses (nanos BIGINT under the legacy flag, or TIMESTAMP_NTZ for
+  * micros files) so the copy reads back through Tables.t's
+  * schema-conditional branch exactly like the driver's files.
   *
   * This exists to validate the two-phase/broadcast/split claims at a 10×
   * datapoint (BASELINE.md) — it is NOT an oracle input; correctness stays
@@ -49,8 +51,10 @@ object ScaleUp {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // events.ts is TIMESTAMP(NANOS): read as Long and KEEP it Long so the
-    // copy re-reads through Tables.t's `timestamp_micros(ts DIV 1000)`
+    // events.ts passes through in its source encoding: a NANOS file reads
+    // as Long under this flag (and stays Long in the copy); a MICROS file
+    // reads/writes as TIMESTAMP_NTZ. Either way the copy re-reads through
+    // Tables.t's schema-conditional normalization.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
     def copy(name: String): Unit =

@@ -28,6 +28,22 @@ for name, sql in sorted(oracles.items()):
             print(f"FAIL {name}: columns {scols} vs {dcols}")
             fails += 1
             continue
+        # type-strict: the driver's gate hashes typed values, so a Spark
+        # BIGINT vs oracle DOUBLE (say) can hash-mismatch even when str()
+        # renders them identically here. Compare DuckDB-side types of both
+        # relations (DuckDB's parquet reader types the Spark dump), up to
+        # the benign INT32/INT64 widening DuckDB applies to small ints.
+        stypes = dict(zip(spark_rel.columns, (str(t) for t in spark_rel.types)))
+        dtypes = dict(zip(duck_rel.columns, (str(t) for t in duck_rel.types)))
+        WIDEN = {"TINYINT", "SMALLINT", "INTEGER", "BIGINT"}
+        tbad = [(c, stypes[c], dtypes[c]) for c in scols
+                if stypes[c] != dtypes[c]
+                and not (stypes[c] in WIDEN and dtypes[c] in WIDEN)]
+        if tbad:
+            print(f"FAIL {name}: column types differ: " +
+                  ", ".join(f"{c} spark={s} duck={d}" for c, s, d in tbad))
+            fails += 1
+            continue
         srows = spark_rel.select(*scols).fetchall()
         drows = duck_rel.select(*dcols).fetchall()
         if len(srows) != len(drows):
