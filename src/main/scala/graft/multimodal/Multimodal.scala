@@ -105,6 +105,70 @@ object Multimodal {
     }
   }
 
+  /** REAL audio decoder backed by `javax.sound.sampled` (WAV/PCM — ships
+    * with every JVM): the payload is parsed as a WAV container, PCM16
+    * samples are read off the real `AudioInputStream`, and the embedding
+    * is a 16-dim envelope signature — mean absolute amplitude (|s|/32768)
+    * per 1/16th segment. (width, height) carry (sample rate, n samples) —
+    * the audio analog of raster dims. PCM is lossless, so the decoded
+    * samples are bit-identical to what the encoder wrote, which is what
+    * lets [[graft.queries.TextQueries.qAudioEmbed]] put this decoder
+    * under the DuckDB oracle. Undecodable payloads quarantine per row
+    * like [[ImageIoDecoder]]. */
+  object WavDecoder extends MediaDecoder {
+    override def decode(mime: String, payload: Array[Byte]): (Int, Int, Array[Float]) = {
+      val in =
+        try javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(payload))
+        catch {
+          case _: javax.sound.sampled.UnsupportedAudioFileException => null
+          case _: java.io.IOException => null
+        }
+      if (in == null) (-1, -1, Array.empty[Float])
+      else {
+        val fmt = in.getFormat
+        val bytes = in.readAllBytes()
+        in.close()
+        val n = bytes.length / 2
+        if (fmt.getSampleSizeInBits != 16 || fmt.isBigEndian || n == 0)
+          (-1, -1, Array.empty[Float])
+        else {
+          val sums = new Array[Double](16); val counts = new Array[Long](16)
+          var i = 0
+          while (i < n) {
+            val s = ((bytes(2 * i) & 0xff) | (bytes(2 * i + 1) << 8)).toShort.toInt
+            val seg = math.min(15, i * 16 / n)
+            sums(seg) += math.abs(s) / 32768.0; counts(seg) += 1
+            i += 1
+          }
+          val emb = Array.tabulate(16)(seg =>
+            if (counts(seg) == 0) 0f else (sums(seg) / counts(seg)).toFloat)
+          (fmt.getSampleRate.toInt, n, emb)
+        }
+      }
+    }
+  }
+
+  /** Encode raw PCM16 samples as a WAV payload via the same
+    * `javax.sound.sampled` the decoder reads with (fixture builder for
+    * the audio path — in production payloads come off the media scan). */
+  def pcm16Wav(samples: Array[Short], sampleRate: Float = 8000f): Array[Byte] = {
+    val fmt = new javax.sound.sampled.AudioFormat(sampleRate, 16, 1, true, false)
+    val raw = new Array[Byte](samples.length * 2)
+    var i = 0
+    while (i < samples.length) {
+      raw(2 * i) = (samples(i) & 0xff).toByte
+      raw(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+      i += 1
+    }
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(raw), fmt, samples.length.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
   /** Real image resize for ImageIO-decodable payloads: decode → bilinear
     * `Graphics2D` resample → re-encode PNG. A narrow partition-parallel
     * map over payloads (never through the driver); undecodable payloads

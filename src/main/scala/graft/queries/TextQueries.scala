@@ -884,7 +884,152 @@ object TextQueries {
       |       length(t) AS red_len, md5(t) AS red_md5
       |FROM s3 ORDER BY doc_id""".stripMargin
 
+  /** The REAL image codec under the oracle: for each document a 48×32
+    * grayscale PNG is generated in-executor (pixel v = (doc_id·31 + i·7)
+    * mod 256 — pure integer arithmetic, so DuckDB can rebuild the exact
+    * pixel grid), ENCODED with javax.imageio, then DECODED back through
+    * [[graft.multimodal.Multimodal.ImageIoDecoder]] — dims off the real
+    * raster, 16-dim block-luminance embedding off the real pixels. PNG
+    * truecolor is lossless, so the oracle recomputes the embedding
+    * directly from the generator arithmetic: any codec bug (chroma shift,
+    * row padding, color management) breaks the hash.
+    *
+    * Bit-exactness: the luminance expression, the /255 per-term division,
+    * and both sequential accumulation orders (pixel order within a block,
+    * block order for the overall mean) are written identically in the
+    * oracle via ordered `list_reduce`; the double→float narrowing is
+    * CAST(… AS REAL); the final ·2^20 quantization is an EXACT power-of-
+    * two scaling of a float value, so floor never sits on a rounding
+    * boundary. Scale shape: one narrow `mapPartitions` encode→decode pass
+    * (decoder init amortized per partition, payloads never touch the
+    * driver) + a row-local posexplode — only the output sort exchanges. */
+  def qImageEmbed(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val W = 48; val H = 32
+    val ids = t(spark, sfDir, "documents").select(col("doc_id")).as[Long]
+    val media = ids.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { id =>
+        val img = new java.awt.image.BufferedImage(
+          W, H, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var i = 0; var y = 0
+        while (y < H) {
+          var x = 0
+          while (x < W) {
+            val v = ((id * 31 + i.toLong * 7) % 256).toInt
+            img.setRGB(x, y, (v << 16) | (v << 8) | v)
+            i += 1; x += 1
+          }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        graft.multimodal.Multimodal.MediaRecord(id, "image/png", bos.toByteArray)
+      }
+    }
+    graft.multimodal.Multimodal
+      .extractFeatures(media, graft.multimodal.Multimodal.ImageIoDecoder)
+      .toDF()
+      .select(col("media_id").as("doc_id"),
+        col("width").cast("long").as("width"),
+        col("height").cast("long").as("height"),
+        posexplode(col("embedding")).as(Seq("block", "e")))
+      .select(col("doc_id"), col("width"), col("height"),
+        col("block").cast("long").as("block"),
+        floor(col("e").cast("double") * 1048576).cast("long").as("q_lum"))
+      .orderBy("doc_id", "block")
+  }
+
+  /** Oracle: the embedding recomputed from the pixel-generator arithmetic
+    * (no codec) — block sums folded in pixel order, block means folded in
+    * block order, float narrowing and exact 2^20 quantization mirrored. */
+  val qImageEmbedSql: String =
+    """WITH px AS (
+      |  SELECT d.doc_id, g.i,
+      |         ((d.doc_id * 31 + g.i * 7) % 256) AS v,
+      |         ((g.i // 48) // 8) * 4 + ((g.i % 48) // 12) AS b
+      |  FROM documents d, generate_series(0, 1535) AS g(i)),
+      |terms AS (
+      |  SELECT doc_id, b, i,
+      |         (0.299 * v + 0.587 * v + 0.114 * v) / 255.0 AS t
+      |  FROM px),
+      |sums AS (
+      |  SELECT doc_id, b,
+      |         list_reduce(list(t ORDER BY i), (a, x) -> a + x) AS s
+      |  FROM terms GROUP BY doc_id, b),
+      |means AS (
+      |  SELECT doc_id, b, s / 96 AS m FROM sums),
+      |ov AS (
+      |  SELECT doc_id,
+      |         list_reduce(list(m ORDER BY b), (a, x) -> a + x) / 16.0 AS o
+      |  FROM means GROUP BY doc_id)
+      |SELECT m.doc_id,
+      |       CAST(48 AS BIGINT) AS width, CAST(32 AS BIGINT) AS height,
+      |       CAST(m.b AS BIGINT) AS block,
+      |       CAST(floor(CAST(CAST(m.m - ov.o AS REAL) AS DOUBLE) * 1048576) AS BIGINT) AS q_lum
+      |FROM means m JOIN ov USING (doc_id)
+      |ORDER BY doc_id, block""".stripMargin
+
+  /** The REAL audio codec under the oracle — the WAV analog of
+    * [[qImageEmbed]]: per document a 1600-sample PCM16 clip is generated
+    * from pure integer arithmetic (s_i = (doc_id·7 + i·13) mod 2^16 −
+    * 2^15), ENCODED as a WAV container and DECODED back through
+    * [[graft.multimodal.Multimodal.WavDecoder]] (`javax.sound.sampled`) —
+    * sample rate and count off the real container, 16-segment
+    * mean-|amplitude| envelope off the real samples. PCM is lossless, so
+    * the oracle recomputes the envelope from the generator arithmetic:
+    * any container/codec bug (header misparse, endianness, sign
+    * extension) breaks the hash. Same exactness discipline as
+    * q_image_embed: ordered `list_reduce` folds, CAST(… AS REAL)
+    * narrowing, exact 2^20 scaling. Same scale shape: one narrow
+    * `mapPartitions` encode→decode pass + row-local posexplode. */
+  def qAudioEmbed(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val N = 1600
+    val ids = t(spark, sfDir, "documents").select(col("doc_id")).as[Long]
+    val media = ids.mapPartitions { it =>
+      it.map { id =>
+        val samples = Array.tabulate(N)(i =>
+          (((id * 7 + i.toLong * 13) % 65536) - 32768).toShort)
+        graft.multimodal.Multimodal.MediaRecord(
+          id, "audio/wav", graft.multimodal.Multimodal.pcm16Wav(samples))
+      }
+    }
+    graft.multimodal.Multimodal
+      .extractFeatures(media, graft.multimodal.Multimodal.WavDecoder)
+      .toDF()
+      .select(col("media_id").as("doc_id"),
+        col("width").cast("long").as("sample_rate"),
+        col("height").cast("long").as("n_samples"),
+        posexplode(col("embedding")).as(Seq("seg", "e")))
+      .select(col("doc_id"), col("sample_rate"), col("n_samples"),
+        col("seg").cast("long").as("seg"),
+        floor(col("e").cast("double") * 1048576).cast("long").as("q_amp"))
+      .orderBy("doc_id", "seg")
+  }
+
+  /** Oracle: the envelope recomputed from the sample-generator arithmetic
+    * (no container round-trip) — segment folds in sample order, float
+    * narrowing and exact 2^20 quantization mirrored. */
+  val qAudioEmbedSql: String =
+    """WITH sm AS (
+      |  SELECT d.doc_id, g.i,
+      |         abs(((d.doc_id * 7 + g.i * 13) % 65536) - 32768) / 32768.0 AS t,
+      |         g.i // 100 AS seg
+      |  FROM documents d, generate_series(0, 1599) AS g(i)),
+      |sums AS (
+      |  SELECT doc_id, seg,
+      |         list_reduce(list(t ORDER BY i), (a, x) -> a + x) AS s
+      |  FROM sm GROUP BY doc_id, seg)
+      |SELECT doc_id,
+      |       CAST(8000 AS BIGINT) AS sample_rate, CAST(1600 AS BIGINT) AS n_samples,
+      |       CAST(seg AS BIGINT) AS seg,
+      |       CAST(floor(CAST(CAST(s / 100 AS REAL) AS DOUBLE) * 1048576) AS BIGINT) AS q_amp
+      |FROM sums ORDER BY doc_id, seg""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_image_embed" -> (qImageEmbed _),
+    "q_audio_embed" -> (qAudioEmbed _),
     "q_pii_redact" -> (qPiiRedact _),
     "q_frame_sample" -> (qFrameSample _),
     "q_temperature_sample" -> (qTemperatureSample _),
@@ -910,6 +1055,8 @@ object TextQueries {
     "q_binary_meta" -> (qBinaryMeta _))
 
   val oracles: Map[String, String] = Map(
+    "q_image_embed" -> qImageEmbedSql,
+    "q_audio_embed" -> qAudioEmbedSql,
     "q_pii_redact" -> qPiiRedactSql,
     "q_frame_sample" -> qFrameSampleSql,
     "q_temperature_sample" -> qTemperatureSampleSql,

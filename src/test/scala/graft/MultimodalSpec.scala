@@ -126,6 +126,26 @@ class MultimodalSpec extends SparkSpec {
     assert(new String(orig.payload, "UTF-8") == "junk")
   }
 
+  test("WavDecoder decodes real PCM16 WAV: rate/count off the container, exact envelope") {
+    val ss = spark
+    import ss.implicits._
+    // constant half-amplitude clip → every segment mean is exactly 0.5
+    val flat = Array.fill[Short](1600)(16384)
+    // alternating full-scale square wave → mean |s| = (32767+32768)/2/32768
+    val square = Array.tabulate[Short](1600)(i => if (i % 2 == 0) 32767 else -32768)
+    val rows = Seq(
+      (1L, Multimodal.pcm16Wav(flat)),
+      (2L, Multimodal.pcm16Wav(square)),
+      (3L, "definitely not audio".getBytes("UTF-8")))
+    val m = Multimodal.asMedia(rows.toDF("id", "b"), "id", "b", mime = "audio/wav")
+    val f = extractFeatures(m, WavDecoder).collect().map(x => x.media_id -> x).toMap
+    assert(f(1L).width == 8000 && f(1L).height == 1600)
+    assert(f(1L).embedding.forall(_ == 0.5f))
+    val expSquare = ((32767.0 / 32768.0 + 1.0) * 50 / 100).toFloat
+    assert(f(2L).embedding.forall(_ == expSquare))
+    assert(f(3L).width == -1 && f(3L).embedding.isEmpty)
+  }
+
   test("resize rewrites dimensions deterministically, partition-independent") {
     val feats = extractFeatures(media)
     val r1 = Multimodal.resize(feats.repartition(1), 32, 32).collect()
