@@ -424,6 +424,16 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("Generate"), s"posexplode missing:\n$p")
   }
 
+  test("q_image_embed/q_audio_embed: narrow codec map — only the output sort exchanges") {
+    for (q <- Seq("q_image_embed", "q_audio_embed")) {
+      val p = plan(q)
+      val exchanges = p.split("Exchange").length - 1
+      assert(exchanges <= 1, s"$q: encode→decode must stay partition-local:\n$p")
+      assert(p.contains("Generate"), s"$q: posexplode missing:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$q: unexpected join:\n$p")
+    }
+  }
+
   test("q_substring_dup: window join is equi-keyed on the content hash") {
     val p = plan("q_substring_dup")
     try {
