@@ -826,7 +826,66 @@ object RelationalQueries {
       |                     WHERE o_orderpriority = '1-URGENT')
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** k-anonymization with one generalization step — the privacy audit a
+    * training pipeline runs before releasing user-derived data (beside
+    * redaction, `q_pii_redact`, which scrubs direct identifiers; this
+    * treats QUASI-identifiers whose combination re-identifies). The
+    * quasi-identifier here is (c_nationkey, c_mktsegment): equivalence
+    * classes of size ≥ k publish as-is at level 0; below-k classes
+    * generalize the segment away ('*') and regroup by nation (level 1);
+    * nations still below k collapse into the global ('*','*') bucket
+    * (level 2). Every published class has n ≥ k or sits in the terminal
+    * bucket — the k-anonymity guarantee, checkable by eye in the output.
+    *
+    * Scale shape: the fact table aggregates ONCE (two-phase, map-side
+    * combine); all three levels derive from that class-cardinality-sized
+    * table (|nations|·|segments| rows — KBs at any corpus size), so
+    * generalization costs no second fact scan. All-integer counts. */
+  def qKAnonymity(spark: SparkSession, sfDir: String): DataFrame = {
+    val k = 16L
+    val classes = graft.CacheScope.cached(
+      t(spark, sfDir, "customer")
+        .groupBy(col("c_nationkey"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("n")))
+    val ok0 = classes.filter(col("n") >= k)
+        .select(lit(0L).as("level"), col("c_nationkey").cast("string").as("nation"),
+          col("c_mktsegment").as("segment"), col("n"))
+    val small0 = classes.filter(col("n") < k)
+      .groupBy(col("c_nationkey"))
+      .agg(sum(col("n")).as("n"))
+    val ok1 = small0.filter(col("n") >= k)
+      .select(lit(1L).as("level"), col("c_nationkey").cast("string").as("nation"),
+        lit("*").as("segment"), col("n"))
+    val ok2 = small0.filter(col("n") < k)
+      .agg(coalesce(sum(col("n")), lit(0L)).as("n"))
+      .filter(col("n") > 0)
+      .select(lit(2L).as("level"), lit("*").as("nation"),
+        lit("*").as("segment"), col("n"))
+    ok0.unionByName(ok1).unionByName(ok2)
+      .orderBy("level", "nation", "segment")
+  }
+
+  val qKAnonymitySql: String =
+    """WITH classes AS (
+      |  SELECT c_nationkey, c_mktsegment, count(*) AS n
+      |  FROM customer GROUP BY 1, 2),
+      |small0 AS (
+      |  SELECT c_nationkey, CAST(sum(n) AS BIGINT) AS n
+      |  FROM classes WHERE n < 16 GROUP BY 1)
+      |SELECT CAST(0 AS BIGINT) AS level, CAST(c_nationkey AS VARCHAR) AS nation,
+      |       c_mktsegment AS segment, n
+      |FROM classes WHERE n >= 16
+      |UNION ALL
+      |SELECT CAST(1 AS BIGINT), CAST(c_nationkey AS VARCHAR), '*', n
+      |FROM small0 WHERE n >= 16
+      |UNION ALL
+      |SELECT CAST(2 AS BIGINT), '*', '*', CAST(sum(n) AS BIGINT)
+      |FROM small0 WHERE n < 16
+      |HAVING sum(n) > 0
+      |ORDER BY level, nation, segment""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_k_anonymity" -> (qKAnonymity _),
     "q_bloom_prune" -> (qBloomPrune _),
     "q_audit_constraints" -> (qAuditConstraints _),
     "q_cross_grid" -> (qCrossGrid _),
@@ -857,6 +916,7 @@ object RelationalQueries {
     "q_winsorize" -> (qWinsorize _))
 
   val oracles: Map[String, String] = Map(
+    "q_k_anonymity" -> qKAnonymitySql,
     "q_bloom_prune" -> qBloomPruneSql,
     "q_audit_constraints" -> qAuditConstraintsSql,
     "q_cross_grid" -> qCrossGridSql,

@@ -1027,9 +1027,54 @@ object TextQueries {
       |       CAST(floor(CAST(CAST(s / 100 AS REAL) AS DOUBLE) * 1048576) AS BIGINT) AS q_amp
       |FROM sums ORDER BY doc_id, seg""".stripMargin
 
+  /** Subword-vocabulary induction — the candidate-generation step BPE /
+    * WordPiece tokenizer training starts from: enumerate every character
+    * n-gram (len 2..4) of every corpus token, count corpus-wide
+    * occurrences, keep the top-32 by (count desc, gram asc — a total
+    * deterministic order). The iterative merge loop that follows in full
+    * BPE is sequential by nature; the candidate statistics here are the
+    * data-parallel 99% of the work.
+    *
+    * Scale shape: substring enumeration is ROW-LOCAL (two nested
+    * Generates — token position × gram length — no join); counting is a
+    * two-phase agg on gram keys; top-32 is a bounded TakeOrdered, not a
+    * global sort. At 100 TB the gram key space is vocabulary-bounded
+    * (≤ |alphabet|^4), so the shuffle carries grams, not the corpus. */
+  def qSubwordVocab(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = t(spark, sfDir, "documents")
+      .select(explode(split(lower(col("text")), "\\s+")).as("w"))
+      .filter(length(col("w")) >= 2)
+    val grams = toks
+      .select(explode(expr(
+        "flatten(transform(sequence(1, length(w)), s -> " +
+          "transform(sequence(2, 4), l -> " +
+          "CASE WHEN s + l - 1 <= length(w) THEN substring(w, s, l) END)))"))
+        .as("gram"))
+      .filter(col("gram").isNotNull)
+    grams.groupBy("gram").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("gram").asc)
+      .limit(32)
+  }
+
+  val qSubwordVocabSql: String =
+    """WITH toks AS (
+      |  SELECT lower(t.w) AS w
+      |  FROM documents d,
+      |       unnest(string_split_regex(d.text, '\s+')) AS t(w)
+      |  WHERE length(t.w) >= 2),
+      |grams AS (
+      |  SELECT substring(w, s.s, l.l) AS gram
+      |  FROM toks, generate_series(1, 4096) AS s(s), generate_series(2, 4) AS l(l)
+      |  WHERE s.s + l.l - 1 <= length(w))
+      |SELECT gram, count(*) AS cnt
+      |FROM grams GROUP BY gram
+      |ORDER BY cnt DESC, gram ASC
+      |LIMIT 32""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_image_embed" -> (qImageEmbed _),
     "q_audio_embed" -> (qAudioEmbed _),
+    "q_subword_vocab" -> (qSubwordVocab _),
     "q_pii_redact" -> (qPiiRedact _),
     "q_frame_sample" -> (qFrameSample _),
     "q_temperature_sample" -> (qTemperatureSample _),
@@ -1057,6 +1102,7 @@ object TextQueries {
   val oracles: Map[String, String] = Map(
     "q_image_embed" -> qImageEmbedSql,
     "q_audio_embed" -> qAudioEmbedSql,
+    "q_subword_vocab" -> qSubwordVocabSql,
     "q_pii_redact" -> qPiiRedactSql,
     "q_frame_sample" -> qFrameSampleSql,
     "q_temperature_sample" -> qTemperatureSampleSql,

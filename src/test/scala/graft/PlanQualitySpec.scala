@@ -424,6 +424,24 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("Generate"), s"posexplode missing:\n$p")
   }
 
+  test("q_subword_vocab: row-local gram enumeration, two-phase count, bounded top-k") {
+    val p = plan("q_subword_vocab")
+    assert(p.contains("Generate"), s"gram explode missing:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"top-32 should be bounded, not a global sort:\n$p")
+    assert(!p.contains("Join"), s"enumeration must not join:\n$p")
+    assert(p.contains("partial_count") || p.contains("HashAggregate"),
+      s"gram count should partial-aggregate map-side:\n$p")
+  }
+
+  test("q_k_anonymity: one fact aggregation; ladder derives from the cached class table") {
+    val p = plan("q_k_anonymity")
+    try {
+      assert(p.split("InMemoryTableScan").length - 1 >= 2,
+        s"generalization levels must reuse the cached class table, not re-scan customer:\n$p")
+      assert(!p.contains("Join"), s"ladder is union-of-aggregates, no join:\n$p")
+    } finally CacheScope.release()
+  }
+
   test("q_image_embed/q_audio_embed: narrow codec map — only the output sort exchanges") {
     for (q <- Seq("q_image_embed", "q_audio_embed")) {
       val p = plan(q)
