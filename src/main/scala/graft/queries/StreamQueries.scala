@@ -292,13 +292,62 @@ object StreamQueries {
       |FROM ranked WHERE rn = 1
       |ORDER BY user_id, event_type""".stripMargin
 
+  /** The STREAMING NEAR-DUP path under the oracle: MinHash-LSH candidate
+    * detection over a document stream
+    * ([[graft.streaming.DedupStreams.candidateStream]] — row-local
+    * signatures bit-identical to the batch family, per-bucket member
+    * state, each new doc reported against every earlier co-bucket member).
+    * The emitted (d1, d2, band) SET is arrival-order independent (every
+    * co-bucket pair is emitted exactly once, whichever member arrives
+    * first), so regrouping to (d1, d2, n_bands) must equal the BATCH
+    * banding self-join — the oracle is literally q_minhash_lsh's SQL. No
+    * watermark/sentinel machinery: candidate emission is append-on-match
+    * like the interval join. Bucket caps never fire at oracle SFs
+    * (max bucket ≪ 64), so stream and batch cap semantics coincide. */
+  def qStreamNeardup(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val base = workBase(spark, sfDir, "neardup")
+    rm(base)
+    val inDir = new File(base, "in").getAbsolutePath
+    val outDir = new File(base, "out").getAbsolutePath
+    val ckpt = new File(base, "ckpt").getAbsolutePath
+
+    t(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"))
+      .repartition(1).sortWithinPartitions("doc_id")
+      .write.mode("overwrite").parquet(inDir)
+
+    val stream = spark.readStream
+      .schema("doc_id LONG, text STRING")
+      .parquet(inDir)
+      .as[graft.streaming.DedupStreams.Doc]
+    val q = graft.streaming.DedupStreams.candidateStream(stream)
+      .writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    spark.read.parquet(outDir)
+      .groupBy("d1", "d2")
+      .agg(count(lit(1)).as("n_bands"))
+      .orderBy("d1", "d2")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stream_neardup" -> (qStreamNeardup _),
     "q_stream_tumbling" -> (qStreamTumbling _),
     "q_stream_sessionize" -> (qStreamSessionize _),
     "q_stream_join" -> (qStreamJoin _),
     "q_stream_dedup" -> (qStreamDedup _))
 
   val oracles: Map[String, String] = Map(
+    // the streaming candidate set must be indistinguishable from the
+    // batch banding self-join — same SQL as q_minhash_lsh
+    "q_stream_neardup" -> DedupQueries.qMinhashLshSql,
     "q_stream_tumbling" -> qStreamTumblingSql,
     "q_stream_sessionize" -> qStreamSessionizeSql,
     "q_stream_join" -> qStreamJoinSql,
