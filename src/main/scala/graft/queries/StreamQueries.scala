@@ -312,9 +312,11 @@ object StreamQueries {
     val outDir = new File(base, "out").getAbsolutePath
     val ckpt = new File(base, "ckpt").getAbsolutePath
 
+    // no single-file ordering needed (unlike qStreamSessionize): the pair
+    // set is arrival-order independent, so the fixture writes and replays
+    // fully parallel
     t(spark, sfDir, "documents")
       .select(col("doc_id"), col("text"))
-      .repartition(1).sortWithinPartitions("doc_id")
       .write.mode("overwrite").parquet(inDir)
 
     val stream = spark.readStream

@@ -41,10 +41,21 @@ object DedupStreams {
     if (toks.length < n) return Seq.empty
     val shingles = toks.sliding(n).map(_.mkString(" ")).toSet
     val md = MessageDigest.getInstance("MD5")
+    // manual hex encode: the obvious per-byte format-string version costs
+    // 32 boxed format calls per digest — at ~2 md5/shingle × ~10^2
+    // shingles/doc it dominated the signature stage
+    val hexChars = "0123456789abcdef".toCharArray
     def md5hex(s: String): String = {
       md.reset()
-      md.digest(s.getBytes(StandardCharsets.UTF_8))
-        .map(b => f"$b%02x").mkString
+      val d = md.digest(s.getBytes(StandardCharsets.UTF_8))
+      val out = new Array[Char](32)
+      var i = 0
+      while (i < 16) {
+        out(2 * i) = hexChars((d(i) >>> 4) & 0xf)
+        out(2 * i + 1) = hexChars(d(i) & 0xf)
+        i += 1
+      }
+      new String(out)
     }
     val mins = Array.fill[String](total)(null)
     shingles.foreach { sh =>
