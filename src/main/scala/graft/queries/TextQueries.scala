@@ -1071,10 +1071,77 @@ object TextQueries {
       |ORDER BY cnt DESC, gram ASC
       |LIMIT 32""".stripMargin
 
+  /** JSONL ingestion with poison-line quarantine — the crawl-dump format
+    * every large text corpus actually arrives in, where some fraction of
+    * lines is always malformed and a single bad line must cost a ROW, not
+    * a job (the ingestion analog of the media decoders' poison policy).
+    * The fixture round-trips `documents` through a real JSONL file and
+    * plants one truncated-JSON line per 50 docs; the read uses PERMISSIVE
+    * mode with an explicit `columnNameOfCorruptRecord`, so good rows parse
+    * against the declared schema and bad lines land whole in the corrupt
+    * column. Output: per-lang survivor count + char mass (proving the
+    * JSON string round-trip lossless) and a `__corrupt__` row counting
+    * the quarantined lines (proving none were silently dropped OR
+    * silently parsed).
+    *
+    * Scale shape: text write and JSON scan are both partition-parallel,
+    * schema projection reaches the JSON parser (no whole-record
+    * materialization for unused fields), and the two aggregations are
+    * two-phase over lang/constant keys. */
+  def qJsonlIngest(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = new java.io.File(
+      spark.conf.getOption("graft.streamWorkDir")
+        .getOrElse(new java.io.File(sys.props("user.dir"), "target/jsonl_ingest").getAbsolutePath),
+      new java.io.File(sfDir).getName + "_jsonl")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rm))
+      f.delete()
+    }
+    rm(base)
+    val dir = base.getAbsolutePath
+
+    val docs = t(spark, sfDir, "documents").select(col("doc_id"), col("lang"), col("text"))
+    val good = docs.select(
+      to_json(struct(col("doc_id"), col("lang"), col("text"))).as("line"))
+    val bad = docs.filter(col("doc_id") % 50 === 0)
+      .select(concat(lit("{\"doc_id\": "), col("doc_id"), lit(", \"lang\": ")).as("line"))
+    good.unionByName(bad).write.mode("overwrite").text(dir)
+
+    // Spark refuses to query ONLY the corrupt column off a raw JSON scan
+    // (the parser would need the whole record anyway); caching the parsed
+    // result is both the required form and the better plan — one parse
+    // feeds the survivor and quarantine branches
+    val parsed = graft.CacheScope.cached(spark.read
+      .schema("doc_id LONG, lang STRING, text STRING, _corrupt STRING")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt")
+      .json(dir))
+    val goodAgg = parsed.filter(col("_corrupt").isNull)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n"),
+        sum(length(col("text"))).cast("long").as("char_mass"))
+    val corrupt = parsed.filter(col("_corrupt").isNotNull)
+      .agg(count(lit(1)).as("n"))
+      .select(lit("__corrupt__").as("lang"), col("n"), lit(0L).as("char_mass"))
+    goodAgg.unionByName(corrupt).orderBy("lang")
+  }
+
+  /** Oracle: the per-lang stats straight off `documents` (round-trip must
+    * be lossless) plus the planted bad-line count. */
+  val qJsonlIngestSql: String =
+    """SELECT lang, count(*) AS n, CAST(sum(length(text)) AS BIGINT) AS char_mass
+      |FROM documents GROUP BY lang
+      |UNION ALL
+      |SELECT '__corrupt__',
+      |       (SELECT count(*) FROM documents WHERE doc_id % 50 = 0),
+      |       CAST(0 AS BIGINT)
+      |ORDER BY lang""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_image_embed" -> (qImageEmbed _),
     "q_audio_embed" -> (qAudioEmbed _),
     "q_subword_vocab" -> (qSubwordVocab _),
+    "q_jsonl_ingest" -> (qJsonlIngest _),
     "q_pii_redact" -> (qPiiRedact _),
     "q_frame_sample" -> (qFrameSample _),
     "q_temperature_sample" -> (qTemperatureSample _),
@@ -1103,6 +1170,7 @@ object TextQueries {
     "q_image_embed" -> qImageEmbedSql,
     "q_audio_embed" -> qAudioEmbedSql,
     "q_subword_vocab" -> qSubwordVocabSql,
+    "q_jsonl_ingest" -> qJsonlIngestSql,
     "q_pii_redact" -> qPiiRedactSql,
     "q_frame_sample" -> qFrameSampleSql,
     "q_temperature_sample" -> qTemperatureSampleSql,
