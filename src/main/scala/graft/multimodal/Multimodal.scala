@@ -81,14 +81,21 @@ object Multimodal {
       if (img == null) (-1, -1, Array.empty[Float])
       else {
         val w = img.getWidth; val h = img.getHeight
+        // ONE bulk getRGB: the per-pixel call runs a colorspace conversion
+        // per invocation and dominated decode at 50k images (~9× the
+        // embedding arithmetic); the bulk form converts the raster in one
+        // pass and returns identical packed sRGB ints, so the embedding
+        // is bit-unchanged
+        val px = img.getRGB(0, 0, w, h, null, 0, w)
         val sums = new Array[Double](16); val counts = new Array[Long](16)
         var y = 0
         while (y < h) {
           val by = math.min(3, y * 4 / h)
+          val row = y * w
           var x = 0
           while (x < w) {
             val bx = math.min(3, x * 4 / w)
-            val rgb = img.getRGB(x, y)
+            val rgb = px(row + x)
             val lum = 0.299 * ((rgb >> 16) & 0xff) +
               0.587 * ((rgb >> 8) & 0xff) + 0.114 * (rgb & 0xff)
             val b = by * 4 + bx
@@ -115,15 +122,62 @@ object Multimodal {
     * lets [[graft.queries.TextQueries.qAudioEmbed]] put this decoder
     * under the DuckDB oracle. Undecodable payloads quarantine per row
     * like [[ImageIoDecoder]]. */
+  /** The platform's audio codecs, resolved ONCE through the public SPI.
+    * `AudioSystem.getAudioInputStream`/`write` route every call through
+    * `JDK13Services.getProviders`, a synchronized JVM-global method — at
+    * 32 decode threads the lock serializes the whole stage (measured:
+    * MORE threads made 50 k WAV round-trips SLOWER). Loading the same
+    * provider instances (the JDK's WaveFileReader/Writer) via
+    * `ServiceLoader` once and dispatching directly removes the lock while
+    * keeping the identical real codec. Provider instances are stateless;
+    * the lists are immutable after lazy init. On a cluster the lock is
+    * per-executor-JVM anyway — this matters most in fat local JVMs. */
+  private lazy val audioReaders: List[javax.sound.sampled.spi.AudioFileReader] = {
+    val it = java.util.ServiceLoader
+      .load(classOf[javax.sound.sampled.spi.AudioFileReader]).iterator()
+    val b = List.newBuilder[javax.sound.sampled.spi.AudioFileReader]
+    while (it.hasNext) b += it.next()
+    b.result()
+  }
+  private lazy val audioWriters: List[javax.sound.sampled.spi.AudioFileWriter] = {
+    val it = java.util.ServiceLoader
+      .load(classOf[javax.sound.sampled.spi.AudioFileWriter]).iterator()
+    val b = List.newBuilder[javax.sound.sampled.spi.AudioFileWriter]
+    while (it.hasNext) b += it.next()
+    b.result()
+  }
+
   object WavDecoder extends MediaDecoder {
+    /** The provider that last accepted a payload, tried first on the next
+      * call: the SPI contract makes every NON-matching provider reject by
+      * THROWING (UnsupportedAudioFileException), and constructed stack
+      * traces across the 5+ platform providers dominated decode time on a
+      * homogeneous WAV corpus. Benign race — worst case two threads both
+      * store the same winner. */
+    @volatile private var preferred: javax.sound.sampled.spi.AudioFileReader = null
+    private def tryRead(r: javax.sound.sampled.spi.AudioFileReader,
+                        payload: Array[Byte]): javax.sound.sampled.AudioInputStream =
+      try r.getAudioInputStream(new java.io.ByteArrayInputStream(payload))
+      catch {
+        case _: javax.sound.sampled.UnsupportedAudioFileException => null
+        case _: java.io.IOException => null
+      }
     override def decode(mime: String, payload: Array[Byte]): (Int, Int, Array[Float]) = {
-      val in =
-        try javax.sound.sampled.AudioSystem.getAudioInputStream(
-          new java.io.ByteArrayInputStream(payload))
-        catch {
-          case _: javax.sound.sampled.UnsupportedAudioFileException => null
-          case _: java.io.IOException => null
+      // AudioSystem's own dispatch algorithm, minus its global lock:
+      // first provider that accepts the container wins
+      var in: javax.sound.sampled.AudioInputStream = null
+      val pref = preferred
+      if (pref != null) in = tryRead(pref, payload)
+      if (in == null) {
+        val it = audioReaders.iterator
+        while (in == null && it.hasNext) {
+          val r = it.next()
+          if (r ne pref) {
+            in = tryRead(r, payload)
+            if (in != null) preferred = r
+          }
         }
+      }
       if (in == null) (-1, -1, Array.empty[Float])
       else {
         val fmt = in.getFormat
@@ -164,8 +218,12 @@ object Multimodal {
     val ais = new javax.sound.sampled.AudioInputStream(
       new java.io.ByteArrayInputStream(raw), fmt, samples.length.toLong)
     val bos = new java.io.ByteArrayOutputStream()
-    javax.sound.sampled.AudioSystem.write(
-      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    val wave = javax.sound.sampled.AudioFileFormat.Type.WAVE
+    // direct provider dispatch — see audioWriters scaladoc
+    audioWriters.find(_.isFileTypeSupported(wave, ais)) match {
+      case Some(w) => w.write(ais, wave, bos)
+      case None    => javax.sound.sampled.AudioSystem.write(ais, wave, bos)
+    }
     bos.toByteArray
   }
 

@@ -906,22 +906,26 @@ object TextQueries {
   def qImageEmbed(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val W = 48; val H = 32
+    // the id scan is a narrow single-column read — 1-2 partitions at small
+    // SFs — but the codec stage downstream is the expensive part, so fan
+    // the (8-byte) ids out to full parallelism BEFORE encode/decode;
+    // at 100 TB the media scan itself supplies the partitions and this
+    // becomes a no-op-sized shuffle
     val ids = t(spark, sfDir, "documents").select(col("doc_id")).as[Long]
+      .repartition(spark.sparkContext.defaultParallelism)
     val media = ids.mapPartitions { it =>
       javax.imageio.ImageIO.setUseCache(false)
       it.map { id =>
         val img = new java.awt.image.BufferedImage(
           W, H, java.awt.image.BufferedImage.TYPE_INT_RGB)
-        var i = 0; var y = 0
-        while (y < H) {
-          var x = 0
-          while (x < W) {
-            val v = ((id * 31 + i.toLong * 7) % 256).toInt
-            img.setRGB(x, y, (v << 16) | (v << 8) | v)
-            i += 1; x += 1
-          }
-          y += 1
+        val px = new Array[Int](W * H)
+        var i = 0
+        while (i < W * H) {
+          val v = ((id * 31 + i.toLong * 7) % 256).toInt
+          px(i) = (v << 16) | (v << 8) | v
+          i += 1
         }
+        img.setRGB(0, 0, W, H, px, 0, W) // bulk write, same packed ints
         val bos = new java.io.ByteArrayOutputStream()
         javax.imageio.ImageIO.write(img, "png", bos)
         graft.multimodal.Multimodal.MediaRecord(id, "image/png", bos.toByteArray)
@@ -986,7 +990,9 @@ object TextQueries {
   def qAudioEmbed(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val N = 1600
+    // same codec-stage fan-out as qImageEmbed
     val ids = t(spark, sfDir, "documents").select(col("doc_id")).as[Long]
+      .repartition(spark.sparkContext.defaultParallelism)
     val media = ids.mapPartitions { it =>
       it.map { id =>
         val samples = Array.tabulate(N)(i =>

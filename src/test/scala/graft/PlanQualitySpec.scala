@@ -442,11 +442,15 @@ class PlanQualitySpec extends SparkSpec {
     } finally CacheScope.release()
   }
 
-  test("q_image_embed/q_audio_embed: narrow codec map — only the output sort exchanges") {
+  test("q_image_embed/q_audio_embed: codec map partition-local after the id fan-out") {
     for (q <- Seq("q_image_embed", "q_audio_embed")) {
       val p = plan(q)
       val exchanges = p.split("Exchange").length - 1
-      assert(exchanges <= 1, s"$q: encode→decode must stay partition-local:\n$p")
+      // exactly two exchanges: the deliberate 8-byte-id fan-out BEFORE the
+      // codec stage (parallelism must not be capped by the narrow id scan)
+      // and the output sort; the encode→decode map itself never shuffles
+      assert(exchanges <= 2, s"$q: unexpected extra shuffle:\n$p")
+      assert(p.contains("RoundRobinPartitioning"), s"$q: codec fan-out missing:\n$p")
       assert(p.contains("Generate"), s"$q: posexplode missing:\n$p")
       assert(!p.contains("CartesianProduct"), s"$q: unexpected join:\n$p")
     }
