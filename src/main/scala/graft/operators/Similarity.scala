@@ -12,6 +12,15 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  /** Fixed-point quantization of a float vector: vq = floor(v·2^20) as
+    * BIGINT per component. Multiplying a double by a power of two is exact
+    * and floor is engine-identical, so Spark and DuckDB derive the same
+    * integer vectors; all downstream dot/norm/distance math is then exact
+    * integer arithmetic in ANY order (see SimilarityQueries scaladoc for
+    * the bound chain). */
+  def quantize(vec: Column): Column =
+    transform(vec, v => floor(v.cast("double") * 1048576d).cast("long"))
+
   /** Sequential-fold double dot product of two float arrays (HOF — exact
     * left-to-right IEEE, codegen'd). */
   def dot(a: Column, b: Column): Column =
@@ -206,6 +215,95 @@ object Similarity {
     val assignments = emb.select(col(idCol).as("id"),
       assignExpr(centroids).as("cell"))
     (centroids, assignments)
+  }
+
+  /** Quantized-exact IVF index (the oracle-checkable twin of [[ivfIndex]]):
+    * every arithmetic step is integer (or one exactly-rounded double
+    * division), so centroids, assignments and probe results are
+    * bit-identical across engines and partitionings — a DuckDB oracle can
+    * replay the whole index build in SQL.
+    *
+    *  - Seeding: the `nCells` rows with lowest `(id·2654435761) mod 2^32`
+    *    (Knuth multiplicative hash — unlike xxhash64, both engines can
+    *    evaluate it; ids ≤ ~2^34 keep the product < 2^63). Plans as
+    *    TakeOrderedAndProject — distributed per-partition top-k, no global
+    *    sort (same shape contract as [[seedRows]]).
+    *  - Lloyd step: assign to argmin integer squared L2 distance (tie →
+    *    lowest cell; |vq−cq| ≤ 2^21 ⇒ 64-dim sums ≤ 2^48, long-exact);
+    *    new centroid component = floor(sum/n) back on the integer grid —
+    *    the same exact-mean trick qEmbedCentroids proves out (sum ≤ n·2^20
+    *    < 2^53 ⇒ the double division is correctly rounded once). Cells
+    *    that lose all members drop out — identically in both engines.
+    *
+    * Scale shape: centroids stay tiny and broadcast as literals; each
+    * iteration is one narrow assignment pass + one vector-sum UDAF
+    * aggregation whose shuffle carries nCells × dim longs, not rows × dim.
+    * Returns (centroids(cell → quantized vector), assignments(id, cell)).
+    */
+  def ivfIndexQ(emb: DataFrame, idCol: String, vecCol: String,
+                nCells: Int = 16, iters: Int = 2): (Array[(Int, Array[Long])], DataFrame) = {
+    val q = emb.select(col(idCol).as("id"), quantize(col(vecCol)).as("vq"))
+    var centroids: Array[(Int, Array[Long])] = q
+      .orderBy(pmod(col("id") * lit(2654435761L), lit(4294967296L)), col("id"))
+      .limit(nCells)
+      .collect()
+      .zipWithIndex
+      .map { case (r, i) => i -> r.getSeq[Long](1).toArray }
+
+    def assignExpr(cs: Array[(Int, Array[Long])]): Column = {
+      val dists = cs.map { case (cid, c) =>
+        val cArr = array(c.toIndexedSeq.map(lit): _*)
+        struct(aggregate(zip_with(col("vq"), cArr, (x, y) => (x - y) * (x - y)),
+          lit(0L), (acc, x) => acc + x).as("d"), lit(cid).as("cell"))
+      }
+      array_min(array(dists.toIndexedSeq: _*)).getField("cell")
+    }
+
+    val vsum = udaf(graft.functions.VectorSumAggregator)
+    for (_ <- 0 until iters) {
+      val means = q.select(col("vq"), assignExpr(centroids).as("cell"))
+        .groupBy("cell").agg(vsum(col("vq")).as("s"), count(lit(1)).as("n"))
+        .collect()
+        .map { r =>
+          val n = r.getLong(2)
+          r.getInt(0) -> r.getSeq[Long](1).map(s => math.floor(s.toDouble / n).toLong).toArray
+        }
+      if (means.nonEmpty) centroids = means.sortBy(_._1)
+    }
+
+    (centroids, q.select(col("id"), assignExpr(centroids).as("cell")))
+  }
+
+  /** Quantized IVF probe: rank cells by integer distance from the quantized
+    * probe (tie → lowest cell), semi-join the `nProbe` nearest cells'
+    * members, re-rank by quantized-exact cosine. Deterministic and
+    * oracle-replayable end to end. */
+  def ivfTopKQ(emb: DataFrame, idCol: String, vecCol: String,
+               centroids: Array[(Int, Array[Long])], assignments: DataFrame,
+               probeId: Long, k: Int, nProbe: Int = 4): DataFrame = {
+    val probeVec: Array[Long] = emb.filter(col(idCol) === probeId)
+      .select(quantize(col(vecCol))).collect()(0).getSeq[Long](0).toArray
+    val cells = centroids
+      .map { case (cid, c) =>
+        var d = 0L; var i = 0
+        while (i < c.length) { val t = c(i) - probeVec(i); d += t * t; i += 1 }
+        (d, cid)
+      }
+      .sortBy(identity).take(nProbe).map(_._2).toSeq
+    val candidates = assignments.filter(col("cell").isInCollection(cells))
+      .select(col("id").as("__cand"))
+    val pArr = array(probeVec.toIndexedSeq.map(lit): _*)
+    val pNorm = math.sqrt(probeVec.foldLeft(0L)((acc, x) => acc + x * x).toDouble)
+    emb.join(candidates, col(idCol) === col("__cand"), "left_semi")
+      .filter(col(idCol) =!= probeId)
+      .select(col(idCol), quantize(col(vecCol)).as("vq"))
+      .select(col(idCol),
+        (aggregate(zip_with(col("vq"), pArr, (x, y) => x * y),
+          lit(0L), (acc, x) => acc + x).cast("double") /
+          (sqrt(aggregate(zip_with(col("vq"), col("vq"), (x, y) => x * y),
+            lit(0L), (acc, x) => acc + x).cast("double")) * pNorm)).as("cosine"))
+      .orderBy(col("cosine").desc, col(idCol).asc)
+      .limit(k)
   }
 
   /** IVF search: probe the `nProbe` nearest cells only, exact cosine

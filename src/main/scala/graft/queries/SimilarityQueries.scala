@@ -252,17 +252,79 @@ object SimilarityQueries {
     graft.operators.Similarity
       .cosineTopK(t(spark, sfDir, "embeddings"), "vec_id", "embedding", probeId = 0L, k = 5)
 
-  /** IVF index + probe search (no-oracle: centroid means are
-    * order-sensitive double avgs; recall pinned in SimilaritySpec). */
+  /** IVF index + probe search, quantized-exact end to end (graduated from
+    * recall-pinned to hash-oracled in round 8, VERDICT r7 item 8): the
+    * whole index build — multiplicative-hash seeding, 2 integer Lloyd
+    * steps, argmin cell assignment, 4-cell probe, quantized-cosine top-5 —
+    * is replayed by the DuckDB oracle as unrolled CTEs. The float-mean
+    * variant ([[graft.operators.Similarity.ivfIndex]]) remains the
+    * production default; recall equivalence of the two is pinned in
+    * OperatorsSpec. */
   def qAnnIvf(spark: SparkSession, sfDir: String): DataFrame = {
     val emb = t(spark, sfDir, "embeddings")
     val (centroids, assignments) =
-      graft.operators.Similarity.ivfIndex(emb, "vec_id", "embedding", nCells = 16, iters = 2)
+      graft.operators.Similarity.ivfIndexQ(emb, "vec_id", "embedding", nCells = 16, iters = 2)
     // assignments is consumed exactly once by the probe-cell semi-join —
     // caching it would only leak executor memory (VERDICT r2 #5)
     graft.operators.Similarity
-      .ivfTopK(emb, "vec_id", "embedding", centroids, assignments,
+      .ivfTopKQ(emb, "vec_id", "embedding", centroids, assignments,
         probeId = 0L, k = 5, nProbe = 4)
+  }
+
+  /** Oracle: the full quantized IVF build unrolled as CTEs — seeds by
+    * Knuth hash, `IvfIters` Lloyd (assign, floor-mean) rounds, final
+    * assignment, probe-cell top-`IvfNProbe`, quantized cosine top-5.
+    * Every CTE is integer-exact, so this replays ivfIndexQ/ivfTopKQ
+    * bit for bit. */
+  lazy val qAnnIvfSql: String = {
+    val iters = 2
+    val lloyd = (1 to iters).map { i =>
+      s"""d$i AS (
+         |  SELECT f.vec_id, c.cell, CAST(sum((f.vq - c.cq) * (f.vq - c.cq)) AS BIGINT) AS d
+         |  FROM flat f JOIN cent${i - 1} c ON f.pos = c.pos GROUP BY 1, 2),
+         |a$i AS (
+         |  SELECT vec_id, cell FROM d$i
+         |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) = 1),
+         |cent$i AS (
+         |  SELECT a.cell, f.pos,
+         |         CAST(floor(CAST(sum(f.vq) AS DOUBLE) / count(*)) AS BIGINT) AS cq
+         |  FROM a$i a JOIN flat f ON f.vec_id = a.vec_id GROUP BY 1, 2)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $FlatSqlCte,
+       |seeds AS (
+       |  SELECT vec_id,
+       |         CAST(row_number() OVER (ORDER BY (vec_id * 2654435761) % 4294967296, vec_id) - 1 AS INT) AS cell
+       |  FROM embeddings
+       |  QUALIFY row_number() OVER (ORDER BY (vec_id * 2654435761) % 4294967296, vec_id) <= 16),
+       |cent0 AS (SELECT s.cell, f.pos, f.vq AS cq FROM seeds s JOIN flat f ON f.vec_id = s.vec_id),
+       |$lloyd,
+       |dfin AS (
+       |  SELECT f.vec_id, c.cell, CAST(sum((f.vq - c.cq) * (f.vq - c.cq)) AS BIGINT) AS d
+       |  FROM flat f JOIN cent$iters c ON f.pos = c.pos GROUP BY 1, 2),
+       |afin AS (
+       |  SELECT vec_id, cell FROM dfin
+       |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) = 1),
+       |probq AS (SELECT pos, vq FROM flat WHERE vec_id = 0),
+       |pcells AS (
+       |  SELECT c.cell, CAST(sum((q.vq - c.cq) * (q.vq - c.cq)) AS BIGINT) AS d
+       |  FROM cent$iters c JOIN probq q ON q.pos = c.pos GROUP BY 1
+       |  ORDER BY d, cell LIMIT 4),
+       |cand AS (
+       |  SELECT a.vec_id FROM afin a JOIN pcells p ON a.cell = p.cell
+       |  WHERE a.vec_id <> 0),
+       |norms AS (SELECT vec_id, CAST(sum(vq * vq) AS BIGINT) AS norm2 FROM flat GROUP BY 1),
+       |dots AS (
+       |  SELECT f.vec_id, CAST(sum(f.vq * q.vq) AS BIGINT) AS dot
+       |  FROM flat f JOIN probq q ON f.pos = q.pos
+       |  JOIN cand c ON c.vec_id = f.vec_id GROUP BY 1)
+       |SELECT d.vec_id,
+       |       CAST(d.dot AS DOUBLE)
+       |         / (sqrt(CAST(n.norm2 AS DOUBLE)) * sqrt(CAST(qn.qnorm2 AS DOUBLE))) AS cosine
+       |FROM dots d
+       |JOIN norms n ON n.vec_id = d.vec_id
+       |CROSS JOIN (SELECT norm2 AS qnorm2 FROM norms WHERE vec_id = 0) qn
+       |ORDER BY cosine DESC, d.vec_id
+       |LIMIT 5""".stripMargin
   }
 
   /** Per-label centroids + pairwise label cosine — the cluster-summary op
@@ -376,5 +438,6 @@ object SimilarityQueries {
     "q_simsearch" -> qSimsearchSql,
     "q_embed_centroids" -> qEmbedCentroidsSql,
     "q_embed_neardup" -> qEmbedNeardupSql,
-    "q_embed_neardup_rh" -> qEmbedNeardupRhSql)
+    "q_embed_neardup_rh" -> qEmbedNeardupRhSql,
+    "q_ann_ivf" -> qAnnIvfSql)
 }

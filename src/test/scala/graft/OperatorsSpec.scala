@@ -407,6 +407,25 @@ class OperatorsSpec extends SparkSpec {
     assert(ivf.forall(brute.toSet.contains), s"ivf=$ivf brute20=$brute")
   }
 
+  test("quantized IVF (oracle twin): recall vs brute force, and run-to-run determinism") {
+    val (centroids, assignments) =
+      Similarity.ivfIndexQ(emb, "vec_id", "embedding", nCells = 8, iters = 2)
+    assert(centroids.length == 8)
+    val run1 = Similarity.ivfTopKQ(emb, "vec_id", "embedding", centroids, assignments,
+      probeId = 0L, k = 5, nProbe = 4).collect().toSeq
+    assert(run1.size == 5)
+    val brute = Similarity.cosineTopK(emb, "vec_id", "embedding", 0L, 20)
+      .select("vec_id").as[Long].collect().toSet
+    assert(run1.map(_.getLong(0)).forall(brute.contains),
+      s"ivfQ=${run1.map(_.getLong(0))} not within brute top-20")
+    // bit-identical on a fresh index build (integer math ⇒ no partition-order drift)
+    val (c2, a2) = Similarity.ivfIndexQ(emb, "vec_id", "embedding", nCells = 8, iters = 2)
+    assert(centroids.map(_._2.toSeq).toSeq == c2.map(_._2.toSeq).toSeq)
+    val run2 = Similarity.ivfTopKQ(emb, "vec_id", "embedding", c2, a2,
+      probeId = 0L, k = 5, nProbe = 4).collect().toSeq
+    assert(run1 == run2)
+  }
+
   test("lshNearDupPairs is a subset of brute-force pairs above threshold") {
     val pairs = Similarity.lshNearDupPairs(emb, "vec_id", "embedding",
       bits = 8, minCosine = 0.3)
