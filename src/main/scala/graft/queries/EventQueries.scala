@@ -773,7 +773,90 @@ object EventQueries {
       |       string_split(trajectory, '>')[-1] AS last_type
       |FROM t ORDER BY user_id""".stripMargin
 
+  /** Count-min-sketch parameters: d hash rows × w buckets, universal
+    * hashes h_j(k) = ((a_j·k + b_j) mod p) mod w with p = 2^31−1 and fixed
+    * odd multipliers < 2^31 — pure BIGINT arithmetic both engines evaluate
+    * identically (k ≤ ~2^31 keeps a_j·k < 2^62). */
+  private val CmsW = 256
+  private val CmsP = 2147483647L
+  private val CmsA = Array(1686629717L, 1779033703L, 1013904223L, 1540483477L)
+  private val CmsB = Array(12345L, 362437L, 69069L, 2654435769L)
+
+  private def cmsBucket(j: Int, key: Column): Column =
+    pmod(pmod(key * lit(CmsA(j)) + lit(CmsB(j)), lit(CmsP)), lit(CmsW.toLong))
+
+  /** Mergeable count-min sketch: per-day CMS partials over `events.user_id`
+    * merged into one monthly sketch, then heavy-hitter estimates read back
+    * out — the re-aggregatable frequency sketch beside q_hll_merge's
+    * distinct-count sketch, but with FIXED hash functions, so (unlike an
+    * engine-owned sketch) the DuckDB oracle replays it exactly.
+    *
+    * CMS is the sketch a 100 TB pipeline keeps per shard/day: counters are
+    * d×w integers regardless of key cardinality, merge is elementwise sum
+    * (associative and commutative — partition- and day-order free), and a
+    * point estimate is min_j counter[j][h_j(k)], an overestimate by design
+    * (collisions only ever ADD counts; `CmsSpec`-style bound pinned in
+    * QueriesSpec). Output: top-10 users by estimate (tie → user_id) with
+    * their exact counts beside — est ≥ exact always, equality when no
+    * heavier key shares all d buckets.
+    *
+    * Scale shape: the sketch build is one 4×-explode + two-phase agg down
+    * to d·w = 1024 rows (map-side combine absorbs the explode); the merged
+    * sketch broadcasts into the estimate join; distinct-key extraction is
+    * the only real shuffle. At 1000 executors the per-day partials ARE the
+    * shuffle payload — 1024 longs per day, not per row. */
+  def qCmsMerge(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = t(spark, sfDir, "events").select(col("user_id"),
+      date_format(col("ts"), "yyyy-MM-dd").as("day"))
+    val rows = ev.select(col("user_id"), col("day"),
+      explode(array((0 until CmsA.length).map(lit): _*)).as("j"))
+      .withColumn("bucket", when(col("j") === 0, cmsBucket(0, col("user_id")))
+        .when(col("j") === 1, cmsBucket(1, col("user_id")))
+        .when(col("j") === 2, cmsBucket(2, col("user_id")))
+        .otherwise(cmsBucket(3, col("user_id"))))
+    // per-day partials, then the elementwise-sum merge — two aggs, the
+    // second over at most days × d × w rows
+    val daily = rows.groupBy("day", "j", "bucket").agg(count(lit(1)).as("cnt"))
+    val merged = daily.groupBy("j", "bucket").agg(sum(col("cnt")).as("cnt"))
+    val users = ev.groupBy("user_id").agg(count(lit(1)).as("exact"))
+    val keyed = users.select(col("user_id"), col("exact"),
+      explode(array((0 until CmsA.length).map(lit): _*)).as("j"))
+      .withColumn("bucket", when(col("j") === 0, cmsBucket(0, col("user_id")))
+        .when(col("j") === 1, cmsBucket(1, col("user_id")))
+        .when(col("j") === 2, cmsBucket(2, col("user_id")))
+        .otherwise(cmsBucket(3, col("user_id"))))
+    keyed.join(broadcast(merged), Seq("j", "bucket"))
+      .groupBy("user_id").agg(min(col("cnt")).as("est"), min(col("exact")).as("exact"))
+      .orderBy(col("est").desc, col("user_id").asc)
+      .limit(10)
+  }
+
+  lazy val qCmsMergeSql: String = {
+    val hash = (j: Int) =>
+      s"((user_id * ${CmsA(j)} + ${CmsB(j)}) % $CmsP) % $CmsW"
+    val jCases = (0 until CmsA.length).map(j =>
+      s"WHEN ${j} THEN ${hash(j)}").mkString(" ")
+    s"""WITH rows_j AS (
+       |  SELECT user_id, strftime(ts, '%Y-%m-%d') AS day, j.j AS j,
+       |         CASE j.j $jCases END AS bucket
+       |  FROM events, (SELECT unnest(generate_series(0, ${CmsA.length - 1})) AS j) j),
+       |daily AS (SELECT day, j, bucket, count(*) AS cnt FROM rows_j GROUP BY 1, 2, 3),
+       |merged AS (SELECT j, bucket, CAST(sum(cnt) AS BIGINT) AS cnt FROM daily GROUP BY 1, 2),
+       |users AS (SELECT user_id, count(*) AS exact FROM events GROUP BY 1),
+       |keyed AS (
+       |  SELECT u.user_id, u.exact, j.j AS j,
+       |         CASE j.j $jCases END AS bucket
+       |  FROM users u, (SELECT unnest(generate_series(0, ${CmsA.length - 1})) AS j) j)
+       |SELECT k.user_id, CAST(min(m.cnt) AS BIGINT) AS est,
+       |       CAST(min(k.exact) AS BIGINT) AS exact
+       |FROM keyed k JOIN merged m ON m.j = k.j AND m.bucket = k.bucket
+       |GROUP BY k.user_id
+       |ORDER BY est DESC, user_id ASC
+       |LIMIT 10""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_cms_merge" -> (qCmsMerge _),
     "q_trajectory" -> (qTrajectory _),
     "q_scd2" -> (qScd2 _),
     "q_anomaly_mad" -> (qAnomalyMad _),
@@ -799,6 +882,7 @@ object EventQueries {
     "q_resample" -> (qResample _))
 
   val oracles: Map[String, String] = Map(
+    "q_cms_merge" -> qCmsMergeSql,
     "q_trajectory" -> qTrajectorySql,
     "q_scd2" -> qScd2Sql,
     "q_anomaly_mad" -> qAnomalyMadSql,

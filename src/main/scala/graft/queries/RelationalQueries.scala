@@ -884,7 +884,54 @@ object RelationalQueries {
       |HAVING sum(n) > 0
       |ORDER BY level, nation, segment""".stripMargin
 
+  /** ORC sink + source roundtrip with partition pruning: lineitem written
+    * as ORC partitioned by `l_returnflag`, read back with a partition
+    * filter, aggregated — beside the TSV/JSONL/parquet paths this covers
+    * the remaining first-class columnar format a lakehouse actually mixes.
+    * The read must prune to the single `l_returnflag=R` directory (pinned
+    * by a plan-shape assertion in QueriesSpec — pruning is a directory
+    * LISTING property, so it holds at any scale), and the partition column
+    * round-trips through the directory name, exercising Spark's
+    * partition-discovery path, not just the file codec.
+    *
+    * Oracle reads the same aggregate straight off the parquet: the ORC hop
+    * must be lossless for every column type involved (double, string,
+    * timestamp-derived group key). */
+  def qOrcRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = new java.io.File(
+      spark.conf.getOption("graft.streamWorkDir")
+        .getOrElse(new java.io.File(sys.props("user.dir"), "target/orc_roundtrip").getAbsolutePath),
+      new java.io.File(sfDir).getName + "_orc")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rm))
+      f.delete()
+    }
+    rm(base)
+    val dir = base.getAbsolutePath
+    t(spark, sfDir, "lineitem")
+      .select("l_orderkey", "l_linenumber", "l_returnflag", "l_linestatus",
+        "l_quantity", "l_extendedprice")
+      .write.partitionBy("l_returnflag").orc(dir)
+    spark.read.orc(dir)
+      .filter(col("l_returnflag") === "R")
+      .groupBy("l_linestatus")
+      .agg(count(lit(1)).as("cnt"),
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_price"))
+      .orderBy("l_linestatus")
+  }
+
+  val qOrcRoundtripSql: String =
+    """SELECT l_linestatus, count(*) AS cnt,
+      |       CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DECIMAL(28,6)) AS DOUBLE) AS sum_qty,
+      |       CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DECIMAL(28,6)) AS DOUBLE) AS sum_price
+      |FROM lineitem
+      |WHERE l_returnflag = 'R'
+      |GROUP BY l_linestatus
+      |ORDER BY l_linestatus""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_orc_roundtrip" -> (qOrcRoundtrip _),
     "q_k_anonymity" -> (qKAnonymity _),
     "q_bloom_prune" -> (qBloomPrune _),
     "q_audit_constraints" -> (qAuditConstraints _),
@@ -916,6 +963,7 @@ object RelationalQueries {
     "q_winsorize" -> (qWinsorize _))
 
   val oracles: Map[String, String] = Map(
+    "q_orc_roundtrip" -> qOrcRoundtripSql,
     "q_k_anonymity" -> qKAnonymitySql,
     "q_bloom_prune" -> qBloomPruneSql,
     "q_audit_constraints" -> qAuditConstraintsSql,

