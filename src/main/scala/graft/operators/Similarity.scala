@@ -138,11 +138,15 @@ object Similarity {
       signBits(v, bits + (level - 1) * 4, bits + level * 4))
     val b0 = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
       mkBucket(col(vecCol)).as("bucket"))
+    // norm once per row: each vector appears in ~bucket-size pairs, so the
+    // per-pair formulation recomputes 2 of its 3 array folds bucket-size
+    // times over
     val b = deepenBuckets(b0, "bucket", maxBucketSize)(l => mkExtend(col("v"), l))
+      .withColumn("nrm", norm(col("v")))
     b.as("a").join(b.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
       .select(col("a.id").as("v1"), col("b.id").as("v2"),
-        cosine(col("a.v"), col("b.v")).as("cosine"))
+        (dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm"))).as("cosine"))
       .filter(col("cosine") >= minCosine)
   }
 
@@ -253,8 +257,8 @@ object Similarity {
     def assignExpr(cs: Array[(Int, Array[Long])]): Column = {
       val dists = cs.map { case (cid, c) =>
         val cArr = array(c.toIndexedSeq.map(lit): _*)
-        struct(aggregate(zip_with(col("vq"), cArr, (x, y) => (x - y) * (x - y)),
-          lit(0L), (acc, x) => acc + x).as("d"), lit(cid).as("cell"))
+        struct(graft.plans.VectorExpressions.longDist2(col("vq"), cArr).as("d"),
+          lit(cid).as("cell"))
       }
       array_min(array(dists.toIndexedSeq: _*)).getField("cell")
     }
@@ -298,10 +302,9 @@ object Similarity {
       .filter(col(idCol) =!= probeId)
       .select(col(idCol), quantize(col(vecCol)).as("vq"))
       .select(col(idCol),
-        (aggregate(zip_with(col("vq"), pArr, (x, y) => x * y),
-          lit(0L), (acc, x) => acc + x).cast("double") /
-          (sqrt(aggregate(zip_with(col("vq"), col("vq"), (x, y) => x * y),
-            lit(0L), (acc, x) => acc + x).cast("double")) * pNorm)).as("cosine"))
+        (graft.plans.VectorExpressions.longDot(col("vq"), pArr).cast("double") /
+          (sqrt(graft.plans.VectorExpressions.longDot(col("vq"), col("vq"))
+            .cast("double")) * pNorm)).as("cosine"))
       .orderBy(col("cosine").desc, col(idCol).asc)
       .limit(k)
   }

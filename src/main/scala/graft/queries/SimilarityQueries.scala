@@ -39,11 +39,12 @@ object SimilarityQueries {
   private def quantArr(emb: Column): Column =
     transform(emb, v => floor(v.cast("double") * 1048576d).cast("long"))
 
-  /** Exact integer fold: sum of element products of two quantized arrays.
-    * Integer addition is associative, so this equals the oracle's
-    * explode+SUM bit-for-bit. */
+  /** Exact integer dot of two quantized arrays — the fused native kernel
+    * ([[graft.plans.VectorExpressions.longDot]]; no intermediate zip_with
+    * array). Integer addition is associative, so this equals the oracle's
+    * explode+SUM bit-for-bit (HOF-equivalence pinned in OperatorsSpec). */
   private def qdot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+    graft.plans.VectorExpressions.longDot(a, b)
 
   /** Top-5 cosine neighbors of vec_id 0 (quantized-exact): ONE narrow pass —
     * quantize, fold dot/norms per row against the broadcast probe, top-k.
@@ -104,17 +105,20 @@ object SimilarityQueries {
     * bucket population by a constant. No oracle-SF bucket exceeds the cap
     * (max 16 at sf0.1), so the static-bucket oracle stays bit-identical. */
   def qEmbedNeardup(spark: SparkSession, sfDir: String): DataFrame = {
+    // norm once per ROW before the self-join: a vector in a B-member
+    // bucket appears in ~B pairs, so per-pair norm recompute costs B× the
+    // work (and 2 of the 3 dot folds per pair) for the same integers
     val emb = graft.operators.Similarity.deepenBuckets(
       t(spark, sfDir, "embeddings")
         .select(col("vec_id"), quantArr(col("embedding")).as("vq"),
           signBucket(col("embedding")).as("bucket")),
       "bucket")(l => signExtQ(col("vq"), 8 + (l - 1) * 4, 8 + l * 4))
+      .withColumn("nrm", sqrt(qdot(col("vq"), col("vq")).cast("double")))
     emb.as("a").join(emb.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("v1"), col("b.vec_id").as("v2"),
         (qdot(col("a.vq"), col("b.vq")).cast("double") /
-          (sqrt(qdot(col("a.vq"), col("a.vq")).cast("double")) *
-            sqrt(qdot(col("b.vq"), col("b.vq")).cast("double")))).as("cosine"))
+          (col("a.nrm") * col("b.nrm"))).as("cosine"))
       .filter(col("cosine") >= 0.3)
       .orderBy("v1", "v2")
   }
@@ -178,8 +182,7 @@ object SimilarityQueries {
   private def rhSigns(vq: Column, planes: Seq[Array[Long]]): Column =
     concat(planes.map { p =>
       val pArr = array(p.toIndexedSeq.map(lit): _*)
-      when(aggregate(zip_with(vq, pArr, (x, w) => x * w),
-        lit(0L), (acc, x) => acc + x) >= 0L, lit("+")).otherwise(lit("-"))
+      when(qdot(vq, pArr) >= 0L, lit("+")).otherwise(lit("-"))
     }: _*)
 
   private def rhBucket(vq: Column): Column = rhSigns(vq, rhPlanesQ.toIndexedSeq)
@@ -196,12 +199,12 @@ object SimilarityQueries {
         .withColumn("bucket", rhBucket(col("vq"))),
       "bucket", maxLevels = 4)(l =>
       rhSigns(col("vq"), rhPlanesAllQ.slice(8 + (l - 1) * 4, 8 + l * 4).toIndexedSeq))
+      .withColumn("nrm", sqrt(qdot(col("vq"), col("vq")).cast("double")))
     emb.as("a").join(emb.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("v1"), col("b.vec_id").as("v2"),
         (qdot(col("a.vq"), col("b.vq")).cast("double") /
-          (sqrt(qdot(col("a.vq"), col("a.vq")).cast("double")) *
-            sqrt(qdot(col("b.vq"), col("b.vq")).cast("double")))).as("cosine"))
+          (col("a.nrm") * col("b.nrm"))).as("cosine"))
       .filter(col("cosine") >= 0.3)
       .orderBy("v1", "v2")
   }

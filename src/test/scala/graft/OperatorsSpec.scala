@@ -407,6 +407,23 @@ class OperatorsSpec extends SparkSpec {
     assert(ivf.forall(brute.toSet.contains), s"ivf=$ivf brute20=$brute")
   }
 
+  test("native longDot/longDist2 kernels equal the HOF zip_with+aggregate forms") {
+    import org.apache.spark.sql.functions._
+    val vq = Similarity.quantize(col("embedding"))
+    val shifted = org.apache.spark.sql.functions.transform(vq, x => x + 1L)
+    val rows = emb.select(
+      graft.plans.VectorExpressions.longDot(vq, shifted).as("fused_dot"),
+      aggregate(zip_with(vq, shifted, (x, y) => x * y), lit(0L), (a, x) => a + x).as("hof_dot"),
+      graft.plans.VectorExpressions.longDist2(vq, shifted).as("fused_d2"),
+      aggregate(zip_with(vq, shifted, (x, y) => (x - y) * (x - y)),
+        lit(0L), (a, x) => a + x).as("hof_d2"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getLong(0) == r.getLong(1), s"dot mismatch: $r")
+      assert(r.getLong(2) == r.getLong(3), s"dist2 mismatch: $r")
+    }
+  }
+
   test("quantized IVF (oracle twin): recall vs brute force, and run-to-run determinism") {
     val (centroids, assignments) =
       Similarity.ivfIndexQ(emb, "vec_id", "embedding", nCells = 8, iters = 2)
