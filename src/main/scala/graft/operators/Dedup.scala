@@ -579,7 +579,13 @@ object Dedup {
     * (any pair within Hamming distance 3 must — pigeonhole), then exact
     * Hamming ≤ maxHamming via bit_count(xor). Bucket equi-join shape —
     * never all-pairs, the same candidate-generation scale story as MinHash
-    * banding.
+    * banding, including the same hot-bucket cap: a (blk, key) bucket with
+    * more than `maxBucketSize` members (templated boilerplate surviving
+    * exact dedup collapses to identical simhashes → degenerate buckets)
+    * would emit B² pre-filter pairs, so such buckets are removed via one
+    * linear count + broadcast anti-join, exactly the
+    * [[minhashFromSignatures]] pattern. Default is far above test corpus
+    * densities, so oracles are bit-identical.
     *
     * `portable = true` (default) uses the md5-family [[simhash60]] with
     * 4×15-bit blocks (DuckDB-oracle-checkable, `q_simhash_pairs`);
@@ -588,18 +594,27 @@ object Dedup {
     * tokens are excluded (an empty doc's simhash is 0, which would bucket
     * all empty docs together; the oracle's unnest drops them naturally). */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-                   maxHamming: Int = 3, portable: Boolean = true): DataFrame = {
+                   maxHamming: Int = 3, portable: Boolean = true,
+                   maxBucketSize: Int = DefaultMaxBandBucket): DataFrame = {
     val (shCol, blockBits) =
       if (portable) (simhash60(col(textCol)), 15) else (simhash64(col(textCol)), 16)
     val blockMask = (1L << blockBits) - 1
     val sh = df.filter(size(tokens(col(textCol))) > 0)
       .select(col(idCol).as("id"), shCol.as("sh"))
-    val blocks = sh.select(col("id"), col("sh"),
+    val raw = sh.select(col("id"), col("sh"),
         explode(array((0 until 4).map(b =>
           struct(lit(b).as("blk"),
             shiftrightunsigned(col("sh"), b * blockBits).bitwiseAND(lit(blockMask)).as("key"))): _*)).as("bk"))
       .select(col("id"), col("sh"), col("bk.blk").as("blk"), col("bk.key").as("key"))
-    graft.CacheScope.cached(blocks)
+    graft.CacheScope.cached(raw)
+    val blocks =
+      if (maxBucketSize <= 0) raw
+      else {
+        val hot = raw.groupBy(col("blk"), col("key"))
+          .agg(count(lit(1)).as("__n")).filter(col("__n") > maxBucketSize)
+          .select(col("blk"), col("key"))
+        raw.join(broadcast(hot), Seq("blk", "key"), "left_anti")
+      }
     blocks.as("a").join(blocks.as("b"),
         col("a.blk") === col("b.blk") && col("a.key") === col("b.key") &&
           col("a.id") < col("b.id"))

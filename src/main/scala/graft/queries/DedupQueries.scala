@@ -250,8 +250,10 @@ object DedupQueries {
     * integer/quantized, so the whole calibration table is oracle-exact.
     *
     * Scale shape: signatures and candidates reuse ONE cached shingle set;
-    * the exact-Jaccard side is the inverted-index equi-join (DF-capped at
-    * corpus scale), never all-pairs. */
+    * the exact-intersection count is CANDIDATE-RESTRICTED — the cached LSH
+    * pair set joins through the shingle inverted index on (doc, shingle),
+    * the same shape as `Dedup.verifiedNearDupPairs` and this query's own
+    * oracle `cinter` CTE — never an all-co-shingle self-join. */
   def qMinhashEst(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.functions._
     val Dedup = graft.operators.Dedup
@@ -260,14 +262,17 @@ object DedupQueries {
     // ONE cached signature table feeds both the banding join and the
     // per-position match count — the 16-way min aggregation runs once
     val sig = graft.CacheScope.cached(Dedup.minhashSignatures(sh))
-    val cand = Dedup.minhashFromSignatures(sig)
+    // cached: the candidate pair set feeds both the intersection count
+    // and the final calibration join
+    val cand = graft.CacheScope.cached(Dedup.minhashFromSignatures(sig))
     val sa = sig.toDF(sig.columns.map(c => if (c == "id") "d1" else s"a_$c").toIndexedSeq: _*)
     val sb = sig.toDF(sig.columns.map(c => if (c == "id") "d2" else s"b_$c").toIndexedSeq: _*)
     val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("sz"))
     val hashed = sh.select(col("id"), xxhash64(col("sh")).as("h"))
-    val inter = hashed.as("x").join(hashed.as("y"),
-        col("x.h") === col("y.h") && col("x.id") < col("y.id"))
-      .groupBy(col("x.id").as("d1"), col("y.id").as("d2"))
+    val inter = cand.select(col("d1"), col("d2"))
+      .join(hashed.select(col("id").as("d1"), col("h")), "d1")
+      .join(hashed.select(col("id").as("d2"), col("h")), Seq("d2", "h"))
+      .groupBy(col("d1"), col("d2"))
       .agg(count(lit(1)).as("inter"))
     val nMatch = (0 until 16)
       .map(j => when(col(s"a_h$j") === col(s"b_h$j"), 1).otherwise(0))

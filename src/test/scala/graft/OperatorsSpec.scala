@@ -264,6 +264,26 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("simhashPairs hot-bucket cap drops degenerate cliques, keeps planted pairs") {
+    val base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa " * 5).trim
+    val near = base.split(" ").reverse.mkString(" ") // permutation: Hamming 0
+    // 50 byte-identical templated docs: identical simhash, all 4 block
+    // buckets degenerate with population 50 — the post-exact-dedup
+    // boilerplate scenario the cap exists for
+    val boiler = "identical template boilerplate row that slipped past exact dedup"
+    val rows = Seq((1L, base), (2L, near)) ++ (10L until 60L).map(i => (i, boiler))
+    val df = rows.toDF("doc_id", "text")
+    val capped = Dedup.simhashPairs(df, "doc_id", "text", maxBucketSize = 8)
+      .select("d1", "d2").as[(Long, Long)].collect().toSet
+    assert(capped == Set((1L, 2L)), s"cap should keep only the planted pair: $capped")
+    // uncapped: the clique contributes C(50,2) = 1225 pairs
+    val uncapped = Dedup.simhashPairs(df, "doc_id", "text", maxBucketSize = 0).count()
+    assert(uncapped == 1225L + 1L, s"uncapped clique pair count: $uncapped")
+    // default cap is far above any test-corpus density: identical output
+    assert(Dedup.simhashPairs(df, "doc_id", "text").count() == uncapped)
+    CacheScope.release()
+  }
+
   test("hot-shingle DF cap bounds join fan-out without changing cold pairs") {
     // 20 docs all sharing one boilerplate tail (a hot shingle source) plus
     // two planted near-dups that also overlap in their distinctive heads

@@ -616,4 +616,24 @@ class PlanQualitySpec extends SparkSpec {
     // the only join is the final 32-row totals-heads equi-join
     assert(!p.contains("CartesianProduct"), s"unexpected cartesian:\n$p")
   }
+
+  test("q_minhash_est: exact-intersection subtree is candidate-keyed (no shingle self-join)") {
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    import org.apache.spark.sql.catalyst.expressions.{AttributeReference, LessThan}
+    // The only pair-enumerating (id < id) join in this query is the LSH
+    // band join, which lives inside the cached candidate set; the outer
+    // plan must contain NO id<id join — an uncapped co-shingle self-join
+    // (the pre-r9 shape, quadratic in shingle DF) would reintroduce one.
+    val df = SparkEntry.queries("q_minhash_est")(spark, TestSpark.Sf0001)
+    val selfJoins = df.queryExecution.optimizedPlan.collect {
+      case j: Join if j.condition.exists(_.exists {
+        case LessThan(a: AttributeReference, b: AttributeReference) =>
+          a.name == "id" && b.name == "id"
+        case _ => false
+      }) => j
+    }
+    assert(selfJoins.isEmpty,
+      s"pair-enumerating id<id join outside the candidate set:\n${selfJoins.mkString("\n")}")
+    graft.CacheScope.release()
+  }
 }
