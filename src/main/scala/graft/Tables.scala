@@ -34,13 +34,22 @@ object Tables {
       //    wall clock — and every date_format/window oracle — is unchanged).
       //  - MICROS adjusted to UTC: already TimestampType; cast is a no-op.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val raw = spark.read.parquet(s"$sfDir/$name.parquet")
-      raw.schema("ts").dataType match {
-        case LongType => raw.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
-        case _        => raw.withColumn("ts", col("ts").cast(TimestampType))
-      }
+      normalizeEventTs(spark.read.parquet(s"$sfDir/$name.parquet"))
     } else {
       spark.read.parquet(s"$sfDir/$name.parquet")
+    }
+
+  /** The ONE code site for the events-`ts` encoding branch, shared by the
+    * batch load ([[t]]) and the streaming source
+    * (`graft.streaming.EventStreams.readEventStream`): a nanos Long (the
+    * NANOS fixture under the legacy flag) is integer-truncated to micros;
+    * anything else (NTZ or UTC micros) is cast to the session timestamp
+    * type. Caller must have set `spark.sql.legacy.parquet.nanosAsLong`
+    * before reading the schema. */
+  def normalizeEventTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case LongType => df.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      case _        => df.withColumn("ts", col("ts").cast(TimestampType))
     }
 
   /** DECIMAL(18,6) entry cast for double measures (TPC-H-ish magnitudes). */

@@ -26,21 +26,17 @@ object EventStreams {
     * under the legacy flag) and TIMESTAMP(MICROS) (→ TIMESTAMP_NTZ), so
     * the schema is sniffed from the parquet footer with a plan-time batch
     * read (footer-only — no data pages are scanned) instead of being
-    * hard-coded; the normalization branch then mirrors Tables.t exactly.
+    * hard-coded; normalization is the shared [[graft.Tables.normalizeEventTs]].
     */
   def readEventStream(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val sniffed = spark.read.parquet(s"$sfDir/events.parquet").schema
     // the streaming file source wants a directory: point it at sfDir and
     // glob-filter to the events file
-    val stream = spark.readStream
+    graft.Tables.normalizeEventTs(spark.readStream
       .schema(sniffed)
       .option("pathGlobFilter", "events.parquet")
-      .parquet(sfDir)
-    sniffed("ts").dataType match {
-      case LongType => stream.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
-      case _        => stream.withColumn("ts", col("ts").cast(TimestampType))
-    }
+      .parquet(sfDir))
   }
 
   /** Tumbling 1-hour event-time counts — identical aggregation to
