@@ -364,7 +364,7 @@ object PipelineQueries {
       Window.unboundedPreceding, Window.unboundedFollowing)
     t(spark, sfDir, "documents")
       .groupBy(col("source"))
-      .agg(sum(size(tokens(col("text"))).cast("long")).as("n_tokens"))
+      .agg(sum(TextQueries.bpeTokenCount(col("text"))).cast("long").as("n_tokens"))
       .withColumn("w_pm",
         lit(20L) + lit(8L) * substring(col("source"), 4, 10).cast("long"))
       .withColumn("w_total", sum(col("w_pm")).over(wAll))
@@ -379,9 +379,9 @@ object PipelineQueries {
   }
 
   val qMixturePlanSql: String =
-    """WITH src AS (
+    s"""WITH src AS (
       |  SELECT source,
-      |         CAST(sum(len(list_filter(string_split(text, ' '), t -> t <> ''))) AS BIGINT) AS n_tokens,
+      |         CAST(sum(${TextQueries.bpeTokenCountSql("text")}) AS BIGINT) AS n_tokens,
       |         20 + 8 * CAST(substr(source, 4) AS BIGINT) AS w_pm
       |  FROM documents GROUP BY source),
       |tot AS (

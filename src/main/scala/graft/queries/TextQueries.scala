@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables._
@@ -415,6 +415,10 @@ object TextQueries {
     * token offset, i.e. greedy concat-and-cut, the packing LLM data loaders
     * actually use (not NP-hard bin packing).
     *
+    * Token budget is the REAL tokenizer count ([[bpeTokenCount]] under the
+    * frozen [[BpeMerges]] table, row-local), not a whitespace proxy — the
+    * packer sees the same counts the training loader will.
+    *
     * Scale shape: GLOBAL sequential packing is inherently serial, so the
     * corpus is sharded (doc_id % 32 — deterministic, engine-portable) and
     * packed WITHIN shards: the running-offset window partitions by shard,
@@ -424,7 +428,7 @@ object TextQueries {
     val capacity = 2048L
     val docs = t(spark, sfDir, "documents")
       .select(col("doc_id"),
-        size(tokens(col("text"))).cast("long").as("n_tokens"),
+        bpeTokenCount(col("text")).as("n_tokens"),
         pmod(col("doc_id"), lit(32L)).as("shard"))
     val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
     docs
@@ -439,9 +443,9 @@ object TextQueries {
   }
 
   val qPackSequencesSql: String =
-    """WITH sized AS (
+    s"""WITH sized AS (
       |  SELECT doc_id,
-      |         len(list_filter(string_split(text, ' '), t -> t <> '')) AS n_tokens,
+      |         CAST(${bpeTokenCountSql("text")} AS BIGINT) AS n_tokens,
       |         doc_id % 32 AS shard
       |  FROM documents),
       |offs AS (
@@ -1077,6 +1081,104 @@ object TextQueries {
       |ORDER BY cnt DESC, gram ASC
       |LIMIT 32""".stripMargin
 
+  /** The 16-merge BPE table trained offline on the sf0.01 `documents`
+    * corpus (classic pair-frequency loop, ties broken lexicographically) —
+    * the "train once, freeze, apply everywhere" artifact a real pipeline
+    * ships. Rank order is load-bearing: each merge's parts are single
+    * chars or outputs of strictly earlier merges (the training invariant),
+    * which is what makes sequential in-order application equivalent to
+    * greedy lowest-rank BPE apply. */
+  // lazy: earlier-declared oracle vals (qPackSequencesSql) splice the
+  // merge table during object init, before this declaration is reached
+  private[queries] lazy val BpeMerges: Seq[(String, String)] = Seq(
+    "e" -> "r", "i" -> "n", "o" -> "w", "o" -> "r",
+    "s" -> "t", "m" -> "er", "a" -> "t", "l" -> "u",
+    "a" -> "r", "p" -> "ar", "j" -> "o", "jo" -> "in",
+    "a" -> "s", "as" -> "h", "h" -> "ash", "r" -> "ow")
+
+  /** BPE-apply over the corpus: the data-parallel tokenizer pass a
+    * training pipeline runs per document once a merge table is frozen —
+    * the step [[qSubwordVocab]]'s candidate statistics feed. Each word is
+    * exploded to boundary-delimited characters (`|a|b|c|`) and the fixed
+    * merge table is applied IN RANK ORDER as plain string replaces:
+    * `replace(s, "|a|b|", "|ab|")` merges every adjacent (a,b) token pair
+    * left-to-right non-overlapping — exactly BPE's leftmost-first merge —
+    * and the explicit `|` boundaries make a token-prefix collision with a
+    * neighbouring token impossible. Output: per-token corpus count and
+    * document frequency, the real token-count table that replaces the
+    * whitespace proxy in packing/mixture planning.
+    *
+    * Scale shape: the merge table rides in the plan as 16 literal replace
+    * nodes (constant-folded, smaller than any broadcast; the broadcast
+    * degenerates to codegen constants) so the whole encode is ROW-LOCAL
+    * inside the scan's codegen span — no join, no UDF; the only shuffles
+    * are the two-phase count + distinct-doc aggregation on a token key
+    * space bounded by |alphabet| + 16 merges. */
+  /** BPE token array of one lowercase word under [[BpeMerges]] — pure
+    * Column expression (string replaces on a boundary-delimited char
+    * string), row-local, no UDF. */
+  private[graft] def bpeTokens(w: Column): Column = {
+    val sepd = concat(lit("|"), array_join(split(w, ""), "|"), lit("|"))
+    val encoded = BpeMerges.foldLeft(sepd) { case (s, (a, b)) =>
+      replace(s, lit(s"|$a|$b|"), lit(s"|$a$b|"))
+    }
+    filter(split(encoded, "\\|"), tk => tk =!= "")
+  }
+
+  /** Per-document BPE token count under the frozen [[BpeMerges]] table —
+    * row-local (array fold over the doc's words, each word encoded by
+    * [[bpeTokens]]), the REAL token budget a packer/mixture planner needs
+    * instead of the whitespace proxy. Counts every non-empty whitespace
+    * word (no alphabetic filter: a non-alpha word still tokenizes, its
+    * chars just never merge). */
+  private[graft] def bpeTokenCount(text: Column): Column =
+    aggregate(
+      filter(split(lower(text), "\\s+"), w => w =!= ""),
+      lit(0L),
+      (acc, w) => acc + size(bpeTokens(w)).cast("long"))
+
+  /** DuckDB replay of [[bpeTokenCount]] over a text expression. */
+  private[queries] def bpeTokenCountSql(textExpr: String): String = {
+    val enc = BpeMerges.foldLeft(
+      "'|' || array_to_string(string_split(w, ''), '|') || '|'") {
+      case (e, (a, b)) => s"replace($e, '|$a|$b|', '|$a$b|')"
+    }
+    s"COALESCE(list_sum(list_transform(" +
+      s"list_filter(string_split_regex(lower($textExpr), '\\s+'), w -> w <> ''), " +
+      s"w -> len(list_filter(string_split($enc, '|'), t -> t <> '')))), 0)"
+  }
+
+  def qBpeEncode(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "documents")
+      .select(col("doc_id"), explode(split(lower(col("text")), "\\s+")).as("w"))
+      .filter(col("w").rlike("^[a-z]+$"))
+      .select(col("doc_id"), explode(bpeTokens(col("w"))).as("tok"))
+      .groupBy("tok")
+      .agg(count(lit(1)).as("cnt"), countDistinct(col("doc_id")).as("df"))
+      .orderBy(col("cnt").desc, col("tok").asc)
+
+  val qBpeEncodeSql: String = {
+    val enc = BpeMerges.foldLeft("s") { case (e, (a, b)) =>
+      s"replace($e, '|$a|$b|', '|$a$b|')"
+    }
+    s"""WITH words AS (
+       |  SELECT d.doc_id, lower(t.w) AS w
+       |  FROM documents d,
+       |       unnest(string_split_regex(d.text, '\\s+')) AS t(w)
+       |  WHERE regexp_matches(lower(t.w), '^[a-z]+$$')),
+       |sepd AS (
+       |  SELECT doc_id,
+       |         '|' || array_to_string(string_split(w, ''), '|') || '|' AS s
+       |  FROM words),
+       |toks AS (
+       |  SELECT sepd.doc_id, t.tok
+       |  FROM sepd, unnest(string_split($enc, '|')) AS t(tok)
+       |  WHERE t.tok <> '')
+       |SELECT tok, count(*) AS cnt, count(DISTINCT doc_id) AS df
+       |FROM toks GROUP BY tok
+       |ORDER BY cnt DESC, tok ASC""".stripMargin
+  }
+
   /** JSONL ingestion with poison-line quarantine — the crawl-dump format
     * every large text corpus actually arrives in, where some fraction of
     * lines is always malformed and a single bad line must cost a ROW, not
@@ -1147,6 +1249,7 @@ object TextQueries {
     "q_image_embed" -> (qImageEmbed _),
     "q_audio_embed" -> (qAudioEmbed _),
     "q_subword_vocab" -> (qSubwordVocab _),
+    "q_bpe_encode" -> (qBpeEncode _),
     "q_jsonl_ingest" -> (qJsonlIngest _),
     "q_pii_redact" -> (qPiiRedact _),
     "q_frame_sample" -> (qFrameSample _),
@@ -1176,6 +1279,7 @@ object TextQueries {
     "q_image_embed" -> qImageEmbedSql,
     "q_audio_embed" -> qAudioEmbedSql,
     "q_subword_vocab" -> qSubwordVocabSql,
+    "q_bpe_encode" -> qBpeEncodeSql,
     "q_jsonl_ingest" -> qJsonlIngestSql,
     "q_pii_redact" -> qPiiRedactSql,
     "q_frame_sample" -> qFrameSampleSql,

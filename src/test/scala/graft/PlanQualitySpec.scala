@@ -617,6 +617,19 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"unexpected cartesian:\n$p")
   }
 
+  test("q_bpe_encode: merge table constant-folded into a row-local encode, no join") {
+    val p = plan("q_bpe_encode")
+    assert(!p.contains("Join") && !p.contains("CartesianProduct"),
+      s"BPE apply must not join against a merge table:\n$p")
+    // the 16 merges ride the plan as literal replace() chains inside the
+    // scan-side Generate — visible pre-shuffle, not after any Exchange
+    val preShuffle = p.substring(p.indexOf("Exchange"))
+    assert(preShuffle.contains("replace("), s"encode not row-local before the shuffle:\n$p")
+    // scan prunes to the two used columns
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      s"projection not pruned:\n$p")
+  }
+
   test("q_minhash_est: exact-intersection subtree is candidate-keyed (no shingle self-join)") {
     import org.apache.spark.sql.catalyst.plans.logical.Join
     import org.apache.spark.sql.catalyst.expressions.{AttributeReference, LessThan}

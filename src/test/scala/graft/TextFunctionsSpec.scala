@@ -95,5 +95,21 @@ class TextFunctionsSpec extends SparkSpec {
       assert(c >= 0.3)
     }
   }
+
+  test("bpeTokens applies the frozen merge table like greedy BPE") {
+    val rows = Seq("join", "hash", "merger", "stream", "aaa", "q")
+      .toDF("w")
+      .select($"w", graft.queries.TextQueries.bpeTokens($"w").as("toks"))
+      .as[(String, Seq[String])].collect().toMap
+    // chains through multi-level merges: j+o, (jo)+in, a+s, (as)+h, h+(ash)
+    assert(rows("join") == Seq("join"), rows("join"))
+    assert(rows("hash") == Seq("hash"), rows("hash"))
+    // er merges twice, then m+er — the trailing er stays an er token
+    assert(rows("merger") == Seq("mer", "g", "er"), rows("merger"))
+    assert(rows("stream") == Seq("st", "r", "e", "a", "m"), rows("stream"))
+    // no (a,a) merge: unchanged chars; single char untouched
+    assert(rows("aaa") == Seq("a", "a", "a"))
+    assert(rows("q") == Seq("q"))
+  }
 }
 
