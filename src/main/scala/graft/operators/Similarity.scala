@@ -32,16 +32,40 @@ object Similarity {
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
   /** Brute-force exact cosine top-k neighbors of one probe vector: the
-    * probe row is broadcast, the scan is embarrassingly parallel. */
+    * probe row is broadcast, the scan is embarrassingly parallel.
+    *
+    * `quantized = true` (default) runs the 2^20 fixed-point pipeline —
+    * quantize both sides, fused native integer dot/norm kernels
+    * ([[graft.plans.VectorExpressions.longDot]]), one double sqrt+divide
+    * chain — which is partition-order independent (integer sums are
+    * associative), hence oracle-checkable AND the faster path (the fused
+    * long kernels beat the float HOF fold). `quantized = false` keeps the
+    * IEEE left-to-right double fold as a reference for quantization-error
+    * pins in tests. */
   def cosineTopK(emb: DataFrame, idCol: String, vecCol: String,
-                 probeId: Long, k: Int): DataFrame = {
-    val probe = broadcast(emb.filter(col(idCol) === probeId)
-      .select(col(vecCol).as("__q")))
-    emb.filter(col(idCol) =!= probeId)
-      .crossJoin(probe)
-      .select(col(idCol), cosine(col(vecCol), col("__q")).as("cosine"))
-      .orderBy(col("cosine").desc, col(idCol).asc)
-      .limit(k)
+                 probeId: Long, k: Int, quantized: Boolean = true): DataFrame = {
+    if (quantized) {
+      val qdot = graft.plans.VectorExpressions.longDot _
+      val probe = broadcast(emb.filter(col(idCol) === probeId)
+        .select(quantize(col(vecCol)).as("__q")))
+      emb.filter(col(idCol) =!= probeId)
+        .select(col(idCol), quantize(col(vecCol)).as("__v"))
+        .crossJoin(probe)
+        .select(col(idCol),
+          (qdot(col("__v"), col("__q")).cast("double") /
+            (sqrt(qdot(col("__v"), col("__v")).cast("double")) *
+              sqrt(qdot(col("__q"), col("__q")).cast("double")))).as("cosine"))
+        .orderBy(col("cosine").desc, col(idCol).asc)
+        .limit(k)
+    } else {
+      val probe = broadcast(emb.filter(col(idCol) === probeId)
+        .select(col(vecCol).as("__q")))
+      emb.filter(col(idCol) =!= probeId)
+        .crossJoin(probe)
+        .select(col(idCol), cosine(col(vecCol), col("__q")).as("cosine"))
+        .orderBy(col("cosine").desc, col(idCol).asc)
+        .limit(k)
+    }
   }
 
   /** '+'/'-' signs of dims (`from`, `until`] — the composable unit behind

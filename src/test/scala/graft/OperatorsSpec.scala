@@ -409,7 +409,8 @@ class OperatorsSpec extends SparkSpec {
   test("quantized q_simsearch ranking equals double-precision brute force") {
     val quant = graft.queries.SimilarityQueries.qSimsearch(spark, TestSpark.Sf0001)
       .select("vec_id").as[Long].collect().toSeq
-    val brute = Similarity.cosineTopK(emb, "vec_id", "embedding", 0L, 5)
+    val brute = Similarity.cosineTopK(emb, "vec_id", "embedding", 0L, 5,
+        quantized = false)
       .select("vec_id").as[Long].collect().toSeq
     assert(quant == brute, s"quantized=$quant brute=$brute")
   }
@@ -420,7 +421,8 @@ class OperatorsSpec extends SparkSpec {
     assert(centroids.length == 8)
     val ivf = Similarity.ivfTopK(emb, "vec_id", "embedding", centroids, assignments,
       probeId = 0L, k = 5, nProbe = 4).select("vec_id").as[Long].collect().toSet
-    val brute = Similarity.cosineTopK(emb, "vec_id", "embedding", 0L, 20)
+    val brute = Similarity.cosineTopK(emb, "vec_id", "embedding", 0L, 20,
+        quantized = false)
       .select("vec_id").as[Long].collect().toSeq
     // every IVF hit must be a genuinely close vector (top-20 of brute force)
     assert(ivf.size == 5)
@@ -451,7 +453,8 @@ class OperatorsSpec extends SparkSpec {
     val run1 = Similarity.ivfTopKQ(emb, "vec_id", "embedding", centroids, assignments,
       probeId = 0L, k = 5, nProbe = 4).collect().toSeq
     assert(run1.size == 5)
-    val brute = Similarity.cosineTopK(emb, "vec_id", "embedding", 0L, 20)
+    val brute = Similarity.cosineTopK(emb, "vec_id", "embedding", 0L, 20,
+        quantized = false)
       .select("vec_id").as[Long].collect().toSet
     assert(run1.map(_.getLong(0)).forall(brute.contains),
       s"ivfQ=${run1.map(_.getLong(0))} not within brute top-20")
