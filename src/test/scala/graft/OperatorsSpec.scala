@@ -517,6 +517,38 @@ class OperatorsSpec extends SparkSpec {
     assert(Dedup.connectedComponents(pairs).isEmpty)
   }
 
+  test("star CC == propagation CC on a seeded random graph (bit-identical labels)") {
+    val rnd = new scala.util.Random(41)
+    // ~120 edges over 200 ids: mixes singleton edges, trees, and cycles
+    val pairs = (0 until 120)
+      .map(_ => (rnd.nextInt(200).toLong, rnd.nextInt(200).toLong))
+      .filter { case (a, b) => a != b }
+      .toDF("d1", "d2")
+    val star = Dedup.ccStarWithRounds(pairs)._1
+      .as[(Long, Long)].collect().toMap
+    val prop = Dedup.ccPropagateWithRounds(pairs)._1
+      .as[(Long, Long)].collect().toMap
+    assert(star == prop, s"star/propagation label mismatch")
+    CacheScope.release()
+  }
+
+  test("star CC converges in O(log d) rounds on a 1000-link chain; propagation cannot") {
+    val chain = (0L until 1000L).map(i => (i, i + 1)).toDF("d1", "d2")
+    val (labels, rounds) = Dedup.ccStarWithRounds(chain, maxIter = 30)
+    val m = labels.as[(Long, Long)].collect().toMap
+    assert(m.size == 1001 && m.values.forall(_ == 0L),
+      s"chain must collapse to component 0: ${m.toSeq.sortBy(_._1).take(5)}…")
+    assert(rounds <= 15, s"star CC took $rounds rounds on a 1000-chain")
+    // the old propagation loop needs O(diameter)=1000 rounds — at its
+    // default budget it must NOT have converged (this is why star is now
+    // the default implementation)
+    val (badLabels, propRounds) = Dedup.ccPropagateWithRounds(chain, maxIter = 20)
+    assert(propRounds == 20, s"propagation should exhaust its budget, took $propRounds")
+    assert(badLabels.filter(col("cluster") =!= 0L).count() > 0,
+      "propagation unexpectedly converged within 20 rounds on a 1000-chain")
+    CacheScope.release()
+  }
+
   test("VectorSumAggregator: elementwise group sums, dimension mismatch fails") {
     import org.apache.spark.sql.functions.udaf
     val vsum = udaf(graft.functions.VectorSumAggregator)
