@@ -57,6 +57,7 @@ object Bench {
     val failed = scala.collection.mutable.LinkedHashSet.empty[String]
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       def once(): Double = {
+        System.err.println(s"[bench] running $name")
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch { case e: Throwable =>

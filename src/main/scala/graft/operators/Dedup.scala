@@ -138,14 +138,24 @@ object Dedup {
     * there (oracle-checked); production corpora tune it down. */
   val DefaultMaxShingleDF: Int = 100000
 
-  /** Distinct word n-shingles per row: (id, sh). */
+  /** Distinct word n-shingles per row: (id, sh).
+    *
+    * The token array is materialized as an attribute BEFORE the shingle
+    * transform: higher-order functions are CodegenFallback with no
+    * subexpression elimination, so a lambda body referencing the raw
+    * `tokens(text)` expression re-runs the full split/filter once per
+    * `element_at` call — O(tokens²·n) per row (the same re-tokenization
+    * pathology the r6 windowHashes fix removed; surfaced here as a
+    * 10-minute straggler task on the 100× sweep). CollapseProject keeps
+    * the multiply-referenced non-cheap `__w` from being inlined back. */
   def shingleSets(df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame = {
-    val tk = tokens(col(textCol))
-    val arr = when(size(tk) >= n,
-      array_distinct(transform(sequence(lit(0), size(tk) - n, lit(1)), i =>
-        concat_ws(" ", (0 until n).map(d => element_at(tk, i + d + 1)): _*))))
+    val w = col("__w")
+    val arr = when(size(w) >= n,
+      array_distinct(transform(sequence(lit(0), size(w) - n, lit(1)), i =>
+        concat_ws(" ", (0 until n).map(d => element_at(w, i + d + 1)): _*))))
       .otherwise(array().cast("array<string>"))
-    df.select(col(idCol).as("id"), explode(arr).as("sh"))
+    df.select(col(idCol).as("id"), tokens(col(textCol)).as("__w"))
+      .select(col("id"), explode(arr).as("sh"))
   }
 
   /** Drop shingles whose document frequency exceeds `maxDF` (≤0 disables).

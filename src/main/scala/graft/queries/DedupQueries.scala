@@ -335,8 +335,8 @@ object DedupQueries {
        |WHERE doc_id NOT IN (SELECT d2 FROM losers)
        |GROUP BY lang ORDER BY lang""".stripMargin
 
-  /** Near-dup CLUSTERS: verified pairs → connected components (hash-min
-    * label propagation, [[graft.operators.Dedup.connectedComponents]]) →
+  /** Near-dup CLUSTERS: verified pairs → connected components
+    * (large-star/small-star, [[graft.operators.Dedup.connectedComponents]]) →
     * one row per component with its canonical (min) doc id, size, and the
     * full sorted member list. The cluster view is what a real corpus dedup
     * keeps ("one survivor per component"), and transitive chains a–b–c make

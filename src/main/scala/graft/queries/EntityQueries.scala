@@ -6,8 +6,8 @@ import graft.Tables._
 import graft.plans.StringDistanceExpressions.damerauLevenshtein
 
 /** Entity resolution (record linkage): match dirty incoming records to a
-  * canonical table by trigram blocking + edit-distance verification — the
-  * pg_trgm-style pipeline every master-data / customer-360 system runs.
+  * canonical table by symmetric-delete (deletion-neighborhood) blocking +
+  * edit-distance verification.
   *
   * The "dirty" side is derived deterministically from `customer` (so both
   * engines build the identical fixture in-query): per custkey mod 3 the
@@ -15,46 +15,83 @@ import graft.plans.StringDistanceExpressions.damerauLevenshtein
   * digit pair is transposed — the three typo classes the matcher must
   * handle (distance 0, substitution 1, transposition 1).
   *
-  * Candidate generation NEVER compares all pairs: names explode into
-  * character trigrams, trigrams whose canonical document frequency exceeds
-  * `MaxTrigramDF` are dropped (the 'Customer#'-prefix and all-zero trigrams
-  * carry no signal — the classic hot-token cap, same shape as the
-  * shingle-DF cap in `Dedup.jaccardPairs`), and candidates must share
-  * ≥ `MinSharedTrigrams` surviving trigrams. Verification then scores the
-  * bounded candidate set with the native codegen Damerau–Levenshtein
-  * expression (`plans/StringDistanceExpressions.scala`) and keeps matches
-  * with distance ≤ `MaxDistance`, picking per record the (distance,
-  * custkey)-minimal match via `min(struct(dl, custkey))` — best match and
-  * candidate count in one map-side-combinable aggregation.
+  * Candidate generation NEVER compares all pairs — and, since round 9,
+  * never joins on a key whose document frequency grows with the corpus.
+  * The first cut used character-trigram blocking with a RELATIVE hot-gram
+  * cap (`df ≤ max(40, n/25)`); the 100× scale sweep exposed that as
+  * quadratic: over a low-entropy key space (`Customer#` + zero-padded
+  * digits) every digit trigram's df grows ~n·7/1000 while the cap grows
+  * n/25, so every digit trigram survives forever and the candidate join
+  * emits Σ df² ≈ n²/2250 pairs — 10¹¹ rows at 1.5 M customers, which AQE
+  * then coalesced into one task (small pre-join inputs, exploding join).
+  * No partitioning fixes that; the blocking key itself must have bounded
+  * df.
   *
-  * Scale shape: blocking is equi-joins on the trigram key with a bounded
-  * per-trigram fan-out (≤ MaxTrigramDF² pairs per trigram); the DP kernel
-  * runs only on blocked candidates, inside whole-stage codegen. Unmatched
-  * records surface with NULL match columns (left join) — silent drops are
-  * how entity pipelines lose records.
+  * Symmetric delete does: each side emits every string obtainable by
+  * deleting ≤ `MaxDistance` characters (1 + L + C(L,2) variants per
+  * L-char name — quadratic in NAME LENGTH, constant in corpus size), and
+  * candidates are pairs sharing a variant. Completeness: every unit edit
+  * (insert / delete / substitute / adjacent transposition) is repaired by
+  * deleting at most one character from each string, so
+  * `dl(a,b) ≤ τ` ⇒ a and b share a ≤τ-deletion variant. Blocking thus
+  * has NO false negatives and drops out of the output contract:
+  * `n_candidates` counts EVERY canonical record within `MaxDistance`
+  * (under the trigram scheme it counted only co-blocked ones). A variant
+  * key is ≥ (L−τ) exact characters, so its df is bounded by the corpus's
+  * near-duplicate density, not its size — mass exact-duplicate names (the
+  * one pathology, which belongs to the dedup pass, not the matcher) are
+  * guarded by the absolute `MaxVariantDF` cap, replayed identically in
+  * the oracle.
+  *
+  * Verification then scores the candidate set with the native codegen
+  * Damerau–Levenshtein expression (`plans/StringDistanceExpressions
+  * .scala`) and keeps matches with distance ≤ `MaxDistance`, picking per
+  * record the (distance, custkey)-minimal match via
+  * `min(struct(dl, custkey))` — best match and candidate count in one
+  * map-side-combinable aggregation.
+  *
+  * Scale shape: variant generation is a row-local codegen'd array
+  * expression (no UDF, no join); blocking is one equi-join on the variant
+  * string; everything downstream runs on the (sparse) candidate set.
+  * Unmatched records surface with NULL match columns (left join) — silent
+  * drops are how entity pipelines lose records.
   */
 object EntityQueries {
 
-  /** DF cap floor; the effective cap is `max(40, |customer| / 25)` — a
-    * RELATIVE cap, because absolute trigram frequencies grow linearly with
-    * the table while their discriminative value depends on the ratio: a
-    * fixed cap measured 42% unmatched at 10× the rows (blocking starved),
-    * the relative cap holds recall flat across SFs. */
-  val MaxTrigramDFFloor = 40L
-  val MaxTrigramDFRatio = 25L
-  /** 1, not 2: the zero-padded fixture names are low-entropy (a short key
-    * drowns in '000' trigrams, all DF-capped away), so requiring two shared
-    * rare trigrams starves them. One shared rare trigram keeps the
-    * per-record candidate set ≤ |trigrams/name| × cap — still bounded. */
-  val MinSharedTrigrams = 1L
+  /** Absolute hot-variant cap. A deletion variant pins ≥ (L−τ) exact
+    * characters, so for a distinct-keyed corpus its df is O(1) in corpus
+    * size (measured ≤ ~36 at the 100× fixture's 1.5 M names); only mass
+    * exact-duplicate names push past this, and those pairs are the exact
+    * dedup pass's job. Absolute — unlike the removed relative trigram cap
+    * — so the blocked-pair bound Σ df² stays linear in corpus size. */
+  val MaxVariantDF = 1000L
   val MaxDistance = 2
 
-  private def trigrams(df: DataFrame, keyCol: String, nameCol: String): DataFrame =
-    df.filter(length(col(nameCol)) >= 3) // Spark sequence(1, n<1) would run descending
-      .select(col(keyCol), col(nameCol),
-        explode(sequence(lit(1), length(col(nameCol)) - 2)).as("pos"))
-      .select(col(keyCol), col(nameCol).substr(col("pos"), lit(3)).as("tg"))
-      .distinct()
+  /** All strings obtainable from `name` by deleting at most [[MaxDistance]]
+    * (= 2) characters, as a row-local deduplicated array: the name itself,
+    * L single deletions, C(L,2) double deletions. `array_distinct` matters
+    * on repeated characters (a run of k equal chars yields one distinct
+    * variant, not k) — zero-padded names collapse 172 raw variants to
+    * ~60–100 distinct ones. Guards keep `sequence()` ascending-only
+    * (sequence(2,1) would run DESCENDING, not empty). */
+  private def deletionVariants(name: Column): Column = {
+    val L = length(name)
+    val del1 = transform(sequence(lit(1), L),
+      i => concat(name.substr(lit(1), i - 1), name.substr(i + 1, lit(10000))))
+    val del2 = flatten(transform(sequence(lit(1), L - 1),
+      i => transform(sequence(i + 1, L),
+        j => concat(name.substr(lit(1), i - 1),
+          name.substr(i + 1, j - i - 1),
+          name.substr(j + 1, lit(10000))))))
+    val empty = array().cast("array<string>")
+    array_distinct(concat(
+      array(name),
+      when(L >= 1, del1).otherwise(empty),
+      when(L >= 2, del2).otherwise(empty)))
+  }
+
+  private def variants(df: DataFrame, keyCol: String, nameCol: String): DataFrame =
+    df.select(col(keyCol), explode(deletionVariants(col(nameCol))).as("v"))
 
   /** Deterministic typo fixture: position 10..17 inside the 18-char name,
     * driven by custkey so both engines derive byte-identical dirty names. */
@@ -76,23 +113,17 @@ object EntityQueries {
     val customer = t(spark, sfDir, "customer")
     val dirty = dirtyNames(customer)
 
-    val canonTg = trigrams(customer, "c_custkey", "c_name")
-    val nCust = customer.agg(count(lit(1)).as("n_cust"))
-    val coldTg = canonTg.groupBy("tg")
+    val canonVar = variants(customer, "c_custkey", "c_name")
+    // per-row array_distinct makes count(*) per variant = distinct custkeys
+    val coldVar = canonVar.groupBy("v")
       .agg(count(lit(1)).as("df"))
-      .crossJoin(broadcast(nCust))
-      .filter(col("df") <=
-        greatest(lit(MaxTrigramDFFloor), expr(s"n_cust div $MaxTrigramDFRatio")))
-      .select("tg")
-    val canonCold = canonTg.join(coldTg, "tg")
-    // the dirty side needs no separate cap join: joining canonCold already
-    // restricts to cold trigrams (one execution of the cap subtree, not two)
-    val dirtyTg = trigrams(dirty, "src_key", "dirty_name")
+      .filter(col("df") <= MaxVariantDF)
+      .select("v")
+    val dirtyVar = variants(dirty, "src_key", "dirty_name")
 
-    val candidates = dirtyTg.join(canonCold, "tg")
-      .groupBy("src_key", "c_custkey")
-      .agg(count(lit(1)).as("shared_tg"))
-      .filter(col("shared_tg") >= MinSharedTrigrams)
+    val candidates = dirtyVar
+      .join(canonVar.join(coldVar, "v"), "v")
+      .select("src_key", "c_custkey").distinct()
 
     val verified = candidates
       .join(dirty, "src_key")
@@ -118,6 +149,10 @@ object EntityQueries {
       .orderBy("src_key")
   }
 
+  /** The oracle replays the identical pipeline: same dirty fixture, same
+    * ≤2-deletion variant sets (DISTINCT collapses repeated-character
+    * dupes exactly like `array_distinct`), same absolute df cap, same
+    * DL ≤ 2 verify and (dl, custkey) tie-break. */
   val qEntityMatchSql: String =
     s"""WITH dirty AS (
        |  SELECT c_custkey AS src_key,
@@ -133,23 +168,45 @@ object EntityQueries {
        |             substr(c_name, CAST(c_custkey % 8 + 10 AS INT) + 2, 100)
        |         END AS dirty_name
        |  FROM customer),
-       |canon_tg AS (
-       |  SELECT DISTINCT c_custkey, substr(c_name, CAST(i AS INT), 3) AS tg
-       |  FROM customer, unnest(range(1, len(c_name) - 1)) AS t(i)),
-       |cold_tg AS (
-       |  SELECT tg FROM canon_tg GROUP BY tg
-       |  HAVING count(*) <= greatest($MaxTrigramDFFloor,
-       |           (SELECT count(*) FROM customer) // $MaxTrigramDFRatio)),
-       |dirty_tg AS (
-       |  SELECT DISTINCT d.src_key, substr(d.dirty_name, CAST(i AS INT), 3) AS tg
-       |  FROM dirty d, unnest(range(1, len(d.dirty_name) - 1)) AS t(i)),
+       |canon_var AS (
+       |  SELECT DISTINCT c_custkey, c_name AS v FROM customer
+       |  UNION
+       |  SELECT DISTINCT c_custkey,
+       |         substr(c_name, 1, CAST(i - 1 AS INT)) ||
+       |         substr(c_name, CAST(i + 1 AS INT), 10000) AS v
+       |  FROM customer, unnest(range(1, len(c_name) + 1)) AS t(i)
+       |  UNION
+       |  SELECT DISTINCT c_custkey,
+       |         substr(c_name, 1, CAST(i - 1 AS INT)) ||
+       |         substr(c_name, CAST(i + 1 AS INT), CAST(j - i - 1 AS INT)) ||
+       |         substr(c_name, CAST(j + 1 AS INT), 10000) AS v
+       |  FROM customer,
+       |       unnest(range(1, len(c_name) + 1)) AS t(i),
+       |       unnest(range(1, len(c_name) + 1)) AS u(j)
+       |  WHERE j > i),
+       |cold_var AS (
+       |  SELECT v FROM canon_var GROUP BY v HAVING count(*) <= $MaxVariantDF),
+       |dirty_var AS (
+       |  SELECT DISTINCT src_key, dirty_name AS v FROM dirty
+       |  UNION
+       |  SELECT DISTINCT src_key,
+       |         substr(dirty_name, 1, CAST(i - 1 AS INT)) ||
+       |         substr(dirty_name, CAST(i + 1 AS INT), 10000) AS v
+       |  FROM dirty, unnest(range(1, len(dirty_name) + 1)) AS t(i)
+       |  UNION
+       |  SELECT DISTINCT src_key,
+       |         substr(dirty_name, 1, CAST(i - 1 AS INT)) ||
+       |         substr(dirty_name, CAST(i + 1 AS INT), CAST(j - i - 1 AS INT)) ||
+       |         substr(dirty_name, CAST(j + 1 AS INT), 10000) AS v
+       |  FROM dirty,
+       |       unnest(range(1, len(dirty_name) + 1)) AS t(i),
+       |       unnest(range(1, len(dirty_name) + 1)) AS u(j)
+       |  WHERE j > i),
        |candidates AS (
-       |  SELECT dt.src_key, ct.c_custkey, count(*) AS shared_tg
-       |  FROM dirty_tg dt
-       |  JOIN cold_tg cd ON cd.tg = dt.tg
-       |  JOIN canon_tg ct ON ct.tg = dt.tg
-       |  GROUP BY dt.src_key, ct.c_custkey
-       |  HAVING count(*) >= $MinSharedTrigrams),
+       |  SELECT DISTINCT dv.src_key, cv.c_custkey
+       |  FROM dirty_var dv
+       |  JOIN cold_var cd ON cd.v = dv.v
+       |  JOIN canon_var cv ON cv.v = dv.v),
        |verified AS (
        |  SELECT ca.src_key, ca.c_custkey,
        |         damerau_levenshtein(d.dirty_name, c.c_name) AS dl

@@ -565,14 +565,18 @@ class PlanQualitySpec extends SparkSpec {
       s"expected two-phase collect_list agg:\n$p")
   }
 
-  test("q_entity_match: trigram blocking stays equi-keyed, DL verify in codegen") {
+  test("q_entity_match: deletion-variant blocking stays equi-keyed, DL verify in codegen") {
     val p = plan("q_entity_match")
-    // the only nested-loop join allowed is the 1-row DF-cap broadcast;
-    // name-vs-name comparison must stay behind the equi-keyed trigram join
+    // name-vs-name comparison must stay behind the equi-keyed variant join;
+    // the absolute df cap needs no corpus-count side input (the removed
+    // relative trigram cap carried a 1-row broadcast nested-loop join)
     assert(!p.contains("CartesianProduct"),
       s"blocking must never compare all pairs:\n$p")
-    assert(p.split("BroadcastNestedLoopJoin").length - 1 <= 1,
-      s"only the 1-row cap join may be nested-loop:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"no nested-loop join anywhere in the match plan:\n$p")
+    // variant generation is a row-local Generate (explode over the
+    // deletion-variant array expression), never a join or UDF
+    assert(p.contains("Generate explode"), s"variant explode missing:\n$p")
     assert(p.contains("damerau_levenshtein"), s"native DL expr missing:\n$p")
     // the DL verify filter must sit inside a codegen span, not a UDF
     assert(!p.contains("ScalaUDF"), s"DL must be the native expression:\n$p")
