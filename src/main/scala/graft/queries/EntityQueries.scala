@@ -6,75 +6,91 @@ import graft.Tables._
 import graft.plans.StringDistanceExpressions.damerauLevenshtein
 
 /** Entity resolution (record linkage): match dirty incoming records to a
-  * canonical table by symmetric-delete (deletion-neighborhood) blocking +
-  * edit-distance verification.
+  * canonical table by STAGED radius escalation — exact match first, then
+  * symmetric-delete (deletion-neighborhood) blocking at radius 1, then
+  * radius 2, each stage probing only the previous stage's unmatched
+  * residue — with edit-distance verification inside each stage.
   *
   * The "dirty" side is derived deterministically from `customer` (so both
-  * engines build the identical fixture in-query): per custkey mod 3 the
-  * name is kept exact, one digit is substituted with 'X', or an adjacent
-  * digit pair is transposed — the three typo classes the matcher must
-  * handle (distance 0, substitution 1, transposition 1).
+  * engines build the identical fixture in-query): per custkey mod 4 the
+  * name is kept exact, one digit is substituted with 'X', an adjacent
+  * digit pair is transposed, or two digits are substituted ('X' and 'Y')
+  * — the four typo classes (distance 0, 1, 1, 2), so every escalation
+  * stage is exercised under the oracle.
   *
-  * Candidate generation NEVER compares all pairs — and, since round 9,
-  * never joins on a key whose document frequency grows with the corpus.
-  * The first cut used character-trigram blocking with a RELATIVE hot-gram
-  * cap (`df ≤ max(40, n/25)`); the 100× scale sweep exposed that as
-  * quadratic: over a low-entropy key space (`Customer#` + zero-padded
-  * digits) every digit trigram's df grows ~n·7/1000 while the cap grows
-  * n/25, so every digit trigram survives forever and the candidate join
-  * emits Σ df² ≈ n²/2250 pairs — 10¹¹ rows at 1.5 M customers, which AQE
-  * then coalesced into one task (small pre-join inputs, exploding join).
-  * No partitioning fixes that; the blocking key itself must have bounded
-  * df.
+  * WHY staged: round 9's 100× sweep first exposed the r7 trigram
+  * blocking as quadratic (digit-gram df grows ~n·7/1000 while the
+  * relative cap grows n/25, so every digit trigram survives and the
+  * candidate join emits Σ df² ≈ n²/2250 pairs — 10¹¹ rows at 1.5 M
+  * customers, AQE-coalesced into one task). Replacing it with one-shot
+  * radius-2 symmetric-delete blocking fixed the blocking-key df but
+  * exposed a deeper truth: zero-padded SEQUENTIAL keys are a dense
+  * metric space — at 1.5 M rows every record has ~2 000 canonical names
+  * within DL ≤ 2 (any 1-2 digit edit lands on another live key), so any
+  * algorithm whose contract is "count ALL in-distance candidates" owns
+  * an Ω(3×10⁹)-row verified set. No blocking beats the size of the
+  * answer; the CONTRACT has to bound the answer. Staged escalation is
+  * how production matchers do it: most records match exactly or
+  * near-exactly, so the expensive wide radius runs only on the tiny
+  * residue, and `n_candidates` reports the ambiguity AT THE WINNING
+  * RADIUS (how contested the match was), which is bounded by the local
+  * neighborhood size, not the full radius-2 ball. `best_custkey` is
+  * unchanged from the flat contract: min (dl, custkey) over the full
+  * ball is always attained at the minimal dl, i.e. in the first
+  * non-empty stage.
   *
-  * Symmetric delete does: each side emits every string obtainable by
-  * deleting ≤ `MaxDistance` characters (1 + L + C(L,2) variants per
-  * L-char name — quadratic in NAME LENGTH, constant in corpus size), and
-  * candidates are pairs sharing a variant. Completeness: every unit edit
-  * (insert / delete / substitute / adjacent transposition) is repaired by
-  * deleting at most one character from each string, so
-  * `dl(a,b) ≤ τ` ⇒ a and b share a ≤τ-deletion variant. Blocking thus
-  * has NO false negatives and drops out of the output contract:
-  * `n_candidates` counts EVERY canonical record within `MaxDistance`
-  * (under the trigram scheme it counted only co-blocked ones). A variant
-  * key is ≥ (L−τ) exact characters, so its df is bounded by the corpus's
-  * near-duplicate density, not its size — mass exact-duplicate names (the
-  * one pathology, which belongs to the dedup pass, not the matcher) are
-  * guarded by the absolute `MaxVariantDF` cap, replayed identically in
-  * the oracle.
+  * Symmetric-delete blocking (per stage, radius τ): each side emits
+  * every string obtainable by deleting ≤ τ characters (≤ 1 + L + C(L,2)
+  * variants per L-char name — quadratic in NAME LENGTH, constant in
+  * corpus size). Completeness: every unit edit (insert / delete /
+  * substitute / adjacent transposition) is repaired by deleting at most
+  * one character from each string, so dl(a,b) ≤ τ ⇒ a and b share a
+  * ≤τ-deletion variant — blocking has NO false negatives, and
+  * `n_candidates` genuinely counts every canonical record within the
+  * stage radius. A variant pins ≥ (L−τ) exact characters, so its df is
+  * bounded by near-duplicate density, not corpus size; mass
+  * exact-duplicate names (the one pathology — a job for the dedup pass)
+  * are guarded by the absolute `MaxVariantDF` cap, replayed identically
+  * in the oracle.
   *
-  * Verification then scores the candidate set with the native codegen
+  * Verification scores candidates with the native codegen
   * Damerau–Levenshtein expression (`plans/StringDistanceExpressions
-  * .scala`) and keeps matches with distance ≤ `MaxDistance`, picking per
-  * record the (distance, custkey)-minimal match via
-  * `min(struct(dl, custkey))` — best match and candidate count in one
-  * map-side-combinable aggregation.
+  * .scala`), keeps matches with distance ≤ τ, and folds best match
+  * (`min(struct(dl, custkey))` — the (distance, key) lexicographic
+  * tie-break) and candidate count into ONE map-side-combinable
+  * aggregation.
   *
   * Scale shape: variant generation is a row-local codegen'd array
-  * expression (no UDF, no join); blocking is one equi-join on the variant
-  * string; everything downstream runs on the (sparse) candidate set.
-  * Unmatched records surface with NULL match columns (left join) — silent
-  * drops are how entity pipelines lose records.
+  * expression exploded AFTER an explicit base-row repartition (the
+  * ~20-90× fan-out must not inherit the scan's split count); blocking
+  * joins carry only (id, xxhash64(variant)) — fixed-width rows, MERGE
+  * hints because Catalyst's Generate stats ignore explode fan-out and
+  * would otherwise broadcast a corpus-sized relation (1.27 GB of task
+  * results at 100×, killed by maxResultSize; shuffle-hash builds OOMed
+  * the same fixture — sort-merge spills instead of dying). Unmatched
+  * records surface with NULL match columns (left join) — silent drops
+  * are how entity pipelines lose records.
   */
 object EntityQueries {
 
   /** Absolute hot-variant cap. A deletion variant pins ≥ (L−τ) exact
     * characters, so for a distinct-keyed corpus its df is O(1) in corpus
-    * size (measured ≤ ~36 at the 100× fixture's 1.5 M names); only mass
-    * exact-duplicate names push past this, and those pairs are the exact
-    * dedup pass's job. Absolute — unlike the removed relative trigram cap
-    * — so the blocked-pair bound Σ df² stays linear in corpus size. */
+    * size; only mass exact-duplicate names push past this, and those
+    * pairs are the exact dedup pass's job. Absolute — unlike the removed
+    * relative trigram cap — so the blocked-pair bound Σ df² stays linear
+    * in corpus size. */
   val MaxVariantDF = 1000L
   val MaxDistance = 2
 
-  /** All strings obtainable from `name` by deleting at most [[MaxDistance]]
-    * (= 2) characters, as a row-local deduplicated array: the name itself,
-    * L single deletions, C(L,2) double deletions. `array_distinct` matters
-    * on repeated characters (a run of k equal chars yields one distinct
-    * variant, not k) — zero-padded names collapse 172 raw variants to
-    * ~60–100 distinct ones. Guards keep `sequence()` ascending-only
-    * (sequence(2,1) would run DESCENDING, not empty). */
-  private def deletionVariants(name: Column): Column = {
+  /** All strings obtainable from `name` by deleting at most `tau` (≤ 2)
+    * characters, as a row-local deduplicated array: the name itself, L
+    * single deletions, and (τ = 2) C(L,2) double deletions.
+    * `array_distinct` matters on repeated characters (a run of k equal
+    * chars yields one distinct variant, not k) — zero-padded names
+    * collapse 172 raw variants to ~60–100 distinct ones. Guards keep
+    * `sequence()` ascending-only (sequence(2,1) would run DESCENDING,
+    * not empty). */
+  private def deletionVariants(name: Column, tau: Int): Column = {
     val L = length(name)
     val del1 = transform(sequence(lit(1), L),
       i => concat(name.substr(lit(1), i - 1), name.substr(i + 1, lit(10000))))
@@ -84,151 +100,222 @@ object EntityQueries {
           name.substr(i + 1, j - i - 1),
           name.substr(j + 1, lit(10000))))))
     val empty = array().cast("array<string>")
-    array_distinct(concat(
-      array(name),
-      when(L >= 1, del1).otherwise(empty),
-      when(L >= 2, del2).otherwise(empty)))
+    val parts = Seq(array(name), when(L >= 1, del1).otherwise(empty)) ++
+      (if (tau >= 2) Seq(when(L >= 2, del2).otherwise(empty)) else Nil)
+    array_distinct(concat(parts: _*))
   }
 
-  private def variants(df: DataFrame, keyCol: String, nameCol: String): DataFrame =
-    df.select(col(keyCol), explode(deletionVariants(col(nameCol))).as("v"))
+  /** (key, xxhash64(variant)) pairs — the blocking relation for one side
+    * at radius `tau`.
+    *
+    * Explode fan-out is ~20× (τ=1) to ~90× (τ=2), so partition sizing
+    * happens on the BASE rows, before the Generate: the scan's file
+    * splits would otherwise carry the fan-out multiple of their bytes
+    * into the variant agg/join (measured: 2.6×10⁸ canon variants
+    * funneled through the scan's 5 splits at 100×). The explicit
+    * numPartitions pins the spread — AQE would coalesce a bare
+    * repartition(col) back down to the BASE data's ~64 MB target,
+    * recreating the fat-partition problem. The variant STRING never
+    * leaves the Generate's projection: joins carry its xxhash64 (the
+    * `Dedup.jaccardPairs` inverted-index precedent) — fixed 8 bytes and
+    * long-vs-long sort compares. Output-identical to string keys:
+    * completeness means every true in-radius pair already shares a real
+    * variant, so a hash-collision candidate either fails the DL verify
+    * or duplicates a pair string blocking also finds; only the df cap
+    * could shift under a 64-bit collision between hot variants
+    * (P ≈ 10⁻⁷ corpus-wide at 10⁹ variants). */
+  private def variants(df: DataFrame, keyCol: String, nameCol: String,
+                       tau: Int): DataFrame = {
+    val n = df.sparkSession.sessionState.conf.numShufflePartitions
+    df.select(col(keyCol), col(nameCol))
+      .repartition(n, col(keyCol))
+      .select(col(keyCol),
+        explode(deletionVariants(col(nameCol), tau)).as("__v"))
+      .select(col(keyCol), xxhash64(col("__v")).as("v"))
+  }
 
-  /** Deterministic typo fixture: position 10..17 inside the 18-char name,
-    * driven by custkey so both engines derive byte-identical dirty names. */
+  /** One escalation stage: for every probe record, its canonical
+    * candidates within DL ≤ `tau` (complete via ≤τ-deletion variant
+    * blocking), folded to (src_key, n_candidates, best-(dl,custkey)). */
+  private def stageMatch(probe: DataFrame, canon: DataFrame,
+                         tau: Int): DataFrame = {
+    val pv = variants(probe, "src_key", "dirty_name", tau)
+    val cv = variants(canon, "c_custkey", "c_name", tau)
+    // per-row array_distinct makes count(*) per variant = distinct custkeys
+    val cold = cv.groupBy("v").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= MaxVariantDF)
+      .select("v")
+    val cand = pv.hint("merge")
+      .join(cv.hint("merge").join(cold.hint("merge"), "v"), "v")
+      .select("src_key", "c_custkey").distinct()
+    cand.join(probe, "src_key")
+      .join(canon, "c_custkey")
+      .withColumn("dl", damerauLevenshtein(col("dirty_name"), col("c_name")))
+      .filter(col("dl") <= tau)
+      .groupBy("src_key")
+      .agg(count(lit(1)).as("n_candidates"),
+        min(struct(col("dl"), col("c_custkey"))).as("b"))
+  }
+
+  /** Deterministic typo fixture, custkey mod 4: exact / one digit → 'X' /
+    * adjacent digit transposition / two digits → 'X','Y'. Positions
+    * 10..17 inside the 18-char name, driven by custkey so both engines
+    * derive byte-identical dirty names. */
   private def dirtyNames(customer: DataFrame): DataFrame = {
-    val p = (col("c_custkey") % 8 + 10).cast("int")
     val name = col("c_name")
-    val subst = concat(name.substr(lit(1), p - 1), lit("X"),
-      name.substr(p + 1, lit(100)))
+    val p = (col("c_custkey") % 8 + 10).cast("int")
+    // second substitution position: derived from custkey/8, bumped one
+    // slot (mod 8) when it collides with p so the two edits are distinct
+    val q0 = (expr("c_custkey div 8") % 8 + 10).cast("int")
+    val q = when(q0 === p, ((q0 - lit(10) + 1) % 8 + 10).cast("int"))
+      .otherwise(q0)
+    def subst(s: Column, pos: Column, c: String): Column =
+      concat(s.substr(lit(1), pos - 1), lit(c), s.substr(pos + 1, lit(100)))
     val transp = concat(name.substr(lit(1), p - 1),
       name.substr(p + 1, lit(1)), name.substr(p, lit(1)),
       name.substr(p + 2, lit(100)))
     customer.select(col("c_custkey").as("src_key"),
-      when(col("c_custkey") % 3 === 0, name)
-        .when(col("c_custkey") % 3 === 1, subst)
-        .otherwise(transp).as("dirty_name"))
+      when(col("c_custkey") % 4 === 0, name)
+        .when(col("c_custkey") % 4 === 1, subst(name, p, "X"))
+        .when(col("c_custkey") % 4 === 2, transp)
+        .otherwise(subst(subst(name, p, "X"), q, "Y")).as("dirty_name"))
   }
 
   def qEntityMatch(spark: SparkSession, sfDir: String): DataFrame = {
     val customer = t(spark, sfDir, "customer")
-    val dirty = dirtyNames(customer)
+    val canon = customer.select("c_custkey", "c_name")
+    // the dirty side feeds five consumers (stage-0 join, two residue
+    // anti-joins, stage probes, final output join) — cache it
+    val dirty = graft.CacheScope.cached(dirtyNames(customer))
 
-    val canonVar = variants(customer, "c_custkey", "c_name")
-    // per-row array_distinct makes count(*) per variant = distinct custkeys
-    val coldVar = canonVar.groupBy("v")
-      .agg(count(lit(1)).as("df"))
-      .filter(col("df") <= MaxVariantDF)
-      .select("v")
-    val dirtyVar = variants(dirty, "src_key", "dirty_name")
+    // stage 0: exact name equality — no variants, no DL
+    val m0 = graft.CacheScope.cached(
+      dirty.join(canon, col("dirty_name") === col("c_name"))
+        .groupBy("src_key")
+        .agg(count(lit(1)).as("n_candidates"),
+          min(struct(lit(0).as("dl"), col("c_custkey"))).as("b")))
+    val r1 = graft.CacheScope.cached(
+      dirty.join(m0.select("src_key"), Seq("src_key"), "left_anti"))
 
-    val candidates = dirtyVar
-      .join(canonVar.join(coldVar, "v"), "v")
-      .select("src_key", "c_custkey").distinct()
+    // stage 1: radius-1 deletion variants over the stage-0 residue
+    val m1 = graft.CacheScope.cached(stageMatch(r1, canon, 1))
+    val r2 = r1.join(m1.select("src_key"), Seq("src_key"), "left_anti")
 
-    val verified = candidates
-      .join(dirty, "src_key")
-      .join(customer.select("c_custkey", "c_name"), "c_custkey")
-      .withColumn("dl", damerauLevenshtein(col("dirty_name"), col("c_name")))
-      .filter(col("dl") <= MaxDistance)
-    // best match AND candidate count in ONE aggregation pass:
-    // min(struct(dl, custkey)) is exactly the (distance, key) lexicographic
-    // tie-break, and fusing the count avoids a second execution of the
-    // whole blocking+verify subtree (Spark reuses exchanges, not arbitrary
-    // common subplans).
-    val best = verified.groupBy("src_key")
-      .agg(count(lit(1)).as("n_candidates"),
-        min(struct(col("dl"), col("c_custkey"))).as("b"))
-      .select(col("src_key"), col("b.c_custkey").as("best_custkey"),
-        col("b.dl").cast("long").as("best_dl"), col("n_candidates"))
+    // stage 2: full radius over what's still unmatched (the rare tail)
+    val m2 = stageMatch(r2, canon, MaxDistance)
 
-    dirty.join(best, Seq("src_key"), "left")
-      .select(col("src_key"), col("dirty_name"), col("best_custkey"),
-        col("best_dl"),
+    val m = m0.unionByName(m1).unionByName(m2)
+    dirty.join(m, Seq("src_key"), "left")
+      .select(col("src_key"), col("dirty_name"),
+        col("b.c_custkey").as("best_custkey"),
+        col("b.dl").cast("long").as("best_dl"),
         coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
-        (col("best_custkey") === col("src_key")).as("self_match"))
+        (col("b.c_custkey") === col("src_key")).as("self_match"))
       .orderBy("src_key")
   }
 
-  /** The oracle replays the identical pipeline: same dirty fixture, same
-    * ≤2-deletion variant sets (DISTINCT collapses repeated-character
-    * dupes exactly like `array_distinct`), same absolute df cap, same
-    * DL ≤ 2 verify and (dl, custkey) tie-break. */
-  val qEntityMatchSql: String =
+  /** The oracle replays the identical staged pipeline: same dirty
+    * fixture, same exact-first stage, same ≤τ-deletion variant sets per
+    * stage (DISTINCT collapses repeated-character dupes exactly like
+    * `array_distinct`; exact strings here — xxhash keying on the Spark
+    * side is output-equivalent by blocking completeness), same absolute
+    * df cap, same DL ≤ τ verify and (dl, custkey) tie-break. */
+  val qEntityMatchSql: String = {
+    def del1(src: String, keyCol: String, nameCol: String): String =
+      s"""  SELECT DISTINCT $keyCol, $nameCol AS v FROM $src
+         |  UNION
+         |  SELECT DISTINCT $keyCol,
+         |         substr($nameCol, 1, CAST(i - 1 AS INT)) ||
+         |         substr($nameCol, CAST(i + 1 AS INT), 10000) AS v
+         |  FROM $src, unnest(range(1, len($nameCol) + 1)) AS t(i)""".stripMargin
+    def del2(src: String, keyCol: String, nameCol: String): String =
+      s"""${del1(src, keyCol, nameCol)}
+         |  UNION
+         |  SELECT DISTINCT $keyCol,
+         |         substr($nameCol, 1, CAST(i - 1 AS INT)) ||
+         |         substr($nameCol, CAST(i + 1 AS INT), CAST(j - i - 1 AS INT)) ||
+         |         substr($nameCol, CAST(j + 1 AS INT), 10000) AS v
+         |  FROM $src,
+         |       unnest(range(1, len($nameCol) + 1)) AS t(i),
+         |       unnest(range(1, len($nameCol) + 1)) AS u(j)
+         |  WHERE j > i""".stripMargin
+    def stage(k: Int, probe: String, vars: String => String): String =
+      s"""pv$k AS (
+         |${vars(probe)}),
+         |cv$k AS (
+         |${vars("customer").replace("src_key", "c_custkey")
+             .replace("dirty_name", "c_name")}),
+         |cold$k AS (
+         |  SELECT v FROM cv$k GROUP BY v HAVING count(*) <= $MaxVariantDF),
+         |cand$k AS (
+         |  SELECT DISTINCT pv.src_key, cv.c_custkey
+         |  FROM pv$k pv
+         |  JOIN cold$k cd ON cd.v = pv.v
+         |  JOIN cv$k cv ON cv.v = pv.v),
+         |ver$k AS (
+         |  SELECT ca.src_key, ca.c_custkey,
+         |         damerau_levenshtein(d.dirty_name, c.c_name) AS dl
+         |  FROM cand$k ca
+         |  JOIN $probe d ON d.src_key = ca.src_key
+         |  JOIN customer c ON c.c_custkey = ca.c_custkey
+         |  WHERE damerau_levenshtein(d.dirty_name, c.c_name) <= $k),
+         |m$k AS (
+         |  SELECT v.src_key, b.best_custkey, b.best_dl, v.n_candidates
+         |  FROM (SELECT src_key, count(*) AS n_candidates
+         |        FROM ver$k GROUP BY src_key) v
+         |  JOIN (SELECT src_key, c_custkey AS best_custkey,
+         |               CAST(dl AS BIGINT) AS best_dl
+         |        FROM (SELECT *, row_number() OVER
+         |                (PARTITION BY src_key ORDER BY dl, c_custkey) AS rn
+         |              FROM ver$k)
+         |        WHERE rn = 1) b ON b.src_key = v.src_key)""".stripMargin
     s"""WITH dirty AS (
        |  SELECT c_custkey AS src_key,
        |         CASE
-       |           WHEN c_custkey % 3 = 0 THEN c_name
-       |           WHEN c_custkey % 3 = 1 THEN
-       |             substr(c_name, 1, CAST(c_custkey % 8 + 10 AS INT) - 1) || 'X' ||
-       |             substr(c_name, CAST(c_custkey % 8 + 10 AS INT) + 1, 100)
+       |           WHEN c_custkey % 4 = 0 THEN c_name
+       |           WHEN c_custkey % 4 = 1 THEN
+       |             substr(c_name, 1, p - 1) || 'X' || substr(c_name, p + 1, 100)
+       |           WHEN c_custkey % 4 = 2 THEN
+       |             substr(c_name, 1, p - 1) || substr(c_name, p + 1, 1) ||
+       |             substr(c_name, p, 1) || substr(c_name, p + 2, 100)
        |           ELSE
-       |             substr(c_name, 1, CAST(c_custkey % 8 + 10 AS INT) - 1) ||
-       |             substr(c_name, CAST(c_custkey % 8 + 10 AS INT) + 1, 1) ||
-       |             substr(c_name, CAST(c_custkey % 8 + 10 AS INT), 1) ||
-       |             substr(c_name, CAST(c_custkey % 8 + 10 AS INT) + 2, 100)
+       |             substr(substr(c_name, 1, p - 1) || 'X' ||
+       |                    substr(c_name, p + 1, 100), 1, q - 1) || 'Y' ||
+       |             substr(substr(c_name, 1, p - 1) || 'X' ||
+       |                    substr(c_name, p + 1, 100), q + 1, 100)
        |         END AS dirty_name
-       |  FROM customer),
-       |canon_var AS (
-       |  SELECT DISTINCT c_custkey, c_name AS v FROM customer
-       |  UNION
-       |  SELECT DISTINCT c_custkey,
-       |         substr(c_name, 1, CAST(i - 1 AS INT)) ||
-       |         substr(c_name, CAST(i + 1 AS INT), 10000) AS v
-       |  FROM customer, unnest(range(1, len(c_name) + 1)) AS t(i)
-       |  UNION
-       |  SELECT DISTINCT c_custkey,
-       |         substr(c_name, 1, CAST(i - 1 AS INT)) ||
-       |         substr(c_name, CAST(i + 1 AS INT), CAST(j - i - 1 AS INT)) ||
-       |         substr(c_name, CAST(j + 1 AS INT), 10000) AS v
-       |  FROM customer,
-       |       unnest(range(1, len(c_name) + 1)) AS t(i),
-       |       unnest(range(1, len(c_name) + 1)) AS u(j)
-       |  WHERE j > i),
-       |cold_var AS (
-       |  SELECT v FROM canon_var GROUP BY v HAVING count(*) <= $MaxVariantDF),
-       |dirty_var AS (
-       |  SELECT DISTINCT src_key, dirty_name AS v FROM dirty
-       |  UNION
-       |  SELECT DISTINCT src_key,
-       |         substr(dirty_name, 1, CAST(i - 1 AS INT)) ||
-       |         substr(dirty_name, CAST(i + 1 AS INT), 10000) AS v
-       |  FROM dirty, unnest(range(1, len(dirty_name) + 1)) AS t(i)
-       |  UNION
-       |  SELECT DISTINCT src_key,
-       |         substr(dirty_name, 1, CAST(i - 1 AS INT)) ||
-       |         substr(dirty_name, CAST(i + 1 AS INT), CAST(j - i - 1 AS INT)) ||
-       |         substr(dirty_name, CAST(j + 1 AS INT), 10000) AS v
-       |  FROM dirty,
-       |       unnest(range(1, len(dirty_name) + 1)) AS t(i),
-       |       unnest(range(1, len(dirty_name) + 1)) AS u(j)
-       |  WHERE j > i),
-       |candidates AS (
-       |  SELECT DISTINCT dv.src_key, cv.c_custkey
-       |  FROM dirty_var dv
-       |  JOIN cold_var cd ON cd.v = dv.v
-       |  JOIN canon_var cv ON cv.v = dv.v),
-       |verified AS (
-       |  SELECT ca.src_key, ca.c_custkey,
-       |         damerau_levenshtein(d.dirty_name, c.c_name) AS dl
-       |  FROM candidates ca
-       |  JOIN dirty d ON d.src_key = ca.src_key
-       |  JOIN customer c ON c.c_custkey = ca.c_custkey
-       |  WHERE damerau_levenshtein(d.dirty_name, c.c_name) <= $MaxDistance),
-       |best AS (
-       |  SELECT src_key, c_custkey AS best_custkey, CAST(dl AS BIGINT) AS best_dl
-       |  FROM (SELECT *, row_number() OVER
-       |          (PARTITION BY src_key ORDER BY dl, c_custkey) AS rn
-       |        FROM verified)
-       |  WHERE rn = 1),
-       |ncand AS (
-       |  SELECT src_key, count(*) AS n_candidates FROM verified GROUP BY src_key)
-       |SELECT d.src_key, d.dirty_name, b.best_custkey, b.best_dl,
-       |       coalesce(n.n_candidates, 0) AS n_candidates,
-       |       b.best_custkey = d.src_key AS self_match
+       |  FROM (SELECT c_custkey, c_name,
+       |               CAST(c_custkey % 8 + 10 AS INT) AS p,
+       |               CASE WHEN CAST((c_custkey // 8) % 8 + 10 AS INT) =
+       |                         CAST(c_custkey % 8 + 10 AS INT)
+       |                    THEN CAST(((c_custkey // 8) % 8 + 10 - 10 + 1) % 8 + 10 AS INT)
+       |                    ELSE CAST((c_custkey // 8) % 8 + 10 AS INT)
+       |               END AS q
+       |        FROM customer)),
+       |m0 AS (
+       |  SELECT d.src_key, min(c.c_custkey) AS best_custkey,
+       |         CAST(0 AS BIGINT) AS best_dl, count(*) AS n_candidates
+       |  FROM dirty d JOIN customer c ON c.c_name = d.dirty_name
+       |  GROUP BY d.src_key),
+       |r1 AS (
+       |  SELECT * FROM dirty
+       |  WHERE src_key NOT IN (SELECT src_key FROM m0)),
+       |${stage(1, "r1", s => del1(s, "src_key", "dirty_name"))},
+       |r2 AS (
+       |  SELECT * FROM r1
+       |  WHERE src_key NOT IN (SELECT src_key FROM m1)),
+       |${stage(2, "r2", s => del2(s, "src_key", "dirty_name"))},
+       |res AS (
+       |  SELECT src_key, best_custkey, best_dl, n_candidates FROM m0
+       |  UNION ALL SELECT src_key, best_custkey, best_dl, n_candidates FROM m1
+       |  UNION ALL SELECT src_key, best_custkey, best_dl, n_candidates FROM m2)
+       |SELECT d.src_key, d.dirty_name, r.best_custkey, r.best_dl,
+       |       coalesce(r.n_candidates, 0) AS n_candidates,
+       |       r.best_custkey = d.src_key AS self_match
        |FROM dirty d
-       |LEFT JOIN best b ON b.src_key = d.src_key
-       |LEFT JOIN ncand n ON n.src_key = d.src_key
+       |LEFT JOIN res r ON r.src_key = d.src_key
        |ORDER BY d.src_key""".stripMargin
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_entity_match" -> (qEntityMatch _))
