@@ -39,7 +39,16 @@ object Bucketing {
         rm(loc)
       }
     }
-    df.write
+    // Pre-shuffle onto the bucket partitioning before writing: repartition
+    // by the key expression uses the same Murmur3 `hash(key) pmod n` that
+    // the bucketed writer assigns bucket ids with, so each write task holds
+    // exactly one bucket and emits exactly one file. Without this, every
+    // input task writes a file for every bucket it touches — tasks×buckets
+    // small files, which at 100 TB turns the downstream one-task-per-bucket
+    // scan into a many-small-file merge. The shuffle is the point: a
+    // bucketed layout pays its shuffle once, at write time.
+    df.repartition(buckets, df.col(key))
+      .write
       .mode(mode)
       .bucketBy(buckets, key)
       .sortBy(key)

@@ -116,17 +116,25 @@ object LayoutQueries {
     * pays the shuffle once). The `merge` hint keeps the plan a sort-merge
     * join (a broadcast would hide the exchange elision this query
     * demonstrates); PlanQualitySpec asserts no exchange feeds the join.
-    * Aggregation output is the usual decimal-exact revenue per segment. */
+    * Aggregation output is the usual decimal-exact revenue per segment.
+    *
+    * Bucket count must scale with the cluster, not the demo: a bucketed
+    * scan gets exactly one task per bucket, so a fixed count caps every
+    * downstream join/agg at that parallelism regardless of data size
+    * (measured: buckets=8 left 24 of 32 cores idle at the 100× fixture —
+    * 48.8 s). One bucket per core keeps the post-write pipeline fully
+    * parallel; result hashes are bucket-count independent. */
   def qBucketedJoin(spark: SparkSession, sfDir: String): DataFrame = {
     val sf = new File(sfDir).getName.replace('.', '_')
     val (ot, ct) = (s"bkt_orders_$sf", s"bkt_customer_$sf")
+    val nBuckets = math.max(8, spark.sparkContext.defaultParallelism)
     graft.operators.Bucketing.writeBucketed(
       t(spark, sfDir, "orders").select("o_orderkey", "o_custkey", "o_totalprice"),
-      ot, "o_custkey", buckets = 8)
+      ot, "o_custkey", buckets = nBuckets)
     graft.operators.Bucketing.writeBucketed(
       t(spark, sfDir, "customer")
         .select(col("c_custkey").as("o_custkey"), col("c_mktsegment")),
-      ct, "o_custkey", buckets = 8)
+      ct, "o_custkey", buckets = nBuckets)
     spark.table(ot).join(spark.table(ct).hint("merge"), "o_custkey")
       .groupBy("c_mktsegment")
       .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("sum_total"))

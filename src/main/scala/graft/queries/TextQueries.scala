@@ -1125,17 +1125,47 @@ object TextQueries {
     filter(split(encoded, "\\|"), tk => tk =!= "")
   }
 
-  /** Per-document BPE token count under the frozen [[BpeMerges]] table —
-    * row-local (array fold over the doc's words, each word encoded by
-    * [[bpeTokens]]), the REAL token budget a packer/mixture planner needs
-    * instead of the whitespace proxy. Counts every non-empty whitespace
-    * word (no alphabetic filter: a non-alpha word still tokenizes, its
-    * chars just never merge). */
-  private[graft] def bpeTokenCount(text: Column): Column =
-    aggregate(
-      filter(split(lower(text), "\\s+"), w => w =!= ""),
-      lit(0L),
-      (acc, w) => acc + size(bpeTokens(w)).cast("long"))
+  /** Per-document BPE token budget under the frozen [[BpeMerges]] table —
+    * the REAL count a packer/mixture planner needs instead of the
+    * whitespace proxy. Counts every non-empty whitespace word (no
+    * alphabetic filter: a non-alpha word still tokenizes, its chars just
+    * never merge).
+    *
+    * Computed as ONE codegen'd string expression over the whole document,
+    * by length arithmetic instead of materializing tokens:
+    *
+    *   - pipe-separate every char of lower(text): `|c|h|a|r| |…|`; its
+    *     length is exactly 2·L+1. Whitespace chars become segments no
+    *     letter-pair merge can touch or cross, so running the merge chain
+    *     over the whole doc applies exactly the per-word replacements.
+    *   - every merge replaces `|a|b|` by `|ab|` — shrinking the string by
+    *     EXACTLY one char, so merges_applied = len(sepd) − len(encoded).
+    *   - tokens = (non-pipe, non-whitespace chars) − merges_applied
+    *     = len(encoded) − 2·L + len(text without '|') − n_ws − 1.
+    *
+    * Two earlier shapes were measured too slow at the 100× fixture and
+    * must not come back: folding [[bpeTokens]] per word inside an
+    * `aggregate` HOF (the whole chain evaluates INTERPRETED per word —
+    * HOFs are CodegenFallback; 68-74 s/query), and explode-words +
+    * `size(bpeTokens(w))` + regroup (the ArrayFilter fallback still
+    * evaluates its child replace-chain interpreted per word — a fallback
+    * expression interprets its ENTIRE subtree, not just itself; 65 s).
+    * The arithmetic form needs no array ops after the join: 48 s — the
+    * residual cost is the 16-pass replace chain itself (each pass copies
+    * and reallocates the 2·L-char string). */
+  private[graft] def bpeTokenCount(text: Column): Column = {
+    val lt = lower(text)
+    val sepd = concat(lit("|"), array_join(split(lt, ""), "|"), lit("|"))
+    val encoded = BpeMerges.foldLeft(sepd) { case (s, (a, b)) =>
+      replace(s, lit(s"|$a|$b|"), lit(s"|$a$b|"))
+    }
+    val nWs = length(lt) - length(regexp_replace(lt, "\\s", ""))
+    val noPipe = length(replace(lt, lit("|"), lit("")))
+    when(coalesce(length(lt), lit(0)) === 0, lit(0L))
+      .otherwise(
+        (length(encoded) - lit(2) * length(lt) + noPipe - nWs - lit(1))
+          .cast("long"))
+  }
 
   /** DuckDB replay of [[bpeTokenCount]] over a text expression. */
   private[queries] def bpeTokenCountSql(textExpr: String): String = {
