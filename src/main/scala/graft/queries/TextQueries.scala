@@ -1143,17 +1143,27 @@ object TextQueries {
     *   - tokens = (non-pipe, non-whitespace chars) − merges_applied
     *     = len(encoded) − 2·L + len(text without '|') − n_ws − 1.
     *
-    * Two earlier shapes were measured too slow at the 100× fixture and
-    * must not come back: folding [[bpeTokens]] per word inside an
-    * `aggregate` HOF (the whole chain evaluates INTERPRETED per word —
-    * HOFs are CodegenFallback; 68-74 s/query), and explode-words +
-    * `size(bpeTokens(w))` + regroup (the ArrayFilter fallback still
-    * evaluates its child replace-chain interpreted per word — a fallback
-    * expression interprets its ENTIRE subtree, not just itself; 65 s).
-    * The arithmetic form needs no array ops after the join: 48 s — the
-    * residual cost is the 16-pass replace chain itself (each pass copies
-    * and reallocates the 2·L-char string). */
-  private[graft] def bpeTokenCount(text: Column): Column = {
+    * Production path: the [[graft.plans.BpeKernel]] native expression —
+    * the same merge-chain semantics simulated on symbol spans in one
+    * allocation-free pass over the bytes. [[bpeTokenCountColumnar]] below
+    * is the pure-`functions._` derivation of the identical arithmetic,
+    * kept as the cross-checked reference implementation (TextKernelSpec
+    * pins native ≡ columnar on crafted and generated inputs; the DuckDB
+    * oracle hash pins both).
+    *
+    * Three slower shapes were measured at the 100× fixture and must not
+    * come back: folding [[bpeTokens]] per word inside an `aggregate` HOF
+    * (the whole chain evaluates INTERPRETED per word — HOFs are
+    * CodegenFallback; 68-74 s/query); explode-words + `size(bpeTokens)` +
+    * regroup (a fallback expression interprets its ENTIRE subtree,
+    * including the codegen-capable replace chain below it; 65 s); and the
+    * columnar length arithmetic (48 s — its 16 codegen'd `replace` passes
+    * each copy + reallocate the 2·L-char separated string). */
+  private[graft] def bpeTokenCount(text: Column): Column =
+    graft.plans.BpeExpressions.bpeTokenCount(lower(text), BpeMerges)
+
+  /** Columnar reference derivation of [[bpeTokenCount]] — see its doc. */
+  private[graft] def bpeTokenCountColumnar(text: Column): Column = {
     val lt = lower(text)
     val sepd = concat(lit("|"), array_join(split(lt, ""), "|"), lit("|"))
     val encoded = BpeMerges.foldLeft(sepd) { case (s, (a, b)) =>

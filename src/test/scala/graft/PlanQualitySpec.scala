@@ -527,6 +527,11 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("Window"), s"totals window missing:\n$p")
     assert(p.split("HashAggregate").length >= 3,
       s"per-source token agg must be two-phase:\n$p")
+    // token budget is the native span kernel, inside codegen — not the
+    // HOF fold (interpreted per word) and not a UDF
+    assert(p.contains("bpe_token_count"), s"native BPE kernel missing:\n$p")
+    assert(!p.contains("ScalaUDF") && !p.contains("aggregate(split"),
+      s"token budget must be the native expression:\n$p")
   }
 
   test("q_bloom_prune: bloom prefilter reaches the probe scan before its exchange") {
