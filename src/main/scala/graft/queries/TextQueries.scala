@@ -1045,26 +1045,24 @@ object TextQueries {
     * BPE is sequential by nature; the candidate statistics here are the
     * data-parallel 99% of the work.
     *
-    * Scale shape: substring enumeration is ROW-LOCAL (two nested
-    * Generates — token position × gram length — no join); counting is a
-    * two-phase agg on gram keys; top-32 is a bounded TakeOrdered, not a
-    * global sort. At 100 TB the gram key space is vocabulary-bounded
-    * (≤ |alphabet|^4), so the shuffle carries grams, not the corpus. */
-  def qSubwordVocab(spark: SparkSession, sfDir: String): DataFrame = {
-    val toks = t(spark, sfDir, "documents")
-      .select(explode(split(lower(col("text")), "\\s+")).as("w"))
-      .filter(length(col("w")) >= 2)
-    val grams = toks
-      .select(explode(expr(
-        "flatten(transform(sequence(1, length(w)), s -> " +
-          "transform(sequence(2, 4), l -> " +
-          "CASE WHEN s + l - 1 <= length(w) THEN substring(w, s, l) END)))"))
-        .as("gram"))
-      .filter(col("gram").isNotNull)
-    grams.groupBy("gram").agg(count(lit(1)).as("cnt"))
+    * Scale shape: gram enumeration is ROW-LOCAL via the native
+    * `subword_gram_counts` kernel ([[graft.plans.SubwordGrams]]) — one
+    * {gram → count} map per document built in a single byte pass, so the
+    * explode emits one row per DISTINCT gram per doc instead of one per
+    * occurrence (the earlier nested-Generate shape emitted ~3 rows per
+    * corpus character plus a null slot per out-of-range pair: 256.8 s at
+    * the 100× fixture vs 29.3 s for the kernel; SubwordGramsSpec pins the
+    * two shapes equal). Counting is a two-phase agg on gram keys; top-32
+    * is a bounded TakeOrdered, not a global sort. At 100 TB the gram key
+    * space is vocabulary-bounded (≤ |alphabet|^4), so the shuffle carries
+    * grams, not the corpus. */
+  def qSubwordVocab(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "documents")
+      .select(explode(graft.plans.SubwordExpressions
+        .subwordGramCounts(lower(col("text")))).as(Seq("gram", "c")))
+      .groupBy("gram").agg(sum(col("c")).as("cnt"))
       .orderBy(col("cnt").desc, col("gram").asc)
       .limit(32)
-  }
 
   val qSubwordVocabSql: String =
     """WITH toks AS (

@@ -443,10 +443,13 @@ class PlanQualitySpec extends SparkSpec {
 
   test("q_subword_vocab: row-local gram enumeration, two-phase count, bounded top-k") {
     val p = plan("q_subword_vocab")
-    assert(p.contains("Generate"), s"gram explode missing:\n$p")
+    // gram enumeration is the native per-doc map kernel (one row per
+    // DISTINCT gram per doc), not the nested occurrence-explode
+    assert(p.contains("subword_gram_counts"), s"native gram kernel missing:\n$p")
+    assert(p.contains("Generate"), s"map explode missing:\n$p")
     assert(p.contains("TakeOrderedAndProject"), s"top-32 should be bounded, not a global sort:\n$p")
     assert(!p.contains("Join"), s"enumeration must not join:\n$p")
-    assert(p.contains("partial_count") || p.contains("HashAggregate"),
+    assert(p.contains("partial_sum") || p.contains("HashAggregate"),
       s"gram count should partial-aggregate map-side:\n$p")
   }
 
