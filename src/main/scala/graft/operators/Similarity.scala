@@ -251,11 +251,14 @@ object Similarity {
     * bit-identical across engines and partitionings — a DuckDB oracle can
     * replay the whole index build in SQL.
     *
-    *  - Seeding: the `nCells` rows with lowest `(id·2654435761) mod 2^32`
-    *    (Knuth multiplicative hash — unlike xxhash64, both engines can
-    *    evaluate it; ids ≤ ~2^34 keep the product < 2^63). Plans as
-    *    TakeOrderedAndProject — distributed per-partition top-k, no global
-    *    sort (same shape contract as [[seedRows]]).
+    *  - Seeding: the `nCells` rows with lowest
+    *    `((id mod 2^31)·2654435761) mod 2^32` (Knuth multiplicative hash —
+    *    unlike xxhash64, both engines can evaluate it; the mod-2^31
+    *    pre-reduction keeps the product < 2^63 for ANY id — the bare
+    *    product ANSI-overflowed at the 1000× fixture's 10-digit ids, and
+    *    is a no-op below 2^31, so oracle-SF results are unchanged). Plans
+    *    as TakeOrderedAndProject — distributed per-partition top-k, no
+    *    global sort (same shape contract as [[seedRows]]).
     *  - Lloyd step: assign to argmin integer squared L2 distance (tie →
     *    lowest cell; |vq−cq| ≤ 2^21 ⇒ 64-dim sums ≤ 2^48, long-exact);
     *    new centroid component = floor(sum/n) back on the integer grid —
@@ -272,7 +275,8 @@ object Similarity {
                 nCells: Int = 16, iters: Int = 2): (Array[(Int, Array[Long])], DataFrame) = {
     val q = emb.select(col(idCol).as("id"), quantize(col(vecCol)).as("vq"))
     var centroids: Array[(Int, Array[Long])] = q
-      .orderBy(pmod(col("id") * lit(2654435761L), lit(4294967296L)), col("id"))
+      .orderBy(pmod(pmod(col("id"), lit(2147483648L)) * lit(2654435761L),
+        lit(4294967296L)), col("id"))
       .limit(nCells)
       .collect()
       .zipWithIndex

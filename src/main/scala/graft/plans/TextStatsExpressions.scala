@@ -1,0 +1,140 @@
+package graft.plans
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StructField, StructType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native text-statistics kernel — one byte pass computing everything the
+  * quality-score / language-ID family previously derived from three regex
+  * scans plus repeated interpreted `ArrayFilter` passes over the token
+  * array (HOFs are CodegenFallback, and the token split itself re-ran per
+  * consumer):
+  *
+  *  - `n_chars`   — codepoint length (= Spark `length()`).
+  *  - `n_tokens`  — single-space tokens, empties dropped (=
+  *    `TextFunctions.tokens`; space is the ONLY separator — a token may
+  *    contain tabs/newlines, exactly like `split(text, " ")`).
+  *  - `n_alpha`   — ASCII letter codepoints (= `length(text) −
+  *    length(regexp_replace(text, "[a-zA-Z]", ""))`).
+  *  - `n_bpeish`  — matches of `[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]` (=
+  *    `approxTokenCount`): leftmost-first alternation makes this maximal
+  *    letter runs + maximal digit runs + every other non-(ASCII-ws)
+  *    codepoint, which a 3-state scan reproduces exactly.
+  *  - `hits[i]`   — per-stopword-list counts of tokens byte-equal to a
+  *    list word (= `stopwordHits`: case-sensitive, whole-token match).
+  *
+  * TextStatsSpec pins every field to the columnar derivation on crafted,
+  * generated, and sf0.001 corpora; the q_quality_score / q_lang_id DuckDB
+  * oracles are the mass cross-check.
+  */
+object TextStats {
+
+  def compute(s: UTF8String, lists: Array[Array[Array[Byte]]]): InternalRow = {
+    val b = s.getBytes
+    val n = b.length
+    val hits = new Array[Long](lists.length)
+    var nChars = 0L
+    var nTokens = 0L
+    var nAlpha = 0L
+    var nBpeish = 0L
+    // run states for the BPE-ish segmenter
+    var inLetters = false
+    var inDigits = false
+    var tokStart = 0 // byte offset of the current space-token
+    var i = 0
+    while (i <= n) {
+      if (i == n || b(i) == ' ') {
+        // close the current space-token
+        if (i > tokStart) {
+          nTokens += 1
+          var li = 0
+          while (li < lists.length) {
+            val words = lists(li)
+            var wi = 0
+            var matched = false
+            while (wi < words.length && !matched) {
+              matched = spanEq(b, tokStart, i - tokStart, words(wi))
+              wi += 1
+            }
+            if (matched) hits(li) += 1
+            li += 1
+          }
+        }
+        tokStart = i + 1
+      }
+      if (i < n) {
+        var l = UTF8String.numBytesForFirstByte(b(i))
+        if (l <= 0 || i + l > n) l = 1
+        nChars += 1
+        val ch = b(i)
+        val isLetter = l == 1 && ((ch >= 'a' && ch <= 'z') || (ch >= 'A' && ch <= 'Z'))
+        val isDigit = l == 1 && ch >= '0' && ch <= '9'
+        val isWs = l == 1 && (ch == ' ' || ch == '\t' || ch == '\n' ||
+          ch == 0x0b || ch == '\f' || ch == '\r')
+        if (isLetter) {
+          nAlpha += 1
+          if (!inLetters) nBpeish += 1
+        } else if (isDigit) {
+          if (!inDigits) nBpeish += 1
+        } else if (!isWs) {
+          nBpeish += 1 // every other non-ws codepoint is its own match
+        }
+        inLetters = isLetter
+        inDigits = isDigit
+        i += l
+      } else {
+        i += 1
+      }
+    }
+    // stopword hits per list were accumulated with the dominant-order
+    // loop above; wrap the primitive results
+    InternalRow(nChars, nTokens, nAlpha, nBpeish,
+      new GenericArrayData(hits.map(h => h: Any)))
+  }
+
+  private def spanEq(b: Array[Byte], off: Int, l: Int, pat: Array[Byte]): Boolean = {
+    if (l != pat.length) return false
+    var i = 0
+    while (i < l) {
+      if (b(off + i) != pat(i)) return false
+      i += 1
+    }
+    true
+  }
+
+  val schema: StructType = StructType(Seq(
+    StructField("n_chars", LongType, nullable = false),
+    StructField("n_tokens", LongType, nullable = false),
+    StructField("n_alpha", LongType, nullable = false),
+    StructField("n_bpeish", LongType, nullable = false),
+    StructField("hits", ArrayType(LongType, containsNull = false), nullable = false)))
+}
+
+/** `text_stats(text)` — [[TextStats]] as a codegen'd Catalyst expression;
+  * the stopword lists are bound at plan time as a reference object. */
+case class TextStatsExpr(child: Expression, lists: Seq[Seq[String]])
+  extends UnaryExpression {
+  override def dataType: DataType = TextStats.schema
+  @transient private lazy val listBytes: Array[Array[Array[Byte]]] =
+    lists.map(_.map(_.getBytes("UTF-8")).toArray).toArray
+  override def nullSafeEval(input: Any): Any =
+    TextStats.compute(input.asInstanceOf[UTF8String], listBytes)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("stopLists", listBytes, "byte[][][]")
+    defineCodeGen(ctx, ev, c => s"graft.plans.TextStats.compute($c, $ref)")
+  }
+  override def prettyName: String = "text_stats"
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object TextStatsExpressions {
+  import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+
+  def textStats(text: Column, lists: Seq[Seq[String]]): Column =
+    column(TextStatsExpr(expression(text), lists))
+}

@@ -308,9 +308,9 @@ object SimilarityQueries {
     s"""WITH $FlatSqlCte,
        |seeds AS (
        |  SELECT vec_id,
-       |         CAST(row_number() OVER (ORDER BY (vec_id * 2654435761) % 4294967296, vec_id) - 1 AS INT) AS cell
+       |         CAST(row_number() OVER (ORDER BY ((vec_id % 2147483648) * 2654435761) % 4294967296, vec_id) - 1 AS INT) AS cell
        |  FROM embeddings
-       |  QUALIFY row_number() OVER (ORDER BY (vec_id * 2654435761) % 4294967296, vec_id) <= 16),
+       |  QUALIFY row_number() OVER (ORDER BY ((vec_id % 2147483648) * 2654435761) % 4294967296, vec_id) <= 16),
        |cent0 AS (SELECT s.cell, f.pos, f.vq AS cq FROM seeds s JOIN flat f ON f.vec_id = s.vec_id),
        |$lloyd,
        |dfin AS (

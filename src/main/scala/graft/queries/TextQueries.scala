@@ -49,10 +49,18 @@ object TextQueries {
 
   /** Adds a `hits_<lang>` column per stopword list; expects a `toks`
     * column. Shared by qLangId and the curation pipeline. */
-  private[queries] def withLangScores(df: DataFrame): DataFrame =
-    StopwordLists.foldLeft(df) { case (d, (lang, words)) =>
-      d.withColumn(s"hits_$lang", stopwordHits(col("toks"), words))
-    }
+  /** Attach `hits_<lang>` stopword-count columns from the native
+    * [[graft.plans.TextStats]] kernel (one byte pass for all five lists;
+    * the previous shape re-ran an interpreted ArrayFilter over the token
+    * array per list). `df` must expose `text`. */
+  private[queries] def withLangScores(df: DataFrame): DataFrame = {
+    val withSt = df.withColumn("__st", graft.plans.TextStatsExpressions
+      .textStats(col("text"), StopwordLists.map(_._2)))
+    StopwordLists.zipWithIndex.foldLeft(withSt) {
+      case (d, ((lang, _), i)) =>
+        d.withColumn(s"hits_$lang", col("__st").getField("hits").getItem(i))
+    }.drop("__st")
+  }
 
   /** Argmax over the `hits_*` columns via greatest + chained when;
     * foldRight puts the FIRST list entry outermost → first wins ties. */
@@ -68,7 +76,7 @@ object TextQueries {
     * stopword list, argmax with a fixed tie order (list order). */
   def qLangId(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = t(spark, sfDir, "documents")
-      .select(col("doc_id"), col("lang"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("lang"), col("text"))
     withLangScores(docs)
       .withColumn("pred_lang", predLangCol)
       .select((Seq(col("doc_id"), col("lang"), col("pred_lang")) ++
@@ -110,11 +118,21 @@ object TextQueries {
 
   /** Quality scoring: length saturation, alpha ratio, stopword ratio. */
   def qQualityScore(spark: SparkSession, sfDir: String): DataFrame =
+    // all four outputs from ONE text_stats kernel pass; the quality mix
+    // reassembles the exact IEEE expression tree of
+    // TextFunctions.qualityScore from the kernel's integer fields
+    // (TextStatsSpec pins kernel ≡ columnar field-by-field)
     t(spark, sfDir, "documents")
+      .select(col("doc_id"), graft.plans.TextStatsExpressions
+        .textStats(col("text"), StopwordLists.map(_._2)).as("st"))
       .select(col("doc_id"),
-        size(tokens(col("text"))).cast("long").as("n_tokens"),
-        approxTokenCount(col("text")).as("n_bpeish_tokens"),
-        qualityScore(col("text")).as("quality"))
+        col("st").getField("n_tokens").as("n_tokens"),
+        col("st").getField("n_bpeish").as("n_bpeish_tokens"),
+        (lit(0.4) * least(col("st").getField("n_chars").cast("double") / 500d, lit(1d)) +
+          lit(0.4) * (col("st").getField("n_alpha").cast("double") /
+            col("st").getField("n_chars")) +
+          lit(0.2) * least(col("st").getField("hits").getItem(0).cast("double") /
+            col("st").getField("n_tokens").cast("double") * 5d, lit(1d))).as("quality"))
       .orderBy("doc_id")
 
   /** SQL twin of [[graft.functions.TextFunctions.qualityScore]] —

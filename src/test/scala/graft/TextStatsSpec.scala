@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions._
+import graft.plans.TextStatsExpressions
+
+/** Pins every field of the native `text_stats` kernel to the columnar
+  * derivation it replaced: token count via `split(text, " ")` with
+  * empties dropped, ASCII-letter count via regexp_replace length delta,
+  * BPE-ish segment count via `regexp_count` of the pre-tokenizer regex,
+  * and per-list case-sensitive whole-token stopword hits. The
+  * q_quality_score / q_lang_id oracles are the mass cross-check.
+  */
+class TextStatsSpec extends SparkSpec {
+  private val ss = TestSpark.spark
+  import ss.implicits._
+
+  private val lists = StopwordLists.map(_._2)
+
+  private def columnarRow = {
+    val toks = tokens(col("text"))
+    Seq(
+      length(col("text")).cast("long").as("c_chars"),
+      size(toks).cast("long").as("c_tokens"),
+      (length(col("text")) -
+        length(regexp_replace(col("text"), "[a-zA-Z]", ""))).cast("long").as("c_alpha"),
+      approxTokenCount(col("text")).as("c_bpeish")) ++
+      StopwordLists.zipWithIndex.map { case ((l, ws), i) =>
+        stopwordHits(toks, ws).as(s"c_hit_$i")
+      }
+  }
+
+  private def assertAgree(texts: Seq[String]): Unit = {
+    val df = texts.toDF("text")
+      .select(Seq(col("text"),
+        TextStatsExpressions.textStats(col("text"), lists).as("st")) ++ columnarRow: _*)
+    df.collect().foreach { r =>
+      val st = r.getStruct(1)
+      val hits = st.getSeq[Long](4)
+      val tag = r.getString(0).take(60).replace("\n", "\\n").replace("\t", "\\t")
+      assert(st.getLong(0) === r.getAs[Long]("c_chars"), s"n_chars for '$tag'")
+      assert(st.getLong(1) === r.getAs[Long]("c_tokens"), s"n_tokens for '$tag'")
+      assert(st.getLong(2) === r.getAs[Long]("c_alpha"), s"n_alpha for '$tag'")
+      assert(st.getLong(3) === r.getAs[Long]("c_bpeish"), s"n_bpeish for '$tag'")
+      StopwordLists.indices.foreach { i =>
+        assert(hits(i) === r.getAs[Long](s"c_hit_$i"), s"hits($i) for '$tag'")
+      }
+    }
+  }
+
+  test("crafted boundary inputs agree field-by-field") {
+    assertAgree(Seq(
+      "",
+      " ",
+      "   ",
+      "the",                       // exact stopword, one token
+      "the the the",               // multiplicity
+      "The THE tHe",               // case-sensitive: zero hits
+      "the  a   of",               // multi-space runs -> empty tokens dropped
+      " leading the trailing ",
+      "a1b2c3",                    // letter/digit run alternation
+      "abc123 456def",
+      "!?;, .. a,b",               // punctuation: one bpeish match per mark
+      "tab\tand\nnewline the",     // \t \n are NOT space-token separators
+      "word\u000bvt\fff\rcr",      // remaining \s classes inside one token
+      "的是了 我不 der und el la le et", // multi-byte stopwords + other languages
+      "naïve café déjà vu",        // non-ASCII letters are not [a-zA-Z]
+      "y et la le",                // fr/es overlap lists
+      "a",
+      "der die das und ist",       // full de list
+      ("the and of to a " * 50).trim))
+  }
+
+  test("generated corpus agrees") {
+    val rnd = new scala.util.Random(4242L)
+    val frags = Vector("the", "a", "of", "und", "el", "的", "x1", "..", "ab",
+      " ", "\t", "\n", "é", "9", "z")
+    val texts = Seq.tabulate(400) { _ =>
+      (0 until (1 + rnd.nextInt(30))).map(_ => frags(rnd.nextInt(frags.length))).mkString
+    }
+    assertAgree(texts)
+  }
+
+  test("sf0.001 documents corpus agrees end-to-end") {
+    val docs = Tables.t(spark, TestSpark.Sf0001, "documents").select("text")
+    val rows = docs
+      .select(Seq(col("text"),
+        TextStatsExpressions.textStats(col("text"), lists).as("st")) ++ columnarRow: _*)
+      .collect()
+    rows.foreach { r =>
+      val st = r.getStruct(1)
+      assert(st.getLong(0) === r.getAs[Long]("c_chars"))
+      assert(st.getLong(1) === r.getAs[Long]("c_tokens"))
+      assert(st.getLong(2) === r.getAs[Long]("c_alpha"))
+      assert(st.getLong(3) === r.getAs[Long]("c_bpeish"))
+      val hits = st.getSeq[Long](4)
+      StopwordLists.indices.foreach(i => assert(hits(i) === r.getAs[Long](s"c_hit_$i")))
+    }
+  }
+}
