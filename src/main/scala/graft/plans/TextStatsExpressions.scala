@@ -132,9 +132,69 @@ case class TextStatsExpr(child: Expression, lists: Seq[Seq[String]])
     copy(child = newChild)
 }
 
+/** Order-sensitive rolling document fingerprint — the native twin of
+  * `TextFunctions.rollingFingerprint`: per space-token
+  * `(n_chars·1009 + cp(first)·31 + cp(last)) mod 1e9+7`, folded
+  * `(acc·31 + h) mod 1e9+7` in token order. One byte pass; `cp(·)` is the
+  * full Unicode codepoint (= Spark/DuckDB `ascii()` on the token and on
+  * its reverse). Every intermediate < 2^35 — exact in Long. */
+object RollingFp {
+
+  def compute(s: UTF8String): Long = {
+    val b = s.getBytes
+    val n = b.length
+    val P = 1000000007L
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      while (i < n && b(i) == ' ') i += 1
+      if (i < n) {
+        var nCp = 0L
+        var firstCp = -1L
+        var lastCp = 0L
+        while (i < n && b(i) != ' ') {
+          var l = UTF8String.numBytesForFirstByte(b(i))
+          if (l <= 0 || i + l > n) l = 1
+          val cp = codepointAt(b, i, l)
+          if (firstCp < 0) firstCp = cp
+          lastCp = cp
+          nCp += 1
+          i += l
+        }
+        val h = (nCp * 1009L + firstCp * 31L + lastCp) % P
+        acc = (acc * 31L + h) % P
+      }
+    }
+    acc
+  }
+
+  private def codepointAt(b: Array[Byte], i: Int, l: Int): Long = l match {
+    case 1 => b(i) & 0xffL
+    case 2 => ((b(i) & 0x1fL) << 6) | (b(i + 1) & 0x3fL)
+    case 3 => ((b(i) & 0x0fL) << 12) | ((b(i + 1) & 0x3fL) << 6) | (b(i + 2) & 0x3fL)
+    case _ => ((b(i) & 0x07L) << 18) | ((b(i + 1) & 0x3fL) << 12) |
+      ((b(i + 2) & 0x3fL) << 6) | (b(i + 3) & 0x3fL)
+  }
+}
+
+/** `rolling_fingerprint(text)` — [[RollingFp]] as a codegen'd expression. */
+case class RollingFingerprintExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(input: Any): Any =
+    RollingFp.compute(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.RollingFp.compute($c)")
+  override def prettyName: String = "rolling_fingerprint"
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object TextStatsExpressions {
   import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
 
   def textStats(text: Column, lists: Seq[Seq[String]]): Column =
     column(TextStatsExpr(expression(text), lists))
+
+  def rollingFingerprint(text: Column): Column =
+    column(RollingFingerprintExpr(expression(text)))
 }

@@ -155,11 +155,16 @@ object TextQueries {
        |    AS quality
        |FROM documents ORDER BY doc_id""".stripMargin
 
-  /** Order-sensitive rolling fingerprint + exact-dup key per doc. */
+  /** Order-sensitive rolling fingerprint + exact-dup key per doc.
+    * Production path is the native `rolling_fingerprint` kernel (one byte
+    * pass); `TextFunctions.rollingFingerprint` keeps the columnar HOF fold
+    * as the spec-pinned reference (the `aggregate` HOF evaluates its
+    * per-token hash chain interpreted — 43.3 s vs 6.8 s at 100×). */
   def qFingerprint(spark: SparkSession, sfDir: String): DataFrame =
     t(spark, sfDir, "documents")
       .select(col("doc_id"),
-        rollingFingerprint(col("text")).as("rolling_fp"),
+        graft.plans.TextStatsExpressions.rollingFingerprint(col("text"))
+          .as("rolling_fp"),
         md5(col("text").cast("binary")).as("md5_fp"))
       .orderBy("doc_id")
 

@@ -81,6 +81,27 @@ class TextStatsSpec extends SparkSpec {
     assertAgree(texts)
   }
 
+  test("rolling fingerprint kernel agrees with the HOF fold") {
+    val texts = Seq(
+      "", " ", "the quick brown fox", "a", "ab ba ab",
+      "order matters here", "matters order here",   // order-sensitivity
+      "x " + ("token " * 100).trim, "的是 了我 不的",
+      "naïve é café", "mixed 的ascii tail的", "1 22 333 4444",
+      "punct, and. stuff!", "  spaced   out  ")
+    val df = texts.toDF("text").select(
+      graft.plans.TextStatsExpressions.rollingFingerprint(col("text")).as("native"),
+      rollingFingerprint(col("text")).as("columnar"), col("text"))
+    df.collect().foreach { r =>
+      assert(r.getLong(0) === r.getLong(1), s"for '${r.getString(2).take(50)}'")
+    }
+    val docs = Tables.t(spark, TestSpark.Sf0001, "documents").select("text")
+    val mism = docs.select(
+      graft.plans.TextStatsExpressions.rollingFingerprint(col("text")).as("n"),
+      rollingFingerprint(col("text")).as("c"))
+      .filter(col("n") =!= col("c")).count()
+    assert(mism === 0L)
+  }
+
   test("sf0.001 documents corpus agrees end-to-end") {
     val docs = Tables.t(spark, TestSpark.Sf0001, "documents").select("text")
     val rows = docs
