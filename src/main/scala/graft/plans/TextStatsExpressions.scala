@@ -177,6 +177,59 @@ object RollingFp {
   }
 }
 
+/** Per-document token-repetition statistics — the native collapse of
+  * `explode(tokens) → groupBy(doc, token) → groupBy(doc)`: total token
+  * count, distinct token count, and the top term frequency from one
+  * byte pass + one small per-doc hash map (distinct tokens per doc,
+  * hundreds — never the corpus). Space-only tokenization, empties
+  * dropped, byte-exact token identity — identical to
+  * `TextFunctions.tokens` grouping. Documents with zero tokens return
+  * (0,0,0); the query filters them to match the explode shape, which
+  * drops such docs. Removes BOTH aggregation exchanges: the only
+  * remaining shuffle in q_repetition is the output sort. */
+object TokenRepStats {
+
+  def compute(s: UTF8String): InternalRow = {
+    val b = s.getBytes
+    val n = b.length
+    val tf = new java.util.HashMap[String, Long]()
+    var total = 0L
+    var i = 0
+    while (i < n) {
+      while (i < n && b(i) == ' ') i += 1
+      val st = i
+      while (i < n && b(i) != ' ') i += 1
+      if (i > st) {
+        total += 1
+        val tok = new String(b, st, i - st, java.nio.charset.StandardCharsets.UTF_8)
+        val prev = tf.get(tok)
+        tf.put(tok, if (prev == null) 1L else prev + 1L)
+      }
+    }
+    var top = 0L
+    val it = tf.values().iterator()
+    while (it.hasNext) { val v = it.next(); if (v > top) top = v }
+    InternalRow(total, tf.size.toLong, top)
+  }
+
+  val schema: StructType = StructType(Seq(
+    StructField("n_tokens", LongType, nullable = false),
+    StructField("n_distinct", LongType, nullable = false),
+    StructField("top_tf", LongType, nullable = false)))
+}
+
+/** `token_rep_stats(text)` — [[TokenRepStats]] as a codegen'd expression. */
+case class TokenRepStatsExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = TokenRepStats.schema
+  override def nullSafeEval(input: Any): Any =
+    TokenRepStats.compute(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.TokenRepStats.compute($c)")
+  override def prettyName: String = "token_rep_stats"
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** `rolling_fingerprint(text)` — [[RollingFp]] as a codegen'd expression. */
 case class RollingFingerprintExpr(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
@@ -197,4 +250,7 @@ object TextStatsExpressions {
 
   def rollingFingerprint(text: Column): Column =
     column(RollingFingerprintExpr(expression(text)))
+
+  def tokenRepStats(text: Column): Column =
+    column(TokenRepStatsExpr(expression(text)))
 }

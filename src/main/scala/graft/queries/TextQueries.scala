@@ -369,13 +369,17 @@ object TextQueries {
     * map-side, so the shuffle carries distinct (doc, token) pairs, not
     * raw tokens. Linear at 100 TB; no global state. */
   def qRepetition(spark: SparkSession, sfDir: String): DataFrame =
+    // per-doc stats from the native token_rep_stats kernel — no explode,
+    // no aggregation exchange; the n_tokens > 0 filter reproduces the
+    // explode shape's drop of zero-token docs (TokenRepStats scaladoc)
     t(spark, sfDir, "documents")
-      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
-      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
-      .groupBy("doc_id")
-      .agg(sum(col("tf")).as("n_tokens"),
-        count(lit(1)).as("n_distinct"),
-        max(col("tf")).as("top_tf"))
+      .select(col("doc_id"),
+        graft.plans.TextStatsExpressions.tokenRepStats(col("text")).as("st"))
+      .select(col("doc_id"),
+        col("st").getField("n_tokens").as("n_tokens"),
+        col("st").getField("n_distinct").as("n_distinct"),
+        col("st").getField("top_tf").as("top_tf"))
+      .filter(col("n_tokens") > 0)
       .withColumn("dup_tokens", col("n_tokens") - col("n_distinct"))
       .withColumn("flagged",
         (col("dup_tokens") * 2 > col("n_tokens")).cast("int"))

@@ -285,11 +285,15 @@ class PlanQualitySpec extends SparkSpec {
       s"corpus shuffled on the n-gram key — broadcast lost:\n$p")
   }
 
-  test("q_repetition: both aggregations two-phase (map-side combine on doc-local keys)") {
+  test("q_repetition: native per-doc stats kernel — no aggregation exchange at all") {
     val p = plan("q_repetition")
-    // (doc_id, token) partial + final, then doc_id partial + final = ≥4
-    assert(p.split("HashAggregate").length >= 5, s"expected two 2-phase aggs:\n$p")
-    assert(!p.contains("SortAggregate"), s"hash agg degraded to sort agg:\n$p")
+    // the token_rep_stats kernel collapsed explode + two 2-phase aggs
+    // into a row-local projection: the only remaining operators are the
+    // scan, the kernel projection, the filter, and the output sort
+    assert(p.contains("token_rep_stats"), s"native kernel missing:\n$p")
+    assert(!p.contains("HashAggregate") && !p.contains("SortAggregate"),
+      s"no aggregation should remain:\n$p")
+    assert(!p.contains("Generate"), s"token explode should be gone:\n$p")
   }
 
   test("q_variant_extract: single parse_json feeds every path via CSE") {

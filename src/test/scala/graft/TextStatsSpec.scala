@@ -102,6 +102,29 @@ class TextStatsSpec extends SparkSpec {
     assert(mism === 0L)
   }
 
+  test("token_rep_stats kernel agrees with the explode + double-agg shape") {
+    val texts = Seq("", " ", "a", "a a", "a b a b a", "the the the x",
+      "的 的 是", "one", "  double  spaced  dup  dup  ",
+      ("rep " * 80).trim + " tail")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val viaKernel = df
+      .select(col("doc_id"),
+        graft.plans.TextStatsExpressions.tokenRepStats(col("text")).as("st"))
+      .select(col("doc_id"), col("st.n_tokens"), col("st.n_distinct"), col("st.top_tf"))
+      .filter(col("n_tokens") > 0)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val viaExplode = df
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+      .groupBy("doc_id")
+      .agg(sum("tf").as("n_tokens"), count(lit(1)).as("n_distinct"), max("tf").as("top_tf"))
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(viaKernel === viaExplode)
+    // zero-token docs are absent from BOTH shapes
+    assert(!viaKernel.contains(0L) && !viaKernel.contains(1L))
+  }
+
   test("sf0.001 documents corpus agrees end-to-end") {
     val docs = Tables.t(spark, TestSpark.Sf0001, "documents").select("text")
     val rows = docs
