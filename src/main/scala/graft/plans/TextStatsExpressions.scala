@@ -230,6 +230,89 @@ case class TokenRepStatsExpr(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Context-window chunker — the native collapse of
+  * `transform(sequence(0, last_start, S), start → concat_ws(" ",
+  * slice(toks, start+1, C)))`: token spans are collected once per
+  * document and each chunk string (tokens `[start, min(start+C, n))`
+  * joined by single spaces) is built by direct byte copy, instead of an
+  * interpreted per-chunk array slice + join. Chunk starts are
+  * 0, S, 2S, … while ≤ n−1 — exactly the `sequence` bounds. Returns
+  * `struct(n_tokens, chunks)`; a zero-token document returns (0, []) and
+  * the query's `n_tokens > 0` filter reproduces the explode shape. */
+object ChunkTexts {
+
+  def compute(s: UTF8String, c: Int, step: Int): InternalRow = {
+    val b = s.getBytes
+    val n = b.length
+    // token byte spans
+    var cap = 16
+    var starts = new Array[Int](cap)
+    var ends = new Array[Int](cap)
+    var m = 0
+    var i = 0
+    while (i < n) {
+      while (i < n && b(i) == ' ') i += 1
+      val st = i
+      while (i < n && b(i) != ' ') i += 1
+      if (i > st) {
+        if (m == cap) {
+          cap *= 2
+          starts = java.util.Arrays.copyOf(starts, cap)
+          ends = java.util.Arrays.copyOf(ends, cap)
+        }
+        starts(m) = st
+        ends(m) = i
+        m += 1
+      }
+    }
+    if (m == 0) {
+      return InternalRow(0L, new GenericArrayData(new Array[Any](0)))
+    }
+    val nChunks = (m - 1) / step + 1
+    val chunks = new Array[Any](nChunks)
+    var k = 0
+    while (k < nChunks) {
+      val from = k * step
+      val to = math.min(from + c, m)
+      var len = to - from - 1 // single-space separators
+      var t = from
+      while (t < to) { len += ends(t) - starts(t); t += 1 }
+      val out = new Array[Byte](len)
+      var pos = 0
+      t = from
+      while (t < to) {
+        if (t > from) { out(pos) = ' '; pos += 1 }
+        val l = ends(t) - starts(t)
+        System.arraycopy(b, starts(t), out, pos, l)
+        pos += l
+        t += 1
+      }
+      chunks(k) = UTF8String.fromBytes(out)
+      k += 1
+    }
+    InternalRow(m.toLong, new GenericArrayData(chunks))
+  }
+
+  val schema: StructType = StructType(Seq(
+    StructField("n_tokens", LongType, nullable = false),
+    StructField("chunks", ArrayType(
+      org.apache.spark.sql.types.StringType, containsNull = false),
+      nullable = false)))
+}
+
+/** `chunk_texts(text, C, S)` — [[ChunkTexts]] as a codegen'd expression. */
+case class ChunkTextsExpr(child: Expression, c: Int, step: Int)
+  extends UnaryExpression {
+  override def dataType: DataType = ChunkTexts.schema
+  override def nullSafeEval(input: Any): Any =
+    ChunkTexts.compute(input.asInstanceOf[UTF8String], c, step)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, in => s"graft.plans.ChunkTexts.compute($in, $c, $step)")
+  override def prettyName: String = "chunk_texts"
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** `rolling_fingerprint(text)` — [[RollingFp]] as a codegen'd expression. */
 case class RollingFingerprintExpr(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
@@ -253,4 +336,7 @@ object TextStatsExpressions {
 
   def tokenRepStats(text: Column): Column =
     column(TokenRepStatsExpr(expression(text)))
+
+  def chunkTexts(text: Column, c: Int, step: Int): Column =
+    column(ChunkTextsExpr(expression(text), c, step))
 }

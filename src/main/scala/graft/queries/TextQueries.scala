@@ -503,18 +503,16 @@ object TextQueries {
   def qDocChunk(spark: SparkSession, sfDir: String): DataFrame = {
     val C = 32
     val S = 24
-    val toked = t(spark, sfDir, "documents")
-      .select(col("doc_id"), tokens(col("text")).as("toks"))
-      .withColumn("n", size(col("toks")).cast("long"))
-      .filter(col("n") > 0)
-      .withColumn("last_start",
-        call_function("div", col("n") - lit(1L), lit(S.toLong)) * lit(S.toLong))
-    toked
-      .select(col("doc_id"), col("n"),
-        posexplode(transform(
-          sequence(lit(0L), col("last_start"), lit(S.toLong)),
-          start => concat_ws(" ", slice(col("toks"), (start + 1).cast("int"), lit(C)))))
-          .as(Seq("chunk_id", "chunk_text")))
+    // chunk strings from the native chunk_texts kernel (token spans
+    // collected once, each chunk built by direct byte copy) — the
+    // previous transform(sequence, start → concat_ws(slice(...))) shape
+    // sliced and re-joined the token array interpreted, once per chunk
+    t(spark, sfDir, "documents")
+      .select(col("doc_id"), graft.plans.TextStatsExpressions
+        .chunkTexts(col("text"), C, S).as("st"))
+      .filter(col("st").getField("n_tokens") > 0)
+      .select(col("doc_id"), col("st").getField("n_tokens").as("n"),
+        posexplode(col("st").getField("chunks")).as(Seq("chunk_id", "chunk_text")))
       .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
         least(col("n") - col("chunk_id") * S, lit(C.toLong)).as("chunk_tokens"),
         md5(col("chunk_text").cast("binary")).as("chunk_md5"))

@@ -125,6 +125,39 @@ class TextStatsSpec extends SparkSpec {
     assert(!viaKernel.contains(0L) && !viaKernel.contains(1L))
   }
 
+  test("chunk_texts kernel agrees with the slice + concat_ws shape") {
+    val C = 32
+    val S = 24
+    val texts = Seq("", " ", "one", "a b", ("w" + " w" * 23),   // exactly S tokens
+      ("t " * 32).trim, ("t " * 33).trim,                       // C and C+1 tokens
+      ("x " * 100).trim, "的 是 了 " * 20,
+      "  padded   with  runs  " + ("tok " * 60).trim)
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    def collectChunks(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    val viaKernel = collectChunks(df
+      .select(col("doc_id"), graft.plans.TextStatsExpressions
+        .chunkTexts(col("text"), C, S).as("st"))
+      .filter(col("st").getField("n_tokens") > 0)
+      .select(col("doc_id"),
+        posexplode(col("st").getField("chunks")).as(Seq("chunk_id", "chunk_text")))
+      .select(col("doc_id"), col("chunk_id").cast("long"), col("chunk_text")))
+    val viaSlice = collectChunks(df
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .withColumn("n", size(col("toks")).cast("long"))
+      .filter(col("n") > 0)
+      .withColumn("last_start",
+        call_function("div", col("n") - lit(1L), lit(S.toLong)) * lit(S.toLong))
+      .select(col("doc_id"),
+        posexplode(transform(
+          sequence(lit(0L), col("last_start"), lit(S.toLong)),
+          start => concat_ws(" ", slice(col("toks"), (start + 1).cast("int"), lit(C)))))
+          .as(Seq("chunk_id", "chunk_text")))
+      .select(col("doc_id"), col("chunk_id").cast("long"), col("chunk_text")))
+    assert(viaKernel === viaSlice)
+  }
+
   test("sf0.001 documents corpus agrees end-to-end") {
     val docs = Tables.t(spark, TestSpark.Sf0001, "documents").select("text")
     val rows = docs
