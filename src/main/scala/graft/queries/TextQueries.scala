@@ -496,10 +496,10 @@ object TextQueries {
     * of the space-joined chunk text, proving the exact split without
     * dumping text.
     *
-    * Scale shape: entirely row-local (sequence + transform + posexplode
-    * inside the scan stage — the generate never shuffles); the only
-    * exchange is the output sort. The start arithmetic is integer `div`,
-    * exact in both engines. */
+    * Scale shape: entirely row-local — the native `chunk_texts` kernel
+    * builds each chunk string by byte copy in the scan stage and the
+    * posexplode never shuffles; the only exchange is the output sort.
+    * The start arithmetic is integer, exact in both engines. */
   def qDocChunk(spark: SparkSession, sfDir: String): DataFrame = {
     val C = 32
     val S = 24
