@@ -854,8 +854,10 @@ object TextQueries {
       |         (a, b) -> a || b)) AS sample_md5
       |FROM f ORDER BY doc_id""".stripMargin
 
-  /** PII redaction ([[graft.operators.Redact.scrub]]) under the oracle
-    * gate. The synthetic corpus carries no organic PII, so the fixture
+  /** PII redaction under the oracle gate, via the native
+    * [[graft.plans.PiiRedact]] kernel (the regex reference implementation
+    * is [[graft.operators.Redact.scrub]]; RedactKernelSpec pins the two
+    * equal). The synthetic corpus carries no organic PII, so the fixture
     * injects it deterministically from doc_id — every third doc an email,
     * every fourth a phone, every fifth a 9-digit account number — making
     * all three class counts and the rewritten bytes non-trivial. The
@@ -878,10 +880,12 @@ object TextQueries {
         when(id % 5 === 0,
           concat(lit(" acct "), lpad(((id * id) % 1000000000L).cast("string"), 9, "0")))
           .otherwise(lit(""))))
-    graft.operators.Redact.scrub(withPii, "text")
-      .select(id, col("n_emails"), col("n_phones"), col("n_ids"),
-        length(col("redacted")).as("red_len"),
-        md5(col("redacted").cast("binary")).as("red_md5"))
+    withPii
+      .withColumn("r", graft.plans.RedactExpressions.piiRedact(col("text")))
+      .select(id, col("r.n_emails").as("n_emails"),
+        col("r.n_phones").as("n_phones"), col("r.n_ids").as("n_ids"),
+        length(col("r.redacted")).as("red_len"),
+        md5(col("r.redacted").cast("binary")).as("red_md5"))
       .orderBy("doc_id")
   }
 

@@ -42,9 +42,10 @@ class PlanQualitySpec extends SparkSpec {
     val p = plan("q_pii_redact")
     val exchanges = p.split("Exchange").length - 1
     assert(exchanges <= 1, s"redaction must be a pure map stage before the sort:\n$p")
-    // regexp_count plans as size(regexp_extract_all(...))
-    assert(p.contains("regexp_extract_all") && p.contains("regexp_replace"),
-      s"redaction exprs missing:\n$p")
+    // the native byte-scanner kernel, not the 6-pass java.util.regex chain
+    assert(p.contains("pii_redact"), s"native redaction kernel missing:\n$p")
+    assert(!p.contains("regexp_extract_all"),
+      s"regex reference impl leaked into the production plan:\n$p")
   }
 
   test("q_semi_anti: semi/anti joins are broadcast at this scale") {
