@@ -90,9 +90,12 @@ object Dedup {
     * bound per-window fan-out with [[capShingleDF]]; md5 here keeps the
     * DuckDB oracle byte-exact. */
   /** md5 of every overlapping `windowWords`-token window of a token-array
-    * column — the row-local window generator shared by [[windowDupStats]]
-    * and the source-duplication graph (`q_source_pagerank`). Empty array
-    * when the doc is shorter than one window.
+    * column. COLUMNAR REFERENCE IMPLEMENTATION — production consumers
+    * ([[windowDupStats]], `q_source_pagerank`) use the native
+    * [[graft.plans.WindowHashes]] kernel, which WindowHashSpec pins equal
+    * to this form; the HOF here is CodegenFallback (every window pays
+    * `windowWords` interpreted `element_at`s + a concat buffer). Empty
+    * array when the doc is shorter than one window.
     *
     * `toks` MUST be an already-materialized attribute (project the token
     * array in a prior select), never an inline expression: the window
@@ -110,11 +113,13 @@ object Dedup {
 
   def windowDupStats(df: DataFrame, idCol: String, textCol: String,
                      windowWords: Int = 16): DataFrame = {
-    val tk = tokens(col(textCol))
+    // native kernel: tokenize + per-window streaming md5 in one byte pass;
+    // docs shorter than one window return an empty array, which explode
+    // drops — the size(__t) >= w filter of the columnar form
     val wins = df
-      .select(col(idCol).as("id"), tk.as("__t"))
-      .filter(size(col("__t")) >= windowWords)
-      .select(col("id"), explode(windowHashes(col("__t"), windowWords)).as("wh"))
+      .select(col(idCol).as("id"),
+        explode(graft.plans.WindowHashExpressions.windowHashes(
+          col(textCol), windowWords)).as("wh"))
     // instances feed both the per-hash distinct count and the flag join —
     // cache so tokenize+window+md5 runs once
     val cached = graft.CacheScope.cached(wins)

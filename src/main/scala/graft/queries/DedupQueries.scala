@@ -471,12 +471,11 @@ object DedupQueries {
   def qSourcePagerank(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.functions._
     val docs = t(spark, sfDir, "documents")
-    // tokens materialized as an attribute first — see windowHashes scaladoc
+    // native window_hashes kernel: one byte pass per doc, streaming md5
     val wins = graft.CacheScope.cached(docs
       .select(col("source"),
-        graft.functions.TextFunctions.tokens(col("text")).as("__t"))
-      .select(col("source"),
-        explode(graft.operators.Dedup.windowHashes(col("__t"), 16)).as("wh"))
+        explode(graft.plans.WindowHashExpressions.windowHashes(
+          col("text"), 16)).as("wh"))
       .distinct())
     val e0 = wins.as("a").join(wins.as("b"),
         col("a.wh") === col("b.wh") && col("a.source") < col("b.source"))

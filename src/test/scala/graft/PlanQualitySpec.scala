@@ -609,9 +609,8 @@ class PlanQualitySpec extends SparkSpec {
     import org.apache.spark.sql.functions._
     val wins = Tables.t(spark, TestSpark.Sf0001, "documents")
       .select(col("source"),
-        graft.functions.TextFunctions.tokens(col("text")).as("__t"))
-      .select(col("source"),
-        explode(graft.operators.Dedup.windowHashes(col("__t"), 16)).as("wh"))
+        explode(graft.plans.WindowHashExpressions.windowHashes(
+          col("text"), 16)).as("wh"))
       .distinct()
     val p = wins.as("a").join(wins.as("b"),
         col("a.wh") === col("b.wh") && col("a.source") < col("b.source"))
