@@ -143,17 +143,28 @@ object Dedup {
     * there (oracle-checked); production corpora tune it down. */
   val DefaultMaxShingleDF: Int = 100000
 
-  /** Distinct word n-shingles per row: (id, sh).
-    *
-    * The token array is materialized as an attribute BEFORE the shingle
-    * transform: higher-order functions are CodegenFallback with no
-    * subexpression elimination, so a lambda body referencing the raw
+  /** Distinct word n-shingles per row: (id, sh) — the fan-in point of the
+    * whole shingle family (jaccard, minhash, cascade, leakage splits,
+    * decontamination, bigram LM, pipelines). Since r9 this is the native
+    * [[graft.plans.DistinctShingles]] kernel: one byte pass, distinct
+    * shingles byte-copied straight from token spans. */
+  def shingleSets(df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame =
+    df.select(col(idCol).as("id"),
+      explode(graft.plans.ShingleExpressions.distinctShingles(
+        col(textCol), n)).as("sh"))
+
+  /** COLUMNAR REFERENCE IMPLEMENTATION of [[shingleSets]] — the HOF form
+    * the native [[graft.plans.DistinctShingles]] kernel is pinned against
+    * (ShingleKernelSpec). Not on any production path: CodegenFallback
+    * interprets every `element_at`, and the token array must stay a
+    * materialized attribute (`__w`) — a lambda body referencing the raw
     * `tokens(text)` expression re-runs the full split/filter once per
-    * `element_at` call — O(tokens²·n) per row (the same re-tokenization
-    * pathology the r6 windowHashes fix removed; surfaced here as a
-    * 10-minute straggler task on the 100× sweep). CollapseProject keeps
-    * the multiply-referenced non-cheap `__w` from being inlined back. */
-  def shingleSets(df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame = {
+    * `element_at` call, O(tokens²·n) per row (the r6 windowHashes
+    * pathology; surfaced again as a 10-minute straggler on the r9 100×
+    * sweep). CollapseProject keeps the multiply-referenced non-cheap
+    * `__w` from being inlined back. */
+  def shingleSetsColumnar(df: DataFrame, idCol: String, textCol: String,
+                          n: Int = 3): DataFrame = {
     val w = col("__w")
     val arr = when(size(w) >= n,
       array_distinct(transform(sequence(lit(0), size(w) - n, lit(1)), i =>
