@@ -13,8 +13,15 @@ object TextFunctions {
 
   /** Whitespace tokens, empties dropped (split on single space — the
     * documents corpus is single-space separated; `tokensRe` handles the
-    * general case). */
+    * general case). Since r9 this is the native
+    * [[graft.plans.SplitTokens]] kernel — a codegen'd leaf, so consumers
+    * that nest it no longer fall out of whole-stage codegen. */
   def tokens(text: Column): Column =
+    graft.plans.TextStatsExpressions.splitTokens(text)
+
+  /** COLUMNAR REFERENCE IMPLEMENTATION of [[tokens]] (ArrayFilter —
+    * CodegenFallback); TokensKernelSpec pins the kernel against it. */
+  def tokensColumnar(text: Column): Column =
     filter(split(text, " "), t => t =!= "")
 
   /** BPE-ish token segmentation: letter runs, digit runs, or single

@@ -325,8 +325,134 @@ case class RollingFingerprintExpr(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Native whitespace tokenizer — the one-pass form of
+  * `filter(split(text, " "), t ≠ "")` ([[graft.functions.TextFunctions
+  * .tokens]]'s columnar reference): maximal runs of non-space bytes, in
+  * order, as zero-copy UTF8String views into the document's byte array.
+  * The columnar form is an ArrayFilter (CodegenFallback): the split
+  * allocates every empty-string slot a multi-space run produces and the
+  * filter lambda is interpreted per element — and because fallback
+  * expressions interpret their whole subtree, any expression that nests
+  * `tokens(text)` used to drag its surroundings out of codegen too. As a
+  * leaf kernel this stays inside whole-stage codegen everywhere it is
+  * referenced. TokensKernelSpec pins kernel ≡ columnar (order included);
+  * every token-family oracle is the mass cross-check. */
+object SplitTokens {
+
+  def compute(s: UTF8String): GenericArrayData = {
+    val b = s.getBytes
+    val n = b.length
+    var cap = 16
+    var arr = new Array[Any](cap)
+    var m = 0
+    var i = 0
+    while (i < n) {
+      while (i < n && b(i) == ' ') i += 1
+      val st = i
+      while (i < n && b(i) != ' ') i += 1
+      if (i > st) {
+        if (m == cap) {
+          cap *= 2
+          val na = new Array[Any](cap)
+          System.arraycopy(arr, 0, na, 0, m)
+          arr = na
+        }
+        arr(m) = UTF8String.fromBytes(b, st, i - st)
+        m += 1
+      }
+    }
+    if (m == arr.length) new GenericArrayData(arr)
+    else {
+      val out = new Array[Any](m)
+      System.arraycopy(arr, 0, out, 0, m)
+      new GenericArrayData(out)
+    }
+  }
+}
+
+/** `split_tokens(text)` — [[SplitTokens]] as a codegen'd expression. */
+case class SplitTokensExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.StringType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    SplitTokens.compute(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.SplitTokens.compute($c)")
+  override def prettyName: String = "split_tokens"
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Per-document vocabulary-coverage stats — (n_tokens, n_oov) against a
+  * plan-time vocabulary, the one-pass form of `size(toks)` +
+  * `size(filter(toks, ¬array_contains(vocab, t)))` (an interpreted
+  * per-token scan of the vocab literal in the columnar form). Byte-exact
+  * whole-token comparison, same discipline as [[TextStats]]' stopword
+  * hits. The vocabulary is bounded by construction (top-k
+  * TakeOrderedAndProject, the IVF-centroid precedent), so binding it as a
+  * literal array keeps OOV marking row-local at any corpus size. */
+object OovStats {
+
+  def compute(s: UTF8String, vocab: Array[Array[Byte]]): InternalRow = {
+    val b = s.getBytes
+    val n = b.length
+    var total = 0L
+    var oov = 0L
+    var i = 0
+    while (i < n) {
+      while (i < n && b(i) == ' ') i += 1
+      val st = i
+      while (i < n && b(i) != ' ') i += 1
+      if (i > st) {
+        total += 1
+        var hit = false
+        var v = 0
+        while (!hit && v < vocab.length) {
+          val w = vocab(v)
+          if (w.length == i - st) {
+            var j = 0
+            while (j < w.length && w(j) == b(st + j)) j += 1
+            hit = j == w.length
+          }
+          v += 1
+        }
+        if (!hit) oov += 1
+      }
+    }
+    InternalRow(total, oov)
+  }
+
+  val schema: StructType = StructType(Seq(
+    StructField("n_tokens", LongType, nullable = false),
+    StructField("n_oov", LongType, nullable = false)))
+}
+
+/** `oov_stats(text)` — [[OovStats]] with the vocabulary bound at plan
+  * time as a reference object (codegen'd via `ctx.addReferenceObj`). */
+case class OovStatsExpr(child: Expression, vocab: Seq[String])
+  extends UnaryExpression {
+  @transient private lazy val vocabBytes: Array[Array[Byte]] =
+    vocab.map(_.getBytes(java.nio.charset.StandardCharsets.UTF_8)).toArray
+  override def dataType: DataType = OovStats.schema
+  override def nullSafeEval(input: Any): Any =
+    OovStats.compute(input.asInstanceOf[UTF8String], vocabBytes)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("oovVocab", vocabBytes, "byte[][]")
+    defineCodeGen(ctx, ev, c => s"graft.plans.OovStats.compute($c, $ref)")
+  }
+  override def prettyName: String = "oov_stats"
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object TextStatsExpressions {
   import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+
+  def splitTokens(text: Column): Column =
+    column(SplitTokensExpr(expression(text)))
+
+  def oovStats(text: Column, vocab: Seq[String]): Column =
+    column(OovStatsExpr(expression(text), vocab))
 
   def textStats(text: Column, lists: Seq[Seq[String]]): Column =
     column(TextStatsExpr(expression(text), lists))

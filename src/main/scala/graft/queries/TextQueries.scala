@@ -582,12 +582,13 @@ object TextQueries {
       .orderBy(col("cnt").desc, col("token").asc)
       .limit(16)
       .collect().map(_.getString(0))
-    val vocabLit = array(vocab.map(lit): _*)
-    docs.select(col("lang"), tokens(col("text")).as("toks"))
-      .filter(size(col("toks")) > 0)
-      .select(col("lang"), size(col("toks")).cast("long").as("n_tokens"),
-        size(filter(col("toks"), t => !array_contains(vocabLit, t)))
-          .cast("long").as("n_oov"))
+    // native oov_stats kernel: token count + vocab miss count in one byte
+    // pass, the 16-token vocabulary bound at plan time
+    docs.select(col("lang"),
+        graft.plans.TextStatsExpressions.oovStats(col("text"), vocab.toSeq).as("st"))
+      .select(col("lang"), col("st.n_tokens").as("n_tokens"),
+        col("st.n_oov").as("n_oov"))
+      .filter(col("n_tokens") > 0)
       .groupBy("lang")
       .agg(count(lit(1)).as("n_docs"),
         sum("n_tokens").as("n_tokens"),
@@ -735,8 +736,7 @@ object TextQueries {
     * aggregation on doc-local keys. */
   def qFeatureHash(spark: SparkSession, sfDir: String): DataFrame = {
     val toks = graft.Tables.t(spark, sfDir, "documents")
-      .select(col("doc_id"),
-        explode(filter(split(col("text"), " "), t => t =!= "")).as("t"))
+      .select(col("doc_id"), explode(tokens(col("text"))).as("t"))
     val tokenHash =
       (length(col("t")) * 1009 + ascii(col("t")) * 31 + ascii(reverse(col("t")))) % 1000000007
     toks
