@@ -878,7 +878,11 @@ object TextQueries {
             lit("-"), lpad((id % 10000).cast("string"), 4, "0")))
           .otherwise(lit("")),
         when(id % 5 === 0,
-          concat(lit(" acct "), lpad(((id * id) % 1000000000L).cast("string"), 9, "0")))
+          // (id%1e9)² ≡ id² (mod 1e9) and stays < 2^60 — raw id² ANSI-
+          // overflows long at the 10-digit ids of the 1000× fixture (the
+          // q_ann_ivf seeding-hash precedent); a no-op at oracle SFs
+          concat(lit(" acct "), lpad((((id % 1000000000L) * (id % 1000000000L))
+            % 1000000000L).cast("string"), 9, "0")))
           .otherwise(lit(""))))
     withPii
       .withColumn("r", graft.plans.RedactExpressions.piiRedact(col("text")))
@@ -896,7 +900,7 @@ object TextQueries {
       |    || CASE WHEN doc_id % 3 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END
       |    || CASE WHEN doc_id % 4 = 0 THEN ' call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
       |            || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END
-      |    || CASE WHEN doc_id % 5 = 0 THEN ' acct ' || lpad(CAST((doc_id * doc_id) % 1000000000 AS VARCHAR), 9, '0') ELSE '' END AS t
+      |    || CASE WHEN doc_id % 5 = 0 THEN ' acct ' || lpad(CAST(((doc_id % 1000000000) * (doc_id % 1000000000)) % 1000000000 AS VARCHAR), 9, '0') ELSE '' END AS t
       |  FROM documents),
       |s1 AS (
       |  SELECT doc_id, len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
