@@ -24,39 +24,119 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object SeqWindowFreq {
 
+  /** Windows ≤ 8 bytes pack into a Long (uppercased bytes, big-endian) and
+    * count through this open-addressing long→int map — ZERO allocation per
+    * window, where the HashMap[String] form allocated a byte[] + String +
+    * boxed Integer per corpus byte (measured as the whole cost of the
+    * k-mer family at 100×: one window per position at step 1). Distinct
+    * windows per doc are few (≤ alphabet^k), so the map stays tiny and
+    * cache-resident; keys decode back to UTF8Strings only at the end. */
+  private final class PackedCounts(k: Int) {
+    private val Empty = Long.MinValue // impossible key: ≤ 8 data bytes
+    private var cap = 64
+    private var keys = {
+      val a = new Array[Long](cap)
+      java.util.Arrays.fill(a, Empty)
+      a
+    }
+    private var vals = new Array[Int](cap)
+    var size = 0
+
+    def add(key: Long): Unit = {
+      var idx = (java.lang.Long.hashCode(key * -7046029254386353131L)
+        & (cap - 1))
+      while (keys(idx) != Empty && keys(idx) != key) idx = (idx + 1) & (cap - 1)
+      if (keys(idx) == Empty) {
+        keys(idx) = key
+        vals(idx) = 1
+        size += 1
+        if (size * 2 > cap) grow()
+      } else vals(idx) += 1
+    }
+
+    private def grow(): Unit = {
+      val ok = keys; val ov = vals
+      cap *= 2
+      keys = new Array[Long](cap)
+      java.util.Arrays.fill(keys, Empty)
+      vals = new Array[Int](cap)
+      var i = 0
+      while (i < ok.length) {
+        if (ok(i) != Empty) {
+          var idx = (java.lang.Long.hashCode(ok(i) * -7046029254386353131L)
+            & (cap - 1))
+          while (keys(idx) != Empty) idx = (idx + 1) & (cap - 1)
+          keys(idx) = ok(i)
+          vals(idx) = ov(i)
+        }
+        i += 1
+      }
+    }
+
+    /** Decode every entry: `f(packedKey, count)`. */
+    def foreach(f: (Long, Int) => Unit): Unit = {
+      var i = 0
+      while (i < cap) {
+        if (keys(i) != Empty) f(keys(i), vals(i))
+        i += 1
+      }
+    }
+  }
+
+  @inline private def unpack(key: Long, k: Int): UTF8String = {
+    val b = new Array[Byte](k)
+    var j = 0
+    while (j < k) {
+      b(j) = ((key >>> ((k - 1 - j) * 8)) & 0xff).toByte
+      j += 1
+    }
+    UTF8String.fromBytes(b)
+  }
+
+  /** Uppercase + N-skip window scan; returns (map, total kept). Windows
+    * are BYTE-level (FASTX is ASCII, where byte ≡ char — every oracle
+    * fixture is ASCII-verified); on non-ASCII input the packed keys keep
+    * the raw window bytes rather than the String-decode path's lossy
+    * U+FFFD collapse of distinct invalid sequences. */
+  private def scan(seq: UTF8String, k: Int, step: Int): (PackedCounts, Long) = {
+    require(k <= 8, s"window width $k exceeds the 8-byte packed-key limit")
+    val bytes = seq.getBytes
+    val n = bytes.length
+    val counts = new PackedCounts(k)
+    var total = 0L
+    var i = 0
+    while (i + k <= n) {
+      var j = 0
+      var hasN = false
+      var key = 0L
+      while (j < k) {
+        var b = bytes(i + j)
+        if (b >= 'a' && b <= 'z') b = (b - 32).toByte // ASCII uppercase
+        if (b == 'N') hasN = true
+        key = (key << 8) | (b & 0xffL)
+        j += 1
+      }
+      if (!hasN) {
+        total += 1
+        counts.add(key)
+      }
+      i += step
+    }
+    (counts, total)
+  }
+
   /** Count map variant: {window → count} over kept windows (LongType
     * values). The explode queries build on this — per-doc counts need no
     * cross-row aggregation at all, so the whole pipeline is shuffle-free
     * until the output sort. */
   def computeCounts(seq: UTF8String, k: Int, step: Int): MapData = {
-    val bytes = seq.getBytes
-    val n = bytes.length
-    val counts = new java.util.HashMap[String, Int]()
-    var i = 0
-    while (i + k <= n) {
-      var j = 0
-      var hasN = false
-      val win = new Array[Byte](k)
-      while (j < k) {
-        var b = bytes(i + j)
-        if (b >= 'a' && b <= 'z') b = (b - 32).toByte
-        if (b == 'N') hasN = true
-        win(j) = b
-        j += 1
-      }
-      if (!hasN)
-        counts.merge(new String(win, java.nio.charset.StandardCharsets.UTF_8), 1, Integer.sum _)
-      i += step
-    }
-    val m = counts.size
-    val keys = new Array[Any](m)
-    val vals = new Array[Any](m)
-    val it = counts.entrySet().iterator()
+    val (counts, _) = scan(seq, k, step)
+    val keys = new Array[Any](counts.size)
+    val vals = new Array[Any](counts.size)
     var idx = 0
-    while (it.hasNext) {
-      val e = it.next()
-      keys(idx) = UTF8String.fromString(e.getKey)
-      vals(idx) = e.getValue.toLong
+    counts.foreach { (key, cnt) =>
+      keys(idx) = unpack(key, k)
+      vals(idx) = cnt.toLong
       idx += 1
     }
     new ArrayBasedMapData(new GenericArrayData(keys), new GenericArrayData(vals))
@@ -64,39 +144,14 @@ object SeqWindowFreq {
 
   /** Shared window-frequency kernel. `step` = 1 (k-mers) or k (codons). */
   def compute(seq: UTF8String, k: Int, step: Int): MapData = {
-    val bytes = seq.getBytes
-    val n = bytes.length
-    val counts = new java.util.HashMap[String, Int]()
-    var total = 0
-    var i = 0
-    while (i + k <= n) {
-      var j = 0
-      var hasN = false
-      val win = new Array[Byte](k)
-      while (j < k) {
-        var b = bytes(i + j)
-        if (b >= 'a' && b <= 'z') b = (b - 32).toByte // ASCII uppercase
-        if (b == 'N') hasN = true
-        win(j) = b
-        j += 1
-      }
-      if (!hasN) {
-        total += 1
-        val key = new String(win, java.nio.charset.StandardCharsets.UTF_8)
-        counts.merge(key, 1, Integer.sum _)
-      }
-      i += step
-    }
-    val m = counts.size
-    val keys = new Array[Any](m)
-    val vals = new Array[Any](m)
-    val it = counts.entrySet().iterator()
-    var idx = 0
+    val (counts, total) = scan(seq, k, step)
+    val keys = new Array[Any](counts.size)
+    val vals = new Array[Any](counts.size)
     val tot = total.toDouble
-    while (it.hasNext) {
-      val e = it.next()
-      keys(idx) = UTF8String.fromString(e.getKey)
-      vals(idx) = e.getValue.toDouble / tot
+    var idx = 0
+    counts.foreach { (key, cnt) =>
+      keys(idx) = unpack(key, k)
+      vals(idx) = cnt.toDouble / tot
       idx += 1
     }
     new ArrayBasedMapData(new GenericArrayData(keys), new GenericArrayData(vals))
