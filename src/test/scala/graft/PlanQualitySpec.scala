@@ -497,8 +497,18 @@ class PlanQualitySpec extends SparkSpec {
     val p = plan("q_vocab_oov")
     assert(!p.contains("Generate"), s"scoring pass must not explode tokens:\n$p")
     assert(!p.contains("Join"), s"scoring pass must not join token instances:\n$p")
+    assert(p.contains("oov_stats"), s"native OOV kernel missing:\n$p")
     val exchanges = p.split("Exchange").length - 1
     assert(exchanges <= 2, s"expected only the lang agg + sort exchanges:\n$p")
+  }
+
+  test("token-family plans run the native split_tokens kernel, not ArrayFilter") {
+    Seq("q_lateral", "q_text_tokens", "q_feature_hash").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("split_tokens"), s"$q missing the tokenizer kernel:\n$p")
+      assert(!p.contains("array_filter") && !p.contains("ArrayFilter"),
+        s"$q fell back to the interpreted columnar tokenizer:\n$p")
+    }
   }
 
   test("q_quality_gates: one scan, row-local gates, only the lang agg exchanges") {
