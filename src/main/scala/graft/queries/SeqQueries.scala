@@ -19,8 +19,10 @@ import graft.functions.SeqFunctions._
   */
 object SeqQueries {
 
+  // literal StringReplace, not regexp_replace: a single-space pattern is
+  // byte-identical either way, and the regex engine scanned every char
   private def surrogate(c: org.apache.spark.sql.Column) =
-    upper(regexp_replace(c, " ", ""))
+    upper(replace(c, lit(" "), lit("")))
 
   def qSeqStats(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = t(spark, sfDir, "documents")
