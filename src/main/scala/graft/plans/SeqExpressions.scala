@@ -1,6 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, GenericArrayData, MapData}
@@ -31,7 +32,7 @@ object SeqWindowFreq {
     * k-mer family at 100×: one window per position at step 1). Distinct
     * windows per doc are few (≤ alphabet^k), so the map stays tiny and
     * cache-resident; keys decode back to UTF8Strings only at the end. */
-  private final class PackedCounts(k: Int) {
+  private[plans] final class PackedCounts(k: Int) {
     private val Empty = Long.MinValue // impossible key: ≤ 8 data bytes
     private var cap = 64
     private var keys = {
@@ -98,7 +99,7 @@ object SeqWindowFreq {
     * fixture is ASCII-verified); on non-ASCII input the packed keys keep
     * the raw window bytes rather than the String-decode path's lossy
     * U+FFFD collapse of distinct invalid sequences. */
-  private def scan(seq: UTF8String, k: Int, step: Int): (PackedCounts, Long) = {
+  private[plans] def scan(seq: UTF8String, k: Int, step: Int): (PackedCounts, Long) = {
     require(k <= 8, s"window width $k exceeds the 8-byte packed-key limit")
     val bytes = seq.getBytes
     val n = bytes.length
@@ -201,6 +202,81 @@ case class CodonUsageExpr(child: Expression) extends SeqWindowFreqExpression {
     copy(child = newChild)
 }
 
+/** Sorted `GRAM=count,…` window-count encoding — the one-pass collapse of
+  * `concat_ws(",", transform(array_sort(map_entries(counts)), e →
+  * concat(key, "=", value)))` + the `aggregate` total fold (both
+  * CodegenFallback, both per doc). Packed keys sort with
+  * `Long.compareUnsigned`, which for equal-length big-endian-packed
+  * windows IS byte-lexicographic order — exactly `array_sort`'s binary
+  * UTF8String comparison on the struct's key field (keys are unique, so
+  * the value field never breaks ties). Returns
+  * struct(n_kmers, total, kmer_enc); a windowless doc returns (0, 0, "")
+  * matching the columnar form's empty-map results. */
+object KmerEnc {
+
+  def compute(seq: UTF8String, k: Int, step: Int): InternalRow = {
+    val (counts, total) = SeqWindowFreq.scan(seq, k, step)
+    val m = counts.size
+    val ks = new Array[Long](m)
+    val vs = new Array[Int](m)
+    var idx = 0
+    counts.foreach { (key, cnt) =>
+      ks(idx) = key; vs(idx) = cnt; idx += 1
+    }
+    // index sort by unsigned packed key = lexicographic gram order
+    val order = new Array[Integer](m)
+    var i = 0
+    while (i < m) { order(i) = Integer.valueOf(i); i += 1 }
+    java.util.Arrays.sort(order,
+      (a: Integer, b: Integer) => java.lang.Long.compareUnsigned(ks(a), ks(b)))
+    // raw-byte assembly (no char re-encode — grams carry the window's
+    // exact bytes, like the map keys of the columnar form)
+    var buf = new Array[Byte](math.max(16, m * (k + 8)))
+    var pos = 0
+    @inline def ensure(extra: Int): Unit =
+      if (pos + extra > buf.length) {
+        buf = java.util.Arrays.copyOf(buf, math.max(buf.length * 2, pos + extra))
+      }
+    i = 0
+    while (i < m) {
+      val digits = Integer.toString(vs(order(i)))
+      ensure(k + digits.length + 2)
+      if (i > 0) { buf(pos) = ','; pos += 1 }
+      val key = ks(order(i))
+      var j = 0
+      while (j < k) {
+        buf(pos) = ((key >>> ((k - 1 - j) * 8)) & 0xff).toByte
+        pos += 1
+        j += 1
+      }
+      buf(pos) = '='; pos += 1
+      var d = 0
+      while (d < digits.length) { buf(pos) = digits.charAt(d).toByte; pos += 1; d += 1 }
+      i += 1
+    }
+    InternalRow(m.toLong, total,
+      UTF8String.fromBytes(java.util.Arrays.copyOf(buf, pos)))
+  }
+
+  val schema: StructType = StructType(Seq(
+    StructField("n_kmers", LongType, nullable = false),
+    StructField("total", LongType, nullable = false),
+    StructField("kmer_enc", StringType, nullable = false)))
+}
+
+/** `kmer_enc(seq, k, step)` — [[KmerEnc]] as a codegen'd expression. */
+case class KmerEncExpr(child: Expression, k: Int, step: Int)
+  extends UnaryExpression {
+  override def dataType: DataType = KmerEnc.schema
+  override def nullSafeEval(input: Any): Any =
+    KmerEnc.compute(input.asInstanceOf[UTF8String], k, step)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.KmerEnc.compute($c, $k, $step)")
+  override def prettyName: String = "kmer_enc"
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object SeqExpressions {
   // Spark 4 moved Column off Expression; the bridge converts both ways
   import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
@@ -213,6 +289,10 @@ object SeqExpressions {
   /** {window → count} map (k-mers: step 1; codons: step k). */
   def windowCounts(c: Column, k: Int, step: Int): Column =
     column(SeqWindowCountsExpr(expression(c), k, step))
+
+  /** struct(n_kmers, total, sorted "GRAM=count,…" encoding). */
+  def kmerEnc(c: Column, k: Int, step: Int): Column =
+    column(KmerEncExpr(expression(c), k, step))
 
   /** SQL registration: `SELECT kmer_frequencies(seq, 3)`. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {

@@ -120,19 +120,20 @@ object SeqQueries {
     * produce identically (raw map columns are unorderable in the harness and
     * double freqs don't stringify portably; freq = cnt/total is recoverable
     * exactly). The map-typed API itself (`kmerFrequenciesNative`) stays
-    * pinned against the UDF reference impl in SeqExpressionsSpec. */
+    * pinned against the UDF reference impl in SeqExpressionsSpec. Since
+    * r9 the whole encode runs inside the native [[graft.plans.KmerEnc]]
+    * kernel (SeqExpressionsSpec pins it against the columnar
+    * sort+transform derivation it replaced). */
   def qKmerMap(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = t(spark, sfDir, "documents")
     docs
       .select(col("doc_id"),
-        graft.plans.SeqExpressions.windowCounts(surrogate(col("text")), 3, 1).as("counts"))
+        graft.plans.SeqExpressions.kmerEnc(surrogate(col("text")), 3, 1).as("e"))
       .select(
         col("doc_id"),
-        size(col("counts")).cast("long").as("n_kmers"),
-        aggregate(map_values(col("counts")), lit(0L), (acc, x) => acc + x).as("total"),
-        concat_ws(",", transform(array_sort(map_entries(col("counts"))),
-          e => concat(e.getField("key"), lit("="), e.getField("value").cast("string"))))
-          .as("kmer_enc"))
+        col("e.n_kmers").as("n_kmers"),
+        col("e.total").as("total"),
+        col("e.kmer_enc").as("kmer_enc"))
       .orderBy("doc_id")
   }
 

@@ -66,7 +66,11 @@ class PlanQualitySpec extends SparkSpec {
     val p = plan("q_kmer_map")
     val exchanges = p.split("Exchange ").length - 1
     assert(exchanges == 1, s"expected 1 exchange, plan:\n$p")
-    assert(p.contains("seq_window_counts"), s"native counts expr missing:\n$p")
+    // r9: count + sort + encode fused into the single kmer_enc kernel —
+    // no CodegenFallback HOFs (aggregate/transform) left in the plan
+    assert(p.contains("kmer_enc"), s"native kmer_enc kernel missing:\n$p")
+    assert(!p.contains("aggregate(") && !p.contains("transform("),
+      s"interpreted HOF survived the kernel fusion:\n$p")
   }
 
   test("q_curation_pipeline: filters fused into the scan, no cartesian join") {

@@ -67,6 +67,42 @@ class SeqExpressionsSpec extends SparkSpec {
     assert(m.getMap[String, Double](1) == Map("ACG" -> 0.5, "TTT" -> 0.5))
   }
 
+  test("kmer_enc kernel equals the columnar sort+encode derivation") {
+    // the chain q_kmer_map ran before the KmerEnc kernel: size + aggregate
+    // total + concat_ws over array_sort'ed map entries
+    def columnar(counts: org.apache.spark.sql.Column) = Seq(
+      size(counts).cast("long").as("c_n"),
+      aggregate(map_values(counts), lit(0L), (acc, x) => acc + x).as("c_total"),
+      concat_ws(",", transform(array_sort(map_entries(counts)),
+        e => concat(e.getField("key"), lit("="), e.getField("value").cast("string"))))
+        .as("c_enc"))
+    var seed = 0xd1b54a32d192ed03L
+    val gen = (0 until 200).map { _ =>
+      val n = ((seed >>> 40) % 40).toInt.abs
+      val sb = new StringBuilder
+      (0 until n).foreach { _ =>
+        seed = seed * 6364136223846793005L + 1442695040888963407L
+        sb.append("ACGTNacgtn x".charAt(((seed >>> 33) % 12).toInt))
+      }
+      sb.toString
+    }
+    val docs = Tables.t(TestSpark.spark, TestSpark.Sf0001, "documents")
+      .select(col("text")).collect().map(_.getString(0)).toSeq
+    Seq((3, 1), (3, 3), (2, 1), (5, 1)).foreach { case (k, step) =>
+      val df = (cases ++ gen ++ docs).toDF("s")
+        .select(Seq(col("s"),
+          SeqExpressions.kmerEnc(col("s"), k, step).as("e")) ++
+          columnar(SeqExpressions.windowCounts(col("s"), k, step)): _*)
+      df.collect().foreach { r =>
+        val e = r.getStruct(1)
+        val tag = s"k=$k step=$step '${r.getString(0).take(40)}'"
+        assert(e.getLong(0) === r.getAs[Long]("c_n"), s"n_kmers $tag")
+        assert(e.getLong(1) === r.getAs[Long]("c_total"), s"total $tag")
+        assert(e.getString(2) === r.getAs[String]("c_enc"), s"enc $tag")
+      }
+    }
+  }
+
   test("GraftExtensions injects the native functions without error") {
     val exts = new org.apache.spark.sql.SparkSessionExtensions
     new graft.GraftExtensions().apply(exts)   // builder registration must not throw
