@@ -27,8 +27,17 @@ object SeqFunctions {
     * schema stability (DuckDB length() is BIGINT). */
   def seqLength(seq: Column): Column = length(seq).cast("long")
 
-  /** Count of a literal character via translate-diff: codegen'd, no regex. */
+  /** Count of literal ASCII characters. Production path is the one-pass
+    * byte-count kernel (exact for ASCII sets by UTF-8 structure — see
+    * [[graft.plans.AsciiKernels]]); the translate-diff idiom below stays
+    * as the AsciiKernelSpec-pinned reference (Spark's `translate` walks a
+    * boxed char map — 8 s/call over the 100× corpus). */
   private def charCount(seq: Column, chars: String): Column =
+    graft.plans.AsciiExpressions.asciiCharCount(seq, chars)
+
+  /** Translate-diff form of [[charCount]], kept as the kernel's pinned
+    * reference. */
+  private[graft] def charCountColumnar(seq: Column, chars: String): Column =
     (length(seq) - length(translate(seq, chars, ""))).cast("long")
 
   /** E2 — GC fraction, case-sensitive literal G/C counts over full length
@@ -43,8 +52,15 @@ object SeqFunctions {
   def nCount(seq: Column): Column = charCount(seq, "N")
 
   /** E4 — MD5 hex digest truncated to `len` chars (`fastx_parsers.py:43-50`);
-    * bit-identical to `hashlib.md5(s.encode()).hexdigest()[:len]`. */
+    * bit-identical to `hashlib.md5(s.encode()).hexdigest()[:len]`. Production
+    * path is the [[graft.plans.Md5Prefix]] kernel (thread-local digest, no
+    * per-row `MessageDigest.getInstance` / String round-trips); the built-in
+    * chain below stays as the HashKernelSpec-pinned reference. */
   def seqHash(seq: Column, len: Int = 32): Column =
+    graft.plans.HashExpressions.md5Prefix(seq, len)
+
+  /** The built-in-chain form of E4, kept as the kernel's pinned reference. */
+  private[graft] def seqHashColumnar(seq: Column, len: Int = 32): Column =
     substring(md5(seq.cast("binary")), 1, len)
 
   // ---------------------------------------------------------------------

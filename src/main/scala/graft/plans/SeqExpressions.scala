@@ -143,6 +143,22 @@ object SeqWindowFreq {
     new ArrayBasedMapData(new GenericArrayData(keys), new GenericArrayData(vals))
   }
 
+  /** [[computeCounts]] plus the kept-window total from the same scan. */
+  def computeCountsTotal(seq: UTF8String, k: Int, step: Int): InternalRow = {
+    val (counts, total) = scan(seq, k, step)
+    val keys = new Array[Any](counts.size)
+    val vals = new Array[Any](counts.size)
+    var idx = 0
+    counts.foreach { (key, cnt) =>
+      keys(idx) = unpack(key, k)
+      vals(idx) = cnt.toLong
+      idx += 1
+    }
+    InternalRow(
+      new ArrayBasedMapData(new GenericArrayData(keys), new GenericArrayData(vals)),
+      total)
+  }
+
   /** Shared window-frequency kernel. `step` = 1 (k-mers) or k (codons). */
   def compute(seq: UTF8String, k: Int, step: Int): MapData = {
     val (counts, total) = scan(seq, k, step)
@@ -189,6 +205,28 @@ case class SeqWindowCountsExpr(child: Expression, k: Int, step: Int)
     defineCodeGen(ctx, ev, c =>
       s"graft.plans.SeqWindowFreq.computeCounts($c, $k, $step)")
   override def prettyName: String = "seq_window_counts"
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** struct(counts: Map[String,Long], total: Long) in one scan — the explode
+  * queries' building block. The separate `aggregate(map_values(counts))`
+  * total fold was CodegenFallback, which evaluates its ENTIRE child
+  * subtree interpreted — including the count-map scan itself when
+  * CollapseProject inlines it. Here the total falls out of the same
+  * packed-key pass that builds the map. */
+case class WindowCountsTotalExpr(child: Expression, k: Int, step: Int)
+  extends UnaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("counts",
+      MapType(StringType, LongType, valueContainsNull = false), nullable = false),
+    StructField("total", LongType, nullable = false)))
+  override def nullSafeEval(input: Any): Any =
+    SeqWindowFreq.computeCountsTotal(input.asInstanceOf[UTF8String], k, step)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.plans.SeqWindowFreq.computeCountsTotal($c, $k, $step)")
+  override def prettyName: String = "window_counts_total"
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
@@ -287,6 +325,10 @@ object SeqExpressions {
     column(CodonUsageExpr(expression(c)))
 
   /** {window → count} map (k-mers: step 1; codons: step k). */
+  /** struct(counts, total) from one scan — the explode queries' source. */
+  def windowCountsTotal(c: Column, k: Int, step: Int): Column =
+    column(WindowCountsTotalExpr(expression(c), k, step))
+
   def windowCounts(c: Column, k: Int, step: Int): Column =
     column(SeqWindowCountsExpr(expression(c), k, step))
 

@@ -76,6 +76,11 @@ object FastxQueries {
         seqLength(col("sequence")).as("seq_len"),
         seqHash(col("sequence"), 16).as("seq_md5"),
         seqHash(col("quality"), 16).as("qual_md5"))
+      // hash-shuffle the SMALL projected rows below the sort: range
+      // sampling re-executes its child, and without this boundary that
+      // child is the whole splittable FASTX parse — the shuffle's map
+      // output is computed once and reused by sampling + sort
+      .repartition(col("doc_id"))
       .orderBy("doc_id")
   }
 
@@ -102,6 +107,7 @@ object FastxQueries {
         seqLength(col("sequence")).as("seq_len"),
         nCount(col("sequence")).as("n_cnt"),
         seqHash(col("sequence"), 16).as("seq_md5"))
+      .repartition(col("doc_id")) // parse-once boundary — see qFastqRoundtrip
       .orderBy("doc_id")
   }
 
@@ -138,6 +144,7 @@ object FastxQueries {
       .select(
         regexp_extract(col("header"), "^doc_(\\d+)", 1).cast("long").as("doc_id"),
         col("length"), col("gc_content"), col("n_count"), col("hash"))
+      .repartition(col("doc_id")) // parse-once boundary — see qFastqRoundtrip
       .orderBy("doc_id")
   }
 

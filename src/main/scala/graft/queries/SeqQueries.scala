@@ -26,15 +26,19 @@ object SeqQueries {
 
   def qSeqStats(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = t(spark, sfDir, "documents")
+    // sort the narrow (doc_id, text) side FIRST: range partitioning
+    // samples its child to pick bounds, so a projection below the sort
+    // is evaluated twice — the stat columns stay above the exchange
     docs
+      .select(col("doc_id"), col("text"))
+      .filter(length(col("text")) >= 50)
+      .orderBy("doc_id")
       .select(
         col("doc_id"),
         seqLength(col("text")).as("seq_len"),
         gcContent(surrogate(col("text"))).as("gc_frac"),
         nCount(col("text")).as("n_cnt"),
         seqHash(col("text"), 8).as("seq_hash"))
-      .filter(col("seq_len") >= 50)
-      .orderBy("doc_id")
   }
 
   val qSeqStatsSql: String =
@@ -62,20 +66,31 @@ object SeqQueries {
     * Measured dead ends (don't repeat): a CodegenFallback window Generator
     * was ~30% slower than explode+substr (breaks the WSCG span); the
     * repartition+window formulation costs two more exchanges. */
+  /** r9: two fixes to the old shape. (1) The `aggregate(map_values(…))`
+    * total fold was CodegenFallback — it evaluated its entire child
+    * subtree interpreted, including the count-map scan once CollapseProject
+    * inlined it; `window_counts_total` emits struct(counts, total) from
+    * the one packed-key pass. (2) A global `orderBy` above the Generate
+    * made range-partitioning sampling evaluate scan+kernel+explode TWICE;
+    * instead the narrow (doc_id, text) input is range-partitioned first
+    * (sampling pays only the scan), and the exploded rows get a
+    * partition-local sort on the full (doc_id, gram) key — equal doc_ids
+    * land in one range partition, so the order is total. */
   private def windowFreqs(docs: DataFrame, k: Int, step: Int): DataFrame =
     docs
+      .repartitionByRange(col("doc_id"))
       .select(col("doc_id"),
-        graft.plans.SeqExpressions.windowCounts(col("s"), k, step).as("counts"))
-      .withColumn("total",
-        aggregate(map_values(col("counts")), lit(0L), (acc, x) => acc + x))
-      .select(col("doc_id"), explode(col("counts")).as(Seq("gram", "cnt")), col("total"))
+        graft.plans.SeqExpressions
+          .windowCountsTotal(surrogate(col("text")), k, step).as("ct"))
+      .select(col("doc_id"),
+        explode(col("ct.counts")).as(Seq("gram", "cnt")),
+        col("ct.total").as("total"))
       .withColumn("freq", col("cnt").cast("double") / col("total"))
       .drop("total")
-      .orderBy("doc_id", "gram")
+      .sortWithinPartitions("doc_id", "gram")
 
   def qKmerExplode(spark: SparkSession, sfDir: String): DataFrame = {
-    val docs = t(spark, sfDir, "documents")
-      .select(col("doc_id"), surrogate(col("text")).as("s"))
+    val docs = t(spark, sfDir, "documents").select(col("doc_id"), col("text"))
     windowFreqs(docs, k = 3, step = 1)
   }
 
@@ -94,8 +109,7 @@ object SeqQueries {
       |FROM cnts ORDER BY doc_id, gram""".stripMargin
 
   def qCodonExplode(spark: SparkSession, sfDir: String): DataFrame = {
-    val docs = t(spark, sfDir, "documents")
-      .select(col("doc_id"), surrogate(col("text")).as("s"))
+    val docs = t(spark, sfDir, "documents").select(col("doc_id"), col("text"))
     windowFreqs(docs, k = 3, step = 3)
   }
 
@@ -126,7 +140,10 @@ object SeqQueries {
     * sort+transform derivation it replaced). */
   def qKmerMap(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = t(spark, sfDir, "documents")
+    // sort the narrow side first — see windowFreqs note (2)
     docs
+      .select(col("doc_id"), col("text"))
+      .orderBy("doc_id")
       .select(col("doc_id"),
         graft.plans.SeqExpressions.kmerEnc(surrogate(col("text")), 3, 1).as("e"))
       .select(
@@ -134,7 +151,6 @@ object SeqQueries {
         col("e.n_kmers").as("n_kmers"),
         col("e.total").as("total"),
         col("e.kmer_enc").as("kmer_enc"))
-      .orderBy("doc_id")
   }
 
   val qKmerMapSql: String =
@@ -192,13 +208,15 @@ object SeqQueries {
     * revcomp) exercises full-string equality on the computed column. */
   def qRevcomp(spark: SparkSession, sfDir: String): DataFrame = {
     val u = surrogate(col("text"))
-    val rc = reverse(translate(u, "ACGT", "TGCA"))
+    // byte-table kernel ≡ translate for same-length ASCII from/to
+    val rc = reverse(graft.plans.AsciiExpressions.asciiTranslate(u, "ACGT", "TGCA"))
     t(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"))
+      .orderBy("doc_id") // before the wide projection — see qSeqStats
       .select(col("doc_id"),
         substring(rc, 1, 24).as("rc_prefix"),
-        substring(md5(rc), 1, 12).as("rc_hash"),
+        seqHash(rc, 12).as("rc_hash"),
         (u === rc).as("is_palindrome"))
-      .orderBy("doc_id")
   }
 
   val qRevcompSql: String =

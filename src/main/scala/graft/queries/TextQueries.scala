@@ -75,13 +75,15 @@ object TextQueries {
   /** Stopword-hit language-ID heuristic: score each language's tiny
     * stopword list, argmax with a fixed tie order (list order). */
   def qLangId(spark: SparkSession, sfDir: String): DataFrame = {
+    // narrow sort FIRST: range sampling evaluates the exchange child, so
+    // a sort above the kernel projection would run text_stats twice
     val docs = t(spark, sfDir, "documents")
       .select(col("doc_id"), col("lang"), col("text"))
+      .orderBy("doc_id")
     withLangScores(docs)
       .withColumn("pred_lang", predLangCol)
       .select((Seq(col("doc_id"), col("lang"), col("pred_lang")) ++
         StopwordLists.map { case (l, _) => col(s"hits_$l") }): _*)
-      .orderBy("doc_id")
   }
 
   /** `scored` CTE over `src` (which must expose `text`): every source
@@ -123,6 +125,8 @@ object TextQueries {
     // TextFunctions.qualityScore from the kernel's integer fields
     // (TextStatsSpec pins kernel ≡ columnar field-by-field)
     t(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"))
+      .orderBy("doc_id") // narrow sort first — see qLangId note
       .select(col("doc_id"), graft.plans.TextStatsExpressions
         .textStats(col("text"), StopwordLists.map(_._2)).as("st"))
       .select(col("doc_id"),
@@ -133,7 +137,6 @@ object TextQueries {
             col("st").getField("n_chars")) +
           lit(0.2) * least(col("st").getField("hits").getItem(0).cast("double") /
             col("st").getField("n_tokens").cast("double") * 5d, lit(1d))).as("quality"))
-      .orderBy("doc_id")
 
   /** SQL twin of [[graft.functions.TextFunctions.qualityScore]] —
     * references a `text` column; identical IEEE expression tree. */
@@ -162,11 +165,12 @@ object TextQueries {
     * per-token hash chain interpreted — 43.3 s vs 6.8 s at 100×). */
   def qFingerprint(spark: SparkSession, sfDir: String): DataFrame =
     t(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"))
+      .orderBy("doc_id") // narrow sort first — see qLangId note
       .select(col("doc_id"),
         graft.plans.TextStatsExpressions.rollingFingerprint(col("text"))
           .as("rolling_fp"),
-        md5(col("text").cast("binary")).as("md5_fp"))
-      .orderBy("doc_id")
+        graft.plans.HashExpressions.md5Hex(col("text")).as("md5_fp"))
 
   val qFingerprintSql: String =
     """SELECT doc_id,
@@ -183,12 +187,13 @@ object TextQueries {
     * image/audio columns; real decode lives in graft.multimodal. */
   def qBinaryMeta(spark: SparkSession, sfDir: String): DataFrame =
     t(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"))
+      .orderBy("doc_id") // narrow sort first — see qLangId note
       .select(col("doc_id"), col("text").cast("binary").as("payload"))
       .select(col("doc_id"),
         // length() on BinaryType counts bytes (octet_length equivalent)
         length(col("payload")).cast("long").as("n_bytes"),
-        md5(col("payload")).as("content_md5"))
-      .orderBy("doc_id")
+        graft.plans.HashExpressions.md5Hex(col("payload")).as("content_md5"))
 
   val qBinaryMetaSql: String =
     """SELECT doc_id,
@@ -373,6 +378,8 @@ object TextQueries {
     // no aggregation exchange; the n_tokens > 0 filter reproduces the
     // explode shape's drop of zero-token docs (TokenRepStats scaladoc)
     t(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"))
+      .orderBy("doc_id") // narrow sort first — see qLangId note
       .select(col("doc_id"),
         graft.plans.TextStatsExpressions.tokenRepStats(col("text")).as("st"))
       .select(col("doc_id"),
@@ -383,7 +390,6 @@ object TextQueries {
       .withColumn("dup_tokens", col("n_tokens") - col("n_distinct"))
       .withColumn("flagged",
         (col("dup_tokens") * 2 > col("n_tokens")).cast("int"))
-      .orderBy("doc_id")
 
   val qRepetitionSql: String =
     """WITH toks AS (
@@ -508,6 +514,11 @@ object TextQueries {
     // previous transform(sequence, start → concat_ws(slice(...))) shape
     // sliced and re-joined the token array interpreted, once per chunk
     t(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"))
+      // range-partition the narrow side, local-sort the exploded rows on
+      // the full key: equal doc_ids share a partition, so the order is
+      // total and range sampling never re-runs kernel+explode
+      .repartitionByRange(col("doc_id"))
       .select(col("doc_id"), graft.plans.TextStatsExpressions
         .chunkTexts(col("text"), C, S).as("st"))
       .filter(col("st").getField("n_tokens") > 0)
@@ -515,8 +526,8 @@ object TextQueries {
         posexplode(col("st").getField("chunks")).as(Seq("chunk_id", "chunk_text")))
       .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
         least(col("n") - col("chunk_id") * S, lit(C.toLong)).as("chunk_tokens"),
-        md5(col("chunk_text").cast("binary")).as("chunk_md5"))
-      .orderBy("doc_id", "chunk_id")
+        graft.plans.HashExpressions.md5Hex(col("chunk_text")).as("chunk_md5"))
+      .sortWithinPartitions("doc_id", "chunk_id")
   }
 
   val qDocChunkSql: String =
@@ -686,10 +697,14 @@ object TextQueries {
     * shuffles; the only exchange is the output sort. */
   def qLateral(spark: SparkSession, sfDir: String): DataFrame =
     t(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"))
+      // range-partition BEFORE the explode: sampling a sort above the
+      // Generate would materialize the full token stream twice
+      .repartitionByRange(col("doc_id"))
       .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "token")))
       .withColumn("pos", col("pos").cast("long"))
       .select("doc_id", "pos", "token")
-      .orderBy("doc_id", "pos")
+      .sortWithinPartitions("doc_id", "pos")
 
   val qLateralSql: String =
     """WITH s AS (
@@ -708,6 +723,8 @@ object TextQueries {
     * DuckDB's list_distinct does not guarantee one. */
   def qRegexArray(spark: SparkSession, sfDir: String): DataFrame =
     graft.Tables.t(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"))
+      .orderBy("doc_id") // narrow sort first — the regex pass runs once
       .select(col("doc_id"),
         regexp_extract_all(col("text"), lit("[a-z]{5,}"), lit(0)).as("m"))
       .select(col("doc_id"),
@@ -715,7 +732,6 @@ object TextQueries {
         size(array_distinct(col("m"))).as("n_uniq"),
         concat_ws(",", slice(array_sort(array_distinct(col("m"))), 1, 3))
           .as("top3"))
-      .orderBy("doc_id")
 
   val qRegexArraySql: String =
     """SELECT doc_id,
@@ -885,12 +901,13 @@ object TextQueries {
             % 1000000000L).cast("string"), 9, "0")))
           .otherwise(lit(""))))
     withPii
+      .select(id, col("text"))
+      .orderBy("doc_id") // sort the injected-but-unredacted rows first
       .withColumn("r", graft.plans.RedactExpressions.piiRedact(col("text")))
       .select(id, col("r.n_emails").as("n_emails"),
         col("r.n_phones").as("n_phones"), col("r.n_ids").as("n_ids"),
         length(col("r.redacted")).as("red_len"),
-        md5(col("r.redacted").cast("binary")).as("red_md5"))
-      .orderBy("doc_id")
+        graft.plans.HashExpressions.md5Hex(col("r.redacted")).as("red_md5"))
   }
 
   val qPiiRedactSql: String =

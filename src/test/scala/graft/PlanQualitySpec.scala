@@ -53,13 +53,18 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("LeftSemi") && p.contains("LeftAnti"), s"join types missing:\n$p")
   }
 
-  test("q_kmer_explode: shuffle-free until the output sort (native count map)") {
+  test("q_kmer_explode: one narrow-side exchange, kernel+explode above it") {
     val p = plan("q_kmer_explode")
-    // per-doc counts come from the native seq_window_counts expression —
-    // the ONLY exchange is the final orderBy rangepartitioning
+    // ONE exchange: the range repartition of the narrow (doc_id, text)
+    // side. The window_counts_total kernel, the explode, and the local
+    // (doc_id, gram) sort all run ABOVE it, so range sampling never
+    // re-evaluates the kernel and the total needs no interpreted HOF.
     val exchanges = p.split("Exchange ").length - 1
     assert(exchanges == 1, s"expected 1 exchange, plan:\n$p")
-    assert(p.contains("seq_window_counts"), s"native counts expr missing:\n$p")
+    assert(p.contains("window_counts_total"), s"native counts expr missing:\n$p")
+    assert(!p.contains("aggregate("), s"interpreted total fold survived:\n$p")
+    assert(p.indexOf("window_counts_total") < p.indexOf("Exchange range"),
+      s"kernel must sit above the exchange (sampling double-eval):\n$p")
   }
 
   test("q_kmer_map: shuffle-free count map — only the output sort exchanges") {
@@ -71,6 +76,9 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("kmer_enc"), s"native kmer_enc kernel missing:\n$p")
     assert(!p.contains("aggregate(") && !p.contains("transform("),
       s"interpreted HOF survived the kernel fusion:\n$p")
+    // projection ABOVE the sort: range sampling must not run the kernel
+    assert(p.indexOf("kmer_enc") < p.indexOf("Sort "),
+      s"kernel below the sort re-evaluates it during sampling:\n$p")
   }
 
   test("q_curation_pipeline: filters fused into the scan, no cartesian join") {
