@@ -233,8 +233,8 @@ object Dedup {
     require(total <= 16, "hash family provides 16 independent 16-bit hashes")
     val hx = shingles
       .select(col("id"),
-        md5(concat(lit("a:"), col("sh")).cast("binary")).as("m1"),
-        md5(concat(lit("b:"), col("sh")).cast("binary")).as("m2"))
+        graft.plans.HashExpressions.md5Hex(concat(lit("a:"), col("sh"))).as("m1"),
+        graft.plans.HashExpressions.md5Hex(concat(lit("b:"), col("sh"))).as("m2"))
     val mins = (0 until total).map { j =>
       val src = if (j < 8) col("m1") else col("m2")
       min(substring(src, (j % 8) * 4 + 1, 4)).as(s"h$j")
@@ -325,7 +325,8 @@ object Dedup {
     * [[collapsedClusterLabels]]. Columns (id, __rep). */
   private def contentRepMap(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val keyed = graft.CacheScope.cached(
-      df.select(col(idCol).as("id"), md5(col(textCol).cast("binary")).as("__key")))
+      df.select(col(idCol).as("id"),
+        graft.plans.HashExpressions.md5Hex(col(textCol)).as("__key")))
     graft.CacheScope.cached(
       keyed.join(keyed.groupBy(col("__key")).agg(min(col("id")).as("__rep")), "__key")
         .select(col("id"), col("__rep")))
@@ -592,11 +593,11 @@ object Dedup {
                         idCol: String, textCol: String,
                         n: Int = 3, minJaccard: Double = 0.5,
                         maxShingleDF: Int = DefaultMaxShingleDF): DataFrame = {
-    val keyed = batch.withColumn("__key", md5(col(textCol).cast("binary")))
+    val keyed = batch.withColumn("__key", graft.plans.HashExpressions.md5Hex(col(textCol)))
     val winners = keyed.groupBy(col("__key")).agg(min(col(idCol)).as(idCol))
       .select(col(idCol))
     val corpusKeys = corpus
-      .select(md5(col(textCol).cast("binary")).as("__key")).distinct()
+      .select(graft.plans.HashExpressions.md5Hex(col(textCol)).as("__key")).distinct()
     // the exact-stage survivor set feeds four consumers (shingle union,
     // probe ids, the corpus/batch side split of the drop rule, and the
     // final status join) — cache it so the batch scan + winner agg +
@@ -668,7 +669,7 @@ object Dedup {
     * linear row-local shape. */
   def simhash60(textCol: Column): Column =
     simhashOf(textCol, 60,
-      t => conv(substring(md5(t.cast("binary")), 1, 15), 16, 10).cast("long"))
+      t => conv(graft.plans.HashExpressions.md5Prefix(t, 15), 16, 10).cast("long"))
 
   /** SimHash near-dup pairs: candidates share ≥1 of 4 exact bit blocks
     * (any pair within Hamming distance 3 must — pigeonhole), then exact

@@ -23,7 +23,7 @@ object Sampling {
   def gateBelow(key: Column, hexThreshold: String): Column = {
     require(hexThreshold.nonEmpty && hexThreshold.forall(c =>
       c.isDigit || ('a' to 'f').contains(c)), "threshold must be lowercase hex")
-    substring(md5(key.cast("binary")), 1, hexThreshold.length) < hexThreshold
+    graft.plans.HashExpressions.md5Prefix(key, hexThreshold.length) < hexThreshold
   }
 
   /** Keep rows whose md5(key) hex prefix sorts below `hexThreshold`
@@ -48,7 +48,7 @@ object Sampling {
       c.isDigit || ('a' to 'g').contains(c)), "thresholds must be lowercase hex"))
     thresholds.foldLeft(lit(false)) { case (acc, (s, thr)) =>
       when(stratum === s,
-        substring(md5(key.cast("binary")), 1, thr.length) < thr).otherwise(acc)
+        graft.plans.HashExpressions.md5Prefix(key, thr.length) < thr).otherwise(acc)
     }
   }
 
@@ -59,7 +59,7 @@ object Sampling {
     * Pass a string-typed key so both engines hash identical bytes. */
   def foldAssign(key: Column, k: Int): Column = {
     require(k > 0, "k must be positive")
-    pmod(conv(substring(md5(key.cast("binary")), 1, 8), 16, 10).cast("long"),
+    pmod(conv(graft.plans.HashExpressions.md5Prefix(key, 8), 16, 10).cast("long"),
       lit(k.toLong))
   }
 
@@ -67,7 +67,7 @@ object Sampling {
     * threshold are the holdout, the rest train — membership decided by
     * content, never by ordering. */
   def holdoutSplit(df: DataFrame, key: Column, hexThreshold: String): (DataFrame, DataFrame) = {
-    val gate = substring(md5(key.cast("binary")), 1, hexThreshold.length) < hexThreshold
+    val gate = graft.plans.HashExpressions.md5Prefix(key, hexThreshold.length) < hexThreshold
     (df.filter(!gate), df.filter(gate))
   }
 
@@ -76,7 +76,7 @@ object Sampling {
     * `u < rate_q` against [[temperatureRates]]' quantized rates.
     * Engine-portable (DuckDB: `CAST('0x'||substr(md5(k),1,5) AS BIGINT)`). */
   def hashUniform20(key: Column): Column =
-    conv(substring(md5(key.cast("binary")), 1, 5), 16, 10).cast("long")
+    conv(graft.plans.HashExpressions.md5Prefix(key, 5), 16, 10).cast("long")
 
   /** Temperature (α = 0.5) source-rebalancing rates — the multilingual
     * corpus-mix op (mBERT/XLM-style exponent sampling): source s with n_s
@@ -127,7 +127,7 @@ object Sampling {
     * TakeOrderedAndProject (per-partition heap + driver merge of k·p
     * rows) — no global sort, no shuffle of the corpus. */
   def priorityKey(key: Column, weight: Column): Column = {
-    val u = conv(substring(md5(key.cast("binary")), 1, 10), 16, 10).cast("long") + lit(1L)
+    val u = conv(graft.plans.HashExpressions.md5Prefix(key, 10), 16, 10).cast("long") + lit(1L)
     call_function("div", u * lit(1L << 20), greatest(weight.cast("long"), lit(1L)))
   }
 }

@@ -77,7 +77,7 @@ object EventStreams {
                   watermark: String = "1 hour"): DataFrame =
     docs
       .withWatermark(tsCol, watermark)
-      .withColumn("__key", md5(col(contentCol).cast("binary")))
+      .withColumn("__key", graft.plans.HashExpressions.md5Hex(col(contentCol)))
       .dropDuplicatesWithinWatermark("__key")
       .drop("__key")
 
