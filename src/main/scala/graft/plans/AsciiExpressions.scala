@@ -39,6 +39,19 @@ object AsciiKernels {
     n
   }
 
+  def strip(s: UTF8String, table: Array[Boolean]): UTF8String = {
+    val b = s.getBytes
+    val out = new Array[Byte](b.length)
+    var m = 0
+    var i = 0
+    while (i < b.length) {
+      val v = b(i)
+      if (v < 0 || !table(v)) { out(m) = v; m += 1 }
+      i += 1
+    }
+    if (m == b.length) s else UTF8String.fromBytes(java.util.Arrays.copyOf(out, m))
+  }
+
   def translate(s: UTF8String, table: Array[Byte]): UTF8String = {
     val b = s.getBytes
     val out = new Array[Byte](b.length)
@@ -70,6 +83,29 @@ case class AsciiCharCountExpr(child: Expression, chars: String)
     defineCodeGen(ctx, ev, c => s"graft.plans.AsciiKernels.countIn($c, $tRef)")
   }
   override def prettyName: String = "ascii_char_count"
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `ascii_strip(s, chars)` — deletes every occurrence of the ASCII
+  * `chars`; ≡ `regexp_replace(s, "[<chars>]", "")` for an ASCII class
+  * (and ≡ `translate(s, chars, "")`), without the regex engine walk. */
+case class AsciiStripExpr(child: Expression, chars: String)
+  extends UnaryExpression {
+  require(chars.forall(_ < 128), s"non-ASCII strip set: $chars")
+  override def dataType: DataType = StringType
+  @transient private lazy val table: Array[Boolean] = {
+    val t = new Array[Boolean](128)
+    chars.foreach(c => t(c) = true)
+    t
+  }
+  override def nullSafeEval(input: Any): Any =
+    AsciiKernels.strip(input.asInstanceOf[UTF8String], table)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val tRef = ctx.addReferenceObj("stripTable", table, "boolean[]")
+    defineCodeGen(ctx, ev, c => s"graft.plans.AsciiKernels.strip($c, $tRef)")
+  }
+  override def prettyName: String = "ascii_strip"
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
@@ -115,4 +151,7 @@ object AsciiExpressions {
 
   def asciiTranslate(c: Column, from: String, to: String): Column =
     column(AsciiTranslateExpr(expression(c), from, to))
+
+  def asciiStrip(c: Column, chars: String): Column =
+    column(AsciiStripExpr(expression(c), chars))
 }

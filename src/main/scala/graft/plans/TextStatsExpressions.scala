@@ -168,7 +168,7 @@ object RollingFp {
     acc
   }
 
-  private def codepointAt(b: Array[Byte], i: Int, l: Int): Long = l match {
+  private[plans] def codepointAt(b: Array[Byte], i: Int, l: Int): Long = l match {
     case 1 => b(i) & 0xffL
     case 2 => ((b(i) & 0x1fL) << 6) | (b(i + 1) & 0x3fL)
     case 3 => ((b(i) & 0x0fL) << 12) | ((b(i + 1) & 0x3fL) << 6) | (b(i + 2) & 0x3fL)
@@ -445,6 +445,64 @@ case class OovStatsExpr(child: Expression, vocab: Seq[String])
     copy(child = newChild)
 }
 
+
+/** Per-document feature-hashing histogram — the native collapse of
+  * `explode(tokens) → hash → groupBy(doc, bucket)`: every token is hashed
+  * with the engine-portable polynomial token hash (the SAME per-token `h`
+  * as [[RollingFp]] — `(n_chars·1009 + cp(first)·31 + cp(last)) mod 1e9+7`,
+  * = the query's `length(t)·1009 + ascii(t)·31 + ascii(reverse(t))` tree)
+  * and counted into its `h mod nBuckets` slot in one byte pass. The
+  * per-(doc, bucket) counts are doc-local, so the kernel removes the
+  * token explode AND both aggregation exchanges; zero-token docs return
+  * an all-zero histogram, which the query's `cnt > 0` filter drops to
+  * match the explode shape. */
+object FeatureHist {
+
+  def compute(s: UTF8String, nBuckets: Int): GenericArrayData = {
+    val b = s.getBytes
+    val n = b.length
+    val P = 1000000007L
+    val counts = new Array[Any](nBuckets)
+    var k = 0
+    while (k < nBuckets) { counts(k) = 0L; k += 1 }
+    var i = 0
+    while (i < n) {
+      while (i < n && b(i) == ' ') i += 1
+      if (i < n) {
+        var nCp = 0L
+        var firstCp = -1L
+        var lastCp = 0L
+        while (i < n && b(i) != ' ') {
+          var l = UTF8String.numBytesForFirstByte(b(i))
+          if (l <= 0 || i + l > n) l = 1
+          val cp = RollingFp.codepointAt(b, i, l)
+          if (firstCp < 0) firstCp = cp
+          lastCp = cp
+          nCp += 1
+          i += l
+        }
+        val h = (nCp * 1009L + firstCp * 31L + lastCp) % P
+        val slot = (h % nBuckets).toInt
+        counts(slot) = counts(slot).asInstanceOf[Long] + 1L
+      }
+    }
+    new GenericArrayData(counts)
+  }
+}
+
+/** `feature_hist(text, n)` — [[FeatureHist]] as a codegen'd expression. */
+case class FeatureHistExpr(child: Expression, nBuckets: Int)
+  extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    FeatureHist.compute(input.asInstanceOf[UTF8String], nBuckets)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.FeatureHist.compute($c, $nBuckets)")
+  override def prettyName: String = "feature_hist"
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object TextStatsExpressions {
   import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
 
@@ -465,4 +523,7 @@ object TextStatsExpressions {
 
   def chunkTexts(text: Column, c: Int, step: Int): Column =
     column(ChunkTextsExpr(expression(text), c, step))
+
+  def featureHist(text: Column, nBuckets: Int): Column =
+    column(FeatureHistExpr(expression(text), nBuckets))
 }

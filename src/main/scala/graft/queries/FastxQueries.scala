@@ -27,8 +27,9 @@ object FastxQueries {
                                uppercase: Boolean = false): String = {
     val suffix = if (uppercase) "_fasta_uc" else "_fasta"
     val dir = new File("/root/repo/target/fastx_roundtrip/" + new File(sfDir).getName + suffix)
-    // same whitespace/control strip as materializeFastq (see there)
-    val base = regexp_replace(col("text"), "[ \\t\\r\\n]", "")
+    // same whitespace/control strip as materializeFastq (see there);
+    // ascii_strip kernel ≡ the regex class delete, no engine walk
+    val base = graft.plans.AsciiExpressions.asciiStrip(col("text"), " \t\r\n")
     val docs = t(spark, sfDir, "documents")
       .select(col("doc_id"), (if (uppercase) upper(base) else base).as("seq"))
       .select(
@@ -50,7 +51,8 @@ object FastxQueries {
       // \r/\n/\t in text would otherwise emit a corrupt multi-line FASTQ
       // record and fail the oracle confusingly (the oracle strips the
       // same class, so the fixture stays hash-identical)
-      .select(col("doc_id"), regexp_replace(col("text"), "[ \\t\\r\\n]", "").as("seq"))
+      .select(col("doc_id"),
+        graft.plans.AsciiExpressions.asciiStrip(col("text"), " \t\r\n").as("seq"))
       .filter(length(col("seq")) > 0)
       .select(
         concat(lit("doc_"), col("doc_id"), lit(" nchars="), length(col("seq"))).as("header"),

@@ -750,17 +750,21 @@ object TextQueries {
     * constant regardless of vocabulary size, so the op needs no
     * vocabulary build, no dictionary broadcast, and one two-phase
     * aggregation on doc-local keys. */
-  def qFeatureHash(spark: SparkSession, sfDir: String): DataFrame = {
-    val toks = graft.Tables.t(spark, sfDir, "documents")
-      .select(col("doc_id"), explode(tokens(col("text"))).as("t"))
-    val tokenHash =
-      (length(col("t")) * 1009 + ascii(col("t")) * 31 + ascii(reverse(col("t")))) % 1000000007
-    toks
-      .select(col("doc_id"), (tokenHash % 32).cast("long").as("bucket"))
-      .groupBy("doc_id", "bucket")
-      .agg(count(lit(1)).as("cnt"))
-      .orderBy("doc_id", "bucket")
-  }
+  def qFeatureHash(spark: SparkSession, sfDir: String): DataFrame =
+    // per-(doc, bucket) counts are doc-local: the feature_hist kernel
+    // emits each doc's 32-slot histogram in one byte pass (same token
+    // hash as the explode form — FeatureHist scaladoc), removing the
+    // token explode and both aggregation exchanges; range-partition the
+    // narrow side, local-sort the full key (see windowFreqs note)
+    graft.Tables.t(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"))
+      .repartitionByRange(col("doc_id"))
+      .select(col("doc_id"),
+        posexplode(graft.plans.TextStatsExpressions.featureHist(col("text"), 32))
+          .as(Seq("bucket", "cnt")))
+      .filter(col("cnt") > 0)
+      .select(col("doc_id"), col("bucket").cast("long").as("bucket"), col("cnt"))
+      .sortWithinPartitions("doc_id", "bucket")
 
   val qFeatureHashSql: String =
     """WITH toks AS (

@@ -61,4 +61,18 @@ class AsciiKernelSpec extends SparkSpec {
       .head()
     assert(r.isNullAt(0) && r.isNullAt(1))
   }
+
+  test("ascii_strip ≡ regexp_replace class delete for whitespace/control sets") {
+    val df = (corpus ++ Seq("a\tb\rc\nd e", "\t\r\n ", "no-strip!")).toDF("s")
+    val bad = df.select(
+        graft.plans.AsciiExpressions.asciiStrip(col("s"), " \t\r\n").as("k"),
+        regexp_replace(col("s"), "[ \\t\\r\\n]", "").as("c"))
+      .where(col("k") =!= col("c")).count()
+    assert(bad === 0)
+    val bad2 = df.select(
+        graft.plans.AsciiExpressions.asciiStrip(col("s"), "GCN").as("k"),
+        translate(col("s"), "GCN", "").as("c"))
+      .where(col("k") =!= col("c")).count()
+    assert(bad2 === 0)
+  }
 }

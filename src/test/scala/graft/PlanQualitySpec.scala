@@ -233,10 +233,15 @@ class PlanQualitySpec extends SparkSpec {
     assert(exchanges <= 2, s"bucketed join should not shuffle its inputs:\n$p")
   }
 
-  test("q_feature_hash: two-phase aggregate on doc-local keys, single scan") {
+  test("q_feature_hash: doc-local histogram kernel — no aggregation at all") {
     val p = plan("q_feature_hash")
     assert(p.split("FileScan parquet").length - 1 == 1, s"one corpus scan:\n$p")
-    assert(p.split("HashAggregate").length >= 3, s"expected map-side partials:\n$p")
+    // r9: per-(doc, bucket) counts are doc-local, so the feature_hist
+    // kernel replaced explode+two-phase agg entirely; the only exchange
+    // is the narrow-side range repartition below the kernel
+    assert(p.contains("feature_hist"), s"histogram kernel missing:\n$p")
+    assert(!p.contains("HashAggregate"), s"agg should be fused into the kernel:\n$p")
+    assert(p.split("Exchange").length - 1 == 1, s"one narrow exchange only:\n$p")
   }
 
   test("q_edit_distance: candidates only — no cartesian, texts join on ids") {
@@ -515,7 +520,7 @@ class PlanQualitySpec extends SparkSpec {
   }
 
   test("token-family plans run the native split_tokens kernel, not ArrayFilter") {
-    Seq("q_lateral", "q_text_tokens", "q_feature_hash").foreach { q =>
+    Seq("q_lateral", "q_text_tokens").foreach { q =>
       val p = plan(q)
       assert(p.contains("split_tokens"), s"$q missing the tokenizer kernel:\n$p")
       assert(!p.contains("array_filter") && !p.contains("ArrayFilter"),

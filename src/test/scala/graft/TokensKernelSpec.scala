@@ -92,4 +92,29 @@ class TokensKernelSpec extends SparkSpec {
       .select(col("text")).collect().map(_.getString(0)).toSeq
     assertOovAgree(docs, Seq("the", "of", "la", "und", "el"))
   }
+
+  test("feature_hist ≡ the explode+hash+groupBy derivation") {
+    def check(texts: Seq[String]): Unit = {
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val kernel = df
+        .select(col("doc_id"),
+          posexplode(graft.plans.TextStatsExpressions.featureHist(col("text"), 32))
+            .as(Seq("bucket", "cnt")))
+        .filter(col("cnt") > 0)
+        .select(col("doc_id"), col("bucket").cast("long").as("bucket"), col("cnt"))
+      val tokenHash = (length(col("t")) * 1009 + ascii(col("t")) * 31 +
+        ascii(reverse(col("t")))) % 1000000007
+      val columnar = df
+        .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("t"))
+        .select(col("doc_id"), (tokenHash % 32).cast("long").as("bucket"))
+        .groupBy("doc_id", "bucket").agg(count(lit(1)).as("cnt"))
+      assert(kernel.exceptAll(columnar).isEmpty && columnar.exceptAll(kernel).isEmpty,
+        "feature_hist diverges from the explode derivation")
+    }
+    check(crafted)
+    check(gen())
+    check(Tables.t(ss, TestSpark.Sf0001, "documents")
+      .select(col("text")).collect().map(_.getString(0)).toSeq)
+  }
 }
