@@ -115,10 +115,13 @@ object Dedup {
                      windowWords: Int = 16): DataFrame = {
     // native kernel: tokenize + per-window streaming md5 in one byte pass;
     // docs shorter than one window return an empty array, which explode
-    // drops — the size(__t) >= w filter of the columnar form
+    // drops — the size(__t) >= w filter of the columnar form. RAW 16-byte
+    // digests: wh is identity-only here (grouped + joined, never output),
+    // and the raw form is bijective to the hex one — identical counts at
+    // half the shuffled key bytes
     val wins = df
       .select(col(idCol).as("id"),
-        explode(graft.plans.WindowHashExpressions.windowHashes(
+        explode(graft.plans.WindowHashExpressions.windowHashesRaw(
           col(textCol), windowWords)).as("wh"))
     // instances feed both the per-hash distinct count and the flag join —
     // cache so tokenize+window+md5 runs once

@@ -4,7 +4,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.GenericArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native overlapping-window fingerprint kernel — the one-pass collapse of
@@ -84,6 +84,51 @@ object WindowHashes {
     }
     new GenericArrayData(out)
   }
+  /** Raw 16-byte digests — bijective to the hex form (no collision-profile
+    * change), for consumers that only need window IDENTITY (distinct /
+    * equi-join keys): halves the shuffled key bytes and skips the hex
+    * encode. Never oracle-visible — any output column must use the hex
+    * form. */
+  def computeRaw(s: UTF8String, w: Int): GenericArrayData = {
+    val b = s.getBytes
+    val n = b.length
+    var cap = 16
+    var starts = new Array[Int](cap)
+    var ends = new Array[Int](cap)
+    var m = 0
+    var i = 0
+    while (i < n) {
+      while (i < n && b(i) == ' ') i += 1
+      val st = i
+      while (i < n && b(i) != ' ') i += 1
+      if (i > st) {
+        if (m == cap) {
+          cap *= 2
+          starts = java.util.Arrays.copyOf(starts, cap)
+          ends = java.util.Arrays.copyOf(ends, cap)
+        }
+        starts(m) = st
+        ends(m) = i
+        m += 1
+      }
+    }
+    if (m < w) return new GenericArrayData(new Array[Any](0))
+    val out = new Array[Any](m - w + 1)
+    val dig = Md.get()
+    var k = 0
+    while (k <= m - w) {
+      dig.reset()
+      var t = k
+      while (t < k + w) {
+        if (t > k) dig.update(' '.toByte)
+        dig.update(b, starts(t), ends(t) - starts(t))
+        t += 1
+      }
+      out(k) = dig.digest()
+      k += 1
+    }
+    new GenericArrayData(out)
+  }
 }
 
 /** `window_hashes(text, w)` — [[WindowHashes]] as a codegen'd expression. */
@@ -98,9 +143,26 @@ case class WindowHashesExpr(child: Expression, w: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** `window_hashes_raw(text, w)` — [[WindowHashes.computeRaw]]: raw digest
+  * array for identity-only consumers. */
+case class WindowHashesRawExpr(child: Expression, w: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(BinaryType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    WindowHashes.computeRaw(input.asInstanceOf[UTF8String], w)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.WindowHashes.computeRaw($c, $w)")
+  override def prettyName: String = "window_hashes_raw"
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object WindowHashExpressions {
+
   import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
 
   def windowHashes(text: Column, w: Int): Column =
     column(WindowHashesExpr(expression(text), w))
+
+  def windowHashesRaw(text: Column, w: Int): Column =
+    column(WindowHashesRawExpr(expression(text), w))
 }

@@ -471,12 +471,18 @@ object DedupQueries {
   def qSourcePagerank(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.functions._
     val docs = t(spark, sfDir, "documents")
-    // native window_hashes kernel: one byte pass per doc, streaming md5
-    val wins = graft.CacheScope.cached(docs
+    // native window-hash kernel, RAW 16-byte digests: bijective to the
+    // hex form (identical distinct/join/edge results) at half the key
+    // bytes and no hex encode — wh is identity-only here, never output.
+    // NOT cached: both sides of the self-join share one distinct plan, so
+    // ReusedExchange materializes the big shuffle once (measured faster
+    // than paying the 600M-row cache write; a shared-window count
+    // pre-filter was also measured SLOWER — the agg costs what it saves)
+    val wins = docs
       .select(col("source"),
-        explode(graft.plans.WindowHashExpressions.windowHashes(
+        explode(graft.plans.WindowHashExpressions.windowHashesRaw(
           col("text"), 16)).as("wh"))
-      .distinct())
+      .distinct()
     val e0 = wins.as("a").join(wins.as("b"),
         col("a.wh") === col("b.wh") && col("a.source") < col("b.source"))
       .select(col("a.source").as("src"), col("b.source").as("dst"))

@@ -3,7 +3,6 @@ package graft.tools
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import graft.tools.Profile.{noop, time}
-import graft.functions.SeqFunctions._
 
 object HashProbe {
   def main(args: Array[String]): Unit = {
@@ -12,16 +11,18 @@ object HashProbe {
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    def surrogate(c: org.apache.spark.sql.Column) =
-      upper(replace(c, lit(" "), lit("")))
-    val docs = graft.Tables.t(spark, sfDir, "documents").select(col("doc_id"), col("text"))
-    time("warm scan")(noop(docs))
-    time("seq_len only")(noop(docs.select(seqLength(col("text")))))
-    time("n_cnt only")(noop(docs.select(nCount(col("text")))))
-    time("md5 only")(noop(docs.select(seqHash(col("text"), 8))))
-    time("replace only")(noop(docs.select(length(replace(col("text"), lit(" "), lit(""))))))
-    time("upper(replace) only")(noop(docs.select(length(surrogate(col("text"))))))
-    time("gc full")(noop(docs.select(gcContent(surrogate(col("text"))))))
+    val docs = graft.Tables.t(spark, sfDir, "documents")
+    def e0(wins: org.apache.spark.sql.DataFrame) =
+      wins.as("a").join(wins.as("b"),
+        col("a.wh") === col("b.wh") && col("a.source") < col("b.source"))
+      .select(col("a.source").as("src"), col("b.source").as("dst")).distinct()
+    val winsHexNC = docs.select(col("source"),
+      explode(graft.plans.WindowHashExpressions.windowHashes(col("text"), 16)).as("wh")).distinct()
+    time("hex nocache e0 (exchange reuse)")(noop(e0(winsHexNC)))
+    val winsRawNC = docs.select(col("source"),
+      explode(graft.plans.WindowHashExpressions.windowHashesRaw(col("text"), 16)).as("wh")).distinct()
+    time("raw-binary nocache e0")(noop(e0(winsRawNC)))
+    time("raw-binary nocache e0 (2)")(noop(e0(winsRawNC)))
     spark.stop()
   }
 }

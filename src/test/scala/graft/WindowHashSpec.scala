@@ -63,4 +63,24 @@ class WindowHashSpec extends SparkSpec {
       .select(col("text")).collect().map(_.getString(0)).toSeq
     assertAgree(docs, 16)
   }
+
+  test("window_hashes_raw digests are exactly the hex form, decoded") {
+    import org.apache.spark.sql.functions._
+    import TestSpark.spark.implicits._
+    val texts = Seq("", "one two three four", ("tok " * 40).trim,
+      "a b c d e f g h i j k l m n o p q r s t")
+    Seq(2, 16).foreach { w =>
+      val df = texts.toDF("text").select(
+        graft.plans.WindowHashExpressions.windowHashes(col("text"), w).as("hx"),
+        graft.plans.WindowHashExpressions.windowHashesRaw(col("text"), w).as("rw"))
+      df.collect().foreach { r =>
+        val hx = r.getSeq[String](0)
+        val rw = r.getSeq[Array[Byte]](1)
+        assert(hx.length == rw.length)
+        hx.zip(rw).foreach { case (h, b) =>
+          assert(h === b.map("%02x".format(_)).mkString, s"w=$w")
+        }
+      }
+    }
+  }
 }
