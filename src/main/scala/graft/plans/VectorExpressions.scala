@@ -1,10 +1,11 @@
 package graft.plans
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.sql.types.{DataType, DoubleType, IntegerType, LongType, StructField, StructType}
 
 /** Native codegen'd vector kernels for the similarity family.
   *
@@ -44,6 +45,34 @@ object VectorOps {
     while (i < n) { val d = a.getLong(i) - b.getLong(i); s += d * d; i += 1 }
     s
   }
+
+  /** Int8 quantization error stats over one ARRAY<FLOAT> embedding — the
+    * fused form of q_vector_quantize's three CodegenFallback HOFs
+    * (`transform` err array + `aggregate` left-fold + `array_max`), each
+    * of which re-walked the row interpreted. Exact replication:
+    * per element xd = (double) x, q = clamp(floor(xd·127), ±127) with
+    * Spark's `Floor(double) → Math.floor(…).toLong` semantics,
+    * e = |xd − q/127.0|; l1 is the SAME sequential IEEE left fold as
+    * `aggregate(…, 0.0, acc+e)`; max follows array_max's total order
+    * (Double.compare — NaN greatest). Empty array → (0, 0.0, null),
+    * matching size/aggregate-of-empty/array_max-of-empty. */
+  def quantErrStats(a: ArrayData): InternalRow = {
+    val n = a.numElements()
+    if (n == 0) return InternalRow(0, 0.0d, null)
+    var l1 = 0.0d
+    var mx = 0.0d
+    var first = true
+    var i = 0
+    while (i < n) {
+      val xd = a.getFloat(i).toDouble
+      val q = math.max(-127L, math.min(127L, math.floor(xd * 127d).toLong))
+      val e = math.abs(xd - q.toDouble / 127.0d)
+      l1 += e
+      if (first || java.lang.Double.compare(e, mx) > 0) { mx = e; first = false }
+      i += 1
+    }
+    InternalRow(n, l1, mx)
+  }
 }
 
 /** sum(a[i]*b[i]) over two ARRAY<BIGINT> columns, fused (no intermediate
@@ -73,7 +102,23 @@ case class LongDist2Expr(left: Expression, right: Expression) extends BinaryExpr
     copy(left = newLeft, right = newRight)
 }
 
+/** `quant_err_stats(embedding)` — [[VectorOps.quantErrStats]]. */
+case class QuantErrStatsExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_dims", IntegerType, nullable = false),
+    StructField("l1_err", DoubleType, nullable = false),
+    StructField("max_err", DoubleType, nullable = true)))
+  override def nullSafeEval(input: Any): Any =
+    VectorOps.quantErrStats(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.VectorOps.quantErrStats($c)")
+  override def prettyName: String = "quant_err_stats"
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorExpressions {
+
   import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
 
   /** Fused exact integer dot product (see [[VectorOps.longDot]]). */
@@ -81,6 +126,9 @@ object VectorExpressions {
     column(LongDotExpr(expression(a), expression(b)))
 
   /** Fused exact integer squared L2 distance. */
+  def quantErrStats(c: Column): Column =
+    column(QuantErrStatsExpr(expression(c)))
+
   def longDist2(a: Column, b: Column): Column =
     column(LongDist2Expr(expression(a), expression(b)))
 }

@@ -415,18 +415,17 @@ object SimilarityQueries {
     * order-dependent double addition is bit-identical — no output
     * quantization needed. Row-local, shuffle-free except the output
     * sort. */
-  def qVectorQuantize(spark: SparkSession, sfDir: String): DataFrame = {
-    val errs = transform(col("embedding"), x => {
-      val xd = x.cast("double")
-      val q = greatest(lit(-127L), least(lit(127L), floor(xd * 127).cast("long")))
-      abs(xd - q.cast("double") / 127.0d)
-    })
+  def qVectorQuantize(spark: SparkSession, sfDir: String): DataFrame =
+    // fused quant_err_stats kernel (one primitive pass) replaces the three
+    // CodegenFallback HOFs; narrow sort first so range sampling never runs
+    // the kernel (VectorKernel spec pins kernel ≡ the HOF derivation)
     t(spark, sfDir, "embeddings")
-      .select(col("vec_id"), size(col("embedding")).as("n_dims"),
-        aggregate(errs, lit(0.0d), (acc, e) => acc + e).as("l1_err"),
-        array_max(errs).as("max_err"))
+      .select(col("vec_id"), col("embedding"))
       .orderBy("vec_id")
-  }
+      .select(col("vec_id"),
+        graft.plans.VectorExpressions.quantErrStats(col("embedding")).as("st"))
+      .select(col("vec_id"), col("st.n_dims").as("n_dims"),
+        col("st.l1_err").as("l1_err"), col("st.max_err").as("max_err"))
 
   val qVectorQuantizeSql: String =
     """WITH e AS (

@@ -446,6 +446,34 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("quant_err_stats kernel equals the transform+aggregate+array_max HOFs") {
+    import org.apache.spark.sql.functions._
+    val errs = org.apache.spark.sql.functions.transform(col("embedding"), x => {
+      val xd = x.cast("double")
+      val q = greatest(lit(-127L), least(lit(127L), floor(xd * 127).cast("long")))
+      abs(xd - q.cast("double") / 127.0d)
+    })
+    val crafted = Seq(
+      Array.empty[Float], Array(0f), Array(1f, -1f, 0.5f, -0.5f),
+      Array(2.5f, -3.7f, 127f, -127f, 1e-8f),
+      Array(0.0078740157f, -0.0078740157f)) // ±1/127 boundaries
+      .toDF("embedding")
+    Seq(emb.select(col("embedding")), crafted).foreach { df =>
+      val rows = df.select(
+        graft.plans.VectorExpressions.quantErrStats(col("embedding")).as("st"),
+        size(col("embedding")).as("c_n"),
+        aggregate(errs, lit(0.0d), (acc, e) => acc + e).as("c_l1"),
+        array_max(errs).as("c_max")).collect()
+      rows.foreach { r =>
+        val st = r.getStruct(0)
+        assert(st.getInt(0) == r.getInt(1), s"n_dims: $r")
+        assert(st.getDouble(1) == r.getDouble(2), s"l1 bits: $r")
+        if (r.isNullAt(3)) assert(st.isNullAt(2), s"max null: $r")
+        else assert(st.getDouble(2) == r.getDouble(3), s"max bits: $r")
+      }
+    }
+  }
+
   test("quantized IVF (oracle twin): recall vs brute force, and run-to-run determinism") {
     val (centroids, assignments) =
       Similarity.ivfIndexQ(emb, "vec_id", "embedding", nCells = 8, iters = 2)
