@@ -63,6 +63,21 @@ object FastxQueries {
     dir.getAbsolutePath
   }
 
+
+  /** Split size for the roundtrip read-backs: small enough that every SF
+    * exercises the multi-split resync path (64 KB floor — dozens of splits
+    * even at sf0.01), large enough that split COUNT stays bounded
+    * (~8·parallelism) instead of exploding with the corpus: a fixed 64 KB
+    * at 100× would plan ~32 k splits of pure open/resync/scheduling
+    * overhead. Directory listing is driver-side metadata — O(files). */
+  private def adaptiveSplitBytes(spark: SparkSession, path: String): Long = {
+    val files = Option(new File(path).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+    val total = files.map(_.length).sum
+    val target = total / (8L * spark.sparkContext.defaultParallelism.toLong).max(1L)
+    math.max(64L * 1024L, target)
+  }
+
   /** FASTQ twin of [[qFastxRoundtrip]]: proves the SPLITTABLE FASTQ read
     * path (64 KB forced splits over a multi-file directory, 4-line-invariant
     * resync with '@'-leading quality on every record) roundtrips sequence
@@ -71,7 +86,7 @@ object FastxQueries {
   def qFastqRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
     val path = materializeFastq(spark, sfDir)
     spark.read.format("fastx")
-      .option("maxSplitBytes", (64 * 1024).toString) // force multi-split reads
+      .option("maxSplitBytes", adaptiveSplitBytes(spark, path).toString)
       .load(path)
       .select(
         regexp_extract(col("header"), "^doc_(\\d+)", 1).cast("long").as("doc_id"),
@@ -102,7 +117,7 @@ object FastxQueries {
   def qFastxRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
     val path = materializeFasta(spark, sfDir)
     spark.read.format("fastx")
-      .option("maxSplitBytes", (64 * 1024).toString) // force multi-split reads
+      .option("maxSplitBytes", adaptiveSplitBytes(spark, path).toString)
       .load(path)
       .select(
         regexp_extract(col("header"), "^doc_(\\d+)", 1).cast("long").as("doc_id"),
