@@ -72,4 +72,63 @@ object LinkAnalysis {
     }
     pr
   }
+
+  /** Exact triangle enumeration with DEGREE-ORDERED orientation — the
+    * standard trick that makes distributed triangle counting survive
+    * power-law graphs. `edges` must be undirected-canonical: one row per
+    * unordered pair, `a < b`, duplicate-free.
+    *
+    * Naive wedge enumeration (per-node neighbor pairs) is Σ deg(v)² —
+    * quadratic in the max degree, a scale-killer on any graph with hubs.
+    * Orienting every edge from its lower-(deg, id) endpoint to the higher
+    * caps every node's OUT-degree at O(√m) (a node with out-degree d has
+    * d neighbors of degree ≥ its own ≥ d, so d² ≤ 2m), which bounds the
+    * wedge stage at O(m^1.5) regardless of the degree distribution —
+    * each triangle is produced exactly once, as the wedge at its
+    * (deg, id)-smallest vertex closed by its (deg, id)-largest edge.
+    *
+    * Every stage is an equi-join or map-side-combinable aggregation:
+    * degree count, two broadcast-or-shuffle joins to attach endpoint
+    * degrees, the self-join of the oriented list on its source, and the
+    * closing equi-join on (v, w). Nothing collects; nothing is quadratic
+    * in a degree. Returns triangles as (x, y, z) in ID order (x < y < z
+    * — the orientation is internal; output is canonical so callers and
+    * oracles are orientation-independent). */
+  def triangles(edges: DataFrame, aCol: String = "a", bCol: String = "b"): DataFrame = {
+    val e = edges.select(col(aCol).as("a"), col(bCol).as("b"))
+    val deg = e.select(explode(array(col("a"), col("b"))).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("deg"))
+    // orient a→b iff (deg_a, a) < (deg_b, b); else b→a
+    val oriented = graft.CacheScope.cached(
+      e.join(deg.withColumnRenamed("id", "a").withColumnRenamed("deg", "da"), Seq("a"))
+        .join(deg.withColumnRenamed("id", "b").withColumnRenamed("deg", "db"), Seq("b"))
+        .select(
+          when(col("da") < col("db") ||
+               (col("da") === col("db") && col("a") < col("b")), col("a"))
+            .otherwise(col("b")).as("src"),
+          when(col("da") < col("db") ||
+               (col("da") === col("db") && col("a") < col("b")), col("b"))
+            .otherwise(col("a")).as("dst"),
+          when(col("da") < col("db") ||
+               (col("da") === col("db") && col("a") < col("b")), col("db"))
+            .otherwise(col("da")).as("ddst")))
+    // wedges at the orientation-smallest vertex: unordered out-pairs,
+    // each counted once via the (deg, id) order on the two endpoints
+    val w = oriented.as("x").join(oriented.as("y"),
+        col("x.src") === col("y.src") &&
+          (col("x.ddst") < col("y.ddst") ||
+            (col("x.ddst") === col("y.ddst") && col("x.dst") < col("y.dst"))))
+      .select(col("x.src").as("u"), col("x.dst").as("v"), col("y.dst").as("w"))
+    // close the wedge: the third edge is oriented v→w by construction
+    val tri = w.join(oriented.select(col("src").as("v"), col("dst").as("w")),
+      Seq("v", "w"))
+    // canonical id order; middle = sum − min − max (exact long arithmetic
+    // — an array_sort HOF here would run interpreted per triangle)
+    tri.select(
+      least(col("u"), col("v"), col("w")).as("x"),
+      (col("u") + col("v") + col("w")
+        - least(col("u"), col("v"), col("w"))
+        - greatest(col("u"), col("v"), col("w"))).as("y"),
+      greatest(col("u"), col("v"), col("w")).as("z"))
+  }
 }

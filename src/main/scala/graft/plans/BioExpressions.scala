@@ -1,0 +1,146 @@
+package graft.plans
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, IntegerType, LongType, StringType, StructField, StructType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Sequence-domain kernels beyond the reference's six expressions — the
+  * two operations every FASTX toolkit ships next (the reference's users
+  * run them downstream of `fasta_stats` today): DNA→protein translation
+  * and FASTQ phred-quality decoding. Both are single-pass code-point
+  * walks compiled into whole-stage codegen; both have exact relational
+  * oracles (a 64-row codon-table join / an `ord(c)-33` unnest), so they
+  * sit under the DuckDB gate like the rest of the surface rather than
+  * being pinned-only.
+  *
+  * CODE-POINT exactness (not byte): frames and counts advance per UTF-8
+  * code point — `UTF8String.numBytesForFirstByte` — so results match the
+  * oracles' character-based `substr`/`string_split` on ANY input, not
+  * just the ASCII fixtures (BioKernelSpec pins multi-byte corpora).
+  */
+object BioKernels {
+
+  /** Standard genetic code, indexed a·16 + b·4 + c with A=0 C=1 G=2 T=3
+    * per base (row-major in first-base order). One shared constant: the
+    * DuckDB oracle's 64-row VALUES table is GENERATED from this string
+    * ([[graft.queries.FastxQueries]]), so kernel and oracle cannot drift. */
+  val CodonTable: String =
+    "KNKNTTTTRSRSIIMI" + // Axx
+    "QHQHPPPPRRRRLLLL" + // Cxx
+    "EDEDAAAAGGGGVVVV" + // Gxx
+    "*Y*YSSSS*CWCLFLF"   // Txx
+
+  /** 2-bit base index for an ASCII byte; -1 = not A/C/G/T. */
+  @inline private def baseIdx(b: Byte): Int = b match {
+    case 'A' => 0
+    case 'C' => 1
+    case 'G' => 2
+    case 'T' => 3
+    case _   => -1
+  }
+
+  private val codonBytes: Array[Byte] = CodonTable.getBytes("US-ASCII")
+
+  /** Translate complete leading codons of `s` (frame 0) to amino acids:
+    * each triple of CODE POINTS maps through [[CodonTable]]; any codon
+    * containing a non-ACGT code point (N, punctuation, multi-byte, …)
+    * emits 'X'. Trailing 1-2 leftover code points are dropped — the
+    * `length//3` convention the oracle's generate_series reproduces. */
+  def translate(s: UTF8String): UTF8String = {
+    val b = s.getBytes
+    val nChars = s.numChars()
+    val out = new Array[Byte](nChars / 3)
+    var i = 0      // byte cursor
+    var cp = 0     // code-point ordinal
+    var acc = 0    // 2-bit packed codon accumulator
+    var bad = false
+    var m = 0
+    while (i < b.length && m < out.length) {
+      val w = UTF8String.numBytesForFirstByte(b(i))
+      val idx = if (w == 1) baseIdx(b(i)) else -1
+      if (idx < 0) bad = true else acc = (acc << 2) | idx
+      i += w
+      cp += 1
+      if (cp == 3) {
+        out(m) = if (bad) 'X'.toByte else codonBytes(acc)
+        m += 1
+        cp = 0; acc = 0; bad = false
+      }
+    }
+    UTF8String.fromBytes(out)
+  }
+
+  /** Exact integer phred stats of a quality string: per code point
+    * q = codePoint − 33 (Sanger offset); returns
+    * (n_bases, sum_q, min_q, max_q, n_ge30) — all integers, so consumers
+    * divide the SAME operands the oracle divides and the derived doubles
+    * are bit-identical. Empty string → (0, 0, null, null, 0), mirroring
+    * SQL count/sum/min/max over zero rows (sum-of-empty surfaces as 0
+    * via the query's COALESCE, min/max as NULL). */
+  def phredStats(s: UTF8String): InternalRow = {
+    val b = s.getBytes
+    if (b.length == 0) return InternalRow(0L, 0L, null, null, 0L)
+    var n = 0L
+    var sum = 0L
+    var mn = Int.MaxValue
+    var mx = Int.MinValue
+    var ge30 = 0L
+    var i = 0
+    while (i < b.length) {
+      val w = UTF8String.numBytesForFirstByte(b(i))
+      val cp =
+        if (w == 1) b(i) & 0xff
+        else s.substring(n.toInt, n.toInt + 1).toString.codePointAt(0)
+      val q = cp - 33
+      n += 1
+      sum += q
+      if (q < mn) mn = q
+      if (q > mx) mx = q
+      if (q >= 30) ge30 += 1
+      i += w
+    }
+    InternalRow(n, sum, mn, mx, ge30)
+  }
+}
+
+/** `dna_translate(seq)` — [[BioKernels.translate]]. */
+case class DnaTranslateExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullSafeEval(input: Any): Any =
+    BioKernels.translate(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.BioKernels.translate($c)")
+  override def prettyName: String = "dna_translate"
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `phred_stats(qual)` — [[BioKernels.phredStats]]. */
+case class PhredStatsExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_bases", LongType, nullable = false),
+    StructField("sum_q", LongType, nullable = false),
+    StructField("min_q", IntegerType, nullable = true),
+    StructField("max_q", IntegerType, nullable = true),
+    StructField("n_ge30", LongType, nullable = false)))
+  override def nullSafeEval(input: Any): Any =
+    BioKernels.phredStats(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.BioKernels.phredStats($c)")
+  override def prettyName: String = "phred_stats"
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object BioExpressions {
+  import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+
+  def dnaTranslate(c: Column): Column =
+    column(DnaTranslateExpr(expression(c)))
+
+  def phredStats(c: Column): Column =
+    column(PhredStatsExpr(expression(c)))
+}

@@ -227,7 +227,117 @@ object SeqQueries {
       |       u = reverse(translate(u, 'ACGT', 'TGCA')) AS is_palindrome
       |FROM s ORDER BY doc_id""".stripMargin
 
+  /** DNA→protein translation (standard genetic code) — the step a FASTX
+    * user runs right after `fasta_stats`: frame-0 complete codons map
+    * through the 64-entry table, non-ACGT codons → 'X', stops '*'
+    * counted. The whole translate runs in the native
+    * [[graft.plans.DnaTranslateExpr]] codegen kernel (one code-point pass,
+    * no per-codon substring); stop/unknown counts reuse the
+    * [[graft.plans.AsciiCharCountExpr]] byte counter on the (short)
+    * protein. The oracle replays the same table as a 64-row VALUES join —
+    * GENERATED from the kernel's own [[graft.plans.BioKernels.CodonTable]]
+    * constant, so the two can never drift.
+    *
+    * Scale: row-local map work end-to-end (protein is 1/3 the corpus
+    * bytes); the only exchange is the output sort's. */
+  def qTranslate(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.plans.{AsciiExpressions, BioExpressions}
+    t(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"))
+      .orderBy("doc_id") // narrow side first — see qSeqStats
+      .select(col("doc_id"),
+        BioExpressions.dnaTranslate(surrogate(col("text"))).as("prot"))
+      .select(
+        col("doc_id"),
+        length(col("prot")).cast("long").as("n_aa"),
+        AsciiExpressions.asciiCharCount(col("prot"), "*").as("n_stop"),
+        AsciiExpressions.asciiCharCount(col("prot"), "X").as("n_unknown"),
+        substring(col("prot"), 1, 24).as("prot_prefix"),
+        seqHash(col("prot"), 16).as("prot_md5"))
+  }
+
+  /** The 64-row codon VALUES table, generated from the kernel constant. */
+  private lazy val codonValuesSql: String = {
+    val bases = "ACGT"
+    (0 until 64).map { i =>
+      val codon = s"${bases(i >> 4)}${bases((i >> 2) & 3)}${bases(i & 3)}"
+      s"('$codon','${graft.plans.BioKernels.CodonTable(i)}')"
+    }.mkString(",")
+  }
+
+  lazy val qTranslateSql: String =
+    s"""WITH s AS (SELECT doc_id, upper(replace(text,' ','')) AS u FROM documents),
+       |codons AS (
+       |  SELECT doc_id, i, substr(u, CAST((i-1)*3+1 AS INTEGER), 3) AS codon
+       |  FROM s, LATERAL unnest(generate_series(1, length(u)//3)) AS t(i)),
+       |ct(codon, aa) AS (VALUES $codonValuesSql),
+       |aas AS (
+       |  SELECT c.doc_id, c.i,
+       |         COALESCE(ct.aa, 'X') AS aa
+       |  FROM codons c LEFT JOIN ct ON c.codon = ct.codon),
+       |prot AS (
+       |  SELECT doc_id, string_agg(aa, '' ORDER BY i) AS protein
+       |  FROM aas GROUP BY doc_id)
+       |SELECT d.doc_id,
+       |       CAST(length(COALESCE(p.protein,'')) AS BIGINT) AS n_aa,
+       |       CAST(length(COALESCE(p.protein,''))
+       |         - length(replace(COALESCE(p.protein,''), '*', '')) AS BIGINT) AS n_stop,
+       |       CAST(length(COALESCE(p.protein,''))
+       |         - length(replace(COALESCE(p.protein,''), 'X', '')) AS BIGINT) AS n_unknown,
+       |       substr(COALESCE(p.protein,''), 1, 24) AS prot_prefix,
+       |       substr(md5(COALESCE(p.protein,'')), 1, 16) AS prot_md5
+       |FROM documents d LEFT JOIN prot p ON d.doc_id = p.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+
+  /** FASTQ phred-quality analytics: per-record base count, mean quality,
+    * min/max, and fraction ≥ Q30 — the standard read-quality gate. The
+    * quality string is the same deterministic Sanger-offset pattern the
+    * FASTQ fixture writes (its byte-exact round-trip through the
+    * splittable reader is already under the oracle via q_fastq_roundtrip's
+    * qual_md5); here the [[graft.plans.PhredStatsExpr]] kernel decodes it
+    * in one pass to EXACT integers, and mean/frac are single divisions of
+    * those integers — the identical operands the oracle divides, so the
+    * doubles are bit-equal. Row-local until the output sort. */
+  def qPhredStats(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.plans.{AsciiExpressions, BioExpressions}
+    t(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        AsciiExpressions.asciiStrip(col("text"), " \t\r\n").as("seq"))
+      .filter(length(col("seq")) > 0)
+      .orderBy("doc_id") // narrow side first — see qSeqStats
+      .select(col("doc_id"),
+        BioExpressions.phredStats(
+          expr("substring(repeat('@+!~IJKLMNOP', cast(ceil(length(seq)/12.0) as int)), 1, length(seq))"))
+          .as("ps"))
+      .select(
+        col("doc_id"),
+        col("ps.n_bases").as("n_bases"),
+        (col("ps.sum_q").cast("double") / col("ps.n_bases")).as("mean_q"),
+        col("ps.min_q").as("min_q"),
+        col("ps.max_q").as("max_q"),
+        (col("ps.n_ge30").cast("double") / col("ps.n_bases")).as("frac_q30"))
+  }
+
+  val qPhredStatsSql: String =
+    """WITH s AS (SELECT doc_id, regexp_replace(text, '[ \t\r\n]', '', 'g') AS seq FROM documents),
+      |q AS (SELECT doc_id,
+      |        substr(repeat('@+!~IJKLMNOP', CAST(ceil(length(seq)/12.0) AS INTEGER)),
+      |               1, length(seq)) AS qual
+      |      FROM s WHERE length(seq) > 0),
+      |b AS (SELECT doc_id, ord(c) - 33 AS ph
+      |      FROM q, LATERAL unnest(string_split(qual, '')) AS t(c))
+      |SELECT doc_id,
+      |       count(*) AS n_bases,
+      |       CAST(sum(ph) AS DOUBLE) / count(*) AS mean_q,
+      |       CAST(min(ph) AS INTEGER) AS min_q,
+      |       CAST(max(ph) AS INTEGER) AS max_q,
+      |       CAST(sum(CASE WHEN ph >= 30 THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS frac_q30
+      |FROM b GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_translate" -> (qTranslate _),
+    "q_phred_stats" -> (qPhredStats _),
     "q_revcomp" -> (qRevcomp _),
     "q_udaf_gc" -> (qUdafGc _),
     "q_seq_stats" -> (qSeqStats _),
@@ -236,6 +346,8 @@ object SeqQueries {
     "q_kmer_map" -> (qKmerMap _))
 
   val oracles: Map[String, String] = Map(
+    "q_translate" -> qTranslateSql,
+    "q_phred_stats" -> qPhredStatsSql,
     "q_revcomp" -> qRevcompSql,
     "q_udaf_gc" -> qUdafGcSql,
     "q_seq_stats" -> qSeqStatsSql,

@@ -780,5 +780,32 @@ class OperatorsSpec extends SparkSpec {
     assert(labels.keySet == Set(1L, 2L, 3L), s"labels=$labels")
     assert(labels.values.toSet == Set(1L), s"labels=$labels")
   }
+
+  test("LinkAnalysis.triangles ≡ brute force on crafted hub/clique/chain graphs") {
+    // K4 on 1-4 (4 triangles), a star hub 10→{11..30} (0 triangles — the
+    // case naive wedge counting pays deg² for), a chain 40-41-42-43 (0),
+    // one extra triangle 50-51-52, and edges bridging hub↔K4 that close
+    // exactly one more: 10-1, 10-2 (plus hub spokes) → triangle (1,2,10)
+    val k4 = for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)
+    val star = (11L to 30L).map(x => (10L, x))
+    val chain = Seq((40L, 41L), (41L, 42L), (42L, 43L))
+    val extra = Seq((50L, 51L), (50L, 52L), (51L, 52L), (1L, 10L), (2L, 10L))
+    val edges = (k4 ++ star ++ chain ++ extra).toDF("a", "b")
+    val got = graft.operators.LinkAnalysis.triangles(edges)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // brute force over the same edge set
+    val es = (k4 ++ star ++ chain ++ extra).toSet
+    val nodes = es.flatMap(e => Seq(e._1, e._2)).toSeq.sorted
+    val want = (for {
+      i <- nodes; j <- nodes if j > i; k <- nodes if k > j
+      if es((i, j)) && es((j, k)) && es((i, k))
+    } yield (i, j, k)).toSet
+    assert(want.size === 6, s"crafted graph should have 6 triangles, got ${want.size}")
+    assert(got === want)
+    // every triangle emitted once, in canonical id order
+    val rows = graft.operators.LinkAnalysis.triangles(edges).collect()
+    assert(rows.length === got.size)
+    rows.foreach(r => assert(r.getLong(0) < r.getLong(1) && r.getLong(1) < r.getLong(2)))
+  }
 }
 

@@ -692,4 +692,34 @@ class PlanQualitySpec extends SparkSpec {
       s"pair-enumerating id<id join outside the candidate set:\n${selfJoins.mkString("\n")}")
     graft.CacheScope.release()
   }
+
+  test("q_translate: kernel in codegen, narrow pipeline — only the sort exchanges") {
+    val p = plan("q_translate")
+    assert(p.contains("dna_translate"), s"translate kernel not in plan:\n$p")
+    assert(!p.toLowerCase.contains("scalaudf"), s"UDF fallback leaked in:\n$p")
+    val exchanges = p.split("Exchange").length - 1
+    assert(exchanges <= 1, s"row-local translate should not shuffle except the sort:\n$p")
+  }
+
+  test("q_phred_stats: phred kernel in codegen, no per-char explode") {
+    val p = plan("q_phred_stats")
+    assert(p.contains("phred_stats"), s"phred kernel not in plan:\n$p")
+    assert(!p.contains("Generate"), s"per-char explode crept in:\n$p")
+    val exchanges = p.split("Exchange").length - 1
+    assert(exchanges <= 1, s"row-local stats should not shuffle except the sort:\n$p")
+  }
+
+  test("q_triangle_count: wedge and closing joins equi-keyed, no cartesian") {
+    val p = plan("q_triangle_count")
+    assert(!p.contains("CartesianProduct"), s"cartesian in triangle census:\n$p")
+    // exactly ONE nested-loop join: the deliberate 1-row scalar-total
+    // attach (broadcast of a single aggregate row). The graph joins —
+    // degree attach, wedge self-join, closing edge — must all be
+    // equi-keyed hash/sort-merge joins.
+    assert(p.split("BroadcastNestedLoopJoin").length - 1 <= 1,
+      s"non-equi join beyond the scalar attach:\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), s"expected keyed graph joins:\n$p")
+    graft.CacheScope.release()
+  }
 }
