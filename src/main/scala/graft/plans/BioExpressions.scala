@@ -106,6 +106,80 @@ object BioKernels {
   }
 }
 
+/** `orf_scan(seq)` — longest open reading frame across the 3 forward
+  * frames: an ORF is an exact `ATG` codon through the codon before the
+  * next exact in-frame stop (`TAA`/`TAG`/`TGA`); length counts codons
+  * including the start, excluding the stop; a start with no closing stop
+  * is not an ORF. Unknown codons (N, punctuation, multi-byte) neither
+  * open nor close — they sit inside an ORF as unknowns, the conservative
+  * scanner convention, and exactly what a relational `codon = 'ATG'` /
+  * `codon IN (stops)` derivation produces. Ties: longest, then smallest
+  * frame, then smallest start. ONE code-point pass maintains all three
+  * frame states (open-ATG index per frame, rolling last-3 window) —
+  * O(n), allocation-free, vs the 3×-explode + two windows + join the
+  * relational form pays. */
+object OrfScan {
+
+  /** (orf_len codons, frame 0-2, start 1-based char) — len 0 ⇒ nulls. */
+  def scan(s: UTF8String): InternalRow = {
+    val b = s.getBytes
+    // rolling last-3 code points (as ASCII chars; 0 = other/multi-byte)
+    var p2, p1, p0 = 0
+    val open = Array(-1, -1, -1)
+    var bestLen = 0L
+    var bestFrame = -1
+    var bestStart = -1
+    var i = 0  // byte cursor
+    var j = 0  // code-point ordinal
+    while (i < b.length) {
+      val w = UTF8String.numBytesForFirstByte(b(i))
+      p2 = p1; p1 = p0
+      p0 = if (w == 1) b(i) & 0xff else 0
+      if (j >= 2) {
+        val cs = j - 2          // codon start (code-point index)
+        val f = cs % 3
+        val isStart = p2 == 'A' && p1 == 'T' && p0 == 'G'
+        val isStop = p2 == 'T' &&
+          ((p1 == 'A' && (p0 == 'A' || p0 == 'G')) || (p1 == 'G' && p0 == 'A'))
+        // the rolling window sees every 3-cp window; frame f only acts on
+        // its own codons (cs ≡ f mod 3, which is all cs with this f)
+        if (isStop) {
+          if (open(f) >= 0) {
+            val len = ((cs - open(f)) / 3).toLong
+            if (len > bestLen ||
+                (len == bestLen && (f < bestFrame ||
+                  (f == bestFrame && open(f) < bestStart)))) {
+              bestLen = len; bestFrame = f; bestStart = open(f)
+            }
+            open(f) = -1
+          }
+        } else if (isStart && open(f) < 0) {
+          open(f) = cs
+        }
+      }
+      i += w
+      j += 1
+    }
+    if (bestLen == 0L) InternalRow(0L, null, null)
+    else InternalRow(bestLen, bestFrame, (bestStart + 1).toLong)
+  }
+}
+
+/** `orf_scan(seq)` — [[OrfScan.scan]]. */
+case class OrfScanExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("orf_len", LongType, nullable = false),
+    StructField("frame", IntegerType, nullable = true),
+    StructField("start_pos", LongType, nullable = true)))
+  override def nullSafeEval(input: Any): Any =
+    OrfScan.scan(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.OrfScan.scan($c)")
+  override def prettyName: String = "orf_scan"
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** `dna_translate(seq)` — [[BioKernels.translate]]. */
 case class DnaTranslateExpr(child: Expression) extends UnaryExpression {
   override def dataType: DataType = StringType
@@ -143,4 +217,7 @@ object BioExpressions {
 
   def phredStats(c: Column): Column =
     column(PhredStatsExpr(expression(c)))
+
+  def orfScan(c: Column): Column =
+    column(OrfScanExpr(expression(c)))
 }

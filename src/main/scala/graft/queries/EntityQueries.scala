@@ -348,12 +348,19 @@ object EntityQueries {
           col("x.l_partkey") < col("y.l_partkey"))
       .select(col("x.l_partkey").as("a"), col("y.l_partkey").as("b"))
       .distinct()
-    val tri = graft.CacheScope.cached(
-      graft.operators.LinkAnalysis.triangles(edges))
-    val perNode = tri
-      .select(explode(array(col("x"), col("y"), col("z"))).as("node"))
-      .groupBy("node").agg(count(lit(1)).as("tri_cnt"))
-    val total = tri.agg(count(lit(1)).as("total_triangles"))
+    // ONE pass over the triangle stream: explode to per-node counts
+    // (map-side combinable, |nodes|-bounded), and derive the global
+    // census as Σ per-node / 3 (each triangle hits exactly 3 nodes —
+    // exact integer identity) instead of a second count over the big
+    // stream. Only the SMALL per-node table is cached; the O(m^1.5)
+    // wedge/triangle stream is never materialized, cached, or sorted.
+    val perNode = graft.CacheScope.cached(
+      graft.operators.LinkAnalysis.triangles(edges)
+        .select(explode(array(col("x"), col("y"), col("z"))).as("node"))
+        .groupBy("node").agg(count(lit(1)).as("tri_cnt")))
+    val total = perNode.agg(
+      call_function("div", coalesce(sum(col("tri_cnt")), lit(0L)), lit(3L))
+        .as("total_triangles"))
     perNode.crossJoin(broadcast(total))
       .orderBy(col("tri_cnt").desc, col("node"))
       .limit(10)

@@ -335,7 +335,63 @@ object SeqQueries {
       |FROM b GROUP BY doc_id
       |ORDER BY doc_id""".stripMargin
 
+  /** Longest open reading frame per document across the 3 forward frames
+    * — the gene-finding primitive (exact ATG → in-frame TAA/TAG/TGA; see
+    * [[graft.plans.OrfScan]] for the unknown-codon and tie-break
+    * conventions). The kernel keeps all three frame states in ONE
+    * code-point pass — O(n) row-local, allocation-free — where the
+    * relational form (and the oracle) pays a 3×-explode, a running-stop
+    * window, two group-mins and a join. Only the output sort exchanges. */
+  def qOrfScan(spark: SparkSession, sfDir: String): DataFrame = {
+    t(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"))
+      .orderBy("doc_id") // narrow side first — see qSeqStats
+      .select(col("doc_id"),
+        graft.plans.BioExpressions.orfScan(surrogate(col("text"))).as("o"))
+      .select(
+        col("doc_id"),
+        col("o.orf_len").as("orf_len"),
+        col("o.frame").as("frame"),
+        col("o.start_pos").as("start_pos"))
+  }
+
+  val qOrfScanSql: String =
+    """WITH s AS (SELECT doc_id, upper(replace(text,' ','')) AS u FROM documents),
+      |cod AS (
+      |  SELECT doc_id, f, i, substr(u, CAST(f + (i-1)*3 + 1 AS INTEGER), 3) AS codon
+      |  FROM s CROSS JOIN (VALUES (0),(1),(2)) t(f),
+      |       LATERAL unnest(generate_series(1, (length(u)-f)//3)) g(i)),
+      |g AS (
+      |  SELECT doc_id, f, i, codon,
+      |         sum(CASE WHEN codon IN ('TAA','TAG','TGA') THEN 1 ELSE 0 END)
+      |           OVER (PARTITION BY doc_id, f ORDER BY i)
+      |         - CASE WHEN codon IN ('TAA','TAG','TGA') THEN 1 ELSE 0 END AS grp
+      |  FROM cod),
+      |starts AS (
+      |  SELECT doc_id, f, grp, min(i) AS atg_i FROM g
+      |  WHERE codon = 'ATG' GROUP BY doc_id, f, grp),
+      |stops AS (
+      |  SELECT doc_id, f, grp, min(i) AS stop_i FROM g
+      |  WHERE codon IN ('TAA','TAG','TGA') GROUP BY doc_id, f, grp),
+      |orfs AS (
+      |  SELECT st.doc_id, st.f, sp.stop_i - st.atg_i AS len_c, st.atg_i
+      |  FROM starts st JOIN stops sp
+      |    ON st.doc_id = sp.doc_id AND st.f = sp.f AND st.grp = sp.grp),
+      |best AS (
+      |  SELECT doc_id, f, len_c, atg_i,
+      |         row_number() OVER (PARTITION BY doc_id
+      |                            ORDER BY len_c DESC, f, atg_i) AS rn
+      |  FROM orfs)
+      |SELECT d.doc_id,
+      |       CAST(COALESCE(b.len_c, 0) AS BIGINT) AS orf_len,
+      |       CAST(b.f AS INTEGER) AS frame,
+      |       CAST(b.f + (b.atg_i - 1) * 3 + 1 AS BIGINT) AS start_pos
+      |FROM documents d
+      |LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON d.doc_id = b.doc_id
+      |ORDER BY d.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_orf_scan" -> (qOrfScan _),
     "q_translate" -> (qTranslate _),
     "q_phred_stats" -> (qPhredStats _),
     "q_revcomp" -> (qRevcomp _),
@@ -346,6 +402,7 @@ object SeqQueries {
     "q_kmer_map" -> (qKmerMap _))
 
   val oracles: Map[String, String] = Map(
+    "q_orf_scan" -> qOrfScanSql,
     "q_translate" -> qTranslateSql,
     "q_phred_stats" -> qPhredStatsSql,
     "q_revcomp" -> qRevcompSql,

@@ -806,6 +806,11 @@ class OperatorsSpec extends SparkSpec {
     val rows = graft.operators.LinkAnalysis.triangles(edges).collect()
     assert(rows.length === got.size)
     rows.foreach(r => assert(r.getLong(0) < r.getLong(1) && r.getLong(1) < r.getLong(2)))
+    // the bloom-reduced path (opt-in) is result-identical: no false
+    // negatives, closing join removes false positives
+    val gotBloom = graft.operators.LinkAnalysis.triangles(edges, bloomBitsPerKey = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(gotBloom === want)
   }
 }
 

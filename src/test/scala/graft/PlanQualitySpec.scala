@@ -709,6 +709,14 @@ class PlanQualitySpec extends SparkSpec {
     assert(exchanges <= 1, s"row-local stats should not shuffle except the sort:\n$p")
   }
 
+  test("q_orf_scan: kernel in codegen, no explode, only the sort exchanges") {
+    val p = plan("q_orf_scan")
+    assert(p.contains("orf_scan"), s"orf kernel not in plan:\n$p")
+    assert(!p.contains("Generate"), s"codon explode crept in:\n$p")
+    val exchanges = p.split("Exchange").length - 1
+    assert(exchanges <= 1, s"row-local scan should not shuffle except the sort:\n$p")
+  }
+
   test("q_triangle_count: wedge and closing joins equi-keyed, no cartesian") {
     val p = plan("q_triangle_count")
     assert(!p.contains("CartesianProduct"), s"cartesian in triangle census:\n$p")
