@@ -1337,7 +1337,81 @@ object TextQueries {
       |       CAST(0 AS BIGINT)
       |ORDER BY lang""".stripMargin
 
+  /** Word-association mining: document-level co-occurrence lift
+    * (normalized PMI without the log — `n·c(a,b) / (c(a)·c(b))`, a single
+    * IEEE division of exact longs, so cross-engine bit-equal where log-PMI
+    * would be libm-dependent) over the corpus top-32 vocabulary.
+    *
+    * Scale shape: the vocabulary restriction is what makes co-occurrence
+    * mining survive 100 TB — unrestricted distinct-pair generation is
+    * quadratic in document vocabulary; restricting to a K-token target
+    * vocabulary bounds the pair fan-out at C(K,2) per doc and the
+    * aggregation keyspace at C(K,2) total. Pairs are generated ROW-LOCALLY
+    * (two nested Generates over the ≤K-element intersection array — no
+    * doc-keyed self-join shuffle); the only exchanges are the two
+    * vocabulary-bounded aggregations. The K-row vocab collect is the
+    * bounded-driver-set pattern of q_vocab_oov/IVF. */
+  def qCooccurLift(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = t(spark, sfDir, "documents")
+    val vocab: Array[String] = docs
+      .select(explode(tokens(col("text"))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token").asc)
+      .limit(32)
+      .collect().map(_.getString(0))
+    val nDocs = docs.count()
+    val present = graft.CacheScope.cached(
+      docs.select(col("doc_id"),
+          array_intersect(array_distinct(tokens(col("text"))),
+            lit(vocab)).as("vt"))
+        .filter(size(col("vt")) > 0))
+    val singles = present
+      .select(explode(col("vt")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c"))
+    val pairs = present
+      .select(explode(col("vt")).as("a"), col("vt"))
+      .select(col("a"), explode(col("vt")).as("b"))
+      .filter(col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("c_ab"))
+    pairs
+      .join(singles.select(col("tok").as("a"), col("c").as("c_a")), Seq("a"))
+      .join(singles.select(col("tok").as("b"), col("c").as("c_b")), Seq("b"))
+      .select(col("a"), col("b"), col("c_ab"), col("c_a"), col("c_b"),
+        ((lit(nDocs) * col("c_ab")).cast("double") /
+          (col("c_a") * col("c_b")).cast("double")).as("lift"))
+      .orderBy(col("lift").desc, col("a"), col("b"))
+      .limit(20)
+  }
+
+  val qCooccurLiftSql: String =
+    """WITH vocab AS (
+      |  SELECT token FROM (
+      |    SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+      |  WHERE token <> ''
+      |  GROUP BY token ORDER BY count(*) DESC, token ASC LIMIT 32),
+      |inst AS (
+      |  SELECT DISTINCT doc_id, tok FROM (
+      |    SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS tok
+      |    FROM documents)),
+      |vinst AS (SELECT i.doc_id, i.tok FROM inst i JOIN vocab v ON v.token = i.tok),
+      |n AS (SELECT count(*) AS n_docs FROM documents),
+      |ca AS (SELECT tok, count(*) AS c FROM vinst GROUP BY tok),
+      |pairs AS (
+      |  SELECT x.tok AS a, y.tok AS b, count(*) AS c_ab
+      |  FROM vinst x JOIN vinst y ON x.doc_id = y.doc_id AND x.tok < y.tok
+      |  GROUP BY 1, 2)
+      |SELECT p.a, p.b, p.c_ab, ca.c AS c_a, cb.c AS c_b,
+      |       CAST(n.n_docs * p.c_ab AS DOUBLE)
+      |         / CAST(ca.c * cb.c AS DOUBLE) AS lift
+      |FROM pairs p
+      |JOIN ca ON ca.tok = p.a
+      |JOIN ca cb ON cb.tok = p.b
+      |CROSS JOIN n
+      |ORDER BY lift DESC, p.a, p.b
+      |LIMIT 20""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_cooccur_lift" -> (qCooccurLift _),
     "q_image_embed" -> (qImageEmbed _),
     "q_audio_embed" -> (qAudioEmbed _),
     "q_subword_vocab" -> (qSubwordVocab _),
@@ -1368,6 +1442,7 @@ object TextQueries {
     "q_binary_meta" -> (qBinaryMeta _))
 
   val oracles: Map[String, String] = Map(
+    "q_cooccur_lift" -> qCooccurLiftSql,
     "q_image_embed" -> qImageEmbedSql,
     "q_audio_embed" -> qAudioEmbedSql,
     "q_subword_vocab" -> qSubwordVocabSql,

@@ -717,6 +717,16 @@ class PlanQualitySpec extends SparkSpec {
     assert(exchanges <= 1, s"row-local scan should not shuffle except the sort:\n$p")
   }
 
+  test("q_cooccur_lift: row-local pair generation — no doc-keyed self-join") {
+    val p = plan("q_cooccur_lift")
+    // pairs must come from nested Generates over the bounded intersection
+    // array, not a doc_id self-join of the token explosion
+    assert(p.split("Generate").length - 1 >= 2, s"expected nested explodes:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"doc-keyed self-join crept in:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian:\n$p")
+    graft.CacheScope.release()
+  }
+
   test("q_triangle_count: wedge and closing joins equi-keyed, no cartesian") {
     val p = plan("q_triangle_count")
     assert(!p.contains("CartesianProduct"), s"cartesian in triangle census:\n$p")
