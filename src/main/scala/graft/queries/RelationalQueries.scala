@@ -328,6 +328,44 @@ object RelationalQueries {
       |       count(*) AS cnt
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** Salted JOIN sibling of [[qSkewSaltedAgg]] — the oracle gate for
+    * [[graft.operators.Skew.saltedJoin]] (previously unit-pinned only).
+    * events is maximally skewed on the join key (6 event types over the
+    * whole table: every key is hot); the dim side is MERGE-hinted to
+    * model the non-broadcastable dimension that makes salting the right
+    * tool (a broadcastable dim needs no salt — the hint pins the shuffle
+    * shape so the salt is actually load-bearing in the plan). The left
+    * salt is a deterministic xxhash64 of the unique event_id, the right
+    * side replicates `salt`× via explode; the post-join aggregation is
+    * decimal-exact, so the oracle is the plain UNSALTED join+agg —
+    * salting proven semantically transparent, like its agg sibling. */
+  def qSkewJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = t(spark, sfDir, "events")
+      .select(col("event_type"), col("event_id"), col("value"))
+    val dim = t(spark, sfDir, "events")
+      .select("event_type").distinct()
+      .withColumn("type_weight", length(col("event_type")).cast("long"))
+      .hint("merge")
+    graft.operators.Skew
+      .saltedJoin(ev, dim, "event_type", salt = 8, leftStableCol = "event_id")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("cnt"),
+        decOut(sum(dec(col("value")))).as("sum_value"),
+        max("type_weight").as("type_weight"))
+      .orderBy("event_type")
+  }
+
+  val qSkewJoinSql: String =
+    """WITH dim AS (
+      |  SELECT DISTINCT event_type,
+      |         CAST(length(event_type) AS BIGINT) AS type_weight
+      |  FROM events)
+      |SELECT e.event_type, count(*) AS cnt,
+      |       CAST(CAST(sum(CAST(e.value AS DECIMAL(18,6))) AS DECIMAL(28,6)) AS DOUBLE) AS sum_value,
+      |       max(d.type_weight) AS type_weight
+      |FROM events e JOIN dim d ON d.event_type = e.event_type
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Top-3 orders per customer: rank inside a window, deterministic
     * tie-break on the unique o_orderkey. */
   def qWindowTopk(spark: SparkSession, sfDir: String): DataFrame = {
@@ -957,6 +995,7 @@ object RelationalQueries {
     "q_corr_subquery" -> (qCorrSubquery _),
     "q_approx_percentile" -> (qApproxPercentile _),
     "q_skew_salted_agg" -> (qSkewSaltedAgg _),
+    "q_skew_join" -> (qSkewJoin _),
     "q_stats_moments" -> (qStatsMoments _),
     "q_window_ranks" -> (qWindowRanks _),
     "q_hll_merge" -> (qHllMerge _),
@@ -987,6 +1026,7 @@ object RelationalQueries {
     "q_grouping_sets" -> qGroupingSetsSql,
     "q_corr_subquery" -> qCorrSubquerySql,
     "q_skew_salted_agg" -> qSkewSaltedAggSql,
+    "q_skew_join" -> qSkewJoinSql,
     "q_stats_moments" -> qStatsMomentsSql,
     "q_window_ranks" -> qWindowRanksSql,
     "q_winsorize" -> qWinsorizeSql)

@@ -717,6 +717,13 @@ class PlanQualitySpec extends SparkSpec {
     assert(exchanges <= 1, s"row-local scan should not shuffle except the sort:\n$p")
   }
 
+  test("q_skew_join: salt in the join key, shuffle join (salt load-bearing)") {
+    val p = plan("q_skew_join")
+    assert(p.contains("__salt"), s"salt not in the executed join:\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+      s"dim broadcast — the salt is dead weight:\n$p")
+  }
+
   test("q_cooccur_lift: row-local pair generation — no doc-keyed self-join") {
     val p = plan("q_cooccur_lift")
     // pairs must come from nested Generates over the bounded intersection
