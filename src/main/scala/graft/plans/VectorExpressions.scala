@@ -73,6 +73,22 @@ object VectorOps {
     }
     InternalRow(n, l1, mx)
   }
+
+  /** Exact median of a NON-EMPTY double array: sort a private copy, take
+    * the middle element (odd n) or the IEEE midpoint (a+b)/2 of the two
+    * middles (even n) — exactly `quantile_cont(0.5)`'s interpolation at
+    * the midpoint, so the value is engine-portable (one add + one divide,
+    * both correctly rounded). Callers guarantee non-empty (a window frame
+    * containing CURRENT ROW always has ≥ 1 element). */
+  def exactMedian(a: ArrayData): Double = {
+    val n = a.numElements()
+    require(n > 0, "exact_median of an empty array")
+    val arr = new Array[Double](n)
+    var i = 0
+    while (i < n) { arr(i) = a.getDouble(i); i += 1 }
+    java.util.Arrays.sort(arr)
+    if ((n & 1) == 1) arr(n / 2) else (arr(n / 2 - 1) + arr(n / 2)) / 2.0d
+  }
 }
 
 /** sum(a[i]*b[i]) over two ARRAY<BIGINT> columns, fused (no intermediate
@@ -100,6 +116,18 @@ case class LongDist2Expr(left: Expression, right: Expression) extends BinaryExpr
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
+}
+
+/** `exact_median(arr)` — [[VectorOps.exactMedian]]. */
+case class ExactMedianExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(input: Any): Any =
+    VectorOps.exactMedian(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.VectorOps.exactMedian($c)")
+  override def prettyName: String = "exact_median"
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }
 
 /** `quant_err_stats(embedding)` — [[VectorOps.quantErrStats]]. */
@@ -131,4 +159,8 @@ object VectorExpressions {
 
   def longDist2(a: Column, b: Column): Column =
     column(LongDist2Expr(expression(a), expression(b)))
+
+  /** Exact median of a non-empty ARRAY<DOUBLE> (see [[VectorOps.exactMedian]]). */
+  def exactMedian(c: Column): Column =
+    column(ExactMedianExpr(expression(c)))
 }

@@ -401,6 +401,43 @@ object RelationalQueries {
       .orderBy("user_id", "event_id")
   }
 
+  /** Exact ROLLING MEDIAN per user over event time (8-row trailing frame)
+    * — the robust time-series smoother next to the running sum: rolling
+    * median denoises where rolling mean is outlier-dragged, and EXACT
+    * medians at scale are the hard version (approx sketches don't
+    * window). Spark has no median window function; the shape here is
+    * `collect_list` over the row frame (bounded: ≤ 8 elements, so state
+    * is O(frame), never O(partition)) into the native `exact_median`
+    * kernel — sort-of-8 per row, one user_id Exchange for the window +
+    * nothing else. Median of an even frame is the IEEE midpoint of the
+    * two middles — identical to the oracle's `median()` interpolation,
+    * so doubles compare bit-exact. */
+  def qRollingMedian(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(-7, Window.currentRow)
+    // ONE exchange: range-partition by user_id up front — satisfies the
+    // window's clustering requirement AND makes the final (user_id,
+    // event_id) order total with only a partition-local sort (equal
+    // user_ids share a range partition; the windowFreqs pattern)
+    t(spark, sfDir, "events")
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+      .repartitionByRange(col("user_id"))
+      .withColumn("roll_med",
+        graft.plans.VectorExpressions.exactMedian(
+          collect_list(col("value")).over(w)))
+      .drop("ts")
+      .sortWithinPartitions("user_id", "event_id")
+  }
+
+  val qRollingMedianSql: String =
+    """SELECT user_id, event_id, value,
+      |       median(value) OVER (PARTITION BY user_id
+      |                           ORDER BY ts, event_id
+      |                           ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS roll_med
+      |FROM events
+      |ORDER BY user_id, event_id""".stripMargin
+
   val qWindowRunningSql: String =
     """SELECT user_id, event_id,
       |       CAST(CAST(sum(CAST(value AS DECIMAL(18,6)))
@@ -988,6 +1025,7 @@ object RelationalQueries {
     "q_percentile" -> (qPercentile _),
     "q_window_topk" -> (qWindowTopk _),
     "q_window_running" -> (qWindowRunning _),
+    "q_rolling_median" -> (qRollingMedian _),
     "q_set_ops" -> (qSetOps _),
     "q_pivot" -> (qPivot _),
     "q_unpivot" -> (qUnpivot _),
@@ -1021,6 +1059,7 @@ object RelationalQueries {
     "q_window_topk" -> qWindowTopkSql,
     "q_set_ops" -> qSetOpsSql,
     "q_window_running" -> qWindowRunningSql,
+    "q_rolling_median" -> qRollingMedianSql,
     "q_pivot" -> qPivotSql,
     "q_unpivot" -> qUnpivotSql,
     "q_grouping_sets" -> qGroupingSetsSql,

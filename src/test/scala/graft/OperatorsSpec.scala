@@ -781,6 +781,25 @@ class OperatorsSpec extends SparkSpec {
     assert(labels.values.toSet == Set(1L), s"labels=$labels")
   }
 
+  test("exact_median kernel ≡ reference sort-median on odd/even/single/dup frames") {
+    import graft.plans.VectorExpressions.exactMedian
+    val frames: Seq[Seq[Double]] = Seq(
+      Seq(1.0), Seq(2.0, 1.0), Seq(3.0, 1.0, 2.0),
+      Seq(4.0, 4.0, 4.0, 4.0), Seq(-1.5, 2.5), Seq(0.1, 0.2, 0.3, 0.4),
+      Seq(5.0, 1.0, 4.0, 2.0, 3.0, 6.0, 7.0, 0.5),
+      Seq(1e300, -1e300),            // midpoint of extremes — IEEE exact 0.0
+      Seq(0.1, 0.1, 0.1))            // duplicate-heavy
+    val rows = frames.map(f => Tuple1(f)).toDF("arr")
+      .select(col("arr"), exactMedian(col("arr")).as("m")).collect()
+    rows.foreach { r =>
+      val f = r.getSeq[Double](0).toArray.sorted
+      val want = if (f.length % 2 == 1) f(f.length / 2)
+        else (f(f.length / 2 - 1) + f(f.length / 2)) / 2.0
+      assert(java.lang.Double.compare(r.getDouble(1), want) === 0,
+        s"median of ${f.toSeq}")
+    }
+  }
+
   test("LinkAnalysis.triangles ≡ brute force on crafted hub/clique/chain graphs") {
     // K4 on 1-4 (4 triangles), a star hub 10→{11..30} (0 triangles — the
     // case naive wedge counting pays deg² for), a chain 40-41-42-43 (0),

@@ -717,6 +717,13 @@ class PlanQualitySpec extends SparkSpec {
     assert(exchanges <= 1, s"row-local scan should not shuffle except the sort:\n$p")
   }
 
+  test("q_rolling_median: one user_id exchange, kernel in codegen") {
+    val p = plan("q_rolling_median")
+    assert(p.contains("exact_median"), s"median kernel not in plan:\n$p")
+    val exchanges = p.split("Exchange").length - 1
+    assert(exchanges <= 1, s"window + sort should share the user_id exchange... or at most add the sort's:\n$p")
+  }
+
   test("q_skew_join: salt in the join key, shuffle join (salt load-bearing)") {
     val p = plan("q_skew_join")
     assert(p.contains("__salt"), s"salt not in the executed join:\n$p")
