@@ -165,6 +165,66 @@ object OrfScan {
   }
 }
 
+/** `homopolymer(seq)` — longest run of one repeated code point: the
+  * sequencing-QC primitive (homopolymer tracts drive indel error in most
+  * chemistries). One code-point pass; ties broken toward the EARLIER run
+  * (scan order), which equals the relational island derivation's
+  * (len DESC, start ASC) pick. Returns (max_run, run_char, run_start
+  * 1-based); empty string → (0, null, null). */
+object HomopolymerScan {
+
+  def scan(s: UTF8String): InternalRow = {
+    val b = s.getBytes
+    if (b.length == 0) return InternalRow(0L, null, null)
+    var bestLen = 0L
+    var bestStart = 0
+    var bestCharStart = 0   // byte offset of best run's char
+    var bestCharWidth = 0
+    var runStart = 0        // code-point index of current run start
+    var runByteStart = 0
+    var runLen = 0L
+    var prevStart = -1      // byte offset of previous code point
+    var prevWidth = 0
+    var i = 0
+    var j = 0
+    while (i < b.length) {
+      val w = UTF8String.numBytesForFirstByte(b(i))
+      val same = prevStart >= 0 && prevWidth == w && {
+        var k = 0
+        var eq = true
+        while (eq && k < w) { eq = b(prevStart + k) == b(i + k); k += 1 }
+        eq
+      }
+      if (same) runLen += 1
+      else { runStart = j; runByteStart = i; runLen = 1L }
+      if (runLen > bestLen) {
+        bestLen = runLen; bestStart = runStart
+        bestCharStart = runByteStart; bestCharWidth = w
+      }
+      prevStart = i; prevWidth = w
+      i += w; j += 1
+    }
+    val ch = UTF8String.fromBytes(
+      java.util.Arrays.copyOfRange(b, bestCharStart, bestCharStart + bestCharWidth))
+    InternalRow(bestLen, ch, (bestStart + 1).toLong)
+  }
+}
+
+/** `homopolymer(seq)` — [[HomopolymerScan.scan]]. */
+case class HomopolymerExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("max_run", LongType, nullable = false),
+    StructField("run_char", StringType, nullable = true),
+    StructField("run_start", LongType, nullable = true)))
+  override def nullSafeEval(input: Any): Any =
+    HomopolymerScan.scan(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.HomopolymerScan.scan($c)")
+  override def prettyName: String = "homopolymer"
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** `orf_scan(seq)` — [[OrfScan.scan]]. */
 case class OrfScanExpr(child: Expression) extends UnaryExpression {
   override def dataType: DataType = StructType(Seq(
@@ -220,4 +280,7 @@ object BioExpressions {
 
   def orfScan(c: Column): Column =
     column(OrfScanExpr(expression(c)))
+
+  def homopolymer(c: Column): Column =
+    column(HomopolymerExpr(expression(c)))
 }

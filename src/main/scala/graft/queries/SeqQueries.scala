@@ -390,7 +390,103 @@ object SeqQueries {
       |LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON d.doc_id = b.doc_id
       |ORDER BY d.doc_id""".stripMargin
 
+  /** Longest homopolymer run per sequence — the sequencing-QC primitive
+    * (homopolymer tracts drive indel error in most chemistries). One
+    * code-point pass in the native [[graft.plans.HomopolymerScan]] kernel
+    * where the oracle pays a per-char explode + gaps-and-islands grouping
+    * (i − row_number() island keys) + rank. Ties → earliest run, the
+    * (len DESC, start ASC) pick both forms share. Row-local; only the
+    * output sort exchanges. */
+  def qHomopolymer(spark: SparkSession, sfDir: String): DataFrame = {
+    t(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"))
+      .orderBy("doc_id") // narrow side first — see qSeqStats
+      .select(col("doc_id"),
+        graft.plans.BioExpressions.homopolymer(surrogate(col("text"))).as("h"))
+      .select(
+        col("doc_id"),
+        col("h.max_run").as("max_run"),
+        col("h.run_char").as("run_char"),
+        col("h.run_start").as("run_start"))
+  }
+
+  val qHomopolymerSql: String =
+    """WITH s AS (SELECT doc_id, upper(replace(text,' ','')) AS u FROM documents),
+      |chars AS (
+      |  SELECT doc_id, i, substr(u, CAST(i AS INTEGER), 1) AS c
+      |  FROM s, LATERAL unnest(generate_series(1, length(u))) t(i)),
+      |isl AS (
+      |  SELECT doc_id, c, min(i) AS start_i, count(*) AS len
+      |  FROM (SELECT doc_id, i, c,
+      |          i - row_number() OVER (PARTITION BY doc_id, c ORDER BY i) AS grp
+      |        FROM chars)
+      |  GROUP BY doc_id, c, grp),
+      |best AS (
+      |  SELECT doc_id, len, c, start_i,
+      |         row_number() OVER (PARTITION BY doc_id
+      |                            ORDER BY len DESC, start_i ASC) AS rn
+      |  FROM isl)
+      |SELECT d.doc_id,
+      |       CAST(COALESCE(b.len, 0) AS BIGINT) AS max_run,
+      |       b.c AS run_char,
+      |       CAST(b.start_i AS BIGINT) AS run_start
+      |FROM documents d
+      |LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON d.doc_id = b.doc_id
+      |ORDER BY d.doc_id""".stripMargin
+
+  /** N50/L50 per language — THE assembly-stats summary every FASTA
+    * toolkit reports: N50 = the length of the sequence at which the
+    * descending-length cumulative sum first reaches half the total
+    * residue count; L50 = how many sequences that takes. All integers
+    * (2·cum ≥ total avoids any halving), ROWS frame with the unique
+    * doc_id tie-break ⇒ fully deterministic in both engines. One window
+    * exchange + a |langs|-row aggregation — the 100 TB shape is a sort
+    * within each group key, nothing global. */
+  def qN50(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val s = t(spark, sfDir, "documents")
+      .select(col("lang"), col("doc_id"),
+        length(replace(col("text"), lit(" "), lit(""))).cast("long").as("len"))
+    val ord = Window.partitionBy("lang").orderBy(col("len").desc, col("doc_id"))
+    val r = s
+      .withColumn("cum", sum("len").over(
+        ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("rn", row_number().over(ord).cast("long"))
+      .withColumn("total", sum("len").over(Window.partitionBy("lang")))
+    val firstHalf = r.filter(lit(2) * col("cum") >= col("total"))
+      .groupBy("lang")
+      .agg(min(struct(col("rn"), col("len"))).as("m"))
+      .select(col("lang"), col("m.rn").as("l50"), col("m.len").as("n50"))
+    s.groupBy("lang")
+      .agg(count(lit(1)).as("n_seqs"), sum("len").as("total_len"))
+      .join(firstHalf, Seq("lang"))
+      .select(col("lang"), col("n_seqs"), col("total_len"), col("n50"), col("l50"))
+      .orderBy("lang")
+  }
+
+  val qN50Sql: String =
+    """WITH s AS (SELECT lang, doc_id, length(replace(text,' ','')) AS len FROM documents),
+      |r AS (
+      |  SELECT lang, len,
+      |         sum(len) OVER (PARTITION BY lang ORDER BY len DESC, doc_id
+      |                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+      |         row_number() OVER (PARTITION BY lang ORDER BY len DESC, doc_id) AS rn,
+      |         sum(len) OVER (PARTITION BY lang) AS total
+      |  FROM s),
+      |q AS (SELECT lang, min(rn) AS l50 FROM r WHERE 2*cum >= total GROUP BY lang),
+      |stats AS (
+      |  SELECT lang, count(*) AS n_seqs, CAST(sum(len) AS BIGINT) AS total_len
+      |  FROM s GROUP BY lang)
+      |SELECT st.lang, st.n_seqs, st.total_len,
+      |       CAST(r.len AS BIGINT) AS n50, CAST(q.l50 AS BIGINT) AS l50
+      |FROM stats st
+      |JOIN q ON q.lang = st.lang
+      |JOIN r ON r.lang = q.lang AND r.rn = q.l50
+      |ORDER BY st.lang""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_homopolymer" -> (qHomopolymer _),
+    "q_n50" -> (qN50 _),
     "q_orf_scan" -> (qOrfScan _),
     "q_translate" -> (qTranslate _),
     "q_phred_stats" -> (qPhredStats _),
@@ -402,6 +498,8 @@ object SeqQueries {
     "q_kmer_map" -> (qKmerMap _))
 
   val oracles: Map[String, String] = Map(
+    "q_homopolymer" -> qHomopolymerSql,
+    "q_n50" -> qN50Sql,
     "q_orf_scan" -> qOrfScanSql,
     "q_translate" -> qTranslateSql,
     "q_phred_stats" -> qPhredStatsSql,

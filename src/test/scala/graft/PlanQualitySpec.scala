@@ -717,6 +717,22 @@ class PlanQualitySpec extends SparkSpec {
     assert(exchanges <= 1, s"row-local scan should not shuffle except the sort:\n$p")
   }
 
+  test("q_homopolymer: kernel in codegen, no per-char explode, ≤1 exchange") {
+    val p = plan("q_homopolymer")
+    assert(p.contains("homopolymer"), s"kernel not in plan:\n$p")
+    assert(!p.contains("Generate"), s"per-char explode crept in:\n$p")
+    assert(p.split("Exchange").length - 1 <= 1, s"row-local scan shuffled:\n$p")
+  }
+
+  test("q_n50: one lang window exchange feeding both cum and total") {
+    val p = plan("q_n50")
+    assert(!p.contains("CartesianProduct"), s"cartesian:\n$p")
+    // windows + final small joins; the big table is exchanged on lang once
+    val exchanges =
+      p.split(java.util.regex.Pattern.quote("hashpartitioning(lang")).length - 1
+    assert(exchanges >= 1, s"expected lang partitioning:\n$p")
+  }
+
   test("q_rolling_median: one user_id exchange, kernel in codegen") {
     val p = plan("q_rolling_median")
     assert(p.contains("exact_median"), s"median kernel not in plan:\n$p")
