@@ -144,6 +144,21 @@ object SeqWindowFreq {
   }
 
   /** [[computeCounts]] plus the kept-window total from the same scan. */
+  /** DUST-style complexity stats in the same packed-key pass:
+    * (Σ c·(c−1)/2 over window counts, total kept windows) — the fused
+    * form of exploding [[computeCountsTotal]]'s map and re-aggregating
+    * per doc (one shuffle saved; the product of consecutive integers is
+    * even, so the /2 is exact integer arithmetic). */
+  def computeDustStats(seq: UTF8String, k: Int, step: Int): InternalRow = {
+    val (counts, total) = scan(seq, k, step)
+    var num = 0L
+    counts.foreach { (_, cnt) =>
+      val c = cnt.toLong
+      num += c * (c - 1L) / 2L
+    }
+    InternalRow(num, total)
+  }
+
   def computeCountsTotal(seq: UTF8String, k: Int, step: Int): InternalRow = {
     val (counts, total) = scan(seq, k, step)
     val keys = new Array[Any](counts.size)
@@ -227,6 +242,22 @@ case class WindowCountsTotalExpr(child: Expression, k: Int, step: Int)
     defineCodeGen(ctx, ev, c =>
       s"graft.plans.SeqWindowFreq.computeCountsTotal($c, $k, $step)")
   override def prettyName: String = "window_counts_total"
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `window_dust_stats(s, k, step)` — [[SeqWindowFreq.computeDustStats]]. */
+case class WindowDustStatsExpr(child: Expression, k: Int, step: Int)
+  extends UnaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("dust_num", LongType, nullable = false),
+    StructField("total", LongType, nullable = false)))
+  override def nullSafeEval(input: Any): Any =
+    SeqWindowFreq.computeDustStats(input.asInstanceOf[UTF8String], k, step)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.plans.SeqWindowFreq.computeDustStats($c, $k, $step)")
+  override def prettyName: String = "window_dust_stats"
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
@@ -328,6 +359,9 @@ object SeqExpressions {
   /** struct(counts, total) from one scan — the explode queries' source. */
   def windowCountsTotal(c: Column, k: Int, step: Int): Column =
     column(WindowCountsTotalExpr(expression(c), k, step))
+
+  def windowDustStats(c: Column, k: Int, step: Int): Column =
+    column(WindowDustStatsExpr(expression(c), k, step))
 
   def windowCounts(c: Column, k: Int, step: Int): Column =
     column(SeqWindowCountsExpr(expression(c), k, step))

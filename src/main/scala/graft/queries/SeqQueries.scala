@@ -484,7 +484,103 @@ object SeqQueries {
       |JOIN r ON r.lang = q.lang AND r.rn = q.l50
       |ORDER BY st.lang""".stripMargin
 
+  /** CpG observed/expected ratio + GC skew per sequence — the two classic
+    * dinucleotide-composition diagnostics (CpG-island detection, strand
+    * asymmetry). Everything is built-in string arithmetic: CG dinucleotide
+    * count via the `length − length(replace(s,'CG',''))` idiom (CG cannot
+    * self-overlap, so non-overlapping replace counts ALL occurrences; the
+    * /2 is exact), char counts via the byte-table `ascii_char_count`
+    * kernel. Ratios are single IEEE divisions of exact longs, NULL-guarded
+    * (ANSI mode) exactly like the oracle's NULLIF. Row-local. */
+  def qCpgRatio(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.plans.AsciiExpressions.asciiCharCount
+    val u = surrogate(col("text"))
+    val nC = asciiCharCount(u, "C")
+    val nG = asciiCharCount(u, "G")
+    val nCg = call_function("div",
+      (length(u) - length(replace(u, lit("CG"), lit("")))).cast("long"), lit(2L))
+    val len = length(u).cast("long")
+    t(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"))
+      .orderBy("doc_id") // narrow side first — see qSeqStats
+      .select(
+        col("doc_id"),
+        nCg.as("n_cg"),
+        when(nC * nG > 0,
+          (nCg * len).cast("double") / (nC * nG).cast("double"))
+          .as("cpg_oe"),
+        when(nC + nG > 0,
+          (nG - nC).cast("double") / (nG + nC).cast("double"))
+          .as("gc_skew"))
+  }
+
+  val qCpgRatioSql: String =
+    """WITH s AS (SELECT doc_id, upper(replace(text,' ','')) AS u FROM documents),
+      |c AS (SELECT doc_id, length(u) AS len,
+      |        length(u) - length(replace(u, 'C', '')) AS n_c,
+      |        length(u) - length(replace(u, 'G', '')) AS n_g,
+      |        (length(u) - length(replace(u, 'CG', ''))) // 2 AS n_cg
+      |      FROM s)
+      |SELECT doc_id,
+      |       CAST(n_cg AS BIGINT) AS n_cg,
+      |       CAST(n_cg * len AS DOUBLE) / CAST(NULLIF(n_c * n_g, 0) AS DOUBLE) AS cpg_oe,
+      |       CAST(n_g - n_c AS DOUBLE) / CAST(NULLIF(n_g + n_c, 0) AS DOUBLE) AS gc_skew
+      |FROM c ORDER BY doc_id""".stripMargin
+
+  /** DUST-style low-complexity score per sequence — the seq analog of the
+    * text repetition filter: over overlapping k=3 windows (uppercase,
+    * N-skip — E6 semantics, same native `window_counts_total` kernel as
+    * the k-mer family), score_num = Σ c·(c−1)/2 over window counts,
+    * normalized by (windows − 1). Exact integer numerator (the product of
+    * consecutive integers is even ⇒ /2 exact), one division for the
+    * double. The Σ c·(c−1)/2 fold is FUSED into the packed-key window
+    * pass (`window_dust_stats` — the explode+groupBy form cost 14.2 s at
+    * 100×, the fused kernel is row-local; SeqExpressionsSpec pins them
+    * equal), so only the output sort exchanges. */
+  def qDustScore(spark: SparkSession, sfDir: String): DataFrame = {
+    t(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"))
+      .orderBy("doc_id") // narrow side first — see qSeqStats
+      .select(col("doc_id"),
+        graft.plans.SeqExpressions
+          .windowDustStats(surrogate(col("text")), 3, 1).as("ds"))
+      .select(
+        col("doc_id"),
+        col("ds.dust_num").as("dust_num"),
+        col("ds.total").as("n_windows"),
+        when(col("ds.total") > 1,
+          col("ds.dust_num").cast("double") /
+            (col("ds.total") - lit(1L)).cast("double"))
+          .as("dust"))
+  }
+
+  val qDustScoreSql: String =
+    """WITH seqs AS (SELECT doc_id, upper(replace(text,' ','')) AS s FROM documents),
+      |grams AS (
+      |  SELECT doc_id, substr(s, i, 3) AS gram
+      |  FROM seqs, LATERAL unnest(generate_series(1, length(s)-2)) AS t(i)
+      |),
+      |cnts AS (
+      |  SELECT doc_id, gram, count(*) AS cnt FROM grams
+      |  WHERE gram NOT LIKE '%N%' GROUP BY doc_id, gram
+      |),
+      |agg AS (
+      |  SELECT doc_id,
+      |         CAST(sum(cnt * (cnt - 1) // 2) AS BIGINT) AS dust_num,
+      |         CAST(sum(cnt) AS BIGINT) AS n_windows
+      |  FROM cnts GROUP BY doc_id)
+      |SELECT d.doc_id,
+      |       COALESCE(a.dust_num, 0) AS dust_num,
+      |       COALESCE(a.n_windows, 0) AS n_windows,
+      |       CASE WHEN COALESCE(a.n_windows, 0) > 1
+      |            THEN CAST(COALESCE(a.dust_num, 0) AS DOUBLE)
+      |                   / CAST(a.n_windows - 1 AS DOUBLE) END AS dust
+      |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+      |ORDER BY d.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_cpg_ratio" -> (qCpgRatio _),
+    "q_dust_score" -> (qDustScore _),
     "q_homopolymer" -> (qHomopolymer _),
     "q_n50" -> (qN50 _),
     "q_orf_scan" -> (qOrfScan _),
@@ -498,6 +594,8 @@ object SeqQueries {
     "q_kmer_map" -> (qKmerMap _))
 
   val oracles: Map[String, String] = Map(
+    "q_cpg_ratio" -> qCpgRatioSql,
+    "q_dust_score" -> qDustScoreSql,
     "q_homopolymer" -> qHomopolymerSql,
     "q_n50" -> qN50Sql,
     "q_orf_scan" -> qOrfScanSql,

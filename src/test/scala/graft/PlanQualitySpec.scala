@@ -717,6 +717,19 @@ class PlanQualitySpec extends SparkSpec {
     assert(exchanges <= 1, s"row-local scan should not shuffle except the sort:\n$p")
   }
 
+  test("q_cpg_ratio: built-in composition, row-local, ≤1 exchange") {
+    val p = plan("q_cpg_ratio")
+    assert(p.contains("ascii_char_count"), s"char-count kernel not in plan:\n$p")
+    assert(p.split("Exchange").length - 1 <= 1, s"row-local stats shuffled:\n$p")
+  }
+
+  test("q_dust_score: fused dust kernel, row-local, ≤1 exchange") {
+    val p = plan("q_dust_score")
+    assert(p.contains("window_dust_stats"), s"fused kernel not in plan:\n$p")
+    assert(!p.contains("Generate"), s"count-map explode crept back:\n$p")
+    assert(p.split("Exchange").length - 1 <= 1, s"row-local stats shuffled:\n$p")
+  }
+
   test("q_homopolymer: kernel in codegen, no per-char explode, ≤1 exchange") {
     val p = plan("q_homopolymer")
     assert(p.contains("homopolymer"), s"kernel not in plan:\n$p")

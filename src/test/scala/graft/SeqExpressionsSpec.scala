@@ -103,6 +103,33 @@ class SeqExpressionsSpec extends SparkSpec {
     }
   }
 
+  test("window_dust_stats ≡ exploded count-map Σ c(c−1)/2 derivation") {
+    val docs = Tables.t(TestSpark.spark, TestSpark.Sf0001, "documents")
+      .select(col("doc_id"), upper(replace(col("text"), lit(" "), lit(""))).as("u"))
+    val fused = docs.select(col("doc_id"),
+        SeqExpressions.windowDustStats(col("u"), 3, 1).as("ds"))
+      .select(col("doc_id"), col("ds.dust_num").as("num_k"), col("ds.total").as("tot_k"))
+    val exploded = docs.select(col("doc_id"),
+        SeqExpressions.windowCountsTotal(col("u"), 3, 1).as("ct"))
+      .select(col("doc_id"), explode_outer(col("ct.counts")).as(Seq("gram", "cnt")),
+        col("ct.total").as("total"))
+      .groupBy("doc_id")
+      .agg(coalesce(sum(expr("cnt * (cnt - 1) div 2")), lit(0L)).as("num_c"),
+        coalesce(max(col("total")), lit(0L)).as("tot_c"))
+    val bad = fused.join(exploded, Seq("doc_id"))
+      .where(col("num_k") =!= col("num_c") || col("tot_k") =!= col("tot_c")).count()
+    assert(bad === 0)
+    // crafted: empty, all-N (nothing kept), single window, heavy repeat
+    val crafted = Seq("", "NNNNN", "ACG", "AAAAAAA").toDF("u")
+      .select(SeqExpressions.windowDustStats(col("u"), 3, 1).as("ds"))
+      .select(col("ds.dust_num"), col("ds.total")).collect()
+    assert(crafted(0).getLong(0) === 0L && crafted(0).getLong(1) === 0L)
+    assert(crafted(1).getLong(0) === 0L && crafted(1).getLong(1) === 0L)
+    assert(crafted(2).getLong(0) === 0L && crafted(2).getLong(1) === 1L)
+    // "AAAAAAA": 5 windows of AAA → c=5 → 5*4/2 = 10
+    assert(crafted(3).getLong(0) === 10L && crafted(3).getLong(1) === 5L)
+  }
+
   test("GraftExtensions injects the native functions without error") {
     val exts = new org.apache.spark.sql.SparkSessionExtensions
     new graft.GraftExtensions().apply(exts)   // builder registration must not throw
