@@ -339,12 +339,91 @@ object StreamQueries {
       .orderBy("d1", "d2")
   }
 
+  /** STREAMING benchmark decontamination — the n-gram decontam pass
+    * (q_decontaminate) run the way an ingestion pipeline actually runs
+    * it: documents arrive as a stream, each is exploded to its distinct
+    * word 5-grams row-locally (the native shingle kernel — STATELESS, no
+    * watermark, no keyed state) and left-outer-joined against the
+    * BROADCAST static benchmark n-gram set; the per-shingle hit rows
+    * append to the sink. The corpus-heavy work (scan + shingle + join)
+    * is all in the stream; the per-doc rollup happens on the compacted
+    * sink read-back — the standard stream-then-batch-summarize split.
+    * Output: the CLEAN manifest (docs with ZERO benchmark overlap — the
+    * complement of q_decontaminate's flagged set), so the two queries
+    * together partition the corpus and the oracles cross-check. */
+  def qStreamDecontam(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = workBase(spark, sfDir, "decontam")
+    rm(base)
+    val inDir = new File(base, "in").getAbsolutePath
+    val outDir = new File(base, "out").getAbsolutePath
+    val ckpt = new File(base, "ckpt").getAbsolutePath
+
+    val docs = t(spark, sfDir, "documents")
+    // static side: the benchmark n-gram set (doc_id % 7 == 0 stands in
+    // for the eval suite — the q_decontaminate fixture convention)
+    val bench = graft.operators.Dedup
+      .shingleSets(docs.filter(pmod(col("doc_id"), lit(7L)) === 0), "doc_id", "text", n = 5)
+      .select(col("sh")).distinct().withColumn("__hit", lit(1L))
+
+    docs.filter(pmod(col("doc_id"), lit(7L)) =!= 0)
+      .select(col("doc_id"), col("text"))
+      .repartition(1).sortWithinPartitions("doc_id")
+      .write.mode("overwrite").parquet(inDir)
+
+    val stream = spark.readStream
+      .schema("doc_id LONG, text STRING")
+      .parquet(inDir)
+    val hits = graft.operators.Dedup.shingleSets(stream, "doc_id", "text", n = 5)
+      .join(broadcast(bench), Seq("sh"), "left_outer")
+      .select(col("id").as("doc_id"), coalesce(col("__hit"), lit(0L)).as("hit"))
+    // micro-batch PARTIAL aggregation: collapse each batch's shingle-hit
+    // stream to per-doc (count, hits) partials before the sink — the sink
+    // carries O(docs · batches) rows instead of O(shingle instances)
+    // (measured: the per-shingle sink was 1.5 B rows at 100×); count/sum
+    // partials re-sum exactly on read-back even when a doc spans batches
+    val q = hits.writeStream
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        df.groupBy("doc_id")
+          .agg(count(lit(1)).as("n_part"), sum(col("hit")).as("hit_part"))
+          .write.mode("append").parquet(outDir)
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    spark.read.parquet(outDir)
+      .groupBy("doc_id")
+      .agg(sum(col("n_part")).as("n_shingles"), sum(col("hit_part")).as("n_contaminated"))
+      .filter(col("n_contaminated") === 0)
+      .select(col("doc_id"), col("n_shingles"))
+      .orderBy("doc_id")
+  }
+
+  /** Oracle: the batch anti-complement of q_decontaminate — non-benchmark
+    * docs with shingles and zero benchmark 5-gram overlap. */
+  val qStreamDecontamSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS tk
+      |  FROM documents),
+      |shg AS (
+      |  SELECT DISTINCT doc_id,
+      |         tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3] || ' ' || tk[i+4] AS sh
+      |  FROM toks, LATERAL unnest(generate_series(1, len(tk) - 4)) AS t(i)),
+      |bench AS (SELECT DISTINCT sh FROM shg WHERE doc_id % 7 = 0)
+      |SELECT doc_id, count(*) AS n_shingles
+      |FROM shg WHERE doc_id % 7 <> 0
+      |GROUP BY doc_id
+      |HAVING CAST(sum(CASE WHEN sh IN (SELECT sh FROM bench) THEN 1 ELSE 0 END) AS BIGINT) = 0
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_stream_neardup" -> (qStreamNeardup _),
     "q_stream_tumbling" -> (qStreamTumbling _),
     "q_stream_sessionize" -> (qStreamSessionize _),
     "q_stream_join" -> (qStreamJoin _),
-    "q_stream_dedup" -> (qStreamDedup _))
+    "q_stream_dedup" -> (qStreamDedup _),
+    "q_stream_decontam" -> (qStreamDecontam _))
 
   val oracles: Map[String, String] = Map(
     // the streaming candidate set must be indistinguishable from the
@@ -353,5 +432,6 @@ object StreamQueries {
     "q_stream_tumbling" -> qStreamTumblingSql,
     "q_stream_sessionize" -> qStreamSessionizeSql,
     "q_stream_join" -> qStreamJoinSql,
-    "q_stream_dedup" -> qStreamDedupSql)
+    "q_stream_dedup" -> qStreamDedupSql,
+    "q_stream_decontam" -> qStreamDecontamSql)
 }
