@@ -141,12 +141,20 @@ object LinkAnalysis {
         math.min(bloomBitsPerKey.toLong * m, 2L * Integer.MAX_VALUE))
       val spark = edges.sparkSession
       val maxBitsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
-      if (spark.conf.get(maxBitsKey).toLong < bits)
-        spark.conf.set(maxBitsKey, bits.toString)
-      val bf = oriented
-        .agg(graft.plans.BloomExpressions
-          .bloomFilterAgg(xxhash64(col("src"), col("dst")), m, bits).as("bf"))
-        .head().getAs[Array[Byte]]("bf")
+      // raise the analyzer cap only for the build, then RESTORE it —
+      // .head() materializes the bloom eagerly, so nothing later in the
+      // session depends on the raised value (the might_contain probe
+      // doesn't consult it); leaving it raised would silently change
+      // every subsequent query's runtime-filter sizing
+      val prevMaxBits = spark.conf.get(maxBitsKey)
+      val bf =
+        try {
+          if (prevMaxBits.toLong < bits) spark.conf.set(maxBitsKey, bits.toString)
+          oriented
+            .agg(graft.plans.BloomExpressions
+              .bloomFilterAgg(xxhash64(col("src"), col("dst")), m, bits).as("bf"))
+            .head().getAs[Array[Byte]]("bf")
+        } finally spark.conf.set(maxBitsKey, prevMaxBits)
       w.filter(graft.plans.BloomExpressions
         .mightContain(lit(bf), xxhash64(col("v"), col("w"))))
     }

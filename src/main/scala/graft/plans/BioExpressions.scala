@@ -26,7 +26,7 @@ object BioKernels {
   /** Standard genetic code, indexed a·16 + b·4 + c with A=0 C=1 G=2 T=3
     * per base (row-major in first-base order). One shared constant: the
     * DuckDB oracle's 64-row VALUES table is GENERATED from this string
-    * ([[graft.queries.FastxQueries]]), so kernel and oracle cannot drift. */
+    * ([[graft.queries.SeqQueries]]), so kernel and oracle cannot drift. */
   val CodonTable: String =
     "KNKNTTTTRSRSIIMI" + // Axx
     "QHQHPPPPRRRRLLLL" + // Cxx
@@ -91,9 +91,15 @@ object BioKernels {
     var i = 0
     while (i < b.length) {
       val w = UTF8String.numBytesForFirstByte(b(i))
-      val cp =
-        if (w == 1) b(i) & 0xff
-        else s.substring(n.toInt, n.toInt + 1).toString.codePointAt(0)
+      // decode the code point from the LOCAL bytes (a substring() here
+      // would scan from the string start — O(n²) on multi-byte input)
+      val cp = w match {
+        case 1 => b(i) & 0xff
+        case 2 => ((b(i) & 0x1f) << 6) | (b(i + 1) & 0x3f)
+        case 3 => ((b(i) & 0x0f) << 12) | ((b(i + 1) & 0x3f) << 6) | (b(i + 2) & 0x3f)
+        case _ => ((b(i) & 0x07) << 18) | ((b(i + 1) & 0x3f) << 12) |
+          ((b(i + 2) & 0x3f) << 6) | (b(i + 3) & 0x3f)
+      }
       val q = cp - 33
       n += 1
       sum += q

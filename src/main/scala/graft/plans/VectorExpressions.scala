@@ -74,15 +74,16 @@ object VectorOps {
     InternalRow(n, l1, mx)
   }
 
-  /** Exact median of a NON-EMPTY double array: sort a private copy, take
-    * the middle element (odd n) or the IEEE midpoint (a+b)/2 of the two
-    * middles (even n) — exactly `quantile_cont(0.5)`'s interpolation at
-    * the midpoint, so the value is engine-portable (one add + one divide,
-    * both correctly rounded). Callers guarantee non-empty (a window frame
-    * containing CURRENT ROW always has ≥ 1 element). */
-  def exactMedian(a: ArrayData): Double = {
+  /** Exact median of a double array: sort a private copy, take the middle
+    * element (odd n) or the IEEE midpoint (a+b)/2 of the two middles
+    * (even n) — exactly `quantile_cont(0.5)`'s interpolation at the
+    * midpoint, so the value is engine-portable (one add + one divide,
+    * both correctly rounded). EMPTY → null, matching SQL `median()` over
+    * zero non-null values (a collect_list window frame drops nulls, so
+    * an all-null frame arrives here as an empty array). */
+  def exactMedian(a: ArrayData): java.lang.Double = {
     val n = a.numElements()
-    require(n > 0, "exact_median of an empty array")
+    if (n == 0) return null
     val arr = new Array[Double](n)
     var i = 0
     while (i < n) { arr(i) = a.getDouble(i); i += 1 }
@@ -118,13 +119,20 @@ case class LongDist2Expr(left: Expression, right: Expression) extends BinaryExpr
     copy(left = newLeft, right = newRight)
 }
 
-/** `exact_median(arr)` — [[VectorOps.exactMedian]]. */
+/** `exact_median(arr)` — [[VectorOps.exactMedian]]; null on empty. */
 case class ExactMedianExpr(child: Expression) extends UnaryExpression {
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
   override def nullSafeEval(input: Any): Any =
     VectorOps.exactMedian(input.asInstanceOf[ArrayData])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.plans.VectorOps.exactMedian($c)")
+    nullSafeCodeGen(ctx, ev, c => s"""
+      java.lang.Double ${ev.value}Box = graft.plans.VectorOps.exactMedian($c);
+      if (${ev.value}Box == null) {
+        ${ev.isNull} = true;
+      } else {
+        ${ev.value} = ${ev.value}Box.doubleValue();
+      }""")
   override def prettyName: String = "exact_median"
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

@@ -309,7 +309,7 @@ object RelationalQueries {
       |FROM lineitem l JOIN b USING (l_returnflag)
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
-  /** Salted two-phase aggregation over a hot low-cardinality key (6 event
+  /** Salted two-phase aggregation over a hot low-cardinality key (5 event
     * types across the whole table — the classic hot-reducer shape when
     * aggregate state is large or map-side combine is unavailable). The
     * deterministic xxhash64 salt spreads each key over 8 reducer cells;
@@ -330,7 +330,7 @@ object RelationalQueries {
 
   /** Salted JOIN sibling of [[qSkewSaltedAgg]] — the oracle gate for
     * [[graft.operators.Skew.saltedJoin]] (previously unit-pinned only).
-    * events is maximally skewed on the join key (6 event types over the
+    * events is maximally skewed on the join key (5 event types over the
     * whole table: every key is hot); the dim side is MERGE-hinted to
     * model the non-broadcastable dimension that makes salting the right
     * tool (a broadcastable dim needs no salt — the hint pins the shuffle
@@ -350,7 +350,7 @@ object RelationalQueries {
       .saltedJoin(ev, dim, "event_type", salt = 8, leftStableCol = "event_id")
       .groupBy("event_type")
       .agg(count(lit(1)).as("cnt"),
-        decOut(sum(dec(col("value")))).as("sum_value"),
+        dsum(col("value")).as("sum_value"),
         max("type_weight").as("type_weight"))
       .orderBy("event_type")
   }

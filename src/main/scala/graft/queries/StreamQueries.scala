@@ -360,10 +360,12 @@ object StreamQueries {
 
     val docs = t(spark, sfDir, "documents")
     // static side: the benchmark n-gram set (doc_id % 7 == 0 stands in
-    // for the eval suite — the q_decontaminate fixture convention)
-    val bench = graft.operators.Dedup
+    // for the eval suite — the q_decontaminate fixture convention).
+    // CACHED: an uncached static side re-executes its full build plan
+    // (scan + shingle kernel + distinct) on EVERY micro-batch
+    val bench = graft.CacheScope.cached(graft.operators.Dedup
       .shingleSets(docs.filter(pmod(col("doc_id"), lit(7L)) === 0), "doc_id", "text", n = 5)
-      .select(col("sh")).distinct().withColumn("__hit", lit(1L))
+      .select(col("sh")).distinct().withColumn("__hit", lit(1L)))
 
     docs.filter(pmod(col("doc_id"), lit(7L)) =!= 0)
       .select(col("doc_id"), col("text"))
@@ -380,12 +382,17 @@ object StreamQueries {
     // stream to per-doc (count, hits) partials before the sink — the sink
     // carries O(docs · batches) rows instead of O(shingle instances)
     // (measured: the per-shingle sink was 1.5 B rows at 100×); count/sum
-    // partials re-sum exactly on read-back even when a doc spans batches
+    // partials re-sum exactly on read-back even when a doc spans batches.
+    // IDEMPOTENT sink: each batch OVERWRITES its own batch=<id> directory
+    // — a batch retried after a partial commit rewrites the same partials
+    // instead of appending a duplicate set (foreachBatch's documented
+    // exactly-once recipe); read-back discovers `batch` as a partition
+    // column and the doc_id re-sum ignores it
     val q = hits.writeStream
-      .foreachBatch { (df: DataFrame, _: Long) =>
+      .foreachBatch { (df: DataFrame, batchId: Long) =>
         df.groupBy("doc_id")
           .agg(count(lit(1)).as("n_part"), sum(col("hit")).as("hit_part"))
-          .write.mode("append").parquet(outDir)
+          .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
       }
       .option("checkpointLocation", ckpt)
       .trigger(Trigger.AvailableNow())

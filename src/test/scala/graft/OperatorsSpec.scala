@@ -798,6 +798,11 @@ class OperatorsSpec extends SparkSpec {
       assert(java.lang.Double.compare(r.getDouble(1), want) === 0,
         s"median of ${f.toSeq}")
     }
+    // empty array (an all-null window frame after collect_list's null
+    // drop) → NULL, matching SQL median() over zero non-null values
+    val e = Seq(Tuple1(Seq.empty[Double])).toDF("arr")
+      .select(exactMedian(col("arr"))).head()
+    assert(e.isNullAt(0))
   }
 
   test("LinkAnalysis.triangles ≡ brute force on crafted hub/clique/chain graphs") {
