@@ -424,7 +424,65 @@ object StreamQueries {
       |HAVING CAST(sum(CASE WHEN sh IN (SELECT sh FROM bench) THEN 1 ELSE 0 END) AS BIGINT) = 0
       |ORDER BY doc_id""".stripMargin
 
+  /** Stream-static broadcast enrichment under the oracle — the gate for
+    * [[graft.streaming.EventStreams.enrichStream]] (previously
+    * unit-pinned only): events stream joined per micro-batch against the
+    * static customer dimension on user_id (every event's user references
+    * a live customer — real referential enrichment, not a derived
+    * column), aggregated to per-segment revenue-weighted activity via
+    * the same `foreachBatch` partial-fold sink as q_stream_decontam
+    * (per-batch overwrite = retry-idempotent; partial sums re-sum
+    * exactly). Stateless — no watermark, no keyed state; the dim
+    * broadcast means the stream NEVER shuffles inside a batch. */
+  def qStreamEnrich(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = workBase(spark, sfDir, "enrich")
+    rm(base)
+    val inDir = new File(base, "in").getAbsolutePath
+    val outDir = new File(base, "out").getAbsolutePath
+    val ckpt = new File(base, "ckpt").getAbsolutePath
+
+    t(spark, sfDir, "events")
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .repartition(1).sortWithinPartitions("ts", "event_id")
+      .write.mode("overwrite").parquet(inDir)
+    val dim = t(spark, sfDir, "customer")
+      .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+
+    val stream = spark.readStream
+      .schema("event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE")
+      .parquet(inDir)
+    val enriched = graft.streaming.EventStreams.enrichStream(stream, dim)
+    val q = enriched.writeStream
+      .foreachBatch { (df: DataFrame, batchId: Long) =>
+        df.groupBy("c_mktsegment", "event_type")
+          .agg(count(lit(1)).as("n_part"),
+            sum(graft.Tables.dec(col("value"))).as("v_part"))
+          .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    spark.read.parquet(outDir)
+      .groupBy("c_mktsegment", "event_type")
+      .agg(sum(col("n_part")).as("n_events"),
+        graft.Tables.decOut(sum(col("v_part"))).as("sum_value"))
+      .orderBy("c_mktsegment", "event_type")
+  }
+
+  /** Oracle: the batch enrichment join + aggregate. */
+  val qStreamEnrichSql: String =
+    """SELECT c.c_mktsegment, e.event_type,
+      |       count(*) AS n_events,
+      |       CAST(CAST(sum(CAST(e.value AS DECIMAL(18,6))) AS DECIMAL(28,6)) AS DOUBLE) AS sum_value
+      |FROM events e
+      |LEFT JOIN customer c ON c.c_custkey = e.user_id
+      |GROUP BY 1, 2
+      |ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stream_enrich" -> (qStreamEnrich _),
     "q_stream_neardup" -> (qStreamNeardup _),
     "q_stream_tumbling" -> (qStreamTumbling _),
     "q_stream_sessionize" -> (qStreamSessionize _),
@@ -433,6 +491,7 @@ object StreamQueries {
     "q_stream_decontam" -> (qStreamDecontam _))
 
   val oracles: Map[String, String] = Map(
+    "q_stream_enrich" -> qStreamEnrichSql,
     // the streaming candidate set must be indistinguishable from the
     // batch banding self-join — same SQL as q_minhash_lsh
     "q_stream_neardup" -> DedupQueries.qMinhashLshSql,
