@@ -375,8 +375,15 @@ object StreamQueries {
     val stream = spark.readStream
       .schema("doc_id LONG, text STRING")
       .parquet(inDir)
+    // NO forced broadcast: a real eval-suite benchmark is bounded and
+    // auto-broadcasts, but this fixture's benchmark GROWS with the corpus
+    // (perturbed replicas mint new shingles) — at 1000× the forced
+    // broadcast collect exceeded spark.driver.maxResultSize. The cached
+    // bench has accurate size stats, so the planner broadcasts while it
+    // fits and falls back to a per-batch shuffle join when it doesn't —
+    // the size-adaptive posture a 100 TB pipeline needs anyway.
     val hits = graft.operators.Dedup.shingleSets(stream, "doc_id", "text", n = 5)
-      .join(broadcast(bench), Seq("sh"), "left_outer")
+      .join(bench, Seq("sh"), "left_outer")
       .select(col("id").as("doc_id"), coalesce(col("__hit"), lit(0L)).as("hit"))
     // micro-batch PARTIAL aggregation: collapse each batch's shingle-hit
     // stream to per-doc (count, hits) partials before the sink — the sink
