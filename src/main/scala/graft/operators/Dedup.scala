@@ -420,14 +420,16 @@ object Dedup {
         .filter(col("big") =!= col("sml")).distinct()
     }
 
-    // fixpoint check: (count, exact decimal endpoint sums) — cheap scalars;
-    // the star transforms are deterministic and the potential is monotone,
-    // so an unchanged triple means the edge set stopped moving
-    def sig(ed: DataFrame): (Long, java.math.BigDecimal, java.math.BigDecimal) = {
+    // fixpoint check: (count, exact decimal sum of per-edge xxhash64) —
+    // cheap scalars, and the hash sum is collision-resistant over the
+    // multiset of edges: two DIFFERENT successive edge sets sharing both
+    // scalars would need a 64-bit-hash multiset-sum collision, unlike the
+    // previous plain endpoint sums (which two distinct sets can share)
+    def sig(ed: DataFrame): (Long, java.math.BigDecimal) = {
       val r = ed.agg(count(lit(1)),
-        coalesce(sum(col("big").cast("decimal(38,0)")), lit(0).cast("decimal(38,0)")),
-        coalesce(sum(col("sml").cast("decimal(38,0)")), lit(0).cast("decimal(38,0)"))).first()
-      (r.getLong(0), r.getDecimal(1), r.getDecimal(2))
+        coalesce(sum(xxhash64(col("big"), col("sml")).cast("decimal(38,0)")),
+          lit(0).cast("decimal(38,0)"))).first()
+      (r.getLong(0), r.getDecimal(1))
     }
     var prev = sig(e)
     var rounds = 0
@@ -439,9 +441,21 @@ object Dedup {
       prev = s
       rounds += 1
     }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter star rounds — " +
+          "labels from a non-star-forest edge set would be silently wrong; " +
+          "raise maxIter (rounds are O(log component diameter))")
     // converged state is a star forest: every edge is (member, componentMin)
-    val labels = e.select(col("big").as("id"), col("sml").as("cluster"))
+    val starLabels = e.select(col("big").as("id"), col("sml").as("cluster"))
       .union(e.select(col("sml").as("id"), col("sml").as("cluster")))
+    // vertices appearing ONLY in self-pairs (d1 == d2) have no star edge but
+    // are still vertices of the pair graph: label them as their own
+    // singleton component, preserving the propagation-era output contract
+    val selfOnly = p.filter(col("d1") === col("d2"))
+      .select(col("d1").as("id")).distinct()
+      .join(starLabels.select(col("id")).distinct(), Seq("id"), "left_anti")
+    val labels = starLabels.union(selfOnly.select(col("id"), col("id").as("cluster")))
       .distinct()
     (labels, rounds)
   }

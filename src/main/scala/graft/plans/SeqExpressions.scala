@@ -33,7 +33,11 @@ object SeqWindowFreq {
     * windows per doc are few (≤ alphabet^k), so the map stays tiny and
     * cache-resident; keys decode back to UTF8Strings only at the end. */
   private[plans] final class PackedCounts(k: Int) {
-    private val Empty = Long.MinValue // impossible key: ≤ 8 data bytes
+    // Long.MinValue is the slot sentinel, but it IS a reachable key at
+    // k=8 (window bytes 0x80 00 00 00 00 00 00 00), so that one key is
+    // counted out-of-table instead of colliding with empty slots.
+    private val Empty = Long.MinValue
+    private var minKeyCount = 0
     private var cap = 64
     private var keys = {
       val a = new Array[Long](cap)
@@ -44,6 +48,11 @@ object SeqWindowFreq {
     var size = 0
 
     def add(key: Long): Unit = {
+      if (key == Empty) {
+        if (minKeyCount == 0) size += 1
+        minKeyCount += 1
+        return
+      }
       var idx = (java.lang.Long.hashCode(key * -7046029254386353131L)
         & (cap - 1))
       while (keys(idx) != Empty && keys(idx) != key) idx = (idx + 1) & (cap - 1)
@@ -76,6 +85,7 @@ object SeqWindowFreq {
 
     /** Decode every entry: `f(packedKey, count)`. */
     def foreach(f: (Long, Int) => Unit): Unit = {
+      if (minKeyCount > 0) f(Empty, minKeyCount)
       var i = 0
       while (i < cap) {
         if (keys(i) != Empty) f(keys(i), vals(i))
@@ -99,8 +109,78 @@ object SeqWindowFreq {
     * fixture is ASCII-verified); on non-ASCII input the packed keys keep
     * the raw window bytes rather than the String-decode path's lossy
     * U+FFFD collapse of distinct invalid sequences. */
+  /** Widths ≤ this ride the zero-alloc packed-Long kernel; wider windows
+    * (e.g. genomics k=31) fall back to [[scanWide]]'s String-keyed map. */
+  private[plans] val PackedKeyMaxK = 8
+
+  /** String-keyed fallback scan for k > [[PackedKeyMaxK]]: identical
+    * uppercase/N-skip window semantics, keyed by the uppercased window
+    * bytes. One byte[] per KEPT window (N-windows allocate nothing) — fine
+    * for the rare wide-k path; narrow k stays on [[scan]]. */
+  private[graft] def scanWide(seq: UTF8String, k: Int, step: Int)
+      : (java.util.HashMap[UTF8String, Array[Long]], Long) = {
+    val bytes = seq.getBytes
+    val n = bytes.length
+    val counts = new java.util.HashMap[UTF8String, Array[Long]]()
+    var total = 0L
+    var i = 0
+    while (i + k <= n) {
+      var j = 0
+      var hasN = false
+      while (j < k) {
+        var b = bytes(i + j)
+        if (b >= 'a' && b <= 'z') b = (b - 32).toByte
+        if (b == 'N') { hasN = true; j = k } else j += 1
+      }
+      if (!hasN) {
+        total += 1
+        val w = new Array[Byte](k)
+        j = 0
+        while (j < k) {
+          var b = bytes(i + j)
+          if (b >= 'a' && b <= 'z') b = (b - 32).toByte
+          w(j) = b
+          j += 1
+        }
+        val key = UTF8String.fromBytes(w)
+        val cur = counts.get(key)
+        if (cur == null) counts.put(key, Array(1L)) else cur(0) += 1
+      }
+      i += step
+    }
+    (counts, total)
+  }
+
+  /** Sorted-key entries of a [[scanWide]] map — UTF8String.compareTo is
+    * unsigned byte-lexicographic, matching the packed path's
+    * `Long.compareUnsigned` ordering on equal-width windows. */
+  private[graft] def wideSorted(m: java.util.HashMap[UTF8String, Array[Long]])
+      : Array[java.util.Map.Entry[UTF8String, Array[Long]]] = {
+    val arr = m.entrySet().toArray(
+      new Array[java.util.Map.Entry[UTF8String, Array[Long]]](m.size))
+    java.util.Arrays.sort(arr,
+      (a: java.util.Map.Entry[UTF8String, Array[Long]],
+       b: java.util.Map.Entry[UTF8String, Array[Long]]) =>
+        a.getKey.compareTo(b.getKey))
+    arr
+  }
+
+  private def wideCountsMap(m: java.util.HashMap[UTF8String, Array[Long]]): MapData = {
+    val keys = new Array[Any](m.size)
+    val vals = new Array[Any](m.size)
+    var idx = 0
+    val it = m.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      keys(idx) = e.getKey
+      vals(idx) = e.getValue()(0)
+      idx += 1
+    }
+    new ArrayBasedMapData(new GenericArrayData(keys), new GenericArrayData(vals))
+  }
+
   private[plans] def scan(seq: UTF8String, k: Int, step: Int): (PackedCounts, Long) = {
-    require(k <= 8, s"window width $k exceeds the 8-byte packed-key limit")
+    require(k <= PackedKeyMaxK, s"window width $k exceeds the 8-byte packed-key limit")
     val bytes = seq.getBytes
     val n = bytes.length
     val counts = new PackedCounts(k)
@@ -131,6 +211,7 @@ object SeqWindowFreq {
     * cross-row aggregation at all, so the whole pipeline is shuffle-free
     * until the output sort. */
   def computeCounts(seq: UTF8String, k: Int, step: Int): MapData = {
+    if (k > PackedKeyMaxK) return wideCountsMap(scanWide(seq, k, step)._1)
     val (counts, _) = scan(seq, k, step)
     val keys = new Array[Any](counts.size)
     val vals = new Array[Any](counts.size)
@@ -150,6 +231,16 @@ object SeqWindowFreq {
     * per doc (one shuffle saved; the product of consecutive integers is
     * even, so the /2 is exact integer arithmetic). */
   def computeDustStats(seq: UTF8String, k: Int, step: Int): InternalRow = {
+    if (k > PackedKeyMaxK) {
+      val (m, total) = scanWide(seq, k, step)
+      var num = 0L
+      val it = m.values().iterator()
+      while (it.hasNext) {
+        val c = it.next()(0)
+        num += c * (c - 1L) / 2L
+      }
+      return InternalRow(num, total)
+    }
     val (counts, total) = scan(seq, k, step)
     var num = 0L
     counts.foreach { (_, cnt) =>
@@ -160,6 +251,10 @@ object SeqWindowFreq {
   }
 
   def computeCountsTotal(seq: UTF8String, k: Int, step: Int): InternalRow = {
+    if (k > PackedKeyMaxK) {
+      val (m, total) = scanWide(seq, k, step)
+      return InternalRow(wideCountsMap(m), total)
+    }
     val (counts, total) = scan(seq, k, step)
     val keys = new Array[Any](counts.size)
     val vals = new Array[Any](counts.size)
@@ -176,6 +271,21 @@ object SeqWindowFreq {
 
   /** Shared window-frequency kernel. `step` = 1 (k-mers) or k (codons). */
   def compute(seq: UTF8String, k: Int, step: Int): MapData = {
+    if (k > PackedKeyMaxK) {
+      val (m, total) = scanWide(seq, k, step)
+      val keys = new Array[Any](m.size)
+      val vals = new Array[Any](m.size)
+      val tot = total.toDouble
+      var idx = 0
+      val it = m.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        keys(idx) = e.getKey
+        vals(idx) = e.getValue()(0).toDouble / tot
+        idx += 1
+      }
+      return new ArrayBasedMapData(new GenericArrayData(keys), new GenericArrayData(vals))
+    }
     val (counts, total) = scan(seq, k, step)
     val keys = new Array[Any](counts.size)
     val vals = new Array[Any](counts.size)
@@ -284,6 +394,7 @@ case class CodonUsageExpr(child: Expression) extends SeqWindowFreqExpression {
 object KmerEnc {
 
   def compute(seq: UTF8String, k: Int, step: Int): InternalRow = {
+    if (k > SeqWindowFreq.PackedKeyMaxK) return computeWide(seq, k, step)
     val (counts, total) = SeqWindowFreq.scan(seq, k, step)
     val m = counts.size
     val ks = new Array[Long](m)
@@ -325,6 +436,26 @@ object KmerEnc {
     }
     InternalRow(m.toLong, total,
       UTF8String.fromBytes(java.util.Arrays.copyOf(buf, pos)))
+  }
+
+  /** k > 8 fallback: same sorted `GRAM=count,…` encoding over the
+    * String-keyed wide scan (binary key sort ≡ the packed unsigned-Long
+    * order on equal-width windows). */
+  private def computeWide(seq: UTF8String, k: Int, step: Int): InternalRow = {
+    val (m, total) = SeqWindowFreq.scanWide(seq, k, step)
+    val entries = SeqWindowFreq.wideSorted(m)
+    val out = new java.io.ByteArrayOutputStream(math.max(16, entries.length * (k + 8)))
+    var i = 0
+    while (i < entries.length) {
+      if (i > 0) out.write(',')
+      out.write(entries(i).getKey.getBytes)
+      out.write('=')
+      val digits = java.lang.Long.toString(entries(i).getValue()(0))
+      var d = 0
+      while (d < digits.length) { out.write(digits.charAt(d)); d += 1 }
+      i += 1
+    }
+    InternalRow(entries.length.toLong, total, UTF8String.fromBytes(out.toByteArray))
   }
 
   val schema: StructType = StructType(Seq(

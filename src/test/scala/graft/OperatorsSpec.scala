@@ -545,6 +545,24 @@ class OperatorsSpec extends SparkSpec {
     assert(Dedup.connectedComponents(pairs).isEmpty)
   }
 
+  test("connectedComponents labels self-pair-only vertices as singletons") {
+    // vertex 5 appears ONLY reflexively; vertex 1 appears both reflexively
+    // and in a real edge — the (1,1) self-pair must not add a second label
+    val pairs = Seq((1L, 2L), (1L, 1L), (5L, 5L)).toDF("d1", "d2")
+    val labels = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect()
+    assert(labels.toMap == Map(1L -> 1L, 2L -> 1L, 5L -> 5L), s"labels=${labels.toSeq}")
+    assert(labels.length == 3, s"duplicate label rows: ${labels.toSeq}")
+  }
+
+  test("connectedComponents throws rather than return non-converged labels") {
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("d1", "d2")
+    val ex = intercept[IllegalStateException] {
+      Dedup.ccStarWithRounds(pairs, maxIter = 0)
+    }
+    assert(ex.getMessage.contains("did not converge"))
+  }
+
   test("star CC == propagation CC on a seeded random graph (bit-identical labels)") {
     val rnd = new scala.util.Random(41)
     // ~120 edges over 200 ids: mixes singleton edges, trees, and cycles

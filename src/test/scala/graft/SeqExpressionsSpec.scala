@@ -67,6 +67,92 @@ class SeqExpressionsSpec extends SparkSpec {
     assert(m.getMap[String, Double](1) == Map("ACG" -> 0.5, "TTT" -> 0.5))
   }
 
+  test("wide-k (k > 8) path equals UDF implementation and is SQL-callable") {
+    // the packed-Long kernel caps at 8 bytes; k=9 and genomics k=31 must
+    // route to the String-keyed fallback with identical window semantics
+    val wide = cases ++ Seq("ACGTACGTACGTACGTACGTACGTACGTACGTACGT",
+      "acgtnACGTNacgtn" * 5, ("ACGT" * 10) + "N" + ("TGCA" * 10))
+    Seq(9, 31).foreach { k =>
+      val both = wide.toDF("s").select(
+        col("s"),
+        SeqExpressions.kmerFrequenciesNative(col("s"), k).as("native"),
+        SeqFunctions.kmerFrequencies(col("s"), k).as("udf"))
+        .collect()
+      both.foreach { r =>
+        assert(r.getMap[String, Double](1) == r.getMap[String, Double](2),
+          s"k=$k mismatch for '${r.getString(0).take(40)}'")
+      }
+    }
+    SeqExpressions.register(spark)
+    val m = spark.sql("SELECT kmer_frequencies('AAAAAAAAAAC', 10) AS m").collect()(0)
+    assert(m.getMap[String, Double](0) ==
+      Map("AAAAAAAAAA" -> 0.5, "AAAAAAAAAC" -> 0.5))
+  }
+
+  test("kmer_enc wide path equals the columnar derivation at k = 9") {
+    val df = (cases :+ ("ACGT" * 25)).toDF("s").select(
+      SeqExpressions.kmerEnc(col("s"), 9, 1).as("e"),
+      SeqExpressions.windowCounts(col("s"), 9, 1).as("counts"))
+      .select(col("e"),
+        size(col("counts")).cast("long").as("c_n"),
+        aggregate(map_values(col("counts")), lit(0L), (acc, x) => acc + x).as("c_total"),
+        concat_ws(",", transform(array_sort(map_entries(col("counts"))),
+          e => concat(e.getField("key"), lit("="), e.getField("value").cast("string"))))
+          .as("c_enc"))
+    df.collect().foreach { r =>
+      val e = r.getStruct(0)
+      assert(e.getLong(0) === r.getAs[Long]("c_n"))
+      assert(e.getLong(1) === r.getAs[Long]("c_total"))
+      assert(e.getString(2) === r.getAs[String]("c_enc"))
+    }
+  }
+
+  test("packed sentinel key: a 0x80 00×7 window at k=8 counts correctly") {
+    import org.apache.spark.unsafe.types.UTF8String
+    // bytes [0x80, 0,0,0,0,0,0,0] pack exactly to Long.MinValue — the
+    // PackedCounts slot sentinel; repeated occurrences must count, not
+    // inflate size or vanish (pre-fix: inserted into "empty" slots forever)
+    val hostile = Array.fill(2)(Array[Byte](0x80.toByte, 0, 0, 0, 0, 0, 0, 0)).flatten
+    val s = UTF8String.fromBytes(hostile)
+    def toMap(md: org.apache.spark.sql.catalyst.util.MapData): Map[Seq[Byte], Long] = {
+      val ks = md.keyArray(); val vs = md.valueArray()
+      (0 until md.numElements()).map(i =>
+        ks.getUTF8String(i).getBytes.toSeq -> vs.getLong(i)).toMap
+    }
+    val packed = toMap(graft.plans.SeqWindowFreq.computeCounts(s, 8, 1))
+    // wide fallback is sentinel-free: pin packed ≡ wide on the hostile bytes
+    val (wideM, wideTotal) = graft.plans.SeqWindowFreq.scanWide(s, 8, 1)
+    val wide = {
+      val it = wideM.entrySet().iterator()
+      val b = Map.newBuilder[Seq[Byte], Long]
+      while (it.hasNext) { val e = it.next(); b += e.getKey.getBytes.toSeq -> e.getValue()(0) }
+      b.result()
+    }
+    assert(packed == wide, s"packed=$packed wide=$wide")
+    assert(packed(Array[Byte](0x80.toByte, 0, 0, 0, 0, 0, 0, 0).toSeq) === 2L)
+    assert(packed.values.sum === wideTotal)
+    assert(packed.size === 8) // MinValue window ×2 + 7 distinct shifts ×1
+  }
+
+  test("packed and wide scans agree for every k ≤ 8 on all cases") {
+    import org.apache.spark.unsafe.types.UTF8String
+    for (k <- 1 to 8; s <- cases; step <- Seq(1, k)) {
+      val u = UTF8String.fromString(s)
+      val packed = graft.plans.SeqWindowFreq.computeCounts(u, k, step)
+      val pm = (0 until packed.numElements()).map(i =>
+        packed.keyArray().getUTF8String(i).toString ->
+          packed.valueArray().getLong(i)).toMap
+      val (wm, _) = graft.plans.SeqWindowFreq.scanWide(u, k, step)
+      val wmap = {
+        val it = wm.entrySet().iterator()
+        val b = Map.newBuilder[String, Long]
+        while (it.hasNext) { val e = it.next(); b += e.getKey.toString -> e.getValue()(0) }
+        b.result()
+      }
+      assert(pm == wmap, s"k=$k step=$step '$s'")
+    }
+  }
+
   test("kmer_enc kernel equals the columnar sort+encode derivation") {
     // the chain q_kmer_map ran before the KmerEnc kernel: size + aggregate
     // total + concat_ws over array_sort'ed map entries
