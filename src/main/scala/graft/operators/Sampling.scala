@@ -130,4 +130,51 @@ object Sampling {
     val u = conv(graft.plans.HashExpressions.md5Prefix(key, 10), 16, 10).cast("long") + lit(1L)
     call_function("div", u * lit(1L << 20), greatest(weight.cast("long"), lit(1L)))
   }
+
+  /** DSIR-style data-selection weights (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling", arXiv:2302.03169 —
+    * public literature): estimate a hashed-unigram bag-of-words model of
+    * the TARGET distribution (rows where `isTarget`) and of the RAW corpus,
+    * then score every document by its log importance ratio
+    *   w(doc) = Σ_tokens log( p̂_target(bucket) / p̂_raw(bucket) )
+    * with add-1 smoothing over `nBuckets` md5-hashed feature buckets. The
+    * top-weighted raw documents are the ones to keep when up-sampling
+    * toward the target domain.
+    *
+    * Returns one row per document: (id, n_tokens, w_q) where w_q is the
+    * integer sum of per-bucket quantized log-ratios (floor(lr·2^20) — the
+    * repo's fixed-point convention, making the score order-free and
+    * engine-exact; ln() itself is the one 1-ulp-wobble risk, same as
+    * q_tfidf/q_bm25).
+    *
+    * Scale shape: one token explode → two-phase (id, bucket) count; bucket
+    * statistics aggregate over a FIXED nBuckets keyspace (the point of
+    * feature hashing — the model size is a constant independent of corpus
+    * vocabulary); the per-bucket log-ratio table broadcasts back onto the
+    * per-doc counts; final per-doc sum is two-phase. No driver-side data,
+    * no quadratic stage; md5 bucketing is the engine-portable hash. */
+  def dsirWeights(docs: DataFrame, idCol: String, textCol: String,
+                  isTarget: Column, nBuckets: Int = 4096): DataFrame = {
+    import graft.functions.TextFunctions.tokens
+    val perDoc = graft.CacheScope.cached(
+      docs.select(col(idCol).as("id"), isTarget.as("__t"),
+          explode(tokens(col(textCol))).as("token"))
+        .withColumn("bucket",
+          pmod(conv(graft.plans.HashExpressions.md5Prefix(col("token"), 8), 16, 10)
+            .cast("long"), lit(nBuckets.toLong)))
+        .groupBy("id", "__t", "bucket").agg(count(lit(1)).as("c")))
+    val bstats = perDoc.groupBy("bucket")
+      .agg(sum(col("c")).as("rcnt"),
+        sum(when(col("__t"), col("c")).otherwise(0L)).as("tcnt"))
+    val totals = bstats.agg(sum(col("rcnt")).as("nr"), sum(col("tcnt")).as("nt"))
+    val v = nBuckets.toDouble
+    val lr = bstats.crossJoin(broadcast(totals))
+      .select(col("bucket"),
+        floor(log(((col("tcnt") + 1.0) * (col("nr") + v)) /
+          ((col("rcnt") + 1.0) * (col("nt") + v))) * 1048576d)
+          .cast("long").as("lr_q"))
+    perDoc.join(broadcast(lr), Seq("bucket"))
+      .groupBy("id")
+      .agg(sum(col("c")).as("n_tokens"), sum(col("c") * col("lr_q")).as("w_q"))
+  }
 }

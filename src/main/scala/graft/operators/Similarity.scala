@@ -337,6 +337,45 @@ object Similarity {
       .limit(k)
   }
 
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540 — public literature): k-means-cluster the embedding
+    * corpus, then within each cluster drop every vector whose quantized
+    * cosine to a SMALLER-id cluster-mate is ≥ `minCosine`. Returns one row
+    * per vector: (id, cell, kept) with kept ∈ {0, 1}. The keep rule is
+    * deterministic min-id (the paper keeps the member with the lowest
+    * centroid similarity; id is the oracle-replayable stand-in — the
+    * cluster structure, the candidate restriction, and the cosine gate are
+    * the operator's substance).
+    *
+    * Scale shape: candidate generation is the cluster equi-join, NEVER
+    * all-pairs — `nCells` is the knob that bounds cell population (the
+    * paper runs k = 50 000 on 1.1e9 embeddings, ~20 k per cell; scale
+    * nCells with the corpus so the per-cell pair count stays constant).
+    * The pairwise stage is quadratic only within a cell; per-row norms are
+    * computed once BEFORE the self-join (a B-member cell reuses each norm
+    * ~B times). Centroids are the one driver-side collect — nCells rows,
+    * bounded by construction (same as [[ivfIndexQ]]). The clustering is
+    * the quantized integer Lloyd loop, so the whole operator is
+    * hash-oracle-checkable end to end. */
+  def semanticDedup(emb: DataFrame, idCol: String, vecCol: String,
+                    nCells: Int = 16, iters: Int = 2,
+                    minCosine: Double = 0.3): DataFrame = {
+    val (_, assignments) = ivfIndexQ(emb, idCol, vecCol, nCells, iters)
+    val members = graft.CacheScope.cached(
+      emb.select(col(idCol).as("id"), quantize(col(vecCol)).as("vq"))
+        .join(assignments.select(col("id"), col("cell")), Seq("id"))
+        .withColumn("nrm", sqrt(graft.plans.VectorExpressions
+          .longDot(col("vq"), col("vq")).cast("double"))))
+    val dropped = members.as("a").join(members.as("b"),
+        col("a.cell") === col("b.cell") && col("a.id") < col("b.id"))
+      .filter(graft.plans.VectorExpressions.longDot(col("a.vq"), col("b.vq"))
+        .cast("double") / (col("a.nrm") * col("b.nrm")) >= minCosine)
+      .select(col("b.id").as("id")).distinct()
+    members.join(dropped.withColumn("__drop", lit(1L)), Seq("id"), "left")
+      .select(col("id"), col("cell"),
+        when(col("__drop").isNotNull, lit(0L)).otherwise(lit(1L)).as("kept"))
+  }
+
   /** IVF search: probe the `nProbe` nearest cells only, exact cosine
     * re-rank inside them — the scale path when brute force is too wide. */
   def ivfTopK(emb: DataFrame, idCol: String, vecCol: String,

@@ -359,6 +359,51 @@ object PipelineQueries {
     * exactly once and never shuffled); the W/T totals come from an
     * unpartitioned window over those |sources| rows — a SinglePartition
     * exchange of the tiny aggregate, never of the data. */
+  /** DSIR importance-resampling selection
+    * ([[graft.operators.Sampling.dsirWeights]]): hashed-unigram importance
+    * weights of every document against the English-target distribution,
+    * top 50 by (w_q desc, doc_id) — the data-selection pass that
+    * up-samples target-domain-like documents from a raw crawl. The oracle
+    * replays the full model fit: md5 feature hashing, per-bucket add-1
+    * log-ratios quantized to the 2^20 grid, integer per-doc sums. */
+  def qDsir(spark: SparkSession, sfDir: String): DataFrame =
+    graft.operators.Sampling.dsirWeights(
+        t(spark, sfDir, "documents"), "doc_id", "text",
+        isTarget = col("lang") === "en", nBuckets = 4096)
+      .select(col("id").as("doc_id"), col("n_tokens"), col("w_q"))
+      .orderBy(col("w_q").desc, col("doc_id"))
+      .limit(50)
+
+  val qDsirSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, (lang = 'en') AS t,
+      |         unnest(string_split(text, ' ')) AS token
+      |  FROM documents),
+      |tok2 AS (
+      |  SELECT doc_id, t,
+      |         CAST('0x' || substr(md5(token), 1, 8) AS BIGINT) % 4096 AS bucket
+      |  FROM toks WHERE token <> ''),
+      |perdoc AS (
+      |  SELECT doc_id, t, bucket, count(*) AS c FROM tok2 GROUP BY 1, 2, 3),
+      |bstats AS (
+      |  SELECT bucket, CAST(sum(c) AS BIGINT) AS rcnt,
+      |         CAST(sum(CASE WHEN t THEN c ELSE 0 END) AS BIGINT) AS tcnt
+      |  FROM perdoc GROUP BY 1),
+      |tot AS (
+      |  SELECT CAST(sum(rcnt) AS BIGINT) AS nr, CAST(sum(tcnt) AS BIGINT) AS nt
+      |  FROM bstats),
+      |lr AS (
+      |  SELECT bucket,
+      |         CAST(floor(ln(((tcnt + 1.0) * (nr + 4096.0))
+      |                       / ((rcnt + 1.0) * (nt + 4096.0))) * 1048576) AS BIGINT) AS lr_q
+      |  FROM bstats CROSS JOIN tot)
+      |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+      |       CAST(sum(c * lr_q) AS BIGINT) AS w_q
+      |FROM perdoc JOIN lr USING (bucket)
+      |GROUP BY doc_id
+      |ORDER BY w_q DESC, doc_id
+      |LIMIT 50""".stripMargin
+
   def qMixturePlan(spark: SparkSession, sfDir: String): DataFrame = {
     val wAll = Window.partitionBy().rowsBetween(
       Window.unboundedPreceding, Window.unboundedFollowing)
@@ -395,6 +440,7 @@ object PipelineQueries {
       |ORDER BY source""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dsir" -> (qDsir _),
     "q_mixture_plan" -> (qMixturePlan _),
     "q_curation_pipeline" -> (qCurationPipeline _),
     "q_prep_pipeline" -> (qPrepPipeline _),
@@ -404,6 +450,7 @@ object PipelineQueries {
     "q_shard_shuffle" -> (qShardShuffle _))
 
   val oracles: Map[String, String] = Map(
+    "q_dsir" -> qDsirSql,
     "q_mixture_plan" -> qMixturePlanSql,
     "q_curation_pipeline" -> qCurationPipelineSql,
     "q_prep_pipeline" -> qPrepPipelineSql,

@@ -291,8 +291,11 @@ object SimilarityQueries {
     * assignment, probe-cell top-`IvfNProbe`, quantized cosine top-5.
     * Every CTE is integer-exact, so this replays ivfIndexQ/ivfTopKQ
     * bit for bit. */
-  lazy val qAnnIvfSql: String = {
-    val iters = 2
+  /** The quantized-IVF index build unrolled as CTEs (requires `flat` in
+    * scope): Knuth-hash seeding, `iters` integer Lloyd rounds, final
+    * assignment `afin(vec_id, cell)` — shared by every oracle that replays
+    * [[graft.operators.Similarity.ivfIndexQ]] (q_ann_ivf, q_semdedup). */
+  private def lloydSqlCtes(nCells: Int, iters: Int): String = {
     val lloyd = (1 to iters).map { i =>
       s"""d$i AS (
          |  SELECT f.vec_id, c.cell, CAST(sum((f.vq - c.cq) * (f.vq - c.cq)) AS BIGINT) AS d
@@ -305,12 +308,11 @@ object SimilarityQueries {
          |         CAST(floor(CAST(sum(f.vq) AS DOUBLE) / count(*)) AS BIGINT) AS cq
          |  FROM a$i a JOIN flat f ON f.vec_id = a.vec_id GROUP BY 1, 2)""".stripMargin
     }.mkString(",\n")
-    s"""WITH $FlatSqlCte,
-       |seeds AS (
+    s"""seeds AS (
        |  SELECT vec_id,
        |         CAST(row_number() OVER (ORDER BY ((vec_id % 2147483648) * 2654435761) % 4294967296, vec_id) - 1 AS INT) AS cell
        |  FROM embeddings
-       |  QUALIFY row_number() OVER (ORDER BY ((vec_id % 2147483648) * 2654435761) % 4294967296, vec_id) <= 16),
+       |  QUALIFY row_number() OVER (ORDER BY ((vec_id % 2147483648) * 2654435761) % 4294967296, vec_id) <= $nCells),
        |cent0 AS (SELECT s.cell, f.pos, f.vq AS cq FROM seeds s JOIN flat f ON f.vec_id = s.vec_id),
        |$lloyd,
        |dfin AS (
@@ -318,7 +320,13 @@ object SimilarityQueries {
        |  FROM flat f JOIN cent$iters c ON f.pos = c.pos GROUP BY 1, 2),
        |afin AS (
        |  SELECT vec_id, cell FROM dfin
-       |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) = 1),
+       |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) = 1)""".stripMargin
+  }
+
+  lazy val qAnnIvfSql: String = {
+    val iters = 2
+    s"""WITH $FlatSqlCte,
+       |${lloydSqlCtes(nCells = 16, iters = iters)},
        |probq AS (SELECT pos, vq FROM flat WHERE vec_id = 0),
        |pcells AS (
        |  SELECT c.cell, CAST(sum((q.vq - c.cq) * (q.vq - c.cq)) AS BIGINT) AS d
@@ -341,6 +349,49 @@ object SimilarityQueries {
        |ORDER BY cosine DESC, d.vec_id
        |LIMIT 5""".stripMargin
   }
+
+  /** SemDeDup — semantic dedup over the embedding corpus
+    * ([[graft.operators.Similarity.semanticDedup]]): quantized-Lloyd
+    * k-means cells, within-cell quantized-cosine pruning, keep-min-id.
+    * Output: (vec_id, cell, kept) for every vector. The oracle replays the
+    * ENTIRE operator — seeding, both Lloyd rounds, final assignment,
+    * within-cell pair cosine, drop set — as integer-exact CTEs (the same
+    * [[lloydSqlCtes]] chain as q_ann_ivf).
+    *
+    * Scale: candidates come from the cell equi-join (never all-pairs);
+    * nCells scales with the corpus so cell population is a constant knob;
+    * norms are per-row before the self-join. See the operator scaladoc. */
+  def qSemdedup(spark: SparkSession, sfDir: String): DataFrame =
+    graft.operators.Similarity.semanticDedup(
+        t(spark, sfDir, "embeddings"), "vec_id", "embedding",
+        nCells = 16, iters = 2, minCosine = 0.3)
+      .select(col("id").as("vec_id"), col("cell"), col("kept"))
+      .orderBy("vec_id")
+
+  lazy val qSemdedupSql: String =
+    s"""WITH $FlatSqlCte,
+       |${lloydSqlCtes(nCells = 16, iters = 2)},
+       |norms AS (SELECT vec_id, CAST(sum(vq * vq) AS BIGINT) AS norm2 FROM flat GROUP BY 1),
+       |cpairs AS (
+       |  SELECT a.vec_id AS v1, b.vec_id AS v2
+       |  FROM afin a JOIN afin b ON a.cell = b.cell AND a.vec_id < b.vec_id),
+       |cdots AS (
+       |  SELECT p.v1, p.v2, CAST(sum(f1.vq * f2.vq) AS BIGINT) AS dot
+       |  FROM cpairs p
+       |  JOIN flat f1 ON f1.vec_id = p.v1
+       |  JOIN flat f2 ON f2.vec_id = p.v2 AND f2.pos = f1.pos
+       |  GROUP BY 1, 2),
+       |dropped AS (
+       |  SELECT DISTINCT d.v2 AS vec_id
+       |  FROM cdots d
+       |  JOIN norms n1 ON n1.vec_id = d.v1
+       |  JOIN norms n2 ON n2.vec_id = d.v2
+       |  WHERE CAST(d.dot AS DOUBLE)
+       |          / (sqrt(CAST(n1.norm2 AS DOUBLE)) * sqrt(CAST(n2.norm2 AS DOUBLE))) >= 0.3)
+       |SELECT a.vec_id, a.cell,
+       |       CAST(CASE WHEN dr.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS kept
+       |FROM afin a LEFT JOIN dropped dr ON dr.vec_id = a.vec_id
+       |ORDER BY a.vec_id""".stripMargin
 
   /** Per-label centroids + pairwise label cosine — the cluster-summary op
     * for an embedding pipeline (label drift, near-duplicate classes).
@@ -445,7 +496,8 @@ object SimilarityQueries {
     "q_embed_neardup" -> (qEmbedNeardup _),
     "q_embed_neardup_rh" -> (qEmbedNeardupRh _),
     "q_simsearch_brute" -> (qSimsearchBrute _),
-    "q_ann_ivf" -> (qAnnIvf _))
+    "q_ann_ivf" -> (qAnnIvf _),
+    "q_semdedup" -> (qSemdedup _))
 
   val oracles: Map[String, String] = Map(
     "q_vector_quantize" -> qVectorQuantizeSql,
@@ -454,5 +506,6 @@ object SimilarityQueries {
     "q_embed_centroids" -> qEmbedCentroidsSql,
     "q_embed_neardup" -> qEmbedNeardupSql,
     "q_embed_neardup_rh" -> qEmbedNeardupRhSql,
-    "q_ann_ivf" -> qAnnIvfSql)
+    "q_ann_ivf" -> qAnnIvfSql,
+    "q_semdedup" -> qSemdedupSql)
 }

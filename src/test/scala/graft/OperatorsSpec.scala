@@ -854,5 +854,56 @@ class OperatorsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(gotBloom === want)
   }
+
+  test("semanticDedup drops within-cell near-identical vectors, keeps min id") {
+    try {
+      // two orthogonal families far apart (guaranteed different k-means
+      // cells with nCells=2): family A = e1-aligned, family B = e2-aligned;
+      // within each family the vectors are near-identical (cosine ≈ 1)
+      def vec(axis: Int, eps: Float): Array[Float] = {
+        val a = Array.fill(8)(0.001f)
+        a(axis) = 1.0f + eps
+        a
+      }
+      val df = Seq(
+        (10L, vec(0, 0f)), (11L, vec(0, 0.01f)), (12L, vec(0, 0.02f)),
+        (20L, vec(1, 0f)), (21L, vec(1, 0.01f))
+      ).toDF("vec_id", "embedding")
+      val out = Similarity.semanticDedup(df, "vec_id", "embedding",
+          nCells = 2, iters = 2, minCosine = 0.95)
+        .select("id", "kept").as[(Long, Long)].collect().toMap
+      // min id of each family survives; the rest drop
+      assert(out == Map(10L -> 1L, 11L -> 0L, 12L -> 0L, 20L -> 1L, 21L -> 0L),
+        s"out=$out")
+      // with an impossible threshold nothing drops
+      CacheScope.release()
+      val none = Similarity.semanticDedup(df, "vec_id", "embedding",
+          nCells = 2, iters = 2, minCosine = 1.1)
+        .filter(col("kept") === 0L).count()
+      assert(none === 0L)
+    } finally CacheScope.release()
+  }
+
+  test("dsirWeights ranks target-like documents above off-target ones") {
+    try {
+      // target = docs labelled t; doc 3 shares the target vocabulary, doc 4
+      // shares the raw-only vocabulary → w(3) > w(4). Weights are exact
+      // integer sums, so the comparison is deterministic.
+      val df = Seq(
+        (1L, "alpha beta gamma alpha beta", true),
+        (2L, "alpha gamma beta beta alpha", true),
+        (3L, "alpha beta gamma", false),
+        (4L, "xray yankee zulu", false)
+      ).toDF("doc_id", "text", "is_t")
+      val w = graft.operators.Sampling
+        .dsirWeights(df, "doc_id", "text", isTarget = col("is_t"), nBuckets = 64)
+        .select("id", "n_tokens", "w_q").as[(Long, Long, Long)].collect()
+        .map(r => r._1 -> (r._2, r._3)).toMap
+      assert(w.keySet == Set(1L, 2L, 3L, 4L))
+      assert(w(3L)._1 === 3L && w(4L)._1 === 3L) // token counts
+      assert(w(3L)._2 > w(4L)._2,
+        s"target-vocab doc must outscore raw-only doc: $w")
+    } finally CacheScope.release()
+  }
 }
 

@@ -97,6 +97,27 @@ class PlanQualitySpec extends SparkSpec {
       s"all-pairs join in LSH query:\n$p")
   }
 
+  test("q_semdedup: within-cell equi-join, never all-pairs") {
+    val p = plan("q_semdedup")
+    try {
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"all-pairs join in semantic dedup:\n$p")
+      // the self-joined member table reads the one cached build
+      assert(p.split("InMemoryTableScan").length - 1 >= 2,
+        s"member cache not reused by both join sides:\n$p")
+    } finally CacheScope.release()
+  }
+
+  test("q_dsir: bucket model broadcasts back onto per-doc counts") {
+    val p = plan("q_dsir")
+    try {
+      assert(p.contains("BroadcastHashJoin"),
+        s"log-ratio table (≤ nBuckets rows) must broadcast:\n$p")
+      assert(!p.contains("CartesianProduct"), s"cartesian in dsir:\n$p")
+      assert(p.contains("partial_"), s"per-doc aggregation must be two-phase:\n$p")
+    } finally CacheScope.release()
+  }
+
   test("q_range_join: binned equi-join, never a nested-loop band join") {
     val p = plan("q_range_join")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
