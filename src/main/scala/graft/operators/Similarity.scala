@@ -210,15 +210,17 @@ object Similarity {
         i -> r.getSeq[Float](1).map(_.toDouble).toArray
       }
 
+    // argmin over squared L2 distance to each centroid, tie → lowest cell.
+    // One k·d kernel loop with the matrix as a codegen reference object —
+    // the k-branch array_min(struct…) literal tree this replaces breaks
+    // codegen past a few hundred cells (method-size limit) and pays
+    // per-branch dispatch; SemDeDup-scale k needs thousands of cells.
+    // Identical semantics (same IEEE fold, same tie rule) pinned in
+    // OperatorsSpec.
     def assignExpr(cs: Array[(Int, Array[Double])]): Column = {
-      // argmin over squared L2 distance to each centroid, tie → lowest cell
-      val dists = cs.map { case (cid, c) =>
-        val cArr = array(c.toIndexedSeq.map(lit): _*)
-        struct(aggregate(zip_with(col(vecCol), cArr,
-          (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
-          lit(0d), (acc, x) => acc + x).as("d"), lit(cid).as("cell"))
-      }
-      array_min(array(dists.toIndexedSeq: _*)).getField("cell")
+      val sorted = cs.sortBy(_._1)
+      graft.plans.VectorExpressions.argminCellD(
+        col(vecCol), sorted.map(_._1), sorted.map(_._2))
     }
 
     // Lloyd mean step via the vector-sum UDAF: one Double-array buffer per
@@ -282,13 +284,13 @@ object Similarity {
       .zipWithIndex
       .map { case (r, i) => i -> r.getSeq[Long](1).toArray }
 
+    // integer argmin assignment as ONE k·d kernel loop (see the float
+    // variant's comment) — exact integer distances, tie → lowest cell,
+    // bit-identical to the replaced array_min(struct(long_dist2…)) tree
     def assignExpr(cs: Array[(Int, Array[Long])]): Column = {
-      val dists = cs.map { case (cid, c) =>
-        val cArr = array(c.toIndexedSeq.map(lit): _*)
-        struct(graft.plans.VectorExpressions.longDist2(col("vq"), cArr).as("d"),
-          lit(cid).as("cell"))
-      }
-      array_min(array(dists.toIndexedSeq: _*)).getField("cell")
+      val sorted = cs.sortBy(_._1)
+      graft.plans.VectorExpressions.argminCell(
+        col("vq"), sorted.map(_._1), sorted.map(_._2))
     }
 
     val vsum = udaf(graft.functions.VectorSumAggregator)

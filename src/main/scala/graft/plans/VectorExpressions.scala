@@ -46,6 +46,62 @@ object VectorOps {
     s
   }
 
+  /** Nearest-centroid assignment against a FIXED centroid matrix: argmin
+    * over cells of exact integer squared L2 distance, tie → lowest cell id
+    * (`ids` must be sorted ascending; first-win on `<` then equals
+    * `array_min`'s lexicographic (d, cell) order). One tight k·d primitive
+    * loop per row — the scalable replacement for the k-branch
+    * `array_min(array(struct(long_dist2(…), cell), …))` expression tree,
+    * which exceeds codegen method limits and pays per-branch dispatch as
+    * k grows (SemDeDup wants k in the thousands; the paper uses 50 000).
+    * The matrix rides along as ONE codegen reference object (k·d longs —
+    * 25 MB even at k=50 000, d=64 — broadcast to executors inside the
+    * serialized plan exactly like the literal tree was). */
+  def argminCell(a: ArrayData, ids: Array[Int], cents: Array[Array[Long]]): Int = {
+    val v = a.toLongArray()
+    var best = 0L
+    var bestIdx = -1
+    var c = 0
+    while (c < cents.length) {
+      val ct = cents(c)
+      require(v.length == ct.length,
+        s"argminCell: dimension mismatch ${v.length} vs ${ct.length}")
+      var s = 0L
+      var i = 0
+      while (i < v.length) { val d = v(i) - ct(i); s += d * d; i += 1 }
+      if (bestIdx < 0 || s < best) { best = s; bestIdx = c }
+      c += 1
+    }
+    ids(bestIdx)
+  }
+
+  /** [[argminCell]] for an ARRAY<FLOAT> vector against double centroids
+    * (the float-mean IVF variant): components are widened float→double
+    * exactly like `x.cast("double")`, the per-cell distance is the SAME
+    * sequential left fold as the `aggregate(zip_with(…))` HOF it replaces
+    * (identical IEEE operation sequence), and ties fall to the lowest cell
+    * via first-win on Double.compare — `array_min`'s (d, cell) order. */
+  def argminCellD(a: ArrayData, ids: Array[Int], cents: Array[Array[Double]]): Int = {
+    val n = a.numElements()
+    var best = 0d
+    var bestIdx = -1
+    var c = 0
+    while (c < cents.length) {
+      val ct = cents(c)
+      require(n == ct.length, s"argminCellD: dimension mismatch $n vs ${ct.length}")
+      var s = 0d
+      var i = 0
+      while (i < n) {
+        val d = a.getFloat(i).toDouble - ct(i)
+        s += d * d
+        i += 1
+      }
+      if (bestIdx < 0 || java.lang.Double.compare(s, best) < 0) { best = s; bestIdx = c }
+      c += 1
+    }
+    ids(bestIdx)
+  }
+
   /** Int8 quantization error stats over one ARRAY<FLOAT> embedding — the
     * fused form of q_vector_quantize's three CodegenFallback HOFs
     * (`transform` err array + `aggregate` left-fold + `array_max`), each
@@ -153,9 +209,55 @@ case class QuantErrStatsExpr(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** `argmin_cell(vq)` over a fixed centroid matrix — [[VectorOps.argminCell]].
+  * The matrix is carried as a codegen reference object, not a literal tree. */
+case class ArgminCellExpr(child: Expression,
+                          ids: Array[Int], cents: Array[Array[Long]])
+  extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override def nullSafeEval(input: Any): Any =
+    VectorOps.argminCell(input.asInstanceOf[ArrayData], ids, cents)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val idsRef = ctx.addReferenceObj("cellIds", ids, "int[]")
+    val centsRef = ctx.addReferenceObj("cents", cents, "long[][]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.plans.VectorOps.argminCell($c, $idsRef, $centsRef)")
+  }
+  override def prettyName: String = "argmin_cell"
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Double-centroid variant — [[VectorOps.argminCellD]]. */
+case class ArgminCellDExpr(child: Expression,
+                           ids: Array[Int], cents: Array[Array[Double]])
+  extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override def nullSafeEval(input: Any): Any =
+    VectorOps.argminCellD(input.asInstanceOf[ArrayData], ids, cents)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val idsRef = ctx.addReferenceObj("cellIds", ids, "int[]")
+    val centsRef = ctx.addReferenceObj("cents", cents, "double[][]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.plans.VectorOps.argminCellD($c, $idsRef, $centsRef)")
+  }
+  override def prettyName: String = "argmin_cell_d"
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorExpressions {
 
   import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+
+  /** Nearest-centroid assignment, BIGINT grid (see [[VectorOps.argminCell]]).
+    * `cents` must be sorted by id ascending. */
+  def argminCell(vq: Column, ids: Array[Int], cents: Array[Array[Long]]): Column =
+    column(ArgminCellExpr(expression(vq), ids, cents))
+
+  /** Nearest-centroid assignment, double grid. */
+  def argminCellD(v: Column, ids: Array[Int], cents: Array[Array[Double]]): Column =
+    column(ArgminCellDExpr(expression(v), ids, cents))
 
   /** Fused exact integer dot product (see [[VectorOps.longDot]]). */
   def longDot(a: Column, b: Column): Column =

@@ -855,6 +855,53 @@ class OperatorsSpec extends SparkSpec {
     assert(gotBloom === want)
   }
 
+  test("argmin_cell kernels ≡ the array_min(struct(dist, cell)) derivation") {
+    val rnd = new scala.util.Random(1307)
+    val vecs = (0L until 300L).map(i =>
+      (i, Array.fill(16)((rnd.nextDouble() * 2 - 1).toFloat))).toSeq
+    val df = vecs.toDF("vec_id", "embedding")
+    // non-contiguous ids exercise the sorted-id indirection; include exact
+    // centroid copies so distance-0 rows and tie candidates exist
+    val centIds = Array(0, 3, 4, 9)
+    val centsD: Array[Array[Double]] = Array(
+      vecs(5)._2.map(_.toDouble), vecs(17)._2.map(_.toDouble),
+      Array.fill(16)(0.0), vecs(17)._2.map(_.toDouble)) // cells 3,9 tie for vec 17
+    val centsQ: Array[Array[Long]] =
+      centsD.map(_.map(x => math.floor(x * 1048576d).toLong))
+    val vq = transform(col("embedding"), x => floor(x.cast("double") * 1048576d).cast("long"))
+
+    def treeD = {
+      val dists = centIds.zip(centsD).map { case (cid, c) =>
+        val cArr = array(c.toIndexedSeq.map(lit): _*)
+        struct(aggregate(zip_with(col("embedding"), cArr,
+          (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
+          lit(0d), (acc, x) => acc + x).as("d"), lit(cid).as("cell"))
+      }
+      array_min(array(dists.toIndexedSeq: _*)).getField("cell")
+    }
+    def treeQ = {
+      val dists = centIds.zip(centsQ).map { case (cid, c) =>
+        val cArr = array(c.toIndexedSeq.map(lit): _*)
+        struct(graft.plans.VectorExpressions.longDist2(vq, cArr).as("d"),
+          lit(cid).as("cell"))
+      }
+      array_min(array(dists.toIndexedSeq: _*)).getField("cell")
+    }
+    val rows = df.select(col("vec_id"),
+        graft.plans.VectorExpressions.argminCellD(col("embedding"), centIds, centsD).as("kd"),
+        treeD.as("td"),
+        graft.plans.VectorExpressions.argminCell(vq, centIds, centsQ).as("kq"),
+        treeQ.as("tq"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getInt(1) === r.getInt(2), s"double argmin mismatch vec ${r.getLong(0)}")
+      assert(r.getInt(3) === r.getInt(4), s"long argmin mismatch vec ${r.getLong(0)}")
+    }
+    // the tie (vec 17 at distance 0 to cells 3 and 9) resolves to the lower id
+    val v17 = rows.find(_.getLong(0) == 17L).get
+    assert(v17.getInt(1) === 3 && v17.getInt(3) === 3)
+  }
+
   test("semanticDedup drops within-cell near-identical vectors, keeps min id") {
     try {
       // two orthogonal families far apart (guaranteed different k-means
