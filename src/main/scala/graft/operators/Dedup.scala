@@ -381,9 +381,9 @@ object Dedup {
     * not just cliques). Each half-round is one map-side-combinable
     * `groupBy(min)` plus one equi-join — the same per-round shuffle cost
     * as propagation, the 100 TB-safe shape. The only driver-side values
-    * per round are three scalars (edge count + exact decimal endpoint
-    * sums) for the fixpoint check; `localCheckpoint` truncates lineage
-    * each round. Labels are the component minima either way, so results
+    * per round are two scalars (edge count + the exact decimal sum of
+    * per-edge xxhash64 — collision-resistant over the edge multiset) for
+    * the fixpoint check; `localCheckpoint` truncates lineage each round. Labels are the component minima either way, so results
     * are bit-identical to [[ccPropagateWithRounds]] (pinned in
     * OperatorsSpec). */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 30): DataFrame =

@@ -159,9 +159,7 @@ object Sampling {
     val perDoc = graft.CacheScope.cached(
       docs.select(col(idCol).as("id"), isTarget.as("__t"),
           explode(tokens(col(textCol))).as("token"))
-        .withColumn("bucket",
-          pmod(conv(graft.plans.HashExpressions.md5Prefix(col("token"), 8), 16, 10)
-            .cast("long"), lit(nBuckets.toLong)))
+        .withColumn("bucket", foldAssign(col("token"), nBuckets))
         .groupBy("id", "__t", "bucket").agg(count(lit(1)).as("c")))
     val bstats = perDoc.groupBy("bucket")
       .agg(sum(col("c")).as("rcnt"),

@@ -362,14 +362,25 @@ object Similarity {
   def semanticDedup(emb: DataFrame, idCol: String, vecCol: String,
                     nCells: Int = 16, iters: Int = 2,
                     minCosine: Double = 0.3): DataFrame = {
-    val (_, assignments) = ivfIndexQ(emb, idCol, vecCol, nCells, iters)
+    val (cents, _) = ivfIndexQ(emb, idCol, vecCol, nCells, iters)
+    // the centroid matrix is already in hand — assign cells row-locally
+    // with the argmin kernel instead of shuffle-joining the corpus against
+    // the assignments plan (one narrow pass, zero join; bit-identical by
+    // construction, it IS ivfIndexQ's assignment expression)
+    val sorted = cents.sortBy(_._1)
     val members = graft.CacheScope.cached(
       emb.select(col(idCol).as("id"), quantize(col(vecCol)).as("vq"))
-        .join(assignments.select(col("id"), col("cell")), Seq("id"))
+        .withColumn("cell", graft.plans.VectorExpressions
+          .argminCell(col("vq"), sorted.map(_._1), sorted.map(_._2)))
         .withColumn("nrm", sqrt(graft.plans.VectorExpressions
           .longDot(col("vq"), col("vq")).cast("double"))))
+    // nrm > 0 guard: a vector whose components all quantize to 0 has
+    // cosine 0/0 = NaN to every mate, and NaN orders above minCosine in
+    // BOTH engines — without the guard a degenerate vector would silently
+    // drop its whole cell (mirrored in the oracle)
     val dropped = members.as("a").join(members.as("b"),
-        col("a.cell") === col("b.cell") && col("a.id") < col("b.id"))
+        col("a.cell") === col("b.cell") && col("a.id") < col("b.id") &&
+          col("a.nrm") > 0d && col("b.nrm") > 0d)
       .filter(graft.plans.VectorExpressions.longDot(col("a.vq"), col("b.vq"))
         .cast("double") / (col("a.nrm") * col("b.nrm")) >= minCosine)
       .select(col("b.id").as("id")).distinct()

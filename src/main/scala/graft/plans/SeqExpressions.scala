@@ -115,8 +115,8 @@ object SeqWindowFreq {
 
   /** String-keyed fallback scan for k > [[PackedKeyMaxK]]: identical
     * uppercase/N-skip window semantics, keyed by the uppercased window
-    * bytes. One byte[] per KEPT window (N-windows allocate nothing) — fine
-    * for the rare wide-k path; narrow k stays on [[scan]]. */
+    * bytes. One byte[] + one byte pass per window — fine for the rare
+    * wide-k path; narrow k stays on the zero-alloc [[scan]]. */
   private[graft] def scanWide(seq: UTF8String, k: Int, step: Int)
       : (java.util.HashMap[UTF8String, Array[Long]], Long) = {
     val bytes = seq.getBytes
@@ -125,23 +125,20 @@ object SeqWindowFreq {
     var total = 0L
     var i = 0
     while (i + k <= n) {
+      // single uppercase+N pass building the key bytes as it goes; an
+      // N-window discards the buffer (one dead alloc, no second byte walk)
+      val w = new Array[Byte](k)
       var j = 0
       var hasN = false
       while (j < k) {
         var b = bytes(i + j)
         if (b >= 'a' && b <= 'z') b = (b - 32).toByte
-        if (b == 'N') { hasN = true; j = k } else j += 1
+        if (b == 'N') hasN = true
+        w(j) = b
+        j += 1
       }
       if (!hasN) {
         total += 1
-        val w = new Array[Byte](k)
-        j = 0
-        while (j < k) {
-          var b = bytes(i + j)
-          if (b >= 'a' && b <= 'z') b = (b - 32).toByte
-          w(j) = b
-          j += 1
-        }
         val key = UTF8String.fromBytes(w)
         val cur = counts.get(key)
         if (cur == null) counts.put(key, Array(1L)) else cur(0) += 1

@@ -343,22 +343,6 @@ object PipelineQueries {
        |FROM tot t JOIN heads h ON h.shard = t.shard
        |ORDER BY t.shard""".stripMargin
 
-  /** Training-mixture planner — given per-source token counts and target
-    * mixture weights, compute how many tokens each source must contribute
-    * to hit the mixture at a constant total budget, and the repeat factor
-    * (epochs) that requires. This is the data-mixing arithmetic every
-    * multi-source pretraining run does (cf. temperature sampling,
-    * `q_temperature_sample`, which rebalances by a power law — this one
-    * hits EXPLICIT weights). Weights here are a deterministic function of
-    * the source index (20 + 8·idx per-mille, unnormalized — the planner
-    * normalizes by their sum in-query).
-    *
-    * All-integer arithmetic: need = ⌊T·w/W⌋, epochs = ⌈need/n_tokens⌉ by
-    * integer ceil-div — bit-exact in both engines. Scale shape: one
-    * map-side-combinable scan agg to |sources| rows (the corpus is scanned
-    * exactly once and never shuffled); the W/T totals come from an
-    * unpartitioned window over those |sources| rows — a SinglePartition
-    * exchange of the tiny aggregate, never of the data. */
   /** DSIR importance-resampling selection
     * ([[graft.operators.Sampling.dsirWeights]]): hashed-unigram importance
     * weights of every document against the English-target distribution,
@@ -404,6 +388,22 @@ object PipelineQueries {
       |ORDER BY w_q DESC, doc_id
       |LIMIT 50""".stripMargin
 
+  /** Training-mixture planner — given per-source token counts and target
+    * mixture weights, compute how many tokens each source must contribute
+    * to hit the mixture at a constant total budget, and the repeat factor
+    * (epochs) that requires. This is the data-mixing arithmetic every
+    * multi-source pretraining run does (cf. temperature sampling,
+    * `q_temperature_sample`, which rebalances by a power law — this one
+    * hits EXPLICIT weights). Weights here are a deterministic function of
+    * the source index (20 + 8·idx per-mille, unnormalized — the planner
+    * normalizes by their sum in-query).
+    *
+    * All-integer arithmetic: need = ⌊T·w/W⌋, epochs = ⌈need/n_tokens⌉ by
+    * integer ceil-div — bit-exact in both engines. Scale shape: one
+    * map-side-combinable scan agg to |sources| rows (the corpus is scanned
+    * exactly once and never shuffled); the W/T totals come from an
+    * unpartitioned window over those |sources| rows — a SinglePartition
+    * exchange of the tiny aggregate, never of the data. */
   def qMixturePlan(spark: SparkSession, sfDir: String): DataFrame = {
     val wAll = Window.partitionBy().rowsBetween(
       Window.unboundedPreceding, Window.unboundedFollowing)

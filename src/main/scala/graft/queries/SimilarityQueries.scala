@@ -386,7 +386,8 @@ object SimilarityQueries {
        |  FROM cdots d
        |  JOIN norms n1 ON n1.vec_id = d.v1
        |  JOIN norms n2 ON n2.vec_id = d.v2
-       |  WHERE CAST(d.dot AS DOUBLE)
+       |  WHERE n1.norm2 > 0 AND n2.norm2 > 0
+       |    AND CAST(d.dot AS DOUBLE)
        |          / (sqrt(CAST(n1.norm2 AS DOUBLE)) * sqrt(CAST(n2.norm2 AS DOUBLE))) >= 0.3)
        |SELECT a.vec_id, a.cell,
        |       CAST(CASE WHEN dr.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS kept
