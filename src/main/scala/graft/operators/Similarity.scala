@@ -339,6 +339,61 @@ object Similarity {
       .limit(k)
   }
 
+  /** Batch IVF search — the SERVING shape: a whole probe SET retrieves
+    * top-k neighbors through one shared index scan, instead of one job
+    * per probe. Per probe the `nProbe` nearest cells are picked
+    * driver-side from the (bounded, already-collected) centroid matrix;
+    * the (probe, cell) table — |probes|·nProbe rows — broadcasts onto the
+    * cell-assigned corpus, so each corpus row is touched once per probe
+    * cell-hit, never per probe. The per-probe top-k is a rank-filtered
+    * window (Spark plans it as WindowGroupLimit: the k-heap runs map-side
+    * BEFORE the probe_id shuffle). Quantized-exact end to end, same
+    * conventions as [[ivfTopKQ]].
+    *
+    * Returns (probe_id, rnk, vec_id, cosine), k rows per probe. */
+  def ivfTopKBatchQ(emb: DataFrame, idCol: String, vecCol: String,
+                    probeIds: Seq[Long], k: Int,
+                    nCells: Int = 16, iters: Int = 2,
+                    nProbe: Int = 4): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val (cents, _) = ivfIndexQ(emb, idCol, vecCol, nCells, iters)
+    val sorted = cents.sortBy(_._1)
+    val probeVecs: Map[Long, Array[Long]] =
+      emb.filter(col(idCol).isInCollection(probeIds))
+        .select(col(idCol), quantize(col(vecCol)))
+        .collect()
+        .map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
+    // nearest nProbe cells per probe — |probes|·nCells·d driver-side integer
+    // ops over data already on the driver; tie → lowest cell id
+    val probeRows: Seq[(Long, Int, Seq[Long], Double)] = probeIds.flatMap { pid =>
+      val pv = probeVecs(pid)
+      val pn = math.sqrt(pv.foldLeft(0L)((acc, x) => acc + x * x).toDouble)
+      sorted.map { case (cid, c) =>
+        var d = 0L; var i = 0
+        while (i < c.length) { val t = c(i) - pv(i); d += t * t; i += 1 }
+        (d, cid)
+      }.sortBy(identity).take(nProbe)
+        .map { case (_, cid) => (pid, cid, pv.toSeq, pn) }
+    }
+    val probeTbl = probeRows.toDF("probe_id", "cell", "pvq", "pnrm")
+    val members = emb
+      .select(col(idCol).as("vec_id"), quantize(col(vecCol)).as("vq"))
+      .withColumn("cell", graft.plans.VectorExpressions
+        .argminCell(col("vq"), sorted.map(_._1), sorted.map(_._2)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("probe_id").orderBy(col("cosine").desc, col("vec_id").asc)
+    members.join(broadcast(probeTbl), Seq("cell"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .withColumn("cosine",
+        graft.plans.VectorExpressions.longDot(col("vq"), col("pvq")).cast("double") /
+          (sqrt(graft.plans.VectorExpressions.longDot(col("vq"), col("vq"))
+            .cast("double")) * col("pnrm")))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("probe_id"), col("rnk"), col("vec_id"), col("cosine"))
+  }
+
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
     * arXiv:2303.09540 — public literature): k-means-cluster the embedding
     * corpus, then within each cluster drop every vector whose quantized

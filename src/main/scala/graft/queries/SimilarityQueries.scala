@@ -350,6 +350,61 @@ object SimilarityQueries {
        |LIMIT 5""".stripMargin
   }
 
+  /** Batch IVF search ([[graft.operators.Similarity.ivfTopKBatchQ]]): five
+    * probes retrieve their top-5 through ONE shared index scan — the
+    * batch-serving shape (per-probe jobs don't amortize the corpus scan).
+    * The (probe, cell) routing table broadcasts; the per-probe top-k is a
+    * rank-filtered window (WindowGroupLimit — map-side k-heap before the
+    * probe_id shuffle). The oracle replays the index via [[lloydSqlCtes]]
+    * and the per-probe cell ranking / scoring as integer-exact CTEs. */
+  def qAnnBatch(spark: SparkSession, sfDir: String): DataFrame =
+    graft.operators.Similarity.ivfTopKBatchQ(
+        t(spark, sfDir, "embeddings"), "vec_id", "embedding",
+        probeIds = Seq(0L, 1L, 2L, 3L, 4L), k = 5,
+        nCells = 16, iters = 2, nProbe = 4)
+      .orderBy("probe_id", "rnk")
+
+  lazy val qAnnBatchSql: String =
+    s"""WITH $FlatSqlCte,
+       |${lloydSqlCtes(nCells = 16, iters = 2)},
+       |probes AS (
+       |  SELECT CAST(x AS BIGINT) AS probe_id
+       |  FROM (VALUES (0), (1), (2), (3), (4)) t(x)),
+       |probq AS (
+       |  SELECT p.probe_id, f.pos, f.vq
+       |  FROM probes p JOIN flat f ON f.vec_id = p.probe_id),
+       |pcells AS (
+       |  SELECT probe_id, cell FROM (
+       |    SELECT q.probe_id, c.cell,
+       |           CAST(sum((q.vq - c.cq) * (q.vq - c.cq)) AS BIGINT) AS d
+       |    FROM cent2 c JOIN probq q ON q.pos = c.pos GROUP BY 1, 2)
+       |  QUALIFY row_number() OVER (PARTITION BY probe_id ORDER BY d, cell) <= 4),
+       |cand AS (
+       |  SELECT p.probe_id, a.vec_id
+       |  FROM afin a JOIN pcells p ON a.cell = p.cell
+       |  WHERE a.vec_id <> p.probe_id),
+       |norms AS (SELECT vec_id, CAST(sum(vq * vq) AS BIGINT) AS norm2 FROM flat GROUP BY 1),
+       |dots AS (
+       |  SELECT c.probe_id, c.vec_id, CAST(sum(f.vq * q.vq) AS BIGINT) AS dot
+       |  FROM cand c
+       |  JOIN flat f ON f.vec_id = c.vec_id
+       |  JOIN probq q ON q.probe_id = c.probe_id AND q.pos = f.pos
+       |  GROUP BY 1, 2),
+       |scored AS (
+       |  SELECT d.probe_id, d.vec_id,
+       |         CAST(d.dot AS DOUBLE)
+       |           / (sqrt(CAST(n.norm2 AS DOUBLE)) * sqrt(CAST(np.norm2 AS DOUBLE))) AS cosine
+       |  FROM dots d
+       |  JOIN norms n ON n.vec_id = d.vec_id
+       |  JOIN norms np ON np.vec_id = d.probe_id)
+       |SELECT probe_id,
+       |       CAST(row_number() OVER (PARTITION BY probe_id
+       |                               ORDER BY cosine DESC, vec_id) AS BIGINT) AS rnk,
+       |       vec_id, cosine
+       |FROM scored
+       |QUALIFY rnk <= 5
+       |ORDER BY probe_id, rnk""".stripMargin
+
   /** SemDeDup — semantic dedup over the embedding corpus
     * ([[graft.operators.Similarity.semanticDedup]]): quantized-Lloyd
     * k-means cells, within-cell quantized-cosine pruning, keep-min-id.
@@ -498,6 +553,7 @@ object SimilarityQueries {
     "q_embed_neardup_rh" -> (qEmbedNeardupRh _),
     "q_simsearch_brute" -> (qSimsearchBrute _),
     "q_ann_ivf" -> (qAnnIvf _),
+    "q_ann_batch" -> (qAnnBatch _),
     "q_semdedup" -> (qSemdedup _))
 
   val oracles: Map[String, String] = Map(
@@ -508,5 +564,6 @@ object SimilarityQueries {
     "q_embed_neardup" -> qEmbedNeardupSql,
     "q_embed_neardup_rh" -> qEmbedNeardupRhSql,
     "q_ann_ivf" -> qAnnIvfSql,
+    "q_ann_batch" -> qAnnBatchSql,
     "q_semdedup" -> qSemdedupSql)
 }

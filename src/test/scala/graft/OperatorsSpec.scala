@@ -902,6 +902,26 @@ class OperatorsSpec extends SparkSpec {
     assert(v17.getInt(1) === 3 && v17.getInt(3) === 3)
   }
 
+  test("ivfTopKBatchQ ≡ per-probe ivfTopKQ (same index, same params)") {
+    try {
+      val probes = Seq(0L, 7L, 23L)
+      val batch = Similarity.ivfTopKBatchQ(emb, "vec_id", "embedding",
+          probeIds = probes, k = 5, nCells = 16, iters = 2, nProbe = 4)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .groupBy(_._1)
+      val (cents, assignments) =
+        Similarity.ivfIndexQ(emb, "vec_id", "embedding", nCells = 16, iters = 2)
+      probes.foreach { pid =>
+        val single = Similarity.ivfTopKQ(emb, "vec_id", "embedding",
+            cents, assignments, probeId = pid, k = 5, nProbe = 4)
+          .collect().map(r => (r.getLong(0), r.getDouble(1)))
+        val got = batch(pid).sortBy(_._2).map(t => (t._3, t._4)).toSeq
+        assert(got == single.toSeq, s"probe $pid: batch=$got single=${single.toSeq}")
+      }
+    } finally CacheScope.release()
+  }
+
   test("semanticDedup drops within-cell near-identical vectors, keeps min id") {
     try {
       // two orthogonal families far apart (guaranteed different k-means

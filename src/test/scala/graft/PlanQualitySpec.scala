@@ -108,6 +108,15 @@ class PlanQualitySpec extends SparkSpec {
     } finally CacheScope.release()
   }
 
+  test("q_ann_batch: probe routing broadcasts, per-probe top-k is group-limited") {
+    val p = plan("q_ann_batch")
+    assert(p.contains("BroadcastHashJoin"),
+      s"(probe, cell) routing table must broadcast:\n$p")
+    assert(p.contains("WindowGroupLimit"),
+      s"per-probe top-k must run map-side before the probe_id shuffle:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in batch ANN:\n$p")
+  }
+
   test("q_dsir: bucket model broadcasts back onto per-doc counts") {
     val p = plan("q_dsir")
     try {
