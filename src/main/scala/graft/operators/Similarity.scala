@@ -17,8 +17,15 @@ object Similarity {
     * and floor is engine-identical, so Spark and DuckDB derive the same
     * integer vectors; all downstream dot/norm/distance math is then exact
     * integer arithmetic in ANY order (see SimilarityQueries scaladoc for
-    * the bound chain). */
+    * the bound chain). Production body is the fused
+    * [[graft.plans.VectorOps.quantizeVec]] kernel — the `transform` HOF
+    * form it replaces is CodegenFallback, which interprets the whole
+    * enclosing projection per row (kernel ≡ HOF pinned in OperatorsSpec). */
   def quantize(vec: Column): Column =
+    graft.plans.VectorExpressions.quantizeVec(vec)
+
+  /** The HOF reference form of [[quantize]], kept for the equivalence pin. */
+  private[graft] def quantizeColumnar(vec: Column): Column =
     transform(vec, v => floor(v.cast("double") * 1048576d).cast("long"))
 
   /** Sequential-fold double dot product of two float arrays (HOF — exact

@@ -46,6 +46,26 @@ object VectorOps {
     s
   }
 
+  /** Fixed-point quantization of one ARRAY<FLOAT> embedding:
+    * vq[i] = floor(v[i]·2^20) as BIGINT — the fused form of
+    * `transform(vec, v => floor(v.cast("double") * 2^20).cast("long"))`.
+    * `transform` is CodegenFallback, which evaluates its entire child
+    * subtree interpreted per row — measured as the dominant cost of the
+    * similarity family's scans at the 1000× fixture. Identical math:
+    * float→double widening is exact, ×2^20 is an exponent shift,
+    * Math.floor→toLong is Spark's Floor(double) semantics. Elements are
+    * assumed non-null (embedding fixtures; same contract as longDot). */
+  def quantizeVec(a: ArrayData): ArrayData = {
+    val n = a.numElements()
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      out(i) = math.floor(a.getFloat(i).toDouble * 1048576d).toLong
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
   /** Nearest-centroid assignment against a FIXED centroid matrix: argmin
     * over cells of exact integer squared L2 distance, tie → lowest cell id
     * (`ids` must be sorted ascending; first-win on `<` then equals
@@ -209,6 +229,19 @@ case class QuantErrStatsExpr(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** `quantize_vec(v)` — [[VectorOps.quantizeVec]]. */
+case class QuantizeVecExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    VectorOps.quantizeVec(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.VectorOps.quantizeVec($c)")
+  override def prettyName: String = "quantize_vec"
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** `argmin_cell(vq)` over a fixed centroid matrix — [[VectorOps.argminCell]].
   * The matrix is carried as a codegen reference object, not a literal tree. */
 case class ArgminCellExpr(child: Expression,
@@ -249,6 +282,10 @@ case class ArgminCellDExpr(child: Expression,
 object VectorExpressions {
 
   import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+
+  /** Fused fixed-point quantization (see [[VectorOps.quantizeVec]]). */
+  def quantizeVec(v: Column): Column =
+    column(QuantizeVecExpr(expression(v)))
 
   /** Nearest-centroid assignment, BIGINT grid (see [[VectorOps.argminCell]]).
     * `cents` must be sorted by id ascending. */

@@ -35,9 +35,11 @@ object SimilarityQueries {
       |         CAST(floor(CAST(embedding[i] AS DOUBLE) * 1048576) AS BIGINT) AS vq
       |  FROM embeddings, LATERAL unnest(generate_series(1, len(embedding))) AS t(i))""".stripMargin
 
-  /** Quantized vector as a BIGINT array: vq = floor(v·2^20). */
+  /** Quantized vector as a BIGINT array: vq = floor(v·2^20) — the fused
+    * kernel (the `transform` HOF is CodegenFallback; see
+    * [[graft.operators.Similarity.quantize]]). */
   private def quantArr(emb: Column): Column =
-    transform(emb, v => floor(v.cast("double") * 1048576d).cast("long"))
+    graft.plans.VectorExpressions.quantizeVec(emb)
 
   /** Exact integer dot of two quantized arrays — the fused native kernel
     * ([[graft.plans.VectorExpressions.longDot]]; no intermediate zip_with

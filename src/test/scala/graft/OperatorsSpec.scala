@@ -902,6 +902,24 @@ class OperatorsSpec extends SparkSpec {
     assert(v17.getInt(1) === 3 && v17.getInt(3) === 3)
   }
 
+  test("quantize_vec kernel ≡ the transform HOF derivation") {
+    val rnd = new scala.util.Random(977)
+    val df = ((0 until 200).map(i =>
+        (i.toLong, Array.fill(16)((rnd.nextDouble() * 4 - 2).toFloat))) ++
+      Seq((1000L, Array.empty[Float]),
+        (1001L, Array(0f, -0f, 1e-7f, -1e-7f, Float.MinPositiveValue))))
+      .toDF("vec_id", "embedding")
+    val bad = df.select(
+        Similarity.quantize(col("embedding")).as("k"),
+        Similarity.quantizeColumnar(col("embedding")).as("h"))
+      .filter(col("k") =!= col("h")).count()
+    assert(bad === 0L)
+    // null vector stays null
+    val nr = Seq(Option.empty[Seq[Float]]).toDF("embedding")
+      .select(Similarity.quantize(col("embedding"))).collect()(0)
+    assert(nr.isNullAt(0))
+  }
+
   test("ivfTopKBatchQ ≡ per-probe ivfTopKQ (same index, same params)") {
     try {
       val probes = Seq(0L, 7L, 23L)
