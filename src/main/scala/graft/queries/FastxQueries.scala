@@ -176,13 +176,74 @@ object FastxQueries {
       |FROM s WHERE length(seq) >= 50
       |ORDER BY doc_id""".stripMargin
 
+  /** Phred chars below Q20: ASCII 33 ('!', Q0) through 52 ('4', Q19). */
+  private val LowQ20: String = (33 until 53).map(_.toChar).mkString
+
+  /** FASTQ quality trimming — Trimmomatic-style LEADING/TRAILING Q20
+    * (public tool semantics: drop bases from each end while their Phred
+    * score is below the threshold; interior low-quality bases survive).
+    * The per-read trim is pure char-set `ltrim`/`rtrim` over the low-Phred
+    * alphabet — identical set semantics in Spark and DuckDB, so the whole
+    * operator (including the trimmed-sequence bytes, proven by md5) is
+    * hash-oracled. Reads the FASTQ fixture back through the fastx source,
+    * so the scan→trim composition is what's gated.
+    *
+    * Scale shape: row-local expressions fused into the (splittable) FASTQ
+    * scan; the only exchanges are the parse-once boundary and the output
+    * sort. (On this fixture trim_start is 0 by construction — quality
+    * lines deliberately START with '@' (Q31) to exercise record resync —
+    * so the leading-trim arm is computed and hash-gated but never fires;
+    * trailing trims fire on ~17% of reads at sf0.1.) */
+  def qQualityTrim(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = materializeFastq(spark, sfDir)
+    val trimStart = (length(col("quality")) -
+      length(ltrim(col("quality"), LowQ20))).cast("long")
+    val keptLen = length(rtrim(ltrim(col("quality"), LowQ20), LowQ20)).cast("long")
+    spark.read.format("fastx")
+      .option("maxSplitBytes", adaptiveSplitBytes(spark, path).toString)
+      .load(path)
+      .select(
+        regexp_extract(col("header"), "^doc_(\\d+)", 1).cast("long").as("doc_id"),
+        seqLength(col("sequence")).as("raw_len"),
+        trimStart.as("trim_start"),
+        keptLen.as("kept_len"),
+        seqHash(substring(col("sequence"), (trimStart + 1).cast("int"),
+          keptLen.cast("int")), 16).as("trimmed_md5"))
+      .repartition(col("doc_id")) // parse-once boundary — see qFastqRoundtrip
+      .orderBy("doc_id")
+  }
+
+  /** Oracle rebuilds seq+qual from `documents` (same derivation as the
+    * FASTQ fixture) and applies the same char-set trims. The low-Phred
+    * alphabet contains a single quote — doubled for the SQL literal. */
+  val qQualityTrimSql: String = {
+    val low = LowQ20.replace("'", "''")
+    s"""WITH s AS (SELECT doc_id, regexp_replace(text, '[ \\t\\r\\n]', '', 'g') AS seq FROM documents),
+       |q AS (SELECT doc_id, seq,
+       |        substr(repeat('@+!~IJKLMNOP', CAST(ceil(length(seq)/12.0) AS INTEGER)),
+       |               1, length(seq)) AS qual
+       |      FROM s WHERE length(seq) > 0),
+       |t AS (SELECT doc_id, seq,
+       |        length(qual) AS raw_len,
+       |        CAST(length(qual) - length(ltrim(qual, '$low')) AS BIGINT) AS trim_start,
+       |        CAST(length(rtrim(ltrim(qual, '$low'), '$low')) AS BIGINT) AS kept_len
+       |      FROM q)
+       |SELECT doc_id, raw_len, trim_start, kept_len,
+       |       substr(md5(substr(seq, CAST(trim_start + 1 AS INTEGER),
+       |                         CAST(kept_len AS INTEGER))), 1, 16) AS trimmed_md5
+       |FROM t
+       |ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_fastx_roundtrip" -> (qFastxRoundtrip _),
     "q_fastq_roundtrip" -> (qFastqRoundtrip _),
+    "q_quality_trim" -> (qQualityTrim _),
     "q_tsv_roundtrip" -> (qTsvRoundtrip _))
 
   val oracles: Map[String, String] = Map(
     "q_fastx_roundtrip" -> qFastxRoundtripSql,
     "q_fastq_roundtrip" -> qFastqRoundtripSql,
+    "q_quality_trim" -> qQualityTrimSql,
     "q_tsv_roundtrip" -> qTsvRoundtripSql)
 }
