@@ -94,7 +94,7 @@ object SeqWindowFreq {
     }
   }
 
-  @inline private def unpack(key: Long, k: Int): UTF8String = {
+  @inline private[plans] def unpack(key: Long, k: Int): UTF8String = {
     val b = new Array[Byte](k)
     var j = 0
     while (j < k) {
@@ -297,6 +297,93 @@ object SeqWindowFreq {
   }
 }
 
+/** Minimizer sketching (Roberts et al. 2004; the k-mer sub-sampling
+  * primitive of modern genomics mappers/assemblers — public literature):
+  * for every window of `w` consecutive k-mer positions, the minimizer is
+  * the lexicographically smallest valid k-mer in the window; the distinct
+  * minimizers (≈ 2/(w+1) of all positions) are a locality-preserving
+  * sketch of the sequence. Same alphabet semantics as [[SeqWindowFreq]]:
+  * per-byte ASCII uppercase, k-mers containing 'N' are invalid (a window
+  * with no valid k-mer yields nothing). Unsigned packed-Long comparison on
+  * equal-width big-endian windows IS byte-lexicographic order.
+  *
+  * One pass per document: packed grams + a monotonic index deque gives
+  * O(positions) amortized — no per-window rescan, no allocation beyond the
+  * gram arrays. Returns {minimizer → number of windows it minimizes}
+  * (values sum to the count of non-empty windows). */
+object MinimizerOps {
+
+  def computeCounts(seq: UTF8String, k: Int, w: Int): MapData = {
+    require(k <= SeqWindowFreq.PackedKeyMaxK, s"minimizer k $k exceeds 8")
+    require(w >= 1, "window must be >= 1")
+    val bytes = seq.getBytes
+    val n = bytes.length
+    val p = n - k + 1
+    val counts = new SeqWindowFreq.PackedCounts(k)
+    if (p >= w) {
+      val grams = new Array[Long](p)
+      val valid = new Array[Boolean](p)
+      var i = 0
+      while (i < p) {
+        var key = 0L
+        var hasN = false
+        var j = 0
+        while (j < k) {
+          var b = bytes(i + j)
+          if (b >= 'a' && b <= 'z') b = (b - 32).toByte
+          if (b == 'N') hasN = true
+          key = (key << 8) | (b & 0xffL)
+          j += 1
+        }
+        grams(i) = key
+        valid(i) = !hasN
+        i += 1
+      }
+      // monotonic deque of valid positions, gram values strictly increasing
+      val dq = new Array[Int](p)
+      var head = 0
+      var tail = 0
+      var pos = 0
+      while (pos < p) {
+        if (valid(pos)) {
+          while (tail > head &&
+            java.lang.Long.compareUnsigned(grams(dq(tail - 1)), grams(pos)) >= 0)
+            tail -= 1
+          dq(tail) = pos
+          tail += 1
+        }
+        while (tail > head && dq(head) < pos - w + 1) head += 1
+        if (pos >= w - 1 && tail > head) counts.add(grams(dq(head)))
+        pos += 1
+      }
+    }
+    val keys = new Array[Any](counts.size)
+    val vals = new Array[Any](counts.size)
+    var idx = 0
+    counts.foreach { (key, cnt) =>
+      keys(idx) = SeqWindowFreq.unpack(key, k)
+      vals(idx) = cnt.toLong
+      idx += 1
+    }
+    new ArrayBasedMapData(new GenericArrayData(keys), new GenericArrayData(vals))
+  }
+}
+
+/** `minimizer_counts(seq, k, w)` — [[MinimizerOps.computeCounts]]. */
+case class MinimizerCountsExpr(child: Expression, k: Int, w: Int)
+  extends UnaryExpression {
+  override def dataType: DataType =
+    MapType(StringType, LongType, valueContainsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    MinimizerOps.computeCounts(input.asInstanceOf[UTF8String], k, w)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.plans.MinimizerOps.computeCounts($c, $k, $w)")
+  override def prettyName: String = "minimizer_counts"
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 abstract class SeqWindowFreqExpression extends UnaryExpression {
   def k: Int
   def step: Int
@@ -497,6 +584,10 @@ object SeqExpressions {
   /** struct(n_kmers, total, sorted "GRAM=count,…" encoding). */
   def kmerEnc(c: Column, k: Int, step: Int): Column =
     column(KmerEncExpr(expression(c), k, step))
+
+  /** {minimizer → windows minimized} (see [[MinimizerOps]]). */
+  def minimizerCounts(c: Column, k: Int, w: Int): Column =
+    column(MinimizerCountsExpr(expression(c), k, w))
 
   /** SQL registration: `SELECT kmer_frequencies(seq, 3)`. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {

@@ -108,6 +108,47 @@ object SeqQueries {
       |       CAST(cnt AS DOUBLE) / sum(cnt) OVER (PARTITION BY doc_id) AS freq
       |FROM cnts ORDER BY doc_id, gram""".stripMargin
 
+  /** Minimizer sketch ([[graft.plans.MinimizerOps]]): the distinct (k=5,
+    * w=4) minimizers per document with the number of windows each
+    * minimizes — the k-mer sub-sampling primitive of genomics
+    * mappers/assemblers (expected density ≈ 2/(w+1), so the sketch is
+    * ~60% smaller than the full gram set at the same locality
+    * guarantees). One codegen pass per doc (packed grams + monotonic
+    * deque); the oracle replays it relationally: per-position grams, a
+    * ROWS-frame window min with invalid (N) grams as NULLs, full windows
+    * only, count per distinct minimizer.
+    *
+    * Scale shape: identical to the kmer family — doc-local kernel fused
+    * into the scan, narrow range partition before the explode, partition-
+    * local sort on the full key. */
+  def qMinimizers(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"))
+      .repartitionByRange(col("doc_id"))
+      .select(col("doc_id"),
+        explode(graft.plans.SeqExpressions
+          .minimizerCounts(surrogate(col("text")), 5, 4))
+          .as(Seq("minimizer", "n_win")))
+      .sortWithinPartitions("doc_id", "minimizer")
+
+  val qMinimizersSql: String =
+    """WITH seqs AS (SELECT doc_id, upper(replace(text,' ','')) AS s FROM documents),
+      |grams AS (
+      |  SELECT doc_id, i,
+      |         CASE WHEN substr(s, i, 5) NOT LIKE '%N%' THEN substr(s, i, 5) END AS g,
+      |         length(s) - 4 AS p
+      |  FROM seqs, LATERAL unnest(generate_series(1, length(s) - 4)) AS t(i)),
+      |wins AS (
+      |  SELECT doc_id, i, p,
+      |         min(g) OVER (PARTITION BY doc_id ORDER BY i
+      |                      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS m
+      |  FROM grams)
+      |SELECT doc_id, m AS minimizer, count(*) AS n_win
+      |FROM wins
+      |WHERE i <= p - 3 AND m IS NOT NULL
+      |GROUP BY doc_id, m
+      |ORDER BY doc_id, minimizer""".stripMargin
+
   def qCodonExplode(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = t(spark, sfDir, "documents").select(col("doc_id"), col("text"))
     windowFreqs(docs, k = 3, step = 3)
@@ -590,6 +631,7 @@ object SeqQueries {
     "q_udaf_gc" -> (qUdafGc _),
     "q_seq_stats" -> (qSeqStats _),
     "q_kmer_explode" -> (qKmerExplode _),
+    "q_minimizers" -> (qMinimizers _),
     "q_codon_explode" -> (qCodonExplode _),
     "q_kmer_map" -> (qKmerMap _))
 
@@ -605,6 +647,7 @@ object SeqQueries {
     "q_udaf_gc" -> qUdafGcSql,
     "q_seq_stats" -> qSeqStatsSql,
     "q_kmer_explode" -> qKmerExplodeSql,
+    "q_minimizers" -> qMinimizersSql,
     "q_codon_explode" -> qCodonExplodeSql,
     "q_kmer_map" -> qKmerMapSql)
 }

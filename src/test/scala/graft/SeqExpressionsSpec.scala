@@ -153,6 +153,43 @@ class SeqExpressionsSpec extends SparkSpec {
     }
   }
 
+  test("minimizer_counts kernel ≡ an independent naive reference") {
+    // naive O(P·w) char-level reference (the kernel is byte-level with a
+    // monotonic deque; ASCII inputs make them comparable)
+    def ref(s: String, k: Int, w: Int): Map[String, Long] = {
+      val u = s.map(c => if (c >= 'a' && c <= 'z') (c - 32).toChar else c)
+      val p = u.length - k + 1
+      if (p < w) Map.empty
+      else {
+        val grams = (0 until p).map(i => u.substring(i, i + k))
+        (0 to p - w).flatMap { j =>
+          val cand = (j until j + w).map(grams).filterNot(_.contains('N'))
+          if (cand.isEmpty) None else Some(cand.min)
+        }.groupBy(identity).map { case (g, v) => g -> v.size.toLong }
+      }
+    }
+    var seed = 0x9e3779b97f4a7c15L
+    val gen = (0 until 300).map { _ =>
+      val n = ((seed >>> 40) % 60).toInt.abs
+      val sb = new StringBuilder
+      (0 until n).foreach { _ =>
+        seed = seed * 6364136223846793005L + 1442695040888963407L
+        sb.append("ACGTNacgtn AA".charAt(((seed >>> 33) % 13).toInt))
+      }
+      sb.toString
+    }
+    for (s <- cases ++ gen; (k, w) <- Seq((5, 4), (3, 1), (2, 6), (8, 3))) {
+      val got = {
+        val md = graft.plans.MinimizerOps.computeCounts(
+          org.apache.spark.unsafe.types.UTF8String.fromString(s), k, w)
+        (0 until md.numElements()).map(i =>
+          md.keyArray().getUTF8String(i).toString ->
+            md.valueArray().getLong(i)).toMap
+      }
+      assert(got == ref(s, k, w), s"k=$k w=$w '$s'")
+    }
+  }
+
   test("kmer_enc kernel equals the columnar sort+encode derivation") {
     // the chain q_kmer_map ran before the KmerEnc kernel: size + aggregate
     // total + concat_ws over array_sort'ed map entries
