@@ -364,16 +364,19 @@ object Similarity {
                     nProbe: Int = 4): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
+    val pids = probeIds.distinct // a repeated id would duplicate routing rows
     val (cents, _) = ivfIndexQ(emb, idCol, vecCol, nCells, iters)
     val sorted = cents.sortBy(_._1)
     val probeVecs: Map[Long, Array[Long]] =
-      emb.filter(col(idCol).isInCollection(probeIds))
+      emb.filter(col(idCol).isInCollection(pids))
         .select(col(idCol), quantize(col(vecCol)))
         .collect()
         .map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
+    require(probeVecs.keySet == pids.toSet,
+      s"probe ids not in the corpus: ${pids.filterNot(probeVecs.contains).mkString(", ")}")
     // nearest nProbe cells per probe — |probes|·nCells·d driver-side integer
     // ops over data already on the driver; tie → lowest cell id
-    val probeRows: Seq[(Long, Int, Seq[Long], Double)] = probeIds.flatMap { pid =>
+    val probeRows: Seq[(Long, Int, Seq[Long], Double)] = pids.flatMap { pid =>
       val pv = probeVecs(pid)
       val pn = math.sqrt(pv.foldLeft(0L)((acc, x) => acc + x * x).toDouble)
       sorted.map { case (cid, c) =>
@@ -390,12 +393,18 @@ object Similarity {
         .argminCell(col("vq"), sorted.map(_._1), sorted.map(_._2)))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("probe_id").orderBy(col("cosine").desc, col("vec_id").asc)
+    // nrm/pnrm > 0 guards: a vector whose components all quantize to 0
+    // would score 0/0 = NaN, and NaN sorts ABOVE every real cosine in
+    // both engines — a degenerate vector must not displace real
+    // neighbors (same guard as semanticDedup; mirrored in the oracle)
     members.join(broadcast(probeTbl), Seq("cell"))
-      .filter(col("vec_id") =!= col("probe_id"))
+      .filter(col("vec_id") =!= col("probe_id") && col("pnrm") > 0d)
+      .withColumn("nrm", sqrt(graft.plans.VectorExpressions
+        .longDot(col("vq"), col("vq")).cast("double")))
+      .filter(col("nrm") > 0d)
       .withColumn("cosine",
         graft.plans.VectorExpressions.longDot(col("vq"), col("pvq")).cast("double") /
-          (sqrt(graft.plans.VectorExpressions.longDot(col("vq"), col("vq"))
-            .cast("double")) * col("pnrm")))
+          (col("nrm") * col("pnrm")))
       .withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= k)
       .select(col("probe_id"), col("rnk"), col("vec_id"), col("cosine"))

@@ -113,6 +113,10 @@ object SeqWindowFreq {
     * (e.g. genomics k=31) fall back to [[scanWide]]'s String-keyed map. */
   private[plans] val PackedKeyMaxK = 8
 
+  private def emptyMap: MapData =
+    new ArrayBasedMapData(new GenericArrayData(Array.empty[Any]),
+      new GenericArrayData(Array.empty[Any]))
+
   /** String-keyed fallback scan for k > [[PackedKeyMaxK]]: identical
     * uppercase/N-skip window semantics, keyed by the uppercased window
     * bytes. One byte[] + one byte pass per window — fine for the rare
@@ -208,6 +212,7 @@ object SeqWindowFreq {
     * cross-row aggregation at all, so the whole pipeline is shuffle-free
     * until the output sort. */
   def computeCounts(seq: UTF8String, k: Int, step: Int): MapData = {
+    if (k <= 0) return emptyMap // UDF-reference semantics: k <= 0 -> {}
     if (k > PackedKeyMaxK) return wideCountsMap(scanWide(seq, k, step)._1)
     val (counts, _) = scan(seq, k, step)
     val keys = new Array[Any](counts.size)
@@ -228,6 +233,7 @@ object SeqWindowFreq {
     * per doc (one shuffle saved; the product of consecutive integers is
     * even, so the /2 is exact integer arithmetic). */
   def computeDustStats(seq: UTF8String, k: Int, step: Int): InternalRow = {
+    if (k <= 0) return InternalRow(0L, 0L)
     if (k > PackedKeyMaxK) {
       val (m, total) = scanWide(seq, k, step)
       var num = 0L
@@ -248,6 +254,7 @@ object SeqWindowFreq {
   }
 
   def computeCountsTotal(seq: UTF8String, k: Int, step: Int): InternalRow = {
+    if (k <= 0) return InternalRow(emptyMap, 0L)
     if (k > PackedKeyMaxK) {
       val (m, total) = scanWide(seq, k, step)
       return InternalRow(wideCountsMap(m), total)
@@ -268,6 +275,7 @@ object SeqWindowFreq {
 
   /** Shared window-frequency kernel. `step` = 1 (k-mers) or k (codons). */
   def compute(seq: UTF8String, k: Int, step: Int): MapData = {
+    if (k <= 0) return emptyMap
     if (k > PackedKeyMaxK) {
       val (m, total) = scanWide(seq, k, step)
       val keys = new Array[Any](m.size)
@@ -314,7 +322,8 @@ object SeqWindowFreq {
 object MinimizerOps {
 
   def computeCounts(seq: UTF8String, k: Int, w: Int): MapData = {
-    require(k <= SeqWindowFreq.PackedKeyMaxK, s"minimizer k $k exceeds 8")
+    require(k >= 1 && k <= SeqWindowFreq.PackedKeyMaxK,
+      s"minimizer k must be in [1, 8], got $k")
     require(w >= 1, "window must be >= 1")
     val bytes = seq.getBytes
     val n = bytes.length
@@ -478,6 +487,7 @@ case class CodonUsageExpr(child: Expression) extends SeqWindowFreqExpression {
 object KmerEnc {
 
   def compute(seq: UTF8String, k: Int, step: Int): InternalRow = {
+    if (k <= 0) return InternalRow(0L, 0L, UTF8String.EMPTY_UTF8)
     if (k > SeqWindowFreq.PackedKeyMaxK) return computeWide(seq, k, step)
     val (counts, total) = SeqWindowFreq.scan(seq, k, step)
     val m = counts.size

@@ -60,6 +60,10 @@ object VectorOps {
     val out = new Array[Long](n)
     var i = 0
     while (i < n) {
+      // fail loud, not garbage: getFloat on a null slot reads junk bytes
+      if (a.isNullAt(i))
+        throw new IllegalArgumentException(
+          s"quantize_vec: null element at position $i — embedding vectors must be dense")
       out(i) = math.floor(a.getFloat(i).toDouble * 1048576d).toLong
       i += 1
     }
@@ -229,10 +233,24 @@ case class QuantErrStatsExpr(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
-/** `quantize_vec(v)` — [[VectorOps.quantizeVec]]. */
+/** `quantize_vec(v)` — [[VectorOps.quantizeVec]]. Accepts ARRAY<FLOAT>
+  * only: the kernel reads 4-byte slots, so a silently-accepted
+  * ARRAY<DOUBLE> would return garbage at the wrong stride (the transform
+  * HOF it replaced accepted any numeric array — the analysis-time check
+  * keeps the narrowed domain from failing silently). */
 case class QuantizeVecExpr(child: Expression) extends UnaryExpression {
   override def dataType: DataType =
     org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"quantize_vec expects ARRAY<FLOAT>, got ${other.sql}")
+    }
   override def nullSafeEval(input: Any): Any =
     VectorOps.quantizeVec(input.asInstanceOf[ArrayData])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =

@@ -398,7 +398,8 @@ object SimilarityQueries {
        |           / (sqrt(CAST(n.norm2 AS DOUBLE)) * sqrt(CAST(np.norm2 AS DOUBLE))) AS cosine
        |  FROM dots d
        |  JOIN norms n ON n.vec_id = d.vec_id
-       |  JOIN norms np ON np.vec_id = d.probe_id)
+       |  JOIN norms np ON np.vec_id = d.probe_id
+       |  WHERE n.norm2 > 0 AND np.norm2 > 0)
        |SELECT probe_id,
        |       CAST(row_number() OVER (PARTITION BY probe_id
        |                               ORDER BY cosine DESC, vec_id) AS BIGINT) AS rnk,

@@ -87,6 +87,11 @@ class SeqExpressionsSpec extends SparkSpec {
     val m = spark.sql("SELECT kmer_frequencies('AAAAAAAAAAC', 10) AS m").collect()(0)
     assert(m.getMap[String, Double](0) ==
       Map("AAAAAAAAAA" -> 0.5, "AAAAAAAAAC" -> 0.5))
+    // k <= 0 matches the UDF reference: empty map, not n+1 empty windows
+    val z = Seq("ACGT").toDF("s").select(
+      SeqExpressions.kmerFrequenciesNative(col("s"), 0).as("n"),
+      SeqFunctions.kmerFrequencies(col("s"), 0).as("u")).collect()(0)
+    assert(z.getMap[String, Double](0).isEmpty && z.getMap[String, Double](1).isEmpty)
   }
 
   test("kmer_enc wide path equals the columnar derivation at k = 9") {
@@ -170,6 +175,9 @@ class SeqExpressionsSpec extends SparkSpec {
     }
     var seed = 0x9e3779b97f4a7c15L
     val gen = (0 until 300).map { _ =>
+      // advance the PRNG OUTSIDE the char loop too: a zero-length draw
+      // must not freeze the stream (review r10: 262/300 empty strings)
+      seed = seed * 6364136223846793005L + 1442695040888963407L
       val n = ((seed >>> 40) % 60).toInt.abs
       val sb = new StringBuilder
       (0 until n).foreach { _ =>
@@ -201,6 +209,8 @@ class SeqExpressionsSpec extends SparkSpec {
         .as("c_enc"))
     var seed = 0xd1b54a32d192ed03L
     val gen = (0 until 200).map { _ =>
+      // advance OUTSIDE the char loop too (see the minimizer test note)
+      seed = seed * 6364136223846793005L + 1442695040888963407L
       val n = ((seed >>> 40) % 40).toInt.abs
       val sb = new StringBuilder
       (0 until n).foreach { _ =>
