@@ -412,13 +412,14 @@ object Similarity {
 
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
     * arXiv:2303.09540 — public literature): k-means-cluster the embedding
-    * corpus, then within each cluster drop every vector whose quantized
-    * cosine to a SMALLER-id cluster-mate is ≥ `minCosine`. Returns one row
-    * per vector: (id, cell, kept) with kept ∈ {0, 1}. The keep rule is
-    * deterministic min-id (the paper keeps the member with the lowest
-    * centroid similarity; id is the oracle-replayable stand-in — the
-    * cluster structure, the candidate restriction, and the cosine gate are
-    * the operator's substance).
+    * corpus; within each cluster, for every pair with quantized cosine ≥
+    * `minCosine`, drop the member CLOSER to the cluster centroid — the
+    * paper's keep-rule (it keeps low-centroid-similarity examples; here
+    * "similarity to centroid" is the exact integer squared L2 distance the
+    * assignment already computes, larger distance = kept). Distance ties
+    * drop the larger id, so the rule is a deterministic total order and
+    * the whole operator stays oracle-replayable. Returns one row per
+    * vector: (id, cell, kept) with kept ∈ {0, 1}.
     *
     * Scale shape: candidate generation is the cluster equi-join, NEVER
     * all-pairs — `nCells` is the knob that bounds cell population (the
@@ -441,8 +442,10 @@ object Similarity {
     val sorted = cents.sortBy(_._1)
     val members = graft.CacheScope.cached(
       emb.select(col(idCol).as("id"), quantize(col(vecCol)).as("vq"))
-        .withColumn("cell", graft.plans.VectorExpressions
-          .argminCell(col("vq"), sorted.map(_._1), sorted.map(_._2)))
+        .withColumn("ac", graft.plans.VectorExpressions
+          .argminCellDist(col("vq"), sorted.map(_._1), sorted.map(_._2)))
+        .select(col("id"), col("vq"),
+          col("ac.cell").as("cell"), col("ac.d").as("cdist"))
         .withColumn("nrm", sqrt(graft.plans.VectorExpressions
           .longDot(col("vq"), col("vq")).cast("double"))))
     // nrm > 0 guard: a vector whose components all quantize to 0 has
@@ -454,7 +457,11 @@ object Similarity {
           col("a.nrm") > 0d && col("b.nrm") > 0d)
       .filter(graft.plans.VectorExpressions.longDot(col("a.vq"), col("b.vq"))
         .cast("double") / (col("a.nrm") * col("b.nrm")) >= minCosine)
-      .select(col("b.id").as("id")).distinct()
+      // drop the pair-member closer to the centroid; equal distance →
+      // drop the larger id (a.id < b.id here, so 'otherwise' covers ties)
+      .select(when(col("a.cdist") < col("b.cdist"), col("a.id"))
+        .otherwise(col("b.id")).as("id"))
+      .distinct()
     members.join(dropped.withColumn("__drop", lit(1L)), Seq("id"), "left")
       .select(col("id"), col("cell"),
         when(col("__drop").isNotNull, lit(0L)).otherwise(lit(1L)).as("kept"))

@@ -99,6 +99,27 @@ object VectorOps {
     ids(bestIdx)
   }
 
+  /** [[argminCell]] plus the winning distance: (cell id, squared L2 to the
+    * assigned centroid) — SemDeDup's keep-rule needs the distance and it
+    * falls out of the same k·d loop. */
+  def argminCellDist(a: ArrayData, ids: Array[Int], cents: Array[Array[Long]]): InternalRow = {
+    val v = a.toLongArray()
+    var best = 0L
+    var bestIdx = -1
+    var c = 0
+    while (c < cents.length) {
+      val ct = cents(c)
+      require(v.length == ct.length,
+        s"argminCellDist: dimension mismatch ${v.length} vs ${ct.length}")
+      var s = 0L
+      var i = 0
+      while (i < v.length) { val d = v(i) - ct(i); s += d * d; i += 1 }
+      if (bestIdx < 0 || s < best) { best = s; bestIdx = c }
+      c += 1
+    }
+    InternalRow(ids(bestIdx), best)
+  }
+
   /** [[argminCell]] for an ARRAY<FLOAT> vector against double centroids
     * (the float-mean IVF variant): components are widened float→double
     * exactly like `x.cast("double")`, the per-cell distance is the SAME
@@ -279,6 +300,27 @@ case class ArgminCellExpr(child: Expression,
     copy(child = newChild)
 }
 
+/** `argmin_cell_dist(vq)` — [[VectorOps.argminCellDist]]:
+  * struct(cell, d) with the assigned squared distance. */
+case class ArgminCellDistExpr(child: Expression,
+                              ids: Array[Int], cents: Array[Array[Long]])
+  extends UnaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("cell", IntegerType, nullable = false),
+    StructField("d", LongType, nullable = false)))
+  override def nullSafeEval(input: Any): Any =
+    VectorOps.argminCellDist(input.asInstanceOf[ArrayData], ids, cents)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val idsRef = ctx.addReferenceObj("cellIds", ids, "int[]")
+    val centsRef = ctx.addReferenceObj("cents", cents, "long[][]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.plans.VectorOps.argminCellDist($c, $idsRef, $centsRef)")
+  }
+  override def prettyName: String = "argmin_cell_dist"
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Double-centroid variant — [[VectorOps.argminCellD]]. */
 case class ArgminCellDExpr(child: Expression,
                            ids: Array[Int], cents: Array[Array[Double]])
@@ -313,6 +355,10 @@ object VectorExpressions {
   /** Nearest-centroid assignment, double grid. */
   def argminCellD(v: Column, ids: Array[Int], cents: Array[Array[Double]]): Column =
     column(ArgminCellDExpr(expression(v), ids, cents))
+
+  /** struct(cell, d): assignment plus the winning squared distance. */
+  def argminCellDist(vq: Column, ids: Array[Int], cents: Array[Array[Long]]): Column =
+    column(ArgminCellDistExpr(expression(vq), ids, cents))
 
   /** Fused exact integer dot product (see [[VectorOps.longDot]]). */
   def longDot(a: Column, b: Column): Column =

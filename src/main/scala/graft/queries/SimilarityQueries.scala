@@ -430,6 +430,9 @@ object SimilarityQueries {
     s"""WITH $FlatSqlCte,
        |${lloydSqlCtes(nCells = 16, iters = 2)},
        |norms AS (SELECT vec_id, CAST(sum(vq * vq) AS BIGINT) AS norm2 FROM flat GROUP BY 1),
+       |adist AS (
+       |  SELECT a.vec_id, a.cell, f.d
+       |  FROM afin a JOIN dfin f ON f.vec_id = a.vec_id AND f.cell = a.cell),
        |cpairs AS (
        |  SELECT a.vec_id AS v1, b.vec_id AS v2
        |  FROM afin a JOIN afin b ON a.cell = b.cell AND a.vec_id < b.vec_id),
@@ -440,10 +443,12 @@ object SimilarityQueries {
        |  JOIN flat f2 ON f2.vec_id = p.v2 AND f2.pos = f1.pos
        |  GROUP BY 1, 2),
        |dropped AS (
-       |  SELECT DISTINCT d.v2 AS vec_id
+       |  SELECT DISTINCT CASE WHEN a1.d < a2.d THEN d.v1 ELSE d.v2 END AS vec_id
        |  FROM cdots d
        |  JOIN norms n1 ON n1.vec_id = d.v1
        |  JOIN norms n2 ON n2.vec_id = d.v2
+       |  JOIN adist a1 ON a1.vec_id = d.v1
+       |  JOIN adist a2 ON a2.vec_id = d.v2
        |  WHERE n1.norm2 > 0 AND n2.norm2 > 0
        |    AND CAST(d.dot AS DOUBLE)
        |          / (sqrt(CAST(n1.norm2 AS DOUBLE)) * sqrt(CAST(n2.norm2 AS DOUBLE))) >= 0.3)

@@ -940,7 +940,7 @@ class OperatorsSpec extends SparkSpec {
     } finally CacheScope.release()
   }
 
-  test("semanticDedup drops within-cell near-identical vectors, keeps min id") {
+  test("semanticDedup keeps the member farthest from its centroid (paper rule)") {
     try {
       // two orthogonal families far apart (guaranteed different k-means
       // cells with nCells=2): family A = e1-aligned, family B = e2-aligned;
@@ -950,16 +950,23 @@ class OperatorsSpec extends SparkSpec {
         a(axis) = 1.0f + eps
         a
       }
+      // family A: axis-0 grid values 1048576 / 1059061 / 1101004 plus an
+      // exact vq-twin (v30) of v10; centroid floor-mean over the four is
+      // 1064304 — distances 15728² (v10, v30) / 5243² (v11) / 36700² (v12)
+      // ⇒ v12 is farthest and survives; the (10, 30) twin pair is an
+      // exact distance tie ⇒ the larger id 30 drops via the tie branch.
+      // family B: values 1048576 / 1059061, floor-mean 1053818 — distances
+      // 5242² vs 5243² ⇒ v21 is (barely) farther and survives.
       val df = Seq(
-        (10L, vec(0, 0f)), (11L, vec(0, 0.01f)), (12L, vec(0, 0.02f)),
+        (10L, vec(0, 0f)), (11L, vec(0, 0.01f)), (12L, vec(0, 0.05f)),
+        (30L, vec(0, 0f)),
         (20L, vec(1, 0f)), (21L, vec(1, 0.01f))
       ).toDF("vec_id", "embedding")
       val out = Similarity.semanticDedup(df, "vec_id", "embedding",
           nCells = 2, iters = 2, minCosine = 0.95)
         .select("id", "kept").as[(Long, Long)].collect().toMap
-      // min id of each family survives; the rest drop
-      assert(out == Map(10L -> 1L, 11L -> 0L, 12L -> 0L, 20L -> 1L, 21L -> 0L),
-        s"out=$out")
+      assert(out == Map(10L -> 0L, 11L -> 0L, 12L -> 1L, 30L -> 0L,
+        20L -> 0L, 21L -> 1L), s"out=$out")
       // with an impossible threshold nothing drops
       CacheScope.release()
       val none = Similarity.semanticDedup(df, "vec_id", "embedding",
