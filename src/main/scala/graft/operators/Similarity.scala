@@ -278,14 +278,37 @@ object Similarity {
     * Scale shape: centroids stay tiny and broadcast as literals; each
     * iteration is one narrow assignment pass + one vector-sum UDAF
     * aggregation whose shuffle carries nCells × dim longs, not rows × dim.
+    *
+    * `trainSample > 0` trains the Lloyd loop on a bounded hash-sample —
+    * the `trainSample` rows with the LOWEST Knuth hash (the same ordering
+    * the seeding uses, so the seed set is a prefix of the sample and
+    * seeding is unchanged) — and assigns the full corpus once at the end.
+    * This is the FAISS-style shortcut (train on ~64·k points, assign n):
+    * each Lloyd pass costs sample·k·d instead of n·k·d, turning the
+    * 3-full-pass build into ~1 full pass + ε (measured numbers in
+    * BASELINE.md round 11). Deterministic and oracle-
+    * replayable: the sample is a pure function of the ids. A sample ≥ the
+    * corpus size degenerates to exact full-corpus training (the limit is
+    * a no-op), which is what keeps small-fixture oracles bit-identical.
     * Returns (centroids(cell → quantized vector), assignments(id, cell)).
     */
   def ivfIndexQ(emb: DataFrame, idCol: String, vecCol: String,
-                nCells: Int = 16, iters: Int = 2): (Array[(Int, Array[Long])], DataFrame) = {
+                nCells: Int = 16, iters: Int = 2,
+                trainSample: Int = 0): (Array[(Int, Array[Long])], DataFrame) = {
+    require(trainSample <= 0 || trainSample >= nCells,
+      s"trainSample ($trainSample) must cover the $nCells seed rows")
     val q = emb.select(col(idCol).as("id"), quantize(col(vecCol)).as("vq"))
-    var centroids: Array[(Int, Array[Long])] = q
-      .orderBy(pmod(pmod(col("id"), lit(2147483648L)) * lit(2654435761L),
-        lit(4294967296L)), col("id"))
+    val knuth = pmod(pmod(col("id"), lit(2147483648L)) * lit(2654435761L),
+      lit(4294967296L))
+    // orderBy+limit plans as TakeOrderedAndProject (distributed top-k); the
+    // single-partition limit result is re-spread so the Lloyd passes keep
+    // their parallelism, and cached because each iteration re-reads it
+    val train = if (trainSample > 0)
+      graft.CacheScope.cached(q.orderBy(knuth, col("id")).limit(trainSample)
+        .repartition(emb.sparkSession.sparkContext.defaultParallelism))
+    else q
+    var centroids: Array[(Int, Array[Long])] = train
+      .orderBy(knuth, col("id"))
       .limit(nCells)
       .collect()
       .zipWithIndex
@@ -302,7 +325,7 @@ object Similarity {
 
     val vsum = udaf(graft.functions.VectorSumAggregator)
     for (_ <- 0 until iters) {
-      val means = q.select(col("vq"), assignExpr(centroids).as("cell"))
+      val means = train.select(col("vq"), assignExpr(centroids).as("cell"))
         .groupBy("cell").agg(vsum(col("vq")).as("s"), count(lit(1)).as("n"))
         .collect()
         .map { r =>
@@ -410,6 +433,47 @@ object Similarity {
       .select(col("probe_id"), col("rnk"), col("vec_id"), col("cosine"))
   }
 
+  /** Batch BRUTE-FORCE top-k — the exact baseline [[ivfTopKBatchQ]] is
+    * measured against (recall@k = overlap of the two result sets). Same
+    * conventions as the IVF batch: quantized-exact scoring, zero-norm
+    * guards, (probe_id, rnk, vec_id, cosine) output, per-probe top-k as a
+    * rank-filtered window (WindowGroupLimit — the k-heap runs map-side).
+    * The probe table broadcasts; each corpus row is scored against every
+    * probe (that is the point of the baseline), so keep the probe set
+    * bounded. */
+  def bruteTopKBatchQ(emb: DataFrame, idCol: String, vecCol: String,
+                      probeIds: Seq[Long], k: Int): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val pids = probeIds.distinct
+    val probeRows: Seq[(Long, Seq[Long], Double)] =
+      emb.filter(col(idCol).isInCollection(pids))
+        .select(col(idCol), quantize(col(vecCol)))
+        .collect()
+        .map { r =>
+          val pv = r.getSeq[Long](1)
+          val pn = math.sqrt(pv.foldLeft(0L)((acc, x) => acc + x * x).toDouble)
+          (r.getLong(0), pv, pn)
+        }.toSeq
+    require(probeRows.map(_._1).toSet == pids.toSet,
+      s"probe ids not in the corpus: ${pids.filterNot(probeRows.map(_._1).toSet).mkString(", ")}")
+    val probeTbl = probeRows.toDF("probe_id", "pvq", "pnrm")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("probe_id").orderBy(col("cosine").desc, col("vec_id").asc)
+    emb.select(col(idCol).as("vec_id"), quantize(col(vecCol)).as("vq"))
+      .crossJoin(broadcast(probeTbl))
+      .filter(col("vec_id") =!= col("probe_id") && col("pnrm") > 0d)
+      .withColumn("nrm", sqrt(graft.plans.VectorExpressions
+        .longDot(col("vq"), col("vq")).cast("double")))
+      .filter(col("nrm") > 0d)
+      .withColumn("cosine",
+        graft.plans.VectorExpressions.longDot(col("vq"), col("pvq")).cast("double") /
+          (col("nrm") * col("pnrm")))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("probe_id"), col("rnk"), col("vec_id"), col("cosine"))
+  }
+
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
     * arXiv:2303.09540 — public literature): k-means-cluster the embedding
     * corpus; within each cluster, for every pair with quantized cosine ≥
@@ -423,18 +487,35 @@ object Similarity {
     *
     * Scale shape: candidate generation is the cluster equi-join, NEVER
     * all-pairs — `nCells` is the knob that bounds cell population (the
-    * paper runs k = 50 000 on 1.1e9 embeddings, ~20 k per cell; scale
-    * nCells with the corpus so the per-cell pair count stays constant).
-    * The pairwise stage is quadratic only within a cell; per-row norms are
-    * computed once BEFORE the self-join (a B-member cell reuses each norm
-    * ~B times). Centroids are the one driver-side collect — nCells rows,
-    * bounded by construction (same as [[ivfIndexQ]]). The clustering is
-    * the quantized integer Lloyd loop, so the whole operator is
-    * hash-oracle-checkable end to end. */
+    * paper runs k = 50 000 on 1.1e9 embeddings, ~20 k per cell).
+    * `nCells <= 0` (the default) derives it from the corpus:
+    * k = max(16, ceil(n / 20000)) — the paper's ~20 k-per-cell ratio with
+    * a floor that keeps small fixtures on a fixed, oracle-replayable k —
+    * so the per-cell pair count stays constant BY DEFAULT as the corpus
+    * grows, instead of by operator knob. `trainSample < 0` (the default)
+    * likewise derives the Lloyd training sample as max(64·k, 131072)
+    * (FAISS-recommended ≥ 64 points per centroid; the floor keeps every
+    * corpus ≤ 131072 rows on exact full-corpus training, which is what
+    * keeps the oracle-SF fixtures bit-identical to the unsampled build);
+    * `trainSample = 0` forces full-corpus training. The pairwise stage is
+    * quadratic only within a cell; per-row norms are computed once BEFORE
+    * the self-join (a B-member cell reuses each norm ~B times). Centroids
+    * are the one driver-side collect — nCells rows, bounded by
+    * construction (same as [[ivfIndexQ]]). The clustering is the
+    * quantized integer Lloyd loop, so the whole operator is
+    * hash-oracle-checkable end to end (the sampled-training path has its
+    * own oracle replay in q_semdedup_sampled). */
   def semanticDedup(emb: DataFrame, idCol: String, vecCol: String,
-                    nCells: Int = 16, iters: Int = 2,
-                    minCosine: Double = 0.3): DataFrame = {
-    val (cents, _) = ivfIndexQ(emb, idCol, vecCol, nCells, iters)
+                    nCells: Int = 0, iters: Int = 2,
+                    minCosine: Double = 0.3,
+                    trainSample: Int = -1): DataFrame = {
+    val k =
+      if (nCells > 0) nCells
+      else math.max(16L, (emb.count() + 19999L) / 20000L).toInt
+    val sample =
+      if (trainSample >= 0) trainSample
+      else math.min(math.max(64L * k, 131072L), Int.MaxValue.toLong).toInt
+    val (cents, _) = ivfIndexQ(emb, idCol, vecCol, k, iters, sample)
     // the centroid matrix is already in hand — assign cells row-locally
     // with the argmin kernel instead of shuffle-joining the corpus against
     // the assignments plan (one narrow pass, zero join; bit-identical by

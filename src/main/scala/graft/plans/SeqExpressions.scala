@@ -123,6 +123,7 @@ object SeqWindowFreq {
     * wide-k path; narrow k stays on the zero-alloc [[scan]]. */
   private[graft] def scanWide(seq: UTF8String, k: Int, step: Int)
       : (java.util.HashMap[UTF8String, Array[Long]], Long) = {
+    require(step >= 1, s"window step must be >= 1, got $step") // a 0 step would never advance
     val bytes = seq.getBytes
     val n = bytes.length
     val counts = new java.util.HashMap[UTF8String, Array[Long]]()
@@ -182,6 +183,7 @@ object SeqWindowFreq {
 
   private[plans] def scan(seq: UTF8String, k: Int, step: Int): (PackedCounts, Long) = {
     require(k <= PackedKeyMaxK, s"window width $k exceeds the 8-byte packed-key limit")
+    require(step >= 1, s"window step must be >= 1, got $step") // a 0 step would never advance
     val bytes = seq.getBytes
     val n = bytes.length
     val counts = new PackedCounts(k)
@@ -322,9 +324,9 @@ object SeqWindowFreq {
 object MinimizerOps {
 
   def computeCounts(seq: UTF8String, k: Int, w: Int): MapData = {
-    require(k >= 1 && k <= SeqWindowFreq.PackedKeyMaxK,
-      s"minimizer k must be in [1, 8], got $k")
+    require(k >= 1, s"minimizer k must be >= 1, got $k")
     require(w >= 1, "window must be >= 1")
+    if (k > SeqWindowFreq.PackedKeyMaxK) return computeCountsWide(seq, k, w)
     val bytes = seq.getBytes
     val n = bytes.length
     val p = n - k + 1
@@ -372,6 +374,93 @@ object MinimizerOps {
     counts.foreach { (key, cnt) =>
       keys(idx) = SeqWindowFreq.unpack(key, k)
       vals(idx) = cnt.toLong
+      idx += 1
+    }
+    new ArrayBasedMapData(new GenericArrayData(keys), new GenericArrayData(vals))
+  }
+
+  /** Wide-k path (k > 8 — minimap2's k=15, assembler k=31 regimes; the
+    * same defect class the r10 wide-k kmer fallback fixed, extended to
+    * the minimizer kernel per VERDICT r10 item 2): k-mers no longer fit a
+    * packed Long, so the whole sequence is uppercased ONCE into a side
+    * buffer, validity comes from a rolling N-count, and the monotonic
+    * deque compares window positions directly against that buffer —
+    * unsigned byte-lexicographic, identical to the packed path's
+    * `Long.compareUnsigned` order on equal-width windows. O(positions)
+    * deque pushes/pops with an O(k) compare per push — O(p·k) worst case,
+    * the same bound as building the packed grams. Map keys are zero-copy
+    * views into the shared uppercased buffer; a repeated deque head
+    * reuses its count cell instead of re-hashing. */
+  private def computeCountsWide(seq: UTF8String, k: Int, w: Int): MapData = {
+    val bytes = seq.getBytes
+    val n = bytes.length
+    val p = n - k + 1
+    val counts = new java.util.HashMap[UTF8String, Array[Long]]()
+    if (p >= w) {
+      val up = new Array[Byte](n)
+      var i = 0
+      while (i < n) {
+        var b = bytes(i)
+        if (b >= 'a' && b <= 'z') b = (b - 32).toByte
+        up(i) = b
+        i += 1
+      }
+      // valid(pos) = window [pos, pos+k) is N-free, via a rolling count
+      val valid = new Array[Boolean](p)
+      var nN = 0
+      i = 0
+      while (i < n) {
+        if (up(i) == 'N') nN += 1
+        if (i >= k && up(i - k) == 'N') nN -= 1
+        if (i >= k - 1) valid(i - k + 1) = nN == 0
+        i += 1
+      }
+      // unsigned byte-lexicographic compare of the k-windows at a and b
+      def cmp(a: Int, b: Int): Int = {
+        var j = 0
+        while (j < k) {
+          val d = (up(a + j) & 0xff) - (up(b + j) & 0xff)
+          if (d != 0) return d
+          j += 1
+        }
+        0
+      }
+      val dq = new Array[Int](p)
+      var head = 0
+      var tail = 0
+      var pos = 0
+      var lastPos = -1
+      var lastCell: Array[Long] = null
+      while (pos < p) {
+        if (valid(pos)) {
+          while (tail > head && cmp(dq(tail - 1), pos) >= 0) tail -= 1
+          dq(tail) = pos
+          tail += 1
+        }
+        while (tail > head && dq(head) < pos - w + 1) head += 1
+        if (pos >= w - 1 && tail > head) {
+          val m = dq(head)
+          if (m == lastPos) lastCell(0) += 1
+          else {
+            val key = UTF8String.fromBytes(up, m, k)
+            var cell = counts.get(key)
+            if (cell == null) { cell = Array(1L); counts.put(key, cell) }
+            else cell(0) += 1
+            lastPos = m
+            lastCell = cell
+          }
+        }
+        pos += 1
+      }
+    }
+    val keys = new Array[Any](counts.size)
+    val vals = new Array[Any](counts.size)
+    var idx = 0
+    val it = counts.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      keys(idx) = e.getKey
+      vals(idx) = e.getValue()(0)
       idx += 1
     }
     new ArrayBasedMapData(new GenericArrayData(keys), new GenericArrayData(vals))

@@ -282,16 +282,26 @@ case class QuantizeVecExpr(child: Expression) extends UnaryExpression {
 }
 
 /** `argmin_cell(vq)` over a fixed centroid matrix — [[VectorOps.argminCell]].
-  * The matrix is carried as a codegen reference object, not a literal tree. */
+  * The matrix is carried as a codegen reference object, not a literal tree.
+  *
+  * Fields are `Seq` (not `Array`) so the generated case-class equals/
+  * hashCode are STRUCTURAL: array fields compare by reference, which made
+  * semantically identical argmin expressions never equal and defeated
+  * Catalyst canonicalization / subexpression elimination (ADVICE r10).
+  * The kernel still gets flat arrays via transient lazy conversion —
+  * built once per (de)serialized expression instance, never per row. */
 case class ArgminCellExpr(child: Expression,
-                          ids: Array[Int], cents: Array[Array[Long]])
+                          ids: Seq[Int], cents: Seq[Seq[Long]])
   extends UnaryExpression {
+  @transient private lazy val idsArr: Array[Int] = ids.toArray
+  @transient private lazy val centsArr: Array[Array[Long]] =
+    cents.map(_.toArray).toArray
   override def dataType: DataType = IntegerType
   override def nullSafeEval(input: Any): Any =
-    VectorOps.argminCell(input.asInstanceOf[ArrayData], ids, cents)
+    VectorOps.argminCell(input.asInstanceOf[ArrayData], idsArr, centsArr)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val idsRef = ctx.addReferenceObj("cellIds", ids, "int[]")
-    val centsRef = ctx.addReferenceObj("cents", cents, "long[][]")
+    val idsRef = ctx.addReferenceObj("cellIds", idsArr, "int[]")
+    val centsRef = ctx.addReferenceObj("cents", centsArr, "long[][]")
     defineCodeGen(ctx, ev, c =>
       s"graft.plans.VectorOps.argminCell($c, $idsRef, $centsRef)")
   }
@@ -301,18 +311,22 @@ case class ArgminCellExpr(child: Expression,
 }
 
 /** `argmin_cell_dist(vq)` — [[VectorOps.argminCellDist]]:
-  * struct(cell, d) with the assigned squared distance. */
+  * struct(cell, d) with the assigned squared distance. Seq fields for
+  * structural equality — see [[ArgminCellExpr]]. */
 case class ArgminCellDistExpr(child: Expression,
-                              ids: Array[Int], cents: Array[Array[Long]])
+                              ids: Seq[Int], cents: Seq[Seq[Long]])
   extends UnaryExpression {
+  @transient private lazy val idsArr: Array[Int] = ids.toArray
+  @transient private lazy val centsArr: Array[Array[Long]] =
+    cents.map(_.toArray).toArray
   override def dataType: DataType = StructType(Seq(
     StructField("cell", IntegerType, nullable = false),
     StructField("d", LongType, nullable = false)))
   override def nullSafeEval(input: Any): Any =
-    VectorOps.argminCellDist(input.asInstanceOf[ArrayData], ids, cents)
+    VectorOps.argminCellDist(input.asInstanceOf[ArrayData], idsArr, centsArr)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val idsRef = ctx.addReferenceObj("cellIds", ids, "int[]")
-    val centsRef = ctx.addReferenceObj("cents", cents, "long[][]")
+    val idsRef = ctx.addReferenceObj("cellIds", idsArr, "int[]")
+    val centsRef = ctx.addReferenceObj("cents", centsArr, "long[][]")
     defineCodeGen(ctx, ev, c =>
       s"graft.plans.VectorOps.argminCellDist($c, $idsRef, $centsRef)")
   }
@@ -321,16 +335,20 @@ case class ArgminCellDistExpr(child: Expression,
     copy(child = newChild)
 }
 
-/** Double-centroid variant — [[VectorOps.argminCellD]]. */
+/** Double-centroid variant — [[VectorOps.argminCellD]]. Seq fields for
+  * structural equality — see [[ArgminCellExpr]]. */
 case class ArgminCellDExpr(child: Expression,
-                           ids: Array[Int], cents: Array[Array[Double]])
+                           ids: Seq[Int], cents: Seq[Seq[Double]])
   extends UnaryExpression {
+  @transient private lazy val idsArr: Array[Int] = ids.toArray
+  @transient private lazy val centsArr: Array[Array[Double]] =
+    cents.map(_.toArray).toArray
   override def dataType: DataType = IntegerType
   override def nullSafeEval(input: Any): Any =
-    VectorOps.argminCellD(input.asInstanceOf[ArrayData], ids, cents)
+    VectorOps.argminCellD(input.asInstanceOf[ArrayData], idsArr, centsArr)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val idsRef = ctx.addReferenceObj("cellIds", ids, "int[]")
-    val centsRef = ctx.addReferenceObj("cents", cents, "double[][]")
+    val idsRef = ctx.addReferenceObj("cellIds", idsArr, "int[]")
+    val centsRef = ctx.addReferenceObj("cents", centsArr, "double[][]")
     defineCodeGen(ctx, ev, c =>
       s"graft.plans.VectorOps.argminCellD($c, $idsRef, $centsRef)")
   }
@@ -347,18 +365,24 @@ object VectorExpressions {
   def quantizeVec(v: Column): Column =
     column(QuantizeVecExpr(expression(v)))
 
+  import scala.collection.immutable.ArraySeq
+
   /** Nearest-centroid assignment, BIGINT grid (see [[VectorOps.argminCell]]).
-    * `cents` must be sorted by id ascending. */
+    * `cents` must be sorted by id ascending. The O(1) unsafe array wraps
+    * are sound: every caller builds fresh arrays it never mutates after. */
   def argminCell(vq: Column, ids: Array[Int], cents: Array[Array[Long]]): Column =
-    column(ArgminCellExpr(expression(vq), ids, cents))
+    column(ArgminCellExpr(expression(vq), ArraySeq.unsafeWrapArray(ids),
+      ArraySeq.unsafeWrapArray(cents.map(ArraySeq.unsafeWrapArray))))
 
   /** Nearest-centroid assignment, double grid. */
   def argminCellD(v: Column, ids: Array[Int], cents: Array[Array[Double]]): Column =
-    column(ArgminCellDExpr(expression(v), ids, cents))
+    column(ArgminCellDExpr(expression(v), ArraySeq.unsafeWrapArray(ids),
+      ArraySeq.unsafeWrapArray(cents.map(ArraySeq.unsafeWrapArray))))
 
   /** struct(cell, d): assignment plus the winning squared distance. */
   def argminCellDist(vq: Column, ids: Array[Int], cents: Array[Array[Long]]): Column =
-    column(ArgminCellDistExpr(expression(vq), ids, cents))
+    column(ArgminCellDistExpr(expression(vq), ArraySeq.unsafeWrapArray(ids),
+      ArraySeq.unsafeWrapArray(cents.map(ArraySeq.unsafeWrapArray))))
 
   /** Fused exact integer dot product (see [[VectorOps.longDot]]). */
   def longDot(a: Column, b: Column): Column =

@@ -296,12 +296,26 @@ object SimilarityQueries {
   /** The quantized-IVF index build unrolled as CTEs (requires `flat` in
     * scope): Knuth-hash seeding, `iters` integer Lloyd rounds, final
     * assignment `afin(vec_id, cell)` — shared by every oracle that replays
-    * [[graft.operators.Similarity.ivfIndexQ]] (q_ann_ivf, q_semdedup). */
-  private def lloydSqlCtes(nCells: Int, iters: Int): String = {
+    * [[graft.operators.Similarity.ivfIndexQ]] (q_ann_ivf, q_semdedup,
+    * q_ann_batch, q_ann_recall). `trainSample > 0` restricts the Lloyd
+    * ROUNDS to the `trainSample` lowest-Knuth-hash rows — the operator's
+    * sample-trained path — while the final assignment stays full-corpus;
+    * the seed set is a prefix of the sample by construction, so the seed
+    * CTE is shared. */
+  private def lloydSqlCtes(nCells: Int, iters: Int, trainSample: Int = 0): String = {
+    val sampJoin =
+      if (trainSample > 0) " JOIN samp s ON s.vec_id = f.vec_id" else ""
+    val sampCte =
+      if (trainSample > 0)
+        s"""samp AS (
+           |  SELECT vec_id FROM embeddings
+           |  QUALIFY row_number() OVER (ORDER BY ((vec_id % 2147483648) * 2654435761) % 4294967296, vec_id) <= $trainSample),
+           |""".stripMargin
+      else ""
     val lloyd = (1 to iters).map { i =>
       s"""d$i AS (
          |  SELECT f.vec_id, c.cell, CAST(sum((f.vq - c.cq) * (f.vq - c.cq)) AS BIGINT) AS d
-         |  FROM flat f JOIN cent${i - 1} c ON f.pos = c.pos GROUP BY 1, 2),
+         |  FROM flat f$sampJoin JOIN cent${i - 1} c ON f.pos = c.pos GROUP BY 1, 2),
          |a$i AS (
          |  SELECT vec_id, cell FROM d$i
          |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) = 1),
@@ -310,7 +324,7 @@ object SimilarityQueries {
          |         CAST(floor(CAST(sum(f.vq) AS DOUBLE) / count(*)) AS BIGINT) AS cq
          |  FROM a$i a JOIN flat f ON f.vec_id = a.vec_id GROUP BY 1, 2)""".stripMargin
     }.mkString(",\n")
-    s"""seeds AS (
+    s"""${sampCte}seeds AS (
        |  SELECT vec_id,
        |         CAST(row_number() OVER (ORDER BY ((vec_id % 2147483648) * 2654435761) % 4294967296, vec_id) - 1 AS INT) AS cell
        |  FROM embeddings
@@ -410,19 +424,28 @@ object SimilarityQueries {
 
   /** SemDeDup — semantic dedup over the embedding corpus
     * ([[graft.operators.Similarity.semanticDedup]]): quantized-Lloyd
-    * k-means cells, within-cell quantized-cosine pruning, keep-min-id.
-    * Output: (vec_id, cell, kept) for every vector. The oracle replays the
-    * ENTIRE operator — seeding, both Lloyd rounds, final assignment,
-    * within-cell pair cosine, drop set — as integer-exact CTEs (the same
+    * k-means cells, within-cell quantized-cosine pruning; of each
+    * too-similar pair the member FARTHEST from its cell centroid is kept
+    * (the paper's keep-rule; distance ties drop the larger id). Output:
+    * (vec_id, cell, kept) for every vector. The oracle replays the ENTIRE
+    * operator — seeding, both Lloyd rounds, final assignment, within-cell
+    * pair cosine, drop set — as integer-exact CTEs (the same
     * [[lloydSqlCtes]] chain as q_ann_ivf).
     *
-    * Scale: candidates come from the cell equi-join (never all-pairs);
-    * nCells scales with the corpus so cell population is a constant knob;
-    * norms are per-row before the self-join. See the operator scaladoc. */
+    * Scale: candidates come from the cell equi-join (never all-pairs),
+    * and since round 11 the query runs the operator's ADAPTIVE defaults —
+    * nCells = max(16, ceil(n/20000)) and Lloyd training on a
+    * max(64·nCells, 131072)-row hash-sample — so cell population (and the
+    * per-cell quadratic) is bounded by construction at ANY corpus size,
+    * not by a hand-pinned knob. The oracle literals (nCells = 16, full
+    * training) equal what the adaptive formula resolves to for every
+    * corpus ≤ 131072 rows, which covers all oracle SFs (500 / 2000 rows);
+    * the sampled-training path itself is oracle-gated separately by
+    * q_semdedup_sampled. */
   def qSemdedup(spark: SparkSession, sfDir: String): DataFrame =
     graft.operators.Similarity.semanticDedup(
         t(spark, sfDir, "embeddings"), "vec_id", "embedding",
-        nCells = 16, iters = 2, minCosine = 0.3)
+        iters = 2, minCosine = 0.3)
       .select(col("id").as("vec_id"), col("cell"), col("kept"))
       .orderBy("vec_id")
 
@@ -456,6 +479,138 @@ object SimilarityQueries {
        |       CAST(CASE WHEN dr.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS kept
        |FROM afin a LEFT JOIN dropped dr ON dr.vec_id = a.vec_id
        |ORDER BY a.vec_id""".stripMargin
+
+  /** The SAMPLE-TRAINED SemDeDup path under its own oracle gate: nCells=8
+    * with the Lloyd rounds trained on only the 96 lowest-Knuth-hash rows
+    * (96 < 500 corpus rows at sf0.01, so the sampling genuinely restricts
+    * training), full-corpus final assignment. The oracle replays the
+    * sample restriction via [[lloydSqlCtes]]' `samp` CTE — hash-exact
+    * coverage of the round-11 FAISS-style shortcut that q_semdedup's
+    * adaptive defaults only reach above 131072 rows. */
+  def qSemdedupSampled(spark: SparkSession, sfDir: String): DataFrame =
+    graft.operators.Similarity.semanticDedup(
+        t(spark, sfDir, "embeddings"), "vec_id", "embedding",
+        nCells = 8, iters = 2, minCosine = 0.3, trainSample = 96)
+      .select(col("id").as("vec_id"), col("cell"), col("kept"))
+      .orderBy("vec_id")
+
+  lazy val qSemdedupSampledSql: String =
+    s"""WITH $FlatSqlCte,
+       |${lloydSqlCtes(nCells = 8, iters = 2, trainSample = 96)},
+       |norms AS (SELECT vec_id, CAST(sum(vq * vq) AS BIGINT) AS norm2 FROM flat GROUP BY 1),
+       |adist AS (
+       |  SELECT a.vec_id, a.cell, f.d
+       |  FROM afin a JOIN dfin f ON f.vec_id = a.vec_id AND f.cell = a.cell),
+       |cpairs AS (
+       |  SELECT a.vec_id AS v1, b.vec_id AS v2
+       |  FROM afin a JOIN afin b ON a.cell = b.cell AND a.vec_id < b.vec_id),
+       |cdots AS (
+       |  SELECT p.v1, p.v2, CAST(sum(f1.vq * f2.vq) AS BIGINT) AS dot
+       |  FROM cpairs p
+       |  JOIN flat f1 ON f1.vec_id = p.v1
+       |  JOIN flat f2 ON f2.vec_id = p.v2 AND f2.pos = f1.pos
+       |  GROUP BY 1, 2),
+       |dropped AS (
+       |  SELECT DISTINCT CASE WHEN a1.d < a2.d THEN d.v1 ELSE d.v2 END AS vec_id
+       |  FROM cdots d
+       |  JOIN norms n1 ON n1.vec_id = d.v1
+       |  JOIN norms n2 ON n2.vec_id = d.v2
+       |  JOIN adist a1 ON a1.vec_id = d.v1
+       |  JOIN adist a2 ON a2.vec_id = d.v2
+       |  WHERE n1.norm2 > 0 AND n2.norm2 > 0
+       |    AND CAST(d.dot AS DOUBLE)
+       |          / (sqrt(CAST(n1.norm2 AS DOUBLE)) * sqrt(CAST(n2.norm2 AS DOUBLE))) >= 0.3)
+       |SELECT a.vec_id, a.cell,
+       |       CAST(CASE WHEN dr.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS kept
+       |FROM afin a LEFT JOIN dropped dr ON dr.vec_id = a.vec_id
+       |ORDER BY a.vec_id""".stripMargin
+
+  /** ANN recall@10 — the IVF quality surface the index has lacked a
+    * declared query for (VERDICT r10 item 3): for each of 5 probes, how
+    * many of the IVF top-10 ([[graft.operators.Similarity.ivfTopKBatchQ]],
+    * nProbe = 2 of 16 cells — deliberately narrow so recall is a real
+    * measurement, not a tautology) appear in the BRUTE-FORCE top-10
+    * ([[graft.operators.Similarity.bruteTopKBatchQ]]). Both sides are
+    * quantized-exact with identical tie rules, so recall@k is an exact
+    * integer the DuckDB oracle reproduces by replaying both searches.
+    * Output: (probe_id, n_ivf, recall_at_10) — n_ivf < 10 is possible when
+    * the probed cells hold fewer than 10 candidates, which is itself part
+    * of the recall story. */
+  def qAnnRecall(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = t(spark, sfDir, "embeddings")
+    val probes = Seq(0L, 1L, 2L, 3L, 4L)
+    val ivf = graft.operators.Similarity.ivfTopKBatchQ(
+      emb, "vec_id", "embedding", probes, k = 10,
+      nCells = 16, iters = 2, nProbe = 2)
+      .select(col("probe_id"), col("vec_id"))
+    val brute = graft.operators.Similarity.bruteTopKBatchQ(
+      emb, "vec_id", "embedding", probes, k = 10)
+      .select(col("probe_id"), col("vec_id"), lit(1L).as("__hit"))
+    ivf.join(brute, Seq("probe_id", "vec_id"), "left")
+      .groupBy("probe_id")
+      .agg(count(lit(1)).as("n_ivf"),
+        sum(coalesce(col("__hit"), lit(0L))).as("recall_at_10"))
+      .orderBy("probe_id")
+  }
+
+  lazy val qAnnRecallSql: String =
+    s"""WITH $FlatSqlCte,
+       |${lloydSqlCtes(nCells = 16, iters = 2)},
+       |probes AS (
+       |  SELECT CAST(x AS BIGINT) AS probe_id
+       |  FROM (VALUES (0), (1), (2), (3), (4)) t(x)),
+       |probq AS (
+       |  SELECT p.probe_id, f.pos, f.vq
+       |  FROM probes p JOIN flat f ON f.vec_id = p.probe_id),
+       |pcells AS (
+       |  SELECT probe_id, cell FROM (
+       |    SELECT q.probe_id, c.cell,
+       |           CAST(sum((q.vq - c.cq) * (q.vq - c.cq)) AS BIGINT) AS d
+       |    FROM cent2 c JOIN probq q ON q.pos = c.pos GROUP BY 1, 2)
+       |  QUALIFY row_number() OVER (PARTITION BY probe_id ORDER BY d, cell) <= 2),
+       |cand AS (
+       |  SELECT p.probe_id, a.vec_id
+       |  FROM afin a JOIN pcells p ON a.cell = p.cell
+       |  WHERE a.vec_id <> p.probe_id),
+       |norms AS (SELECT vec_id, CAST(sum(vq * vq) AS BIGINT) AS norm2 FROM flat GROUP BY 1),
+       |idots AS (
+       |  SELECT c.probe_id, c.vec_id, CAST(sum(f.vq * q.vq) AS BIGINT) AS dot
+       |  FROM cand c
+       |  JOIN flat f ON f.vec_id = c.vec_id
+       |  JOIN probq q ON q.probe_id = c.probe_id AND q.pos = f.pos
+       |  GROUP BY 1, 2),
+       |ivf AS (
+       |  SELECT probe_id, vec_id FROM (
+       |    SELECT d.probe_id, d.vec_id,
+       |           CAST(d.dot AS DOUBLE)
+       |             / (sqrt(CAST(n.norm2 AS DOUBLE)) * sqrt(CAST(np.norm2 AS DOUBLE))) AS cosine
+       |    FROM idots d
+       |    JOIN norms n ON n.vec_id = d.vec_id
+       |    JOIN norms np ON np.vec_id = d.probe_id
+       |    WHERE n.norm2 > 0 AND np.norm2 > 0)
+       |  QUALIFY row_number() OVER (PARTITION BY probe_id ORDER BY cosine DESC, vec_id) <= 10),
+       |bdots AS (
+       |  SELECT q.probe_id, f.vec_id, CAST(sum(f.vq * q.vq) AS BIGINT) AS dot
+       |  FROM flat f
+       |  JOIN probq q ON q.pos = f.pos
+       |  WHERE f.vec_id <> q.probe_id
+       |  GROUP BY 1, 2),
+       |brute AS (
+       |  SELECT probe_id, vec_id FROM (
+       |    SELECT d.probe_id, d.vec_id,
+       |           CAST(d.dot AS DOUBLE)
+       |             / (sqrt(CAST(n.norm2 AS DOUBLE)) * sqrt(CAST(np.norm2 AS DOUBLE))) AS cosine
+       |    FROM bdots d
+       |    JOIN norms n ON n.vec_id = d.vec_id
+       |    JOIN norms np ON np.vec_id = d.probe_id
+       |    WHERE n.norm2 > 0 AND np.norm2 > 0)
+       |  QUALIFY row_number() OVER (PARTITION BY probe_id ORDER BY cosine DESC, vec_id) <= 10)
+       |SELECT i.probe_id, count(*) AS n_ivf,
+       |       CAST(sum(CASE WHEN b.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS recall_at_10
+       |FROM ivf i
+       |LEFT JOIN brute b ON b.probe_id = i.probe_id AND b.vec_id = i.vec_id
+       |GROUP BY i.probe_id
+       |ORDER BY i.probe_id""".stripMargin
 
   /** Per-label centroids + pairwise label cosine — the cluster-summary op
     * for an embedding pipeline (label drift, near-duplicate classes).
@@ -562,7 +717,9 @@ object SimilarityQueries {
     "q_simsearch_brute" -> (qSimsearchBrute _),
     "q_ann_ivf" -> (qAnnIvf _),
     "q_ann_batch" -> (qAnnBatch _),
-    "q_semdedup" -> (qSemdedup _))
+    "q_ann_recall" -> (qAnnRecall _),
+    "q_semdedup" -> (qSemdedup _),
+    "q_semdedup_sampled" -> (qSemdedupSampled _))
 
   val oracles: Map[String, String] = Map(
     "q_vector_quantize" -> qVectorQuantizeSql,
@@ -573,5 +730,7 @@ object SimilarityQueries {
     "q_embed_neardup_rh" -> qEmbedNeardupRhSql,
     "q_ann_ivf" -> qAnnIvfSql,
     "q_ann_batch" -> qAnnBatchSql,
-    "q_semdedup" -> qSemdedupSql)
+    "q_ann_recall" -> qAnnRecallSql,
+    "q_semdedup" -> qSemdedupSql,
+    "q_semdedup_sampled" -> qSemdedupSampledSql)
 }

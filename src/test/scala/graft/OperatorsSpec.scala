@@ -494,6 +494,76 @@ class OperatorsSpec extends SparkSpec {
     assert(run1 == run2)
   }
 
+  test("sample-trained ivfIndexQ: sample >= corpus is exact full training; bounded sample still assigns all") {
+    val n = emb.count().toInt
+    val (cFull, aFull) = Similarity.ivfIndexQ(emb, "vec_id", "embedding", nCells = 8, iters = 2)
+    // a sample covering the corpus degenerates to the unsampled build bit-for-bit
+    val (cSame, aSame) = Similarity.ivfIndexQ(emb, "vec_id", "embedding",
+      nCells = 8, iters = 2, trainSample = n + 10)
+    assert(cFull.map { case (i, v) => (i, v.toSeq) }.toSeq ==
+      cSame.map { case (i, v) => (i, v.toSeq) }.toSeq)
+    assert(aFull.orderBy("id").collect().toSeq == aSame.orderBy("id").collect().toSeq)
+    CacheScope.release()
+    // a genuinely restricted sample still yields 8 centroids and assigns EVERY row
+    val (cS, aS) = Similarity.ivfIndexQ(emb, "vec_id", "embedding",
+      nCells = 8, iters = 2, trainSample = 64)
+    assert(cS.length == 8)
+    assert(aS.count() == n)
+    // run-to-run determinism of the sampled build
+    val (cS2, _) = Similarity.ivfIndexQ(emb, "vec_id", "embedding",
+      nCells = 8, iters = 2, trainSample = 64)
+    assert(cS.map { case (i, v) => (i, v.toSeq) }.toSeq ==
+      cS2.map { case (i, v) => (i, v.toSeq) }.toSeq)
+    CacheScope.release()
+  }
+
+  test("bruteTopKBatchQ ≡ per-probe cosineTopK (quantized conventions)") {
+    val batch = Similarity.bruteTopKBatchQ(emb, "vec_id", "embedding", Seq(0L, 3L), k = 5)
+    for (pid <- Seq(0L, 3L)) {
+      val b = batch.filter(col("probe_id") === pid).orderBy("rnk")
+        .select("vec_id").as[Long].collect().toSeq
+      val s = Similarity.cosineTopK(emb, "vec_id", "embedding", pid, 5)
+        .select("vec_id").as[Long].collect().toSeq
+      assert(b == s, s"probe $pid: batch=$b single=$s")
+    }
+  }
+
+  test("argmin expressions compare structurally (canonicalization, ADVICE r10)") {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.expression
+    import graft.plans.VectorExpressions
+    // share the child Column: a fresh col() captures a distinct call-site
+    // Origin, which is exactly what plan canonicalization strips — the pin
+    // here isolates the ids/cents fields the ADVICE flagged
+    val vq = col("vq")
+    def freshLong() = (Array(0, 1), Array(Array(1L, 2L), Array(3L, 4L)))
+    val (i1, c1) = freshLong(); val (i2, c2) = freshLong()
+    assert(expression(VectorExpressions.argminCell(vq, i1, c1)) ==
+      expression(VectorExpressions.argminCell(vq, i2, c2)))
+    assert(expression(VectorExpressions.argminCellDist(vq, i1, c1)) ==
+      expression(VectorExpressions.argminCellDist(vq, i2, c2)))
+    assert(expression(VectorExpressions.argminCellD(vq, Array(0),
+        Array(Array(1.5d)))) ==
+      expression(VectorExpressions.argminCellD(vq, Array(0),
+        Array(Array(1.5d)))))
+    // different matrices must NOT compare equal
+    assert(expression(VectorExpressions.argminCell(vq, i1, c1)) !=
+      expression(VectorExpressions.argminCell(vq, i2,
+        Array(Array(1L, 2L), Array(3L, 5L)))))
+  }
+
+  test("semanticDedup adaptive defaults resolve to the fixed small-corpus build") {
+    // n << 320000 and << 131072 ⇒ adaptive nCells = 16, full training:
+    // identical to the explicit legacy parameters
+    val adaptive = Similarity.semanticDedup(emb, "vec_id", "embedding")
+      .orderBy("id").collect().toSeq
+    CacheScope.release()
+    val fixed = Similarity.semanticDedup(emb, "vec_id", "embedding",
+      nCells = 16, iters = 2, minCosine = 0.3, trainSample = 0)
+      .orderBy("id").collect().toSeq
+    assert(adaptive == fixed)
+    CacheScope.release()
+  }
+
   test("lshNearDupPairs is a subset of brute-force pairs above threshold") {
     val pairs = Similarity.lshNearDupPairs(emb, "vec_id", "embedding",
       bits = 8, minCosine = 0.3)

@@ -186,7 +186,12 @@ class SeqExpressionsSpec extends SparkSpec {
       }
       sb.toString
     }
-    for (s <- cases ++ gen; (k, w) <- Seq((5, 4), (3, 1), (2, 6), (8, 3))) {
+    // k ≤ 8 rides the packed-Long deque; k = 15 / 31 (minimap2 and
+    // assembler regimes, VERDICT r10 item 2) exercise the wide byte-compare
+    // path — same naive reference for both
+    for (s <- cases ++ gen;
+         (k, w) <- Seq((5, 4), (3, 1), (2, 6), (8, 3),
+           (15, 4), (15, 1), (31, 5), (12, 8))) {
       val got = {
         val md = graft.plans.MinimizerOps.computeCounts(
           org.apache.spark.unsafe.types.UTF8String.fromString(s), k, w)
