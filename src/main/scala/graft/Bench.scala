@@ -82,7 +82,22 @@ object Bench {
       .mkString("{", ",", "}")
     val total = ok.map(_._2).sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
+    println(line)
+    // The driver truncates its BENCH_rN.json tail to 2000 chars, losing
+    // the alphabetic FRONT of the per-query map (VERDICT r10 item 7) —
+    // persist the complete line so every round's full per-query numbers
+    // survive without relying on BASELINE.md prose.
+    try {
+      val out = java.nio.file.Paths.get("/root/repo/target/bench_full.json")
+      java.nio.file.Files.createDirectories(out.getParent)
+      java.nio.file.Files.write(out,
+        (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      System.err.println(s"[bench] full per-query JSON written to $out")
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write bench_full.json: ${e.getMessage}")
+    }
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }

@@ -133,36 +133,52 @@ object Sampling {
 
   /** DSIR-style data-selection weights (Xie et al. 2023, "Data Selection
     * for Language Models via Importance Resampling", arXiv:2302.03169 —
-    * public literature): estimate a hashed-unigram bag-of-words model of
-    * the TARGET distribution (rows where `isTarget`) and of the RAW corpus,
-    * then score every document by its log importance ratio
-    *   w(doc) = Σ_tokens log( p̂_target(bucket) / p̂_raw(bucket) )
-    * with add-1 smoothing over `nBuckets` md5-hashed feature buckets. The
-    * top-weighted raw documents are the ones to keep when up-sampling
-    * toward the target domain.
+    * public literature): estimate a hashed n-gram bag-of-words model of
+    * the TARGET distribution (rows where `isTarget`) and of the RAW corpus
+    * (the NON-target rows — since round 11 the raw model excludes target
+    * rows, the paper's actual p_raw; through round 10 "raw" meant the full
+    * corpus, which damped weights when the target fraction was large —
+    * ADVICE r10), then score every document by its log importance ratio
+    *   w(doc) = Σ_features log( p̂_target(bucket) / p̂_raw(bucket) )
+    * with add-1 smoothing over `nBuckets` md5-hashed feature buckets.
+    * `maxNgram = 2` uses the paper's unigram+bigram feature set (word
+    * n-grams up to maxNgram, hashed into the same fixed bucket space);
+    * the default 1 is unigrams only. The top-weighted raw documents are
+    * the ones to keep when up-sampling toward the target domain.
     *
-    * Returns one row per document: (id, n_tokens, w_q) where w_q is the
-    * integer sum of per-bucket quantized log-ratios (floor(lr·2^20) — the
-    * repo's fixed-point convention, making the score order-free and
+    * Returns one row per document: (id, n_tokens, w_q) where n_tokens
+    * counts FEATURES (tokens for maxNgram=1) and w_q is the integer sum
+    * of per-bucket quantized log-ratios (floor(lr·2^20) — the repo's
+    * fixed-point convention, making the score order-free and
     * engine-exact; ln() itself is the one 1-ulp-wobble risk, same as
     * q_tfidf/q_bm25).
     *
-    * Scale shape: one token explode → two-phase (id, bucket) count; bucket
-    * statistics aggregate over a FIXED nBuckets keyspace (the point of
-    * feature hashing — the model size is a constant independent of corpus
-    * vocabulary); the per-bucket log-ratio table broadcasts back onto the
-    * per-doc counts; final per-doc sum is two-phase. No driver-side data,
-    * no quadratic stage; md5 bucketing is the engine-portable hash. */
+    * Scale shape: one feature explode (the n-gram streams come from the
+    * row-local [[graft.plans.AllShingles]] kernel — no window shuffle for
+    * bigrams) → two-phase (id, bucket) count; bucket statistics aggregate
+    * over a FIXED nBuckets keyspace (the point of feature hashing — the
+    * model size is a constant independent of corpus vocabulary); the
+    * per-bucket log-ratio table broadcasts back onto the per-doc counts;
+    * final per-doc sum is two-phase. No driver-side data, no quadratic
+    * stage; md5 bucketing is the engine-portable hash. */
   def dsirWeights(docs: DataFrame, idCol: String, textCol: String,
-                  isTarget: Column, nBuckets: Int = 4096): DataFrame = {
+                  isTarget: Column, nBuckets: Int = 4096,
+                  maxNgram: Int = 1): DataFrame = {
     import graft.functions.TextFunctions.tokens
+    require(maxNgram >= 1, "maxNgram must be >= 1")
+    // n = 1 is the tokens kernel; higher n append the multiplicity-
+    // preserving all_shingles stream — all row-local, one explode total
+    val features =
+      if (maxNgram == 1) tokens(col(textCol))
+      else concat((tokens(col(textCol)) +: (2 to maxNgram).map(n =>
+        graft.plans.ShingleExpressions.allShingles(col(textCol), n))): _*)
     val perDoc = graft.CacheScope.cached(
       docs.select(col(idCol).as("id"), isTarget.as("__t"),
-          explode(tokens(col(textCol))).as("token"))
+          explode(features).as("token"))
         .withColumn("bucket", foldAssign(col("token"), nBuckets))
         .groupBy("id", "__t", "bucket").agg(count(lit(1)).as("c")))
     val bstats = perDoc.groupBy("bucket")
-      .agg(sum(col("c")).as("rcnt"),
+      .agg(sum(when(!col("__t"), col("c")).otherwise(0L)).as("rcnt"),
         sum(when(col("__t"), col("c")).otherwise(0L)).as("tcnt"))
     val totals = bstats.agg(sum(col("rcnt")).as("nr"), sum(col("tcnt")).as("nt"))
     val v = nBuckets.toDouble

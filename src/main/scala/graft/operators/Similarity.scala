@@ -492,7 +492,11 @@ object Similarity {
     * k = max(16, ceil(n / 20000)) — the paper's ~20 k-per-cell ratio with
     * a floor that keeps small fixtures on a fixed, oracle-replayable k —
     * so the per-cell pair count stays constant BY DEFAULT as the corpus
-    * grows, instead of by operator knob. `trainSample < 0` (the default)
+    * grows, instead of by operator knob. (The ratio is the PAPER's
+    * quality choice — large cells catch more cross-pair near-dups. Pure
+    * wall time minimizes k·n·d assignment + n·(n/k)·d pairing at
+    * k ≈ √n, i.e. smaller cells; pass nCells explicitly when optimizing
+    * for time over recall — both regimes measured in BASELINE.md.) `trainSample < 0` (the default)
     * likewise derives the Lloyd training sample as max(64·k, 131072)
     * (FAISS-recommended ≥ 64 points per centroid; the floor keeps every
     * corpus ≤ 131072 rows on exact full-corpus training, which is what

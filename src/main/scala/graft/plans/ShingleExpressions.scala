@@ -80,6 +80,62 @@ object DistinctShingles {
   }
 }
 
+/** ALL overlapping word `n`-shingles, multiplicity preserved, document
+  * order — the counting twin of [[DistinctShingles]] (same token-span
+  * walk and byte-copy assembly, no dedup set). This is the feature
+  * stream an n-gram MODEL needs (DSIR hashed bigrams, LM-style counts):
+  * dedup would silently turn token counts into document frequencies.
+  * n = 1 degenerates to the token array itself (space-split, empties
+  * skipped — identical semantics to `TextFunctions.tokens`). */
+object AllShingles {
+
+  def compute(s: UTF8String, n: Int): GenericArrayData = {
+    val b = s.getBytes
+    val len = b.length
+    var cap = 16
+    var starts = new Array[Int](cap)
+    var ends = new Array[Int](cap)
+    var m = 0
+    var i = 0
+    while (i < len) {
+      while (i < len && b(i) == ' ') i += 1
+      val st = i
+      while (i < len && b(i) != ' ') i += 1
+      if (i > st) {
+        if (m == cap) {
+          cap *= 2
+          starts = java.util.Arrays.copyOf(starts, cap)
+          ends = java.util.Arrays.copyOf(ends, cap)
+        }
+        starts(m) = st
+        ends(m) = i
+        m += 1
+      }
+    }
+    if (m < n) return new GenericArrayData(new Array[Any](0))
+    val arr = new Array[Any](m - n + 1)
+    var k = 0
+    while (k <= m - n) {
+      var outLen = n - 1 // single-space separators
+      var t = k
+      while (t < k + n) { outLen += ends(t) - starts(t); t += 1 }
+      val out = new Array[Byte](outLen)
+      var pos = 0
+      t = k
+      while (t < k + n) {
+        if (t > k) { out(pos) = ' '; pos += 1 }
+        val l = ends(t) - starts(t)
+        System.arraycopy(b, starts(t), out, pos, l)
+        pos += l
+        t += 1
+      }
+      arr(k) = UTF8String.fromBytes(out)
+      k += 1
+    }
+    new GenericArrayData(arr)
+  }
+}
+
 /** `distinct_shingles(text, n)` — [[DistinctShingles]] as a codegen'd
   * expression. */
 case class DistinctShinglesExpr(child: Expression, n: Int)
@@ -94,9 +150,25 @@ case class DistinctShinglesExpr(child: Expression, n: Int)
     copy(child = newChild)
 }
 
+/** `all_shingles(text, n)` — [[AllShingles]] as a codegen'd expression. */
+case class AllShinglesExpr(child: Expression, n: Int)
+  extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    AllShingles.compute(input.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.AllShingles.compute($c, $n)")
+  override def prettyName: String = "all_shingles"
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object ShingleExpressions {
   import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
 
   def distinctShingles(text: Column, n: Int): Column =
     column(DistinctShinglesExpr(expression(text), n))
+
+  def allShingles(text: Column, n: Int): Column =
+    column(AllShinglesExpr(expression(text), n))
 }

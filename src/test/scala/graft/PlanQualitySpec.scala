@@ -127,6 +127,16 @@ class PlanQualitySpec extends SparkSpec {
     } finally CacheScope.release()
   }
 
+  test("q_jaccard_pairs: inverted-index self-join is hash, not sort-merge (r11)") {
+    val p = plan("q_jaccard_pairs")
+    try {
+      assert(p.contains("ShuffledHashJoin"),
+        s"the index self-join must hash-probe, not sort (1000x sort spilled both ~0.9B-row sides):\n$p")
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"all-pairs join in jaccard:\n$p")
+    } finally CacheScope.release()
+  }
+
   test("q_range_join: binned equi-join, never a nested-loop band join") {
     val p = plan("q_range_join")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),

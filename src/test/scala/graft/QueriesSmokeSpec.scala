@@ -28,6 +28,18 @@ class QueriesSmokeSpec extends SparkSpec {
     }
   }
 
+  test("q_quality_trim: BOTH trim arms fire on the fixture (r10 VERDICT item 5)") {
+    import org.apache.spark.sql.functions._
+    val df = graft.queries.FastxQueries.qQualityTrim(spark, TestSpark.Sf0001)
+    val arms = df.agg(
+      sum(when(col("trim_start") > 0L, 1L).otherwise(0L)),
+      sum(when(col("kept_len") + col("trim_start") < col("raw_len"), 1L).otherwise(0L)),
+      count(lit(1))).head()
+    assert(arms.getLong(0) > 0, "no read had a leading trim")
+    assert(arms.getLong(1) > 0, "no read had a trailing trim")
+    assert(arms.getLong(0) <= arms.getLong(2))
+  }
+
   test("q_cms_merge: CMS estimates are overestimates and the top user is exact-heaviest") {
     import org.apache.spark.sql.functions._
     val rows = graft.queries.EventQueries.qCmsMerge(spark, TestSpark.Sf0001).collect()

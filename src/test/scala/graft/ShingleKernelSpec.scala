@@ -70,4 +70,48 @@ class ShingleKernelSpec extends SparkSpec {
       .select(col("text")).collect().map(_.getString(0)).toSeq
     assertAgree(docs, 3)
   }
+
+  test("all_shingles: multiplicity-preserving twin ≡ naive sliding window; n=1 ≡ tokens") {
+    def naive(t: String, n: Int): Seq[String] = {
+      val tk = t.split(" ").filter(_.nonEmpty).toSeq
+      if (tk.length < n) Seq.empty
+      else (0 to tk.length - n).map(i => tk.slice(i, i + n).mkString(" "))
+    }
+    val texts = Seq(
+      "", " ", "one", "one two", "a b a b a b", "x x x x x x x x",
+      "  double  spaces   collapse and trailing  ",
+      "ü ö 日本 語 mixed 字 tokens here",
+      "rep rep rep distinct would collapse rep rep") ++ {
+      var seed = 0x3c6ef372fe94f82aL
+      (0 until 150).map { _ =>
+        seed = seed * 6364136223846793005L + 1442695040888963407L
+        val n = ((seed >>> 40) % 25).toInt.abs
+        val sb = new StringBuilder
+        (0 until n).foreach { _ =>
+          seed = seed * 6364136223846793005L + 1442695040888963407L
+          sb.append("w").append(((seed >>> 33) % 4).toInt)
+          sb.append(if ((seed & 1) == 0) " " else "  ")
+        }
+        sb.toString
+      }
+    }
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    for (n <- Seq(1, 2, 3)) {
+      val got = df.select(col("doc_id"),
+          graft.plans.ShingleExpressions.allShingles(col("text"), n).as("sh"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+      texts.zipWithIndex.foreach { case (t, i) =>
+        assert(got(i.toLong) == naive(t, n), s"n=$n '$t'")
+      }
+    }
+    // n = 1 must be exactly the tokens-kernel stream (dsirWeights relies on it)
+    val viaTokens = df.select(col("doc_id"),
+        graft.functions.TextFunctions.tokens(col("text")).as("tk"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val viaAll = df.select(col("doc_id"),
+        graft.plans.ShingleExpressions.allShingles(col("text"), 1).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(viaTokens == viaAll)
+  }
 }
