@@ -104,14 +104,16 @@ object SimilarityQueries {
       when(element_at(vq, i) >= 0L, lit("+")).otherwise(lit("-"))): _*)
 
   /** Embedding near-dup pairs: same sign-LSH bucket AND quantized cosine
-    * ≥ 0.3. Bucket equi-join replaces the O(n²) cross join; exact integer
+    * ≥ 0.3 — the verified pair set (v1, v2, cosine) shared by
+    * q_embed_neardup (pair view) and q_embed_clusters (component view).
+    * Bucket equi-join replaces the O(n²) cross join; exact integer
     * cosine re-ranks inside buckets only. Buckets denser than
     * `Similarity.DefaultMaxVecBucket` deepen adaptively (4 more sign dims
     * per level) — a FIXED 8-bit key turns 10× corpus growth into 100×
     * candidate growth (measured 7.9 k → 781 k pairs); deepening bounds
     * bucket population by a constant. No oracle-SF bucket exceeds the cap
     * (max 16 at sf0.1), so the static-bucket oracle stays bit-identical. */
-  def qEmbedNeardup(spark: SparkSession, sfDir: String): DataFrame = {
+  private def embedNeardupPairs(spark: SparkSession, sfDir: String): DataFrame = {
     // norm once per ROW before the self-join: a vector in a B-member
     // bucket appears in ~B pairs, so per-pair norm recompute costs B× the
     // work (and 2 of the 3 dot folds per pair) for the same integers
@@ -127,11 +129,15 @@ object SimilarityQueries {
         (qdot(col("a.vq"), col("b.vq")).cast("double") /
           (col("a.nrm") * col("b.nrm"))).as("cosine"))
       .filter(col("cosine") >= 0.3)
-      .orderBy("v1", "v2")
   }
 
-  val qEmbedNeardupSql: String =
-    s"""WITH emb AS (
+  def qEmbedNeardup(spark: SparkSession, sfDir: String): DataFrame =
+    embedNeardupPairs(spark, sfDir).orderBy("v1", "v2")
+
+  /** CTE chain producing the verified pair set, plus its SELECT — shared
+    * by the pair-view and cluster-view oracles. */
+  private val EmbedPairCtes: String =
+    s"""emb AS (
        |  SELECT vec_id, embedding,
        |         concat(
        |           CASE WHEN embedding[1] >= 0 THEN '+' ELSE '-' END,
@@ -155,16 +161,59 @@ object SimilarityQueries {
        |         CAST(sum(CAST(floor(CAST(e1[i] AS DOUBLE) * 1048576) AS BIGINT)
        |                  * CAST(floor(CAST(e2[i] AS DOUBLE) * 1048576) AS BIGINT)) AS BIGINT) AS dot
        |  FROM pairs, LATERAL unnest(generate_series(1, len(e1))) AS t(i)
-       |  GROUP BY v1, v2)
-       |SELECT v1, v2,
-       |       CAST(dot AS DOUBLE)
-       |         / (sqrt(CAST(n1.norm2 AS DOUBLE)) * sqrt(CAST(n2.norm2 AS DOUBLE))) AS cosine
-       |FROM dots
-       |JOIN norms n1 ON n1.vec_id = v1
-       |JOIN norms n2 ON n2.vec_id = v2
-       |WHERE CAST(dot AS DOUBLE)
-       |         / (sqrt(CAST(n1.norm2 AS DOUBLE)) * sqrt(CAST(n2.norm2 AS DOUBLE))) >= 0.3
+       |  GROUP BY v1, v2)""".stripMargin
+
+  private val EmbedVPairSelect: String =
+    """SELECT v1, v2,
+      |       CAST(dot AS DOUBLE)
+      |         / (sqrt(CAST(n1.norm2 AS DOUBLE)) * sqrt(CAST(n2.norm2 AS DOUBLE))) AS cosine
+      |FROM dots
+      |JOIN norms n1 ON n1.vec_id = v1
+      |JOIN norms n2 ON n2.vec_id = v2
+      |WHERE CAST(dot AS DOUBLE)
+      |         / (sqrt(CAST(n1.norm2 AS DOUBLE)) * sqrt(CAST(n2.norm2 AS DOUBLE))) >= 0.3""".stripMargin
+
+  val qEmbedNeardupSql: String =
+    s"""WITH $EmbedPairCtes
+       |$EmbedVPairSelect
        |ORDER BY v1, v2""".stripMargin
+
+  /** Embedding near-dup CLUSTERS (round 11): connected components over
+    * the sign-LSH verified pair graph — the embedding-modality analog of
+    * q_dedup_clusters (transitive chains a–b–c make the component view
+    * genuinely different from the pairwise view; "keep one survivor per
+    * component" is the production dedup contract). Runs the same
+    * large-star/small-star CC ([[graft.operators.Dedup.connectedComponents]],
+    * O(log diameter) rounds, map-side-combinable groupBys). The oracle is
+    * a recursive-CTE transitive closure over the identical pair set. */
+  def qEmbedClusters(spark: SparkSession, sfDir: String): DataFrame = {
+    val pairs = embedNeardupPairs(spark, sfDir)
+      .select(col("v1").as("d1"), col("v2").as("d2"))
+    graft.operators.Dedup.connectedComponents(pairs)
+      .groupBy(col("cluster").as("cluster_id"))
+      .agg(count(lit(1)).as("n_vecs"),
+        concat_ws(",",
+          transform(sort_array(collect_list(col("id"))), _.cast("string"))).as("members"))
+      .orderBy("cluster_id")
+  }
+
+  val qEmbedClustersSql: String =
+    s"""WITH RECURSIVE $EmbedPairCtes,
+       |vpairs AS (
+       |$EmbedVPairSelect),
+       |edges AS (
+       |  SELECT v1 AS src, v2 AS dst FROM vpairs
+       |  UNION SELECT v2, v1 FROM vpairs),
+       |walk AS (
+       |  SELECT src, dst FROM edges
+       |  UNION
+       |  SELECT w.src, e.dst FROM walk w JOIN edges e ON e.src = w.dst),
+       |labels AS (
+       |  SELECT src AS id, least(src, min(dst)) AS cluster
+       |  FROM walk GROUP BY src)
+       |SELECT cluster AS cluster_id, count(*) AS n_vecs,
+       |       string_agg(id, ',' ORDER BY id) AS members
+       |FROM labels GROUP BY cluster ORDER BY cluster_id""".stripMargin
 
   /** Random-hyperplane LSH (the production bucket family — axis signs in
     * qEmbedNeardup degrade when leading components correlate): `RhBits`
@@ -480,23 +529,27 @@ object SimilarityQueries {
        |FROM afin a LEFT JOIN dropped dr ON dr.vec_id = a.vec_id
        |ORDER BY a.vec_id""".stripMargin
 
-  /** The SAMPLE-TRAINED SemDeDup path under its own oracle gate: nCells=8
+  /** The SAMPLE-TRAINED SemDeDup path under its own oracle gate: nCells=32
     * with the Lloyd rounds trained on only the 96 lowest-Knuth-hash rows
     * (96 < 500 corpus rows at sf0.01, so the sampling genuinely restricts
     * training), full-corpus final assignment. The oracle replays the
     * sample restriction via [[lloydSqlCtes]]' `samp` CTE — hash-exact
     * coverage of the round-11 FAISS-style shortcut that q_semdedup's
-    * adaptive defaults only reach above 131072 rows. */
+    * adaptive defaults only reach above 131072 rows. (nCells=32, not a
+    * tiny 8: the twin also rides the 100x sweeps, and within-cell pairing
+    * is quadratic in cell population — k=8 measured 191.5 s at 200 k
+    * vectors vs ~40 s for k=16; 32 keeps cells meaningful at sf0.01,
+    * ~15 rows/cell, while staying sweep-affordable.) */
   def qSemdedupSampled(spark: SparkSession, sfDir: String): DataFrame =
     graft.operators.Similarity.semanticDedup(
         t(spark, sfDir, "embeddings"), "vec_id", "embedding",
-        nCells = 8, iters = 2, minCosine = 0.3, trainSample = 96)
+        nCells = 32, iters = 2, minCosine = 0.3, trainSample = 96)
       .select(col("id").as("vec_id"), col("cell"), col("kept"))
       .orderBy("vec_id")
 
   lazy val qSemdedupSampledSql: String =
     s"""WITH $FlatSqlCte,
-       |${lloydSqlCtes(nCells = 8, iters = 2, trainSample = 96)},
+       |${lloydSqlCtes(nCells = 32, iters = 2, trainSample = 96)},
        |norms AS (SELECT vec_id, CAST(sum(vq * vq) AS BIGINT) AS norm2 FROM flat GROUP BY 1),
        |adist AS (
        |  SELECT a.vec_id, a.cell, f.d
@@ -713,6 +766,7 @@ object SimilarityQueries {
     "q_simsearch" -> (qSimsearch _),
     "q_embed_centroids" -> (qEmbedCentroids _),
     "q_embed_neardup" -> (qEmbedNeardup _),
+    "q_embed_clusters" -> (qEmbedClusters _),
     "q_embed_neardup_rh" -> (qEmbedNeardupRh _),
     "q_simsearch_brute" -> (qSimsearchBrute _),
     "q_ann_ivf" -> (qAnnIvf _),
@@ -727,6 +781,7 @@ object SimilarityQueries {
     "q_simsearch_brute" -> qSimsearchBruteSql,
     "q_embed_centroids" -> qEmbedCentroidsSql,
     "q_embed_neardup" -> qEmbedNeardupSql,
+    "q_embed_clusters" -> qEmbedClustersSql,
     "q_embed_neardup_rh" -> qEmbedNeardupRhSql,
     "q_ann_ivf" -> qAnnIvfSql,
     "q_ann_batch" -> qAnnBatchSql,

@@ -1253,7 +1253,7 @@ object TextQueries {
     val enc = BpeMerges.foldLeft("s") { case (e, (a, b)) =>
       s"replace($e, '|$a|$b|', '|$a$b|')"
     }
-    s"""WITH words AS (
+    s"""WITH words AS MATERIALIZED (
        |  SELECT d.doc_id, lower(t.w) AS w
        |  FROM documents d,
        |       unnest(string_split_regex(d.text, '\\s+')) AS t(w)
@@ -1269,6 +1269,114 @@ object TextQueries {
        |SELECT tok, count(*) AS cnt, count(DISTINCT doc_id) AS df
        |FROM toks GROUP BY tok
        |ORDER BY cnt DESC, tok ASC""".stripMargin
+  }
+
+  /** BPE merge-table TRAINING in-engine (round 11) — the step that
+    * produced the frozen [[BpeMerges]] table offline now runs as a
+    * declared, oracle-replayed operator: the classic pair-frequency loop
+    * (Sennrich et al. 2016, arXiv:1508.07909 — public literature) over
+    * the corpus word-type histogram. Output: one row per learned merge,
+    * (step, lhs, rhs, pair_cnt), in training order.
+    *
+    * Conventions (each load-bearing for engine-portability):
+    *  - the model trains on the TOP-`topWords` word types by
+    *    (count desc, word asc) — bounded model state, the same pattern as
+    *    centroids/vocab: the corpus is scanned ONCE (distributed word
+    *    count + TakeOrdered); the merge loop then runs driver-side over a
+    *    fixed-size table, which is how production tokenizer trainers work
+    *    too (SentencePiece/HF train on a capped type histogram);
+    *  - word states use the repo's boundary-delimited char convention
+    *    (`|a|b|c|`) and merges apply as plain leftmost-non-overlapping
+    *    string replace — EXACTLY [[bpeTokens]]' apply semantics, and
+    *    Java String.replace ≡ Spark replace ≡ DuckDB replace, so the
+    *    trained table is what the repo's encode path would consume;
+    *  - pair counts sum word-type frequency over ALL adjacent symbol
+    *    positions; the winning pair is max by (count desc, lhs asc,
+    *    rhs asc) — a total deterministic order (lowercase-ASCII symbols
+    *    compare identically in both engines).
+    *
+    * The DuckDB oracle replays the ENTIRE training run — histogram,
+    * every pair-count round, every argmax, every merge application — as
+    * `nMerges` unrolled CTE blocks. */
+  private[graft] def bpeTrainMerges(docs: DataFrame, textCol: String,
+                                    topWords: Int, nMerges: Int): Seq[(Int, String, String, Long)] = {
+    val wc: Array[(String, Long)] = docs
+      .select(explode(split(lower(col(textCol)), "\\s+")).as("w"))
+      .filter(col("w").rlike("^[a-z]+$"))
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("w").asc)
+      .limit(topWords)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    var states: Array[(String, Long)] = wc.map { case (w, c) =>
+      ("|" + w.split("").mkString("|") + "|", c)
+    }
+    val merges = scala.collection.mutable.ListBuffer.empty[(Int, String, String, Long)]
+    var step = 1
+    var exhausted = false
+    while (step <= nMerges && !exhausted) {
+      val pc = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      states.foreach { case (s, c) =>
+        val syms = s.split("\\|").filter(_.nonEmpty)
+        var i = 0
+        while (i + 1 < syms.length) {
+          val k = (syms(i), syms(i + 1))
+          pc.update(k, pc.getOrElse(k, 0L) + c)
+          i += 1
+        }
+      }
+      if (pc.isEmpty) exhausted = true
+      else {
+        val ((a, b), cnt) = pc.minBy { case ((x, y), n) => (-n, x, y) }
+        merges += ((step, a, b, cnt))
+        states = states.map { case (s, c) => (s.replace(s"|$a|$b|", s"|$a$b|"), c) }
+        step += 1
+      }
+    }
+    merges.toSeq
+  }
+
+  def qBpeTrain(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    bpeTrainMerges(t(spark, sfDir, "documents"), "text",
+        topWords = 256, nMerges = 12)
+      .toDF("step", "lhs", "rhs", "pair_cnt")
+      .select(col("step").cast("long"), col("lhs"), col("rhs"), col("pair_cnt"))
+      .orderBy("step")
+  }
+
+  val qBpeTrainSql: String = {
+    val nMerges = 12
+    val rounds = (1 to nMerges).map { i =>
+      s"""p$i AS MATERIALIZED (
+         |  SELECT syms[u.i] AS lhs, syms[u.i + 1] AS rhs, CAST(sum(cnt) AS BIGINT) AS pair_cnt
+         |  FROM (SELECT list_filter(string_split(s, '|'), x -> x <> '') AS syms, cnt
+         |        FROM st${i - 1}) t,
+         |       LATERAL unnest(generate_series(1, len(syms) - 1)) AS u(i)
+         |  GROUP BY 1, 2),
+         |m$i AS MATERIALIZED (SELECT lhs, rhs, pair_cnt FROM p$i ORDER BY pair_cnt DESC, lhs, rhs LIMIT 1),
+         |st$i AS MATERIALIZED (
+         |  SELECT replace(s,
+         |           '|' || (SELECT lhs FROM m$i) || '|' || (SELECT rhs FROM m$i) || '|',
+         |           '|' || (SELECT lhs FROM m$i) || (SELECT rhs FROM m$i) || '|') AS s,
+         |         cnt
+         |  FROM st${i - 1})""".stripMargin
+    }.mkString(",\n")
+    val unions = (1 to nMerges).map(i =>
+      s"SELECT CAST($i AS BIGINT) AS step, lhs, rhs, pair_cnt FROM m$i").mkString("\nUNION ALL\n")
+    s"""WITH words AS MATERIALIZED (
+       |  SELECT lower(t.w) AS w
+       |  FROM documents d,
+       |       unnest(string_split_regex(d.text, '\\s+')) AS t(w)
+       |  WHERE regexp_matches(lower(t.w), '^[a-z]+$$')),
+       |wc AS MATERIALIZED (
+       |  SELECT w, count(*) AS cnt FROM words GROUP BY w
+       |  ORDER BY cnt DESC, w LIMIT 256),
+       |st0 AS MATERIALIZED (
+       |  SELECT '|' || array_to_string(string_split(w, ''), '|') || '|' AS s, cnt
+       |  FROM wc),
+       |$rounds
+       |$unions
+       |ORDER BY step""".stripMargin
   }
 
   /** JSONL ingestion with poison-line quarantine — the crawl-dump format
@@ -1416,6 +1524,7 @@ object TextQueries {
     "q_audio_embed" -> (qAudioEmbed _),
     "q_subword_vocab" -> (qSubwordVocab _),
     "q_bpe_encode" -> (qBpeEncode _),
+    "q_bpe_train" -> (qBpeTrain _),
     "q_jsonl_ingest" -> (qJsonlIngest _),
     "q_pii_redact" -> (qPiiRedact _),
     "q_frame_sample" -> (qFrameSample _),
@@ -1447,6 +1556,7 @@ object TextQueries {
     "q_audio_embed" -> qAudioEmbedSql,
     "q_subword_vocab" -> qSubwordVocabSql,
     "q_bpe_encode" -> qBpeEncodeSql,
+    "q_bpe_train" -> qBpeTrainSql,
     "q_jsonl_ingest" -> qJsonlIngestSql,
     "q_pii_redact" -> qPiiRedactSql,
     "q_frame_sample" -> qFrameSampleSql,

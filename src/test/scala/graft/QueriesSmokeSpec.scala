@@ -40,6 +40,25 @@ class QueriesSmokeSpec extends SparkSpec {
     assert(arms.getLong(0) <= arms.getLong(2))
   }
 
+  test("q_bpe_train: merges satisfy the training invariant and compose with apply") {
+    val rows = graft.queries.TextQueries.qBpeTrain(spark, TestSpark.Sf0001).collect()
+    assert(rows.length == 12)
+    // every merge's parts are single chars or outputs of strictly earlier
+    // merges — the invariant that makes sequential in-order application
+    // equivalent to greedy lowest-rank BPE apply (BpeMerges scaladoc)
+    val produced = scala.collection.mutable.Set.empty[String]
+    rows.foreach { r =>
+      val (lhs, rhs) = (r.getString(1), r.getString(2))
+      assert(lhs.length == 1 || produced(lhs), s"lhs '$lhs' not derivable at step ${r.getLong(0)}")
+      assert(rhs.length == 1 || produced(rhs), s"rhs '$rhs' not derivable at step ${r.getLong(0)}")
+      produced += lhs + rhs
+    }
+    assert(rows.forall(_.getLong(3) > 0))
+    // pair counts are non-increasing is NOT an invariant (a merge can
+    // create a new hot pair), but step order must be 1..12
+    assert(rows.map(_.getLong(0)).toSeq == (1L to 12L))
+  }
+
   test("q_cms_merge: CMS estimates are overestimates and the top user is exact-heaviest") {
     import org.apache.spark.sql.functions._
     val rows = graft.queries.EventQueries.qCmsMerge(spark, TestSpark.Sf0001).collect()
