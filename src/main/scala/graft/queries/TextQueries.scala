@@ -1344,8 +1344,13 @@ object TextQueries {
       .orderBy("step")
   }
 
-  val qBpeTrainSql: String = {
-    val nMerges = 12
+  /** The full training run as a CTE chain (words/wc/st0 + `nMerges`
+    * rounds of p_i/m_i/st_i) — shared by the q_bpe_train oracle and the
+    * q_bpe_train_apply oracle. Every CTE is MATERIALIZED: the chain
+    * references each st_i twice, and DuckDB's default inlining would
+    * re-expand the parquet scan exponentially (the first non-materialized
+    * attempt died on file-handle exhaustion). */
+  private def bpeTrainSqlCtes(topWords: Int, nMerges: Int): String = {
     val rounds = (1 to nMerges).map { i =>
       s"""p$i AS MATERIALIZED (
          |  SELECT syms[u.i] AS lhs, syms[u.i + 1] AS rhs, CAST(sum(cnt) AS BIGINT) AS pair_cnt
@@ -1361,22 +1366,74 @@ object TextQueries {
          |         cnt
          |  FROM st${i - 1})""".stripMargin
     }.mkString(",\n")
-    val unions = (1 to nMerges).map(i =>
-      s"SELECT CAST($i AS BIGINT) AS step, lhs, rhs, pair_cnt FROM m$i").mkString("\nUNION ALL\n")
-    s"""WITH words AS MATERIALIZED (
+    s"""words AS MATERIALIZED (
        |  SELECT lower(t.w) AS w
        |  FROM documents d,
        |       unnest(string_split_regex(d.text, '\\s+')) AS t(w)
        |  WHERE regexp_matches(lower(t.w), '^[a-z]+$$')),
        |wc AS MATERIALIZED (
        |  SELECT w, count(*) AS cnt FROM words GROUP BY w
-       |  ORDER BY cnt DESC, w LIMIT 256),
+       |  ORDER BY cnt DESC, w LIMIT $topWords),
        |st0 AS MATERIALIZED (
        |  SELECT '|' || array_to_string(string_split(w, ''), '|') || '|' AS s, cnt
        |  FROM wc),
-       |$rounds
+       |$rounds""".stripMargin
+  }
+
+  val qBpeTrainSql: String = {
+    val nMerges = 12
+    val unions = (1 to nMerges).map(i =>
+      s"SELECT CAST($i AS BIGINT) AS step, lhs, rhs, pair_cnt FROM m$i").mkString("\nUNION ALL\n")
+    s"""WITH ${bpeTrainSqlCtes(topWords = 256, nMerges = nMerges)}
        |$unions
        |ORDER BY step""".stripMargin
+  }
+
+  /** Train → APPLY composition (round 11): encode the WHOLE corpus (every
+    * alpha word occurrence, not just the capped training histogram) with
+    * the merge table [[qBpeTrain]] just learned, and report the top-40
+    * resulting tokens — the end-to-end loop a tokenizer pipeline actually
+    * runs (learn on the type histogram, apply everywhere). Spark side:
+    * the learned merges come back from the bounded driver-side loop and
+    * constant-fold into the same boundary-delimited replace chain the
+    * frozen-table encode uses; the oracle re-learns the merges via the
+    * shared training CTEs and applies them as scalar-subquery replaces. */
+  def qBpeTrainApply(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = t(spark, sfDir, "documents")
+    val learned = bpeTrainMerges(docs, "text", topWords = 256, nMerges = 12)
+      .map { case (_, a, b, _) => (a, b) }
+    val sepd = concat(lit("|"), array_join(split(col("w"), ""), "|"), lit("|"))
+    val encoded = learned.foldLeft(sepd) { case (s, (a, b)) =>
+      replace(s, lit(s"|$a|$b|"), lit(s"|$a$b|"))
+    }
+    docs
+      .select(explode(split(lower(col("text")), "\\s+")).as("w"))
+      .filter(col("w").rlike("^[a-z]+$"))
+      .select(explode(filter(split(encoded, "\\|"), tk => tk =!= "")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("tok").asc)
+      .limit(40)
+  }
+
+  val qBpeTrainApplySql: String = {
+    val nMerges = 12
+    val enc = (1 to nMerges).foldLeft("s") { (e, i) =>
+      s"""replace($e,
+         |  '|' || (SELECT lhs FROM m$i) || '|' || (SELECT rhs FROM m$i) || '|',
+         |  '|' || (SELECT lhs FROM m$i) || (SELECT rhs FROM m$i) || '|')""".stripMargin
+    }
+    s"""WITH ${bpeTrainSqlCtes(topWords = 256, nMerges = nMerges)},
+       |sepd AS MATERIALIZED (
+       |  SELECT '|' || array_to_string(string_split(w, ''), '|') || '|' AS s
+       |  FROM words),
+       |toks AS (
+       |  SELECT t.tok
+       |  FROM sepd, unnest(string_split($enc, '|')) AS t(tok)
+       |  WHERE t.tok <> '')
+       |SELECT tok, count(*) AS cnt
+       |FROM toks GROUP BY tok
+       |ORDER BY cnt DESC, tok
+       |LIMIT 40""".stripMargin
   }
 
   /** JSONL ingestion with poison-line quarantine — the crawl-dump format
@@ -1525,6 +1582,7 @@ object TextQueries {
     "q_subword_vocab" -> (qSubwordVocab _),
     "q_bpe_encode" -> (qBpeEncode _),
     "q_bpe_train" -> (qBpeTrain _),
+    "q_bpe_train_apply" -> (qBpeTrainApply _),
     "q_jsonl_ingest" -> (qJsonlIngest _),
     "q_pii_redact" -> (qPiiRedact _),
     "q_frame_sample" -> (qFrameSample _),
@@ -1557,6 +1615,7 @@ object TextQueries {
     "q_subword_vocab" -> qSubwordVocabSql,
     "q_bpe_encode" -> qBpeEncodeSql,
     "q_bpe_train" -> qBpeTrainSql,
+    "q_bpe_train_apply" -> qBpeTrainApplySql,
     "q_jsonl_ingest" -> qJsonlIngestSql,
     "q_pii_redact" -> qPiiRedactSql,
     "q_frame_sample" -> qFrameSampleSql,
