@@ -88,15 +88,22 @@ object Bench {
     // The driver truncates its BENCH_rN.json tail to 2000 chars, losing
     // the alphabetic FRONT of the per-query map (VERDICT r10 item 7) —
     // persist the complete line so every round's full per-query numbers
-    // survive without relying on BASELINE.md prose.
+    // survive without relying on BASELINE.md prose. bench_full.json holds
+    // the LATEST run; bench_history.jsonl appends every run (a second
+    // sweep or the next round must not destroy the previous record —
+    // review r11).
     try {
-      val out = java.nio.file.Paths.get("/root/repo/target/bench_full.json")
-      java.nio.file.Files.createDirectories(out.getParent)
-      java.nio.file.Files.write(out,
-        (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      System.err.println(s"[bench] full per-query JSON written to $out")
+      val dir = java.nio.file.Paths.get(sys.props("user.dir"), "target")
+      java.nio.file.Files.createDirectories(dir)
+      val bytes = (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      java.nio.file.Files.write(dir.resolve("bench_full.json"), bytes)
+      java.nio.file.Files.write(dir.resolve("bench_history.jsonl"), bytes,
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
+      System.err.println(s"[bench] full per-query JSON written to ${dir.resolve("bench_full.json")}" +
+        " (appended to bench_history.jsonl)")
     } catch { case e: Throwable =>
-      System.err.println(s"[bench] could not write bench_full.json: ${e.getMessage}")
+      System.err.println(s"[bench] could not write bench artifacts: ${e.getMessage}")
     }
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)

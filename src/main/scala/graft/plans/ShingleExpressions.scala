@@ -27,10 +27,14 @@ import org.apache.spark.unsafe.types.UTF8String
   * included) across widths; the family's DuckDB oracles are the mass
   * cross-check at both SFs.
   */
-object DistinctShingles {
+/** The token-span walk and shingle-byte assembly shared by
+  * [[DistinctShingles]] and [[AllShingles]] — one definition of the
+  * tokenization (single-space separators, empties skipped) so the
+  * shingle family cannot silently diverge from itself (review r11). */
+private[plans] object ShingleScan {
 
-  def compute(s: UTF8String, n: Int): GenericArrayData = {
-    val b = s.getBytes
+  /** (starts, ends, m): spans of the space-separated non-empty tokens. */
+  def tokenSpans(b: Array[Byte]): (Array[Int], Array[Int], Int) = {
     val len = b.length
     var cap = 16
     var starts = new Array[Int](cap)
@@ -52,24 +56,40 @@ object DistinctShingles {
         m += 1
       }
     }
+    (starts, ends, m)
+  }
+
+  /** Byte-copied single-space-joined window of `n` tokens starting at
+    * span index `k` — no java.lang.String round-trip. */
+  def window(b: Array[Byte], starts: Array[Int], ends: Array[Int],
+             k: Int, n: Int): UTF8String = {
+    var outLen = n - 1 // single-space separators
+    var t = k
+    while (t < k + n) { outLen += ends(t) - starts(t); t += 1 }
+    val out = new Array[Byte](outLen)
+    var pos = 0
+    t = k
+    while (t < k + n) {
+      if (t > k) { out(pos) = ' '; pos += 1 }
+      val l = ends(t) - starts(t)
+      System.arraycopy(b, starts(t), out, pos, l)
+      pos += l
+      t += 1
+    }
+    UTF8String.fromBytes(out)
+  }
+}
+
+object DistinctShingles {
+
+  def compute(s: UTF8String, n: Int): GenericArrayData = {
+    val b = s.getBytes
+    val (starts, ends, m) = ShingleScan.tokenSpans(b)
     if (m < n) return new GenericArrayData(new Array[Any](0))
     val set = new java.util.LinkedHashSet[UTF8String]()
     var k = 0
     while (k <= m - n) {
-      var outLen = n - 1 // single-space separators
-      var t = k
-      while (t < k + n) { outLen += ends(t) - starts(t); t += 1 }
-      val out = new Array[Byte](outLen)
-      var pos = 0
-      t = k
-      while (t < k + n) {
-        if (t > k) { out(pos) = ' '; pos += 1 }
-        val l = ends(t) - starts(t)
-        System.arraycopy(b, starts(t), out, pos, l)
-        pos += l
-        t += 1
-      }
-      set.add(UTF8String.fromBytes(out))
+      set.add(ShingleScan.window(b, starts, ends, k, n))
       k += 1
     }
     val arr = new Array[Any](set.size)
@@ -91,45 +111,12 @@ object AllShingles {
 
   def compute(s: UTF8String, n: Int): GenericArrayData = {
     val b = s.getBytes
-    val len = b.length
-    var cap = 16
-    var starts = new Array[Int](cap)
-    var ends = new Array[Int](cap)
-    var m = 0
-    var i = 0
-    while (i < len) {
-      while (i < len && b(i) == ' ') i += 1
-      val st = i
-      while (i < len && b(i) != ' ') i += 1
-      if (i > st) {
-        if (m == cap) {
-          cap *= 2
-          starts = java.util.Arrays.copyOf(starts, cap)
-          ends = java.util.Arrays.copyOf(ends, cap)
-        }
-        starts(m) = st
-        ends(m) = i
-        m += 1
-      }
-    }
+    val (starts, ends, m) = ShingleScan.tokenSpans(b)
     if (m < n) return new GenericArrayData(new Array[Any](0))
     val arr = new Array[Any](m - n + 1)
     var k = 0
     while (k <= m - n) {
-      var outLen = n - 1 // single-space separators
-      var t = k
-      while (t < k + n) { outLen += ends(t) - starts(t); t += 1 }
-      val out = new Array[Byte](outLen)
-      var pos = 0
-      t = k
-      while (t < k + n) {
-        if (t > k) { out(pos) = ' '; pos += 1 }
-        val l = ends(t) - starts(t)
-        System.arraycopy(b, starts(t), out, pos, l)
-        pos += l
-        t += 1
-      }
-      arr(k) = UTF8String.fromBytes(out)
+      arr(k) = ShingleScan.window(b, starts, ends, k, n)
       k += 1
     }
     new GenericArrayData(arr)

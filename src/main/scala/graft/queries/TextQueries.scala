@@ -1361,8 +1361,8 @@ object TextQueries {
          |m$i AS MATERIALIZED (SELECT lhs, rhs, pair_cnt FROM p$i ORDER BY pair_cnt DESC, lhs, rhs LIMIT 1),
          |st$i AS MATERIALIZED (
          |  SELECT replace(s,
-         |           '|' || (SELECT lhs FROM m$i) || '|' || (SELECT rhs FROM m$i) || '|',
-         |           '|' || (SELECT lhs FROM m$i) || (SELECT rhs FROM m$i) || '|') AS s,
+         |           coalesce('|' || (SELECT lhs FROM m$i) || '|' || (SELECT rhs FROM m$i) || '|', '~~'),
+         |           coalesce('|' || (SELECT lhs FROM m$i) || (SELECT rhs FROM m$i) || '|', '~~')) AS s,
          |         cnt
          |  FROM st${i - 1})""".stripMargin
     }.mkString(",\n")
@@ -1417,10 +1417,16 @@ object TextQueries {
 
   val qBpeTrainApplySql: String = {
     val nMerges = 12
+    // each round guards against an exhausted training run (m$i empty): the
+    // scalar subqueries go NULL and a bare replace(s, NULL, NULL) would
+    // NULL-poison the whole chain and return zero rows (review r11);
+    // COALESCE substitutes a pattern that can never match a word state
+    // (states are [a-z|] only), making the round a no-op — exactly the
+    // Scala loop's graceful stop
     val enc = (1 to nMerges).foldLeft("s") { (e, i) =>
       s"""replace($e,
-         |  '|' || (SELECT lhs FROM m$i) || '|' || (SELECT rhs FROM m$i) || '|',
-         |  '|' || (SELECT lhs FROM m$i) || (SELECT rhs FROM m$i) || '|')""".stripMargin
+         |  coalesce('|' || (SELECT lhs FROM m$i) || '|' || (SELECT rhs FROM m$i) || '|', '~~'),
+         |  coalesce('|' || (SELECT lhs FROM m$i) || (SELECT rhs FROM m$i) || '|', '~~'))""".stripMargin
     }
     s"""WITH ${bpeTrainSqlCtes(topWords = 256, nMerges = nMerges)},
        |sepd AS MATERIALIZED (
