@@ -29,7 +29,7 @@ object SimilarityQueries {
   /** DuckDB mirror of the quantization (exploded formulation — equivalent
     * to the Spark side's array folds because integer addition is
     * associative). */
-  private val FlatSqlCte: String =
+  private[queries] val FlatSqlCte: String =
     """flat AS (
       |  SELECT vec_id, i AS pos,
       |         CAST(floor(CAST(embedding[i] AS DOUBLE) * 1048576) AS BIGINT) AS vq
@@ -351,7 +351,7 @@ object SimilarityQueries {
     * sample-trained path — while the final assignment stays full-corpus;
     * the seed set is a prefix of the sample by construction, so the seed
     * CTE is shared. */
-  private def lloydSqlCtes(nCells: Int, iters: Int, trainSample: Int = 0): String = {
+  private[queries] def lloydSqlCtes(nCells: Int, iters: Int, trainSample: Int = 0): String = {
     val sampJoin =
       if (trainSample > 0) " JOIN samp s ON s.vec_id = f.vec_id" else ""
     val sampCte =

@@ -488,7 +488,71 @@ object StreamQueries {
       |GROUP BY 1, 2
       |ORDER BY 1, 2""".stripMargin
 
+  /** Streaming VECTOR ingestion (round 11) — the online half of the ANN
+    * serving story: embeddings arrive as a stream and are assigned to the
+    * FROZEN IVF centroid matrix at arrival (the production pattern: train
+    * the index offline, route every new vector online). The assignment is
+    * the same row-local `argmin_cell` codegen kernel the batch index
+    * uses, with the centroid matrix riding in the streaming plan as one
+    * reference object — stateless map-only streaming, so no watermark and
+    * no keyed state; the checkpointed parquet sink makes the pipeline
+    * exactly-once. Read-back aggregates to per-cell occupancy
+    * (n_vecs, exact integer Σ‖vq‖²) — the stats an index maintainer
+    * watches for cell skew. The oracle replays index build + assignment
+    * through the shared [[SimilarityQueries.lloydSqlCtes]] chain: the
+    * streamed result must be indistinguishable from batch. */
+  def qStreamVecAssign(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = workBase(spark, sfDir, "vecassign")
+    rm(base)
+    val inDir = new File(base, "in").getAbsolutePath
+    val outDir = new File(base, "out").getAbsolutePath
+    val ckpt = new File(base, "ckpt").getAbsolutePath
+
+    val emb = t(spark, sfDir, "embeddings")
+    // offline: the frozen index (bounded driver-side centroid matrix)
+    val (cents, _) = graft.operators.Similarity
+      .ivfIndexQ(emb, "vec_id", "embedding", nCells = 16, iters = 2)
+    val sorted = cents.sortBy(_._1)
+    emb.select(col("vec_id"), col("embedding"))
+      .write.mode("overwrite").parquet(inDir)
+
+    // online: map-only assignment of arriving vectors to frozen cells
+    val stream = spark.readStream
+      .schema("vec_id LONG, embedding ARRAY<FLOAT>")
+      .parquet(inDir)
+      .select(col("vec_id"),
+        graft.plans.VectorExpressions.quantizeVec(col("embedding")).as("vq"))
+      .select(col("vec_id"),
+        graft.plans.VectorExpressions
+          .argminCell(col("vq"), sorted.map(_._1), sorted.map(_._2)).as("cell"),
+        graft.plans.VectorExpressions.longDot(col("vq"), col("vq")).as("n2"))
+    val q = stream.writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    spark.read.parquet(outDir)
+      .groupBy("cell")
+      .agg(count(lit(1)).as("n_vecs"), sum(col("n2")).as("sum_norm2"))
+      .orderBy("cell")
+  }
+
+  /** Oracle: batch index build + assignment via the shared Lloyd chain. */
+  lazy val qStreamVecAssignSql: String =
+    s"""WITH ${SimilarityQueries.FlatSqlCte},
+       |${SimilarityQueries.lloydSqlCtes(nCells = 16, iters = 2)},
+       |norms AS (SELECT vec_id, CAST(sum(vq * vq) AS BIGINT) AS norm2 FROM flat GROUP BY 1)
+       |SELECT a.cell, count(*) AS n_vecs, CAST(sum(n.norm2) AS BIGINT) AS sum_norm2
+       |FROM afin a JOIN norms n ON n.vec_id = a.vec_id
+       |GROUP BY a.cell
+       |ORDER BY a.cell""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stream_vec_assign" -> (qStreamVecAssign _),
     "q_stream_enrich" -> (qStreamEnrich _),
     "q_stream_neardup" -> (qStreamNeardup _),
     "q_stream_tumbling" -> (qStreamTumbling _),
@@ -498,6 +562,7 @@ object StreamQueries {
     "q_stream_decontam" -> (qStreamDecontam _))
 
   val oracles: Map[String, String] = Map(
+    "q_stream_vec_assign" -> qStreamVecAssignSql,
     "q_stream_enrich" -> qStreamEnrichSql,
     // the streaming candidate set must be indistinguishable from the
     // batch banding self-join — same SQL as q_minhash_lsh

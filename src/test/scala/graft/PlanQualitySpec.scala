@@ -127,6 +127,43 @@ class PlanQualitySpec extends SparkSpec {
     } finally CacheScope.release()
   }
 
+  test("q_dsir_bigram: row-local n-gram features — broadcast model, two-phase, no window shuffle") {
+    val p = plan("q_dsir_bigram")
+    try {
+      assert(p.contains("all_shingles"),
+        s"bigrams must come from the row-local kernel, not a window lead:\n$p")
+      assert(!p.contains("Window"), s"a window shuffle leaked into the feature stream:\n$p")
+      assert(p.contains("BroadcastHashJoin"),
+        s"log-ratio table (<= nBuckets rows) must broadcast:\n$p")
+      assert(p.contains("partial_"), s"per-doc aggregation must be two-phase:\n$p")
+    } finally CacheScope.release()
+  }
+
+  test("q_bpe_train: histogram is two-phase + bounded TakeOrdered, never a global sort") {
+    // the distributed part of training: the word-type count feeding the
+    // driver-side merge loop must be map-side-combined and top-k'd, not
+    // globally sorted (the corpus is scanned exactly once)
+    val docs = Tables.t(spark, TestSpark.Sf0001, "documents")
+    import org.apache.spark.sql.functions._
+    val hist = docs
+      .select(explode(split(lower(col("text")), "\\s+")).as("w"))
+      .filter(col("w").rlike("^[a-z]+$"))
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("w").asc)
+      .limit(256)
+    val p = hist.queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"), s"top-k must be distributed:\n$p")
+    assert(p.contains("partial_"), s"histogram must be two-phase:\n$p")
+  }
+
+  test("q_embed_clusters: bucket equi-join pairs, no all-pairs, no cartesian in CC") {
+    val p = plan("q_embed_clusters")
+    try {
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"all-pairs join in embedding clustering:\n$p")
+    } finally CacheScope.release()
+  }
+
   test("q_jaccard_pairs: inverted-index self-join is hash, not sort-merge (r11)") {
     val p = plan("q_jaccard_pairs")
     try {
