@@ -121,33 +121,52 @@ object SeqQueries {
     * Scale shape: identical to the kmer family — doc-local kernel fused
     * into the scan, narrow range partition before the explode, partition-
     * local sort on the full key. */
-  def qMinimizers(spark: SparkSession, sfDir: String): DataFrame =
+  private def minimizersQuery(spark: SparkSession, sfDir: String,
+                              k: Int, w: Int): DataFrame =
     t(spark, sfDir, "documents")
       .select(col("doc_id"), col("text"))
       .repartitionByRange(col("doc_id"))
       .select(col("doc_id"),
         explode(graft.plans.SeqExpressions
-          .minimizerCounts(surrogate(col("text")), 5, 4))
+          .minimizerCounts(surrogate(col("text")), k, w))
           .as(Seq("minimizer", "n_win")))
       .sortWithinPartitions("doc_id", "minimizer")
 
-  val qMinimizersSql: String =
-    """WITH seqs AS (SELECT doc_id, upper(replace(text,' ','')) AS s FROM documents),
-      |grams AS (
-      |  SELECT doc_id, i,
-      |         CASE WHEN substr(s, i, 5) NOT LIKE '%N%' THEN substr(s, i, 5) END AS g,
-      |         length(s) - 4 AS p
-      |  FROM seqs, LATERAL unnest(generate_series(1, length(s) - 4)) AS t(i)),
-      |wins AS (
-      |  SELECT doc_id, i, p,
-      |         min(g) OVER (PARTITION BY doc_id ORDER BY i
-      |                      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS m
-      |  FROM grams)
-      |SELECT doc_id, m AS minimizer, count(*) AS n_win
-      |FROM wins
-      |WHERE i <= p - 3 AND m IS NOT NULL
-      |GROUP BY doc_id, m
-      |ORDER BY doc_id, minimizer""".stripMargin
+  def qMinimizers(spark: SparkSession, sfDir: String): DataFrame =
+    minimizersQuery(spark, sfDir, k = 5, w = 4)
+
+  /** The relational replay, parameterized on (k, w): per-position grams,
+    * ROWS-frame window min with invalid (N) grams as NULLs, full windows
+    * only, count per distinct minimizer. */
+  private def minimizersSql(k: Int, w: Int): String =
+    s"""WITH seqs AS (SELECT doc_id, upper(replace(text,' ','')) AS s FROM documents),
+       |grams AS (
+       |  SELECT doc_id, i,
+       |         CASE WHEN substr(s, i, $k) NOT LIKE '%N%' THEN substr(s, i, $k) END AS g,
+       |         length(s) - ${k - 1} AS p
+       |  FROM seqs, LATERAL unnest(generate_series(1, length(s) - ${k - 1})) AS t(i)),
+       |wins AS (
+       |  SELECT doc_id, i, p,
+       |         min(g) OVER (PARTITION BY doc_id ORDER BY i
+       |                      ROWS BETWEEN CURRENT ROW AND ${w - 1} FOLLOWING) AS m
+       |  FROM grams)
+       |SELECT doc_id, m AS minimizer, count(*) AS n_win
+       |FROM wins
+       |WHERE i <= p - ${w - 1} AND m IS NOT NULL
+       |GROUP BY doc_id, m
+       |ORDER BY doc_id, minimizer""".stripMargin
+
+  val qMinimizersSql: String = minimizersSql(k = 5, w = 4)
+
+  /** The WIDE-k minimizer path (k > 8 — minimap2's regime; here k=15,
+    * w=10) under its own oracle gate: same query shape, but the kernel
+    * takes the round-11 byte-compare-deque branch instead of the packed-
+    * Long one (the packed path physically cannot represent k=15). The
+    * parameterized oracle replays it with 15-char grams. */
+  def qMinimizersWide(spark: SparkSession, sfDir: String): DataFrame =
+    minimizersQuery(spark, sfDir, k = 15, w = 10)
+
+  val qMinimizersWideSql: String = minimizersSql(k = 15, w = 10)
 
   def qCodonExplode(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = t(spark, sfDir, "documents").select(col("doc_id"), col("text"))
@@ -632,6 +651,7 @@ object SeqQueries {
     "q_seq_stats" -> (qSeqStats _),
     "q_kmer_explode" -> (qKmerExplode _),
     "q_minimizers" -> (qMinimizers _),
+    "q_minimizers_wide" -> (qMinimizersWide _),
     "q_codon_explode" -> (qCodonExplode _),
     "q_kmer_map" -> (qKmerMap _))
 
@@ -648,6 +668,7 @@ object SeqQueries {
     "q_seq_stats" -> qSeqStatsSql,
     "q_kmer_explode" -> qKmerExplodeSql,
     "q_minimizers" -> qMinimizersSql,
+    "q_minimizers_wide" -> qMinimizersWideSql,
     "q_codon_explode" -> qCodonExplodeSql,
     "q_kmer_map" -> qKmerMapSql)
 }
