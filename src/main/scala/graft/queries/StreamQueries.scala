@@ -537,7 +537,13 @@ object StreamQueries {
 
     spark.read.parquet(outDir)
       .groupBy("cell")
-      .agg(count(lit(1)).as("n_vecs"), sum(col("n2")).as("sum_norm2"))
+      // sum through DECIMAL(38,0) (the repo's exact-sum convention): a
+      // LONG sum of per-vector Σvq² (~2.3e13 typical at unit-scale 64-dim)
+      // closes on Long.MaxValue around ~4e5 worst-case vectors per cell —
+      // exactly the skewed-cell condition this query monitors. The final
+      // BIGINT cast is ANSI-loud if a cell ever exceeds 2^63 (review r11).
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(col("n2").cast("decimal(38,0)")).cast("long").as("sum_norm2"))
       .orderBy("cell")
   }
 

@@ -1298,14 +1298,22 @@ object TextQueries {
     * The DuckDB oracle replays the ENTIRE training run — histogram,
     * every pair-count round, every argmax, every merge application — as
     * `nMerges` unrolled CTE blocks. */
-  private[graft] def bpeTrainMerges(docs: DataFrame, textCol: String,
-                                    topWords: Int, nMerges: Int): Seq[(Int, String, String, Long)] = {
-    val wc: Array[(String, Long)] = docs
+  /** The distributed stage of BPE training: the top-`topWords` word-type
+    * histogram (one corpus scan, two-phase count, bounded TakeOrdered).
+    * Factored out so PlanQualitySpec gates the REAL query's plan, not a
+    * hand-copied replica (review r11). */
+  private[graft] def bpeWordHistogram(docs: DataFrame, textCol: String,
+                                      topWords: Int): DataFrame =
+    docs
       .select(explode(split(lower(col(textCol)), "\\s+")).as("w"))
       .filter(col("w").rlike("^[a-z]+$"))
       .groupBy("w").agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("w").asc)
       .limit(topWords)
+
+  private[graft] def bpeTrainMerges(docs: DataFrame, textCol: String,
+                                    topWords: Int, nMerges: Int): Seq[(Int, String, String, Long)] = {
+    val wc: Array[(String, Long)] = bpeWordHistogram(docs, textCol, topWords)
       .collect().map(r => (r.getString(0), r.getLong(1)))
     var states: Array[(String, Long)] = wc.map { case (w, c) =>
       ("|" + w.split("").mkString("|") + "|", c)

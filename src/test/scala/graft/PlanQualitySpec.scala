@@ -142,25 +142,32 @@ class PlanQualitySpec extends SparkSpec {
   test("q_bpe_train: histogram is two-phase + bounded TakeOrdered, never a global sort") {
     // the distributed part of training: the word-type count feeding the
     // driver-side merge loop must be map-side-combined and top-k'd, not
-    // globally sorted (the corpus is scanned exactly once)
+    // globally sorted (the corpus is scanned exactly once). Asserts on
+    // the REAL query's histogram stage (the shared builder), not a
+    // hand-copied replica (review r11).
     val docs = Tables.t(spark, TestSpark.Sf0001, "documents")
-    import org.apache.spark.sql.functions._
-    val hist = docs
-      .select(explode(split(lower(col("text")), "\\s+")).as("w"))
-      .filter(col("w").rlike("^[a-z]+$"))
-      .groupBy("w").agg(count(lit(1)).as("cnt"))
-      .orderBy(col("cnt").desc, col("w").asc)
-      .limit(256)
+    val hist = graft.queries.TextQueries.bpeWordHistogram(docs, "text", 256)
     val p = hist.queryExecution.executedPlan.toString
     assert(p.contains("TakeOrderedAndProject"), s"top-k must be distributed:\n$p")
     assert(p.contains("partial_"), s"histogram must be two-phase:\n$p")
   }
 
-  test("q_embed_clusters: bucket equi-join pairs, no all-pairs, no cartesian in CC") {
-    val p = plan("q_embed_clusters")
+  test("q_embed_clusters: the pair-generation stage is a bucket equi-join, no all-pairs") {
+    // the CC star rounds run behind localCheckpoint during construction,
+    // so the FINAL plan cannot witness them (review r11) — gate the pair
+    // build, the stage where an all-pairs regression is possible; the CC
+    // rounds' join shapes are pinned by OperatorsSpec's star≡propagation
+    // equivalence on the same operator
+    import org.apache.spark.sql.functions._
+    val pairs = SparkEntry.queries("q_embed_neardup")(spark, TestSpark.Sf0001)
+      .select(col("v1").as("d1"), col("v2").as("d2"))
     try {
+      val p = pairs.queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
-        s"all-pairs join in embedding clustering:\n$p")
+        s"all-pairs join in embedding pair generation:\n$p")
+      assert(p.contains("InMemoryTableScan") || p.contains("SortMergeJoin") ||
+        p.contains("ShuffledHashJoin") || p.contains("BroadcastHashJoin"),
+        s"expected a keyed bucket join:\n$p")
     } finally CacheScope.release()
   }
 
