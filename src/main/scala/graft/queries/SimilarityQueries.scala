@@ -665,6 +665,67 @@ object SimilarityQueries {
        |GROUP BY i.probe_id
        |ORDER BY i.probe_id""".stripMargin
 
+  /** Embedding-space decontamination (round 11) — the SEMANTIC sibling of
+    * the n-gram q_decontaminate: corpus vectors too close (quantized
+    * cosine ≥ 0.3, the family's verification threshold) to ANY held-out
+    * eval vector are dropped before
+    * training, catching paraphrased/reworded eval leakage that n-gram
+    * overlap misses (the reasoning behind embedding-level decontamination
+    * in recent data-curation work — public literature). Eval set =
+    * vec_id < 25 (the fixture's held-out slice); output per label:
+    * (n_total, n_dropped) over the candidate corpus.
+    *
+    * Scale shape: the eval set is SMALL by definition, so it broadcasts
+    * quantized+normed and the scan is one row-local pass per corpus
+    * vector — O(n·|eval|·d) with NO shuffle of the corpus before the
+    * per-label aggregate (the same broadcast-probe shape as
+    * bruteTopKBatchQ); norms computed once per side. Quantized-exact end
+    * to end, so the whole operator is hash-oracled. */
+  def qEmbedDecontam(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = t(spark, sfDir, "embeddings")
+    val evalVecs = broadcast(
+      emb.filter(col("vec_id") < 25)
+        .select(col("vec_id").as("eval_id"), quantArr(col("embedding")).as("evq"))
+        .withColumn("enrm", sqrt(qdot(col("evq"), col("evq")).cast("double")))
+        .filter(col("enrm") > 0d))
+    val corpus = emb.filter(col("vec_id") >= 25)
+      .select(col("vec_id"), col("label"), quantArr(col("embedding")).as("vq"))
+      .withColumn("nrm", sqrt(qdot(col("vq"), col("vq")).cast("double")))
+    val dropped = corpus.filter(col("nrm") > 0d)
+      .crossJoin(evalVecs)
+      .filter(qdot(col("vq"), col("evq")).cast("double") /
+        (col("nrm") * col("enrm")) >= 0.3)
+      .select(col("vec_id")).distinct()
+    corpus.join(dropped.withColumn("__d", lit(1L)), Seq("vec_id"), "left")
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_total"),
+        sum(coalesce(col("__d"), lit(0L))).as("n_dropped"))
+      .orderBy("label")
+  }
+
+  val qEmbedDecontamSql: String =
+    s"""WITH $FlatSqlCte,
+       |norms AS (SELECT vec_id, CAST(sum(vq * vq) AS BIGINT) AS norm2 FROM flat GROUP BY 1),
+       |dots AS (
+       |  SELECT c.vec_id, e.vec_id AS eval_id, CAST(sum(c.vq * e.vq) AS BIGINT) AS dot
+       |  FROM flat c JOIN flat e ON e.pos = c.pos AND e.vec_id < 25 AND c.vec_id >= 25
+       |  GROUP BY 1, 2),
+       |dropped AS (
+       |  SELECT DISTINCT d.vec_id
+       |  FROM dots d
+       |  JOIN norms nc ON nc.vec_id = d.vec_id
+       |  JOIN norms ne ON ne.vec_id = d.eval_id
+       |  WHERE nc.norm2 > 0 AND ne.norm2 > 0
+       |    AND CAST(d.dot AS DOUBLE)
+       |          / (sqrt(CAST(nc.norm2 AS DOUBLE)) * sqrt(CAST(ne.norm2 AS DOUBLE))) >= 0.3)
+       |SELECT em.label, count(*) AS n_total,
+       |       CAST(sum(CASE WHEN dr.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+       |FROM embeddings em
+       |LEFT JOIN dropped dr ON dr.vec_id = em.vec_id
+       |WHERE em.vec_id >= 25
+       |GROUP BY em.label
+       |ORDER BY em.label""".stripMargin
+
   /** Per-label centroids + pairwise label cosine — the cluster-summary op
     * for an embedding pipeline (label drift, near-duplicate classes).
     * Exactness: quantize components (floor(v·2^20)), sum as integers
@@ -767,6 +828,7 @@ object SimilarityQueries {
     "q_embed_centroids" -> (qEmbedCentroids _),
     "q_embed_neardup" -> (qEmbedNeardup _),
     "q_embed_clusters" -> (qEmbedClusters _),
+    "q_embed_decontam" -> (qEmbedDecontam _),
     "q_embed_neardup_rh" -> (qEmbedNeardupRh _),
     "q_simsearch_brute" -> (qSimsearchBrute _),
     "q_ann_ivf" -> (qAnnIvf _),
@@ -782,6 +844,7 @@ object SimilarityQueries {
     "q_embed_centroids" -> qEmbedCentroidsSql,
     "q_embed_neardup" -> qEmbedNeardupSql,
     "q_embed_clusters" -> qEmbedClustersSql,
+    "q_embed_decontam" -> qEmbedDecontamSql,
     "q_embed_neardup_rh" -> qEmbedNeardupRhSql,
     "q_ann_ivf" -> qAnnIvfSql,
     "q_ann_batch" -> qAnnBatchSql,

@@ -40,6 +40,14 @@ class QueriesSmokeSpec extends SparkSpec {
     assert(arms.getLong(0) <= arms.getLong(2))
   }
 
+  test("q_embed_decontam: the drop arm actually fires on the fixture") {
+    import org.apache.spark.sql.functions._
+    val r = graft.queries.SimilarityQueries.qEmbedDecontam(spark, TestSpark.Sf0001)
+      .agg(sum(col("n_dropped")), sum(col("n_total"))).head()
+    assert(r.getLong(0) > 0, "no corpus vector was close to any eval vector — threshold too strict for the fixture")
+    assert(r.getLong(0) < r.getLong(1), "every corpus vector dropped — threshold vacuously low")
+  }
+
   test("q_bpe_train: merges satisfy the training invariant and compose with apply") {
     val rows = graft.queries.TextQueries.qBpeTrain(spark, TestSpark.Sf0001).collect()
     assert(rows.length == 12)
