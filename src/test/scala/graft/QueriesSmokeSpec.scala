@@ -67,6 +67,18 @@ class QueriesSmokeSpec extends SparkSpec {
     assert(rows.map(_.getLong(0)).toSeq == (1L to 12L))
   }
 
+  test("bpeTrainMerges stops gracefully when pair statistics exhaust") {
+    val ss = TestSpark.spark
+    import ss.implicits._
+    // all single-char word types: no adjacent pairs at all
+    val singles = Seq((1L, "a b c"), (2L, "a c")).toDF("doc_id", "text")
+    assert(graft.queries.TextQueries.bpeTrainMerges(singles, "text", 10, 5).isEmpty)
+    // one two-char type: exactly one learnable merge, then exhaustion
+    val one = Seq((1L, "ab a b")).toDF("doc_id", "text")
+    val m = graft.queries.TextQueries.bpeTrainMerges(one, "text", 10, 5)
+    assert(m.map { case (step, a, b, _) => (step, a, b) } == Seq((1, "a", "b")))
+  }
+
   test("q_cms_merge: CMS estimates are overestimates and the top user is exact-heaviest") {
     import org.apache.spark.sql.functions._
     val rows = graft.queries.EventQueries.qCmsMerge(spark, TestSpark.Sf0001).collect()
