@@ -93,7 +93,13 @@ object Bench {
     // sweep or the next round must not destroy the previous record —
     // review r11).
     try {
-      val dir = java.nio.file.Paths.get(sys.props("user.dir"), "target")
+      // artifact anchor: SPARK_GRAFT_BENCH_DIR when set (review r11 — a
+      // Bench run from another working directory should not scatter
+      // artifacts into a stray target/); default stays <cwd>/target, which
+      // is the repo target/ under sbt runMain
+      val dir = sys.env.get("SPARK_GRAFT_BENCH_DIR")
+        .map(java.nio.file.Paths.get(_))
+        .getOrElse(java.nio.file.Paths.get(sys.props("user.dir"), "target"))
       java.nio.file.Files.createDirectories(dir)
       val bytes = (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8)
       java.nio.file.Files.write(dir.resolve("bench_full.json"), bytes)

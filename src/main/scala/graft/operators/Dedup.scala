@@ -223,7 +223,13 @@ object Dedup {
     // partition count tracks the input scan (×2 for the explode fan-out)
     // with the session setting as the floor: the per-partition hash-join
     // build must fit executor memory at ANY corpus size, and the session
-    // default (sized for oracle SFs) is far too coarse at 1000×
+    // default (sized for oracle SFs) is far too coarse at 1000×.
+    // DELIBERATELY environment-sensitive (review r11): rdd.getNumPartitions
+    // finalizes a plan for the cached frame and keys the count to input
+    // splits (scan bytes / maxPartitionBytes), i.e. to pre-cap DATA VOLUME
+    // — exactly the quantity the hash-join build memory scales with; the
+    // cap's selectivity only ever makes partitions smaller than budgeted.
+    // Values are unaffected either way — this knob is pure physics.
     val p = math.max(
       df.sparkSession.sessionState.conf.numShufflePartitions,
       raw.rdd.getNumPartitions * 2)

@@ -390,13 +390,18 @@ object Similarity {
     val pids = probeIds.distinct // a repeated id would duplicate routing rows
     val (cents, _) = ivfIndexQ(emb, idCol, vecCol, nCells, iters)
     val sorted = cents.sortBy(_._1)
-    val probeVecs: Map[Long, Array[Long]] =
+    val probeVecRows =
       emb.filter(col(idCol).isInCollection(pids))
         .select(col(idCol), quantize(col(vecCol)))
         .collect()
-        .map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
+        .map(r => r.getLong(0) -> r.getSeq[Long](1).toArray)
+    val probeVecs: Map[Long, Array[Long]] = probeVecRows.toMap
     require(probeVecs.keySet == pids.toSet,
       s"probe ids not in the corpus: ${pids.filterNot(probeVecs.contains).mkString(", ")}")
+    // duplicated corpus ids would silently pick one of several vectors per
+    // probe via toMap — fail loudly instead (review r11, bruteTopKBatchQ twin)
+    require(probeVecRows.length == pids.length,
+      s"duplicate corpus rows for probe ids: ${probeVecRows.map(_._1).groupBy(identity).collect { case (id, g) if g.length > 1 => id }.mkString(", ")}")
     // nearest nProbe cells per probe — |probes|·nCells·d driver-side integer
     // ops over data already on the driver; tie → lowest cell id
     val probeRows: Seq[(Long, Int, Seq[Long], Double)] = pids.flatMap { pid =>
@@ -457,6 +462,11 @@ object Similarity {
         }.toSeq
     require(probeRows.map(_._1).toSet == pids.toSet,
       s"probe ids not in the corpus: ${pids.filterNot(probeRows.map(_._1).toSet).mkString(", ")}")
+    // fail loudly on duplicated corpus ids among the probes (review r11):
+    // a duplicated vec_id passes the set check but yields duplicate probe
+    // rows, which would silently duplicate candidates in the top-k
+    require(probeRows.length == pids.length,
+      s"duplicate corpus rows for probe ids: ${probeRows.map(_._1).groupBy(identity).collect { case (id, g) if g.length > 1 => id }.mkString(", ")}")
     val probeTbl = probeRows.toDF("probe_id", "pvq", "pnrm")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("probe_id").orderBy(col("cosine").desc, col("vec_id").asc)
@@ -512,10 +522,17 @@ object Similarity {
   def semanticDedup(emb: DataFrame, idCol: String, vecCol: String,
                     nCells: Int = 0, iters: Int = 2,
                     minCosine: Double = 0.3,
-                    trainSample: Int = -1): DataFrame = {
+                    trainSample: Int = -1,
+                    nRows: Long = -1L): DataFrame = {
+    // adaptive k needs the corpus size: callers that already know n pass
+    // it via nRows so construction stays action-free (review r11 — the
+    // default nCells=0 path otherwise runs one eager count() here)
     val k =
       if (nCells > 0) nCells
-      else math.max(16L, (emb.count() + 19999L) / 20000L).toInt
+      else {
+        val n = if (nRows >= 0L) nRows else emb.count()
+        math.max(16L, (n + 19999L) / 20000L).toInt
+      }
     val sample =
       if (trainSample >= 0) trainSample
       else math.min(math.max(64L * k, 131072L), Int.MaxValue.toLong).toInt
