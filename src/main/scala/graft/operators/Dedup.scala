@@ -136,6 +136,89 @@ object Dedup {
         sum(coalesce(col("__dup"), lit(0L))).as("n_dup_windows"))
   }
 
+  /** Exact substring dedup REMOVAL (the production form of the Lee-et-al.
+    * diagnostic [[windowDupStats]] measures): every overlapping
+    * `windowWords`-token window keeps only its globally FIRST occurrence
+    * (ordered by (id, position)); every other instance of a duplicated
+    * window is a LOSING SPAN, and each document is rewritten with all
+    * tokens covered by a losing span cut out. Suffix arrays are the
+    * single-node formulation; the shuffle-native one is an arg-min per
+    * window hash plus an instances-vs-winners equi-join.
+    *
+    * Returns one row per input doc: (id, n_tokens, n_kept, kept_text) —
+    * kept_text is the surviving tokens re-joined by single spaces (the
+    * tokenizer's normal form), null when no token survives (an exact
+    * duplicate of an earlier doc loses every window) or when the doc had
+    * no tokens at all. Overlapping losing spans union naturally (a token
+    * is cut iff ≥1 losing window covers it), and a doc whose window lost
+    * to an EARLIER position of the same doc self-deduplicates — both
+    * exactly the Lee-et-al. cut semantics.
+    *
+    * Scale shape: window hashing is the row-local [[graft.plans.WindowHashes]]
+    * kernel (raw 16-byte digests — identity-only keys); the global
+    * first-occurrence is ONE map-side-combinable `min(struct(id, pos))`
+    * aggregate on the window hash (never a sort), and losers come from the
+    * instances⋈winners equi-join on the same hash key (co-partitioned, a
+    * window shared f times costs f join rows). The 16× covered-index
+    * fan-out runs over LOSERS ONLY (bounded by duplicated volume, not
+    * corpus size), and only AFFECTED docs explode their tokens for the
+    * rebuild — untouched docs pass through row-locally. The rebuild is the
+    * [[chunkDedup]] `array_sort(collect_list(struct(pos, tok)))` aggregate
+    * — deterministic under any partitioning. At 100 TB this is the same
+    * key/shuffle family as [[windowDupStats]] plus one bounded rebuild. */
+  def substringRewrite(df: DataFrame, idCol: String, textCol: String,
+                       windowWords: Int = 16): DataFrame = {
+    // docs feed the window pass, the affected-token explode, AND the
+    // untouched passthrough — cache so the source scans once
+    val docs = graft.CacheScope.cached(
+      df.select(col(idCol).as("id"), col(textCol).as("__t")))
+    // window instances with their start-token index; cached — consumed by
+    // the winner aggregate and the loser join
+    val wins = graft.CacheScope.cached(docs.select(col("id"),
+      posexplode(graft.plans.WindowHashExpressions.windowHashesRaw(
+        col("__t"), windowWords)).as(Seq("pos", "wh"))))
+    // global first occurrence per window hash — only duplicated windows
+    // (cnt > 1) can produce losers, so singletons drop before the join
+    val winners = wins.groupBy(col("wh"))
+      .agg(min(struct(col("id"), col("pos"))).as("w"), count(lit(1)).as("__cnt"))
+      .filter(col("__cnt") > 1)
+      .select(col("wh"), col("w.id").as("__wid"), col("w.pos").as("__wpos"))
+    val losers = wins.join(winners, Seq("wh"))
+      .filter(col("id") =!= col("__wid") || col("pos") =!= col("__wpos"))
+      .select(col("id"), col("pos"))
+    // token indices covered by ≥1 losing span (distinct = interval union);
+    // cached — feeds the affected-doc set and the rebuild anti-join
+    val covered = graft.CacheScope.cached(losers
+      .select(col("id"),
+        explode(sequence(col("pos"), col("pos") + lit(windowWords - 1))).as("ti"))
+      .distinct())
+    val affected = covered.select(col("id")).distinct()
+    val toks = docs.join(affected, Seq("id"), "left_semi")
+      .select(col("id"), posexplode(tokens(col("__t"))).as(Seq("ti", "tok")))
+    val rebuilt = toks.join(covered, Seq("id", "ti"), "left_anti")
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("ti"), col("tok")))),
+            s => s.getField("tok")), " ").as("kept_text"))
+    val affectedOut = docs.join(affected, Seq("id"), "left_semi")
+      .select(col("id"), size(tokens(col("__t"))).cast("long").as("n_tokens"))
+      .join(rebuilt, Seq("id"), "left")
+      .select(col("id"), col("n_tokens"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"), col("kept_text"))
+    // token array as a materialized attribute — referenced 3× below, and
+    // CollapseProject keeps multiply-referenced non-cheap expressions from
+    // inlining back (the shingleSetsColumnar rule)
+    val untouched = docs.join(affected, Seq("id"), "left_anti")
+      .select(col("id"), tokens(col("__t")).as("__w"))
+      .select(col("id"),
+        size(col("__w")).cast("long").as("n_tokens"),
+        size(col("__w")).cast("long").as("n_kept"),
+        when(size(col("__w")) > 0, array_join(col("__w"), " "))
+          .otherwise(lit(null).cast("string")).as("kept_text"))
+    affectedOut.unionByName(untouched)
+  }
+
   /** Default document-frequency cap: a shingle appearing in more documents
     * than this is dropped before any self-join. A shingle shared by f docs
     * emits f² join rows, so one boilerplate phrase ("all rights reserved")

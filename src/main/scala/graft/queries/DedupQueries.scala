@@ -451,6 +451,55 @@ object DedupQueries {
       |       CAST(sum(CASE WHEN n_dup_windows > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_hit
       |FROM per_doc GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** Substring dedup REMOVAL ([[graft.operators.Dedup.substringRewrite]],
+    * round 12 — the production operator behind the [[qSubstringDup]]
+    * diagnostic): per doc, token counts before/after cutting every
+    * non-first occurrence of a duplicated 16-token window, and the md5 of
+    * the rewritten text — proving the reconstruction bit-exact without
+    * dumping full text (the q_chunk_dedup readout convention). Scale notes
+    * live on the operator (arg-min per window hash + loser-only fan-out —
+    * the shuffle-native suffix-array replacement Lee et al. describe). */
+  def qSubstringRewrite(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    graft.operators.Dedup
+      .substringRewrite(t(spark, sfDir, "documents"), "doc_id", "text", windowWords = 16)
+      .select(col("id").as("doc_id"), col("n_tokens"), col("n_kept"),
+        md5(col("kept_text").cast("binary")).as("kept_md5"))
+      .orderBy("doc_id")
+  }
+
+  val qSubstringRewriteSql: String =
+    """WITH toked AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS tk
+      |  FROM documents),
+      |sized AS (SELECT doc_id, tk, len(tk) AS n FROM toked),
+      |wins AS (
+      |  SELECT doc_id, i AS pos,
+      |         md5(array_to_string(list_slice(tk, i + 1, i + 16), ' ')) AS wh
+      |  FROM sized, LATERAL unnest(generate_series(0, n - 16)) AS g(i)
+      |  WHERE n >= 16),
+      |ranked AS (
+      |  SELECT doc_id, pos,
+      |         row_number() OVER (PARTITION BY wh ORDER BY doc_id, pos) AS rn
+      |  FROM wins),
+      |cover AS (
+      |  SELECT DISTINCT doc_id, pos + j AS ti
+      |  FROM ranked, LATERAL unnest(generate_series(0, 15)) AS t(j)
+      |  WHERE rn > 1),
+      |toks AS (
+      |  SELECT doc_id, i - 1 AS ti, tk[i] AS tok
+      |  FROM sized, LATERAL unnest(generate_series(1, n)) AS t(i)),
+      |kept AS (
+      |  SELECT t.doc_id, count(*) AS n_kept,
+      |         md5(string_agg(t.tok, ' ' ORDER BY t.ti)) AS kept_md5
+      |  FROM toks t LEFT JOIN cover c ON c.doc_id = t.doc_id AND c.ti = t.ti
+      |  WHERE c.ti IS NULL
+      |  GROUP BY t.doc_id)
+      |SELECT s.doc_id, CAST(s.n AS BIGINT) AS n_tokens,
+      |       coalesce(k.n_kept, 0) AS n_kept, k.kept_md5
+      |FROM sized s LEFT JOIN kept k ON k.doc_id = s.doc_id
+      |ORDER BY s.doc_id""".stripMargin
+
   /** PageRank over the cross-source duplication graph
     * ([[graft.operators.LinkAnalysis.pagerank]]): two sources are linked
     * iff they share a duplicated 16-token window (the
@@ -633,6 +682,7 @@ object DedupQueries {
     "q_edit_distance" -> (qEditDistance _),
     "q_chunk_dedup" -> (qChunkDedup _),
     "q_substring_dup" -> (qSubstringDup _),
+    "q_substring_rewrite" -> (qSubstringRewrite _),
     "q_source_pagerank" -> (qSourcePagerank _),
     "q_jaccard_pairs" -> (qJaccardPairs _),
     "q_minhash_lsh" -> (qMinhashLsh _),
@@ -647,6 +697,7 @@ object DedupQueries {
     "q_edit_distance" -> qEditDistanceSql,
     "q_chunk_dedup" -> qChunkDedupSql,
     "q_substring_dup" -> qSubstringDupSql,
+    "q_substring_rewrite" -> qSubstringRewriteSql,
     "q_source_pagerank" -> qSourcePagerankSql,
     "q_jaccard_pairs" -> qJaccardPairsSql,
     "q_minhash_lsh" -> qMinhashLshSql,

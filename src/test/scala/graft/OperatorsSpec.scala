@@ -807,6 +807,47 @@ class OperatorsSpec extends SparkSpec {
     } finally CacheScope.release()
   }
 
+  test("substringRewrite: losing spans cut, first occurrence intact, self-dedup works") {
+    val df = Seq(
+      (1L, "a b c d e"),          // first occurrence of all its windows
+      (2L, "a b c d e"),          // exact dup — loses both windows, all tokens cut
+      (3L, "z a b c d w"),        // window (a b c d) at pos 1 loses to doc 1 pos 0
+      (4L, "m n o p m n o p"),    // pos-4 window repeats pos 0 WITHIN the doc
+      (5L, "a b c"),              // shorter than one window — untouched
+      (6L, "p  q   r s t")        // untouched, but spacing normalizes
+    ).toDF("doc_id", "text")
+    val out = Dedup.substringRewrite(df, "doc_id", "text", windowWords = 4)
+      .orderBy("id").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) null else r.getString(3)))).toMap
+    try {
+      assert(out(1L) == ((5L, 5L, "a b c d e")))
+      assert(out(2L) == ((5L, 0L, null)))            // fully removed
+      assert(out(3L) == ((6L, 2L, "z w")))           // span [1,5) cut
+      assert(out(4L) == ((8L, 4L, "m n o p")))       // within-doc repeat cut
+      assert(out(5L) == ((3L, 3L, "a b c")))
+      assert(out(6L) == ((5L, 5L, "p q r s t")))
+    } finally CacheScope.release()
+  }
+
+  test("substringRewrite: overlapping losing spans union; winner chosen by (id, pos)") {
+    // doc 11 holds the two source windows; doc 12 contains both as
+    // OVERLAPPING spans — covered indices union, no double-cut
+    val df = Seq(
+      (11L, "a b c d x p q r s"),          // windows incl (a b c d), (p q r s)... w=4
+      (12L, "a b c d p q r s tail1 tail2 tail3")
+    ).toDF("doc_id", "text")
+    val out = Dedup.substringRewrite(df, "doc_id", "text", windowWords = 4)
+      .orderBy("id").collect()
+    try {
+      val r11 = out(0); val r12 = out(1)
+      assert(r11.getLong(2) == 9L && r11.getString(3) == "a b c d x p q r s")
+      // doc 12: windows (a b c d)@0 and (p q r s)@4 lose → tokens 0..7 cut
+      assert(r12.getLong(1) == 11L && r12.getLong(2) == 3L &&
+        r12.getString(3) == "tail1 tail2 tail3", s"got ${r12.mkString(",")}")
+    } finally CacheScope.release()
+  }
+
   test("priorityKey: exact integer quotient, weight-monotone") {
     val df = Seq(("k1", 10L), ("k1", 500L), ("k2", 123L), ("k3", 1L))
       .toDF("key", "w")
