@@ -776,6 +776,77 @@ object TextQueries {
       |FROM toks GROUP BY 1, 2
       |ORDER BY doc_id, bucket""".stripMargin
 
+  /** Fixed integer-quantized weights of the linear quality classifier —
+    * drawn once from a pinned seed at plan-build time (the rhPlanesQ
+    * convention), so Spark embeds them as literals and the oracle as a
+    * VALUES table. In production these are the trained fastText/CCNet
+    * coefficients shipped with the pipeline; the INFERENCE shape is
+    * identical. */
+  private lazy val QcWeights: Array[Long] = {
+    val rnd = new scala.util.Random(20250815L)
+    Array.fill(64)(math.floor(rnd.nextGaussian() * 1024d).toLong)
+  }
+
+  /** Model-based quality filtering (round 12) — the CCNet/fastText-shape
+    * LINEAR CLASSIFIER inference stage (Wenzek et al., CCNet; Joulin et
+    * al., fastText — public literature): per doc, hashed-ngram features
+    * (the [[qFeatureHash]] 64-bucket histogram via the row-local
+    * `feature_hist` kernel) dotted with a broadcast integer-quantized
+    * weight vector; docs with positive score pass the filter. Readout is
+    * the per-lang keep funnel (n_docs, n_kept, exact integer Σscore, kept
+    * char mass) — what a pipeline operator watches when tuning the gate.
+    *
+    * Exactness: features are integer counts, weights are integer literals,
+    * so every score is one exact integer dot product — the whole query is
+    * hash-oracle-checkable with zero float hazards.
+    *
+    * Scale shape: feature extraction AND scoring are row-local (one
+    * `feature_hist` byte pass + one 64-term integer dot in whole-stage
+    * codegen — no token explode, no per-doc aggregation exchange, no
+    * vocabulary join); the ONLY shuffle is the |langs|-row funnel
+    * aggregate. This is the optimal 100 TB inference shape: a model small
+    * enough to ride in the plan scores the corpus in a single map pass. */
+  def qQualityClassify(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = array(QcWeights.toIndexedSeq.map(lit): _*)
+    graft.Tables.t(spark, sfDir, "documents")
+      .select(col("lang"), col("n_chars"),
+        graft.plans.VectorExpressions.longDot(
+          graft.plans.TextStatsExpressions.featureHist(col("text"), 64), w)
+          .as("score"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("score") > 0, 1L).otherwise(0L)).as("n_kept"),
+        sum(col("score")).as("sum_score"),
+        sum(when(col("score") > 0, col("n_chars").cast("long")).otherwise(0L))
+          .as("kept_chars"))
+      .orderBy("lang")
+  }
+
+  /** Oracle: explode-form feature hashing (the qFeatureHash hash family)
+    * joined against the same weights as a VALUES table. */
+  lazy val qQualityClassifySql: String = {
+    val wRows = QcWeights.zipWithIndex
+      .map { case (w, b) => s"($b, $w)" }.mkString(", ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS t
+       |  FROM documents),
+       |bc AS (
+       |  SELECT doc_id,
+       |         ((length(t) * 1009 + ascii(t) * 31 + ascii(reverse(t))) % 1000000007) % 64 AS b,
+       |         count(*) AS cnt
+       |  FROM toks GROUP BY 1, 2),
+       |wts(b, w) AS (VALUES $wRows),
+       |scores AS (
+       |  SELECT doc_id, CAST(sum(cnt * w) AS BIGINT) AS score
+       |  FROM bc JOIN wts USING (b) GROUP BY doc_id)
+       |SELECT d.lang, count(*) AS n_docs,
+       |       CAST(sum(CASE WHEN coalesce(s.score, 0) > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |       CAST(sum(coalesce(s.score, 0)) AS BIGINT) AS sum_score,
+       |       CAST(sum(CASE WHEN coalesce(s.score, 0) > 0 THEN d.n_chars ELSE 0 END) AS BIGINT) AS kept_chars
+       |FROM documents d LEFT JOIN scores s ON s.doc_id = d.doc_id
+       |GROUP BY d.lang ORDER BY d.lang""".stripMargin
+  }
+
   /** Deterministic 5-fold assignment ([[graft.operators.Sampling
     * .foldAssign]]) with per-(fold, lang) balance stats — the
     * cross-validation / sharded-eval split where membership is decided by
@@ -1603,6 +1674,7 @@ object TextQueries {
     "q_temperature_sample" -> (qTemperatureSample _),
     "q_kfold" -> (qKfold _),
     "q_feature_hash" -> (qFeatureHash _),
+    "q_quality_classify" -> (qQualityClassify _),
     "q_regex_array" -> (qRegexArray _),
     "q_tfidf" -> (qTfidf _),
     "q_bm25" -> (qBm25 _),
@@ -1636,6 +1708,7 @@ object TextQueries {
     "q_temperature_sample" -> qTemperatureSampleSql,
     "q_kfold" -> qKfoldSql,
     "q_feature_hash" -> qFeatureHashSql,
+    "q_quality_classify" -> qQualityClassifySql,
     "q_regex_array" -> qRegexArraySql,
     "q_tfidf" -> qTfidfSql,
     "q_bm25" -> qBm25Sql,

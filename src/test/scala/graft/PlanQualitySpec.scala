@@ -328,6 +328,20 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.split("Exchange").length - 1 == 1, s"one narrow exchange only:\n$p")
   }
 
+  test("q_quality_classify: row-local inference — one map pass, only the funnel agg exchanges") {
+    val p = plan("q_quality_classify")
+    // feature extraction + scoring must be the native kernels in one map
+    // stage (no token explode, no vocabulary join)
+    assert(p.contains("feature_hist") && p.contains("long_dot"),
+      s"native inference kernels missing:\n$p")
+    assert(!p.contains("Generate"), s"inference must not explode tokens:\n$p")
+    assert(!p.toLowerCase.contains("join"), s"model must ride in the plan, not a join:\n$p")
+    // exchanges: the two-phase funnel aggregate + the 5-row output sort
+    val exchanges = p.split("Exchange").length - 1
+    assert(exchanges <= 2, s"expected agg+sort exchanges only:\n$p")
+    assert(p.split("HashAggregate").length >= 3, s"funnel agg must be two-phase:\n$p")
+  }
+
   test("q_edit_distance: candidates only — no cartesian, texts join on ids") {
     val p = plan("q_edit_distance")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
