@@ -569,6 +569,67 @@ object Similarity {
         when(col("__drop").isNotNull, lit(0L)).otherwise(lit(1L)).as("kept"))
   }
 
+  /** Incremental SEMANTIC dedup (round 12) — the embedding-space analog of
+    * [[Dedup.incrementalStatus]], and the continuous-ingestion shape of
+    * [[semanticDedup]]: a new `batch` arrives against a `standing` corpus;
+    * every batch vector is labeled `near_dup` (quantized cosine ≥
+    * `minCosine` vs SOME standing member of its cell, or vs a smaller-id
+    * batch member of its cell — the asymmetric admission ordering) or
+    * `admitted`. Standing vectors are NEVER paired against each other:
+    * that work was done when the corpus was built.
+    *
+    * The cell structure is the frozen quantized-Lloyd index
+    * ([[ivfIndexQ]], optionally sample-trained) built over
+    * corpus ∪ batch — at real scale the index pre-exists and only the
+    * batch assignment is computed fresh; training here keeps the operator
+    * self-contained AND oracle-replayable through the shared Lloyd chain.
+    *
+    * Returns (id, status) for every batch row; status ∈
+    * {near_dup, admitted}.
+    *
+    * Scale shape: both assignments are row-local `argmin_cell` kernel
+    * passes over the broadcast centroid matrix (no join against an
+    * assignments plan); the pairing join is PROBE-SIDE-ONLY — the cached
+    * batch side is the join's probe relation, so candidate fan-out is
+    * |batch cell rows| × cell density, never corpus². Norms are computed
+    * once per row before the join; zero-norm rows are excluded on both
+    * sides (the NaN-orders-above-threshold guard shared with
+    * [[semanticDedup]]). */
+  def semanticIncrementalStatus(standing: DataFrame, batch: DataFrame,
+                                idCol: String, vecCol: String,
+                                nCells: Int = 32, iters: Int = 2,
+                                minCosine: Double = 0.3,
+                                trainSample: Int = 0): DataFrame = {
+    val uni = standing.select(col(idCol).as("id"), col(vecCol).as("__v"))
+      .unionByName(batch.select(col(idCol).as("id"), col(vecCol).as("__v")))
+    val (cents, _) = ivfIndexQ(uni, "id", "__v", nCells, iters, trainSample)
+    val sorted = cents.sortBy(_._1)
+    def prep(df: DataFrame): DataFrame =
+      df.select(col(idCol).as("id"), quantize(col(vecCol)).as("vq"))
+        .withColumn("cell", graft.plans.VectorExpressions
+          .argminCell(col("vq"), sorted.map(_._1), sorted.map(_._2)))
+        .withColumn("nrm", sqrt(graft.plans.VectorExpressions
+          .longDot(col("vq"), col("vq")).cast("double")))
+    // the batch side feeds the pair join (as probes), the mate union, and
+    // the final status join — cache so quantize+assign runs once
+    val probes = graft.CacheScope.cached(prep(batch))
+    val mates = prep(standing).withColumn("__corp", lit(true))
+      .unionByName(probes.withColumn("__corp", lit(false)))
+    val qdot = graft.plans.VectorExpressions.longDot _
+    val dropped = mates.as("a").join(probes.as("b"),
+        col("a.cell") === col("b.cell") && col("a.id") =!= col("b.id") &&
+          (col("a.__corp") || col("a.id") < col("b.id")) &&
+          col("a.nrm") > 0d && col("b.nrm") > 0d)
+      .filter(qdot(col("a.vq"), col("b.vq")).cast("double") /
+        (col("a.nrm") * col("b.nrm")) >= minCosine)
+      .select(col("b.id").as("id")).distinct()
+    probes.select(col("id"))
+      .join(dropped.withColumn("__drop", lit(1L)), Seq("id"), "left")
+      .select(col("id"),
+        when(col("__drop").isNotNull, lit("near_dup"))
+          .otherwise(lit("admitted")).as("status"))
+  }
+
   /** IVF search: probe the `nProbe` nearest cells only, exact cosine
     * re-rank inside them — the scale path when brute force is too wide. */
   def ivfTopK(emb: DataFrame, idCol: String, vecCol: String,

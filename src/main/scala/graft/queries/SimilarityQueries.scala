@@ -578,6 +578,70 @@ object SimilarityQueries {
        |FROM afin a LEFT JOIN dropped dr ON dr.vec_id = a.vec_id
        |ORDER BY a.vec_id""".stripMargin
 
+  /** Incremental SEMANTIC dedup (round 12,
+    * [[graft.operators.Similarity.semanticIncrementalStatus]]) — the
+    * embedding-space twin of q_incremental_dedup: the corpus/batch split
+    * is the same deterministic 75/25 md5 gate on vec_id, both sides are
+    * assigned to frozen SAMPLE-TRAINED cells (nCells = 32, Lloyd on the 96
+    * lowest-Knuth-hash rows — the q_semdedup_sampled configuration, so the
+    * oracle replays training through the shared [[lloydSqlCtes]] chain),
+    * and every batch vector is labeled near_dup/admitted against standing
+    * cell members and smaller-id batch members ONLY — the corpus never
+    * re-pairs against itself. Readout: per-label admission funnel.
+    *
+    * Scale shape notes live on the operator (probe-side-only pairing;
+    * row-local assignment; the gate is row-local on the id). */
+  def qSemdedupIncremental(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = t(spark, sfDir, "embeddings").select("vec_id", "label", "embedding")
+    val gate = graft.operators.Sampling.gateBelow(col("vec_id").cast("string"), "4")
+    val batch = emb.filter(gate)
+    val standing = emb.filter(!gate)
+    graft.operators.Similarity
+      .semanticIncrementalStatus(standing, batch, "vec_id", "embedding",
+        nCells = 32, iters = 2, minCosine = 0.3, trainSample = 96)
+      .join(batch.select(col("vec_id").as("id"), col("label")), Seq("id"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_batch"),
+        count_if(col("status") === "near_dup").as("n_near_dup"),
+        count_if(col("status") === "admitted").as("n_admitted"))
+      .orderBy("label")
+  }
+
+  lazy val qSemdedupIncrementalSql: String =
+    s"""WITH $FlatSqlCte,
+       |${lloydSqlCtes(nCells = 32, iters = 2, trainSample = 96)},
+       |bx AS (
+       |  SELECT vec_id FROM embeddings
+       |  WHERE substr(md5(CAST(vec_id AS VARCHAR)), 1, 1) < '4'),
+       |norms AS (SELECT vec_id, CAST(sum(vq * vq) AS BIGINT) AS norm2 FROM flat GROUP BY 1),
+       |cpairs AS (
+       |  SELECT a.vec_id AS other, b.vec_id AS probe
+       |  FROM afin a JOIN afin b ON a.cell = b.cell AND a.vec_id <> b.vec_id
+       |  WHERE b.vec_id IN (SELECT vec_id FROM bx)
+       |    AND (a.vec_id NOT IN (SELECT vec_id FROM bx) OR a.vec_id < b.vec_id)),
+       |cdots AS (
+       |  SELECT p.other, p.probe, CAST(sum(f1.vq * f2.vq) AS BIGINT) AS dot
+       |  FROM cpairs p
+       |  JOIN flat f1 ON f1.vec_id = p.other
+       |  JOIN flat f2 ON f2.vec_id = p.probe AND f2.pos = f1.pos
+       |  GROUP BY 1, 2),
+       |dropped AS (
+       |  SELECT DISTINCT d.probe
+       |  FROM cdots d
+       |  JOIN norms n1 ON n1.vec_id = d.other
+       |  JOIN norms n2 ON n2.vec_id = d.probe
+       |  WHERE n1.norm2 > 0 AND n2.norm2 > 0
+       |    AND CAST(d.dot AS DOUBLE)
+       |          / (sqrt(CAST(n1.norm2 AS DOUBLE)) * sqrt(CAST(n2.norm2 AS DOUBLE))) >= 0.3)
+       |SELECT e.label, count(*) AS n_batch,
+       |       CAST(sum(CASE WHEN dr.probe IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_near_dup,
+       |       CAST(sum(CASE WHEN dr.probe IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_admitted
+       |FROM embeddings e
+       |JOIN bx ON bx.vec_id = e.vec_id
+       |LEFT JOIN dropped dr ON dr.probe = e.vec_id
+       |GROUP BY e.label
+       |ORDER BY e.label""".stripMargin
+
   /** ANN recall@10 — the IVF quality surface the index has lacked a
     * declared query for (VERDICT r10 item 3): for each of 5 probes, how
     * many of the IVF top-10 ([[graft.operators.Similarity.ivfTopKBatchQ]],
@@ -835,7 +899,8 @@ object SimilarityQueries {
     "q_ann_batch" -> (qAnnBatch _),
     "q_ann_recall" -> (qAnnRecall _),
     "q_semdedup" -> (qSemdedup _),
-    "q_semdedup_sampled" -> (qSemdedupSampled _))
+    "q_semdedup_sampled" -> (qSemdedupSampled _),
+    "q_semdedup_incremental" -> (qSemdedupIncremental _))
 
   val oracles: Map[String, String] = Map(
     "q_vector_quantize" -> qVectorQuantizeSql,
@@ -850,5 +915,6 @@ object SimilarityQueries {
     "q_ann_batch" -> qAnnBatchSql,
     "q_ann_recall" -> qAnnRecallSql,
     "q_semdedup" -> qSemdedupSql,
-    "q_semdedup_sampled" -> qSemdedupSampledSql)
+    "q_semdedup_sampled" -> qSemdedupSampledSql,
+    "q_semdedup_incremental" -> qSemdedupIncrementalSql)
 }

@@ -807,6 +807,25 @@ class OperatorsSpec extends SparkSpec {
     } finally CacheScope.release()
   }
 
+  test("semanticIncrementalStatus: standing mates drop probes; batch-batch only by smaller id") {
+    val standing = Seq(
+      (100L, Array(1f, 0f)),
+      (101L, Array(0f, 1f))).toDF("vec_id", "embedding")
+    val batch = Seq(
+      (0L, Array(0.69f, 0.71f)),  // near 2 and 3 — but both have LARGER ids → admitted
+      (1L, Array(0.99f, 0.1f)),   // cos ≈ 0.995 vs standing 100 → near_dup
+      (2L, Array(0.7f, 0.7f)),    // no standing mate ≥ 0.9; smaller-id mate 0 ≈ 0.9999 → near_dup
+      (3L, Array(0.71f, 0.69f))   // near batch 0 and 2 (both smaller) → near_dup
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.semanticIncrementalStatus(standing, batch,
+        "vec_id", "embedding", nCells = 1, iters = 1, minCosine = 0.9)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    try {
+      assert(out == Map(0L -> "admitted", 1L -> "near_dup",
+        2L -> "near_dup", 3L -> "near_dup"), s"got $out")
+    } finally CacheScope.release()
+  }
+
   test("substringRewrite: losing spans cut, first occurrence intact, self-dedup works") {
     val df = Seq(
       (1L, "a b c d e"),          // first occurrence of all its windows

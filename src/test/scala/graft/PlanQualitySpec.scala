@@ -108,6 +108,21 @@ class PlanQualitySpec extends SparkSpec {
     } finally CacheScope.release()
   }
 
+  test("q_semdedup_incremental: probe-side-only cell equi-join, never all-pairs") {
+    val p = plan("q_semdedup_incremental")
+    try {
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"all-pairs join in incremental semantic dedup:\n$p")
+      // probe-side-only: the pairing join's probe relation is the CACHED
+      // batch side (read again by the status join) — the standing corpus
+      // must never self-join (it appears exactly once under the pair join)
+      assert(p.split("InMemoryTableScan").length - 1 >= 2,
+        s"batch cache not reused as probe side + status join:\n$p")
+      // the md5 admission gate is row-local on the id
+      assert(p.contains("md5_prefix"), s"row-local gate missing:\n$p")
+    } finally CacheScope.release()
+  }
+
   test("q_ann_batch: probe routing broadcasts, per-probe top-k is group-limited") {
     val p = plan("q_ann_batch")
     assert(p.contains("BroadcastHashJoin"),
