@@ -557,8 +557,132 @@ object StreamQueries {
        |GROUP BY a.cell
        |ORDER BY a.cell""".stripMargin
 
+  /** STREAMING SemDeDup admission (round 12) — the online half of
+    * q_semdedup_incremental, and the keep/drop extension of
+    * q_stream_vec_assign's occupancy readout: new embeddings arrive as a
+    * stream, each is assigned to its FROZEN cell row-locally
+    * (`argmin_cell` over the centroid reference object, exactly the
+    * q_stream_vec_assign path) and compared against the STANDING members
+    * of that cell via a stream-static equi-join on the cell id — a batch
+    * vector is dropped iff some standing member clears quantized cosine
+    * ≥ 0.3. Standing-only mates make the per-vector verdict independent
+    * of micro-batch boundaries, so the streamed result is PROVABLY
+    * indistinguishable from the batch replay (the oracle) under any
+    * batching — the property that lets the sink stay append-only with no
+    * cross-batch state. (Admitted vectors join the standing set at the
+    * next index refresh — the production cadence; in-flight batch-batch
+    * ordering is the BATCH operator's job, q_semdedup_incremental.)
+    *
+    * Scale shape: the stream never shuffles before the sink — assignment
+    * is map-only, the standing side is CACHED static state keyed by cell
+    * (uncached it would re-execute its scan+assign plan every
+    * micro-batch), zero-norm rows are structurally excluded from the join
+    * (the NaN guard), and the per-batch `foreachBatch` partial fold
+    * collapses the join fan-out to |labels| rows per batch with
+    * batch-overwrite idempotent sinks (the q_stream_decontam recipe). */
+  def qStreamSemdedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = workBase(spark, sfDir, "semdedup")
+    rm(base)
+    val inDir = new File(base, "in").getAbsolutePath
+    val outDir = new File(base, "out").getAbsolutePath
+    val ckpt = new File(base, "ckpt").getAbsolutePath
+
+    val emb = t(spark, sfDir, "embeddings")
+    val gate = graft.operators.Sampling.gateBelow(col("vec_id").cast("string"), "4")
+    // offline: the frozen index over the corpus snapshot (bounded
+    // driver-side centroid matrix — the q_stream_vec_assign convention)
+    val (cents, _) = graft.operators.Similarity
+      .ivfIndexQ(emb, "vec_id", "embedding", nCells = 16, iters = 2)
+    val sorted = cents.sortBy(_._1)
+    val qdot = graft.plans.VectorExpressions.longDot _
+    def assign(df: DataFrame): DataFrame = df
+      .select(col("vec_id"), col("label"),
+        graft.plans.VectorExpressions.quantizeVec(col("embedding")).as("vq"))
+      .withColumn("cell", graft.plans.VectorExpressions
+        .argminCell(col("vq"), sorted.map(_._1), sorted.map(_._2)))
+      .withColumn("nrm", sqrt(qdot(col("vq"), col("vq")).cast("double")))
+    // static standing members keyed by cell; zero-norm members excluded
+    // (cosine to them is undefined and must not drop anything)
+    val standing = graft.CacheScope.cached(assign(emb.filter(!gate))
+      .filter(col("nrm") > 0d)
+      .select(col("cell").as("scell"), col("vq").as("svq"), col("nrm").as("snrm")))
+
+    emb.filter(gate).select(col("vec_id"), col("label"), col("embedding"))
+      .write.mode("overwrite").parquet(inDir)
+
+    val stream = spark.readStream
+      .schema("vec_id LONG, label INT, embedding ARRAY<FLOAT>")
+      .parquet(inDir)
+    // zero-norm PROBES stay in the stream (they must be counted admitted)
+    // but match no standing row — the nrm > 0 join predicate guards the
+    // NaN-orders-above-threshold hazard structurally
+    val scored = assign(stream)
+      .join(standing,
+        col("cell") === col("scell") && col("nrm") > 0d, "left_outer")
+      .select(col("vec_id"), col("label"),
+        when(col("svq").isNotNull &&
+          qdot(col("vq"), col("svq")).cast("double") /
+            (col("nrm") * col("snrm")) >= 0.3, 1L).otherwise(0L).as("hit"))
+    val q = scored.writeStream
+      .foreachBatch { (df: DataFrame, batchId: Long) =>
+        df.groupBy("vec_id", "label").agg(max(col("hit")).as("dropped"))
+          .groupBy("label")
+          .agg(count(lit(1)).as("n_part"), sum(col("dropped")).as("drop_part"))
+          .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    spark.read.parquet(outDir)
+      .groupBy("label")
+      .agg(sum(col("n_part")).as("n_batch"), sum(col("drop_part")).as("n_dropped"))
+      .select(col("label"), col("n_batch"), col("n_dropped"),
+        (col("n_batch") - col("n_dropped")).as("n_admitted"))
+      .orderBy("label")
+  }
+
+  /** Oracle: the batch replay — frozen index via the shared Lloyd chain,
+    * drop iff a STANDING (non-batch) cell mate clears cosine ≥ 0.3. */
+  lazy val qStreamSemdedupSql: String =
+    s"""WITH ${SimilarityQueries.FlatSqlCte},
+       |${SimilarityQueries.lloydSqlCtes(nCells = 16, iters = 2)},
+       |bx AS (
+       |  SELECT vec_id FROM embeddings
+       |  WHERE substr(md5(CAST(vec_id AS VARCHAR)), 1, 1) < '4'),
+       |norms AS (SELECT vec_id, CAST(sum(vq * vq) AS BIGINT) AS norm2 FROM flat GROUP BY 1),
+       |cpairs AS (
+       |  SELECT a.vec_id AS other, b.vec_id AS probe
+       |  FROM afin a JOIN afin b ON a.cell = b.cell
+       |  WHERE b.vec_id IN (SELECT vec_id FROM bx)
+       |    AND a.vec_id NOT IN (SELECT vec_id FROM bx)),
+       |cdots AS (
+       |  SELECT p.other, p.probe, CAST(sum(f1.vq * f2.vq) AS BIGINT) AS dot
+       |  FROM cpairs p
+       |  JOIN flat f1 ON f1.vec_id = p.other
+       |  JOIN flat f2 ON f2.vec_id = p.probe AND f2.pos = f1.pos
+       |  GROUP BY 1, 2),
+       |dropped AS (
+       |  SELECT DISTINCT d.probe
+       |  FROM cdots d
+       |  JOIN norms n1 ON n1.vec_id = d.other
+       |  JOIN norms n2 ON n2.vec_id = d.probe
+       |  WHERE n1.norm2 > 0 AND n2.norm2 > 0
+       |    AND CAST(d.dot AS DOUBLE)
+       |          / (sqrt(CAST(n1.norm2 AS DOUBLE)) * sqrt(CAST(n2.norm2 AS DOUBLE))) >= 0.3)
+       |SELECT e.label, count(*) AS n_batch,
+       |       CAST(sum(CASE WHEN dr.probe IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+       |       CAST(sum(CASE WHEN dr.probe IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_admitted
+       |FROM embeddings e
+       |JOIN bx ON bx.vec_id = e.vec_id
+       |LEFT JOIN dropped dr ON dr.probe = e.vec_id
+       |GROUP BY e.label
+       |ORDER BY e.label""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_stream_vec_assign" -> (qStreamVecAssign _),
+    "q_stream_semdedup" -> (qStreamSemdedup _),
     "q_stream_enrich" -> (qStreamEnrich _),
     "q_stream_neardup" -> (qStreamNeardup _),
     "q_stream_tumbling" -> (qStreamTumbling _),
@@ -569,6 +693,7 @@ object StreamQueries {
 
   val oracles: Map[String, String] = Map(
     "q_stream_vec_assign" -> qStreamVecAssignSql,
+    "q_stream_semdedup" -> qStreamSemdedupSql,
     "q_stream_enrich" -> qStreamEnrichSql,
     // the streaming candidate set must be indistinguishable from the
     // batch banding self-join — same SQL as q_minhash_lsh
