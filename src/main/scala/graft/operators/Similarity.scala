@@ -295,9 +295,26 @@ object Similarity {
   def ivfIndexQ(emb: DataFrame, idCol: String, vecCol: String,
                 nCells: Int = 16, iters: Int = 2,
                 trainSample: Int = 0): (Array[(Int, Array[Long])], DataFrame) = {
+    val q = emb.select(col(idCol).as("id"), quantize(col(vecCol)).as("vq"))
+    val centroids = lloydTrainQ(q, nCells, iters, trainSample)
+    val sorted = centroids.sortBy(_._1)
+    (centroids, q.select(col("id"), graft.plans.VectorExpressions.argminCell(
+      col("vq"), sorted.map(_._1), sorted.map(_._2)).as("cell")))
+  }
+
+  /** The quantized-integer Lloyd loop over an already-quantized frame with
+    * columns exactly (id: LONG, vq: ARRAY<BIGINT>) — extracted from
+    * [[ivfIndexQ]] (round 12) so PQ codebook training ([[pqIndexQ]]) can
+    * run it per subspace. Semantics are UNCHANGED from the r8–r11
+    * ivfIndexQ body (the q_ann_ivf / q_semdedup oracles hash-pin it):
+    * Knuth-hash seeding (lowest `nCells`), `iters` rounds of integer
+    * argmin assignment + floor-mean update, optional bounded-sample
+    * training (the seed set is a prefix of the sample). Returns the
+    * trained centroids; assignment is the caller's one extra kernel pass. */
+  private[graft] def lloydTrainQ(q: DataFrame, nCells: Int, iters: Int,
+                                 trainSample: Int): Array[(Int, Array[Long])] = {
     require(trainSample <= 0 || trainSample >= nCells,
       s"trainSample ($trainSample) must cover the $nCells seed rows")
-    val q = emb.select(col(idCol).as("id"), quantize(col(vecCol)).as("vq"))
     val knuth = pmod(pmod(col("id"), lit(2147483648L)) * lit(2654435761L),
       lit(4294967296L))
     // orderBy+limit plans as TakeOrderedAndProject (distributed top-k); the
@@ -305,7 +322,7 @@ object Similarity {
     // their parallelism, and cached because each iteration re-reads it
     val train = if (trainSample > 0)
       graft.CacheScope.cached(q.orderBy(knuth, col("id")).limit(trainSample)
-        .repartition(emb.sparkSession.sparkContext.defaultParallelism))
+        .repartition(q.sparkSession.sparkContext.defaultParallelism))
     else q
     var centroids: Array[(Int, Array[Long])] = train
       .orderBy(knuth, col("id"))
@@ -334,8 +351,139 @@ object Similarity {
         }
       if (means.nonEmpty) centroids = means.sortBy(_._1)
     }
+    centroids
+  }
 
-    (centroids, q.select(col("id"), assignExpr(centroids).as("cell")))
+  /** Product-quantization index (Jégou et al., "Product Quantization for
+    * Nearest Neighbor Search", TPAMI 2011 — public literature; the
+    * FAISS-standard compressed-storage path): the `dim`-dim quantized
+    * vector splits into `m` contiguous subspaces of dim/m dims, each
+    * subspace trains its own `ksub`-centroid codebook with the SAME
+    * quantized-integer Lloyd loop the IVF index uses ([[lloydTrainQ]] —
+    * Knuth seeding over the shared id order, so all `m` codebooks seed
+    * from the same rows' sub-slices), and every vector is ENCODED as `m`
+    * small codes — m·log2(ksub) bits instead of dim·32 (64-dim float → 8
+    * bytes at m=8/ksub=16·…·256), which is what lets a 10⁹-vector corpus
+    * fit an ANN serving memory budget.
+    *
+    * Returns (codebooks(subspace)(cell → sub-centroid), codes(id, c0…c{m-1})).
+    *
+    * Scale shape: training cost is m bounded Lloyd loops over sub-slices
+    * (each shuffle carries ksub × dim/m longs — sample-bound it with
+    * `trainSample` exactly like the IVF build); encoding is ONE row-local
+    * pass of m `argmin_cell` kernels (same total work as one full-dim
+    * argmin over ksub cells); nothing but the m·ksub·(dim/m) codebook
+    * matrix reaches the driver. Integer-exact end to end, hence
+    * oracle-replayable (q_ann_pq). */
+  def pqIndexQ(emb: DataFrame, idCol: String, vecCol: String,
+               m: Int = 8, ksub: Int = 16, iters: Int = 2,
+               trainSample: Int = 0)
+      : (Array[Array[(Int, Array[Long])]], DataFrame) = {
+    // cached: feeds m training loops + the encode pass
+    val q = graft.CacheScope.cached(
+      emb.select(col(idCol).as("id"), quantize(col(vecCol)).as("vq")))
+    val dim = q.select(size(col("vq"))).limit(1).collect()(0).getInt(0)
+    require(dim % m == 0, s"dim $dim must split into $m equal subspaces")
+    val dsub = dim / m
+    val books: Array[Array[(Int, Array[Long])]] = (0 until m).map { j =>
+      lloydTrainQ(
+        q.select(col("id"), slice(col("vq"), j * dsub + 1, dsub).as("vq")),
+        ksub, iters, trainSample)
+    }.toArray
+    val codeCols = (0 until m).map { j =>
+      val sorted = books(j).sortBy(_._1)
+      graft.plans.VectorExpressions.argminCell(
+        slice(col("vq"), j * dsub + 1, dsub),
+        sorted.map(_._1), sorted.map(_._2)).as(s"c$j")
+    }
+    (books, q.select(col("id") +: codeCols: _*))
+  }
+
+  /** Batch PQ search with asymmetric distance computation (ADC): per probe
+    * the m × ksub table of exact integer squared distances from the
+    * probe's sub-vectors to every codebook centroid is built DRIVER-SIDE
+    * (bounded: m·ksub longs per probe) and broadcast; each corpus row's
+    * approximate distance is then m table lookups + m−1 adds — never a
+    * full-dim scan of the original vectors, which is the PQ serving
+    * contract (the corpus is represented by its codes alone). Per-probe
+    * top-k is the rank-filtered window (WindowGroupLimit — map-side
+    * k-heap). Ties break by vec_id, so results are total-ordered and
+    * oracle-replayable. Returns (probe_id, rnk, vec_id, adist). */
+  def pqTopKBatchQ(emb: DataFrame, idCol: String, vecCol: String,
+                   probeIds: Seq[Long], k: Int,
+                   m: Int = 8, ksub: Int = 16, iters: Int = 2): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val pids = probeIds.distinct
+    val (books, codes) = pqIndexQ(emb, idCol, vecCol, m, ksub, iters)
+    val probeVecRows = emb.filter(col(idCol).isInCollection(pids))
+      .select(col(idCol), quantize(col(vecCol)))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toArray)
+    val probeVecs: Map[Long, Array[Long]] = probeVecRows.toMap
+    require(probeVecs.keySet == pids.toSet,
+      s"probe ids not in the corpus: ${pids.filterNot(probeVecs.contains).mkString(", ")}")
+    require(probeVecRows.length == pids.length,
+      s"duplicate corpus rows for probe ids: ${probeVecRows.map(_._1).groupBy(identity).collect { case (id, g) if g.length > 1 => id }.mkString(", ")}")
+    // ADC tables: dts(j)(cell) = |probe_sub_j − centroid|²; cells that lost
+    // all members leave 0-filled holes no code can reference (argmin only
+    // ever returns surviving cell ids)
+    val probeRows: Seq[(Long, Seq[Seq[Long]])] = pids.map { pid =>
+      val pv = probeVecs(pid)
+      val dsub = pv.length / m
+      val dts: Seq[Seq[Long]] = (0 until m).map { j =>
+        val dt = new Array[Long](books(j).map(_._1).max + 1)
+        books(j).foreach { case (cid, c) =>
+          var d = 0L; var i = 0
+          while (i < c.length) { val t = c(i) - pv(j * dsub + i); d += t * t; i += 1 }
+          dt(cid) = d
+        }
+        dt.toSeq
+      }
+      (pid, dts)
+    }
+    val probeTbl = probeRows.toDF("probe_id", "dts")
+    val adist = (0 until m)
+      .map(j => element_at(element_at(col("dts"), j + 1), col(s"c$j") + 1))
+      .reduce(_ + _)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("probe_id").orderBy(col("adist").asc, col("vec_id").asc)
+    codes.withColumnRenamed("id", "vec_id")
+      .crossJoin(broadcast(probeTbl))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .withColumn("adist", adist)
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("probe_id"), col("rnk"), col("vec_id"), col("adist"))
+  }
+
+  /** Batch brute-force EXACT squared-L2 top-k — the uncompressed baseline
+    * [[pqTopKBatchQ]]'s recall is measured against (PQ approximates
+    * squared L2, so the baseline must rank by the same metric; the cosine
+    * twin is [[bruteTopKBatchQ]]). Integer-exact, total-ordered. */
+  def bruteL2TopKBatchQ(emb: DataFrame, idCol: String, vecCol: String,
+                        probeIds: Seq[Long], k: Int): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val pids = probeIds.distinct
+    val probeVecRows = emb.filter(col(idCol).isInCollection(pids))
+      .select(col(idCol), quantize(col(vecCol)))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq)
+    require(probeVecRows.map(_._1).toSet == pids.toSet,
+      s"probe ids not in the corpus: ${pids.filterNot(probeVecRows.map(_._1).toSet).mkString(", ")}")
+    require(probeVecRows.length == pids.length,
+      s"duplicate corpus rows for probe ids: ${probeVecRows.map(_._1).groupBy(identity).collect { case (id, g) if g.length > 1 => id }.mkString(", ")}")
+    val probeTbl = probeVecRows.toSeq.toDF("probe_id", "pvq")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("probe_id").orderBy(col("dist").asc, col("vec_id").asc)
+    emb.select(col(idCol).as("vec_id"), quantize(col(vecCol)).as("vq"))
+      .crossJoin(broadcast(probeTbl))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .withColumn("dist", graft.plans.VectorExpressions.longDist2(col("vq"), col("pvq")))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("probe_id"), col("rnk"), col("vec_id"), col("dist"))
   }
 
   /** Quantized IVF probe: rank cells by integer distance from the quantized

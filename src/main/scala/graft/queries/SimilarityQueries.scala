@@ -729,6 +729,116 @@ object SimilarityQueries {
        |GROUP BY i.probe_id
        |ORDER BY i.probe_id""".stripMargin
 
+  /** One PQ subspace's Lloyd chain as CTEs (requires `flat` and `pqseeds`
+    * in scope): cent0_j from the shared seeds' sub-slices (positions
+    * (lo, hi]), `iters` integer Lloyd rounds restricted to those
+    * positions, final code assignment `code_j(vec_id, cell)`. The same
+    * integer-exact discipline as [[lloydSqlCtes]], replayed per subspace. */
+  private def pqSubCtes(j: Int, lo: Int, hi: Int, iters: Int): String = {
+    val lloyd = (1 to iters).map { i =>
+      s"""d${i}_$j AS (
+         |  SELECT f.vec_id, c.cell, CAST(sum((f.vq - c.cq) * (f.vq - c.cq)) AS BIGINT) AS d
+         |  FROM flat f JOIN cent${i - 1}_$j c ON f.pos = c.pos GROUP BY 1, 2),
+         |a${i}_$j AS (
+         |  SELECT vec_id, cell FROM d${i}_$j
+         |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) = 1),
+         |cent${i}_$j AS (
+         |  SELECT a.cell, f.pos,
+         |         CAST(floor(CAST(sum(f.vq) AS DOUBLE) / count(*)) AS BIGINT) AS cq
+         |  FROM a${i}_$j a JOIN flat f ON f.vec_id = a.vec_id
+         |  WHERE f.pos > $lo AND f.pos <= $hi
+         |  GROUP BY 1, 2)""".stripMargin
+    }.mkString(",\n")
+    s"""cent0_$j AS (
+       |  SELECT s.cell, f.pos, f.vq AS cq FROM pqseeds s
+       |  JOIN flat f ON f.vec_id = s.vec_id WHERE f.pos > $lo AND f.pos <= $hi),
+       |$lloyd,
+       |dcode_$j AS (
+       |  SELECT f.vec_id, c.cell, CAST(sum((f.vq - c.cq) * (f.vq - c.cq)) AS BIGINT) AS d
+       |  FROM flat f JOIN cent${iters}_$j c ON f.pos = c.pos GROUP BY 1, 2),
+       |code_$j AS (
+       |  SELECT vec_id, cell FROM dcode_$j
+       |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) = 1)""".stripMargin
+  }
+
+  /** IVF-PQ with asymmetric distance (round 12,
+    * [[graft.operators.Similarity.pqIndexQ]] /
+    * [[graft.operators.Similarity.pqTopKBatchQ]]): m = 8 subspaces × 8
+    * dims, ksub = 16 codes each — every vector stored as 8 small codes —
+    * probed by 5 probes at k = 10 through driver-built ADC tables, recall
+    * measured against the EXACT squared-L2 brute top-10
+    * ([[graft.operators.Similarity.bruteL2TopKBatchQ]] — same metric PQ
+    * approximates). Output (probe_id, n_pq, recall_at_10), all exact
+    * integers: the oracle replays all 8 codebook trainings (shared Knuth
+    * seeds, per-subspace Lloyd rounds), the encoding, the ADC tables, and
+    * both top-10s as integer CTEs. The brute arm is deliberately O(n·probes)
+    * — it exists to measure the PQ arm (the q_ann_recall convention). */
+  def qAnnPq(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = t(spark, sfDir, "embeddings")
+    val probes = Seq(0L, 1L, 2L, 3L, 4L)
+    val pq = graft.operators.Similarity.pqTopKBatchQ(
+      emb, "vec_id", "embedding", probes, k = 10, m = 8, ksub = 16, iters = 2)
+      .select(col("probe_id"), col("vec_id"))
+    val brute = graft.operators.Similarity.bruteL2TopKBatchQ(
+      emb, "vec_id", "embedding", probes, k = 10)
+      .select(col("probe_id"), col("vec_id"), lit(1L).as("__hit"))
+    pq.join(brute, Seq("probe_id", "vec_id"), "left")
+      .groupBy("probe_id")
+      .agg(count(lit(1)).as("n_pq"),
+        sum(coalesce(col("__hit"), lit(0L))).as("recall_at_10"))
+      .orderBy("probe_id")
+  }
+
+  lazy val qAnnPqSql: String = {
+    val M = 8; val Dsub = 8; val Ksub = 16; val Iters = 2
+    val subs = (0 until M).map(j => pqSubCtes(j, j * Dsub, (j + 1) * Dsub, Iters))
+      .mkString(",\n")
+    val dts = (0 until M).map { j =>
+      s"""dt_$j AS (
+         |  SELECT q.probe_id, c.cell, CAST(sum((q.vq - c.cq) * (q.vq - c.cq)) AS BIGINT) AS d
+         |  FROM cent${Iters}_$j c JOIN probq q ON q.pos = c.pos GROUP BY 1, 2)""".stripMargin
+    }.mkString(",\n")
+    val contribs = (0 until M).map { j =>
+      s"SELECT dt.probe_id, a.vec_id, dt.d FROM code_$j a JOIN dt_$j dt ON dt.cell = a.cell"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH $FlatSqlCte,
+       |pqseeds AS (
+       |  SELECT vec_id,
+       |         CAST(row_number() OVER (ORDER BY ((vec_id % 2147483648) * 2654435761) % 4294967296, vec_id) - 1 AS INT) AS cell
+       |  FROM embeddings
+       |  QUALIFY row_number() OVER (ORDER BY ((vec_id % 2147483648) * 2654435761) % 4294967296, vec_id) <= $Ksub),
+       |$subs,
+       |probes AS (
+       |  SELECT CAST(x AS BIGINT) AS probe_id
+       |  FROM (VALUES (0), (1), (2), (3), (4)) t(x)),
+       |probq AS (
+       |  SELECT p.probe_id, f.pos, f.vq
+       |  FROM probes p JOIN flat f ON f.vec_id = p.probe_id),
+       |$dts,
+       |approx AS (
+       |  SELECT probe_id, vec_id, CAST(sum(d) AS BIGINT) AS adist
+       |  FROM ($contribs)
+       |  GROUP BY 1, 2),
+       |pqtop AS (
+       |  SELECT probe_id, vec_id FROM approx
+       |  WHERE vec_id <> probe_id
+       |  QUALIFY row_number() OVER (PARTITION BY probe_id ORDER BY adist, vec_id) <= 10),
+       |bdist AS (
+       |  SELECT q.probe_id, f.vec_id, CAST(sum((f.vq - q.vq) * (f.vq - q.vq)) AS BIGINT) AS d
+       |  FROM flat f JOIN probq q ON q.pos = f.pos
+       |  WHERE f.vec_id <> q.probe_id
+       |  GROUP BY 1, 2),
+       |brute AS (
+       |  SELECT probe_id, vec_id FROM bdist
+       |  QUALIFY row_number() OVER (PARTITION BY probe_id ORDER BY d, vec_id) <= 10)
+       |SELECT p.probe_id, count(*) AS n_pq,
+       |       CAST(sum(CASE WHEN b.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS recall_at_10
+       |FROM pqtop p
+       |LEFT JOIN brute b ON b.probe_id = p.probe_id AND b.vec_id = p.vec_id
+       |GROUP BY p.probe_id
+       |ORDER BY p.probe_id""".stripMargin
+  }
+
   /** Embedding-space decontamination (round 11) — the SEMANTIC sibling of
     * the n-gram q_decontaminate: corpus vectors too close (quantized
     * cosine ≥ 0.3, the family's verification threshold) to ANY held-out
@@ -898,6 +1008,7 @@ object SimilarityQueries {
     "q_ann_ivf" -> (qAnnIvf _),
     "q_ann_batch" -> (qAnnBatch _),
     "q_ann_recall" -> (qAnnRecall _),
+    "q_ann_pq" -> (qAnnPq _),
     "q_semdedup" -> (qSemdedup _),
     "q_semdedup_sampled" -> (qSemdedupSampled _),
     "q_semdedup_incremental" -> (qSemdedupIncremental _))
@@ -914,6 +1025,7 @@ object SimilarityQueries {
     "q_ann_ivf" -> qAnnIvfSql,
     "q_ann_batch" -> qAnnBatchSql,
     "q_ann_recall" -> qAnnRecallSql,
+    "q_ann_pq" -> qAnnPqSql,
     "q_semdedup" -> qSemdedupSql,
     "q_semdedup_sampled" -> qSemdedupSampledSql,
     "q_semdedup_incremental" -> qSemdedupIncrementalSql)

@@ -528,6 +528,73 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("pqIndexQ: deterministic codebooks, every code references a surviving cell") {
+    val (books, codes) = Similarity.pqIndexQ(emb, "vec_id", "embedding",
+      m = 8, ksub = 16, iters = 2)
+    assert(books.length == 8)
+    books.foreach { b =>
+      assert(b.nonEmpty && b.length <= 16)
+      b.foreach { case (_, c) => assert(c.length == 8) } // 64 dims / 8 subspaces
+    }
+    val codeRows = codes.collect()
+    assert(codeRows.length == emb.count())
+    val surviving = books.map(_.map(_._1).toSet)
+    codeRows.foreach { r =>
+      (0 until 8).foreach { j =>
+        assert(surviving(j).contains(r.getInt(j + 1)),
+          s"code c$j=${r.getInt(j + 1)} not a surviving cell for id=${r.getLong(0)}")
+      }
+    }
+    CacheScope.release()
+    // integer math ⇒ bit-identical rebuild
+    val (books2, _) = Similarity.pqIndexQ(emb, "vec_id", "embedding",
+      m = 8, ksub = 16, iters = 2)
+    assert(books.map(_.map { case (i, v) => (i, v.toSeq) }.toSeq).toSeq ==
+      books2.map(_.map { case (i, v) => (i, v.toSeq) }.toSeq).toSeq)
+    CacheScope.release()
+  }
+
+  test("pqTopKBatchQ: ADC distances equal code-reconstructed squared L2; recall vs exact > 0") {
+    val probes = Seq(0L, 3L)
+    val (books, codes) = Similarity.pqIndexQ(emb, "vec_id", "embedding",
+      m = 8, ksub = 16, iters = 2)
+    val codeMap = codes.collect()
+      .map(r => r.getLong(0) -> (1 to 8).map(r.getInt).toArray).toMap
+    val probeVecs = emb.filter(col("vec_id").isInCollection(probes))
+      .select(col("vec_id"), Similarity.quantize(col("embedding")))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
+    CacheScope.release()
+    val pq = Similarity.pqTopKBatchQ(emb, "vec_id", "embedding", probes, k = 10,
+      m = 8, ksub = 16, iters = 2).collect()
+    assert(pq.length == probes.length * 10)
+    // every returned adist reconstructs exactly from (codebooks, codes, probe)
+    pq.foreach { r =>
+      val (pid, vid, adist) = (r.getLong(0), r.getLong(2), r.getLong(3))
+      val pv = probeVecs(pid)
+      val expected = (0 until 8).map { j =>
+        val cent = books(j).find(_._1 == codeMap(vid)(j)).get._2
+        cent.indices.map { i => val t = cent(i) - pv(j * 8 + i); t * t }.sum
+      }.sum
+      assert(adist == expected, s"probe=$pid vec=$vid adist=$adist != $expected")
+    }
+    CacheScope.release()
+    // the approximation must retrieve SOME of the exact squared-L2 top-10
+    val brute = Similarity.bruteL2TopKBatchQ(emb, "vec_id", "embedding", probes, k = 10)
+      .select("probe_id", "vec_id").as[(Long, Long)].collect().toSet
+    val hits = pq.count(r => brute.contains((r.getLong(0), r.getLong(2))))
+    assert(hits > 0, "PQ top-10 shares nothing with exact top-10")
+    CacheScope.release()
+  }
+
+  test("bruteL2TopKBatchQ ranks by exact integer squared L2 (hand-checked tiny corpus)") {
+    val tiny = Seq(
+      (0L, Array(0f, 0f)), (1L, Array(1f, 0f)), (2L, Array(0f, 2f)),
+      (3L, Array(3f, 3f))).toDF("vec_id", "embedding")
+    val out = Similarity.bruteL2TopKBatchQ(tiny, "vec_id", "embedding", Seq(0L), k = 3)
+      .orderBy("rnk").select("vec_id").as[Long].collect().toSeq
+    assert(out == Seq(1L, 2L, 3L))
+  }
+
   test("argmin expressions compare structurally (canonicalization, ADVICE r10)") {
     import org.apache.spark.sql.graftbridge.ColumnBridge.expression
     import graft.plans.VectorExpressions
