@@ -321,6 +321,89 @@ object Multimodal {
       extractFeatures(media, decoder).toDF(), "media_id", "embedding",
       bits = bits, minCosine = minCosine)
 
+  /** 56-bit perceptual difference-hash (dHash — Krawetz's classic, public
+    * knowledge) off an already-decoded raster: the image reduces to an
+    * 8×8 grid of INTEGER intensity block sums (intensity = 299·R + 587·G
+    * + 114·B, the parts-per-thousand form of the same Rec.601 luma the
+    * embedding uses — integer-exact, so a lossless codec round-trip is
+    * oracle-replayable from the generator arithmetic), and bit r·7+c is
+    * set iff block (r,c)'s MEAN intensity exceeds block (r,c+1)'s —
+    * compared cross-multiplied (`sumA·cntB > sumB·cntA`) so uneven block
+    * pixel counts (dims not divisible by 8) never need division. 8 rows ×
+    * 7 adjacent comparisons = 56 bits, always non-negative, which keeps
+    * every band-extraction shift and the DuckDB `bit_or` pack sign-free.
+    * Near-identical images (crops aside) agree on almost every
+    * neighbour-brightness comparison, so Hamming distance on this hash is
+    * the standard cheap perceptual near-dup signal. */
+  def dhash56Raster(px: Array[Int], w: Int, h: Int): Long = {
+    val sums = new Array[Long](64); val cnts = new Array[Long](64)
+    var y = 0
+    while (y < h) {
+      val by = math.min(7, y * 8 / h)
+      val row = y * w
+      var x = 0
+      while (x < w) {
+        val bx = math.min(7, x * 8 / w)
+        val rgb = px(row + x)
+        val b = by * 8 + bx
+        sums(b) += 299L * ((rgb >> 16) & 0xff) + 587L * ((rgb >> 8) & 0xff) +
+          114L * (rgb & 0xff)
+        cnts(b) += 1
+        x += 1
+      }
+      y += 1
+    }
+    var hash = 0L
+    var r = 0
+    while (r < 8) {
+      var c = 0
+      while (c < 7) {
+        val a = r * 8 + c
+        if (sums(a) * cnts(a + 1) > sums(a + 1) * cnts(a)) hash |= 1L << (r * 7 + c)
+        c += 1
+      }
+      r += 1
+    }
+    hash
+  }
+
+  /** [[dhash56Raster]] over an encoded payload through the REAL
+    * `javax.imageio` codec (one bulk `getRGB`, the [[ImageIoDecoder]]
+    * discipline). Undecodable payloads return null (per-row quarantine). */
+  def dhash56(payload: Array[Byte]): java.lang.Long = {
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      catch { case _: java.io.IOException => null }
+    if (img == null) null
+    else {
+      val w = img.getWidth; val h = img.getHeight
+      dhash56Raster(img.getRGB(0, 0, w, h, null, 0, w), w, h)
+    }
+  }
+
+  /** Partition-parallel perceptual hashing: (media_id, width, height,
+    * dhash), dims/dhash null on undecodable payloads. One decode per row,
+    * decoder configured once per partition, payloads never reach the
+    * driver — feeds [[graft.operators.Dedup.hammingPairsFromHashes]] for
+    * the image near-dup join. */
+  def perceptualHashes(media: Dataset[MediaRecord]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { r =>
+        val img =
+          try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
+          catch { case _: java.io.IOException => null }
+        if (img == null) (r.media_id, None: Option[Int], None: Option[Int], None: Option[Long])
+        else {
+          val w = img.getWidth; val h = img.getHeight
+          (r.media_id, Some(w), Some(h),
+            Some(dhash56Raster(img.getRGB(0, 0, w, h, null, 0, w), w, h)))
+        }
+      }
+    }.toDF("media_id", "width", "height", "dhash")
+  }
+
   /** Frame/sample-style batching: deterministic byte-window sampling of a
     * payload (the video-frame-sampling shape: n evenly spaced windows). */
   def sampleWindows(media: Dataset[MediaRecord], n: Int, window: Int): DataFrame = {

@@ -825,9 +825,25 @@ object Dedup {
                    maxBucketSize: Int = DefaultMaxBandBucket): DataFrame = {
     val (shCol, blockBits) =
       if (portable) (simhash60(col(textCol)), 15) else (simhash64(col(textCol)), 16)
-    val blockMask = (1L << blockBits) - 1
     val sh = df.filter(size(tokens(col(textCol))) > 0)
       .select(col(idCol).as("id"), shCol.as("sh"))
+    hammingPairsFromHashes(sh, blockBits, maxHamming, maxBucketSize)
+  }
+
+  /** The Hamming-banded pair core of [[simhashPairs]] over a PRECOMPUTED
+    * non-negative integer hash column `(id, sh)` — factored out (round 12)
+    * so perceptual image hashes
+    * ([[graft.multimodal.Multimodal.perceptualHashes]]) ride the exact
+    * same candidate-generation machinery as text SimHash: 4 exact
+    * `blockBits`-bit bands (any pair within Hamming 3 shares one —
+    * pigeonhole), the hot-bucket cap, the bucket equi-join, exact
+    * `bit_count(xor)` verification. Never all-pairs; same scale story and
+    * the same oracle-replayability (bands, cap and filter are all integer
+    * arithmetic DuckDB reproduces). */
+  def hammingPairsFromHashes(sh: DataFrame, blockBits: Int,
+                             maxHamming: Int = 3,
+                             maxBucketSize: Int = DefaultMaxBandBucket): DataFrame = {
+    val blockMask = (1L << blockBits) - 1
     val raw = sh.select(col("id"), col("sh"),
         explode(array((0 until 4).map(b =>
           struct(lit(b).as("blk"),

@@ -146,6 +146,62 @@ class MultimodalSpec extends SparkSpec {
     assert(f(3L).width == -1 && f(3L).embedding.isEmpty)
   }
 
+  test("dhash56: codec round-trip equals raster kernel; near-dup close, distinct far; poison null") {
+    val ss = spark
+    import ss.implicits._
+    // PNG is lossless: dhash off the ENCODED payload must equal dhash off
+    // the raw raster the encoder was fed
+    val w = 32; val h = 24
+    val raster = Array.tabulate(w * h) { i =>
+      val v = (i * 7 + (i * i) % 251) % 256; (v << 16) | (v << 8) | v
+    }
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, w, h, raster, 0, w)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val viaCodec = Multimodal.dhash56(bos.toByteArray)
+    assert(viaCodec != null &&
+      viaCodec.longValue == Multimodal.dhash56Raster(raster, w, h))
+    // 56-bit contract: always non-negative, top 8 bits clear
+    assert(viaCodec.longValue >= 0 && (viaCodec.longValue >>> 56) == 0)
+    // a 1-LSB pixel flip moves Hamming by at most a couple of bits; a
+    // structurally different image is far
+    def hm(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val near = Multimodal.dhash56(pngBytes(seed = 1, flipPixel = true)).longValue
+    val base = Multimodal.dhash56(pngBytes(seed = 1)).longValue
+    val far = Multimodal.dhash56(pngBytes(seed = 9)).longValue
+    assert(hm(base, near) <= 2, s"near hamming ${hm(base, near)}")
+    assert(hm(base, far) > hm(base, near), s"far=${hm(base, far)}")
+    assert(Multimodal.dhash56("not an image".getBytes("UTF-8")) == null)
+  }
+
+  test("perceptualHashes + hammingPairsFromHashes: planted near-dups pair, poison quarantines") {
+    val ss = spark
+    import ss.implicits._
+    val rows = Seq(
+      (1L, pngBytes(seed = 1)),
+      (2L, pngBytes(seed = 1)),                    // exact dup of 1 → hamming 0
+      (3L, pngBytes(seed = 1, flipPixel = true)),  // near dup of 1
+      (4L, pngBytes(seed = 9)),                    // distinct image
+      (5L, "poison".getBytes("UTF-8")))
+    val m = Multimodal.asMedia(rows.toDF("id", "b"), "id", "b", mime = "image/png")
+    val hashed = Multimodal.perceptualHashes(m).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
+    assert(hashed(5L).isEmpty && hashed(1L).isDefined)
+    assert(hashed(1L) == hashed(2L))
+    val pairs = graft.operators.Dedup.hammingPairsFromHashes(
+      Multimodal.perceptualHashes(m)
+        .filter(col("dhash").isNotNull)
+        .select(col("media_id").as("id"), col("dhash").as("sh")),
+      blockBits = 14, maxHamming = 4)
+      .select("d1", "d2", "hamming").as[(Long, Long, Long)]
+      .collect().toSet
+    assert(pairs.contains((1L, 2L, 0L)), s"exact pair missing: $pairs")
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 3L), s"near pair missing: $pairs")
+    assert(!pairs.exists(p => p._2 == 4L || p._1 == 4L), s"distinct image paired: $pairs")
+  }
+
   test("resize rewrites dimensions deterministically, partition-independent") {
     val feats = extractFeatures(media)
     val r1 = Multimodal.resize(feats.repartition(1), 32, 32).collect()
