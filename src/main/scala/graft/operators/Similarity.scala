@@ -486,6 +486,119 @@ object Similarity {
       .select(col("probe_id"), col("rnk"), col("vec_id"), col("dist"))
   }
 
+  /** IVF-PQ index (FAISS IVFADC — Jégou et al. TPAMI 2011 §IV, the
+    * production structure): a coarse IVF quantizer partitions the corpus
+    * into `nCells` cells, and ONE global product quantizer (trained on
+    * coarse RESIDUALS vq − centroid(cell), which are far more isotropic
+    * than raw vectors — the paper's key accuracy insight) encodes every
+    * vector as `m` sub-codes. Storage per vector = cell id + m codes; at
+    * search time only probed cells are scanned and distances come from
+    * per-(probe, cell) ADC tables over the probe's residual.
+    *
+    * Build shape: ONE fused `argmin_residual` kernel pass does coarse
+    * assignment + residual subtraction (no second corpus scan), then m
+    * bounded [[lloydTrainQ]] loops train the codebooks on residual
+    * sub-slices and one more row-local pass encodes. Bounded driver
+    * state: nCells·dim + m·ksub·(dim/m) longs. Integer-exact end to end
+    * (oracle-replayable, q_ann_ivfpq).
+    *
+    * Returns (coarseCentroids, codebooks, codes(id, cell, c0…c{m-1})). */
+  def ivfPqIndexQ(emb: DataFrame, idCol: String, vecCol: String,
+                  nCells: Int = 16, m: Int = 8, ksub: Int = 16,
+                  iters: Int = 2, trainSample: Int = 0)
+      : (Array[(Int, Array[Long])], Array[Array[(Int, Array[Long])]], DataFrame) = {
+    val q = graft.CacheScope.cached(
+      emb.select(col(idCol).as("id"), quantize(col(vecCol)).as("vq")))
+    val dim = q.select(size(col("vq"))).limit(1).collect()(0).getInt(0)
+    require(dim % m == 0, s"dim $dim must split into $m equal subspaces")
+    val dsub = dim / m
+    val coarse = lloydTrainQ(q, nCells, iters, trainSample)
+    val sortedC = coarse.sortBy(_._1)
+    // fused assign+residual; cached — feeds m codebook trainings + encode
+    val ar = graft.CacheScope.cached(
+      q.select(col("id"), graft.plans.VectorExpressions.argminResidual(
+          col("vq"), sortedC.map(_._1), sortedC.map(_._2)).as("ar"))
+        .select(col("id"), col("ar.cell").as("cell"), col("ar.res").as("res")))
+    val books: Array[Array[(Int, Array[Long])]] = (0 until m).map { j =>
+      lloydTrainQ(
+        ar.select(col("id"), slice(col("res"), j * dsub + 1, dsub).as("vq")),
+        ksub, iters, trainSample)
+    }.toArray
+    val codeCols = (0 until m).map { j =>
+      val sorted = books(j).sortBy(_._1)
+      graft.plans.VectorExpressions.argminCell(
+        slice(col("res"), j * dsub + 1, dsub),
+        sorted.map(_._1), sorted.map(_._2)).as(s"c$j")
+    }
+    (coarse, books, ar.select(col("id") +: col("cell") +: codeCols: _*))
+  }
+
+  /** Batch IVF-PQ search (IVFADC): per probe the top-`nProbe` coarse cells
+    * are ranked DRIVER-SIDE against the bounded centroid matrix, and for
+    * each probed cell an ADC table over the probe's residual w.r.t. THAT
+    * cell's centroid is built and broadcast (nProbe·m·ksub longs per
+    * probe). Candidates come from an EQUI-JOIN of the code table on the
+    * cell id — only probed cells are ever scanned, the IVF contract —
+    * and each candidate's distance is m table lookups. Per-probe top-k is
+    * the rank-filtered window (map-side k-heap); ties break by vec_id.
+    * Returns (probe_id, rnk, vec_id, adist), integer-exact. */
+  def ivfPqTopKBatchQ(emb: DataFrame, idCol: String, vecCol: String,
+                      probeIds: Seq[Long], k: Int,
+                      nCells: Int = 16, m: Int = 8, ksub: Int = 16,
+                      iters: Int = 2, nProbe: Int = 4): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val pids = probeIds.distinct
+    val (coarse, books, codes) = ivfPqIndexQ(emb, idCol, vecCol, nCells, m, ksub, iters)
+    val probeVecRows = emb.filter(col(idCol).isInCollection(pids))
+      .select(col(idCol), quantize(col(vecCol)))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toArray)
+    val probeVecs: Map[Long, Array[Long]] = probeVecRows.toMap
+    require(probeVecs.keySet == pids.toSet,
+      s"probe ids not in the corpus: ${pids.filterNot(probeVecs.contains).mkString(", ")}")
+    require(probeVecRows.length == pids.length,
+      s"duplicate corpus rows for probe ids: ${probeVecRows.map(_._1).groupBy(identity).collect { case (id, g) if g.length > 1 => id }.mkString(", ")}")
+    def dist2(a: Array[Long], b: Array[Long]): Long = {
+      var s = 0L; var i = 0
+      while (i < a.length) { val t = a(i) - b(i); s += t * t; i += 1 }
+      s
+    }
+    // per (probe, probed cell): ADC tables over the probe's residual
+    val probeRows: Seq[(Long, Int, Seq[Seq[Long]])] = pids.flatMap { pid =>
+      val pv = probeVecs(pid)
+      val dsub = pv.length / m
+      val probed = coarse.map { case (cid, c) => (dist2(pv, c), cid, c) }
+        .sortBy(t => (t._1, t._2)).take(nProbe)
+      probed.map { case (_, cid, c) =>
+        val rp = Array.tabulate(pv.length)(i => pv(i) - c(i))
+        val dts: Seq[Seq[Long]] = (0 until m).map { j =>
+          val dt = new Array[Long](books(j).map(_._1).max + 1)
+          books(j).foreach { case (code, bc) =>
+            var d = 0L; var i = 0
+            while (i < bc.length) { val t = bc(i) - rp(j * dsub + i); d += t * t; i += 1 }
+            dt(code) = d
+          }
+          dt.toSeq
+        }
+        (pid, cid, dts)
+      }
+    }
+    val probeTbl = probeRows.toDF("probe_id", "cell", "dts")
+    val adist = (0 until m)
+      .map(j => element_at(element_at(col("dts"), j + 1), col(s"c$j") + 1))
+      .reduce(_ + _)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("probe_id").orderBy(col("adist").asc, col("vec_id").asc)
+    codes.withColumnRenamed("id", "vec_id")
+      .join(broadcast(probeTbl), Seq("cell"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .withColumn("adist", adist)
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("probe_id"), col("rnk"), col("vec_id"), col("adist"))
+  }
+
   /** Quantized IVF probe: rank cells by integer distance from the quantized
     * probe (tie → lowest cell), semi-join the `nProbe` nearest cells'
     * members, re-rank by quantized-exact cosine. Deterministic and

@@ -127,6 +127,34 @@ object VectorOps {
     InternalRow(ids(bestIdx), best)
   }
 
+  /** [[argminCell]] plus the RESIDUAL against the winning centroid:
+    * (cell id, vq − centroid) in one k·d pass — the IVF-PQ index build
+    * (FAISS IVFADC) needs exactly this pair and fusing them avoids a
+    * second full-corpus assignment scan. Same plain fold, same
+    * first-win (d, cell) tie rule as [[argminCell]]. */
+  def argminResidual(a: ArrayData, ids: Array[Int], cents: Array[Array[Long]]): InternalRow = {
+    val v = a.toLongArray()
+    var best = 0L
+    var bestIdx = -1
+    var c = 0
+    while (c < cents.length) {
+      val ct = cents(c)
+      require(v.length == ct.length,
+        s"argminResidual: dimension mismatch ${v.length} vs ${ct.length}")
+      var s = 0L
+      var i = 0
+      while (i < v.length) { val d = v(i) - ct(i); s += d * d; i += 1 }
+      if (bestIdx < 0 || s < best) { best = s; bestIdx = c }
+      c += 1
+    }
+    val ct = cents(bestIdx)
+    val res = new Array[Long](v.length)
+    var i = 0
+    while (i < v.length) { res(i) = v(i) - ct(i); i += 1 }
+    InternalRow(ids(bestIdx),
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(res))
+  }
+
   /** [[argminCell]] for an ARRAY<FLOAT> vector against double centroids
     * (the float-mean IVF variant): components are widened float→double
     * exactly like `x.cast("double")`, the per-cell distance is the SAME
@@ -342,6 +370,32 @@ case class ArgminCellDistExpr(child: Expression,
     copy(child = newChild)
 }
 
+/** `argmin_residual(vq)` — [[VectorOps.argminResidual]]: struct(cell, res)
+  * with the residual against the winning centroid. Seq fields for
+  * structural equality — see [[ArgminCellExpr]]. */
+case class ArgminResidualExpr(child: Expression,
+                              ids: Seq[Int], cents: Seq[Seq[Long]])
+  extends UnaryExpression {
+  @transient private lazy val idsArr: Array[Int] = ids.toArray
+  @transient private lazy val centsArr: Array[Array[Long]] =
+    cents.map(_.toArray).toArray
+  override def dataType: DataType = StructType(Seq(
+    StructField("cell", IntegerType, nullable = false),
+    StructField("res", org.apache.spark.sql.types.ArrayType(LongType,
+      containsNull = false), nullable = false)))
+  override def nullSafeEval(input: Any): Any =
+    VectorOps.argminResidual(input.asInstanceOf[ArrayData], idsArr, centsArr)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val idsRef = ctx.addReferenceObj("cellIds", idsArr, "int[]")
+    val centsRef = ctx.addReferenceObj("cents", centsArr, "long[][]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.plans.VectorOps.argminResidual($c, $idsRef, $centsRef)")
+  }
+  override def prettyName: String = "argmin_residual"
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Double-centroid variant — [[VectorOps.argminCellD]]. Seq fields for
   * structural equality — see [[ArgminCellExpr]]. */
 case class ArgminCellDExpr(child: Expression,
@@ -389,6 +443,11 @@ object VectorExpressions {
   /** struct(cell, d): assignment plus the winning squared distance. */
   def argminCellDist(vq: Column, ids: Array[Int], cents: Array[Array[Long]]): Column =
     column(ArgminCellDistExpr(expression(vq), ArraySeq.unsafeWrapArray(ids),
+      ArraySeq.unsafeWrapArray(cents.map(ArraySeq.unsafeWrapArray))))
+
+  /** struct(cell, res): assignment plus the residual vq − centroid. */
+  def argminResidual(vq: Column, ids: Array[Int], cents: Array[Array[Long]]): Column =
+    column(ArgminResidualExpr(expression(vq), ArraySeq.unsafeWrapArray(ids),
       ArraySeq.unsafeWrapArray(cents.map(ArraySeq.unsafeWrapArray))))
 
   /** Fused exact integer dot product (see [[VectorOps.longDot]]). */

@@ -729,33 +729,35 @@ object SimilarityQueries {
        |GROUP BY i.probe_id
        |ORDER BY i.probe_id""".stripMargin
 
-  /** One PQ subspace's Lloyd chain as CTEs (requires `flat` and `pqseeds`
+  /** One PQ subspace's Lloyd chain as CTEs (requires `pqseeds` and the
+    * `src` table — `flat` for flat PQ, the residual table for IVF-PQ —
     * in scope): cent0_j from the shared seeds' sub-slices (positions
     * (lo, hi]), `iters` integer Lloyd rounds restricted to those
     * positions, final code assignment `code_j(vec_id, cell)`. The same
     * integer-exact discipline as [[lloydSqlCtes]], replayed per subspace. */
-  private def pqSubCtes(j: Int, lo: Int, hi: Int, iters: Int): String = {
+  private def pqSubCtes(j: Int, lo: Int, hi: Int, iters: Int,
+                        src: String = "flat"): String = {
     val lloyd = (1 to iters).map { i =>
       s"""d${i}_$j AS (
          |  SELECT f.vec_id, c.cell, CAST(sum((f.vq - c.cq) * (f.vq - c.cq)) AS BIGINT) AS d
-         |  FROM flat f JOIN cent${i - 1}_$j c ON f.pos = c.pos GROUP BY 1, 2),
+         |  FROM $src f JOIN cent${i - 1}_$j c ON f.pos = c.pos GROUP BY 1, 2),
          |a${i}_$j AS (
          |  SELECT vec_id, cell FROM d${i}_$j
          |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) = 1),
          |cent${i}_$j AS (
          |  SELECT a.cell, f.pos,
          |         CAST(floor(CAST(sum(f.vq) AS DOUBLE) / count(*)) AS BIGINT) AS cq
-         |  FROM a${i}_$j a JOIN flat f ON f.vec_id = a.vec_id
+         |  FROM a${i}_$j a JOIN $src f ON f.vec_id = a.vec_id
          |  WHERE f.pos > $lo AND f.pos <= $hi
          |  GROUP BY 1, 2)""".stripMargin
     }.mkString(",\n")
     s"""cent0_$j AS (
        |  SELECT s.cell, f.pos, f.vq AS cq FROM pqseeds s
-       |  JOIN flat f ON f.vec_id = s.vec_id WHERE f.pos > $lo AND f.pos <= $hi),
+       |  JOIN $src f ON f.vec_id = s.vec_id WHERE f.pos > $lo AND f.pos <= $hi),
        |$lloyd,
        |dcode_$j AS (
        |  SELECT f.vec_id, c.cell, CAST(sum((f.vq - c.cq) * (f.vq - c.cq)) AS BIGINT) AS d
-       |  FROM flat f JOIN cent${iters}_$j c ON f.pos = c.pos GROUP BY 1, 2),
+       |  FROM $src f JOIN cent${iters}_$j c ON f.pos = c.pos GROUP BY 1, 2),
        |code_$j AS (
        |  SELECT vec_id, cell FROM dcode_$j
        |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) = 1)""".stripMargin
@@ -837,6 +839,85 @@ object SimilarityQueries {
        |LEFT JOIN brute b ON b.probe_id = p.probe_id AND b.vec_id = p.vec_id
        |GROUP BY p.probe_id
        |ORDER BY p.probe_id""".stripMargin
+  }
+
+  /** IVF-PQ search, the full FAISS IVFADC composition (round 12,
+    * [[graft.operators.Similarity.ivfPqIndexQ]] /
+    * [[graft.operators.Similarity.ivfPqTopKBatchQ]]): 16-cell coarse
+    * quantizer (the q_ann_ivf Lloyd build), ONE global 8×16 product
+    * quantizer trained on coarse RESIDUALS (the paper's accuracy insight —
+    * fused `argmin_residual` kernel pass), 5 probes × top-10 through
+    * per-(probe, probed-cell) ADC tables with nProbe = 4 — only probed
+    * cells are scanned (equi-join on the cell id), never the corpus.
+    * Output (probe_id, rnk, vec_id, adist), all exact integers: the
+    * oracle replays the coarse Lloyd chain, the residual computation, all
+    * 8 residual codebook trainings, the encoding, the per-cell probe
+    * residuals and ADC tables, and the top-10 — ~95 integer CTEs. */
+  def qAnnIvfpq(spark: SparkSession, sfDir: String): DataFrame =
+    graft.operators.Similarity.ivfPqTopKBatchQ(
+        t(spark, sfDir, "embeddings"), "vec_id", "embedding",
+        probeIds = Seq(0L, 1L, 2L, 3L, 4L), k = 10,
+        nCells = 16, m = 8, ksub = 16, iters = 2, nProbe = 4)
+      .orderBy("probe_id", "rnk")
+
+  lazy val qAnnIvfpqSql: String = {
+    val M = 8; val Dsub = 8; val Ksub = 16; val Iters = 2
+    val NProbe = 4; val K = 10
+    val subs = (0 until M)
+      .map(j => pqSubCtes(j, j * Dsub, (j + 1) * Dsub, Iters, src = "rflat"))
+      .mkString(",\n")
+    val dts = (0 until M).map { j =>
+      s"""dt_$j AS (
+         |  SELECT r.probe_id, r.cell AS pcell, c.cell AS code,
+         |         CAST(sum((r.vq - c.cq) * (r.vq - c.cq)) AS BIGINT) AS d
+         |  FROM cent${Iters}_$j c JOIN prflat r ON r.pos = c.pos
+         |  GROUP BY 1, 2, 3)""".stripMargin
+    }.mkString(",\n")
+    val contribs = (0 until M).map { j =>
+      s"SELECT dt.probe_id, k.vec_id, dt.d FROM code_$j k " +
+        s"JOIN afin a ON a.vec_id = k.vec_id " +
+        s"JOIN dt_$j dt ON dt.pcell = a.cell AND dt.code = k.cell"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH $FlatSqlCte,
+       |${lloydSqlCtes(nCells = 16, iters = Iters)},
+       |rflat AS MATERIALIZED (
+       |  SELECT f.vec_id, f.pos, f.vq - c.cq AS vq
+       |  FROM flat f JOIN afin a ON a.vec_id = f.vec_id
+       |  JOIN cent$Iters c ON c.cell = a.cell AND c.pos = f.pos),
+       |pqseeds AS (
+       |  SELECT vec_id,
+       |         CAST(row_number() OVER (ORDER BY ((vec_id % 2147483648) * 2654435761) % 4294967296, vec_id) - 1 AS INT) AS cell
+       |  FROM embeddings
+       |  QUALIFY row_number() OVER (ORDER BY ((vec_id % 2147483648) * 2654435761) % 4294967296, vec_id) <= $Ksub),
+       |$subs,
+       |probes AS (
+       |  SELECT CAST(x AS BIGINT) AS probe_id
+       |  FROM (VALUES (0), (1), (2), (3), (4)) t(x)),
+       |probq AS (
+       |  SELECT p.probe_id, f.pos, f.vq
+       |  FROM probes p JOIN flat f ON f.vec_id = p.probe_id),
+       |pcells AS (
+       |  SELECT probe_id, cell FROM (
+       |    SELECT q.probe_id, c.cell,
+       |           CAST(sum((q.vq - c.cq) * (q.vq - c.cq)) AS BIGINT) AS d
+       |    FROM cent$Iters c JOIN probq q ON q.pos = c.pos GROUP BY 1, 2)
+       |  QUALIFY row_number() OVER (PARTITION BY probe_id ORDER BY d, cell) <= $NProbe),
+       |prflat AS MATERIALIZED (
+       |  SELECT q.probe_id, p.cell, q.pos, q.vq - c.cq AS vq
+       |  FROM probq q JOIN pcells p ON p.probe_id = q.probe_id
+       |  JOIN cent$Iters c ON c.cell = p.cell AND c.pos = q.pos),
+       |$dts,
+       |approx AS (
+       |  SELECT probe_id, vec_id, CAST(sum(d) AS BIGINT) AS adist
+       |  FROM ($contribs)
+       |  GROUP BY 1, 2)
+       |SELECT probe_id,
+       |       row_number() OVER (PARTITION BY probe_id ORDER BY adist, vec_id) AS rnk,
+       |       vec_id, adist
+       |FROM approx
+       |WHERE vec_id <> probe_id
+       |QUALIFY rnk <= $K
+       |ORDER BY probe_id, rnk""".stripMargin
   }
 
   /** Embedding-space decontamination (round 11) — the SEMANTIC sibling of
@@ -1009,6 +1090,7 @@ object SimilarityQueries {
     "q_ann_batch" -> (qAnnBatch _),
     "q_ann_recall" -> (qAnnRecall _),
     "q_ann_pq" -> (qAnnPq _),
+    "q_ann_ivfpq" -> (qAnnIvfpq _),
     "q_semdedup" -> (qSemdedup _),
     "q_semdedup_sampled" -> (qSemdedupSampled _),
     "q_semdedup_incremental" -> (qSemdedupIncremental _))
@@ -1026,6 +1108,7 @@ object SimilarityQueries {
     "q_ann_batch" -> qAnnBatchSql,
     "q_ann_recall" -> qAnnRecallSql,
     "q_ann_pq" -> qAnnPqSql,
+    "q_ann_ivfpq" -> qAnnIvfpqSql,
     "q_semdedup" -> qSemdedupSql,
     "q_semdedup_sampled" -> qSemdedupSampledSql,
     "q_semdedup_incremental" -> qSemdedupIncrementalSql)

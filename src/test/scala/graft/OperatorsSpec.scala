@@ -586,6 +586,85 @@ class OperatorsSpec extends SparkSpec {
     CacheScope.release()
   }
 
+  test("argmin_residual ≡ argmin_cell + elementwise subtract (fused kernel pin)") {
+    import graft.plans.VectorExpressions
+    val (coarse, _) = Similarity.ivfIndexQ(emb, "vec_id", "embedding", nCells = 8, iters = 2)
+    CacheScope.release()
+    val sorted = coarse.sortBy(_._1)
+    val q = emb.select(col("vec_id"), Similarity.quantize(col("embedding")).as("vq"))
+    val rows = q.select(col("vec_id"), col("vq"),
+        VectorExpressions.argminResidual(col("vq"), sorted.map(_._1), sorted.map(_._2)).as("ar"),
+        VectorExpressions.argminCell(col("vq"), sorted.map(_._1), sorted.map(_._2)).as("cell"))
+      .collect()
+    val centById = coarse.map { case (i, c) => i -> c }.toMap
+    rows.foreach { r =>
+      val vq = r.getSeq[Long](1)
+      val ar = r.getStruct(2)
+      assert(ar.getInt(0) == r.getInt(3), s"cell mismatch for ${r.getLong(0)}")
+      val cent = centById(ar.getInt(0))
+      val expected = vq.indices.map(i => vq(i) - cent(i))
+      assert(ar.getSeq[Long](1) == expected, s"residual mismatch for ${r.getLong(0)}")
+    }
+  }
+
+  test("ivfPqIndexQ: coarse quantizer equals the IVF build; codes reference surviving cells") {
+    val (coarse, books, codes) = Similarity.ivfPqIndexQ(
+      emb, "vec_id", "embedding", nCells = 8, m = 8, ksub = 16, iters = 2)
+    CacheScope.release()
+    val (cIvf, _) = Similarity.ivfIndexQ(emb, "vec_id", "embedding", nCells = 8, iters = 2)
+    CacheScope.release()
+    // the coarse stage IS ivfIndexQ's Lloyd build (shared lloydTrainQ)
+    assert(coarse.map { case (i, v) => (i, v.toSeq) }.toSeq ==
+      cIvf.map { case (i, v) => (i, v.toSeq) }.toSeq)
+    val coarseIds = coarse.map(_._1).toSet
+    val surviving = books.map(_.map(_._1).toSet)
+    val rows = codes.collect()
+    assert(rows.length == emb.count())
+    rows.foreach { r =>
+      assert(coarseIds.contains(r.getInt(1)), s"coarse cell invalid: $r")
+      (0 until 8).foreach { j =>
+        assert(surviving(j).contains(r.getInt(j + 2)), s"code c$j invalid: $r")
+      }
+    }
+  }
+
+  test("ivfPqTopKBatchQ: candidates only from probed cells; adist reconstructs from codes") {
+    val probes = Seq(0L, 3L)
+    val (coarse, books, codes) = Similarity.ivfPqIndexQ(
+      emb, "vec_id", "embedding", nCells = 8, m = 8, ksub = 16, iters = 2)
+    val codeRows = codes.collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), (2 until 10).map(r.getInt).toArray)).toMap
+    val probeVecs = emb.filter(col("vec_id").isInCollection(probes))
+      .select(col("vec_id"), Similarity.quantize(col("embedding")))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
+    CacheScope.release()
+    def d2(a: Array[Long], b: Array[Long]): Long =
+      a.indices.map { i => val t = a(i) - b(i); t * t }.sum
+    val nProbe = 3
+    val probedCells: Map[Long, Seq[Int]] = probes.map { pid =>
+      pid -> coarse.map { case (cid, c) => (d2(probeVecs(pid), c), cid) }
+        .sortBy(identity).take(nProbe).map(_._2).toSeq
+    }.toMap
+    val out = Similarity.ivfPqTopKBatchQ(emb, "vec_id", "embedding", probes,
+      k = 10, nCells = 8, m = 8, ksub = 16, iters = 2, nProbe = nProbe).collect()
+    CacheScope.release()
+    val centById = coarse.map { case (i, c) => i -> c }.toMap
+    out.foreach { r =>
+      val (pid, vid, adist) = (r.getLong(0), r.getLong(2), r.getLong(3))
+      val (cell, cs) = codeRows(vid)
+      assert(probedCells(pid).contains(cell),
+        s"candidate $vid from unprobed cell $cell (probe $pid probes ${probedCells(pid)})")
+      // adist = Σ_j ||probe_residual_sub_j − book_j[c_j]||², probe residual vs THAT cell
+      val pv = probeVecs(pid); val cent = centById(cell)
+      val rp = Array.tabulate(pv.length)(i => pv(i) - cent(i))
+      val expected = (0 until 8).map { j =>
+        val bc = books(j).find(_._1 == cs(j)).get._2
+        bc.indices.map { i => val t = bc(i) - rp(j * 8 + i); t * t }.sum
+      }.sum
+      assert(adist == expected, s"probe=$pid vec=$vid adist=$adist != $expected")
+    }
+  }
+
   test("bruteL2TopKBatchQ ranks by exact integer squared L2 (hand-checked tiny corpus)") {
     val tiny = Seq(
       (0L, Array(0f, 0f)), (1L, Array(1f, 0f)), (2L, Array(0f, 2f)),

@@ -883,6 +883,48 @@ class PlanQualitySpec extends SparkSpec {
     graft.CacheScope.release()
   }
 
+  test("q_ann_pq: ADC tables broadcast, per-probe top-k group-limited, codes never shuffle") {
+    val p = plan("q_ann_pq")
+    try {
+      // the probe-table cross IS the PQ serving contract (compressed
+      // exhaustive scan) — but it must be the BROADCAST of the bounded
+      // driver-built tables, never a shuffle of the code table
+      assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+        s"probe ADC tables must broadcast:\n$p")
+      assert(p.contains("WindowGroupLimit"),
+        s"per-probe top-k must run map-side:\n$p")
+      assert(!p.contains("CartesianProduct"), s"unbroadcast cartesian:\n$p")
+      // (the recall-comparison join of the two k·|probes|-row top-k sets
+      // may plan SMJ pre-AQE — both sides are output-sized, so no gate)
+    } finally CacheScope.release()
+  }
+
+  test("q_ann_ivfpq: probed cells via broadcast equi-join — corpus never fully scanned per probe") {
+    val p = plan("q_ann_ivfpq")
+    try {
+      // IVFADC contract: candidates come from an EQUI-join on the cell id
+      // (broadcast of the bounded (probe, cell, tables) rows), so the scan
+      // is restricted to probed cells — no cross of codes × probes
+      assert(p.contains("BroadcastHashJoin"),
+        s"(probe, cell) ADC routing must broadcast-equi-join:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+        s"IVFADC must not cross-join the code table:\n$p")
+      assert(p.contains("WindowGroupLimit"),
+        s"per-probe top-k must run map-side:\n$p")
+    } finally CacheScope.release()
+  }
+
+  test("q_image_neardup: banded bucket equi-join over the cached hash table, never all-pairs") {
+    val p = plan("q_image_neardup")
+    try {
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"all-pairs join in image near-dup:\n$p")
+      // both sides of the band self-join read the one cached banded table
+      assert(p.split("InMemoryTableScan").length - 1 >= 2,
+        s"banded hash cache not reused by both join sides:\n$p")
+    } finally CacheScope.release()
+  }
+
   test("q_triangle_count: wedge and closing joins equi-keyed, no cartesian") {
     val p = plan("q_triangle_count")
     assert(!p.contains("CartesianProduct"), s"cartesian in triangle census:\n$p")
