@@ -1164,8 +1164,18 @@ object TextQueries {
     }
     val hashes = graft.multimodal.Multimodal.perceptualHashes(media)
       .select(col("media_id").as("id"), col("dhash").as("sh"))
+    // maxBucketSize = 64: far above this corpus's densities (max band
+    // bucket 9 at the oracle SFs, so the oracle never models the cap —
+    // the DefaultMaxShingleDF convention) but it FIRES on the 100×/1000×
+    // replicated fixtures, where every base-image group becomes one
+    // giant near-dup clique (group size ~100/~50000) — the image analog
+    // of boilerplate text, and exactly what the hot-bucket cap exists
+    // for: without it the pair join emits Ω(clique²) rows (≈25 M at
+    // 100×, ≈1.25 B at 1000×) that carry no dedup signal a sane
+    // pipeline would enumerate pair-by-pair.
     graft.operators.Dedup
-      .hammingPairsFromHashes(hashes, blockBits = 14, maxHamming = 4)
+      .hammingPairsFromHashes(hashes, blockBits = 14, maxHamming = 4,
+        maxBucketSize = 64)
       .orderBy("d1", "d2")
   }
 
