@@ -191,4 +191,48 @@ object Sampling {
       .groupBy("id")
       .agg(sum(col("c")).as("n_tokens"), sum(col("c") * col("lr_q")).as("w_q"))
   }
+
+  /** Host of a well-formed `scheme://host/path` URL via pure string ops
+    * (codegen'd and engine-portable — DuckDB splits the same way).
+    * Deliberately NOT `parse_url`: that expression is CodegenFallback and
+    * its java.net edge semantics (userinfo, ports, IPv6 brackets) aren't
+    * reproducible in other engines; a production crawler swaps in a full
+    * parser at this seam. */
+  def urlHost(url: Column): Column =
+    substring_index(substring_index(url, "://", -1), "/", 1)
+
+  /** Registrable-domain normalization (eTLD+1 shape): the last two
+    * dot-labels of the host, so `w3.siteN.com` and `w7.siteN.com`
+    * collapse to `siteN.com`. A real public-suffix list plugs in here;
+    * the two-label rule is the exact contract for single-label TLDs. */
+  def registrableDomain(host: Column): Column =
+    substring_index(host, ".", -2)
+
+  /** Per-domain quota cap — the web-curation staple (CCNet/C4-style
+    * pipelines cap documents per registrable domain so boilerplate-heavy
+    * sites can't dominate the corpus): keeps the `maxPerDomain` docs with
+    * the LOWEST content-hash priority per domain (deterministic,
+    * engine-portable, stable under repartitioning — the [[gateBelow]]
+    * discipline, tie → smaller id). Returns ONLY the kept rows
+    * (id, host, domain) — the rank ≤ k filter is what lets Spark plan
+    * WindowGroupLimit: map-side per-domain k-heaps run BEFORE the domain
+    * shuffle, so a mega-domain (the skew case this operator exists for)
+    * contributes at most k rows per map task to the exchange instead of
+    * its full document set. Callers wanting the keep/drop funnel aggregate
+    * the full frame separately (two-phase, skew-safe) and join the two
+    * per-domain tables — see `q_domain_cap`. */
+  def domainCap(df: DataFrame, idCol: String, urlCol: String,
+                textCol: String, maxPerDomain: Int): DataFrame = {
+    require(maxPerDomain >= 1, s"maxPerDomain ($maxPerDomain) must be >= 1")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("domain")
+      .orderBy(col("__pri").asc, col("id").asc)
+    df.select(col(idCol).as("id"),
+        urlHost(col(urlCol)).as("host"),
+        registrableDomain(urlHost(col(urlCol))).as("domain"),
+        graft.plans.HashExpressions.md5Prefix(col(textCol), 15).as("__pri"))
+      .withColumn("__rnk", row_number().over(w))
+      .filter(col("__rnk") <= maxPerDomain)
+      .select(col("id"), col("host"), col("domain"))
+  }
 }

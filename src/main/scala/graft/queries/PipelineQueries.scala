@@ -280,6 +280,84 @@ object PipelineQueries {
        |FROM tot t JOIN kept k ON k.source = t.source
        |ORDER BY t.source""".stripMargin
 
+  /** Per-DOMAIN quota capping over NORMALIZED URLs (round 12) — the web
+    * half of the quota family ([[qSourceCap]] caps by source label; real
+    * crawl pipelines cap by registrable domain so boilerplate-heavy sites
+    * can't dominate): deterministic URLs are injected from doc_id (the
+    * PII-injection convention) with a PLANTED skew — site index
+    * floor(sqrt(doc_id % 961)) gives site s density ∝ 2s+1, so big sites
+    * genuinely overflow the cap while small ones don't — and three
+    * rotating subdomains that must COLLAPSE under
+    * [[graft.operators.Sampling.registrableDomain]] normalization
+    * (w0.siteN.com ≡ w2.siteN.com). Keep rule: the
+    * [[graft.operators.Sampling.domainCap]] lowest-content-hash quota
+    * (deterministic, engine-portable). Readout per domain: total docs,
+    * distinct hosts (proves the collapse), kept count, and the exact SUM
+    * of kept doc_ids — pinning the exact kept SET, not just its size.
+    *
+    * Scale shape: the kept branch's rank ≤ k plans as WindowGroupLimit
+    * (map-side per-domain k-heaps — a mega-domain ships ≤ k rows per map
+    * task); the totals branch is one two-phase aggregate. Both branches
+    * are narrow column scans; only |domains|-sized tables join. */
+  val DomainCap = 8
+  def qDomainCap(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.operators.Sampling
+    val url = concat(lit("https://w"), (col("doc_id") % 3).cast("string"),
+      lit(".site"),
+      floor(sqrt((col("doc_id") % 961).cast("double"))).cast("long").cast("string"),
+      lit(".com/p/"), col("doc_id").cast("string"))
+    val withUrl = t(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"), url.as("url"))
+    val kept = Sampling.domainCap(withUrl, "doc_id", "url", "text", DomainCap)
+      .groupBy("domain")
+      .agg(count(lit(1)).as("n_kept"), sum(col("id")).as("kept_id_sum"))
+    val host = Sampling.urlHost(col("url"))
+    val totals = withUrl
+      .select(host.as("host"), Sampling.registrableDomain(host).as("domain"))
+      .groupBy("domain")
+      .agg(count(lit(1)).as("n_docs"), countDistinct(col("host")).as("n_hosts"))
+    totals.join(kept, Seq("domain"))
+      .select(col("domain"), col("n_docs"), col("n_hosts"),
+        col("n_kept"), col("kept_id_sum"))
+      .orderBy("domain")
+  }
+
+  /** Oracle: URL build, host split, two-label normalization, hash-priority
+    * rank and both funnels replayed relationally. */
+  val qDomainCapSql: String =
+    s"""WITH u AS (
+       |  SELECT doc_id, text,
+       |         'https://w' || CAST(doc_id % 3 AS VARCHAR) || '.site'
+       |           || CAST(CAST(floor(sqrt(CAST(doc_id % 961 AS DOUBLE))) AS BIGINT) AS VARCHAR)
+       |           || '.com/p/' || CAST(doc_id AS VARCHAR) AS url
+       |  FROM documents),
+       |h AS (
+       |  SELECT doc_id, text,
+       |         string_split(string_split(url, '://')[2], '/')[1] AS host
+       |  FROM u),
+       |d AS (
+       |  SELECT doc_id, text, host,
+       |         array_to_string(list_slice(string_split(host, '.'),
+       |           len(string_split(host, '.')) - 1,
+       |           len(string_split(host, '.'))), '.') AS domain
+       |  FROM h),
+       |r AS (
+       |  SELECT doc_id, domain,
+       |         row_number() OVER (PARTITION BY domain
+       |                            ORDER BY substr(md5(text), 1, 15), doc_id) AS rnk
+       |  FROM d),
+       |kept AS (
+       |  SELECT domain, count(*) AS n_kept,
+       |         CAST(sum(doc_id) AS BIGINT) AS kept_id_sum
+       |  FROM r WHERE rnk <= $DomainCap GROUP BY domain),
+       |tot AS (
+       |  SELECT domain, count(*) AS n_docs,
+       |         CAST(count(DISTINCT host) AS BIGINT) AS n_hosts
+       |  FROM d GROUP BY domain)
+       |SELECT t.domain, t.n_docs, t.n_hosts, k.n_kept, k.kept_id_sum
+       |FROM tot t JOIN kept k ON k.domain = t.domain
+       |ORDER BY t.domain""".stripMargin
+
   /** Deterministic global shuffle + sharding — the batch-prep step that
     * turns a curated corpus into N training shards in a rerun-stable
     * pseudo-random order: shard = 32-bit md5 window of doc_id mod
@@ -483,6 +561,7 @@ object PipelineQueries {
     "q_sample_deterministic" -> (qSampleDeterministic _),
     "q_sample_stratified" -> (qSampleStratified _),
     "q_source_cap" -> (qSourceCap _),
+    "q_domain_cap" -> (qDomainCap _),
     "q_shard_shuffle" -> (qShardShuffle _))
 
   val oracles: Map[String, String] = Map(
@@ -494,5 +573,6 @@ object PipelineQueries {
     "q_sample_deterministic" -> qSampleDeterministicSql,
     "q_sample_stratified" -> qSampleStratifiedSql,
     "q_source_cap" -> qSourceCapSql,
+    "q_domain_cap" -> qDomainCapSql,
     "q_shard_shuffle" -> qShardShuffleSql)
 }

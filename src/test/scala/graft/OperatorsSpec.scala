@@ -674,6 +674,40 @@ class OperatorsSpec extends SparkSpec {
     assert(out == Seq(1L, 2L, 3L))
   }
 
+  test("domainCap: subdomains collapse, quota binds per registrable domain, keep rule deterministic") {
+    import graft.operators.Sampling
+    val rows = Seq(
+      (1L, "https://w0.big.com/p/1", "alpha one"),
+      (2L, "https://w1.big.com/p/2", "alpha two"),
+      (3L, "https://w2.big.com/p/3", "alpha three"),
+      (4L, "https://w0.big.com/p/4", "alpha four"),
+      (5L, "https://w0.small.com/p/5", "beta one"),
+      (6L, "https://w1.small.com/p/6", "beta two"))
+      .toDF("doc_id", "url", "text")
+    // host + normalization semantics
+    val norm = rows.select(
+        Sampling.urlHost(col("url")).as("h"),
+        Sampling.registrableDomain(Sampling.urlHost(col("url"))).as("d"))
+      .as[(String, String)].collect().toSet
+    assert(norm.contains(("w0.big.com", "big.com")) &&
+      norm.contains(("w1.small.com", "small.com")))
+    // cap 2: big.com keeps exactly 2 (lowest md5(text), tie id), small keeps both
+    val kept = Sampling.domainCap(rows, "doc_id", "url", "text", maxPerDomain = 2)
+      .select("id", "domain").as[(Long, String)].collect().toSet
+    assert(kept.count(_._2 == "big.com") == 2)
+    assert(kept.count(_._2 == "small.com") == 2)
+    // the keep rule replayed by hand: md5 hex prefix of text, tie doc_id
+    val pri = rows.select(col("doc_id"),
+        graft.plans.HashExpressions.md5Prefix(col("text"), 15).as("p"))
+      .as[(Long, String)].collect().toMap
+    val expectBig = Seq(1L, 2L, 3L, 4L).sortBy(id => (pri(id), id)).take(2).toSet
+    assert(kept.filter(_._2 == "big.com").map(_._1) == expectBig)
+    // determinism across partitionings
+    val kept8 = Sampling.domainCap(rows.repartition(8), "doc_id", "url", "text", 2)
+      .select("id", "domain").as[(Long, String)].collect().toSet
+    assert(kept8 == kept)
+  }
+
   test("argmin expressions compare structurally (canonicalization, ADVICE r10)") {
     import org.apache.spark.sql.graftbridge.ColumnBridge.expression
     import graft.plans.VectorExpressions

@@ -925,6 +925,16 @@ class PlanQualitySpec extends SparkSpec {
     } finally CacheScope.release()
   }
 
+  test("q_domain_cap: quota rank group-limited map-side; per-domain tables join small") {
+    val p = plan("q_domain_cap")
+    // the kept branch filters rank <= k, so the mega-domain skew case
+    // ships at most k rows per map task into the domain exchange
+    assert(p.contains("WindowGroupLimit"),
+      s"per-domain quota must run map-side k-heaps:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"funnel join degenerated:\n$p")
+  }
+
   test("q_triangle_count: wedge and closing joins equi-keyed, no cartesian") {
     val p = plan("q_triangle_count")
     assert(!p.contains("CartesianProduct"), s"cartesian in triangle census:\n$p")
