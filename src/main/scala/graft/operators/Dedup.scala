@@ -296,7 +296,8 @@ object Dedup {
     * value-identical (hints/partitioning change physics only). */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
                    n: Int = 3, minJaccard: Double = 0.2,
-                   maxShingleDF: Int = DefaultMaxShingleDF): DataFrame = {
+                   maxShingleDF: Int = DefaultMaxShingleDF,
+                   pairPartitions: Int = 0): DataFrame = {
     // cache the hashed set BEFORE deriving the DF cap: the hot-key count
     // and the anti-join then both read the cache instead of re-running the
     // tokenize/shingle pipeline (measured 2× otherwise)
@@ -313,7 +314,12 @@ object Dedup {
     // — exactly the quantity the hash-join build memory scales with; the
     // cap's selectivity only ever makes partitions smaller than budgeted.
     // Values are unaffected either way — this knob is pure physics.
-    val p = math.max(
+    // pairPartitions > 0 overrides (the VERDICT r11 item-6 experiment
+    // knob: per-task partial-agg hash maps over the candidate-pair
+    // stream shrink ∝ 1/p, trading spill for task count — measured
+    // numbers in BASELINE round 12)
+    val p = if (pairPartitions > 0) pairPartitions
+    else math.max(
       df.sparkSession.sessionState.conf.numShufflePartitions,
       raw.rdd.getNumPartitions * 2)
     val sh = graft.CacheScope.cached(

@@ -858,12 +858,22 @@ object Similarity {
     * [[semanticDedup]]). */
   def semanticIncrementalStatus(standing: DataFrame, batch: DataFrame,
                                 idCol: String, vecCol: String,
-                                nCells: Int = 32, iters: Int = 2,
+                                nCells: Int = 0, iters: Int = 2,
                                 minCosine: Double = 0.3,
                                 trainSample: Int = 0): DataFrame = {
     val uni = standing.select(col(idCol).as("id"), col(vecCol).as("__v"))
       .unionByName(batch.select(col(idCol).as("id"), col(vecCol).as("__v")))
-    val (cents, _) = ivfIndexQ(uni, "id", "__v", nCells, iters, trainSample)
+    // nCells <= 0: derive k from the union size with the SemDeDup paper's
+    // ~20k/cell ratio, floored at the legacy 32 — the same scale-adaptive
+    // defaulting semanticDedup got in r11. Within-cell pairing is n²/k by
+    // shape, so a FIXED k degenerates as the corpus grows (the r11
+    // q_semdedup_sampled k=8 lesson, re-hit by the 1000× sweep at k=32:
+    // 62.5k-member cells). At the oracle SFs (≤ 5k vectors) the formula
+    // resolves to exactly 32, so oracle literals are unchanged.
+    val k =
+      if (nCells > 0) nCells
+      else math.max(32, math.ceil(uni.count() / 20000.0).toInt)
+    val (cents, _) = ivfIndexQ(uni, "id", "__v", k, iters, trainSample)
     val sorted = cents.sortBy(_._1)
     def prep(df: DataFrame): DataFrame =
       df.select(col(idCol).as("id"), quantize(col(vecCol)).as("vq"))

@@ -596,9 +596,12 @@ object SimilarityQueries {
     val gate = graft.operators.Sampling.gateBelow(col("vec_id").cast("string"), "4")
     val batch = emb.filter(gate)
     val standing = emb.filter(!gate)
+    // nCells = 0 → adaptive max(32, ⌈n/20000⌉): resolves to the oracle's
+    // literal 32 at every oracle SF and to 100 at the 1000× fixture (2 M
+    // vectors), keeping the within-cell pairing sweep-affordable
     graft.operators.Similarity
       .semanticIncrementalStatus(standing, batch, "vec_id", "embedding",
-        nCells = 32, iters = 2, minCosine = 0.3, trainSample = 96)
+        nCells = 0, iters = 2, minCosine = 0.3, trainSample = 96)
       .join(batch.select(col("vec_id").as("id"), col("label")), Seq("id"))
       .groupBy("label")
       .agg(count(lit(1)).as("n_batch"),

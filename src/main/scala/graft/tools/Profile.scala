@@ -1,14 +1,25 @@
 package graft.tools
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions._
-import graft.Tables._
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
 
 /** Scratch profiling main — rewritten per investigation; current target:
-  * round-11 sample-trained SemDeDup centroids (FAISS-style shortcut) vs
-  * the full-corpus Lloyd loop at the 1000× fixture (2 M vectors), the
-  * VERDICT r10 item-1 measurement. Args: sfDir then `k:trainSample` specs
-  * (trainSample 0 = full training, -1 = operator-adaptive).
+  * VERDICT r11 item 6, the q_jaccard_pairs 1000× "last look". The open
+  * question: the pair-stream groupBy(d1,d2) shuffles Ω(Σf²) candidate
+  * rows with ~28 GB transient spill — does an explicit per-partition
+  * pre-aggregation (or equivalently, shrinking each task's partial-agg
+  * hash map by raising the pair-stage partition count) move the 1000×
+  * wall time, or is the cost volume-inherent?
+  *
+  * Two facts this main makes measurable:
+  *  1. The physical plan ALREADY runs partial_count before the exchange
+  *     (printed and grepped) — "per-partition pair pre-aggregation" is
+  *     not a missing feature but Spark's stock two-phase aggregate; what
+  *     varies is only the partial map's working-set size per task.
+  *  2. Per-variant wall time + total shuffle write + memory/disk spill
+  *     from a stage-completion listener, for pairPartitions ∈ args.
+  *
+  * Args: sfDir then pairPartitions values (0 = operator default 2×scan).
   */
 object Profile {
   def time[A](name: String)(f: => A): A = {
@@ -16,6 +27,27 @@ object Profile {
     println(f"[profile] $name%-40s ${(System.nanoTime() - t0) / 1e9}%8.2f s"); r
   }
   def noop(df: DataFrame): Unit = df.write.format("noop").mode("overwrite").save()
+
+  /** Accumulates shuffle/spill totals across all stages of one run. */
+  final class StageMeter extends SparkListener {
+    @volatile var shuffleWrite = 0L
+    @volatile var shuffleRead = 0L
+    @volatile var memSpill = 0L
+    @volatile var diskSpill = 0L
+    override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
+      val m = sc.stageInfo.taskMetrics
+      if (m != null) {
+        shuffleWrite += m.shuffleWriteMetrics.bytesWritten
+        shuffleRead += m.shuffleReadMetrics.totalBytesRead
+        memSpill += m.memoryBytesSpilled
+        diskSpill += m.diskBytesSpilled
+      }
+    }
+    def report(tag: String): Unit =
+      println(f"[profile] $tag metrics: shuffleWrite=${shuffleWrite / 1e9}%.2f GB " +
+        f"shuffleRead=${shuffleRead / 1e9}%.2f GB memSpill=${memSpill / 1e9}%.2f GB " +
+        f"diskSpill=${diskSpill / 1e9}%.2f GB")
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/repo/target/sf100")
@@ -25,22 +57,27 @@ object Profile {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val emb = t(spark, sfDir, "embeddings")
-    println(s"[profile] embeddings rows: ${emb.count()}")
-    val specs = args.drop(1) match {
-      case Array() => Seq((2048, 0), (2048, -1))
-      case a => a.toSeq.map { s =>
-        val Array(k, ts) = s.split(":"); (k.toInt, ts.toInt)
-      }
+    val docs = graft.Tables.t(spark, sfDir, "documents")
+    println(s"[profile] documents rows: ${docs.count()}")
+    val variants = args.drop(1) match {
+      case Array() => Seq(0, 128, 256)
+      case a => a.toSeq.map(_.toInt)
     }
-    for ((k, ts) <- specs) {
-      time(s"semanticDedup nCells=$k trainSample=$ts") {
-        val out = graft.operators.Similarity
-          .semanticDedup(emb, "vec_id", "embedding", nCells = k, iters = 2,
-            minCosine = 0.3, trainSample = ts)
-        val kept = out.filter(col("kept") === 1L).count()
-        println(s"[profile]   nCells=$k trainSample=$ts kept=$kept")
+    // fact 1: partial aggregation is already in the plan, pre-exchange
+    val plan = graft.operators.Dedup
+      .jaccardPairs(docs, "doc_id", "text").queryExecution.executedPlan.toString
+    val partial = plan.contains("partial_count")
+    println(s"[profile] pair groupBy has map-side partial aggregation: $partial")
+    graft.CacheScope.release()
+    for (p <- variants) {
+      val meter = new StageMeter
+      spark.sparkContext.addSparkListener(meter)
+      time(s"jaccardPairs pairPartitions=$p") {
+        noop(graft.operators.Dedup.jaccardPairs(
+          docs, "doc_id", "text", pairPartitions = p))
       }
+      spark.sparkContext.removeSparkListener(meter)
+      meter.report(s"pairPartitions=$p")
       graft.CacheScope.release()
     }
     spark.stop()
