@@ -873,7 +873,12 @@ object Similarity {
     val k =
       if (nCells > 0) nCells
       else math.max(32, math.ceil(uni.count() / 20000.0).toInt)
-    val (cents, _) = ivfIndexQ(uni, "id", "__v", k, iters, trainSample)
+    // a bounded training sample must still cover the (possibly adaptive)
+    // seed set — scale it to 3 points per centroid when k outgrows it
+    // (at the oracle SFs k = 32 ⇒ 3k = 96, the query's literal, so
+    // oracle replays are unchanged)
+    val ts = if (trainSample > 0) math.max(trainSample, 3 * k) else trainSample
+    val (cents, _) = ivfIndexQ(uni, "id", "__v", k, iters, ts)
     val sorted = cents.sortBy(_._1)
     def prep(df: DataFrame): DataFrame =
       df.select(col(idCol).as("id"), quantize(col(vecCol)).as("vq"))

@@ -923,6 +923,142 @@ object SimilarityQueries {
        |ORDER BY probe_id, rnk""".stripMargin
   }
 
+  /** Contrastive training-pair mining (round 12) — the stage that turns a
+    * curated corpus into retrieval/embedding-model training data (the
+    * DPR/SimCSE-style recipe, public literature): POSITIVES are lexical
+    * near-dup pairs (n-gram Jaccard ≥ 0.5 — each anchor keeps its best
+    * mate by (jaccard desc, id)), HARD NEGATIVES are mined in EMBEDDING
+    * space — the anchor's best IVF cosine neighbor that is NOT one of its
+    * near-dup mates (semantically close but not a duplicate, exactly what
+    * contrastive training wants). Output one triplet row per anchor:
+    * (anchor, pos_id, pos_jaccard, neg_id, neg_cosine), neg NULL when all
+    * k retrieved neighbors were mates.
+    *
+    * Scale shape: positives ride the banded jaccard machinery (never
+    * all-pairs); the anchor set is a DETERMINISTIC BOUNDED batch — the 64
+    * lowest-md5 anchors with embeddings (mining runs in anchor batches in
+    * production; the collect is ≤ 64 ids by construction); negatives come
+    * from ONE shared IVF index scan for the whole batch
+    * ([[graft.operators.Similarity.ivfTopKBatchQ]] — broadcast routing,
+    * WindowGroupLimit top-k). The oracle replays the jaccard pairs, the
+    * md5 anchor cap, the full Lloyd chain, the probe routing, the cosine
+    * scoring, the mate exclusion and both picks. */
+  def qPairMining(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val docs = t(spark, sfDir, "documents")
+    val emb = t(spark, sfDir, "embeddings")
+    val pairs = graft.operators.Dedup
+      .jaccardPairs(docs, "doc_id", "text", n = 3, minJaccard = 0.5)
+    val sym = graft.CacheScope.cached(
+      pairs.select(col("d1").as("anchor"), col("d2").as("mate"), col("jaccard"))
+        .unionByName(
+          pairs.select(col("d2").as("anchor"), col("d1").as("mate"), col("jaccard"))))
+    // bounded anchor batch: lowest-md5 64 anchors that have an embedding
+    // (orderBy+limit plans as TakeOrderedAndProject; collect ≤ 64 rows)
+    val anchorIds = sym.select(col("anchor")).distinct()
+      .join(emb.select(col("vec_id").as("anchor")), Seq("anchor"), "left_semi")
+      .orderBy(graft.plans.HashExpressions.md5Prefix(col("anchor").cast("string"), 8),
+        col("anchor"))
+      .limit(64)
+      .as[Long].collect().toSeq
+    val w = org.apache.spark.sql.expressions.Window
+    val bestPos = sym.filter(col("anchor").isInCollection(anchorIds))
+      .withColumn("rn", row_number().over(
+        w.partitionBy("anchor").orderBy(col("jaccard").desc, col("mate").asc)))
+      .filter(col("rn") === 1)
+      .select(col("anchor"), col("mate").as("pos_id"),
+        col("jaccard").as("pos_jaccard"))
+    val neigh = graft.operators.Similarity.ivfTopKBatchQ(
+      emb, "vec_id", "embedding", anchorIds, k = 5,
+      nCells = 16, iters = 2, nProbe = 4)
+    val negs = neigh
+      .join(sym.select(col("anchor").as("probe_id"), col("mate").as("vec_id")),
+        Seq("probe_id", "vec_id"), "left_anti")
+      .withColumn("rn", row_number().over(
+        w.partitionBy("probe_id").orderBy(col("rnk").asc)))
+      .filter(col("rn") === 1)
+      .select(col("probe_id").as("anchor"), col("vec_id").as("neg_id"),
+        col("cosine").as("neg_cosine"))
+    bestPos.join(negs, Seq("anchor"), "left")
+      .select(col("anchor"), col("pos_id"), col("pos_jaccard"),
+        col("neg_id"), col("neg_cosine"))
+      .orderBy("anchor")
+  }
+
+  lazy val qPairMiningSql: String =
+    s"""WITH ${DedupQueries.shinglesSqlCte("documents")},
+       |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+       |inter AS (
+       |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+       |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |jp AS (
+       |  SELECT d1, d2,
+       |         CAST(inter AS DOUBLE) / (s1.sz + s2.sz - inter) AS j
+       |  FROM inter
+       |  JOIN sizes s1 ON s1.doc_id = d1
+       |  JOIN sizes s2 ON s2.doc_id = d2
+       |  WHERE CAST(inter AS DOUBLE) / (s1.sz + s2.sz - inter) >= 0.5),
+       |sym AS (
+       |  SELECT d1 AS anchor, d2 AS mate, j FROM jp
+       |  UNION ALL SELECT d2, d1, j FROM jp),
+       |$FlatSqlCte,
+       |anchors AS (
+       |  SELECT anchor FROM (
+       |    SELECT DISTINCT s.anchor FROM sym s
+       |    JOIN embeddings e ON e.vec_id = s.anchor)
+       |  QUALIFY row_number() OVER (
+       |    ORDER BY substr(md5(CAST(anchor AS VARCHAR)), 1, 8), anchor) <= 64),
+       |bestpos AS (
+       |  SELECT s.anchor, s.mate AS pos_id, s.j AS pos_jaccard
+       |  FROM sym s JOIN anchors a ON a.anchor = s.anchor
+       |  QUALIFY row_number() OVER (PARTITION BY s.anchor
+       |                             ORDER BY s.j DESC, s.mate) = 1),
+       |${lloydSqlCtes(nCells = 16, iters = 2)},
+       |probq AS (
+       |  SELECT a.anchor AS probe_id, f.pos, f.vq
+       |  FROM anchors a JOIN flat f ON f.vec_id = a.anchor),
+       |pcells AS (
+       |  SELECT probe_id, cell FROM (
+       |    SELECT q.probe_id, c.cell,
+       |           CAST(sum((q.vq - c.cq) * (q.vq - c.cq)) AS BIGINT) AS d
+       |    FROM cent2 c JOIN probq q ON q.pos = c.pos GROUP BY 1, 2)
+       |  QUALIFY row_number() OVER (PARTITION BY probe_id ORDER BY d, cell) <= 4),
+       |cand AS (
+       |  SELECT p.probe_id, a.vec_id
+       |  FROM afin a JOIN pcells p ON a.cell = p.cell
+       |  WHERE a.vec_id <> p.probe_id),
+       |norms AS (SELECT vec_id, CAST(sum(vq * vq) AS BIGINT) AS norm2 FROM flat GROUP BY 1),
+       |dots AS (
+       |  SELECT c.probe_id, c.vec_id, CAST(sum(f.vq * q.vq) AS BIGINT) AS dot
+       |  FROM cand c
+       |  JOIN flat f ON f.vec_id = c.vec_id
+       |  JOIN probq q ON q.probe_id = c.probe_id AND q.pos = f.pos
+       |  GROUP BY 1, 2),
+       |scored AS (
+       |  SELECT d.probe_id, d.vec_id,
+       |         CAST(d.dot AS DOUBLE)
+       |           / (sqrt(CAST(n.norm2 AS DOUBLE)) * sqrt(CAST(np.norm2 AS DOUBLE))) AS cosine
+       |  FROM dots d
+       |  JOIN norms n ON n.vec_id = d.vec_id
+       |  JOIN norms np ON np.vec_id = d.probe_id
+       |  WHERE n.norm2 > 0 AND np.norm2 > 0),
+       |nb AS (
+       |  SELECT probe_id, vec_id, cosine,
+       |         CAST(row_number() OVER (PARTITION BY probe_id
+       |                                 ORDER BY cosine DESC, vec_id) AS BIGINT) AS rnk
+       |  FROM scored
+       |  QUALIFY rnk <= 5),
+       |negs AS (
+       |  SELECT probe_id AS anchor, vec_id AS neg_id, cosine AS neg_cosine
+       |  FROM nb
+       |  WHERE NOT EXISTS (SELECT 1 FROM sym s
+       |                    WHERE s.anchor = nb.probe_id AND s.mate = nb.vec_id)
+       |  QUALIFY row_number() OVER (PARTITION BY probe_id ORDER BY rnk) = 1)
+       |SELECT b.anchor, b.pos_id, b.pos_jaccard, n.neg_id, n.neg_cosine
+       |FROM bestpos b LEFT JOIN negs n ON n.anchor = b.anchor
+       |ORDER BY b.anchor""".stripMargin
+
   /** Embedding-space decontamination (round 11) — the SEMANTIC sibling of
     * the n-gram q_decontaminate: corpus vectors too close (quantized
     * cosine ≥ 0.3, the family's verification threshold) to ANY held-out
@@ -1094,6 +1230,7 @@ object SimilarityQueries {
     "q_ann_recall" -> (qAnnRecall _),
     "q_ann_pq" -> (qAnnPq _),
     "q_ann_ivfpq" -> (qAnnIvfpq _),
+    "q_pair_mining" -> (qPairMining _),
     "q_semdedup" -> (qSemdedup _),
     "q_semdedup_sampled" -> (qSemdedupSampled _),
     "q_semdedup_incremental" -> (qSemdedupIncremental _))
@@ -1112,6 +1249,7 @@ object SimilarityQueries {
     "q_ann_recall" -> qAnnRecallSql,
     "q_ann_pq" -> qAnnPqSql,
     "q_ann_ivfpq" -> qAnnIvfpqSql,
+    "q_pair_mining" -> qPairMiningSql,
     "q_semdedup" -> qSemdedupSql,
     "q_semdedup_sampled" -> qSemdedupSampledSql,
     "q_semdedup_incremental" -> qSemdedupIncrementalSql)

@@ -935,6 +935,18 @@ class PlanQualitySpec extends SparkSpec {
       s"funnel join degenerated:\n$p")
   }
 
+  test("q_pair_mining: IVF routing broadcasts, top-k group-limited, no all-pairs stage") {
+    val p = plan("q_pair_mining")
+    try {
+      assert(p.contains("BroadcastHashJoin"),
+        s"(probe, cell) routing must broadcast:\n$p")
+      assert(p.contains("WindowGroupLimit"),
+        s"neighbor top-k must run map-side:\n$p")
+      assert(!p.contains("CartesianProduct"),
+        s"all-pairs stage in pair mining:\n$p")
+    } finally CacheScope.release()
+  }
+
   test("q_triangle_count: wedge and closing joins equi-keyed, no cartesian") {
     val p = plan("q_triangle_count")
     assert(!p.contains("CartesianProduct"), s"cartesian in triangle census:\n$p")
