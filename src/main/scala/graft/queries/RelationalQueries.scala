@@ -1005,8 +1005,56 @@ object RelationalQueries {
       |GROUP BY l_linestatus
       |ORDER BY l_linestatus""".stripMargin
 
+  /** Schema-evolution read (round 12) — the drift case every long-lived
+    * ingestion hits: an early batch written under the OLD schema
+    * (doc_id, lang, text) and a later batch under the drifted one (+
+    * quality DOUBLE) must read back as ONE relation via
+    * `mergeSchema = true`, with the missing column NULL for old-batch
+    * rows. The readout proves all three contracts at once: total rows
+    * (nothing dropped by the union), non-null quality count (exactly the
+    * new-schema rows), and the quality sum (values survive the merge
+    * bit-exactly — length/1024 is a dyadic rational, so even the double
+    * SUM is order-free exact and hash-safe without the decimal detour).
+    * Oracle computes straight off `documents` with the same parity split.
+    * Scale shape: two narrow projected writes + one merged scan + one
+    * two-phase aggregate; schema reconciliation is metadata-only (footer
+    * union), not a data pass. */
+  def qSchemaEvolution(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = new java.io.File(
+      spark.conf.getOption("graft.streamWorkDir")
+        .getOrElse(new java.io.File(sys.props("user.dir"), "target/schema_evo").getAbsolutePath),
+      new java.io.File(sfDir).getName + "_se")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rm))
+      f.delete()
+    }
+    rm(base)
+    val dir = base.getAbsolutePath
+    val docs = t(spark, sfDir, "documents")
+      .select(col("doc_id"), col("lang"), col("text"))
+    docs.filter(col("doc_id") % 2 === 0)
+      .write.mode("overwrite").parquet(dir + "/b0")
+    docs.filter(col("doc_id") % 2 === 1)
+      .withColumn("quality", length(col("text")).cast("double") / 1024d)
+      .write.mode("overwrite").parquet(dir + "/b1")
+    spark.read.option("mergeSchema", "true").parquet(dir + "/b0", dir + "/b1")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        count(col("quality")).as("n_new_schema"),
+        sum(coalesce(col("quality"), lit(0d))).as("sum_quality"))
+      .orderBy("lang")
+  }
+
+  val qSchemaEvolutionSql: String =
+    """SELECT lang, count(*) AS n_docs,
+      |       CAST(count(CASE WHEN doc_id % 2 = 1 THEN 1 END) AS BIGINT) AS n_new_schema,
+      |       sum(CASE WHEN doc_id % 2 = 1
+      |                THEN CAST(length(text) AS DOUBLE) / 1024 ELSE 0 END) AS sum_quality
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_orc_roundtrip" -> (qOrcRoundtrip _),
+    "q_schema_evolution" -> (qSchemaEvolution _),
     "q_k_anonymity" -> (qKAnonymity _),
     "q_bloom_prune" -> (qBloomPrune _),
     "q_audit_constraints" -> (qAuditConstraints _),
@@ -1041,6 +1089,7 @@ object RelationalQueries {
 
   val oracles: Map[String, String] = Map(
     "q_orc_roundtrip" -> qOrcRoundtripSql,
+    "q_schema_evolution" -> qSchemaEvolutionSql,
     "q_k_anonymity" -> qKAnonymitySql,
     "q_bloom_prune" -> qBloomPruneSql,
     "q_audit_constraints" -> qAuditConstraintsSql,

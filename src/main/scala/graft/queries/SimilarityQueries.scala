@@ -949,10 +949,19 @@ object SimilarityQueries {
     val emb = t(spark, sfDir, "embeddings")
     val pairs = graft.operators.Dedup
       .jaccardPairs(docs, "doc_id", "text", n = 3, minJaccard = 0.5)
-    val sym = graft.CacheScope.cached(
+    // NOT cached: on a corpus with large near-dup cliques the full
+    // symmetric pair table is Ω(clique²) — caching it blew the host's
+    // 30 GB spill budget at the 1000× replicated fixture. The anchor
+    // derivation streams it once; everything downstream only ever needs
+    // the ANCHOR-RESTRICTED subset (bounded: ≤ 64 anchors × their
+    // mates), which is what gets cached below. The second pass over the
+    // pair join reuses the operator's cached shingle tables (Spark's
+    // CacheManager matches the canonicalized plans), so shingling is
+    // still paid once.
+    val sym =
       pairs.select(col("d1").as("anchor"), col("d2").as("mate"), col("jaccard"))
         .unionByName(
-          pairs.select(col("d2").as("anchor"), col("d1").as("mate"), col("jaccard"))))
+          pairs.select(col("d2").as("anchor"), col("d1").as("mate"), col("jaccard")))
     // bounded anchor batch: lowest-md5 64 anchors that have an embedding
     // (orderBy+limit plans as TakeOrderedAndProject; collect ≤ 64 rows)
     val anchorIds = sym.select(col("anchor")).distinct()
@@ -961,8 +970,10 @@ object SimilarityQueries {
         col("anchor"))
       .limit(64)
       .as[Long].collect().toSeq
+    val symA = graft.CacheScope.cached(
+      sym.filter(col("anchor").isInCollection(anchorIds)))
     val w = org.apache.spark.sql.expressions.Window
-    val bestPos = sym.filter(col("anchor").isInCollection(anchorIds))
+    val bestPos = symA
       .withColumn("rn", row_number().over(
         w.partitionBy("anchor").orderBy(col("jaccard").desc, col("mate").asc)))
       .filter(col("rn") === 1)
@@ -972,7 +983,7 @@ object SimilarityQueries {
       emb, "vec_id", "embedding", anchorIds, k = 5,
       nCells = 16, iters = 2, nProbe = 4)
     val negs = neigh
-      .join(sym.select(col("anchor").as("probe_id"), col("mate").as("vec_id")),
+      .join(symA.select(col("anchor").as("probe_id"), col("mate").as("vec_id")),
         Seq("probe_id", "vec_id"), "left_anti")
       .withColumn("rn", row_number().over(
         w.partitionBy("probe_id").orderBy(col("rnk").asc)))

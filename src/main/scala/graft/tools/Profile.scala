@@ -49,6 +49,23 @@ object Profile {
         f"diskSpill=${diskSpill / 1e9}%.2f GB")
   }
 
+  /** Secondary mode (`pq` as the 2nd arg): sample-trained vs full-corpus
+    * PQ codebook training at scale — the r11a sample-trained-Lloyd story
+    * applied to the round-12 PQ build. trainSample values follow. */
+  def pqMode(spark: SparkSession, sfDir: String, samples: Seq[Int]): Unit = {
+    val emb = graft.Tables.t(spark, sfDir, "embeddings")
+    println(s"[profile] embeddings rows: ${emb.count()}")
+    for (ts <- samples) {
+      time(s"pqIndexQ m=8 ksub=16 trainSample=$ts") {
+        val (_, codes) = graft.operators.Similarity
+          .pqIndexQ(emb, "vec_id", "embedding", m = 8, ksub = 16,
+            iters = 2, trainSample = ts)
+        noop(codes)
+      }
+      graft.CacheScope.release()
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/repo/target/sf100")
     val spark = SparkSession.builder().master("local[32]")
@@ -57,6 +74,13 @@ object Profile {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    if (args.lift(1).contains("pq")) {
+      pqMode(spark, sfDir, args.drop(2).map(_.toInt).toSeq match {
+        case Seq() => Seq(0, 131072)
+        case s => s
+      })
+      spark.stop(); return
+    }
     val docs = graft.Tables.t(spark, sfDir, "documents")
     println(s"[profile] documents rows: ${docs.count()}")
     val variants = args.drop(1) match {
