@@ -380,6 +380,72 @@ object DedupQueries {
        |       string_agg(id, ',' ORDER BY id) AS members
        |FROM labels GROUP BY cluster ORDER BY cluster_id""".stripMargin
 
+  /** Canonical-representative selection per near-dup cluster (the CCNet /
+    * RefinedWeb policy: when a duplicate cluster collapses, keep its
+    * HIGHEST-QUALITY member, not its lowest id): cluster labels from
+    * [[graft.operators.Dedup.collapsedClusterLabels]], each member scored
+    * with the [[TextQueries.qualityCol]] mix (length saturation + alpha
+    * ratio + stopword ratio — the exact tree q_quality_score hash-proves
+    * against DuckDB), quantized to 2^20 so the ranking key is an exact
+    * integer, winner = max quality with min-id tie-break. One row per
+    * ≥2-member cluster: (cluster_id, n_docs, kept_id, kept_q20).
+    *
+    * Scale shape: scoring is one row-local `text_stats` kernel pass; the
+    * winner is a map-side-combinable `min(struct(-q20, id))` aggregate on
+    * the cluster key — never a window sort over the corpus. Cluster labels
+    * come from the exact-collapsed component machinery (linear in
+    * duplicate count, see [[qDedupClusters]]); singleton clusters drop
+    * AFTER the agg, so untouched docs cost one combiner row each. */
+  def qDedupKeepBest(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val docs = t(spark, sfDir, "documents")
+    val labels = graft.operators.Dedup
+      .collapsedClusterLabels(docs, "doc_id", "text", n = 3, minJaccard = 0.5)
+      .withColumnRenamed("id", "doc_id")
+    val scored = docs
+      .select(col("doc_id"), graft.plans.TextStatsExpressions
+        .textStats(col("text"),
+          graft.functions.TextFunctions.StopwordLists.map(_._2)).as("st"))
+      .select(col("doc_id"),
+        floor(TextQueries.qualityCol(col("st")) * 1048576).cast("long").as("q20"))
+    // labels is one row per doc — join strategy left to AQE (q_retention note)
+    scored.join(labels, Seq("doc_id"), "left")
+      .withColumn("cluster", coalesce(col("cluster"), col("doc_id")))
+      .groupBy(col("cluster").as("cluster_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(struct((-col("q20")).as("nq"), col("doc_id").as("id"))).as("w"))
+      .filter(col("n_docs") >= 2)
+      .select(col("cluster_id"), col("n_docs"),
+        col("w.id").as("kept_id"), (-col("w.nq")).as("kept_q20"))
+      .orderBy("cluster_id")
+  }
+
+  val qDedupKeepBestSql: String =
+    s"""WITH RECURSIVE ${minhashSqlCtes("documents")},
+       |${vpairsSqlCtes(0.5)},
+       |edges AS (
+       |  SELECT d1 AS src, d2 AS dst FROM vpairs
+       |  UNION SELECT d2, d1 FROM vpairs),
+       |walk AS (
+       |  SELECT src, dst FROM edges
+       |  UNION
+       |  SELECT w.src, e.dst FROM walk w JOIN edges e ON e.src = w.dst),
+       |labels AS (
+       |  SELECT src AS id, least(src, min(dst)) AS cluster
+       |  FROM walk GROUP BY src),
+       |q AS (
+       |  SELECT doc_id,
+       |         CAST(floor((${TextQueries.qualitySqlExpr}) * 1048576) AS BIGINT) AS q20
+       |  FROM documents),
+       |ranked AS (
+       |  SELECT l.cluster, l.id, q.q20,
+       |         row_number() OVER (PARTITION BY l.cluster
+       |                            ORDER BY q.q20 DESC, l.id ASC) AS rn,
+       |         count(*) OVER (PARTITION BY l.cluster) AS n_docs
+       |  FROM labels l JOIN q ON q.doc_id = l.id)
+       |SELECT cluster AS cluster_id, n_docs, id AS kept_id, q20 AS kept_q20
+       |FROM ranked WHERE rn = 1 ORDER BY cluster_id""".stripMargin
+
   /** [[graft.operators.Dedup.chunkDedup]] (C4-style 10-word chunk dedup)
     * under the oracle gate: per doc, chunk counts and the md5 of the
     * rebuilt text — proves the reconstruction bit-exact without dumping
@@ -690,7 +756,8 @@ object DedupQueries {
     "q_simhash_pairs" -> (qSimhashPairs _),
     "q_incremental_dedup" -> (qIncrementalDedup _),
     "q_dedup_cascade" -> (qDedupCascade _),
-    "q_dedup_clusters" -> (qDedupClusters _))
+    "q_dedup_clusters" -> (qDedupClusters _),
+    "q_dedup_keep_best" -> (qDedupKeepBest _))
 
   val oracles: Map[String, String] = Map(
     "q_leakage_split" -> qLeakageSplitSql,
@@ -705,5 +772,6 @@ object DedupQueries {
     "q_simhash_pairs" -> qSimhashPairsSql,
     "q_incremental_dedup" -> qIncrementalDedupSql,
     "q_dedup_cascade" -> qDedupCascadeSql,
-    "q_dedup_clusters" -> qDedupClustersSql)
+    "q_dedup_clusters" -> qDedupClustersSql,
+    "q_dedup_keep_best" -> qDedupKeepBestSql)
 }

@@ -552,7 +552,71 @@ object PipelineQueries {
       |FROM tot
       |ORDER BY source""".stripMargin
 
+  /** Snapshot diff between two corpus versions (incremental-recrawl
+    * accounting — the first question a pipeline asks before reprocessing:
+    * what actually changed?): version 1 and version 2 are deterministic
+    * slices of `documents` (v1 drops doc_id % 11 = 3; v2 drops
+    * doc_id % 13 = 5 and revises the text of doc_id % 7 = 2), each
+    * projected to (doc_id, content digest, length) and full-outer-joined
+    * on doc_id; every doc classifies as added / removed / changed /
+    * unchanged by digest comparison, aggregated to per-status counts and
+    * char volumes.
+    *
+    * Scale shape: the ONLY wide op is one co-partitioned full-outer join
+    * keyed on doc_id, and both sides are pre-projected to ~50-byte
+    * (id, md5, length) rows — diffing two 100 TB snapshots moves digests,
+    * never text. Bucketing both snapshots on doc_id at write time would
+    * remove even that exchange; the md5 narrowing is what makes either
+    * plan feasible. */
+  def qSnapshotDiff(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = t(spark, sfDir, "documents")
+    val v1 = docs.filter(col("doc_id") % 11 =!= 3)
+      .select(col("doc_id"),
+        md5(col("text").cast("binary")).as("h1"),
+        length(col("text")).cast("long").as("c1"))
+    val v2 = docs.filter(col("doc_id") % 13 =!= 5)
+      .withColumn("t2",
+        when(col("doc_id") % 7 === 2, concat(col("text"), lit(" rev2")))
+          .otherwise(col("text")))
+      .select(col("doc_id"),
+        md5(col("t2").cast("binary")).as("h2"),
+        length(col("t2")).cast("long").as("c2"))
+    v1.join(v2, Seq("doc_id"), "full_outer")
+      .withColumn("status",
+        when(col("h1").isNull, "added")
+          .when(col("h2").isNull, "removed")
+          .when(col("h1") === col("h2"), "unchanged")
+          .otherwise("changed"))
+      .groupBy("status")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(coalesce(col("c1"), lit(0L))).as("chars_v1"),
+        sum(coalesce(col("c2"), lit(0L))).as("chars_v2"))
+      .orderBy("status")
+  }
+
+  val qSnapshotDiffSql: String =
+    """WITH v1 AS (
+      |  SELECT doc_id, md5(text) AS h1, length(text) AS c1
+      |  FROM documents WHERE doc_id % 11 <> 3),
+      |v2x AS (
+      |  SELECT doc_id,
+      |         CASE WHEN doc_id % 7 = 2 THEN text || ' rev2' ELSE text END AS t2
+      |  FROM documents WHERE doc_id % 13 <> 5),
+      |v2 AS (SELECT doc_id, md5(t2) AS h2, length(t2) AS c2 FROM v2x),
+      |j AS (
+      |  SELECT h1, h2, c1, c2
+      |  FROM v1 FULL OUTER JOIN v2 ON v2.doc_id = v1.doc_id)
+      |SELECT CASE WHEN h1 IS NULL THEN 'added'
+      |            WHEN h2 IS NULL THEN 'removed'
+      |            WHEN h1 = h2 THEN 'unchanged'
+      |            ELSE 'changed' END AS status,
+      |       count(*) AS n_docs,
+      |       CAST(sum(coalesce(c1, 0)) AS BIGINT) AS chars_v1,
+      |       CAST(sum(coalesce(c2, 0)) AS BIGINT) AS chars_v2
+      |FROM j GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_snapshot_diff" -> (qSnapshotDiff _),
     "q_dsir" -> (qDsir _),
     "q_dsir_bigram" -> (qDsirBigram _),
     "q_mixture_plan" -> (qMixturePlan _),
@@ -565,6 +629,7 @@ object PipelineQueries {
     "q_shard_shuffle" -> (qShardShuffle _))
 
   val oracles: Map[String, String] = Map(
+    "q_snapshot_diff" -> qSnapshotDiffSql,
     "q_dsir" -> qDsirSql,
     "q_dsir_bigram" -> qDsirBigramSql,
     "q_mixture_plan" -> qMixturePlanSql,

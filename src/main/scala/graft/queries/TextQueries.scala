@@ -118,12 +118,22 @@ object TextQueries {
        |       ${StopwordLists.map { case (l, _) => s"hits_$l" }.mkString(", ")}
        |FROM scored ORDER BY doc_id""".stripMargin
 
+  /** The quality mix over a `text_stats` struct column — the exact IEEE
+    * expression tree of TextFunctions.qualityScore reassembled from the
+    * kernel's integer fields (TextStatsSpec pins kernel ≡ columnar
+    * field-by-field). Shared by [[qQualityScore]] and the keep-best
+    * canonical selection in [[DedupQueries]]; [[qualitySqlExpr]] is the
+    * DuckDB twin of this tree. */
+  private[graft] def qualityCol(st: Column): Column =
+    lit(0.4) * least(st.getField("n_chars").cast("double") / 500d, lit(1d)) +
+      lit(0.4) * (st.getField("n_alpha").cast("double") /
+        st.getField("n_chars")) +
+      lit(0.2) * least(st.getField("hits").getItem(0).cast("double") /
+        st.getField("n_tokens").cast("double") * 5d, lit(1d))
+
   /** Quality scoring: length saturation, alpha ratio, stopword ratio. */
   def qQualityScore(spark: SparkSession, sfDir: String): DataFrame =
-    // all four outputs from ONE text_stats kernel pass; the quality mix
-    // reassembles the exact IEEE expression tree of
-    // TextFunctions.qualityScore from the kernel's integer fields
-    // (TextStatsSpec pins kernel ≡ columnar field-by-field)
+    // all four outputs from ONE text_stats kernel pass
     t(spark, sfDir, "documents")
       .select(col("doc_id"), col("text"))
       .orderBy("doc_id") // narrow sort first — see qLangId note
@@ -132,11 +142,7 @@ object TextQueries {
       .select(col("doc_id"),
         col("st").getField("n_tokens").as("n_tokens"),
         col("st").getField("n_bpeish").as("n_bpeish_tokens"),
-        (lit(0.4) * least(col("st").getField("n_chars").cast("double") / 500d, lit(1d)) +
-          lit(0.4) * (col("st").getField("n_alpha").cast("double") /
-            col("st").getField("n_chars")) +
-          lit(0.2) * least(col("st").getField("hits").getItem(0).cast("double") /
-            col("st").getField("n_tokens").cast("double") * 5d, lit(1d))).as("quality"))
+        qualityCol(col("st")).as("quality"))
 
   /** SQL twin of [[graft.functions.TextFunctions.qualityScore]] —
     * references a `text` column; identical IEEE expression tree. */
@@ -1278,6 +1284,101 @@ object TextQueries {
       |       CAST(floor(CAST(CAST(s / 100 AS REAL) AS DOUBLE) * 1048576) AS BIGINT) AS q_amp
       |FROM sums ORDER BY doc_id, seg""".stripMargin
 
+  /** Energy-based voice-activity segmentation (VAD) over the REAL WAV
+    * codec — the speech-curation pass that decides which clip regions
+    * carry signal before a corpus pays for transcription: the same
+    * encode→decode fan-out as [[qAudioEmbed]] produces the 16-segment
+    * mean-|amplitude| envelope off real decoded PCM; each segment
+    * quantizes to the oracle-exact integer q = floor(env·2^20)
+    * (q_audio_embed's q_amp), a segment is ACTIVE iff its energy is
+    * strictly above the clip mean (q·16 > Σq — pure integer arithmetic),
+    * and consecutive active segments merge into islands. One row per
+    * island: (doc_id, seg_start, seg_end, n_segs).
+    *
+    * Scale shape: the entire segmentation is ROW-LOCAL — quantization,
+    * the clip total, the island start/end detection all run as array ops
+    * over the 16-element envelope inside one narrow projection (the
+    * boundary tests are HOF filters over a materialized `q` attribute;
+    * 16 interpreted elements per row is noise next to the codec). No
+    * shuffle exists until the output sort; a 100 TB audio corpus VADs at
+    * scan speed. The gaps-and-islands window form (partition by doc,
+    * seg − row_number) is what the ORACLE replays — the row-local array
+    * form avoids shuffling 16 rows per clip through a window sort. */
+  def qAudioVad(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val N = 1600
+    val ids = t(spark, sfDir, "documents").select(col("doc_id")).as[Long]
+      .repartition(spark.sparkContext.defaultParallelism)
+    // clip generator distinct from q_audio_embed's linear ramp (whose
+    // segment means are constant-ordered — every clip would yield the
+    // same single island): the multiplicative mix below produces 0-8
+    // islands per clip (129 distinct patterns over 200 ids). Folded
+    // mod 65536 stepwise so the arithmetic never exceeds 2^63 at any
+    // corpus size — the oracle replays the identical folded form.
+    val media = ids.mapPartitions { it =>
+      it.map { id =>
+        val samples = Array.tabulate(N)(i =>
+          ((((id + 3) * (i + 11L)) % 65536) * 31153 % 65536 - 32768).toShort)
+        graft.multimodal.Multimodal.MediaRecord(
+          id, "audio/wav", graft.multimodal.Multimodal.pcm16Wav(samples))
+      }
+    }
+    val active = (q: Column, tot: Column, i: Column) =>
+      element_at(q, i + 1) * 16 > tot
+    graft.multimodal.Multimodal
+      .extractFeatures(media, graft.multimodal.Multimodal.WavDecoder)
+      .toDF()
+      .select(col("media_id").as("doc_id"),
+        transform(col("embedding"),
+          e => floor(e.cast("double") * 1048576).cast("long")).as("q"))
+      .select(col("doc_id"), col("q"),
+        aggregate(col("q"), lit(0L), (a, x) => a + x).as("tot"))
+      // boundary tests keep the lit check FIRST in the Or — it
+      // short-circuits before element_at would see index 0 / 17 (ANSI)
+      .select(col("doc_id"),
+        filter(sequence(lit(0), lit(15)), i =>
+          active(col("q"), col("tot"), i) &&
+            ((i === 0) || !active(col("q"), col("tot"), i - 1))).as("starts"),
+        filter(sequence(lit(0), lit(15)), i =>
+          active(col("q"), col("tot"), i) &&
+            ((i === 15) || !active(col("q"), col("tot"), i + 1))).as("ends"))
+      .select(col("doc_id"), explode(arrays_zip(col("starts"), col("ends"))).as("isl"))
+      .select(col("doc_id"),
+        col("isl.starts").cast("long").as("seg_start"),
+        col("isl.ends").cast("long").as("seg_end"))
+      .withColumn("n_segs", col("seg_end") - col("seg_start") + 1)
+      .orderBy("doc_id", "seg_start")
+  }
+
+  /** Oracle: envelope replayed from the sample-generator arithmetic (the
+    * [[qAudioEmbedSql]] CTEs), islands via the classic window form. */
+  val qAudioVadSql: String =
+    """WITH sm AS (
+      |  SELECT d.doc_id, g.i,
+      |         abs((((d.doc_id + 3) * (g.i + 11)) % 65536) * 31153 % 65536
+      |             - 32768) / 32768.0 AS t,
+      |         g.i // 100 AS seg
+      |  FROM documents d, generate_series(0, 1599) AS g(i)),
+      |sums AS (
+      |  SELECT doc_id, seg,
+      |         list_reduce(list(t ORDER BY i), (a, x) -> a + x) AS s
+      |  FROM sm GROUP BY doc_id, seg),
+      |env AS (
+      |  SELECT doc_id, seg,
+      |         CAST(floor(CAST(CAST(s / 100 AS REAL) AS DOUBLE) * 1048576) AS BIGINT) AS q
+      |  FROM sums),
+      |tot AS (SELECT doc_id, sum(q) AS tot FROM env GROUP BY doc_id),
+      |act AS (
+      |  SELECT e.doc_id, e.seg FROM env e JOIN tot t USING (doc_id)
+      |  WHERE e.q * 16 > t.tot),
+      |grp AS (
+      |  SELECT doc_id, seg,
+      |         seg - row_number() OVER (PARTITION BY doc_id ORDER BY seg) AS g
+      |  FROM act)
+      |SELECT doc_id, min(seg) AS seg_start, max(seg) AS seg_end,
+      |       count(*) AS n_segs
+      |FROM grp GROUP BY doc_id, g ORDER BY doc_id, seg_start""".stripMargin
+
   /** Subword-vocabulary induction — the candidate-generation step BPE /
     * WordPiece tokenizer training starts from: enumerate every character
     * n-gram (len 2..4) of every corpus token, count corpus-wide
@@ -1776,10 +1877,134 @@ object TextQueries {
       |ORDER BY lift DESC, p.a, p.b
       |LIMIT 20""".stripMargin
 
+  /** Tokenizer fertility per language — the measurement a multilingual
+    * corpus runs before committing a tokenizer: real BPE token count
+    * (the frozen 16-merge table, [[bpeTokenCount]] kernel) against
+    * whitespace words and raw chars, aggregated per language, with the
+    * two ratios every fertility report quotes — BPE tokens per word and
+    * chars per BPE token — quantized at 2^20 (the sums stay < 2^53, so
+    * the DOUBLE divisions are IEEE-exact and the oracle replays them
+    * bit-for-bit).
+    *
+    * Scale shape: both counters are one-pass row-local kernels
+    * (`text_stats` + `bpe_token_count` — no tokenization materializes);
+    * the rollup is a two-phase agg on the 5-value lang key. Scan-bound at
+    * 100 TB. */
+  def qTokFertility(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "documents")
+      .select(col("lang"),
+        graft.plans.TextStatsExpressions
+          .textStats(col("text"), StopwordLists.map(_._2)).as("st"),
+        bpeTokenCount(col("text")).as("bpe"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("st").getField("n_tokens")).as("ws_tokens"),
+        sum(col("bpe")).as("bpe_tokens"),
+        sum(col("st").getField("n_chars")).as("n_chars"))
+      .select(col("lang"), col("n_docs"), col("ws_tokens"), col("bpe_tokens"),
+        col("n_chars"),
+        floor(col("bpe_tokens").cast("double") / col("ws_tokens").cast("double")
+          * 1048576).cast("long").as("fertility_q"),
+        floor(col("n_chars").cast("double") / col("bpe_tokens").cast("double")
+          * 1048576).cast("long").as("chars_per_tok_q"))
+      .orderBy("lang")
+
+  val qTokFertilitySql: String =
+    s"""WITH per AS (
+       |  SELECT lang,
+       |         len(list_filter(string_split(text, ' '), t -> t <> '')) AS ws,
+       |         ${bpeTokenCountSql("text")} AS bpe,
+       |         length(text) AS ch
+       |  FROM documents),
+       |agg AS (
+       |  SELECT lang, count(*) AS n_docs,
+       |         CAST(sum(ws) AS BIGINT) AS ws_tokens,
+       |         CAST(sum(bpe) AS BIGINT) AS bpe_tokens,
+       |         CAST(sum(ch) AS BIGINT) AS n_chars
+       |  FROM per GROUP BY lang)
+       |SELECT lang, n_docs, ws_tokens, bpe_tokens, n_chars,
+       |       CAST(floor(CAST(bpe_tokens AS DOUBLE) / CAST(ws_tokens AS DOUBLE)
+       |            * 1048576) AS BIGINT) AS fertility_q,
+       |       CAST(floor(CAST(n_chars AS DOUBLE) / CAST(bpe_tokens AS DOUBLE)
+       |            * 1048576) AS BIGINT) AS chars_per_tok_q
+       |FROM agg ORDER BY lang""".stripMargin
+
+  /** The phrase set q_phrase_search probes — drawn from the fixture's
+    * synthetic vocabulary so each phrase has a nontrivial hit count. */
+  private val SearchPhrases: Seq[String] =
+    Seq("big query", "slow hash batch", "table part", "value fast merge")
+
+  /** Positional inverted-index phrase search: postings (doc_id, pos, term)
+    * from one corpus explode, restricted up front to the terms of the
+    * probe phrases; a k-term phrase matches where the k postings streams
+    * equi-join on (doc_id, start) after each term's positions are shifted
+    * back by its offset — the classic positional-index intersection,
+    * expressed as joins so Catalyst picks the physical strategy. One row
+    * per phrase: (phrase, n_docs, n_hits), with n_hits counting start
+    * positions (overlapping occurrences included — the regex-count form
+    * undercounts those).
+    *
+    * Scale shape: the corpus is scanned ONCE (the postings projection is
+    * cached after the `term IN (phrase terms)` filter, so only matching
+    * postings materialize — at 100 TB that filter is the whole game: a
+    * 3-phrase probe retains a vocabulary-bounded sliver of the index);
+    * each phrase's intersection then equi-joins on (doc_id, pos), which
+    * co-partitions across all k streams, and the per-phrase rollup is a
+    * two-row global agg. A standing index would bucket postings by term;
+    * this query builds the same shape inline. */
+  def qPhraseSearch(spark: SparkSession, sfDir: String): DataFrame = {
+    val allTerms = SearchPhrases.flatMap(_.split(' ')).distinct
+    val postings = graft.CacheScope.cached(
+      t(spark, sfDir, "documents")
+        .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "term")))
+        .filter(col("term").isin(allTerms: _*)))
+    SearchPhrases.map { p =>
+      val ts = p.split(' ')
+      val start = postings.filter(col("term") === ts(0))
+        .select(col("doc_id"), col("pos"))
+      val matched = ts.zipWithIndex.drop(1).foldLeft(start) { case (cur, (term, i)) =>
+        cur.join(postings.filter(col("term") === term)
+          .select(col("doc_id"), (col("pos") - i).as("pos")), Seq("doc_id", "pos"))
+      }
+      matched.agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_hits"))
+        .select(lit(p).as("phrase"), col("n_docs"), col("n_hits"))
+    }.reduce(_ unionByName _).orderBy("phrase")
+  }
+
+  /** Oracle: the same positional intersection in DuckDB — 1-based list
+    * positions over the identical empties-dropped token array. */
+  val qPhraseSearchSql: String = {
+    val arms = SearchPhrases.map { p =>
+      val ts = p.split(' ')
+      val joins = ts.zipWithIndex.drop(1).map { case (_, i) =>
+        s"JOIN pos t$i ON t$i.doc_id = t0.doc_id AND t$i.p = t0.p + $i"
+      }.mkString("\n  ")
+      val conds = ts.zipWithIndex
+        .map { case (term, i) => s"t$i.term = '$term'" }.mkString(" AND ")
+      s"""SELECT '$p' AS phrase,
+         |       count(DISTINCT t0.doc_id) AS n_docs, count(*) AS n_hits
+         |FROM pos t0
+         |  $joins
+         |WHERE $conds""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH toks AS (
+       |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS w
+       |  FROM documents),
+       |pos AS (
+       |  SELECT doc_id, i AS p, w[i] AS term
+       |  FROM toks, LATERAL unnest(generate_series(1, len(w))) AS g(i))
+       |$arms
+       |ORDER BY phrase""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_phrase_search" -> (qPhraseSearch _),
+    "q_tok_fertility" -> (qTokFertility _),
     "q_cooccur_lift" -> (qCooccurLift _),
     "q_image_embed" -> (qImageEmbed _),
     "q_audio_embed" -> (qAudioEmbed _),
+    "q_audio_vad" -> (qAudioVad _),
     "q_subword_vocab" -> (qSubwordVocab _),
     "q_bpe_encode" -> (qBpeEncode _),
     "q_bpe_train" -> (qBpeTrain _),
@@ -1812,9 +2037,12 @@ object TextQueries {
     "q_binary_meta" -> (qBinaryMeta _))
 
   val oracles: Map[String, String] = Map(
+    "q_phrase_search" -> qPhraseSearchSql,
+    "q_tok_fertility" -> qTokFertilitySql,
     "q_cooccur_lift" -> qCooccurLiftSql,
     "q_image_embed" -> qImageEmbedSql,
     "q_audio_embed" -> qAudioEmbedSql,
+    "q_audio_vad" -> qAudioVadSql,
     "q_subword_vocab" -> qSubwordVocabSql,
     "q_bpe_encode" -> qBpeEncodeSql,
     "q_bpe_train" -> qBpeTrainSql,

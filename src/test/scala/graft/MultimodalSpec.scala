@@ -211,5 +211,36 @@ class MultimodalSpec extends SparkSpec {
     assert(r1.toSeq == r4.toSeq)
     assert(r1.forall { case (_, w, h, _) => w == 32 && h == 32 })
   }
+
+  test("qAudioVad islands equal a brute per-clip recomputation off the generator") {
+    val out = SparkEntry.queries("q_audio_vad")(spark, TestSpark.Sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val ids = spark.read.parquet(s"${TestSpark.Sf0001}/documents.parquet")
+      .select("doc_id").collect().map(_.getLong(0))
+    val brute = ids.flatMap { id =>
+      // identical arithmetic to the query's generator + WavDecoder fold:
+      // double accumulation per 100-sample segment, float narrowing, 2^20
+      val q = (0 until 16).map { seg =>
+        var s = 0.0
+        (0 until 100).foreach { k =>
+          val i = seg * 100 + k
+          val v = (((id + 3) * (i + 11L)) % 65536) * 31153 % 65536 - 32768
+          s += math.abs(v) / 32768.0
+        }
+        math.floor((s / 100).toFloat.toDouble * 1048576).toLong
+      }
+      val tot = q.sum
+      val act = q.map(_ * 16 > tot)
+      (0 until 16).filter(i => act(i) && (i == 0 || !act(i - 1))).map { st =>
+        val en = (st until 16).takeWhile(act).last
+        (id, st.toLong, en.toLong, (en - st + 1).toLong)
+      }
+    }.sortBy(t => (t._1, t._2))
+    assert(out.toSeq == brute.toSeq,
+      s"first diff: ${out.toSeq.zip(brute.toSeq).find(p => p._1 != p._2)}")
+    // the fixture must exercise variety: multi-island clips and gaps
+    assert(brute.map(_._1).distinct.length < ids.length ||
+      brute.groupBy(_._1).values.exists(_.length > 1))
+  }
 }
 

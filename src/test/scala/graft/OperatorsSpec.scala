@@ -1307,5 +1307,87 @@ class OperatorsSpec extends SparkSpec {
         s"target-vocab doc must outscore raw-only doc: $w")
     } finally CacheScope.release()
   }
+
+  test("q_phrase_search counts equal a brute sliding-window scan") {
+    val out = SparkEntry.queries("q_phrase_search")(spark, TestSpark.Sf0001)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val texts = docs.select("text").as[String].collect()
+    val brute = out.keySet.map { p =>
+      val ts = p.split(' ').toSeq
+      var hits = 0L; var nd = 0L
+      texts.foreach { t =>
+        val w = t.split(' ').filter(_.nonEmpty).toSeq
+        val c = w.indices.count(i => i + ts.length <= w.length &&
+          w.slice(i, i + ts.length) == ts)
+        if (c > 0) nd += 1
+        hits += c
+      }
+      p -> ((nd, hits))
+    }.toMap
+    try assert(out == brute, s"got $out want $brute")
+    finally CacheScope.release()
+  }
+
+  test("q_dedup_keep_best winner has max quality (min-id ties) within its cluster") {
+    val labels = Dedup.collapsedClusterLabels(docs, "doc_id", "text",
+        n = 3, minJaccard = 0.5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val q20 = docs.select(col("doc_id"), floor(graft.queries.TextQueries
+        .qualityCol(graft.plans.TextStatsExpressions.textStats(col("text"),
+          graft.functions.TextFunctions.StopwordLists.map(_._2))) * 1048576)
+        .cast("long").as("q"))
+      .as[(Long, Long)].collect().toMap
+    val out = SparkEntry.queries("q_dedup_keep_best")(spark, TestSpark.Sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    try {
+      assert(out.nonEmpty)
+      val members = labels.groupBy(_._2).view.mapValues(_.keys.toSeq).toMap
+      out.foreach { case (cid, nDocs, keptId, keptQ) =>
+        val m = members(cid)
+        assert(m.size == nDocs, s"cluster $cid size")
+        val want = m.map(id => (-q20(id), id))
+          .min(Ordering.Tuple2(Ordering.Long, Ordering.Long))
+        assert((keptId, keptQ) == ((want._2, -want._1)),
+          s"cluster $cid winner: got ($keptId,$keptQ) want $want of $m")
+      }
+      // at least one cluster must pick a non-min-id winner, or the
+      // quality ranking is vacuous on this fixture
+      assert(out.exists { case (cid, _, keptId, _) => keptId != cid },
+        s"every winner was the min id — quality never decided: ${out.toSeq}")
+    } finally CacheScope.release()
+  }
+
+  test("q_snapshot_diff statuses partition both versions exactly") {
+    val out = SparkEntry.queries("q_snapshot_diff")(spark, TestSpark.Sf0001)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    val ids = docs.select("doc_id").as[Long].collect()
+    val v1 = ids.count(_ % 11 != 3).toLong
+    val v2 = ids.count(_ % 13 != 5).toLong
+    def n(s: String) = out.get(s).map(_._1).getOrElse(0L)
+    try {
+      assert(n("removed") + n("changed") + n("unchanged") == v1, s"$out v1=$v1")
+      assert(n("added") + n("changed") + n("unchanged") == v2, s"$out v2=$v2")
+      assert(out("added")._2 == 0L && out("removed")._3 == 0L)
+      assert(out("unchanged")._2 == out("unchanged")._3)
+      // every revised survivor really differs (the ' rev2' suffix)
+      assert(out("changed")._3 == out("changed")._2 + 5L * n("changed"))
+    } finally CacheScope.release()
+  }
+
+  test("q_tok_fertility: BPE-per-word ≥ 1, exact quantized ratios of the sums") {
+    val rows = SparkEntry.queries("q_tok_fertility")(spark, TestSpark.Sf0001)
+      .collect()
+    try {
+      assert(rows.length == 5)
+      rows.foreach { r =>
+        val (ws, bpe, ch, fq, cq) =
+          (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))
+        assert(bpe >= ws, s"${r.getString(0)}: a word is ≥1 BPE token")
+        assert(fq == math.floor(bpe.toDouble / ws.toDouble * 1048576).toLong)
+        assert(cq == math.floor(ch.toDouble / bpe.toDouble * 1048576).toLong)
+      }
+    } finally CacheScope.release()
+  }
 }
 

@@ -947,6 +947,61 @@ class PlanQualitySpec extends SparkSpec {
     } finally CacheScope.release()
   }
 
+  test("q_audio_vad: row-local segmentation — no aggregate, codec fan-out + sort only") {
+    val p = plan("q_audio_vad")
+    // the whole VAD (quantize, clip total, island bounds) must stay in
+    // the per-row projection: any HashAggregate/Window means the 16-row
+    // envelope leaked into a shuffle
+    assert(!p.contains("HashAggregate") && !p.contains("Window"),
+      s"per-clip segmentation must not aggregate:\n$p")
+    val exchanges = p.split("Exchange").length - 1
+    assert(exchanges <= 2, s"only the codec fan-out and output sort may shuffle:\n$p")
+  }
+
+  test("q_snapshot_diff: digests join full-outer on id, text never shuffles") {
+    val p = plan("q_snapshot_diff")
+    assert(p.contains("FullOuter"), s"diff must full-outer join the versions:\n$p")
+    // both join inputs are (doc_id, md5, length) projections; the raw text
+    // column must be projected away BELOW the join exchange
+    val joinIdx = p.indexOf("FullOuter")
+    assert(!p.substring(0, joinIdx).contains("text#"),
+      s"raw text leaked above the version projections:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"diff join degenerated:\n$p")
+  }
+
+  test("q_phrase_search: one cached term-filtered postings scan feeds every intersection") {
+    val p = plan("q_phrase_search")
+    try {
+      // 4 phrases / 9 posting streams — all must re-read the ONE cached
+      // term-filtered postings table, not re-explode the corpus
+      assert(p.split("InMemoryTableScan").length - 1 >= 8,
+        s"postings cache not reused across phrase streams:\n$p")
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"phrase intersection degenerated:\n$p")
+    } finally CacheScope.release()
+  }
+
+  test("q_tok_fertility: one-pass kernels, two-phase agg, ≤2 exchanges") {
+    val p = plan("q_tok_fertility")
+    assert(p.contains("text_stats") && p.contains("bpe_token_count"),
+      s"native counters missing:\n$p")
+    assert(p.split("HashAggregate").length - 1 >= 2,
+      s"expected partial+final agg:\n$p")
+    val exchanges = p.split("Exchange").length - 1
+    assert(exchanges <= 2, s"fertility rollup should shuffle only lang agg + sort:\n$p")
+  }
+
+  test("q_dedup_keep_best: winner via map-side argmin aggregate, no corpus window sort") {
+    val p = plan("q_dedup_keep_best")
+    try {
+      assert(!p.contains("Window"),
+        s"keep-best must use min(struct), never a window rank over the corpus:\n$p")
+      assert(p.split("HashAggregate").length - 1 >= 2,
+        s"winner aggregate must have a partial phase:\n$p")
+    } finally CacheScope.release()
+  }
+
   test("q_triangle_count: wedge and closing joins equi-keyed, no cartesian") {
     val p = plan("q_triangle_count")
     assert(!p.contains("CartesianProduct"), s"cartesian in triangle census:\n$p")
