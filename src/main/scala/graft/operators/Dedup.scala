@@ -455,6 +455,51 @@ object Dedup {
         .select(col("id"), col("__rep")))
   }
 
+  /** Cross-source PRIORITY dedup — the multi-source corpus rule (curated
+    * beats books beats web): every doc carries an integer priority (lower
+    * = more trusted), and the drop key is (priority, id) instead of id —
+    * a doc is dropped iff it is an exact or verified near-duplicate of a
+    * doc with a smaller (priority, id) key. Same pairwise (non-closure)
+    * semantics as [[dedupeNear]]; same exact-collapse-first composition,
+    * with the collapse winner per md5(text) now the min (priority, id)
+    * member. The dedupeNear equivalence argument carries over verbatim
+    * with keys substituted: a non-representative always loses to its
+    * better exact twin, and a representative loses a raw pair to some
+    * better y iff it loses the rep pair to rep(y), whose key is ≤ y's.
+    *
+    * Returns one row per input doc: (id, kept ∈ {0,1}).
+    *
+    * Scale shape: identical to [[dedupeNear]] — one content-hash collapse,
+    * banding + verification over representatives only, plus two
+    * broadcast-friendly key joins of the O(pairs) loser table; the
+    * priority column rides the existing shuffles for free. */
+  def priorityDedup(df: DataFrame, idCol: String, textCol: String,
+                    prioCol: String, n: Int = 3, minJaccard: Double = 0.5,
+                    maxShingleDF: Int = DefaultMaxShingleDF): DataFrame = {
+    // (id, text, prio) — feeds the collapse, the rep filter and the
+    // final readout join; cache so the source scans once
+    val base = graft.CacheScope.cached(
+      df.select(col(idCol).as("id"), col(textCol).as("__t"),
+        col(prioCol).cast("long").as("__p")))
+    val reps = base
+      .groupBy(graft.plans.HashExpressions.md5Hex(col("__t")).as("__key"))
+      .agg(min(struct(col("__p"), col("id"))).as("w"))
+      .select(col("w.id").as("id"))
+    val repDocs = base.join(reps, Seq("id"), "left_semi")
+    val keys = base.select(col("id"), struct(col("__p"), col("id")).as("__k"))
+    val losers = verifiedNearDupPairs(repDocs, "id", "__t", n, minJaccard, maxShingleDF)
+      .join(keys.select(col("id").as("d1"), col("__k").as("__k1")), "d1")
+      .join(keys.select(col("id").as("d2"), col("__k").as("__k2")), "d2")
+      .select(when(col("__k1") < col("__k2"), col("d2")).otherwise(col("d1")).as("id"))
+      .distinct()
+    base.select(col("id"))
+      .join(reps.withColumn("__rep", lit(1L)), Seq("id"), "left")
+      .join(losers.withColumn("__lose", lit(1L)), Seq("id"), "left")
+      .select(col("id"),
+        when(col("__rep").isNotNull && col("__lose").isNull, 1L)
+          .otherwise(0L).as("kept"))
+  }
+
   /** End-to-end near-dedup: drop the higher-id side of every verified
     * near-dup pair. Returns the surviving rows of `df`.
     *

@@ -517,6 +517,64 @@ object DedupQueries {
       |       CAST(sum(CASE WHEN n_dup_windows > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_hit
       |FROM per_doc GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** Cross-source priority dedup ([[graft.operators.Dedup.priorityDedup]])
+    * under the oracle gate: sources tier into 3 priority classes
+    * (srcN → N % 3; 0 = curated, 2 = web — lower wins), and every exact
+    * or verified near-duplicate keeps its best-(priority, id) member —
+    * the multi-source corpus rule RedPajama/Dolma-style assemblies apply
+    * so the curated copy survives and the web mirror drops. Readout: per
+    * (priority, lang) doc totals, kept counts and kept char mass. Scale
+    * notes live on the operator (exact-collapse by key first; the
+    * priority rides existing shuffles). */
+  def qCrossSourceDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val docs = t(spark, sfDir, "documents")
+      .withColumn("priority", substring(col("source"), 4, 10).cast("long") % 3)
+    graft.operators.Dedup
+      .priorityDedup(docs, "doc_id", "text", "priority", n = 3, minJaccard = 0.5)
+      .withColumnRenamed("id", "doc_id")
+      .join(docs.select(col("doc_id"), col("priority"), col("lang"), col("n_chars")),
+        Seq("doc_id"))
+      .groupBy("priority", "lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("kept")).as("n_kept"),
+        sum(col("kept") * col("n_chars")).as("kept_chars"))
+      .orderBy("priority", "lang")
+  }
+
+  val qCrossSourceDedupSql: String =
+    s"""WITH pbase AS (
+       |  SELECT doc_id, text, lang, n_chars,
+       |         CAST(substr(source, 4) AS BIGINT) % 3 AS priority
+       |  FROM documents),
+       |pwin AS (
+       |  SELECT doc_id FROM (
+       |    SELECT doc_id, row_number() OVER (PARTITION BY md5(text)
+       |                                      ORDER BY priority, doc_id) AS rn
+       |    FROM pbase) WHERE rn = 1),
+       |reps AS (SELECT b.* FROM pbase b JOIN pwin w ON w.doc_id = b.doc_id),
+       |${minhashSqlCtes("reps")},
+       |${vpairsSqlCtes(0.5)},
+       |losers AS (
+       |  SELECT DISTINCT CASE WHEN (b1.priority, v.d1) < (b2.priority, v.d2)
+       |                       THEN v.d2 ELSE v.d1 END AS doc_id
+       |  FROM vpairs v
+       |  JOIN pbase b1 ON b1.doc_id = v.d1
+       |  JOIN pbase b2 ON b2.doc_id = v.d2),
+       |kept AS (
+       |  SELECT b.doc_id,
+       |         CASE WHEN w.doc_id IS NOT NULL AND l.doc_id IS NULL
+       |              THEN 1 ELSE 0 END AS kept
+       |  FROM pbase b
+       |  LEFT JOIN pwin w ON w.doc_id = b.doc_id
+       |  LEFT JOIN losers l ON l.doc_id = b.doc_id)
+       |SELECT b.priority, b.lang, count(*) AS n_docs,
+       |       CAST(sum(k.kept) AS BIGINT) AS n_kept,
+       |       CAST(sum(k.kept * b.n_chars) AS BIGINT) AS kept_chars
+       |FROM pbase b JOIN kept k ON k.doc_id = b.doc_id
+       |GROUP BY b.priority, b.lang
+       |ORDER BY b.priority, b.lang""".stripMargin
+
   /** Substring dedup REMOVAL ([[graft.operators.Dedup.substringRewrite]],
     * round 12 — the production operator behind the [[qSubstringDup]]
     * diagnostic): per doc, token counts before/after cutting every
@@ -757,7 +815,8 @@ object DedupQueries {
     "q_incremental_dedup" -> (qIncrementalDedup _),
     "q_dedup_cascade" -> (qDedupCascade _),
     "q_dedup_clusters" -> (qDedupClusters _),
-    "q_dedup_keep_best" -> (qDedupKeepBest _))
+    "q_dedup_keep_best" -> (qDedupKeepBest _),
+    "q_cross_source_dedup" -> (qCrossSourceDedup _))
 
   val oracles: Map[String, String] = Map(
     "q_leakage_split" -> qLeakageSplitSql,
@@ -773,5 +832,6 @@ object DedupQueries {
     "q_incremental_dedup" -> qIncrementalDedupSql,
     "q_dedup_cascade" -> qDedupCascadeSql,
     "q_dedup_clusters" -> qDedupClustersSql,
-    "q_dedup_keep_best" -> qDedupKeepBestSql)
+    "q_dedup_keep_best" -> qDedupKeepBestSql,
+    "q_cross_source_dedup" -> qCrossSourceDedupSql)
 }

@@ -673,8 +673,12 @@ object SimilarityQueries {
       .orderBy("probe_id")
   }
 
-  lazy val qAnnRecallSql: String =
-    s"""WITH $FlatSqlCte,
+  /** The shared ANN-measurement CTE chain (IVF nProbe=2/16 `ivf` + exact
+    * `brute`, both ranked top-10 for probes 0–4) — the replayed search
+    * both [[qAnnRecall]] and [[qAnnMrr]] grade. `ivf` carries its rank so
+    * order-sensitive metrics (MRR/AP) read it directly. */
+  private lazy val annIvfBruteSqlCtes: String =
+    s"""$FlatSqlCte,
        |${lloydSqlCtes(nCells = 16, iters = 2)},
        |probes AS (
        |  SELECT CAST(x AS BIGINT) AS probe_id
@@ -700,7 +704,10 @@ object SimilarityQueries {
        |  JOIN probq q ON q.probe_id = c.probe_id AND q.pos = f.pos
        |  GROUP BY 1, 2),
        |ivf AS (
-       |  SELECT probe_id, vec_id FROM (
+       |  SELECT probe_id, vec_id,
+       |         row_number() OVER (PARTITION BY probe_id
+       |                            ORDER BY cosine DESC, vec_id) AS rnk
+       |  FROM (
        |    SELECT d.probe_id, d.vec_id,
        |           CAST(d.dot AS DOUBLE)
        |             / (sqrt(CAST(n.norm2 AS DOUBLE)) * sqrt(CAST(np.norm2 AS DOUBLE))) AS cosine
@@ -724,13 +731,88 @@ object SimilarityQueries {
        |    JOIN norms n ON n.vec_id = d.vec_id
        |    JOIN norms np ON np.vec_id = d.probe_id
        |    WHERE n.norm2 > 0 AND np.norm2 > 0)
-       |  QUALIFY row_number() OVER (PARTITION BY probe_id ORDER BY cosine DESC, vec_id) <= 10)
+       |  QUALIFY row_number() OVER (PARTITION BY probe_id ORDER BY cosine DESC, vec_id) <= 10)""".stripMargin
+
+  lazy val qAnnRecallSql: String =
+    s"""WITH $annIvfBruteSqlCtes
        |SELECT i.probe_id, count(*) AS n_ivf,
        |       CAST(sum(CASE WHEN b.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS recall_at_10
        |FROM ivf i
        |LEFT JOIN brute b ON b.probe_id = i.probe_id AND b.vec_id = i.vec_id
        |GROUP BY i.probe_id
        |ORDER BY i.probe_id""".stripMargin
+
+  /** Order-sensitive retrieval-eval metrics over the SAME replayed search
+    * as [[qAnnRecall]] (recall says how many true neighbors the index
+    * returns; ranking metrics say how early): per probe — hits (n_rel),
+    * rank of the first true neighbor, MRR contribution, AP@10 and P@5,
+    * with brute-force top-10 as relevance. Every metric is EXACT INTEGER
+    * arithmetic: rr_q = 2^20 // first_rank; AP's rational partial sums
+    * clear denominators with lcm(1..10) = 2520 — ap_q =
+    * (Σ_{hits} cum_hits·(2520//rank))·2^20 // (2520·n_rel) — so the oracle
+    * replays both searches AND the metric arithmetic bit-for-bit (the
+    * log-discounted NDCG is deliberately absent: transcendental discounts
+    * are not cross-engine replayable; AP carries the same signal
+    * rationally).
+    *
+    * Scale shape: both search arms are the measured q_ann_recall plans;
+    * the metric pass is a window + agg over ≤ k rows per probe. */
+  def qAnnMrr(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = t(spark, sfDir, "embeddings")
+    val probes = Seq(0L, 1L, 2L, 3L, 4L)
+    val ivf = graft.operators.Similarity.ivfTopKBatchQ(
+      emb, "vec_id", "embedding", probes, k = 10,
+      nCells = 16, iters = 2, nProbe = 2)
+      .select(col("probe_id"), col("rnk"), col("vec_id"))
+    val brute = graft.operators.Similarity.bruteTopKBatchQ(
+      emb, "vec_id", "embedding", probes, k = 10)
+      .select(col("probe_id"), col("vec_id"), lit(1L).as("__hit"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("probe_id").orderBy("rnk")
+    ivf.join(brute, Seq("probe_id", "vec_id"), "left")
+      .withColumn("rel", coalesce(col("__hit"), lit(0L)))
+      .withColumn("cum", sum(col("rel")).over(w))
+      .groupBy("probe_id")
+      .agg(sum(col("rel")).as("n_rel"),
+        min(when(col("rel") === 1L, col("rnk"))).as("fr"),
+        sum(when(col("rel") === 1L,
+          col("cum") * expr("2520 div rnk"))).as("apn"),
+        sum(when(col("rel") === 1L && col("rnk") <= 5L, 1L).otherwise(0L))
+          .as("p_at_5"))
+      .select(col("probe_id"), col("n_rel"),
+        coalesce(col("fr"), lit(0L)).as("first_hit_rank"),
+        coalesce(expr("1048576 div fr"), lit(0L)).as("rr_q"),
+        when(col("n_rel") > 0L, expr("(apn * 1048576) div (2520 * n_rel)"))
+          .otherwise(0L).as("ap_q"),
+        col("p_at_5"))
+      .orderBy("probe_id")
+  }
+
+  lazy val qAnnMrrSql: String =
+    s"""WITH $annIvfBruteSqlCtes,
+       |scoredm AS (
+       |  SELECT i.probe_id, i.rnk,
+       |         CASE WHEN b.vec_id IS NOT NULL THEN 1 ELSE 0 END AS rel
+       |  FROM ivf i
+       |  LEFT JOIN brute b ON b.probe_id = i.probe_id AND b.vec_id = i.vec_id),
+       |cums AS (
+       |  SELECT probe_id, rnk, rel,
+       |         sum(rel) OVER (PARTITION BY probe_id ORDER BY rnk) AS cum
+       |  FROM scoredm),
+       |aggm AS (
+       |  SELECT probe_id,
+       |         CAST(sum(rel) AS BIGINT) AS n_rel,
+       |         min(CASE WHEN rel = 1 THEN rnk END) AS fr,
+       |         CAST(sum(CASE WHEN rel = 1 THEN cum * (2520 // rnk) END) AS BIGINT) AS apn,
+       |         CAST(sum(CASE WHEN rel = 1 AND rnk <= 5 THEN 1 ELSE 0 END) AS BIGINT) AS p_at_5
+       |  FROM cums GROUP BY probe_id)
+       |SELECT probe_id, n_rel,
+       |       CAST(COALESCE(fr, 0) AS BIGINT) AS first_hit_rank,
+       |       CAST(COALESCE(1048576 // fr, 0) AS BIGINT) AS rr_q,
+       |       CAST(CASE WHEN n_rel > 0 THEN (apn * 1048576) // (2520 * n_rel)
+       |                 ELSE 0 END AS BIGINT) AS ap_q,
+       |       p_at_5
+       |FROM aggm ORDER BY probe_id""".stripMargin
 
   /** One PQ subspace's Lloyd chain as CTEs (requires `pqseeds` and the
     * `src` table — `flat` for flat PQ, the residual table for IVF-PQ —
@@ -1244,7 +1326,8 @@ object SimilarityQueries {
     "q_pair_mining" -> (qPairMining _),
     "q_semdedup" -> (qSemdedup _),
     "q_semdedup_sampled" -> (qSemdedupSampled _),
-    "q_semdedup_incremental" -> (qSemdedupIncremental _))
+    "q_semdedup_incremental" -> (qSemdedupIncremental _),
+    "q_ann_mrr" -> (qAnnMrr _))
 
   val oracles: Map[String, String] = Map(
     "q_vector_quantize" -> qVectorQuantizeSql,
@@ -1263,5 +1346,6 @@ object SimilarityQueries {
     "q_pair_mining" -> qPairMiningSql,
     "q_semdedup" -> qSemdedupSql,
     "q_semdedup_sampled" -> qSemdedupSampledSql,
-    "q_semdedup_incremental" -> qSemdedupIncrementalSql)
+    "q_semdedup_incremental" -> qSemdedupIncrementalSql,
+    "q_ann_mrr" -> qAnnMrrSql)
 }

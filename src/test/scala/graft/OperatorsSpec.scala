@@ -1308,6 +1308,47 @@ class OperatorsSpec extends SparkSpec {
     } finally CacheScope.release()
   }
 
+  test("priorityDedup: better-priority doc wins regardless of id; ties fall back to id") {
+    val df = Seq(
+      // exact-dup group: doc 10 (web, p=2) vs doc 20 (curated, p=0) —
+      // the HIGHER id wins because its priority is better
+      (10L, "alpha beta gamma delta epsilon zeta", 2L),
+      (20L, "alpha beta gamma delta epsilon zeta", 0L),
+      // near-dup pair (5/7 shingles shared): doc 30 (p=1) loses to doc 40 (p=0)
+      (30L, "one two three four five six seven eight nine", 1L),
+      (40L, "one two three four five six seven eight ten", 0L),
+      // same-priority near-dups: min id 50 wins
+      (50L, "red green blue cyan magenta yellow black white", 1L),
+      (60L, "red green blue cyan magenta yellow black grey", 1L),
+      // no duplicate at all — kept
+      (70L, "completely unrelated standalone document text here", 2L)
+    ).toDF("doc_id", "text", "prio")
+    val kept = Dedup.priorityDedup(df, "doc_id", "text", "prio", n = 3, minJaccard = 0.4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    try assert(kept == Map(10L -> 0L, 20L -> 1L, 30L -> 0L, 40L -> 1L,
+      50L -> 1L, 60L -> 0L, 70L -> 1L), s"got $kept")
+    finally CacheScope.release()
+  }
+
+  test("q_ann_mrr: integer metrics consistent with q_ann_recall's overlap") {
+    val mrr = SparkEntry.queries("q_ann_mrr")(spark, TestSpark.Sf0001)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    val rec = SparkEntry.queries("q_ann_recall")(spark, TestSpark.Sf0001)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    try {
+      assert(mrr.keySet == rec.keySet)
+      mrr.foreach { case (p, (nRel, fr, rrQ, apQ, p5)) =>
+        assert(nRel == rec(p), s"probe $p: n_rel vs recall overlap")
+        if (nRel == 0) assert(fr == 0 && rrQ == 0 && apQ == 0 && p5 == 0)
+        else {
+          assert(fr >= 1 && fr <= 10 && rrQ == 1048576L / fr)
+          assert(apQ > 0 && apQ <= 1048576L && p5 <= math.min(5L, nRel))
+        }
+      }
+    } finally CacheScope.release()
+  }
+
   test("q_phrase_search counts equal a brute sliding-window scan") {
     val out = SparkEntry.queries("q_phrase_search")(spark, TestSpark.Sf0001)
       .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
