@@ -788,6 +788,87 @@ object SimilarityQueries {
       .orderBy("probe_id")
   }
 
+  /** Truncated-dimension retrieval quality (the Matryoshka/MRL question:
+    * how much of the 64-dim ranking survives if the index stores only the
+    * first 16 or 32 dimensions?): exact brute top-10 per probe at dim 16
+    * and 32 vs the full-dim brute top-10 as ground truth, overlap counted
+    * per (probe, dim). The answer decides whether a 4× cheaper
+    * coarse-filter stage is safe — the standard two-stage retrieval
+    * design (truncated scan → full-dim re-rank of survivors).
+    *
+    * All three arms are the quantized-exact [[bruteTopKBatchQ]] machinery
+    * over prefix slices, so every overlap is an exact integer the oracle
+    * replays (truncation in SQL = `pos <= d` on the flat CTE). Scale
+    * shape: three deliberate brute scans — this is a measurement query
+    * like q_ann_recall, not a serving path; each arm is one broadcast
+    * probe table against an embarrassingly parallel scan. */
+  def qAnnDimTradeoff(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = t(spark, sfDir, "embeddings")
+    val probes = Seq(0L, 1L, 2L, 3L, 4L)
+    val full = graft.operators.Similarity.bruteTopKBatchQ(
+      emb, "vec_id", "embedding", probes, k = 10)
+      .select(col("probe_id"), col("vec_id"), lit(1L).as("__hit"))
+    Seq(16, 32).map { d =>
+      val sub = emb.select(col("vec_id"),
+        slice(col("embedding"), 1, d).as("sub"))
+      graft.operators.Similarity.bruteTopKBatchQ(sub, "vec_id", "sub", probes, k = 10)
+        .select(col("probe_id"), col("vec_id"))
+        .join(full, Seq("probe_id", "vec_id"), "left")
+        .groupBy("probe_id")
+        .agg(count(lit(1)).as("n_trunc"),
+          sum(coalesce(col("__hit"), lit(0L))).as("overlap_at_10"))
+        .withColumn("dim", lit(d.toLong))
+    }.reduce(_ unionByName _)
+      .select(col("probe_id"), col("dim"), col("n_trunc"), col("overlap_at_10"))
+      .orderBy("probe_id", "dim")
+  }
+
+  lazy val qAnnDimTradeoffSql: String = {
+    def arm(d: Int, tag: String): String =
+      s"""n$tag AS (
+         |  SELECT vec_id, CAST(sum(vq * vq) AS BIGINT) AS norm2
+         |  FROM flat WHERE pos <= $d GROUP BY 1),
+         |bd$tag AS (
+         |  SELECT p.probe_id, f.vec_id, CAST(sum(f.vq * q.vq) AS BIGINT) AS dot
+         |  FROM flat f
+         |  JOIN probes p ON TRUE
+         |  JOIN flat q ON q.vec_id = p.probe_id AND q.pos = f.pos
+         |  WHERE f.pos <= $d AND f.vec_id <> p.probe_id
+         |  GROUP BY 1, 2),
+         |b$tag AS (
+         |  SELECT probe_id, vec_id FROM (
+         |    SELECT d.probe_id, d.vec_id,
+         |           CAST(d.dot AS DOUBLE)
+         |             / (sqrt(CAST(n.norm2 AS DOUBLE)) * sqrt(CAST(np.norm2 AS DOUBLE))) AS cosine
+         |    FROM bd$tag d
+         |    JOIN n$tag n ON n.vec_id = d.vec_id
+         |    JOIN n$tag np ON np.vec_id = d.probe_id
+         |    WHERE n.norm2 > 0 AND np.norm2 > 0)
+         |  QUALIFY row_number() OVER (PARTITION BY probe_id ORDER BY cosine DESC, vec_id) <= 10)""".stripMargin
+    s"""WITH $FlatSqlCte,
+       |probes AS (
+       |  SELECT CAST(x AS BIGINT) AS probe_id
+       |  FROM (VALUES (0), (1), (2), (3), (4)) t(x)),
+       |${arm(64, "full")},
+       |${arm(16, "16")},
+       |${arm(32, "32")},
+       |ovl AS (
+       |  SELECT t.probe_id, CAST(16 AS BIGINT) AS dim, count(*) AS n_trunc,
+       |         CAST(sum(CASE WHEN f.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |           AS overlap_at_10
+       |  FROM b16 t LEFT JOIN bfull f
+       |    ON f.probe_id = t.probe_id AND f.vec_id = t.vec_id
+       |  GROUP BY 1
+       |  UNION ALL
+       |  SELECT t.probe_id, CAST(32 AS BIGINT), count(*),
+       |         CAST(sum(CASE WHEN f.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |  FROM b32 t LEFT JOIN bfull f
+       |    ON f.probe_id = t.probe_id AND f.vec_id = t.vec_id
+       |  GROUP BY 1)
+       |SELECT probe_id, dim, n_trunc, overlap_at_10
+       |FROM ovl ORDER BY probe_id, dim""".stripMargin
+  }
+
   lazy val qAnnMrrSql: String =
     s"""WITH $annIvfBruteSqlCtes,
        |scoredm AS (
@@ -1327,7 +1408,8 @@ object SimilarityQueries {
     "q_semdedup" -> (qSemdedup _),
     "q_semdedup_sampled" -> (qSemdedupSampled _),
     "q_semdedup_incremental" -> (qSemdedupIncremental _),
-    "q_ann_mrr" -> (qAnnMrr _))
+    "q_ann_mrr" -> (qAnnMrr _),
+    "q_ann_dim_tradeoff" -> (qAnnDimTradeoff _))
 
   val oracles: Map[String, String] = Map(
     "q_vector_quantize" -> qVectorQuantizeSql,
@@ -1347,5 +1429,6 @@ object SimilarityQueries {
     "q_semdedup" -> qSemdedupSql,
     "q_semdedup_sampled" -> qSemdedupSampledSql,
     "q_semdedup_incremental" -> qSemdedupIncrementalSql,
-    "q_ann_mrr" -> qAnnMrrSql)
+    "q_ann_mrr" -> qAnnMrrSql,
+    "q_ann_dim_tradeoff" -> qAnnDimTradeoffSql)
 }

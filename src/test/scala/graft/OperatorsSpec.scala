@@ -1349,6 +1349,25 @@ class OperatorsSpec extends SparkSpec {
     } finally CacheScope.release()
   }
 
+  test("q_ann_dim_tradeoff: both dims per probe, overlaps bounded, truncation loses signal") {
+    val rows = SparkEntry.queries("q_ann_dim_tradeoff")(spark, TestSpark.Sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3))))
+      .toMap
+    try {
+      val probes = rows.keys.map(_._1).toSet
+      assert(probes == Set(0L, 1L, 2L, 3L, 4L))
+      probes.foreach { p =>
+        val (n16, o16) = rows((p, 16L)); val (n32, o32) = rows((p, 32L))
+        assert(n16 == 10L && n32 == 10L)
+        assert(o16 >= 0L && o16 <= 10L && o32 >= 0L && o32 <= 10L)
+      }
+      // the fixture must show truncation actually costing something
+      // somewhere, or the measurement is vacuous
+      assert(rows.exists { case ((_, d), (_, o)) => d == 16L && o < 10L },
+        s"16-dim overlap was perfect everywhere: $rows")
+    } finally CacheScope.release()
+  }
+
   test("q_phrase_search counts equal a brute sliding-window scan") {
     val out = SparkEntry.queries("q_phrase_search")(spark, TestSpark.Sf0001)
       .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
