@@ -615,7 +615,94 @@ object PipelineQueries {
       |       CAST(sum(coalesce(c2, 0)) AS BIGINT) AS chars_v2
       |FROM j GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Deterministic Poisson-bootstrap confidence spread for a corpus
+    * metric (per-language mean quality) — the error bar a curation report
+    * should carry before anyone compares two pipeline variants
+    * (Chamandy et al., "Estimating Uncertainty for Massive Data Streams",
+    * the standard one-pass bootstrap at data-parallel scale): B = 32
+    * replicates, each doc's multiplicity in replicate b drawn from a
+    * QUANTIZED Poisson(1) — u = first 2 md5 hex digits of "doc_id:b"
+    * (256 buckets), m = 0/1/2/3/4 at thresholds 94/188/235/251 (bucket
+    * masses 94+94+47+16+5 = 256 with Σ m·mass = 256, so E[m] = 1
+    * EXACTLY); replicate mean = Σ m·q20 // Σ m in exact integers. Readout
+    * per lang: point estimate + min/max/spread of the 32 replicate means.
+    *
+    * Scale shape: the ×32 fan-out is a row-local explode whose rows
+    * collapse map-side into 32·|langs| partial aggregates — the shuffle
+    * carries 160 rows regardless of corpus size; the quality kernel runs
+    * ONCE per doc before the fan-out. This is why Poisson bootstrap (and
+    * not resample-by-index) is the 100 TB formulation: no replicate ever
+    * materializes. */
+  def qBootstrapCi(spark: SparkSession, sfDir: String): DataFrame = {
+    val B = 32
+    val scored = t(spark, sfDir, "documents")
+      .select(col("doc_id"), col("lang"),
+        floor(TextQueries.qualityCol(graft.plans.TextStatsExpressions
+          .textStats(col("text"), StopwordLists.map(_._2))) * 1048576)
+          .cast("long").as("q20"))
+    val point = scored.groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), expr("sum(q20) div count(1)").as("point_q20"))
+    val rep = scored
+      .select(col("lang"), col("q20"),
+        explode(sequence(lit(0), lit(B - 1))).as("b"),
+        col("doc_id"))
+      .withColumn("u", conv(graft.plans.HashExpressions.md5Prefix(
+        concat(col("doc_id").cast("string"), lit(":"), col("b").cast("string")), 2),
+        16, 10).cast("long"))
+      .withColumn("m",
+        when(col("u") < 94, 0L).when(col("u") < 188, 1L)
+          .when(col("u") < 235, 2L).when(col("u") < 251, 3L).otherwise(4L))
+      .groupBy("lang", "b")
+      .agg(sum(col("m") * col("q20")).as("num"), sum(col("m")).as("den"))
+      .filter(col("den") > 0L)
+      .select(col("lang"), expr("num div den").as("mean_q20"))
+    point.join(
+      rep.groupBy("lang")
+        .agg(min(col("mean_q20")).as("boot_min_q20"),
+          max(col("mean_q20")).as("boot_max_q20"),
+          count(lit(1)).as("n_reps")),
+      Seq("lang"))
+      .select(col("lang"), col("n_docs"), col("point_q20"),
+        col("boot_min_q20"), col("boot_max_q20"),
+        (col("boot_max_q20") - col("boot_min_q20")).as("spread_q20"),
+        col("n_reps"))
+      .orderBy("lang")
+  }
+
+  val qBootstrapCiSql: String =
+    s"""WITH bscored AS (
+       |  SELECT doc_id, lang,
+       |         CAST(floor((${TextQueries.qualitySqlExpr}) * 1048576) AS BIGINT) AS q20
+       |  FROM documents),
+       |bpoint AS (
+       |  SELECT lang, count(*) AS n_docs,
+       |         CAST(sum(q20) // count(*) AS BIGINT) AS point_q20
+       |  FROM bscored GROUP BY lang),
+       |fan AS (
+       |  SELECT s.lang, s.q20, g.b,
+       |         CAST(('0x' || substr(md5(CAST(s.doc_id AS VARCHAR) || ':'
+       |               || CAST(g.b AS VARCHAR)), 1, 2)) AS BIGINT) AS u
+       |  FROM bscored s, generate_series(0, 31) AS g(b)),
+       |repm AS (
+       |  SELECT lang, b,
+       |         CAST(sum((CASE WHEN u < 94 THEN 0 WHEN u < 188 THEN 1
+       |                        WHEN u < 235 THEN 2 WHEN u < 251 THEN 3
+       |                        ELSE 4 END) * q20) AS BIGINT) AS num,
+       |         CAST(sum(CASE WHEN u < 94 THEN 0 WHEN u < 188 THEN 1
+       |                       WHEN u < 235 THEN 2 WHEN u < 251 THEN 3
+       |                       ELSE 4 END) AS BIGINT) AS den
+       |  FROM fan GROUP BY 1, 2),
+       |brep AS (SELECT lang, num // den AS mean_q20 FROM repm WHERE den > 0)
+       |SELECT p.lang, p.n_docs, p.point_q20,
+       |       min(r.mean_q20) AS boot_min_q20,
+       |       max(r.mean_q20) AS boot_max_q20,
+       |       max(r.mean_q20) - min(r.mean_q20) AS spread_q20,
+       |       count(*) AS n_reps
+       |FROM bpoint p JOIN brep r ON r.lang = p.lang
+       |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_bootstrap_ci" -> (qBootstrapCi _),
     "q_snapshot_diff" -> (qSnapshotDiff _),
     "q_dsir" -> (qDsir _),
     "q_dsir_bigram" -> (qDsirBigram _),
@@ -629,6 +716,7 @@ object PipelineQueries {
     "q_shard_shuffle" -> (qShardShuffle _))
 
   val oracles: Map[String, String] = Map(
+    "q_bootstrap_ci" -> qBootstrapCiSql,
     "q_snapshot_diff" -> qSnapshotDiffSql,
     "q_dsir" -> qDsirSql,
     "q_dsir_bigram" -> qDsirBigramSql,

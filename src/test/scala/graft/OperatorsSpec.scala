@@ -1368,6 +1368,37 @@ class OperatorsSpec extends SparkSpec {
     } finally CacheScope.release()
   }
 
+  test("q_bootstrap_ci: replicate-0 mean recomputed brutely falls inside [min, max]") {
+    val out = SparkEntry.queries("q_bootstrap_ci")(spark, TestSpark.Sf0001)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(6)))).toMap
+    val q20 = docs.select(col("doc_id"), col("lang"),
+        floor(graft.queries.TextQueries.qualityCol(graft.plans.TextStatsExpressions
+          .textStats(col("text"), graft.functions.TextFunctions.StopwordLists.map(_._2)))
+          * 1048576).cast("long").as("q"))
+      .as[(Long, String, Long)].collect()
+    def mult(id: Long, b: Int): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$id:$b".getBytes("UTF-8")).take(1).map("%02x".format(_)).mkString
+      val u = java.lang.Long.parseLong(hex, 16)
+      if (u < 94) 0L else if (u < 188) 1L else if (u < 235) 2L else if (u < 251) 3L else 4L
+    }
+    try {
+      q20.groupBy(_._2).foreach { case (lang, rows) =>
+        val (nDocs, point, mn, mx, nReps) = out(lang)
+        assert(nDocs == rows.length && nReps == 32L)
+        // exact point estimate
+        assert(point == rows.map(_._3).sum / rows.length)
+        // replicate 0 is one of the 32 means — must be inside the range
+        val num = rows.map(r => mult(r._1, 0) * r._3).sum
+        val den = rows.map(r => mult(r._1, 0)).sum
+        assert(den > 0, s"$lang: replicate 0 empty")
+        val b0 = num / den
+        assert(b0 >= mn && b0 <= mx, s"$lang: b0=$b0 outside [$mn,$mx]")
+      }
+    } finally CacheScope.release()
+  }
+
   test("q_phrase_search counts equal a brute sliding-window scan") {
     val out = SparkEntry.queries("q_phrase_search")(spark, TestSpark.Sf0001)
       .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
