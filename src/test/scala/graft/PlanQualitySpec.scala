@@ -1002,6 +1002,25 @@ class PlanQualitySpec extends SparkSpec {
     } finally CacheScope.release()
   }
 
+  test("q_bootstrap_ci: replicate fan-out collapses map-side (partial agg above the explode)") {
+    val p = plan("q_bootstrap_ci")
+    // the ×32 explode must feed a two-phase agg — a missing partial
+    // phase would shuffle 32 rows per doc instead of 32 per lang per task
+    assert(p.split("HashAggregate").length - 1 >= 4,
+      s"expected partial+final aggs for replicate and point arms:\n$p")
+    assert(!p.contains("Window"), s"bootstrap must not window-sort:\n$p")
+  }
+
+  test("q_cross_source_dedup: collapse winner via aggregate; loser joins equi-keyed") {
+    val p = plan("q_cross_source_dedup")
+    try {
+      assert(!p.contains("Window"),
+        s"content-collapse winner must be min(struct), not a window rank:\n$p")
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"priority dedup join degenerated:\n$p")
+    } finally CacheScope.release()
+  }
+
   test("q_triangle_count: wedge and closing joins equi-keyed, no cartesian") {
     val p = plan("q_triangle_count")
     assert(!p.contains("CartesianProduct"), s"cartesian in triangle census:\n$p")
