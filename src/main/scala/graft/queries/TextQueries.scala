@@ -853,6 +853,208 @@ object TextQueries {
        |GROUP BY d.lang ORDER BY d.lang""".stripMargin
   }
 
+  /** One exhaustively-optimal decision stump over the 64-bucket hashed
+    * features of `sub` (rows must expose y ∈ {1,-1} and `x`): candidates =
+    * 64 buckets × thresholds {1,2,3} × polarities, winner = min
+    * (train_err, bucket, tau, polOrd). The search is TWO bounded
+    * aggregates — one 2-value total, one 64-row per-bucket ge-count
+    * table — exactly the histogram-aggregation shape distributed tree
+    * trainers (XGBoost/LightGBM) use: candidate stats shuffle, never
+    * rows. Returns (bucket, tau, pol, err, n, nPos). */
+  private def bestStump64(sub: DataFrame): (Int, Int, Int, Long, Long, Long) = {
+    val tot = sub.agg(sum(when(col("y") === 1L, 1L).otherwise(0L)).as("np"),
+      count(lit(1)).as("n")).collect()(0)
+    // read n FIRST: np is a sum, NULL over an empty branch — the count is
+    // the well-defined emptiness signal and the require must fire loudly
+    // before any NULL unboxing
+    val n = tot.getLong(1)
+    require(n > 0, "tree branch received no training rows")
+    val nPos = tot.getLong(0); val nNeg = n - nPos
+    val aggCols = (1 to 3).flatMap { tau => Seq(
+      sum(when(col("y") === 1L && col("c") >= tau, 1L).otherwise(0L)).as(s"pg$tau"),
+      sum(when(col("y") === -1L && col("c") >= tau, 1L).otherwise(0L)).as(s"ng$tau")) }
+    val per = sub.select(col("y"), posexplode(col("x")).as(Seq("b", "c")))
+      .filter(col("c") > 0)
+      .groupBy("b").agg(aggCols.head, aggCols.tail: _*)
+      .collect().map(r => r.getInt(0) ->
+        (1 to 3).map(t => (r.getLong((t - 1) * 2 + 1), r.getLong((t - 1) * 2 + 2))).toArray)
+      .toMap
+    val ord = Ordering.Tuple4(Ordering.Long, Ordering.Int, Ordering.Int, Ordering.Int)
+    var best: (Long, Int, Int, Int) = null
+    for (b <- 0 until 64; tau <- 1 to 3; polOrd <- 0 to 1) {
+      val (pg, ng) = per.get(b).map(_(tau - 1)).getOrElse((0L, 0L))
+      val err = if (polOrd == 0) ng + (nPos - pg) else pg + (nNeg - ng)
+      val k = (err, b, tau, polOrd)
+      if (best == null || ord.lt(k, best)) best = k
+    }
+    (best._2, best._3, if (best._4 == 0) 1 else -1, best._1, n, nPos)
+  }
+
+  /** In-engine decision-tree TRAINING (round 12 — the trained-model
+    * counterpart of the fixed-weight [[qQualityClassify]] gate): a
+    * depth-2 tree is induced by exhaustive greedy search over hashed-
+    * feature stumps (bucket, threshold ≤ 3, polarity) to predict a scarce
+    * boolean label — "doc mentions the token `spark`" stands in for any
+    * human-supplied filter label — on a 75% md5-gated train split, scored
+    * on the 25% holdout. The root stump discovers the bucket `spark`
+    * hashes into entirely from counts (its residual error IS the hash
+    * collision with `merge` — the real-world feature-hashing lesson,
+    * measured); leaf stumps refine each branch.
+    *
+    * Everything is exact integer counting, so the oracle replays the
+    * ENTIRE search: candidate error tables, argmin tie rules
+    * (err, bucket, tau, polarity), branch routing, and both accuracies.
+    *
+    * Scale shape: this is the histogram-aggregation trainer — each stump
+    * search is one 64-row ge-count aggregate (map-side combined) + a
+    * 2-value total; the driver holds three (bucket, tau, pol) triples —
+    * bounded model state, the XGBoost/LightGBM split-finding shape. The
+    * corpus is never sorted, sampled, or sequentially scanned. */
+  def qTreeTrain(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val feats = graft.CacheScope.cached(
+      graft.Tables.t(spark, sfDir, "documents").select(col("doc_id"),
+        // prefix membership, not exact equality: the ScaleUp perturbed
+        // fixtures rename every token with a per-replica suffix
+        // (spark → spark~3), and the label must stay meaningful there
+        when(exists(tokens(col("text")), t => t.startsWith("spark")), 1L)
+          .otherwise(-1L).as("y"),
+        graft.plans.TextStatsExpressions.featureHist(col("text"), 64).as("x"),
+        graft.operators.Sampling.gateBelow(col("doc_id").cast("string"), "c")
+          .as("is_train")))
+    val train = feats.filter(col("is_train"))
+    def ge(b: Int, tau: Int) = element_at(col("x"), b + 1) >= tau.toLong
+    val root = bestStump64(train)
+    val rootCond = ge(root._1, root._2)
+    val ls = bestStump64(train.filter(rootCond))
+    val rs = bestStump64(train.filter(!rootCond))
+    def leafPred(s: (Int, Int, Int, Long, Long, Long)) =
+      if (s._3 == 1) ge(s._1, s._2) else !ge(s._1, s._2)
+    val pred = when(rootCond, leafPred(ls)).otherwise(leafPred(rs))
+    val acc = feats.groupBy("is_train")
+      .agg(count(lit(1)).as("n"),
+        sum(when(pred === (col("y") === 1L), 1L).otherwise(0L)).as("ok"))
+      .collect().map(r => r.getBoolean(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val (trainN, trainOk) = acc(true)
+    val (holdN, holdOk) = acc.getOrElse(false, (0L, 0L))
+    Seq(("left", ls), ("right", rs), ("root", root)).map { case (node, s) =>
+      (node, s._1.toLong, s._2.toLong, s._3.toLong, s._4, s._5, s._6,
+        trainN, trainOk, holdN, holdOk)
+    }.toDF("node", "bucket", "tau", "pol", "sub_err", "sub_n", "sub_pos",
+      "train_n", "train_correct", "holdout_n", "holdout_correct")
+      .orderBy("node")
+  }
+
+  /** Oracle: the full greedy search replayed — per-branch candidate error
+    * tables over (bucket, tau, polarity), argmin by the same total order,
+    * branch routing via scalar subqueries on the chosen root, both
+    * accuracies. */
+  lazy val qTreeTrainSql: String = {
+    // candidate-search CTE block over train-subset `src` (doc_id, y),
+    // emitting best$sfx (b, tau, pol, err) + tot$sfx (n, np)
+    def search(sfx: String, src: String): String =
+      s"""tot$sfx AS (
+         |  SELECT count(*) AS n,
+         |         CAST(sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS np
+         |  FROM $src),
+         |g$sfx AS (
+         |  SELECT bc.b,
+         |         ${(1 to 3).map(t =>
+               s"CAST(sum(CASE WHEN l.y = 1 AND bc.cnt >= $t THEN 1 ELSE 0 END) AS BIGINT) AS pg$t, " +
+               s"CAST(sum(CASE WHEN l.y = -1 AND bc.cnt >= $t THEN 1 ELSE 0 END) AS BIGINT) AS ng$t")
+             .mkString(",\n         ")}
+         |  FROM bc JOIN $src l ON l.doc_id = bc.doc_id
+         |  GROUP BY bc.b),
+         |cand$sfx AS (
+         |  SELECT bb.b, tt.tau, pp.pol,
+         |         CASE WHEN pp.pol = 1
+         |              THEN coalesce(CASE tt.tau WHEN 1 THEN g$sfx.ng1 WHEN 2 THEN g$sfx.ng2 ELSE g$sfx.ng3 END, 0)
+         |                   + (tot$sfx.np - coalesce(CASE tt.tau WHEN 1 THEN g$sfx.pg1 WHEN 2 THEN g$sfx.pg2 ELSE g$sfx.pg3 END, 0))
+         |              ELSE coalesce(CASE tt.tau WHEN 1 THEN g$sfx.pg1 WHEN 2 THEN g$sfx.pg2 ELSE g$sfx.pg3 END, 0)
+         |                   + ((tot$sfx.n - tot$sfx.np) - coalesce(CASE tt.tau WHEN 1 THEN g$sfx.ng1 WHEN 2 THEN g$sfx.ng2 ELSE g$sfx.ng3 END, 0))
+         |         END AS err
+         |  FROM range(0, 64) bb(b)
+         |  CROSS JOIN (VALUES (1), (2), (3)) tt(tau)
+         |  CROSS JOIN (VALUES (1), (-1)) pp(pol)
+         |  LEFT JOIN g$sfx ON g$sfx.b = bb.b
+         |  CROSS JOIN tot$sfx),
+         |best$sfx AS (
+         |  SELECT b, tau, pol, err FROM cand$sfx
+         |  ORDER BY err, b, tau, CASE WHEN pol = 1 THEN 0 ELSE 1 END
+         |  LIMIT 1)""".stripMargin
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS t
+       |  FROM documents),
+       |bc AS (
+       |  SELECT doc_id,
+       |         ((length(t) * 1009 + ascii(t) * 31 + ascii(reverse(t))) % 1000000007) % 64 AS b,
+       |         count(*) AS cnt
+       |  FROM toks GROUP BY 1, 2),
+       |lab AS (
+       |  SELECT d.doc_id,
+       |         CASE WHEN EXISTS (SELECT 1 FROM toks
+       |                           WHERE toks.doc_id = d.doc_id
+       |                           AND toks.t LIKE 'spark%')
+       |              THEN 1 ELSE -1 END AS y,
+       |         substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 1) < 'c' AS is_train
+       |  FROM documents d),
+       |trn AS (SELECT doc_id, y FROM lab WHERE is_train),
+       |${search("R", "trn")},
+       |rv AS (
+       |  SELECT l.doc_id, l.y, l.is_train,
+       |         coalesce((SELECT cnt FROM bc WHERE bc.doc_id = l.doc_id
+       |                   AND bc.b = (SELECT b FROM bestR)), 0) AS xr
+       |  FROM lab l),
+       |trnL AS (SELECT doc_id, y FROM rv WHERE is_train AND xr >= (SELECT tau FROM bestR)),
+       |trnG AS (SELECT doc_id, y FROM rv WHERE is_train AND xr < (SELECT tau FROM bestR)),
+       |${search("L", "trnL")},
+       |${search("G", "trnG")},
+       |pv AS (
+       |  SELECT rv.doc_id, rv.y, rv.is_train, rv.xr,
+       |         coalesce((SELECT cnt FROM bc WHERE bc.doc_id = rv.doc_id
+       |                   AND bc.b = (SELECT b FROM bestL)), 0) AS xl,
+       |         coalesce((SELECT cnt FROM bc WHERE bc.doc_id = rv.doc_id
+       |                   AND bc.b = (SELECT b FROM bestG)), 0) AS xg
+       |  FROM rv),
+       |pred AS (
+       |  SELECT doc_id, y, is_train,
+       |         CASE WHEN xr >= (SELECT tau FROM bestR)
+       |              THEN CASE WHEN (SELECT pol FROM bestL) = 1
+       |                        THEN xl >= (SELECT tau FROM bestL)
+       |                        ELSE xl < (SELECT tau FROM bestL) END
+       |              ELSE CASE WHEN (SELECT pol FROM bestG) = 1
+       |                        THEN xg >= (SELECT tau FROM bestG)
+       |                        ELSE xg < (SELECT tau FROM bestG) END
+       |         END AS p
+       |  FROM pv),
+       |acc AS (
+       |  SELECT CAST(sum(CASE WHEN is_train THEN 1 ELSE 0 END) AS BIGINT) AS train_n,
+       |         CAST(sum(CASE WHEN is_train AND p = (y = 1) THEN 1 ELSE 0 END) AS BIGINT) AS train_correct,
+       |         CAST(sum(CASE WHEN NOT is_train THEN 1 ELSE 0 END) AS BIGINT) AS holdout_n,
+       |         CAST(sum(CASE WHEN NOT is_train AND p = (y = 1) THEN 1 ELSE 0 END) AS BIGINT) AS holdout_correct
+       |  FROM pred),
+       |nodes AS (
+       |  SELECT 'root' AS node, CAST(b AS BIGINT) AS bucket, CAST(tau AS BIGINT) AS tau,
+       |         CAST(pol AS BIGINT) AS pol, CAST(err AS BIGINT) AS sub_err,
+       |         (SELECT CAST(n AS BIGINT) FROM totR) AS sub_n,
+       |         (SELECT np FROM totR) AS sub_pos
+       |  FROM bestR
+       |  UNION ALL
+       |  SELECT 'left', CAST(b AS BIGINT), CAST(tau AS BIGINT), CAST(pol AS BIGINT),
+       |         CAST(err AS BIGINT),
+       |         (SELECT CAST(n AS BIGINT) FROM totL), (SELECT np FROM totL)
+       |  FROM bestL
+       |  UNION ALL
+       |  SELECT 'right', CAST(b AS BIGINT), CAST(tau AS BIGINT), CAST(pol AS BIGINT),
+       |         CAST(err AS BIGINT),
+       |         (SELECT CAST(n AS BIGINT) FROM totG), (SELECT np FROM totG)
+       |  FROM bestG)
+       |SELECT n.node, n.bucket, n.tau, n.pol, n.sub_err, n.sub_n, n.sub_pos,
+       |       a.train_n, a.train_correct, a.holdout_n, a.holdout_correct
+       |FROM nodes n CROSS JOIN acc a
+       |ORDER BY n.node""".stripMargin
+  }
+
   /** Deterministic 5-fold assignment ([[graft.operators.Sampling
     * .foldAssign]]) with per-(fold, lang) balance stats — the
     * cross-validation / sharded-eval split where membership is decided by
@@ -2017,6 +2219,7 @@ object TextQueries {
     "q_kfold" -> (qKfold _),
     "q_feature_hash" -> (qFeatureHash _),
     "q_quality_classify" -> (qQualityClassify _),
+    "q_tree_train" -> (qTreeTrain _),
     "q_regex_array" -> (qRegexArray _),
     "q_tfidf" -> (qTfidf _),
     "q_bm25" -> (qBm25 _),
@@ -2055,6 +2258,7 @@ object TextQueries {
     "q_kfold" -> qKfoldSql,
     "q_feature_hash" -> qFeatureHashSql,
     "q_quality_classify" -> qQualityClassifySql,
+    "q_tree_train" -> qTreeTrainSql,
     "q_regex_array" -> qRegexArraySql,
     "q_tfidf" -> qTfidfSql,
     "q_bm25" -> qBm25Sql,

@@ -1368,6 +1368,49 @@ class OperatorsSpec extends SparkSpec {
     } finally CacheScope.release()
   }
 
+  test("q_tree_train: root stump equals the brute exhaustive search; holdout beats majority") {
+    val out = SparkEntry.queries("q_tree_train")(spark, TestSpark.Sf0001)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // brute recomputation of the root search from raw text
+    def bucket(t: String): Int =
+      (((t.length * 1009 + t.head.toInt * 31 + t.last.toInt) % 1000000007) % 64).toInt
+    def gate(id: Long): Boolean = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8")).take(1).map("%02x".format(_)).mkString
+      hex.head < 'c'
+    }
+    val rows = docs.select("doc_id", "text").as[(Long, String)].collect()
+    val trainRows = rows.filter(r => gate(r._1)).map { case (_, t) =>
+      val toks = t.split(' ').filter(_.nonEmpty)
+      val x = new Array[Int](64)
+      toks.foreach(tok => x(bucket(tok)) += 1)
+      (x, toks.exists(_.startsWith("spark")))
+    }
+    var best: (Long, Int, Int, Int) = null
+    for (b <- 0 until 64; tau <- 1 to 3; polOrd <- 0 to 1) {
+      val err = trainRows.count { case (x, pos) =>
+        ((x(b) >= tau) == (polOrd == 0)) != pos }.toLong
+      val k = (err, b, tau, polOrd)
+      if (best == null ||
+        Ordering.Tuple4(Ordering.Long, Ordering.Int, Ordering.Int, Ordering.Int).lt(k, best))
+        best = k
+    }
+    try {
+      val (rb, rt, rp, re) = out("root")
+      assert((rb, rt, rp, re) ==
+        ((best._2.toLong, best._3.toLong, if (best._4 == 0) 1L else -1L, best._1)),
+        s"root ${out("root")} vs brute $best")
+      // accuracy beats the majority baseline on the holdout
+      val hold = rows.filterNot(r => gate(r._1))
+      val nPos = hold.count(_._2.split(' ').exists(_.startsWith("spark")))
+      val majority = math.max(nPos, hold.length - nPos).toLong
+      val full = SparkEntry.queries("q_tree_train")(spark, TestSpark.Sf0001).collect()(0)
+      assert(full.getLong(10) >= majority,
+        s"holdout ${full.getLong(10)} below majority $majority")
+    } finally CacheScope.release()
+  }
+
   test("q_bootstrap_ci: replicate-0 mean recomputed brutely falls inside [min, max]") {
     val out = SparkEntry.queries("q_bootstrap_ci")(spark, TestSpark.Sf0001)
       .collect().map(r => r.getString(0) ->
