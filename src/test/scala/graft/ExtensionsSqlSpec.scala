@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.plans._
+
+/** The SQL function surface: every kernel registered by [[GraftExtensions]]
+  * must be callable from `spark.sql` and return exactly what its Column-API
+  * form returns on the fixture corpus — the contract that lets a pure-SQL
+  * user (spark-sql shell, Thrift server) run the engine's kernels.
+  */
+class ExtensionsSqlSpec extends SparkSpec {
+
+  private lazy val ready: Unit = {
+    GraftExtensions.register(spark)
+    spark.read.parquet(s"${TestSpark.Sf0001}/documents.parquet")
+      .createOrReplaceTempView("docs_ext")
+    spark.read.parquet(s"${TestSpark.Sf0001}/embeddings.parquet")
+      .createOrReplaceTempView("emb_ext")
+  }
+
+  /** Collects both frames (each must carry a doc_id/vec_id first column for
+    * ordering) and compares row-by-row. */
+  private def same(sqlText: String, api: org.apache.spark.sql.DataFrame): Unit = {
+    ready
+    val got = spark.sql(sqlText).collect().map(_.toSeq).toSeq
+    val want = api.collect().map(_.toSeq).toSeq
+    assert(got == want, s"SQL vs Column API mismatch for: $sqlText")
+  }
+
+  private def docs = spark.read.parquet(s"${TestSpark.Sf0001}/documents.parquet")
+  private def emb = spark.read.parquet(s"${TestSpark.Sf0001}/embeddings.parquet")
+
+  test("text kernels SQL ≡ Column API") {
+    same("SELECT doc_id, split_tokens(text) FROM docs_ext ORDER BY doc_id",
+      docs.select(col("doc_id"),
+        TextStatsExpressions.splitTokens(col("text"))).orderBy("doc_id"))
+    same("SELECT doc_id, distinct_shingles(text, 3) FROM docs_ext ORDER BY doc_id",
+      docs.select(col("doc_id"),
+        ShingleExpressions.distinctShingles(col("text"), 3)).orderBy("doc_id"))
+    same("SELECT doc_id, rolling_fingerprint(text) FROM docs_ext ORDER BY doc_id",
+      docs.select(col("doc_id"),
+        TextStatsExpressions.rollingFingerprint(col("text"))).orderBy("doc_id"))
+    same("SELECT doc_id, window_hashes(text, 16) FROM docs_ext ORDER BY doc_id",
+      docs.select(col("doc_id"),
+        WindowHashExpressions.windowHashes(col("text"), 16)).orderBy("doc_id"))
+    same("SELECT doc_id, chunk_texts(text, 10, 10) FROM docs_ext ORDER BY doc_id",
+      docs.select(col("doc_id"),
+        TextStatsExpressions.chunkTexts(col("text"), 10, 10)).orderBy("doc_id"))
+    same("SELECT doc_id, feature_hist(text, 64) FROM docs_ext ORDER BY doc_id",
+      docs.select(col("doc_id"),
+        TextStatsExpressions.featureHist(col("text"), 64)).orderBy("doc_id"))
+    same("SELECT doc_id, pii_redact(text) FROM docs_ext ORDER BY doc_id",
+      docs.select(col("doc_id"),
+        RedactExpressions.piiRedact(col("text"))).orderBy("doc_id"))
+    same("SELECT doc_id, md5_prefix(text, 12) FROM docs_ext ORDER BY doc_id",
+      docs.select(col("doc_id"),
+        HashExpressions.md5Prefix(col("text"), 12)).orderBy("doc_id"))
+    same("SELECT doc_id, damerau_levenshtein(text, lang) FROM docs_ext ORDER BY doc_id",
+      docs.select(col("doc_id"), StringDistanceExpressions
+        .damerauLevenshtein(col("text"), col("lang"))).orderBy("doc_id"))
+  }
+
+  test("sequence kernels SQL ≡ Column API (over the synthetic seq surrogate)") {
+    // the seq family runs on upper(replace(text)) like q_kmer_explode does
+    same("""SELECT doc_id, kmer_frequencies(upper(replace(text, ' ', '')), 4)
+           |FROM docs_ext ORDER BY doc_id""".stripMargin,
+      docs.select(col("doc_id"), SeqExpressions.kmerFrequenciesNative(
+        upper(regexp_replace(col("text"), " ", "")), 4)).orderBy("doc_id"))
+    same("""SELECT doc_id, minimizer_counts(upper(replace(text, ' ', '')), 5, 4)
+           |FROM docs_ext ORDER BY doc_id""".stripMargin,
+      docs.select(col("doc_id"), SeqExpressions.minimizerCounts(
+        upper(regexp_replace(col("text"), " ", "")), 5, 4)).orderBy("doc_id"))
+    same("SELECT doc_id, dna_translate('ACGTTTGGA') FROM docs_ext ORDER BY doc_id",
+      docs.select(col("doc_id"),
+        BioExpressions.dnaTranslate(lit("ACGTTTGGA"))).orderBy("doc_id"))
+    same("SELECT doc_id, phred_stats('IIII??++55') FROM docs_ext ORDER BY doc_id",
+      docs.select(col("doc_id"),
+        BioExpressions.phredStats(lit("IIII??++55"))).orderBy("doc_id"))
+  }
+
+  test("vector kernels SQL ≡ Column API") {
+    same("SELECT vec_id, quantize_vec(embedding) FROM emb_ext ORDER BY vec_id",
+      emb.select(col("vec_id"),
+        VectorExpressions.quantizeVec(col("embedding"))).orderBy("vec_id"))
+    same("""SELECT vec_id,
+           |       long_dot(quantize_vec(embedding), quantize_vec(embedding))
+           |FROM emb_ext ORDER BY vec_id""".stripMargin,
+      emb.select(col("vec_id"), VectorExpressions.longDot(
+        VectorExpressions.quantizeVec(col("embedding")),
+        VectorExpressions.quantizeVec(col("embedding")))).orderBy("vec_id"))
+  }
+
+  test("builder-time injection wires the same table without error") {
+    val exts = new org.apache.spark.sql.SparkSessionExtensions
+    new GraftExtensions().apply(exts)
+  }
+}
