@@ -12,7 +12,9 @@ import graft.plans._
   * that lets a pure-SQL user (spark-sql shell, Thrift server, notebooks)
   * run the engine's kernels without touching the Scala Column API.
   * Per-session registration without extensions:
-  * `SeqExpressions.register(spark)`.
+  * `GraftExtensions.register(spark)` (the legacy
+  * `SeqExpressions.register` / `StringDistanceExpressions.register`
+  * entry points delegate here).
   *
   * Only kernels with literal-friendly signatures are exposed; model-bound
   * expressions (argmin over trained centroids, OOV vs a vocab list,

@@ -688,13 +688,10 @@ object SeqExpressions {
   def minimizerCounts(c: Column, k: Int, w: Int): Column =
     column(MinimizerCountsExpr(expression(c), k, w))
 
-  /** SQL registration: `SELECT kmer_frequencies(seq, 3)`. */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
-    val registry = spark.sessionState.functionRegistry
-    registry.createOrReplaceTempFunction("kmer_frequencies",
-      exprs => KmerFrequenciesExpr(exprs.head,
-        exprs.lift(1).map(_.eval().asInstanceOf[Int]).getOrElse(3)), "built-in")
-    registry.createOrReplaceTempFunction("codon_usage",
-      exprs => CodonUsageExpr(exprs.head), "built-in")
-  }
+  /** SQL registration: `SELECT kmer_frequencies(seq, 3)`. Delegates to
+    * the single shared function table in [[graft.GraftExtensions]] — one
+    * builder per function, one argument-coercion rule, regardless of
+    * which registration path a session used. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    graft.GraftExtensions.register(spark)
 }

@@ -100,8 +100,8 @@ object StringDistanceExpressions {
     column(DamerauLevenshteinExpr(expression(a), expression(b)))
 
   /** SQL registration: `SELECT damerau_levenshtein(a, b)`. */
+  /** Delegates to the shared [[graft.GraftExtensions]] function table —
+    * see the SeqExpressions.register note. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "damerau_levenshtein",
-      exprs => DamerauLevenshteinExpr(exprs.head, exprs(1)), "built-in")
+    graft.GraftExtensions.register(spark)
 }

@@ -423,9 +423,21 @@ object DedupQueries {
   val qDedupKeepBestSql: String =
     s"""WITH RECURSIVE ${minhashSqlCtes("documents")},
        |${vpairsSqlCtes(0.5)},
+       |xpairs AS (
+       |  -- exact-duplicate edges by content hash: identical texts with
+       |  -- ZERO shingles (< n tokens, or all shingles DF-capped) never
+       |  -- reach vpairs, but the Spark side's md5 exact-collapse still
+       |  -- clusters them — the same robustness CTE qCrossSourceDedupSql
+       |  -- carries (no-op on the current fixtures, which plant no exact
+       |  -- dups, so hashes are unchanged)
+       |  SELECT a.doc_id AS d1, b.doc_id AS d2
+       |  FROM documents a JOIN documents b
+       |    ON md5(a.text) = md5(b.text) AND a.doc_id < b.doc_id),
        |edges AS (
        |  SELECT d1 AS src, d2 AS dst FROM vpairs
-       |  UNION SELECT d2, d1 FROM vpairs),
+       |  UNION SELECT d2, d1 FROM vpairs
+       |  UNION SELECT d1, d2 FROM xpairs
+       |  UNION SELECT d2, d1 FROM xpairs),
        |walk AS (
        |  SELECT src, dst FROM edges
        |  UNION
@@ -529,7 +541,10 @@ object DedupQueries {
   def qCrossSourceDedup(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.functions._
     val docs = t(spark, sfDir, "documents")
-      .withColumn("priority", substring(col("source"), 4, 10).cast("long") % 3)
+      // 2-arg substring (to end of string), matching the oracle's
+      // substr(source, 4) — a fixed-length 3rd arg would silently
+      // truncate a >10-digit source id where DuckDB would not
+      .withColumn("priority", expr("CAST(substring(source, 4) AS BIGINT) % 3"))
     graft.operators.Dedup
       .priorityDedup(docs, "doc_id", "text", "priority", n = 3, minJaccard = 0.5)
       .withColumnRenamed("id", "doc_id")

@@ -635,11 +635,14 @@ object PipelineQueries {
     * materializes. */
   def qBootstrapCi(spark: SparkSession, sfDir: String): DataFrame = {
     val B = 32
-    val scored = t(spark, sfDir, "documents")
+    // cached: the quality kernel pass feeds both the point-estimate arm
+    // and the ×32 replicate arm — without the cache the corpus scan +
+    // text_stats (the dominant cost) runs twice
+    val scored = graft.CacheScope.cached(t(spark, sfDir, "documents")
       .select(col("doc_id"), col("lang"),
         floor(TextQueries.qualityCol(graft.plans.TextStatsExpressions
           .textStats(col("text"), StopwordLists.map(_._2))) * 1048576)
-          .cast("long").as("q20"))
+          .cast("long").as("q20")))
     val point = scored.groupBy("lang")
       .agg(count(lit(1)).as("n_docs"), expr("sum(q20) div count(1)").as("point_q20"))
     val rep = scored

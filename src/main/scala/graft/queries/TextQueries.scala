@@ -861,7 +861,8 @@ object TextQueries {
     * table — exactly the histogram-aggregation shape distributed tree
     * trainers (XGBoost/LightGBM) use: candidate stats shuffle, never
     * rows. Returns (bucket, tau, pol, err, n, nPos). */
-  private def bestStump64(sub: DataFrame): (Int, Int, Int, Long, Long, Long) = {
+  private def bestStump64(sub: DataFrame,
+                          allowConstant: Boolean): (Int, Int, Int, Long, Long, Long) = {
     val tot = sub.agg(sum(when(col("y") === 1L, 1L).otherwise(0L)).as("np"),
       count(lit(1)).as("n")).collect()(0)
     // read n FIRST: np is a sum, NULL over an empty branch — the count is
@@ -883,10 +884,26 @@ object TextQueries {
     var best: (Long, Int, Int, Int) = null
     for (b <- 0 until 64; tau <- 1 to 3; polOrd <- 0 to 1) {
       val (pg, ng) = per.get(b).map(_(tau - 1)).getOrElse((0L, 0L))
-      val err = if (polOrd == 0) ng + (nPos - pg) else pg + (nNeg - ng)
-      val k = (err, b, tau, polOrd)
-      if (best == null || ord.lt(k, best)) best = k
+      // DEGENERATE splits (every row routed one way) are excluded: picking
+      // one as the ROOT would starve a branch (the loud require above);
+      // as a LEAF verdict they are the constant candidates below
+      val nge = pg + ng
+      if (nge > 0 && nge < n) {
+        val err = if (polOrd == 0) ng + (nPos - pg) else pg + (nNeg - ng)
+        val k = (err, b, tau, polOrd)
+        if (best == null || ord.lt(k, best)) best = k
+      }
     }
+    if (allowConstant) {
+      // constant verdicts (always-positive / always-negative), encoded as
+      // tau = 0 with a b = 64 sentinel so they LOSE error ties to any
+      // real split; they make leaf search total even on a pure branch
+      for ((polOrd, err) <- Seq((0, nNeg), (1, nPos))) {
+        val k = (err, 64, 0, polOrd)
+        if (best == null || ord.lt(k, best)) best = k
+      }
+    }
+    require(best != null, "no informative split exists on this corpus")
     (best._2, best._3, if (best._4 == 0) 1 else -1, best._1, n, nPos)
   }
 
@@ -924,12 +941,16 @@ object TextQueries {
           .as("is_train")))
     val train = feats.filter(col("is_train"))
     def ge(b: Int, tau: Int) = element_at(col("x"), b + 1) >= tau.toLong
-    val root = bestStump64(train)
+    // the root must be a REAL split (degenerate candidates excluded), so
+    // both branches are guaranteed non-empty; leaves may fall back to a
+    // constant verdict (tau = 0) on a pure branch
+    val root = bestStump64(train, allowConstant = false)
     val rootCond = ge(root._1, root._2)
-    val ls = bestStump64(train.filter(rootCond))
-    val rs = bestStump64(train.filter(!rootCond))
+    val ls = bestStump64(train.filter(rootCond), allowConstant = true)
+    val rs = bestStump64(train.filter(!rootCond), allowConstant = true)
     def leafPred(s: (Int, Int, Int, Long, Long, Long)) =
-      if (s._3 == 1) ge(s._1, s._2) else !ge(s._1, s._2)
+      if (s._2 == 0) lit(s._3 == 1)
+      else if (s._3 == 1) ge(s._1, s._2) else !ge(s._1, s._2)
     val pred = when(rootCond, leafPred(ls)).otherwise(leafPred(rs))
     val acc = feats.groupBy("is_train")
       .agg(count(lit(1)).as("n"),
@@ -951,8 +972,18 @@ object TextQueries {
     * accuracies. */
   lazy val qTreeTrainSql: String = {
     // candidate-search CTE block over train-subset `src` (doc_id, y),
-    // emitting best$sfx (b, tau, pol, err) + tot$sfx (n, np)
-    def search(sfx: String, src: String): String =
+    // emitting best$sfx (b, tau, pol, err) + tot$sfx (n, np); real
+    // candidates exclude degenerate splits (all rows one way), and leaf
+    // searches add the two constant verdicts (tau = 0, b = 64 sentinel —
+    // loses error ties to any real split), mirroring bestStump64
+    def search(sfx: String, src: String, allowConstant: Boolean): String = {
+      val constants =
+        if (!allowConstant) ""
+        else s"""
+         |  UNION ALL
+         |  SELECT 64 AS b, 0 AS tau, 1 AS pol, (n - np) AS err FROM tot$sfx
+         |  UNION ALL
+         |  SELECT 64, 0, -1, np FROM tot$sfx""".stripMargin
       s"""tot$sfx AS (
          |  SELECT count(*) AS n,
          |         CAST(sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS np
@@ -966,22 +997,28 @@ object TextQueries {
          |  FROM bc JOIN $src l ON l.doc_id = bc.doc_id
          |  GROUP BY bc.b),
          |cand$sfx AS (
-         |  SELECT bb.b, tt.tau, pp.pol,
-         |         CASE WHEN pp.pol = 1
-         |              THEN coalesce(CASE tt.tau WHEN 1 THEN g$sfx.ng1 WHEN 2 THEN g$sfx.ng2 ELSE g$sfx.ng3 END, 0)
-         |                   + (tot$sfx.np - coalesce(CASE tt.tau WHEN 1 THEN g$sfx.pg1 WHEN 2 THEN g$sfx.pg2 ELSE g$sfx.pg3 END, 0))
-         |              ELSE coalesce(CASE tt.tau WHEN 1 THEN g$sfx.pg1 WHEN 2 THEN g$sfx.pg2 ELSE g$sfx.pg3 END, 0)
-         |                   + ((tot$sfx.n - tot$sfx.np) - coalesce(CASE tt.tau WHEN 1 THEN g$sfx.ng1 WHEN 2 THEN g$sfx.ng2 ELSE g$sfx.ng3 END, 0))
-         |         END AS err
-         |  FROM range(0, 64) bb(b)
-         |  CROSS JOIN (VALUES (1), (2), (3)) tt(tau)
-         |  CROSS JOIN (VALUES (1), (-1)) pp(pol)
-         |  LEFT JOIN g$sfx ON g$sfx.b = bb.b
-         |  CROSS JOIN tot$sfx),
+         |  SELECT b, tau, pol, err FROM (
+         |    SELECT bb.b, tt.tau, pp.pol,
+         |           coalesce(CASE tt.tau WHEN 1 THEN g$sfx.pg1 WHEN 2 THEN g$sfx.pg2 ELSE g$sfx.pg3 END, 0) AS pg,
+         |           coalesce(CASE tt.tau WHEN 1 THEN g$sfx.ng1 WHEN 2 THEN g$sfx.ng2 ELSE g$sfx.ng3 END, 0) AS ng,
+         |           CASE WHEN pp.pol = 1
+         |                THEN coalesce(CASE tt.tau WHEN 1 THEN g$sfx.ng1 WHEN 2 THEN g$sfx.ng2 ELSE g$sfx.ng3 END, 0)
+         |                     + (tot$sfx.np - coalesce(CASE tt.tau WHEN 1 THEN g$sfx.pg1 WHEN 2 THEN g$sfx.pg2 ELSE g$sfx.pg3 END, 0))
+         |                ELSE coalesce(CASE tt.tau WHEN 1 THEN g$sfx.pg1 WHEN 2 THEN g$sfx.pg2 ELSE g$sfx.pg3 END, 0)
+         |                     + ((tot$sfx.n - tot$sfx.np) - coalesce(CASE tt.tau WHEN 1 THEN g$sfx.ng1 WHEN 2 THEN g$sfx.ng2 ELSE g$sfx.ng3 END, 0))
+         |           END AS err,
+         |           tot$sfx.n AS tot_n
+         |    FROM range(0, 64) bb(b)
+         |    CROSS JOIN (VALUES (1), (2), (3)) tt(tau)
+         |    CROSS JOIN (VALUES (1), (-1)) pp(pol)
+         |    LEFT JOIN g$sfx ON g$sfx.b = bb.b
+         |    CROSS JOIN tot$sfx)
+         |  WHERE pg + ng > 0 AND pg + ng < tot_n$constants),
          |best$sfx AS (
          |  SELECT b, tau, pol, err FROM cand$sfx
          |  ORDER BY err, b, tau, CASE WHEN pol = 1 THEN 0 ELSE 1 END
          |  LIMIT 1)""".stripMargin
+    }
     s"""WITH toks AS (
        |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS t
        |  FROM documents),
@@ -999,7 +1036,7 @@ object TextQueries {
        |         substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 1) < 'c' AS is_train
        |  FROM documents d),
        |trn AS (SELECT doc_id, y FROM lab WHERE is_train),
-       |${search("R", "trn")},
+       |${search("R", "trn", allowConstant = false)},
        |rv AS (
        |  SELECT l.doc_id, l.y, l.is_train,
        |         coalesce((SELECT cnt FROM bc WHERE bc.doc_id = l.doc_id
@@ -1007,8 +1044,8 @@ object TextQueries {
        |  FROM lab l),
        |trnL AS (SELECT doc_id, y FROM rv WHERE is_train AND xr >= (SELECT tau FROM bestR)),
        |trnG AS (SELECT doc_id, y FROM rv WHERE is_train AND xr < (SELECT tau FROM bestR)),
-       |${search("L", "trnL")},
-       |${search("G", "trnG")},
+       |${search("L", "trnL", allowConstant = true)},
+       |${search("G", "trnG", allowConstant = true)},
        |pv AS (
        |  SELECT rv.doc_id, rv.y, rv.is_train, rv.xr,
        |         coalesce((SELECT cnt FROM bc WHERE bc.doc_id = rv.doc_id
@@ -1019,10 +1056,14 @@ object TextQueries {
        |pred AS (
        |  SELECT doc_id, y, is_train,
        |         CASE WHEN xr >= (SELECT tau FROM bestR)
-       |              THEN CASE WHEN (SELECT pol FROM bestL) = 1
+       |              THEN CASE WHEN (SELECT tau FROM bestL) = 0
+       |                        THEN (SELECT pol FROM bestL) = 1
+       |                        WHEN (SELECT pol FROM bestL) = 1
        |                        THEN xl >= (SELECT tau FROM bestL)
        |                        ELSE xl < (SELECT tau FROM bestL) END
-       |              ELSE CASE WHEN (SELECT pol FROM bestG) = 1
+       |              ELSE CASE WHEN (SELECT tau FROM bestG) = 0
+       |                        THEN (SELECT pol FROM bestG) = 1
+       |                        WHEN (SELECT pol FROM bestG) = 1
        |                        THEN xg >= (SELECT tau FROM bestG)
        |                        ELSE xg < (SELECT tau FROM bestG) END
        |         END AS p

@@ -1369,9 +1369,9 @@ class OperatorsSpec extends SparkSpec {
   }
 
   test("q_tree_train: root stump equals the brute exhaustive search; holdout beats majority") {
-    val out = SparkEntry.queries("q_tree_train")(spark, TestSpark.Sf0001)
-      .collect().map(r => r.getString(0) ->
-        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val rowsOut = SparkEntry.queries("q_tree_train")(spark, TestSpark.Sf0001).collect()
+    val out = rowsOut.map(r => r.getString(0) ->
+      ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
     // brute recomputation of the root search from raw text
     def bucket(t: String): Int =
       (((t.length * 1009 + t.head.toInt * 31 + t.last.toInt) % 1000000007) % 64).toInt
@@ -1405,9 +1405,9 @@ class OperatorsSpec extends SparkSpec {
       val hold = rows.filterNot(r => gate(r._1))
       val nPos = hold.count(_._2.split(' ').exists(_.startsWith("spark")))
       val majority = math.max(nPos, hold.length - nPos).toLong
-      val full = SparkEntry.queries("q_tree_train")(spark, TestSpark.Sf0001).collect()(0)
-      assert(full.getLong(10) >= majority,
-        s"holdout ${full.getLong(10)} below majority $majority")
+      // accuracy columns repeat on every row of the already-collected result
+      assert(rowsOut(0).getLong(10) >= majority,
+        s"holdout ${rowsOut(0).getLong(10)} below majority $majority")
     } finally CacheScope.release()
   }
 

@@ -973,9 +973,10 @@ class PlanQualitySpec extends SparkSpec {
   test("q_phrase_search: one cached term-filtered postings scan feeds every intersection") {
     val p = plan("q_phrase_search")
     try {
-      // 4 phrases / 9 posting streams — all must re-read the ONE cached
-      // term-filtered postings table, not re-explode the corpus
-      assert(p.split("InMemoryTableScan").length - 1 >= 8,
+      // 4 phrases / 10 posting streams (2+3+2+3 terms) — all must re-read
+      // the ONE cached term-filtered postings table, not re-explode the
+      // corpus
+      assert(p.split("InMemoryTableScan").length - 1 >= 10,
         s"postings cache not reused across phrase streams:\n$p")
       assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
         s"phrase intersection degenerated:\n$p")
