@@ -1998,6 +1998,82 @@ object TextQueries {
     * schema projection reaches the JSON parser (no whole-record
     * materialization for unused fields), and the two aggregations are
     * two-phase over lang/constant keys. */
+  /** CSV round-trip under HAZARD: per doc_id residue the text field is
+    * salted with the four classic CSV killers — embedded delimiters,
+    * embedded double-quotes, embedded NEWLINES (the one that breaks
+    * naive line-splittable readers), and leading tabs / trailing commas —
+    * written through Spark's real CSV writer (RFC-4180 quote doubling
+    * via escape='"') and read back with `multiLine` + explicit schema.
+    * Readout per lang: row count, char mass, and an exact integer
+    * md5-prefix checksum of every field — the round-trip must be
+    * byte-lossless, and the oracle recomputes all three straight from
+    * `documents` (no file in the oracle's path, so any writer/reader
+    * quoting bug breaks the hash).
+    *
+    * Scale shape: the hazard injection and checksum are row-local; the
+    * write and read are embarrassingly parallel file IO. NOTE the real
+    * 100 TB lesson this query pins: `multiLine` CSV is NOT splittable
+    * (a quoted newline makes byte-range starts ambiguous), so each file
+    * is one read task — the writer side controls parallelism via file
+    * count, exactly how this query's write stage lays it out. */
+  def qCsvRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = new java.io.File(
+      spark.conf.getOption("graft.streamWorkDir")
+        .getOrElse(new java.io.File(sys.props("user.dir"), "target/csv_roundtrip").getAbsolutePath),
+      new java.io.File(sfDir).getName + "_csv")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rm))
+      f.delete()
+    }
+    rm(base)
+    val dir = base.getAbsolutePath
+
+    val hazard = t(spark, sfDir, "documents")
+      .select(col("doc_id"), col("lang"),
+        when(col("doc_id") % 5 === 1, concat(lit("a,b \"c\" "), col("text")))
+          .when(col("doc_id") % 5 === 2, concat(lit("line1\n"), col("text")))
+          .when(col("doc_id") % 5 === 3, concat(col("text"), lit(" trailing \"q\"")))
+          .when(col("doc_id") % 5 === 4, concat(lit("\t"), col("text"), lit(",")))
+          .otherwise(col("text")).as("t2"))
+    // ignoreLeading/TrailingWhiteSpace default TRUE on the WRITER and
+    // silently trim field edges — the leading-tab arm loses its first
+    // char unless both are disabled (found by this query's own checksum)
+    hazard.write.mode("overwrite")
+      .option("header", "true").option("escape", "\"")
+      .option("ignoreLeadingWhiteSpace", "false")
+      .option("ignoreTrailingWhiteSpace", "false")
+      .csv(dir)
+    spark.read
+      .schema("doc_id LONG, lang STRING, t2 STRING")
+      .option("header", "true").option("multiLine", "true").option("escape", "\"")
+      .csv(dir)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n"),
+        sum(length(col("t2"))).cast("long").as("char_mass"),
+        // 10 hex digits (40 bits): a 5 M-doc lang sums to < 2^60 — the
+        // 12-digit form would ANSI-overflow at the 1000× fixture
+        sum(conv(graft.plans.HashExpressions.md5Prefix(col("t2"), 10), 16, 10)
+          .cast("long")).as("checksum"))
+      .orderBy("lang")
+  }
+
+  /** Oracle: hazards + checksum recomputed straight from `documents` —
+    * lossless round-trip is the claim being hashed. */
+  val qCsvRoundtripSql: String =
+    """WITH hz AS (
+      |  SELECT lang,
+      |         CASE doc_id % 5
+      |           WHEN 1 THEN 'a,b "c" ' || text
+      |           WHEN 2 THEN 'line1' || chr(10) || text
+      |           WHEN 3 THEN text || ' trailing "q"'
+      |           WHEN 4 THEN chr(9) || text || ','
+      |           ELSE text END AS t2
+      |  FROM documents)
+      |SELECT lang, count(*) AS n,
+      |       CAST(sum(length(t2)) AS BIGINT) AS char_mass,
+      |       CAST(sum(CAST('0x' || substr(md5(t2), 1, 10) AS BIGINT)) AS BIGINT) AS checksum
+      |FROM hz GROUP BY lang ORDER BY lang""".stripMargin
+
   def qJsonlIngest(spark: SparkSession, sfDir: String): DataFrame = {
     val base = new java.io.File(
       spark.conf.getOption("graft.streamWorkDir")
@@ -2253,6 +2329,7 @@ object TextQueries {
     "q_bpe_train" -> (qBpeTrain _),
     "q_bpe_train_apply" -> (qBpeTrainApply _),
     "q_jsonl_ingest" -> (qJsonlIngest _),
+    "q_csv_roundtrip" -> (qCsvRoundtrip _),
     "q_pii_redact" -> (qPiiRedact _),
     "q_frame_sample" -> (qFrameSample _),
     "q_image_neardup" -> (qImageNearDup _),
@@ -2292,6 +2369,7 @@ object TextQueries {
     "q_bpe_train" -> qBpeTrainSql,
     "q_bpe_train_apply" -> qBpeTrainApplySql,
     "q_jsonl_ingest" -> qJsonlIngestSql,
+    "q_csv_roundtrip" -> qCsvRoundtripSql,
     "q_pii_redact" -> qPiiRedactSql,
     "q_frame_sample" -> qFrameSampleSql,
     "q_image_neardup" -> qImageNearDupSql,
