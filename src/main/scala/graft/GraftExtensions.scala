@@ -44,13 +44,20 @@ object GraftExtensions {
     }
   }
 
-  private def intArg(exprs: Seq[Expression], i: Int): Int =
+  private def intArg(exprs: Seq[Expression], i: Int): Int = {
+    // foldability gate first: a non-literal arg (e.g. a column) would hit an
+    // unbound-attribute internal error inside eval(); surface the intended
+    // "must be an integer literal" contract instead.
+    if (!exprs(i).foldable)
+      throw new IllegalArgumentException(
+        s"argument ${i + 1} must be an integer literal, got ${exprs(i).sql}")
     exprs(i).eval() match {
       case n: Int => n
       case n: java.lang.Number => n.intValue()
       case other => throw new IllegalArgumentException(
         s"argument ${i + 1} must be an integer literal, got $other")
     }
+  }
 
   /** (name, usage, builder) rows shared by the extension injection and the
     * runtime registry path. */

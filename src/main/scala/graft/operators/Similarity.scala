@@ -408,7 +408,12 @@ object Similarity {
     * contract (the corpus is represented by its codes alone). Per-probe
     * top-k is the rank-filtered window (WindowGroupLimit — map-side
     * k-heap). Ties break by vec_id, so results are total-ordered and
-    * oracle-replayable. Returns (probe_id, rnk, vec_id, adist). */
+    * oracle-replayable. Returns (probe_id, rnk, vec_id, adist).
+    *
+    * NOTE: this scans the FULL code table per probe (broadcast probes ×
+    * corpus codes) — it is the PQ-without-IVF measurement arm and the
+    * recall baseline for IVFADC. In production use [[ivfPqTopKBatchQ]],
+    * which restricts each probe to its nProbe nearest cells. */
   def pqTopKBatchQ(emb: DataFrame, idCol: String, vecCol: String,
                    probeIds: Seq[Long], k: Int,
                    m: Int = 8, ksub: Int = 16, iters: Int = 2): DataFrame = {

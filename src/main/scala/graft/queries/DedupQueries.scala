@@ -429,7 +429,12 @@ object DedupQueries {
        |  -- reach vpairs, but the Spark side's md5 exact-collapse still
        |  -- clusters them — the same robustness CTE qCrossSourceDedupSql
        |  -- carries (no-op on the current fixtures, which plant no exact
-       |  -- dups, so hashes are unchanged)
+       |  -- dups, so hashes are unchanged). FIXTURE CONSTRAINT: unlike
+       |  -- qCrossSourceDedupSql, the minhash CTEs here run over ALL
+       |  -- documents while the Spark side computes the maxShingleDF cap
+       |  -- over exact-collapse representatives only — if a future fixture
+       |  -- plants exact dups, shingle DF counts diverge near the cap and
+       |  -- this oracle must be rebuilt over a reps CTE first.
        |  SELECT a.doc_id AS d1, b.doc_id AS d2
        |  FROM documents a JOIN documents b
        |    ON md5(a.text) = md5(b.text) AND a.doc_id < b.doc_id),

@@ -94,4 +94,16 @@ class ExtensionsSqlSpec extends SparkSpec {
     val exts = new org.apache.spark.sql.SparkSessionExtensions
     new GraftExtensions().apply(exts)
   }
+
+  test("non-literal integer arg fails with the intended contract message") {
+    val e = intercept[Exception] {
+      spark.sql("SELECT kmer_frequencies(text, doc_id) FROM docs_ext").collect()
+    }
+    // the foldability guard must surface "integer literal", not an
+    // internal unbound-attribute error
+    def chain(t: Throwable): Seq[Throwable] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(10).toSeq
+    assert(chain(e).exists(c =>
+      Option(c.getMessage).exists(_.contains("integer literal"))))
+  }
 }
