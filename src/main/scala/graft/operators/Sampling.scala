@@ -201,11 +201,29 @@ object Sampling {
   def urlHost(url: Column): Column =
     substring_index(substring_index(url, "://", -1), "/", 1)
 
-  /** Registrable-domain normalization (eTLD+1 shape): the last two
-    * dot-labels of the host, so `w3.siteN.com` and `w7.siteN.com`
-    * collapse to `siteN.com`. A real public-suffix list plugs in here;
-    * the two-label rule is the exact contract for single-label TLDs. */
-  def registrableDomain(host: Column): Column =
+  /** Registrable-domain normalization (eTLD+1): the two-label rule,
+    * PSL-corrected for multi-label public suffixes — a host whose last
+    * two labels are themselves a public suffix (`w3.example.co.uk`)
+    * keeps THREE labels (`example.co.uk`) instead of collapsing an
+    * entire country registry to `co.uk` (which would make a domain cap
+    * treat all of `.co.uk` as one domain). The bundled
+    * [[PublicSuffixes.MultiLabel]] subset covers the registries a crawl
+    * actually hits; the full PSL drops into the same parameter.
+    *
+    * Plan shape: `isInCollection` over the static table compiles to an
+    * `InSet` hash probe inside whole-stage codegen — two substring_index
+    * calls and one O(1) membership test per row, no join, no broadcast
+    * variable. A bare public suffix (`host = "co.uk"`) maps to itself
+    * (substring_index past the label count returns the whole string). */
+  def registrableDomain(host: Column,
+                        suffixes: Seq[String] = PublicSuffixes.MultiLabel): Column =
+    when(substring_index(host, ".", -2).isInCollection(suffixes),
+      substring_index(host, ".", -3))
+      .otherwise(substring_index(host, ".", -2))
+
+  /** The pre-r13 two-label rule — exact for single-label TLDs only; kept
+    * as the explicit no-table fallback. */
+  def registrableDomainTwoLabel(host: Column): Column =
     substring_index(host, ".", -2)
 
   /** Per-domain quota cap — the web-curation staple (CCNet/C4-style

@@ -155,6 +155,44 @@ object VectorOps {
       new org.apache.spark.sql.catalyst.util.GenericArrayData(res))
   }
 
+  /** [[argminCell]] extended to the `p` NEAREST cells (round 13, for the
+    * corpus-wide self-kNN graph): one k·d pass with a p-slot insertion
+    * list, returning cell ids ordered by (d, cell id) ascending — element
+    * 0 is exactly [[argminCell]]'s answer. Strict `<` comparisons keep the
+    * earlier (lower, since ids arrive sorted) cell on distance ties, the
+    * same first-win rule as argminCell, so the DuckDB replay is the plain
+    * `row_number() OVER (ORDER BY d, cell) <= p` window. `p` is bound at
+    * plan time and tiny (nProbe), so the insertion list stays in
+    * registers; same no-early-abandon rationale as [[argminCell]]. */
+  def topCells(a: ArrayData, ids: Array[Int], cents: Array[Array[Long]], p: Int): ArrayData = {
+    val v = a.toLongArray()
+    val take = math.min(p, cents.length)
+    val bd = new Array[Long](take)
+    val bi = new Array[Int](take)
+    var filled = 0
+    var c = 0
+    while (c < cents.length) {
+      val ct = cents(c)
+      require(v.length == ct.length,
+        s"topCells: dimension mismatch ${v.length} vs ${ct.length}")
+      var s = 0L
+      var i = 0
+      while (i < v.length) { val d = v(i) - ct(i); s += d * d; i += 1 }
+      if (filled < take) {
+        var j = filled
+        while (j > 0 && bd(j - 1) > s) { bd(j) = bd(j - 1); bi(j) = bi(j - 1); j -= 1 }
+        bd(j) = s; bi(j) = ids(c); filled += 1
+      } else if (s < bd(take - 1)) {
+        var j = take - 1
+        while (j > 0 && bd(j - 1) > s) { bd(j) = bd(j - 1); bi(j) = bi(j - 1); j -= 1 }
+        bd(j) = s; bi(j) = ids(c)
+      }
+      c += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      java.util.Arrays.copyOf(bi, filled))
+  }
+
   /** [[argminCell]] for an ARRAY<FLOAT> vector against double centroids
     * (the float-mean IVF variant): components are widened float→double
     * exactly like `x.cast("double")`, the per-cell distance is the SAME
@@ -396,6 +434,30 @@ case class ArgminResidualExpr(child: Expression,
     copy(child = newChild)
 }
 
+/** `top_cells(vq)` — [[VectorOps.topCells]]: the `p` nearest cells as
+  * ARRAY<INT> in (d, cell) order. Seq fields for structural equality —
+  * see [[ArgminCellExpr]]. */
+case class TopCellsExpr(child: Expression,
+                        ids: Seq[Int], cents: Seq[Seq[Long]], p: Int)
+  extends UnaryExpression {
+  @transient private lazy val idsArr: Array[Int] = ids.toArray
+  @transient private lazy val centsArr: Array[Array[Long]] =
+    cents.map(_.toArray).toArray
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(IntegerType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    VectorOps.topCells(input.asInstanceOf[ArrayData], idsArr, centsArr, p)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val idsRef = ctx.addReferenceObj("cellIds", idsArr, "int[]")
+    val centsRef = ctx.addReferenceObj("cents", centsArr, "long[][]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.plans.VectorOps.topCells($c, $idsRef, $centsRef, $p)")
+  }
+  override def prettyName: String = "top_cells"
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Double-centroid variant — [[VectorOps.argminCellD]]. Seq fields for
   * structural equality — see [[ArgminCellExpr]]. */
 case class ArgminCellDExpr(child: Expression,
@@ -449,6 +511,12 @@ object VectorExpressions {
   def argminResidual(vq: Column, ids: Array[Int], cents: Array[Array[Long]]): Column =
     column(ArgminResidualExpr(expression(vq), ArraySeq.unsafeWrapArray(ids),
       ArraySeq.unsafeWrapArray(cents.map(ArraySeq.unsafeWrapArray))))
+
+  /** ARRAY<INT> of the p nearest cells (see [[VectorOps.topCells]]). */
+  def topCells(vq: Column, ids: Array[Int], cents: Array[Array[Long]],
+               p: Int): Column =
+    column(TopCellsExpr(expression(vq), ArraySeq.unsafeWrapArray(ids),
+      ArraySeq.unsafeWrapArray(cents.map(ArraySeq.unsafeWrapArray)), p))
 
   /** Fused exact integer dot product (see [[VectorOps.longDot]]). */
   def longDot(a: Column, b: Column): Column =

@@ -302,10 +302,17 @@ object PipelineQueries {
   val DomainCap = 8
   def qDomainCap(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.operators.Sampling
+    // r13: a third of the sites live under MULTI-LABEL public suffixes —
+    // the PSL arm. Under the old two-label rule every *.co.uk host would
+    // collapse into ONE "co.uk" domain (capping a whole country registry
+    // as a single site); the PSL-backed rule keeps siteN.co.uk distinct.
+    val tld = when(col("doc_id") % 5 === 2, lit(".co.uk"))
+      .when(col("doc_id") % 5 === 3, lit(".com.au"))
+      .otherwise(lit(".com"))
     val url = concat(lit("https://w"), (col("doc_id") % 3).cast("string"),
       lit(".site"),
       floor(sqrt((col("doc_id") % 961).cast("double"))).cast("long").cast("string"),
-      lit(".com/p/"), col("doc_id").cast("string"))
+      tld, lit("/p/"), col("doc_id").cast("string"))
     val withUrl = t(spark, sfDir, "documents")
       .select(col("doc_id"), col("text"), url.as("url"))
     val kept = Sampling.domainCap(withUrl, "doc_id", "url", "text", DomainCap)
@@ -322,25 +329,32 @@ object PipelineQueries {
       .orderBy("domain")
   }
 
-  /** Oracle: URL build, host split, two-label normalization, hash-priority
-    * rank and both funnels replayed relationally. */
+  /** Oracle: URL build, host split, PSL-corrected eTLD+1 normalization
+    * (the suffix table replayed as an IN-list over the SAME bundled
+    * rules), hash-priority rank and both funnels replayed relationally. */
   val qDomainCapSql: String =
     s"""WITH u AS (
        |  SELECT doc_id, text,
        |         'https://w' || CAST(doc_id % 3 AS VARCHAR) || '.site'
        |           || CAST(CAST(floor(sqrt(CAST(doc_id % 961 AS DOUBLE))) AS BIGINT) AS VARCHAR)
-       |           || '.com/p/' || CAST(doc_id AS VARCHAR) AS url
+       |           || CASE WHEN doc_id % 5 = 2 THEN '.co.uk'
+       |                   WHEN doc_id % 5 = 3 THEN '.com.au'
+       |                   ELSE '.com' END
+       |           || '/p/' || CAST(doc_id AS VARCHAR) AS url
        |  FROM documents),
        |h AS (
        |  SELECT doc_id, text,
        |         string_split(string_split(url, '://')[2], '/')[1] AS host
        |  FROM u),
+       |hp AS (
+       |  SELECT doc_id, text, host, string_split(host, '.') AS p FROM h),
        |d AS (
        |  SELECT doc_id, text, host,
-       |         array_to_string(list_slice(string_split(host, '.'),
-       |           len(string_split(host, '.')) - 1,
-       |           len(string_split(host, '.'))), '.') AS domain
-       |  FROM h),
+       |         CASE WHEN array_to_string(list_slice(p, greatest(len(p) - 1, 1), len(p)), '.')
+       |                IN (${graft.operators.PublicSuffixes.sqlInList})
+       |              THEN array_to_string(list_slice(p, greatest(len(p) - 2, 1), len(p)), '.')
+       |              ELSE array_to_string(list_slice(p, greatest(len(p) - 1, 1), len(p)), '.') END AS domain
+       |  FROM hp),
        |r AS (
        |  SELECT doc_id, domain,
        |         row_number() OVER (PARTITION BY domain
@@ -704,7 +718,166 @@ object PipelineQueries {
        |FROM bpoint p JOIN brep r ON r.lang = p.lang
        |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin
 
+  /** HTML-wrapper fixture for [[qHtmlExtract]]: deterministic boilerplate
+    * around `documents.text`, each block engineered to die by exactly one
+    * rule (see the table in qHtmlExtract's scaladoc). Shared verbatim by
+    * the Spark fixture builder and the DuckDB oracle. */
+  object HtmlFixture {
+    val Head = "<style>body{color:#333} .x>y{margin:0}</style>" +
+      "<script>var s='</div>'; if(a<b){go()}</script></head><body>"
+    val Nav = "<nav><a href=\"/\">home page</a> <a href=\"/about\">about this site</a> " +
+      "<a href=\"/contact\">contact us here</a></nav>"
+    val Farm = "<div class=\"farm\"><a href=\"/p1\">click here to win</a> " +
+      "<a href=\"/p2\">read more articles</a> <a href=\"/p3\">sign up now free</a> " +
+      "<a href=\"/p4\">best deals today</a></div>"
+    val Aside = "<aside>ad: buy now</aside>"
+    val Footer = "<footer><a href=\"/tos\">terms of use</a> © 2024 example</footer>"
+    val EntSuffix = " &lt;b&gt; &amp; &quot;q&quot;"
+    val RefSuffix = " <a href=\"/ref\">see reference notes</a>"
+  }
+
+  /** HTML → text extraction (q_html_extract) — the boilerplate-removal
+    * stage that precedes every operator this engine already ships
+    * ([[graft.operators.HtmlExtract]] has the algorithm; this query pins
+    * it against a DuckDB replay of the identical string ops).
+    *
+    * Fixture hazards, each block dying by exactly one rule:
+    *   - `<title>Doc N</title>` → too short (≤ 14 chars for any doc_id up
+    *     to 10 digits);
+    *   - nav / link farm → pure anchor text, killed by link density;
+    *   - `<aside>ad: buy now</aside>` (doc_id%3=0) → 11 chars, length;
+    *   - footer → MIXED line (12 anchor chars of 27): killed by density
+    *     even though most text is outside anchors;
+    *   - script containing a literal `'</div>'` and `a<b` → proves
+    *     script removal runs before block segmentation;
+    *   - `&lt;b&gt;` entity suffix (doc_id%7=3) → proves entities decode
+    *     AFTER tag stripping (decoded `<b>` survives as text);
+    *   - an inline `<a>` inside long content (doc_id%5=4, len ≥ 200) →
+    *     content with a modest link stays content;
+    *   - odd doc_ids split content into TWO `<p>` blocks at the token
+    *     midpoint → multi-block content survives in order (half-paragraph
+    *     min length at the shipped fixtures is 18 ≥ MinChars=15).
+    *
+    * Readout per lang: block counts, char masses both classes, count of
+    * docs whose extracted text carries zero stopwords (the jusText
+    * stopword-density diagnostic, via the text_stats kernel — reported,
+    * not a drop rule, so the readout stays structural under the
+    * token-perturbing scale fixtures), and the 40-bit md5 checksum of
+    * extracted text (the round-trip claim).
+    *
+    * Scale shape: fixture build + extraction + classification are ONE
+    * narrow whole-row pass (HOFs, no explode); the only exchange is the
+    * |langs|-row aggregate. At 100 TB this fuses into the scan. */
+  def qHtmlExtract(spark: SparkSession, sfDir: String): DataFrame = {
+    import HtmlFixture._
+    val docs = t(spark, sfDir, "documents")
+    val toks = tokens(col("text"))
+    val half = (size(toks) / lit(2)).cast("int")
+    val p1 = array_join(slice(toks, lit(1), half), " ")
+    val p2 = array_join(slice(toks, half + 1, size(toks) - half), " ")
+    val ent = when(col("doc_id") % 7 === 3, lit(EntSuffix)).otherwise(lit(""))
+    val ref = when(col("doc_id") % 5 === 4 && length(col("text")) >= 200,
+      lit(RefSuffix)).otherwise(lit(""))
+    val content = when(col("doc_id") % 2 === 0,
+      concat(lit("<div class=\"main\"><p>"), col("text"), ent, ref, lit("</p></div>")))
+      .otherwise(concat(lit("<div class=\"main\"><p>"), p1, lit("</p><p>"),
+        p2, ent, ref, lit("</p></div>")))
+    val html = concat(
+      lit("<html><head><title>Doc "), col("doc_id").cast("string"), lit("</title>"),
+      lit(Head), lit(Nav),
+      when(col("doc_id") % 4 === 1, lit(Farm)).otherwise(lit("")),
+      when(col("doc_id") % 3 === 0, lit(Aside)).otherwise(lit("")),
+      content, lit(Footer), lit("</body></html>"))
+    val ex = graft.operators.HtmlExtract.extract(html)
+    val lowstop = forall(
+      graft.plans.TextStatsExpressions
+        .textStats(col("ex.extracted"), StopwordLists.map(_._2))
+        .getField("hits"), h => h === 0L)
+    docs.select(col("lang"), ex.as("ex"))
+      .select(col("lang"), col("ex.*"), when(lowstop, 1L).otherwise(0L).as("ls"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("kept_lines").as("kept_lines"),
+        sum("dropped_lines").as("dropped_lines"),
+        sum(length(col("extracted"))).cast("long").as("extracted_chars"),
+        sum("boiler_chars").as("boiler_chars"),
+        sum("ls").as("lowstop_docs"),
+        sum(conv(graft.plans.HashExpressions.md5Prefix(col("extracted"), 10), 16, 10)
+          .cast("long")).as("checksum"))
+      .orderBy("lang")
+  }
+
+  val qHtmlExtractSql: String = {
+    import HtmlFixture._
+    def q(s: String) = s.replace("'", "''")
+    val stop = StopwordLists.flatMap(_._2).distinct.map(w => s"'$w'").mkString(", ")
+    s"""WITH hparts AS (
+       |  SELECT doc_id, lang, text,
+       |         list_filter(string_split(text, ' '), t -> t <> '') AS toks
+       |  FROM documents),
+       |hsplit AS (
+       |  SELECT doc_id, lang, text,
+       |         array_to_string(toks[1:CAST(len(toks)//2 AS INT)], ' ') AS p1,
+       |         array_to_string(toks[CAST(len(toks)//2 AS INT)+1:], ' ') AS p2
+       |  FROM hparts),
+       |hhtml AS (
+       |  SELECT doc_id, lang,
+       |    '<html><head><title>Doc ' || doc_id || '</title>'
+       |    || '${q(Head)}' || '${q(Nav)}'
+       |    || CASE WHEN doc_id % 4 = 1 THEN '${q(Farm)}' ELSE '' END
+       |    || CASE WHEN doc_id % 3 = 0 THEN '${q(Aside)}' ELSE '' END
+       |    || CASE WHEN doc_id % 2 = 0
+       |         THEN '<div class="main"><p>' || text
+       |         ELSE '<div class="main"><p>' || p1 || '</p><p>' || p2 END
+       |    || CASE WHEN doc_id % 7 = 3 THEN '${q(EntSuffix)}' ELSE '' END
+       |    || CASE WHEN doc_id % 5 = 4 AND length(text) >= 200 THEN '${q(RefSuffix)}' ELSE '' END
+       |    || '</p></div>' || '${q(Footer)}' || '</body></html>' AS html
+       |  FROM hsplit),
+       |hlines AS (
+       |  SELECT doc_id, lang,
+       |    string_split(
+       |      regexp_replace(
+       |        regexp_replace(
+       |          regexp_replace(html, '(?s)<script[^>]*>.*?</script>', '', 'g'),
+       |          '(?s)<style[^>]*>.*?</style>', '', 'g'),
+       |        '</(title|nav|p|div|aside|footer|li|h[1-6]|tr|blockquote)>', chr(10), 'g'),
+       |      chr(10)) AS lines
+       |  FROM hhtml),
+       |hstats AS (
+       |  SELECT doc_id, lang,
+       |    list_transform(lines, l -> struct_pack(
+       |      clean := trim(regexp_replace(l, '<[^>]*>', '', 'g')),
+       |      a := coalesce(list_aggregate(
+       |        list_transform(regexp_extract_all(l, '<a [^>]*>([^<]*)</a>', 1),
+       |          s -> length(s)), 'sum'), 0))) AS ls
+       |  FROM hlines),
+       |hclass AS (
+       |  SELECT doc_id, lang,
+       |    list_filter(ls, s -> length(s.clean) >= 15 AND s.a * 3 < length(s.clean)) AS kept,
+       |    list_filter(ls, s -> s.clean <> ''
+       |      AND NOT (length(s.clean) >= 15 AND s.a * 3 < length(s.clean))) AS dropped
+       |  FROM hstats),
+       |hext AS (
+       |  SELECT doc_id, lang,
+       |    replace(replace(replace(replace(replace(
+       |      array_to_string(list_transform(kept, s -> s.clean), chr(10)),
+       |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', chr(39)), '&amp;', '&') AS extracted,
+       |    len(kept) AS kl, len(dropped) AS dl,
+       |    coalesce(list_aggregate(list_transform(dropped, s -> length(s.clean)), 'sum'), 0) AS bc
+       |  FROM hclass)
+       |SELECT lang, count(*) AS n_docs,
+       |  CAST(sum(kl) AS BIGINT) AS kept_lines,
+       |  CAST(sum(dl) AS BIGINT) AS dropped_lines,
+       |  CAST(sum(length(extracted)) AS BIGINT) AS extracted_chars,
+       |  CAST(sum(bc) AS BIGINT) AS boiler_chars,
+       |  CAST(sum(CASE WHEN len(list_filter(string_split(extracted, ' '),
+       |        t -> t IN ($stop))) = 0 THEN 1 ELSE 0 END) AS BIGINT) AS lowstop_docs,
+       |  CAST(sum(CAST('0x' || substr(md5(extracted), 1, 10) AS BIGINT)) AS BIGINT) AS checksum
+       |FROM hext GROUP BY lang ORDER BY lang""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_html_extract" -> (qHtmlExtract _),
     "q_bootstrap_ci" -> (qBootstrapCi _),
     "q_snapshot_diff" -> (qSnapshotDiff _),
     "q_dsir" -> (qDsir _),
@@ -719,6 +892,7 @@ object PipelineQueries {
     "q_shard_shuffle" -> (qShardShuffle _))
 
   val oracles: Map[String, String] = Map(
+    "q_html_extract" -> qHtmlExtractSql,
     "q_bootstrap_ci" -> qBootstrapCiSql,
     "q_snapshot_diff" -> qSnapshotDiffSql,
     "q_dsir" -> qDsirSql,

@@ -1390,7 +1390,64 @@ object SimilarityQueries {
       |       list_max(errs) AS max_err
       |FROM e ORDER BY vec_id""".stripMargin
 
+  /** Corpus-wide self-kNN graph
+    * ([[graft.operators.Similarity.knnGraphQ]]): EVERY embedding's top-3
+    * approximate neighbors through the shared IVF index, with fully
+    * distributed probe routing — the composition the bounded-batch ANN
+    * APIs can't express (their probe routing is driver-side, the serving
+    * contract; a corpus-sized probe set must route via the top_cells
+    * kernel + equi-join instead). Oracle replays Lloyd through the shared
+    * [[lloydSqlCtes]] chain, probe-side cell ranking as the (d, cell)
+    * window over all rows, and the cell-join + cosine re-rank exactly.
+    *
+    * nCells=32 / nProbe=2 keeps the oracle's candidate CTE ~1.5 M pairs
+    * at sf0.01 while still probing beyond the home cell (recall > the
+    * nProbe=1 degenerate graph). Output 3 rows per non-degenerate src. */
+  def qKnnGraph(spark: SparkSession, sfDir: String): DataFrame =
+    graft.operators.Similarity.knnGraphQ(
+        t(spark, sfDir, "embeddings"), "vec_id", "embedding",
+        k = 3, nCells = 32, iters = 2, nProbe = 2)
+      .orderBy("src", "rnk")
+
+  lazy val qKnnGraphSql: String =
+    s"""WITH $FlatSqlCte,
+       |${lloydSqlCtes(nCells = 32, iters = 2)},
+       |pd AS (
+       |  SELECT f.vec_id AS src, c.cell,
+       |         CAST(sum((f.vq - c.cq) * (f.vq - c.cq)) AS BIGINT) AS d
+       |  FROM flat f JOIN cent2 c ON f.pos = c.pos GROUP BY 1, 2),
+       |pcells AS (
+       |  SELECT src, cell FROM pd
+       |  QUALIFY row_number() OVER (PARTITION BY src ORDER BY d, cell) <= 2),
+       |cand AS (
+       |  SELECT p.src, a.vec_id AS dst
+       |  FROM afin a JOIN pcells p ON a.cell = p.cell
+       |  WHERE a.vec_id <> p.src),
+       |norms AS (SELECT vec_id, CAST(sum(vq * vq) AS BIGINT) AS norm2 FROM flat GROUP BY 1),
+       |dots AS (
+       |  SELECT c.src, c.dst, CAST(sum(fs.vq * fd.vq) AS BIGINT) AS dot
+       |  FROM cand c
+       |  JOIN flat fd ON fd.vec_id = c.dst
+       |  JOIN flat fs ON fs.vec_id = c.src AND fs.pos = fd.pos
+       |  GROUP BY 1, 2),
+       |scored AS (
+       |  SELECT d.src, d.dst,
+       |         CAST(d.dot AS DOUBLE)
+       |           / (sqrt(CAST(ns.norm2 AS DOUBLE)) * sqrt(CAST(nd.norm2 AS DOUBLE))) AS cosine
+       |  FROM dots d
+       |  JOIN norms ns ON ns.vec_id = d.src
+       |  JOIN norms nd ON nd.vec_id = d.dst
+       |  WHERE ns.norm2 > 0 AND nd.norm2 > 0)
+       |SELECT src,
+       |       CAST(row_number() OVER (PARTITION BY src
+       |                               ORDER BY cosine DESC, dst) AS BIGINT) AS rnk,
+       |       dst, cosine
+       |FROM scored
+       |QUALIFY rnk <= 3
+       |ORDER BY src, rnk""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_knn_graph" -> (qKnnGraph _),
     "q_vector_quantize" -> (qVectorQuantize _),
     "q_simsearch" -> (qSimsearch _),
     "q_embed_centroids" -> (qEmbedCentroids _),
@@ -1412,6 +1469,7 @@ object SimilarityQueries {
     "q_ann_dim_tradeoff" -> (qAnnDimTradeoff _))
 
   val oracles: Map[String, String] = Map(
+    "q_knn_graph" -> qKnnGraphSql,
     "q_vector_quantize" -> qVectorQuantizeSql,
     "q_simsearch" -> qSimsearchSql,
     "q_simsearch_brute" -> qSimsearchBruteSql,

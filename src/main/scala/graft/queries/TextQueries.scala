@@ -1981,6 +1981,223 @@ object TextQueries {
        |LIMIT 40""".stripMargin
   }
 
+  /** Unigram-LM tokenizer training (round 13) — the SentencePiece family
+    * (Kudo 2018, arXiv:1804.10959 — public literature), the other
+    * production tokenizer beside BPE. Same distributed-histogram +
+    * driver-bounded-model shape as [[bpeTrainMerges]]:
+    *
+    *  - ONE corpus scan builds the capped word-type histogram (length ≤
+    *    `maxWordLen` so the DP unroll below is bounded);
+    *  - the candidate vocabulary is every substring of length ≤
+    *    `pieceMax` of the histogram types, weighted by type count — all
+    *    single chars (segmentability floor) plus the top-`topPieces`
+    *    multi-char pieces;
+    *  - `emRounds` of EM over the bounded table: the E-step is VITERBI
+    *    (hard-EM — the standard deterministic simplification of Kudo's
+    *    forward-backward; counts come from each type's single best
+    *    segmentation, weighted by type frequency), the M-step re-derives
+    *    piece costs with add-1 smoothing so pruned-out pieces stay
+    *    finite and can re-enter.
+    *
+    * Exactness discipline: piece costs are QUANTIZED negative log-probs
+    * (−floor(2^20·ln p) — the q_tfidf/q_dsir convention; ln is the one
+    * 1-ulp-wobble risk), so the Viterbi DP is pure INTEGER addition/min —
+    * order-free, tie-exact, and replayable: the oracle unrolls the DP
+    * over positions 1..maxWordLen and the backtrack (smallest piece
+    * length achieving dp equality — the pinned tie rule) as CTE chains,
+    * one block per EM round, over the same quantized cost tables.
+    *
+    * Scale shape: the corpus cost is one word-count aggregate; everything
+    * after is O(topWords·maxWordLen·pieceMax) driver arithmetic on a
+    * bounded table — exactly how production trainers behave (SentencePiece
+    * trains on a capped type histogram, not the raw corpus). */
+  private[graft] def unigramTrainTable(docs: DataFrame, textCol: String,
+      topWords: Int, maxWordLen: Int, pieceMax: Int, topPieces: Int,
+      emRounds: Int, outRows: Int): Seq[(String, Long, Long)] = {
+    val wc: Array[(String, Long)] = docs
+      .select(explode(split(lower(col(textCol)), "\\s+")).as("w"))
+      .filter(col("w").rlike("^[a-z]+$") && length(col("w")) <= maxWordLen)
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("w").asc)
+      .limit(topWords)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+
+    val subFreq = scala.collection.mutable.HashMap.empty[String, Long]
+    wc.foreach { case (w, c) =>
+      var l = 1
+      while (l <= pieceMax) {
+        var i = 0
+        while (i + l <= w.length) {
+          val p = w.substring(i, i + l)
+          subFreq.update(p, subFreq.getOrElse(p, 0L) + c)
+          i += 1
+        }
+        l += 1
+      }
+    }
+    val singles = subFreq.iterator.filter(_._1.length == 1).toSeq
+    val multis = subFreq.iterator.filter(_._1.length >= 2).toSeq
+      .sortBy { case (p, f) => (-f, p) }.take(topPieces)
+    val vocab: Seq[(String, Long)] = (singles ++ multis).sortBy(_._1)
+    val nVocab = vocab.size
+    val totF = vocab.map(_._2).sum.toDouble
+    var cost: Map[String, Long] = vocab.map { case (p, f) =>
+      p -> -math.floor(math.log(f.toDouble / totF) * 1048576).toLong
+    }.toMap
+
+    var usage: Map[String, Long] = Map.empty
+    for (_ <- 1 to emRounds) {
+      val u = scala.collection.mutable.HashMap.empty[String, Long]
+      wc.foreach { case (w, c) =>
+        val n = w.length
+        val INF = Long.MaxValue / 4
+        val dp = Array.fill(n + 1)(INF)
+        dp(0) = 0L
+        var k = 1
+        while (k <= n) {
+          var l = 1
+          val lMax = math.min(pieceMax, k)
+          while (l <= lMax) {
+            cost.get(w.substring(k - l, k)) match {
+              case Some(cq) if dp(k - l) != INF && dp(k - l) + cq < dp(k) =>
+                dp(k) = dp(k - l) + cq
+              case _ =>
+            }
+            l += 1
+          }
+          k += 1
+        }
+        // backtrack: smallest l whose transition achieves dp equality —
+        // guaranteed to terminate (singles cover every char, and dp(pos)
+        // was produced by SOME transition)
+        var pos = n
+        while (pos > 0) {
+          var l = 1
+          var done = false
+          while (!done) {
+            val p = w.substring(pos - l, pos)
+            if (cost.contains(p) && dp(pos - l) != INF &&
+                dp(pos - l) + cost(p) == dp(pos)) {
+              u.update(p, u.getOrElse(p, 0L) + c)
+              pos -= l
+              done = true
+            } else l += 1
+          }
+        }
+      }
+      usage = u.toMap
+      val uTot = usage.values.sum
+      cost = vocab.map { case (p, _) =>
+        p -> -math.floor(math.log((usage.getOrElse(p, 0L) + 1).toDouble /
+          (uTot + nVocab).toDouble) * 1048576).toLong
+      }.toMap
+    }
+    vocab.map { case (p, _) => (p, usage.getOrElse(p, 0L), cost(p)) }
+      .sortBy { case (p, u, _) => (-u, p) }
+      .take(outRows)
+  }
+
+  def qUnigramTrain(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    unigramTrainTable(t(spark, sfDir, "documents"), "text",
+        topWords = 192, maxWordLen = 16, pieceMax = 4, topPieces = 48,
+        emRounds = 2, outRows = 32)
+      .toDF("piece", "cnt", "cost_q")
+      .orderBy(col("cnt").desc, col("piece").asc)
+  }
+
+  /** Oracle: the ENTIRE training run replayed — histogram, weighted
+    * substring candidates, quantized initial costs, and per EM round the
+    * integer Viterbi DP unrolled over positions 1..maxWordLen, the
+    * smallest-l backtrack unrolled over ≤ maxWordLen steps, the weighted
+    * usage aggregation, and the smoothed cost update. All tables are
+    * bounded (≤ topWords rows), so the ~80 CTEs are each trivial. */
+  val qUnigramTrainSql: String = {
+    val topWords = 192; val maxWordLen = 16; val pieceMax = 4
+    val topPieces = 48; val emRounds = 2; val outRows = 32
+    def costTbl(r: Int) = if (r == 0) "ucost0" else s"ucost$r"
+    val rounds = (1 to emRounds).map { r =>
+      val prevCost = costTbl(r - 1)
+      val dps = (1 to maxWordLen).map { k =>
+        val branches = (1 to math.min(pieceMax, k)).map { l =>
+          val prev =
+            if (k - l == 0) s"(SELECT w, CAST(0 AS BIGINT) AS c FROM uwc)"
+            else s"udp${r}_${k - l}"
+          s"""    SELECT d.w, d.c + v.cq AS cand
+             |    FROM $prev d JOIN $prevCost v
+             |      ON v.piece = substr(d.w, ${k - l + 1}, $l)
+             |    WHERE length(d.w) >= $k""".stripMargin
+        }.mkString("\n    UNION ALL\n")
+        s"""udp${r}_$k AS MATERIALIZED (
+           |  SELECT w, min(cand) AS c FROM (
+           |$branches) GROUP BY w)""".stripMargin
+      }.mkString(",\n")
+      val dpall = s"""udpall$r AS MATERIALIZED (
+         |  SELECT w, 0 AS pos, CAST(0 AS BIGINT) AS c FROM uwc
+         |${(1 to maxWordLen).map(k => s"  UNION ALL SELECT w, $k, c FROM udp${r}_$k").mkString("\n")})""".stripMargin
+      val bts = (1 to maxWordLen).map { s =>
+        val prev = if (s == 1) s"(SELECT w, length(w) AS pos, NULL AS piece FROM uwc)"
+        else s"ubt${r}_${s - 1}"
+        s"""ubt${r}_$s AS MATERIALIZED (
+           |  SELECT b.w, CAST(b.pos - t.l AS INT) AS pos, t.piece
+           |  FROM $prev b, LATERAL (
+           |    SELECT c.l, c.piece FROM (
+           |      SELECT u.l, substr(b.w, b.pos - u.l + 1, u.l) AS piece
+           |      FROM unnest([${(1 to pieceMax).mkString(", ")}]) AS u(l)
+           |      WHERE u.l <= b.pos) c
+           |    JOIN $prevCost v ON v.piece = c.piece
+           |    JOIN udpall$r dp ON dp.w = b.w AND dp.pos = b.pos - c.l
+           |    JOIN udpall$r dc ON dc.w = b.w AND dc.pos = b.pos
+           |    WHERE dp.c + v.cq = dc.c
+           |    ORDER BY c.l LIMIT 1) t
+           |  WHERE b.pos > 0)""".stripMargin
+      }.mkString(",\n")
+      val usage = s"""uusage$r AS MATERIALIZED (
+         |  SELECT t.piece, CAST(sum(w.cnt) AS BIGINT) AS u
+         |  FROM (${(1 to maxWordLen).map(s => s"SELECT w, piece FROM ubt${r}_$s").mkString("\n        UNION ALL ")}) t
+         |  JOIN uwc w ON w.w = t.w
+         |  GROUP BY 1)""".stripMargin
+      val newCost = s"""ucost$r AS MATERIALIZED (
+         |  SELECT vv.piece,
+         |         -CAST(floor(ln(CAST(coalesce(u.u, 0) + 1 AS DOUBLE)
+         |             / CAST((SELECT sum(u) FROM uusage$r) + (SELECT count(*) FROM uvocab) AS DOUBLE))
+         |           * 1048576) AS BIGINT) AS cq
+         |  FROM uvocab vv LEFT JOIN uusage$r u ON u.piece = vv.piece)""".stripMargin
+      s"$dps,\n$dpall,\n$bts,\n$usage,\n$newCost"
+    }.mkString(",\n")
+    s"""WITH uwc AS MATERIALIZED (
+       |  SELECT lower(t.w) AS w, CAST(count(*) AS BIGINT) AS cnt
+       |  FROM documents d,
+       |       unnest(string_split_regex(d.text, '\\s+')) AS t(w)
+       |  WHERE regexp_matches(lower(t.w), '^[a-z]+$$')
+       |    AND length(t.w) <= $maxWordLen
+       |  GROUP BY 1 ORDER BY cnt DESC, w LIMIT $topWords),
+       |usubs AS MATERIALIZED (
+       |  SELECT substr(w.w, s.i, l.l) AS piece, CAST(sum(w.cnt) AS BIGINT) AS f
+       |  FROM uwc w,
+       |       unnest([${(1 to pieceMax).mkString(", ")}]) AS l(l),
+       |       LATERAL unnest(generate_series(1, length(w.w) - l.l + 1)) AS s(i)
+       |  GROUP BY 1),
+       |uvocab AS MATERIALIZED (
+       |  SELECT piece, f FROM usubs WHERE length(piece) = 1
+       |  UNION ALL
+       |  SELECT piece, f FROM (
+       |    SELECT piece, f FROM usubs WHERE length(piece) >= 2
+       |    ORDER BY f DESC, piece LIMIT $topPieces)),
+       |ucost0 AS MATERIALIZED (
+       |  SELECT piece,
+       |         -CAST(floor(ln(CAST(f AS DOUBLE)
+       |             / (SELECT CAST(sum(f) AS DOUBLE) FROM uvocab)) * 1048576) AS BIGINT) AS cq
+       |  FROM uvocab),
+       |$rounds
+       |SELECT piece, cnt, cost_q FROM (
+       |  SELECT vv.piece, coalesce(u.u, 0) AS cnt, c.cq AS cost_q
+       |  FROM uvocab vv
+       |  LEFT JOIN uusage$emRounds u ON u.piece = vv.piece
+       |  JOIN ucost$emRounds c ON c.piece = vv.piece)
+       |ORDER BY cnt DESC, piece LIMIT $outRows""".stripMargin
+  }
+
   /** JSONL ingestion with poison-line quarantine — the crawl-dump format
     * every large text corpus actually arrives in, where some fraction of
     * lines is always malformed and a single bad line must cost a ROW, not
@@ -2328,6 +2545,7 @@ object TextQueries {
     "q_bpe_encode" -> (qBpeEncode _),
     "q_bpe_train" -> (qBpeTrain _),
     "q_bpe_train_apply" -> (qBpeTrainApply _),
+    "q_unigram_train" -> (qUnigramTrain _),
     "q_jsonl_ingest" -> (qJsonlIngest _),
     "q_csv_roundtrip" -> (qCsvRoundtrip _),
     "q_pii_redact" -> (qPiiRedact _),
@@ -2368,6 +2586,7 @@ object TextQueries {
     "q_bpe_encode" -> qBpeEncodeSql,
     "q_bpe_train" -> qBpeTrainSql,
     "q_bpe_train_apply" -> qBpeTrainApplySql,
+    "q_unigram_train" -> qUnigramTrainSql,
     "q_jsonl_ingest" -> qJsonlIngestSql,
     "q_csv_roundtrip" -> qCsvRoundtripSql,
     "q_pii_redact" -> qPiiRedactSql,

@@ -93,7 +93,18 @@ object ScaleUp {
               when(col("__r") === 0 ||
                 pmod(xxhash64(col("__r"), i), lit(2L)) === 0L, x).otherwise(-x)))
         else shifted
-      bodied.drop("__r").write.mode("overwrite").parquet(s"$dst/$name.parquet")
+      // r13: spread the write across `cpus` files. The explode-based
+      // replication otherwise inherits the SOURCE file count (sf0.1 = one
+      // file) and lands as ONE parquet file with ONE row group — and a row
+      // group is the atomic scan split, so every narrow fused pass
+      // (scan→compute→agg with no shuffle) measured on the fixture ran
+      // effectively single-threaded (q_html_extract: 98 s at sf10, yet
+      // 211 s at the 10×-bigger sf100 which happened to get 7 row
+      // groups). Real 100 TB inputs arrive as thousands of files; the
+      // fixture must too, or it benchmarks the pathological layout.
+      bodied.drop("__r")
+        .repartition(cpus.toInt)
+        .write.mode("overwrite").parquet(s"$dst/$name.parquet")
       println(s"[scaleup] $name ×$n" + (if (perturbText && mode == "perturb") " (perturbed)" else ""))
     }
 

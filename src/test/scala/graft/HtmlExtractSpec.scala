@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.HtmlExtract
+
+/** Pins each rule of the jusText-shape extraction
+  * ([[graft.operators.HtmlExtract]]) on handcrafted HTML, including the
+  * two ordering hazards (script removal BEFORE block segmentation; entity
+  * decode AFTER tag stripping) and the per-rule death of every fixture
+  * boilerplate block used by q_html_extract. */
+class HtmlExtractSpec extends SparkSpec {
+  import TestSpark.spark.implicits._
+
+  private def run(html: String): (String, Long, Long, Long) = {
+    val r = Seq(html).toDF("h")
+      .select(HtmlExtract.extract(col("h")).as("e"))
+      .select("e.extracted", "e.kept_lines", "e.dropped_lines", "e.boiler_chars")
+      .head()
+    (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))
+  }
+
+  test("content survives, short and link-dense blocks drop") {
+    val (ex, k, d, bc) = run(
+      "<html><body>" +
+        "<nav><a href=\"/\">home page</a> <a href=\"/x\">about this site</a></nav>" +
+        "<p>this paragraph is long enough to keep and has no links at all</p>" +
+        "<footer><a href=\"/t\">terms of use</a> short</footer>" +
+        "</body></html>")
+    assert(ex == "this paragraph is long enough to keep and has no links at all")
+    assert(k == 1)
+    assert(d == 2) // nav (density), footer (density: 12 of 18 anchored)
+    assert(bc == ("home page about this site".length + "terms of use short".length))
+  }
+
+  test("mixed line dies by density even when most text is outside anchors") {
+    // 27 visible chars, 12 anchored → 36 ≥ 27
+    val (ex, _, d, _) = run("<p><a href=\"/tos\">terms of use</a> © 2024 example</p>")
+    assert(ex == "" && d == 1)
+  }
+
+  test("content with a modest inline link stays content") {
+    val body = "x" * 60
+    val (ex, k, _, _) = run(s"<p>$body <a href=\"/r\">see reference notes</a></p>")
+    assert(k == 1 && ex == s"$body see reference notes")
+  }
+
+  test("script containing '</div>' and style containing '>' are removed whole") {
+    val (ex, k, d, _) = run(
+      "<style>body{color:#333} .x>y{margin:0}</style>" +
+        "<script>var s='</div>'; if(a<b){go()}</script>" +
+        "<p>the only real content line in this document body</p>")
+    assert(ex == "the only real content line in this document body")
+    assert(k == 1 && d == 0)
+  }
+
+  test("entities decode AFTER tag stripping: literal &lt;b&gt; survives as text") {
+    val (ex, _, _, _) = run(
+      "<p>encoded markup &lt;b&gt; &amp; &quot;q&quot; &#39;s&#39; stays visible text</p>")
+    assert(ex == "encoded markup <b> & \"q\" 's' stays visible text")
+  }
+
+  test("multi-block content survives in document order") {
+    val (ex, k, _, _) = run(
+      "<div><p>first paragraph with enough characters</p>" +
+        "<p>second paragraph with enough characters</p></div>")
+    assert(k == 2)
+    assert(ex == "first paragraph with enough characters\nsecond paragraph with enough characters")
+  }
+
+  test("q_html_extract round-trip: extraction recovers documents.text") {
+    // even doc_ids, no entity arm (doc_id%7!=3), no ref arm (doc_id%5!=4):
+    // extracted text must equal the original byte-for-byte
+    val docs = graft.Tables.t(spark, TestSpark.Sf0001, "documents")
+      .filter(col("doc_id") % 2 === 0 && col("doc_id") % 7 =!= 3 &&
+        col("doc_id") % 5 =!= 4)
+    val toks = graft.functions.TextFunctions.tokens(col("text"))
+    val html = concat(lit("<html><head><title>Doc "), col("doc_id").cast("string"),
+      lit("</title>"), lit(graft.queries.PipelineQueries.HtmlFixture.Head),
+      lit(graft.queries.PipelineQueries.HtmlFixture.Nav),
+      lit("<div class=\"main\"><p>"), col("text"), lit("</p></div>"),
+      lit(graft.queries.PipelineQueries.HtmlFixture.Footer), lit("</body></html>"))
+    val bad = docs.select(col("doc_id"), col("text"),
+        HtmlExtract.extract(html).getField("extracted").as("ex"))
+      .filter(col("ex") =!= col("text"))
+      .count()
+    assert(bad == 0L)
+  }
+
+  test("q_html_extract is one narrow pass: no exchange before the final aggregate") {
+    val p = graft.queries.PipelineQueries
+      .qHtmlExtract(spark, TestSpark.Sf0001)
+      .queryExecution.executedPlan.toString
+    // allowed: one shuffle for the lang aggregate + the output range sort;
+    // anything more means the HOF pipeline broke row-locality
+    val exchanges = p.split("Exchange ").length - 1
+    assert(exchanges <= 2, s"expected ≤2 exchanges (agg + sort), got $exchanges:\n$p")
+  }
+}

@@ -708,6 +708,31 @@ class OperatorsSpec extends SparkSpec {
     assert(kept8 == kept)
   }
 
+  test("registrableDomain: PSL multi-label suffixes keep three labels (r13)") {
+    import graft.operators.Sampling
+    val hosts = Seq("w3.example.co.uk", "example.co.uk", "co.uk",
+      "news.bbc.co.uk", "a.b.site1.com.au", "plain.example.com", "example.com",
+      "single-label", "deep.w.co.jp", "notasuffix.zz.uk")
+    val out = hosts.toDF("h")
+      .select(col("h"), Sampling.registrableDomain(col("h")).as("d"))
+      .as[(String, String)].collect().toMap
+    assert(out("w3.example.co.uk") == "example.co.uk")
+    assert(out("example.co.uk") == "example.co.uk")
+    assert(out("co.uk") == "co.uk") // bare suffix maps to itself
+    assert(out("news.bbc.co.uk") == "bbc.co.uk")
+    assert(out("a.b.site1.com.au") == "site1.com.au")
+    assert(out("plain.example.com") == "example.com")
+    assert(out("example.com") == "example.com")
+    assert(out("single-label") == "single-label")
+    assert(out("deep.w.co.jp") == "w.co.jp")
+    // zz.uk is not in the bundled table → two-label fallback applies
+    assert(out("notasuffix.zz.uk") == "zz.uk")
+    // and the explicit two-label fallback rule is unchanged
+    val two = Seq("w3.example.co.uk").toDF("h")
+      .select(Sampling.registrableDomainTwoLabel(col("h"))).as[String].head()
+    assert(two == "co.uk")
+  }
+
   test("argmin expressions compare structurally (canonicalization, ADVICE r10)") {
     import org.apache.spark.sql.graftbridge.ColumnBridge.expression
     import graft.plans.VectorExpressions
@@ -1507,6 +1532,93 @@ class OperatorsSpec extends SparkSpec {
       // every revised survivor really differs (the ' rev2' suffix)
       assert(out("changed")._3 == out("changed")._2 + 5L * n("changed"))
     } finally CacheScope.release()
+  }
+
+  test("topCells kernel: element 0 is argmin, order is (d, cell), ties keep lower id (r13)") {
+    import graft.plans.VectorExpressions
+    val vecs = Seq(
+      (0L, Array(0f, 0f)), (1L, Array(10f, 0f)), (2L, Array(0f, 10f)),
+      (3L, Array(7f, 7f)), (4L, Array(-10f, 0f))).toDF("vec_id", "embedding")
+    // centroids at the corners: cell 0 = (0,0), 1 = (2^20·10, 0),
+    // 2 = (0, 2^20·10), 3 = (−2^20·10, 0) — cells 1 and 3 are EQUIDISTANT
+    // from the origin probe, so its p=2 list must tie-break to cell 1… no:
+    // cells 1,2 tie too; (d, cell) order keeps 1 then 2
+    val s = (10L * 1048576L)
+    val ids = Array(0, 1, 2, 3)
+    val cents = Array(Array(0L, 0L), Array(s, 0L), Array(0L, s), Array(-s, 0L))
+    val out = vecs.select(col("vec_id"),
+        graft.operators.Similarity.quantize(col("embedding")).as("vq"))
+      .select(col("vec_id"),
+        VectorExpressions.topCells(col("vq"), ids, cents, 3).as("tc"),
+        VectorExpressions.argminCell(col("vq"), ids, cents).as("am"))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getSeq[Int](1).toList, r.getInt(2))))
+      .toMap
+    val byId = out
+    byId.foreach { case (_, (tc, am)) => assert(tc.head == am) }
+    // origin: d to cells 1,2,3 all equal → (d, cell) keeps 0,1,2
+    assert(byId(0L)._1 == List(0, 1, 2))
+    // (7,7): nearest 1 and 2 tie after 0? d(0)=2·49s², d(1)=(3²+7²)s², keep order by distance then id
+    assert(byId(3L)._1.head == byId(3L)._2)
+    // p larger than nCells clamps
+    val clamp = vecs.limit(1).select(VectorExpressions.topCells(
+        graft.operators.Similarity.quantize(col("embedding")), ids, cents, 9).as("tc"))
+      .head().getSeq[Int](0)
+    assert(clamp.length == 4)
+  }
+
+  test("knnGraphQ: edges match brute-force within probed cells; k bound holds (r13)") {
+    val emb = graft.Tables.t(spark, TestSpark.Sf0001, "embeddings")
+    val g = graft.operators.Similarity.knnGraphQ(emb, "vec_id", "embedding",
+        k = 3, nCells = 8, iters = 1, nProbe = 8)
+      .collect()
+    try {
+      val bySrc = g.groupBy(_.getLong(0))
+      assert(bySrc.values.forall(_.length <= 3))
+      // with nProbe = nCells every cell is probed → the graph must equal
+      // the BRUTE top-3 (quantized cosine, ties by dst): check one src
+      val brute = graft.operators.Similarity.bruteTopKBatchQ(
+          emb, "vec_id", "embedding", probeIds = Seq(7L), k = 3)
+        .orderBy("rnk").select("vec_id").collect().map(_.getLong(0)).toSeq
+      val mine = g.filter(_.getLong(0) == 7L).sortBy(_.getLong(1))
+        .map(_.getLong(2)).toSeq
+      assert(mine == brute, s"knnGraph $mine vs brute $brute")
+      // ranks are 1..n contiguous per src
+      bySrc.values.foreach { rows =>
+        assert(rows.map(_.getLong(1)).sorted.toSeq == (1L to rows.length).toSeq)
+      }
+    } finally graft.CacheScope.release()
+  }
+
+  test("unigramTrainTable: hand-checkable corpus trains to the obvious vocab (r13)") {
+    // corpus: 'abab' ×4, 'ab' ×2, 'cd' ×3 — candidate 'ab' dominates;
+    // Viterbi must segment abab as [ab][ab] once costs favor 'ab'
+    val docs = Seq.fill(4)("abab").++(Seq.fill(2)("ab")).++(Seq.fill(3)("cd"))
+      .toDF("text")
+    val out = graft.queries.TextQueries.unigramTrainTable(docs, "text",
+      topWords = 16, maxWordLen = 8, pieceMax = 4, topPieces = 8,
+      emRounds = 2, outRows = 16)
+    val byPiece = out.map { case (p, u, c) => p -> (u, c) }.toMap
+    // 'abab' (f=4·1 as substring of type abab) beats… usage: type abab
+    // (cnt 4) has candidates; whatever the winner, invariants hold:
+    assert(out.nonEmpty)
+    // usages are weighted by type counts: total piece usage mass must
+    // cover every char of every type at most (singles) and at least
+    // (one piece per type) — loose structural bounds
+    val totalUsage = out.map(_._2).sum
+    assert(totalUsage >= 9L) // ≥ one piece per type occurrence class… 3 types, weighted 4+2+3 = 9
+    assert(totalUsage <= 4L * 4 + 2L * 2 + 3L * 2)
+    // 'ab' or 'abab' is the top piece (dominant substring mass)
+    assert(Set("ab", "abab").contains(out.head._1))
+    // costs are positive quantized -log probs and ordering is (cnt desc, piece)
+    assert(out.forall(_._3 > 0L))
+    assert(out == out.sortBy { case (p, u, _) => (-u, p) })
+    // determinism: retraining yields the identical table
+    val again = graft.queries.TextQueries.unigramTrainTable(docs, "text",
+      topWords = 16, maxWordLen = 8, pieceMax = 4, topPieces = 8,
+      emRounds = 2, outRows = 16)
+    assert(again == out)
+    assert(byPiece.keySet.forall(_.length <= 4))
   }
 
   test("q_tok_fertility: BPE-per-word ≥ 1, exact quantized ratios of the sums") {
