@@ -1409,16 +1409,21 @@ object SimilarityQueries {
         k = 3, nCells = 32, iters = 2, nProbe = 2)
       .orderBy("src", "rnk")
 
-  lazy val qKnnGraphSql: String =
-    s"""WITH $FlatSqlCte,
-       |${lloydSqlCtes(nCells = 32, iters = 2)},
+  /** The self-kNN-graph CTE chain (flat + Lloyd + distributed probe-cell
+    * ranking + cell join + cosine re-rank), ending in `knng(src, rnk,
+    * dst, cosine)` — shared by the q_knn_graph oracle and the
+    * q_margin_mining oracle (which consumes the graph). */
+  private def knnGraphSqlCtes(nCells: Int, iters: Int, nProbe: Int,
+                              k: Int): String =
+    s"""$FlatSqlCte,
+       |${lloydSqlCtes(nCells = nCells, iters = iters)},
        |pd AS (
        |  SELECT f.vec_id AS src, c.cell,
        |         CAST(sum((f.vq - c.cq) * (f.vq - c.cq)) AS BIGINT) AS d
-       |  FROM flat f JOIN cent2 c ON f.pos = c.pos GROUP BY 1, 2),
+       |  FROM flat f JOIN cent$iters c ON f.pos = c.pos GROUP BY 1, 2),
        |pcells AS (
        |  SELECT src, cell FROM pd
-       |  QUALIFY row_number() OVER (PARTITION BY src ORDER BY d, cell) <= 2),
+       |  QUALIFY row_number() OVER (PARTITION BY src ORDER BY d, cell) <= $nProbe),
        |cand AS (
        |  SELECT p.src, a.vec_id AS dst
        |  FROM afin a JOIN pcells p ON a.cell = p.cell
@@ -1437,17 +1442,88 @@ object SimilarityQueries {
        |  FROM dots d
        |  JOIN norms ns ON ns.vec_id = d.src
        |  JOIN norms nd ON nd.vec_id = d.dst
-       |  WHERE ns.norm2 > 0 AND nd.norm2 > 0)
-       |SELECT src,
-       |       CAST(row_number() OVER (PARTITION BY src
-       |                               ORDER BY cosine DESC, dst) AS BIGINT) AS rnk,
-       |       dst, cosine
-       |FROM scored
-       |QUALIFY rnk <= 3
-       |ORDER BY src, rnk""".stripMargin
+       |  WHERE ns.norm2 > 0 AND nd.norm2 > 0),
+       |knng AS (
+       |  SELECT src, rnk, dst, cosine FROM (
+       |    SELECT src, dst, cosine,
+       |           CAST(row_number() OVER (PARTITION BY src
+       |                                   ORDER BY cosine DESC, dst) AS BIGINT) AS rnk
+       |    FROM scored)
+       |  WHERE rnk <= $k)""".stripMargin
+
+  lazy val qKnnGraphSql: String =
+    s"""WITH ${knnGraphSqlCtes(nCells = 32, iters = 2, nProbe = 2, k = 3)}
+       |SELECT src, rnk, dst, cosine FROM knng ORDER BY src, rnk""".stripMargin
+
+  /** Margin-based bitext mining (round 13) — the CCMatrix/LASER scoring
+    * rule (Artetxe & Schwenk 2019, arXiv:1811.01136 — the RATIO margin:
+    * a candidate pair is strong when its cosine stands out from BOTH
+    * members' neighborhood cosines, killing hub vectors that are
+    * "close to everything"):
+    *
+    *   margin(x,y) = cos(x,y) / ((mean_kNN(x) + mean_kNN(y)) / 2)
+    *
+    * Composition: BOTH the candidate pairs and the two neighborhood
+    * means come from ONE shared [[graft.operators.Similarity.knnGraphQ]]
+    * scan (cached) — the plan-gate contract: no second index build, no
+    * per-side rescans. Sides are simulated from the fixture's `label`
+    * parity (even = source language, odd = target); mined pairs are the
+    * cross-side graph edges.
+    *
+    * Exactness: cosines quantized to cq = floor(cos·2^20); the margin is
+    * then pure integer arithmetic, margin_q = (cq·2·nx·ny·4096) div
+    * (sx·ny + sy·nx) with positive-cq and positive-denominator guards so
+    * Spark's `div` (truncate) and DuckDB's `//` (floor) agree. Readout:
+    * global top-50 pairs by (margin_q, src, dst) — TakeOrdered, the
+    * distributed top-k. */
+  def qMarginMining(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = t(spark, sfDir, "embeddings")
+    val g = graft.CacheScope.cached(
+      graft.operators.Similarity.knnGraphQ(emb, "vec_id", "embedding",
+          k = 4, nCells = 32, iters = 2, nProbe = 2)
+        .withColumn("cq", floor(col("cosine") * 1048576).cast("long")))
+    val nodes = g.groupBy(col("src").as("node"))
+      .agg(sum("cq").as("s"), count(lit(1)).as("n"))
+    val sides = emb.select(col("vec_id"), (col("label") % 2).as("side"))
+    g.filter(col("cq") > 0)
+      .join(sides.select(col("vec_id").as("src"), col("side").as("sside")), Seq("src"))
+      .join(sides.select(col("vec_id").as("dst"), col("side").as("dside")), Seq("dst"))
+      .filter(col("sside") === 0 && col("dside") === 1)
+      .join(nodes.select(col("node").as("src"), col("s").as("sx"), col("n").as("nx")), Seq("src"))
+      .join(nodes.select(col("node").as("dst"), col("s").as("sy"), col("n").as("ny")), Seq("dst"))
+      .filter(col("sx") * col("ny") + col("sy") * col("nx") > 0)
+      .withColumn("margin_q", expr("(cq * 2 * nx * ny * 4096) div (sx * ny + sy * nx)"))
+      .orderBy(col("margin_q").desc, col("src").asc, col("dst").asc)
+      .limit(50)
+      .select(col("src"), col("dst"), col("cq").as("cos_q"), col("margin_q"))
+  }
+
+  lazy val qMarginMiningSql: String =
+    s"""WITH ${knnGraphSqlCtes(nCells = 32, iters = 2, nProbe = 2, k = 4)},
+       |gq AS (
+       |  SELECT src, dst, CAST(floor(cosine * 1048576) AS BIGINT) AS cq
+       |  FROM knng),
+       |gnodes AS (
+       |  SELECT src AS node, CAST(sum(cq) AS BIGINT) AS s,
+       |         CAST(count(*) AS BIGINT) AS n
+       |  FROM gq GROUP BY 1),
+       |gsides AS (SELECT vec_id, label % 2 AS side FROM embeddings),
+       |gpairs AS (
+       |  SELECT g.src, g.dst, g.cq,
+       |         (g.cq * 2 * nx.n * ny.n * 4096) // (nx.s * ny.n + ny.s * nx.n) AS margin_q
+       |  FROM gq g
+       |  JOIN gsides ss ON ss.vec_id = g.src AND ss.side = 0
+       |  JOIN gsides sd ON sd.vec_id = g.dst AND sd.side = 1
+       |  JOIN gnodes nx ON nx.node = g.src
+       |  JOIN gnodes ny ON ny.node = g.dst
+       |  WHERE g.cq > 0 AND nx.s * ny.n + ny.s * nx.n > 0)
+       |SELECT src, dst, cq AS cos_q, CAST(margin_q AS BIGINT) AS margin_q
+       |FROM gpairs
+       |ORDER BY margin_q DESC, src, dst LIMIT 50""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_knn_graph" -> (qKnnGraph _),
+    "q_margin_mining" -> (qMarginMining _),
     "q_vector_quantize" -> (qVectorQuantize _),
     "q_simsearch" -> (qSimsearch _),
     "q_embed_centroids" -> (qEmbedCentroids _),
@@ -1470,6 +1546,7 @@ object SimilarityQueries {
 
   val oracles: Map[String, String] = Map(
     "q_knn_graph" -> qKnnGraphSql,
+    "q_margin_mining" -> qMarginMiningSql,
     "q_vector_quantize" -> qVectorQuantizeSql,
     "q_simsearch" -> qSimsearchSql,
     "q_simsearch_brute" -> qSimsearchBruteSql,

@@ -1590,6 +1590,34 @@ class OperatorsSpec extends SparkSpec {
     } finally graft.CacheScope.release()
   }
 
+  test("q_margin_mining: margins recompute from the graph; pairs are cross-side (r13)") {
+    val emb = graft.Tables.t(spark, TestSpark.Sf0001, "embeddings")
+    try {
+      val out = SparkEntry.queries("q_margin_mining")(spark, TestSpark.Sf0001)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      assert(out.length == 50)
+      // recompute the graph + margin by hand for the mined pairs
+      val g = graft.operators.Similarity.knnGraphQ(emb, "vec_id", "embedding",
+          k = 4, nCells = 32, iters = 2, nProbe = 2)
+        .collect().map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
+      val cq = g.map { case (s, d, c) => (s, d) -> math.floor(c * 1048576).toLong }.toMap
+      val byNode = g.groupBy(_._1).map { case (n, rows) =>
+        n -> (rows.map(r => math.floor(r._3 * 1048576).toLong).sum, rows.length.toLong)
+      }
+      val side = emb.select(col("vec_id"), (col("label") % 2))
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      out.foreach { case (s, d, cosq, mq) =>
+        assert(side(s) == 0 && side(d) == 1, s"pair ($s,$d) not cross-side")
+        assert(cq((s, d)) == cosq)
+        val (sx, nx) = byNode(s); val (sy, ny) = byNode(d)
+        val expect = (cosq * 2 * nx * ny * 4096) / (sx * ny + sy * nx)
+        assert(mq == expect, s"margin ($s,$d): $mq vs $expect")
+      }
+      // output is (margin desc, src, dst)-ordered
+      assert(out.toSeq == out.toSeq.sortBy { case (s, d, _, m) => (-m, s, d) })
+    } finally graft.CacheScope.release()
+  }
+
   test("unigramTrainTable: hand-checkable corpus trains to the obvious vocab (r13)") {
     // corpus: 'abab' ×4, 'ab' ×2, 'cd' ×3 — candidate 'ab' dominates;
     // Viterbi must segment abab as [ab][ab] once costs favor 'ab'
