@@ -2013,7 +2013,18 @@ object TextQueries {
     * trains on a capped type histogram, not the raw corpus). */
   private[graft] def unigramTrainTable(docs: DataFrame, textCol: String,
       topWords: Int, maxWordLen: Int, pieceMax: Int, topPieces: Int,
-      emRounds: Int, outRows: Int): Seq[(String, Long, Long)] = {
+      emRounds: Int, outRows: Int): Seq[(String, Long, Long)] =
+    unigramTrainModel(docs, textCol, topWords, maxWordLen, pieceMax,
+      topPieces, emRounds)
+      .sortBy { case (p, u, _) => (-u, p) }
+      .take(outRows)
+
+  /** The FULL trained model (every vocab piece with final usage and
+    * cost) — [[unigramTrainTable]] is its top-slice readout; the encode
+    * path ([[qUnigramEncode]]) consumes the whole cost table. */
+  private[graft] def unigramTrainModel(docs: DataFrame, textCol: String,
+      topWords: Int, maxWordLen: Int, pieceMax: Int, topPieces: Int,
+      emRounds: Int): Seq[(String, Long, Long)] = {
     val wc: Array[(String, Long)] = docs
       .select(explode(split(lower(col(textCol)), "\\s+")).as("w"))
       .filter(col("w").rlike("^[a-z]+$") && length(col("w")) <= maxWordLen)
@@ -2093,8 +2104,6 @@ object TextQueries {
       }.toMap
     }
     vocab.map { case (p, _) => (p, usage.getOrElse(p, 0L), cost(p)) }
-      .sortBy { case (p, u, _) => (-u, p) }
-      .take(outRows)
   }
 
   def qUnigramTrain(spark: SparkSession, sfDir: String): DataFrame = {
@@ -2112,9 +2121,11 @@ object TextQueries {
     * smallest-l backtrack unrolled over ≤ maxWordLen steps, the weighted
     * usage aggregation, and the smoothed cost update. All tables are
     * bounded (≤ topWords rows), so the ~80 CTEs are each trivial. */
-  val qUnigramTrainSql: String = {
-    val topWords = 192; val maxWordLen = 16; val pieceMax = 4
-    val topPieces = 48; val emRounds = 2; val outRows = 32
+  /** The training-run CTE body (uwc/usubs/uvocab/ucost0 + per-round DP,
+    * backtrack, usage, cost chains) — shared by the q_unigram_train and
+    * q_unigram_encode oracles. */
+  private def unigramTrainSqlCtes(topWords: Int, maxWordLen: Int,
+      pieceMax: Int, topPieces: Int, emRounds: Int): String = {
     def costTbl(r: Int) = if (r == 0) "ucost0" else s"ucost$r"
     val rounds = (1 to emRounds).map { r =>
       val prevCost = costTbl(r - 1)
@@ -2165,7 +2176,7 @@ object TextQueries {
          |  FROM uvocab vv LEFT JOIN uusage$r u ON u.piece = vv.piece)""".stripMargin
       s"$dps,\n$dpall,\n$bts,\n$usage,\n$newCost"
     }.mkString(",\n")
-    s"""WITH uwc AS MATERIALIZED (
+    s"""uwc AS MATERIALIZED (
        |  SELECT lower(t.w) AS w, CAST(count(*) AS BIGINT) AS cnt
        |  FROM documents d,
        |       unnest(string_split_regex(d.text, '\\s+')) AS t(w)
@@ -2189,13 +2200,110 @@ object TextQueries {
        |         -CAST(floor(ln(CAST(f AS DOUBLE)
        |             / (SELECT CAST(sum(f) AS DOUBLE) FROM uvocab)) * 1048576) AS BIGINT) AS cq
        |  FROM uvocab),
-       |$rounds
+       |$rounds""".stripMargin
+  }
+
+  val qUnigramTrainSql: String = {
+    val emRounds = 2
+    s"""WITH ${unigramTrainSqlCtes(topWords = 192, maxWordLen = 16,
+          pieceMax = 4, topPieces = 48, emRounds = emRounds)}
        |SELECT piece, cnt, cost_q FROM (
        |  SELECT vv.piece, coalesce(u.u, 0) AS cnt, c.cq AS cost_q
        |  FROM uvocab vv
        |  LEFT JOIN uusage$emRounds u ON u.piece = vv.piece
        |  JOIN ucost$emRounds c ON c.piece = vv.piece)
-       |ORDER BY cnt DESC, piece LIMIT $outRows""".stripMargin
+       |ORDER BY cnt DESC, piece LIMIT 32""".stripMargin
+  }
+
+  /** Unigram train → APPLY (round 13) — the SentencePiece serving loop:
+    * learn the model on the capped type histogram, then Viterbi-encode
+    * the WHOLE corpus word stream with the frozen cost table and report
+    * the top-40 resulting pieces. The encoder is the native codegen
+    * [[graft.plans.UnigramOps.encode]] kernel — the bounded cost table
+    * rides the plan as a reference object (the BPE-merge-chain / centroid
+    * discipline), the per-word DP is O(len·pieceMax) integer arithmetic,
+    * and out-of-vocab characters price at the fixed UNK cost so encoding
+    * is total. The oracle re-learns through the shared training CTEs,
+    * then replays the DP + smallest-l backtrack over the corpus word
+    * TYPES (occurrences of a type share an encoding, so type-weighted
+    * counts equal the per-occurrence stream). */
+  def qUnigramEncode(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = t(spark, sfDir, "documents")
+    val costs = unigramTrainModel(docs, "text", topWords = 192,
+      maxWordLen = 16, pieceMax = 4, topPieces = 48, emRounds = 2)
+      .map { case (p, _, c) => (p, c) }
+    docs.select(explode(split(lower(col("text")), "\\s+")).as("w"))
+      .filter(col("w").rlike("^[a-z]+$") && length(col("w")) <= 16)
+      .select(explode(graft.plans.UnigramExpressions
+        .unigramEncode(col("w"), costs, pieceMax = 4)).as("piece"))
+      .groupBy("piece").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("piece").asc)
+      .limit(40)
+  }
+
+  val qUnigramEncodeSql: String = {
+    val maxWordLen = 16; val pieceMax = 4; val emRounds = 2
+    val unk = graft.plans.UnigramOps.UnkCost
+    val cost = s"ucost$emRounds"
+    val dps = (1 to maxWordLen).map { k =>
+      val branches = (1 to math.min(pieceMax, k)).map { l =>
+        val prev =
+          if (k - l == 0) s"(SELECT w, CAST(0 AS BIGINT) AS c FROM awc)"
+          else s"adp_${k - l}"
+        if (l == 1)
+          s"""    SELECT d.w, d.c + coalesce(v.cq, $unk) AS cand
+             |    FROM $prev d LEFT JOIN $cost v
+             |      ON v.piece = substr(d.w, $k, 1)
+             |    WHERE length(d.w) >= $k""".stripMargin
+        else
+          s"""    SELECT d.w, d.c + v.cq AS cand
+             |    FROM $prev d JOIN $cost v
+             |      ON v.piece = substr(d.w, ${k - l + 1}, $l)
+             |    WHERE length(d.w) >= $k""".stripMargin
+      }.mkString("\n    UNION ALL\n")
+      s"""adp_$k AS MATERIALIZED (
+         |  SELECT w, min(cand) AS c FROM (
+         |$branches) GROUP BY w)""".stripMargin
+    }.mkString(",\n")
+    val dpall = s"""adpall AS MATERIALIZED (
+       |  SELECT w, 0 AS pos, CAST(0 AS BIGINT) AS c FROM awc
+       |${(1 to maxWordLen).map(k => s"  UNION ALL SELECT w, $k, c FROM adp_$k").mkString("\n")})""".stripMargin
+    val bts = (1 to maxWordLen).map { s =>
+      val prev = if (s == 1) s"(SELECT w, length(w) AS pos, NULL AS piece FROM awc)"
+      else s"abt_${s - 1}"
+      s"""abt_$s AS MATERIALIZED (
+         |  SELECT b.w, CAST(b.pos - t.l AS INT) AS pos, t.piece
+         |  FROM $prev b, LATERAL (
+         |    SELECT c.l, c.piece FROM (
+         |      SELECT u.l, substr(b.w, b.pos - u.l + 1, u.l) AS piece
+         |      FROM unnest([${(1 to pieceMax).mkString(", ")}]) AS u(l)
+         |      WHERE u.l <= b.pos) c
+         |    LEFT JOIN $cost v ON v.piece = c.piece
+         |    JOIN adpall dp ON dp.w = b.w AND dp.pos = b.pos - c.l
+         |    JOIN adpall dc ON dc.w = b.w AND dc.pos = b.pos
+         |    WHERE (c.l = 1 OR v.cq IS NOT NULL)
+         |      AND dp.c + (CASE WHEN c.l = 1 THEN coalesce(v.cq, $unk) ELSE v.cq END) = dc.c
+         |    ORDER BY c.l LIMIT 1) t
+         |  WHERE b.pos > 0)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${unigramTrainSqlCtes(topWords = 192, maxWordLen = maxWordLen,
+          pieceMax = pieceMax, topPieces = 48, emRounds = emRounds)},
+       |awc AS MATERIALIZED (
+       |  SELECT lower(t.w) AS w, CAST(count(*) AS BIGINT) AS cnt
+       |  FROM documents d,
+       |       unnest(string_split_regex(d.text, '\\s+')) AS t(w)
+       |  WHERE regexp_matches(lower(t.w), '^[a-z]+$$')
+       |    AND length(t.w) <= $maxWordLen
+       |  GROUP BY 1),
+       |$dps,
+       |$dpall,
+       |$bts
+       |SELECT piece, cnt FROM (
+       |  SELECT t.piece, CAST(sum(w.cnt) AS BIGINT) AS cnt
+       |  FROM (${(1 to maxWordLen).map(s => s"SELECT w, piece FROM abt_$s").mkString("\n        UNION ALL ")}) t
+       |  JOIN awc w ON w.w = t.w
+       |  GROUP BY 1)
+       |ORDER BY cnt DESC, piece LIMIT 40""".stripMargin
   }
 
   /** JSONL ingestion with poison-line quarantine — the crawl-dump format
@@ -2546,6 +2654,7 @@ object TextQueries {
     "q_bpe_train" -> (qBpeTrain _),
     "q_bpe_train_apply" -> (qBpeTrainApply _),
     "q_unigram_train" -> (qUnigramTrain _),
+    "q_unigram_encode" -> (qUnigramEncode _),
     "q_jsonl_ingest" -> (qJsonlIngest _),
     "q_csv_roundtrip" -> (qCsvRoundtrip _),
     "q_pii_redact" -> (qPiiRedact _),
@@ -2587,6 +2696,7 @@ object TextQueries {
     "q_bpe_train" -> qBpeTrainSql,
     "q_bpe_train_apply" -> qBpeTrainApplySql,
     "q_unigram_train" -> qUnigramTrainSql,
+    "q_unigram_encode" -> qUnigramEncodeSql,
     "q_jsonl_ingest" -> qJsonlIngestSql,
     "q_csv_roundtrip" -> qCsvRoundtripSql,
     "q_pii_redact" -> qPiiRedactSql,

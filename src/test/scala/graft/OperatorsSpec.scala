@@ -1649,6 +1649,36 @@ class OperatorsSpec extends SparkSpec {
     assert(byPiece.keySet.forall(_.length <= 4))
   }
 
+  test("unigram_encode kernel: DP optimum, smallest-l ties, UNK fallback (r13)") {
+    import graft.plans.UnigramExpressions.unigramEncode
+    def enc(costs: Seq[(String, Long)], words: String*): Seq[Seq[String]] =
+      words.toDF("w").select(unigramEncode(col("w"), costs, 4).as("p"))
+        .collect().map(_.getSeq[String](0).toSeq).toSeq
+    // 'ab' cheaper than a+b → DP picks [ab][ab]
+    val c1 = Seq("a" -> 10L, "b" -> 10L, "ab" -> 5L)
+    assert(enc(c1, "abab") == Seq(Seq("ab", "ab")))
+    // equal-cost tie (a+b = 20 vs ab = 20): smallest-l backtrack picks singles
+    val c2 = Seq("a" -> 10L, "b" -> 10L, "ab" -> 20L)
+    assert(enc(c2, "ab") == Seq(Seq("a", "b")))
+    // unknown char 'z' prices at UnkCost and still encodes
+    assert(enc(c1, "azb") == Seq(Seq("a", "z", "b")))
+    // UNK is dear: a 4-char vocab piece beats char-by-char with one unk
+    val c3 = Seq("a" -> 10L, "abcd" -> 100L)
+    assert(enc(c3, "abcd") == Seq(Seq("abcd")))
+    // reconstruction invariant over the real fixture + trained model
+    val docs = graft.Tables.t(spark, TestSpark.Sf0001, "documents")
+    val costs = graft.queries.TextQueries.unigramTrainModel(docs, "text",
+      topWords = 192, maxWordLen = 16, pieceMax = 4, topPieces = 48,
+      emRounds = 2).map { case (p, _, c) => (p, c) }
+    val bad = docs
+      .select(explode(split(lower(col("text")), "\\s+")).as("w"))
+      .filter(col("w").rlike("^[a-z]+$") && length(col("w")) <= 16)
+      .select(col("w"), concat_ws("", unigramEncode(col("w"), costs, 4)).as("joined"))
+      .filter(col("w") =!= col("joined"))
+      .count()
+    assert(bad == 0L, "pieces must concatenate back to every word")
+  }
+
   test("q_tok_fertility: BPE-per-word ≥ 1, exact quantized ratios of the sums") {
     val rows = SparkEntry.queries("q_tok_fertility")(spark, TestSpark.Sf0001)
       .collect()
