@@ -768,9 +768,10 @@ object PipelineQueries {
     * Scale shape: fixture build + extraction + classification are ONE
     * narrow whole-row pass (HOFs, no explode); the only exchange is the
     * |langs|-row aggregate. At 100 TB this fuses into the scan. */
-  def qHtmlExtract(spark: SparkSession, sfDir: String): DataFrame = {
+  /** The HTML-wrapper fixture as a Column over (doc_id, text) — shared by
+    * [[qHtmlExtract]] and [[qWebPipeline]]. */
+  private[queries] def htmlFixtureCol: org.apache.spark.sql.Column = {
     import HtmlFixture._
-    val docs = t(spark, sfDir, "documents")
     val toks = tokens(col("text"))
     val half = (size(toks) / lit(2)).cast("int")
     val p1 = array_join(slice(toks, lit(1), half), " ")
@@ -782,13 +783,17 @@ object PipelineQueries {
       concat(lit("<div class=\"main\"><p>"), col("text"), ent, ref, lit("</p></div>")))
       .otherwise(concat(lit("<div class=\"main\"><p>"), p1, lit("</p><p>"),
         p2, ent, ref, lit("</p></div>")))
-    val html = concat(
+    concat(
       lit("<html><head><title>Doc "), col("doc_id").cast("string"), lit("</title>"),
       lit(Head), lit(Nav),
       when(col("doc_id") % 4 === 1, lit(Farm)).otherwise(lit("")),
       when(col("doc_id") % 3 === 0, lit(Aside)).otherwise(lit("")),
       content, lit(Footer), lit("</body></html>"))
-    val ex = graft.operators.HtmlExtract.extract(html)
+  }
+
+  def qHtmlExtract(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = t(spark, sfDir, "documents")
+    val ex = graft.operators.HtmlExtract.extract(htmlFixtureCol)
     val lowstop = forall(
       graft.plans.TextStatsExpressions
         .textStats(col("ex.extracted"), StopwordLists.map(_._2))
@@ -807,11 +812,14 @@ object PipelineQueries {
       .orderBy("lang")
   }
 
-  val qHtmlExtractSql: String = {
+  /** The HTML fixture + extraction CTE chain, ending in
+    * `hext(doc_id, lang, extracted, kl, dl, bc)` — shared by the
+    * q_html_extract oracle and the q_web_pipeline oracle (which feeds
+    * `extracted` into the curation cascade). */
+  private[queries] val htmlExtractSqlCtes: String = {
     import HtmlFixture._
     def q(s: String) = s.replace("'", "''")
-    val stop = StopwordLists.flatMap(_._2).distinct.map(w => s"'$w'").mkString(", ")
-    s"""WITH hparts AS (
+    s"""hparts AS (
        |  SELECT doc_id, lang, text,
        |         list_filter(string_split(text, ' '), t -> t <> '') AS toks
        |  FROM documents),
@@ -822,16 +830,16 @@ object PipelineQueries {
        |  FROM hparts),
        |hhtml AS (
        |  SELECT doc_id, lang,
-       |    '<html><head><title>Doc ' || doc_id || '</title>'
-       |    || '${q(Head)}' || '${q(Nav)}'
-       |    || CASE WHEN doc_id % 4 = 1 THEN '${q(Farm)}' ELSE '' END
-       |    || CASE WHEN doc_id % 3 = 0 THEN '${q(Aside)}' ELSE '' END
-       |    || CASE WHEN doc_id % 2 = 0
+       |    '<html><head><title>Doc ' || doc_id || '</title>' ||
+       |    '${q(Head)}' || '${q(Nav)}' ||
+       |    (CASE WHEN doc_id % 4 = 1 THEN '${q(Farm)}' ELSE '' END) ||
+       |    (CASE WHEN doc_id % 3 = 0 THEN '${q(Aside)}' ELSE '' END) ||
+       |    (CASE WHEN doc_id % 2 = 0
        |         THEN '<div class="main"><p>' || text
-       |         ELSE '<div class="main"><p>' || p1 || '</p><p>' || p2 END
-       |    || CASE WHEN doc_id % 7 = 3 THEN '${q(EntSuffix)}' ELSE '' END
-       |    || CASE WHEN doc_id % 5 = 4 AND length(text) >= 200 THEN '${q(RefSuffix)}' ELSE '' END
-       |    || '</p></div>' || '${q(Footer)}' || '</body></html>' AS html
+       |         ELSE '<div class="main"><p>' || p1 || '</p><p>' || p2 END) ||
+       |    (CASE WHEN doc_id % 7 = 3 THEN '${q(EntSuffix)}' ELSE '' END) ||
+       |    (CASE WHEN doc_id % 5 = 4 AND length(text) >= 200 THEN '${q(RefSuffix)}' ELSE '' END) ||
+       |    '</p></div>' || '${q(Footer)}' || '</body></html>' AS html
        |  FROM hsplit),
        |hlines AS (
        |  SELECT doc_id, lang,
@@ -864,7 +872,12 @@ object PipelineQueries {
        |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', chr(39)), '&amp;', '&') AS extracted,
        |    len(kept) AS kl, len(dropped) AS dl,
        |    coalesce(list_aggregate(list_transform(dropped, s -> length(s.clean)), 'sum'), 0) AS bc
-       |  FROM hclass)
+       |  FROM hclass)""".stripMargin
+  }
+
+  val qHtmlExtractSql: String = {
+    val stop = StopwordLists.flatMap(_._2).distinct.map(w => s"'$w'").mkString(", ")
+    s"""WITH $htmlExtractSqlCtes
        |SELECT lang, count(*) AS n_docs,
        |  CAST(sum(kl) AS BIGINT) AS kept_lines,
        |  CAST(sum(dl) AS BIGINT) AS dropped_lines,
@@ -876,8 +889,68 @@ object PipelineQueries {
        |FROM hext GROUP BY lang ORDER BY lang""".stripMargin
   }
 
+  /** The WEB-corpus composition (round 13): HTML→text extraction feeding
+    * the full curation cascade — extract → language-identifiability +
+    * quality gate → exact dedup → MinHash-LSH near-dedup → per-lang
+    * stats. [[qCurationPipeline]] pins the cascade on clean text; this
+    * query pins that the web stage composes IN FRONT of it (real crawl
+    * pipelines never see clean text), with every stage an
+    * already-verified block and the whole chain replayed in DuckDB from
+    * the same shared SQL fragments.
+    *
+    * Scale shape: extraction + gates fuse into ONE narrow scan pass
+    * (extraction is row-local HOFs; the gates are row-local kernels);
+    * exact dedup is one hash agg; near-dedup is the bucketed cascade;
+    * final stats one aggregate. The kept-chars column proves boilerplate
+    * mass never reaches the kept corpus. */
+  def qWebPipeline(spark: SparkSession, sfDir: String): DataFrame = {
+    val web = t(spark, sfDir, "documents")
+      .select(col("doc_id"), col("lang"),
+        graft.operators.HtmlExtract.extract(htmlFixtureCol)
+          .getField("extracted").as("text"))
+    val filtered = TextQueries.withLangScores(web)
+      .withColumn("pred_lang", TextQueries.predLangCol)
+      .withColumn("quality", qualityScore(col("text")))
+      .filter(col("quality") >= QualityMin && col("pred_lang") =!= "und")
+      .select("doc_id", "lang", "text", "quality")
+    val exact = Dedup.exactByContent(filtered, "doc_id", "text")
+    val kept = Dedup.dedupeNear(exact, "doc_id", "text", n = 3, minJaccard = JaccardMin)
+    kept
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_kept"),
+        sum(length(col("text"))).cast("long").as("kept_chars"),
+        dsum(col("quality")).as("sum_quality"))
+      .orderBy("lang")
+  }
+
+  lazy val qWebPipelineSql: String =
+    s"""WITH $htmlExtractSqlCtes,
+       |wdocs AS (SELECT doc_id, lang, extracted AS text FROM hext),
+       |${TextQueries.langScoredSqlCte("wdocs")},
+       |enriched AS (
+       |  SELECT doc_id, lang, text,
+       |         ${TextQueries.predLangSqlExpr} AS pred_lang,
+       |         ${TextQueries.qualitySqlExpr} AS quality
+       |  FROM scored),
+       |filtered AS (
+       |  SELECT * FROM enriched
+       |  WHERE quality >= $QualityMin AND pred_lang <> 'und'),
+       |winners AS (
+       |  SELECT min(doc_id) AS doc_id FROM filtered GROUP BY md5(text)),
+       |fdocs AS (
+       |  SELECT f.* FROM filtered f JOIN winners w ON w.doc_id = f.doc_id),
+       |${DedupQueries.minhashSqlCtes("fdocs")},
+       |${DedupQueries.losersSqlCtes(JaccardMin)}
+       |SELECT lang, count(*) AS n_kept,
+       |       CAST(sum(length(text)) AS BIGINT) AS kept_chars,
+       |       CAST(CAST(sum(CAST(quality AS DECIMAL(18,6))) AS DECIMAL(28,6)) AS DOUBLE) AS sum_quality
+       |FROM fdocs
+       |WHERE doc_id NOT IN (SELECT d2 FROM losers)
+       |GROUP BY lang ORDER BY lang""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_html_extract" -> (qHtmlExtract _),
+    "q_web_pipeline" -> (qWebPipeline _),
     "q_bootstrap_ci" -> (qBootstrapCi _),
     "q_snapshot_diff" -> (qSnapshotDiff _),
     "q_dsir" -> (qDsir _),
@@ -893,6 +966,7 @@ object PipelineQueries {
 
   val oracles: Map[String, String] = Map(
     "q_html_extract" -> qHtmlExtractSql,
+    "q_web_pipeline" -> qWebPipelineSql,
     "q_bootstrap_ci" -> qBootstrapCiSql,
     "q_snapshot_diff" -> qSnapshotDiffSql,
     "q_dsir" -> qDsirSql,
