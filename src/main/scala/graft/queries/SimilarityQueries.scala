@@ -1521,8 +1521,56 @@ object SimilarityQueries {
        |FROM gpairs
        |ORDER BY margin_q DESC, src, dst LIMIT 50""".stripMargin
 
+  /** Graph-based semantic dedup (round 13) — the CONSUMER the self-kNN
+    * graph exists for: strong-edge subgraph (quantized cosine ≥ τ, the
+    * SemDeDup-family threshold 0.3) → connected components → one kept
+    * representative (the component-minimum id) per cluster. Unlike the
+    * cell-local [[graft.operators.Similarity.semanticDedup]], components
+    * CHAIN across cells (a→b→c dedups even when cos(a,c) < τ and a, c sit
+    * in different cells) — the transitive semantics cluster-dedup papers
+    * assume at corpus scale.
+    *
+    * Scale shape: candidate edges are the banded kNN graph (never
+    * all-pairs); components run the O(log diameter) large-star/small-star
+    * loop ([[graft.operators.Dedup.connectedComponents]]); the readout is
+    * one map-side-combinable aggregate per cluster. Oracle: the shared
+    * knn-graph CTE chain + a recursive min-label walk. */
+  def qGraphSemdedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val TauQ = 314573L // ≈ 0.3·2^20, exclusive floor boundary
+    val emb = t(spark, sfDir, "embeddings")
+    val edges = graft.operators.Similarity.knnGraphQ(emb, "vec_id", "embedding",
+        k = 4, nCells = 32, iters = 2, nProbe = 2)
+      .filter(floor(col("cosine") * 1048576).cast("long") >= TauQ)
+      .select(col("src").as("d1"), col("dst").as("d2"))
+    graft.operators.Dedup.connectedComponents(edges)
+      .groupBy(col("cluster").as("cluster_id"))
+      .agg(count(lit(1)).as("n_members"),
+        sum(col("id")).as("member_id_sum"))
+      .orderBy("cluster_id")
+  }
+
+  lazy val qGraphSemdedupSql: String =
+    s"""WITH RECURSIVE ${knnGraphSqlCtes(nCells = 32, iters = 2, nProbe = 2, k = 4)},
+       |gedges AS (
+       |  SELECT src, dst FROM knng
+       |  WHERE CAST(floor(cosine * 1048576) AS BIGINT) >= 314573
+       |  UNION
+       |  SELECT dst, src FROM knng
+       |  WHERE CAST(floor(cosine * 1048576) AS BIGINT) >= 314573),
+       |gwalk AS (
+       |  SELECT src, dst FROM gedges
+       |  UNION
+       |  SELECT w.src, e.dst FROM gwalk w JOIN gedges e ON e.src = w.dst),
+       |glabels AS (
+       |  SELECT src AS id, least(src, min(dst)) AS cluster
+       |  FROM gwalk GROUP BY src)
+       |SELECT cluster AS cluster_id, count(*) AS n_members,
+       |       CAST(sum(id) AS BIGINT) AS member_id_sum
+       |FROM glabels GROUP BY cluster ORDER BY cluster""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_knn_graph" -> (qKnnGraph _),
+    "q_graph_semdedup" -> (qGraphSemdedup _),
     "q_margin_mining" -> (qMarginMining _),
     "q_vector_quantize" -> (qVectorQuantize _),
     "q_simsearch" -> (qSimsearch _),
@@ -1546,6 +1594,7 @@ object SimilarityQueries {
 
   val oracles: Map[String, String] = Map(
     "q_knn_graph" -> qKnnGraphSql,
+    "q_graph_semdedup" -> qGraphSemdedupSql,
     "q_margin_mining" -> qMarginMiningSql,
     "q_vector_quantize" -> qVectorQuantizeSql,
     "q_simsearch" -> qSimsearchSql,

@@ -1590,6 +1590,35 @@ class OperatorsSpec extends SparkSpec {
     } finally graft.CacheScope.release()
   }
 
+  test("q_graph_semdedup: clusters are the transitive closure of strong kNN edges (r13)") {
+    val emb = graft.Tables.t(spark, TestSpark.Sf0001, "embeddings")
+    try {
+      val edges = graft.operators.Similarity.knnGraphQ(emb, "vec_id", "embedding",
+          k = 4, nCells = 32, iters = 2, nProbe = 2)
+        .filter(floor(col("cosine") * 1048576).cast("long") >= 314573L)
+        .collect().map(r => (r.getLong(0), r.getLong(2)))
+      // brute union-find over the collected edge list
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElse(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val want = edges.flatMap(e => Seq(e._1, e._2)).distinct
+        .groupBy(find).map { case (_, ms) => ms.min -> ms.toSet }
+      val got = SparkEntry.queries("q_graph_semdedup")(spark, TestSpark.Sf0001)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      assert(got.length == want.size)
+      got.foreach { case (cid, n, idSum) =>
+        assert(want.contains(cid), s"cluster $cid not in brute union-find")
+        assert(n == want(cid).size && idSum == want(cid).sum)
+      }
+    } finally graft.CacheScope.release()
+  }
+
   test("q_margin_mining: margins recompute from the graph; pairs are cross-side (r13)") {
     val emb = graft.Tables.t(spark, TestSpark.Sf0001, "embeddings")
     try {
