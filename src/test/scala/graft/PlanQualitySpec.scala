@@ -1022,6 +1022,28 @@ class PlanQualitySpec extends SparkSpec {
     } finally CacheScope.release()
   }
 
+  test("q_knn_graph: distributed routing — cell equi-join, map-side top-k, no cartesian (r13)") {
+    val p = plan("q_knn_graph")
+    // probe routing must be the exploded top_cells kernel joined on cell,
+    // not a per-probe driver loop: no cartesian/nested-loop anywhere
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"non-equi join in knn graph:\n$p")
+    assert(p.contains("top_cells"), s"top_cells kernel missing:\n$p")
+    // per-src top-k is the rank-filtered window — Spark plans the
+    // map-side k-heap (WindowGroupLimit) before the src shuffle
+    assert(p.contains("WindowGroupLimit"), s"rank filter not pushed:\n$p")
+    graft.CacheScope.release()
+  }
+
+  test("q_html_extract: extraction fuses into the scan — no kernel fallback (r13)") {
+    val p = plan("q_html_extract")
+    // the whole fixture+extract+classify pipeline is row-local: exchanges
+    // are the lang aggregate + the output sort only
+    val exchanges = p.split("Exchange ").length - 1
+    assert(exchanges <= 2, s"extraction pipeline shuffled:\n$p")
+    assert(p.contains("text_stats"), s"stopword diagnostic not the native kernel:\n$p")
+  }
+
   test("q_triangle_count: wedge and closing joins equi-keyed, no cartesian") {
     val p = plan("q_triangle_count")
     assert(!p.contains("CartesianProduct"), s"cartesian in triangle census:\n$p")
