@@ -786,6 +786,17 @@ object Similarity {
     * Reference for the operator inventory: the reference engine exposes
     * no ANN surface at all (`fastx_parsers.py` is records+expressions);
     * this is extension territory per the round-11/12 verdicts. */
+  /** Adaptive cell count for [[knnGraphQ]]: per-cell population ≈ 312, so
+    * the candidate join output is n·nProbe·312 rows — LINEAR in n (at
+    * fixed nCells it is n²·nProbe/nCells, which was measured unrunnable
+    * at 200 k vectors: 2.5 B candidate rows ≈ 100 GB of window-sort
+    * spill, BASELINE 13b). Floor 32 keeps every corpus ≤ 9 984 rows on
+    * the fixed, oracle-replayable k — both verification SFs (500 / 5 000
+    * embeddings) resolve to exactly 32, so the adaptive rule changes no
+    * oracle hash. The same regime-vs-oracle split as [[semanticDedup]]'s
+    * adaptive k. */
+  def knnCellsFor(n: Long): Int = math.max(32L, n / 312L).toInt
+
   def knnGraphQ(emb: DataFrame, idCol: String, vecCol: String,
                 k: Int, nCells: Int = 32, iters: Int = 2,
                 nProbe: Int = 2): DataFrame = {

@@ -1403,11 +1403,17 @@ object SimilarityQueries {
     * nCells=32 / nProbe=2 keeps the oracle's candidate CTE ~1.5 M pairs
     * at sf0.01 while still probing beyond the home cell (recall > the
     * nProbe=1 degenerate graph). Output 3 rows per non-degenerate src. */
-  def qKnnGraph(spark: SparkSession, sfDir: String): DataFrame =
-    graft.operators.Similarity.knnGraphQ(
-        t(spark, sfDir, "embeddings"), "vec_id", "embedding",
-        k = 3, nCells = 32, iters = 2, nProbe = 2)
+  def qKnnGraph(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = t(spark, sfDir, "embeddings")
+    // adaptive cells (≈312/cell): 32 at both verification SFs — the
+    // oracle below replays exactly that — and linear candidate volume at
+    // the scale fixtures (BASELINE 13b: fixed 32 at 200 k vectors was a
+    // 2.5 B-row window sort)
+    val cells = graft.operators.Similarity.knnCellsFor(emb.count())
+    graft.operators.Similarity.knnGraphQ(emb, "vec_id", "embedding",
+        k = 3, nCells = cells, iters = 2, nProbe = 2)
       .orderBy("src", "rnk")
+  }
 
   /** The self-kNN-graph CTE chain (flat + Lloyd + distributed probe-cell
     * ranking + cell join + cosine re-rank), ending in `knng(src, rnk,
@@ -1478,9 +1484,10 @@ object SimilarityQueries {
     * distributed top-k. */
   def qMarginMining(spark: SparkSession, sfDir: String): DataFrame = {
     val emb = t(spark, sfDir, "embeddings")
+    val cells = graft.operators.Similarity.knnCellsFor(emb.count())
     val g = graft.CacheScope.cached(
       graft.operators.Similarity.knnGraphQ(emb, "vec_id", "embedding",
-          k = 4, nCells = 32, iters = 2, nProbe = 2)
+          k = 4, nCells = cells, iters = 2, nProbe = 2)
         .withColumn("cq", floor(col("cosine") * 1048576).cast("long")))
     val nodes = g.groupBy(col("src").as("node"))
       .agg(sum("cq").as("s"), count(lit(1)).as("n"))
@@ -1538,8 +1545,9 @@ object SimilarityQueries {
   def qGraphSemdedup(spark: SparkSession, sfDir: String): DataFrame = {
     val TauQ = 314573L // ≈ 0.3·2^20, exclusive floor boundary
     val emb = t(spark, sfDir, "embeddings")
+    val cells = graft.operators.Similarity.knnCellsFor(emb.count())
     val edges = graft.operators.Similarity.knnGraphQ(emb, "vec_id", "embedding",
-        k = 4, nCells = 32, iters = 2, nProbe = 2)
+        k = 4, nCells = cells, iters = 2, nProbe = 2)
       .filter(floor(col("cosine") * 1048576).cast("long") >= TauQ)
       .select(col("src").as("d1"), col("dst").as("d2"))
     graft.operators.Dedup.connectedComponents(edges)
