@@ -904,10 +904,16 @@ object PipelineQueries {
     * final stats one aggregate. The kept-chars column proves boilerplate
     * mass never reaches the kept corpus. */
   def qWebPipeline(spark: SparkSession, sfDir: String): DataFrame = {
-    val web = t(spark, sfDir, "documents")
+    // cached: the dedup cascade downstream scans its input several times
+    // (shingle DF, banding, pair verify), and without the cache every
+    // rescan would REBUILD the HTML and re-run the full regex extraction
+    // (measured: 14.6 s vs 3.4 s for the same cascade on clean text at
+    // sf0.1). Real pipelines materialize extraction output for exactly
+    // this reason — it is a separate corpus-rewrite stage, not a view.
+    val web = graft.CacheScope.cached(t(spark, sfDir, "documents")
       .select(col("doc_id"), col("lang"),
         graft.operators.HtmlExtract.extract(htmlFixtureCol)
-          .getField("extracted").as("text"))
+          .getField("extracted").as("text")))
     val filtered = TextQueries.withLangScores(web)
       .withColumn("pred_lang", TextQueries.predLangCol)
       .withColumn("quality", qualityScore(col("text")))
