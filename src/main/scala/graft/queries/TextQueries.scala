@@ -2241,8 +2241,12 @@ object TextQueries {
       .limit(40)
   }
 
-  val qUnigramEncodeSql: String = {
-    val maxWordLen = 16; val pieceMax = 4; val emRounds = 2
+  /** The corpus-encode CTE chain (DP positions, dpall union, smallest-l
+    * backtrack) over a word-type table `awc(w, cnt)` with the trained
+    * cost table — shared by the q_unigram_encode and q_tokenizer_compare
+    * oracles. */
+  private def unigramApplyChainSql(maxWordLen: Int, pieceMax: Int,
+                                   emRounds: Int): String = {
     val unk = graft.plans.UnigramOps.UnkCost
     val cost = s"ucost$emRounds"
     val dps = (1 to maxWordLen).map { k =>
@@ -2286,24 +2290,102 @@ object TextQueries {
          |    ORDER BY c.l LIMIT 1) t
          |  WHERE b.pos > 0)""".stripMargin
     }.mkString(",\n")
-    s"""WITH ${unigramTrainSqlCtes(topWords = 192, maxWordLen = maxWordLen,
-          pieceMax = pieceMax, topPieces = 48, emRounds = emRounds)},
-       |awc AS MATERIALIZED (
+    s"$dps,\n$dpall,\n$bts"
+  }
+
+  /** The alpha ≤16-char word-type histogram CTE both apply oracles start
+    * from (kept separate from uwc: that one is LIMIT-capped for training,
+    * this one is the WHOLE corpus stream). */
+  private def awcSqlCte(maxWordLen: Int): String =
+    s"""awc AS MATERIALIZED (
        |  SELECT lower(t.w) AS w, CAST(count(*) AS BIGINT) AS cnt
        |  FROM documents d,
        |       unnest(string_split_regex(d.text, '\\s+')) AS t(w)
        |  WHERE regexp_matches(lower(t.w), '^[a-z]+$$')
        |    AND length(t.w) <= $maxWordLen
-       |  GROUP BY 1),
-       |$dps,
-       |$dpall,
-       |$bts
+       |  GROUP BY 1)""".stripMargin
+
+  val qUnigramEncodeSql: String = {
+    val maxWordLen = 16
+    s"""WITH ${unigramTrainSqlCtes(topWords = 192, maxWordLen = maxWordLen,
+          pieceMax = 4, topPieces = 48, emRounds = 2)},
+       |${awcSqlCte(maxWordLen)},
+       |${unigramApplyChainSql(maxWordLen, pieceMax = 4, emRounds = 2)}
        |SELECT piece, cnt FROM (
        |  SELECT t.piece, CAST(sum(w.cnt) AS BIGINT) AS cnt
        |  FROM (${(1 to maxWordLen).map(s => s"SELECT w, piece FROM abt_$s").mkString("\n        UNION ALL ")}) t
        |  JOIN awc w ON w.w = t.w
        |  GROUP BY 1)
        |ORDER BY cnt DESC, piece LIMIT 40""".stripMargin
+  }
+
+  /** Tokenizer COMPARISON report (round 13) — the model-selection readout
+    * a multilingual pipeline runs before committing to a tokenizer: the
+    * frozen-BPE and the just-trained unigram-LM models encode the SAME
+    * alpha word stream, and per language the report gives both token
+    * masses and quantized fertilities (tokens per word). Both encoders
+    * are the native kernels ([[graft.plans.BpeTokenCountExpr]]-family and
+    * [[graft.plans.UnigramOps.encode]]); the oracle replays BPE with the
+    * frozen-table replace chain per word TYPE and unigram through the
+    * shared train + apply CTE chains (per-type counts × per-lang type
+    * frequencies ≡ the per-occurrence stream). */
+  def qTokenizerCompare(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = t(spark, sfDir, "documents")
+    val costs = unigramTrainModel(docs, "text", topWords = 192,
+      maxWordLen = 16, pieceMax = 4, topPieces = 48, emRounds = 2)
+      .map { case (p, _, c) => (p, c) }
+    docs.select(col("lang"), explode(split(lower(col("text")), "\\s+")).as("w"))
+      .filter(col("w").rlike("^[a-z]+$") && length(col("w")) <= 16)
+      .select(col("lang"),
+        bpeTokenCount(col("w")).as("bpe"),
+        size(graft.plans.UnigramExpressions.unigramEncode(col("w"), costs,
+          pieceMax = 4)).cast("long").as("uni"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_words"),
+        sum("bpe").as("bpe_tokens"),
+        sum("uni").as("uni_pieces"))
+      .select(col("lang"), col("n_words"), col("bpe_tokens"), col("uni_pieces"),
+        floor(col("bpe_tokens").cast("double") / col("n_words").cast("double")
+          * 1048576).cast("long").as("fert_bpe_q"),
+        floor(col("uni_pieces").cast("double") / col("n_words").cast("double")
+          * 1048576).cast("long").as("fert_uni_q"))
+      .orderBy("lang")
+  }
+
+  val qTokenizerCompareSql: String = {
+    val maxWordLen = 16
+    s"""WITH ${unigramTrainSqlCtes(topWords = 192, maxWordLen = maxWordLen,
+          pieceMax = 4, topPieces = 48, emRounds = 2)},
+       |awcl AS MATERIALIZED (
+       |  SELECT lang, lower(t.w) AS w, CAST(count(*) AS BIGINT) AS cnt
+       |  FROM documents d,
+       |       unnest(string_split_regex(d.text, '\\s+')) AS t(w)
+       |  WHERE regexp_matches(lower(t.w), '^[a-z]+$$')
+       |    AND length(t.w) <= $maxWordLen
+       |  GROUP BY 1, 2),
+       |awc AS MATERIALIZED (
+       |  SELECT w, CAST(sum(cnt) AS BIGINT) AS cnt FROM awcl GROUP BY 1),
+       |${unigramApplyChainSql(maxWordLen, pieceMax = 4, emRounds = 2)},
+       |aupw AS MATERIALIZED (
+       |  SELECT w, CAST(count(*) AS BIGINT) AS uni
+       |  FROM (${(1 to maxWordLen).map(s => s"SELECT w FROM abt_$s").mkString("\n        UNION ALL ")})
+       |  GROUP BY 1),
+       |abpw AS MATERIALIZED (
+       |  SELECT w, CAST(${bpeTokenCountSql("w")} AS BIGINT) AS bpe FROM awc),
+       |aagg AS (
+       |  SELECT l.lang, CAST(sum(l.cnt) AS BIGINT) AS n_words,
+       |         CAST(sum(l.cnt * b.bpe) AS BIGINT) AS bpe_tokens,
+       |         CAST(sum(l.cnt * u.uni) AS BIGINT) AS uni_pieces
+       |  FROM awcl l
+       |  JOIN abpw b ON b.w = l.w
+       |  JOIN aupw u ON u.w = l.w
+       |  GROUP BY 1)
+       |SELECT lang, n_words, bpe_tokens, uni_pieces,
+       |       CAST(floor(CAST(bpe_tokens AS DOUBLE) / CAST(n_words AS DOUBLE)
+       |            * 1048576) AS BIGINT) AS fert_bpe_q,
+       |       CAST(floor(CAST(uni_pieces AS DOUBLE) / CAST(n_words AS DOUBLE)
+       |            * 1048576) AS BIGINT) AS fert_uni_q
+       |FROM aagg ORDER BY lang""".stripMargin
   }
 
   /** JSONL ingestion with poison-line quarantine — the crawl-dump format
@@ -2655,6 +2737,7 @@ object TextQueries {
     "q_bpe_train_apply" -> (qBpeTrainApply _),
     "q_unigram_train" -> (qUnigramTrain _),
     "q_unigram_encode" -> (qUnigramEncode _),
+    "q_tokenizer_compare" -> (qTokenizerCompare _),
     "q_jsonl_ingest" -> (qJsonlIngest _),
     "q_csv_roundtrip" -> (qCsvRoundtrip _),
     "q_pii_redact" -> (qPiiRedact _),
@@ -2697,6 +2780,7 @@ object TextQueries {
     "q_bpe_train_apply" -> qBpeTrainApplySql,
     "q_unigram_train" -> qUnigramTrainSql,
     "q_unigram_encode" -> qUnigramEncodeSql,
+    "q_tokenizer_compare" -> qTokenizerCompareSql,
     "q_jsonl_ingest" -> qJsonlIngestSql,
     "q_csv_roundtrip" -> qCsvRoundtripSql,
     "q_pii_redact" -> qPiiRedactSql,
