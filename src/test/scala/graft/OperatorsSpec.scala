@@ -1539,10 +1539,9 @@ class OperatorsSpec extends SparkSpec {
     val vecs = Seq(
       (0L, Array(0f, 0f)), (1L, Array(10f, 0f)), (2L, Array(0f, 10f)),
       (3L, Array(7f, 7f)), (4L, Array(-10f, 0f))).toDF("vec_id", "embedding")
-    // centroids at the corners: cell 0 = (0,0), 1 = (2^20·10, 0),
-    // 2 = (0, 2^20·10), 3 = (−2^20·10, 0) — cells 1 and 3 are EQUIDISTANT
-    // from the origin probe, so its p=2 list must tie-break to cell 1… no:
-    // cells 1,2 tie too; (d, cell) order keeps 1 then 2
+    // centroids: cell 0 = (0,0), 1 = (10s, 0), 2 = (0, 10s), 3 = (−10s, 0)
+    // with s = 2^20 — cells 1, 2, 3 are all EQUIDISTANT from the origin
+    // probe, so its top-3 list pins the (d, cell) tie order: 0, then 1, 2
     val s = (10L * 1048576L)
     val ids = Array(0, 1, 2, 3)
     val cents = Array(Array(0L, 0L), Array(s, 0L), Array(0L, s), Array(-s, 0L))
