@@ -84,6 +84,31 @@ object GraftExtensions {
       "phred_stats(qual) - (n, sum_q, min_q, max_q, n_q20, n_q30) of a Phred+33 string") {
       exprs => PhredStatsExpr(exprs.head) }
 
+    // url family (r13): the same codegen'd built-in composition as
+    // graft.operators.Sampling.{urlHost, registrableDomain}, built as a
+    // Catalyst tree directly (a Column can't cross into the function
+    // registry — its bridge expression stays Unevaluable). Divergence
+    // from the Column-level source of truth is pinned by the
+    // SQL ≡ Column API check in ExtensionsSqlSpec.
+    {
+      import org.apache.spark.sql.catalyst.expressions.{CaseWhen, In, Literal, SubstringIndex}
+      def host(u: Expression): Expression =
+        SubstringIndex(SubstringIndex(u, Literal("://"), Literal(-1)),
+          Literal("/"), Literal(1))
+      reg("url_host",
+        "url_host(url) - host of a scheme://host/path URL (pure string ops)") {
+        exprs => host(exprs.head) }
+      reg("registrable_domain",
+        "registrable_domain(host) - PSL-backed eTLD+1 (bundled multi-label suffix table)") {
+        exprs =>
+          val h = exprs.head
+          CaseWhen(
+            Seq((In(SubstringIndex(h, Literal("."), Literal(-2)),
+              graft.operators.PublicSuffixes.MultiLabel.map(Literal(_))),
+              SubstringIndex(h, Literal("."), Literal(-3)))),
+            Some(SubstringIndex(h, Literal("."), Literal(-2)))) }
+    }
+
     // text family
     reg("split_tokens",
       "split_tokens(text) - single-space tokens, empties dropped") {

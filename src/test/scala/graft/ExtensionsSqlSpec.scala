@@ -95,6 +95,21 @@ class ExtensionsSqlSpec extends SparkSpec {
     new GraftExtensions().apply(exts)
   }
 
+  test("url kernels SQL ≡ Column API (r13)") {
+    import graft.operators.Sampling
+    import TestSpark.spark.implicits._
+    val urls = Seq("https://w3.example.co.uk/p/1", "http://plain.example.com/x")
+      .toDF("u")
+    urls.createOrReplaceTempView("urls_ext")
+    same("SELECT url_host(u), registrable_domain(url_host(u)) FROM urls_ext ORDER BY u",
+      urls.select(Sampling.urlHost(col("u")),
+        Sampling.registrableDomain(Sampling.urlHost(col("u")))).orderBy("u"))
+    // direct value pin: PSL suffix keeps three labels through pure SQL
+    val r = spark.sql(
+      "SELECT registrable_domain('w3.example.co.uk')").head().getString(0)
+    assert(r == "example.co.uk")
+  }
+
   test("non-literal integer arg fails with the intended contract message") {
     val e = intercept[Exception] {
       spark.sql("SELECT kmer_frequencies(text, doc_id) FROM docs_ext").collect()
