@@ -18,6 +18,34 @@ import org.apache.spark.sql.types.{DecimalType, LongType, TimestampType}
   * floating point (the denominator would need a factor of 5^7).
   */
 object Tables {
+  private val rowCountCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  /** Row count of a fixture table from parquet FOOTER metadata — a
+    * driver-side read of each file's footer (row counts are recorded per
+    * row group), NO Spark job. Memoized per path for the session. Used by
+    * queries that need the corpus size to derive adaptive knobs (the
+    * knn-family cell counts) WITHOUT running an eager count() action at
+    * query-construction time (review r13 nit: three full-scan count()s
+    * per run). O(#files) driver IO — the same listing a scan performs. */
+  def parquetRowCount(spark: SparkSession, sfDir: String, name: String): Long =
+    rowCountCache.computeIfAbsent(s"$sfDir/$name.parquet", { path =>
+      val conf = spark.sessionState.newHadoopConf()
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(conf)
+      val files =
+        if (fs.getFileStatus(p).isDirectory)
+          fs.listStatus(p).filter(f =>
+            f.isFile && f.getPath.getName.endsWith(".parquet"))
+        else Array(fs.getFileStatus(p))
+      java.lang.Long.valueOf(files.map { f =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile
+          .fromStatus(f, conf)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try r.getRecordCount finally r.close()
+      }.sum)
+    })
+
   def t(spark: SparkSession, sfDir: String, name: String): DataFrame =
     if (name == "events") {
       // events.ts has shipped as BOTH parquet TIMESTAMP(NANOS) and

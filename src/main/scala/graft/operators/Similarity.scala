@@ -798,11 +798,20 @@ object Similarity {
   def knnCellsFor(n: Long): Int = math.max(32L, n / 312L).toInt
 
   def knnGraphQ(emb: DataFrame, idCol: String, vecCol: String,
-                k: Int, nCells: Int = 32, iters: Int = 2,
-                nProbe: Int = 2): DataFrame = {
+                k: Int, nCells: Int = 0, iters: Int = 2,
+                nProbe: Int = 2, nRows: Long = -1L): DataFrame = {
     require(k >= 1 && nProbe >= 1, s"k ($k) and nProbe ($nProbe) must be >= 1")
+    // nCells <= 0 (the DEFAULT) derives the cell count adaptively from the
+    // corpus size — the fixed-32 default was the measured scale trap
+    // (BASELINE 13b: 32 cells at 200 k vectors = 2.5 B candidate rows,
+    // ~100 GB window-sort spill, unrunnable). Same sentinel contract as
+    // [[semanticDedup]]: callers that already know n pass `nRows` to keep
+    // construction free of the extra count() action.
+    val cells =
+      if (nCells > 0) nCells
+      else knnCellsFor(if (nRows >= 0L) nRows else emb.count())
     val q = emb.select(col(idCol).as("id"), quantize(col(vecCol)).as("vq"))
-    val cents = lloydTrainQ(q, nCells, iters, trainSample = 0)
+    val cents = lloydTrainQ(q, cells, iters, trainSample = 0)
     val sorted = cents.sortBy(_._1)
     // one kernel pass feeds BOTH the probe and member branches
     val assigned = graft.CacheScope.cached(q.select(col("id"), col("vq"),

@@ -1408,10 +1408,13 @@ object SimilarityQueries {
     // adaptive cells (≈312/cell): 32 at both verification SFs — the
     // oracle below replays exactly that — and linear candidate volume at
     // the scale fixtures (BASELINE 13b: fixed 32 at 200 k vectors was a
-    // 2.5 B-row window sort)
-    val cells = graft.operators.Similarity.knnCellsFor(emb.count())
+    // 2.5 B-row window sort). nRows comes from the parquet footers
+    // (driver-side metadata, memoized) — NOT an eager count() action
+    // (review r13 nit); the operator's nCells=0 sentinel resolves it to
+    // knnCellsFor(nRows).
     graft.operators.Similarity.knnGraphQ(emb, "vec_id", "embedding",
-        k = 3, nCells = cells, iters = 2, nProbe = 2)
+        k = 3, iters = 2, nProbe = 2,
+        nRows = graft.Tables.parquetRowCount(spark, sfDir, "embeddings"))
       .orderBy("src", "rnk")
   }
 
@@ -1484,10 +1487,10 @@ object SimilarityQueries {
     * distributed top-k. */
   def qMarginMining(spark: SparkSession, sfDir: String): DataFrame = {
     val emb = t(spark, sfDir, "embeddings")
-    val cells = graft.operators.Similarity.knnCellsFor(emb.count())
     val g = graft.CacheScope.cached(
       graft.operators.Similarity.knnGraphQ(emb, "vec_id", "embedding",
-          k = 4, nCells = cells, iters = 2, nProbe = 2)
+          k = 4, iters = 2, nProbe = 2,
+          nRows = graft.Tables.parquetRowCount(spark, sfDir, "embeddings"))
         .withColumn("cq", floor(col("cosine") * 1048576).cast("long")))
     val nodes = g.groupBy(col("src").as("node"))
       .agg(sum("cq").as("s"), count(lit(1)).as("n"))
@@ -1545,9 +1548,9 @@ object SimilarityQueries {
   def qGraphSemdedup(spark: SparkSession, sfDir: String): DataFrame = {
     val TauQ = 314573L // ≈ 0.3·2^20, exclusive floor boundary
     val emb = t(spark, sfDir, "embeddings")
-    val cells = graft.operators.Similarity.knnCellsFor(emb.count())
     val edges = graft.operators.Similarity.knnGraphQ(emb, "vec_id", "embedding",
-        k = 4, nCells = cells, iters = 2, nProbe = 2)
+        k = 4, iters = 2, nProbe = 2,
+        nRows = graft.Tables.parquetRowCount(spark, sfDir, "embeddings"))
       .filter(floor(col("cosine") * 1048576).cast("long") >= TauQ)
       .select(col("src").as("d1"), col("dst").as("d2"))
     graft.operators.Dedup.connectedComponents(edges)

@@ -1589,6 +1589,29 @@ class OperatorsSpec extends SparkSpec {
     } finally graft.CacheScope.release()
   }
 
+  test("knnGraphQ: nCells default resolves adaptively to knnCellsFor(n) (r14)") {
+    val emb = graft.Tables.t(spark, TestSpark.Sf0001, "embeddings")
+    val n = emb.count()
+    // footer-metadata row count (the action-free path the queries use)
+    // agrees with the real count
+    assert(graft.Tables.parquetRowCount(spark, TestSpark.Sf0001, "embeddings") == n)
+    try {
+      // the DEFAULT (nCells = 0 sentinel) must equal the explicit adaptive
+      // value — the fixed-32 default was the r13 `weak` (the exact config
+      // BASELINE 13b measured unrunnable at 200 k vectors)
+      val byDefault = graft.operators.Similarity.knnGraphQ(
+          emb, "vec_id", "embedding", k = 3, iters = 1, nProbe = 2, nRows = n)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val explicit = graft.operators.Similarity.knnGraphQ(
+          emb, "vec_id", "embedding", k = 3,
+          nCells = graft.operators.Similarity.knnCellsFor(n), iters = 1, nProbe = 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(byDefault == explicit)
+      assert(graft.operators.Similarity.knnCellsFor(n) == 32,
+        "verification SF must resolve to the oracle's pinned 32 cells")
+    } finally graft.CacheScope.release()
+  }
+
   test("q_graph_semdedup: clusters are the transitive closure of strong kNN edges (r13)") {
     val emb = graft.Tables.t(spark, TestSpark.Sf0001, "embeddings")
     try {
