@@ -99,14 +99,19 @@ object GraftExtensions {
         "url_host(url) - host of a scheme://host/path URL (pure string ops)") {
         exprs => host(exprs.head) }
       reg("registrable_domain",
-        "registrable_domain(host) - PSL-backed eTLD+1 (bundled multi-label suffix table)") {
+        "registrable_domain(host) - PSL-backed eTLD+1 (normal + wildcard + exception rules)") {
         exprs =>
           val h = exprs.head
+          def lastK(k: Int): Expression =
+            SubstringIndex(h, Literal("."), Literal(-k))
+          // one CaseWhen generated from the SAME precedence-ordered rule
+          // chain as the Column form — the two surfaces cannot drift
           CaseWhen(
-            Seq((In(SubstringIndex(h, Literal("."), Literal(-2)),
-              graft.operators.PublicSuffixes.MultiLabel.map(Literal(_))),
-              SubstringIndex(h, Literal("."), Literal(-3)))),
-            Some(SubstringIndex(h, Literal("."), Literal(-2)))) }
+            graft.operators.PublicSuffixes.RuleChain.map {
+              case (m, set, keep) =>
+                (In(lastK(m), set.map(Literal(_))), lastK(keep))
+            },
+            Some(lastK(2))) }
     }
 
     // text family

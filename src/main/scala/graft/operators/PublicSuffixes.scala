@@ -7,13 +7,26 @@ package graft.operators
   * to its suffix (`co.uk`). Single-label TLDs need no table — the
   * two-label rule is exact for them.
   *
-  * Scope: the ccTLD second-level registries a web crawl actually hits
-  * (ICANN section of the PSL); ~250 rules cover the high-traffic
-  * registries. The full 9k-rule PSL (wildcard `*.ck`-style entries and
-  * the PRIVATE section: hosting providers like `github.io`) drops into
-  * the same seam — [[registrableDomainTable]] takes any suffix set, and
-  * at plan time the set becomes an O(1) `InSet` membership probe inside
-  * whole-stage codegen, so table size does not change the plan shape.
+  * Since r14 all THREE PSL rule CLASSES are expressed (they were the r13
+  * semantics gap — the engine could only say "two-label suffix"):
+  *   - NORMAL rules ([[MultiLabel]] 2-label ICANN + [[Private2]] hosting
+  *     providers + [[Normal3]] 3-label entries like `k12.ca.us`): the rule
+  *     itself is the public suffix → keep rule-labels + 1.
+  *   - WILDCARD rules (`*.ck`, `*.kawasaki.jp`, `*.compute.amazonaws.com`
+  *     — [[WildcardBase1]]/[[WildcardBase2]]/[[WildcardBase3]] hold the
+  *     base under the `*`): EVERY child label of the base is itself a
+  *     public suffix → keep base-labels + 2.
+  *   - EXCEPTION rules (`!www.ck`, `!city.kawasaki.jp` —
+  *     [[Exception2]]/[[Exception3]]): the named host is registrable
+  *     DESPITE matching a wildcard → keep exactly the rule's labels.
+  * PSL precedence — exceptions beat everything, then longest rule wins —
+  * is encoded as the ORDER of [[RuleChain]]; the Column form
+  * ([[Sampling.registrableDomain]]), the SQL-function Catalyst tree
+  * (`GraftExtensions`), and the DuckDB oracle CASE ([[sqlDomainCase]])
+  * are ALL generated from that one chain, so the three surfaces cannot
+  * drift. At plan time each set is an O(1) `InSet` membership probe
+  * inside whole-stage codegen — table size does not change plan shape;
+  * the full 9k-rule PSL drops into the same sets.
   */
 object PublicSuffixes {
 
@@ -118,8 +131,81 @@ object PublicSuffixes {
     "com.mm", "net.mm", "org.mm", "edu.mm", "gov.mm",
     "com.et", "net.et", "org.et", "edu.et", "gov.et", "biz.et", "info.et", "name.et")
 
-  /** The same rules as a sorted SQL IN-list body (stable output so oracle
-    * strings are deterministic across JVMs). */
-  lazy val sqlInList: String =
-    MultiLabel.sorted.map(s => s"'$s'").mkString(", ")
+  /** PRIVATE-section 2-label suffixes (hosting providers — the
+    * highest-impact gap for real crawl capping flagged in review r13:
+    * without these, all of GitHub Pages or Blogspot counts as ONE domain
+    * and a per-domain cap deletes almost all of it). Entries verbatim
+    * from the PSL PRIVATE section. */
+  val Private2: Seq[String] = Seq(
+    "github.io", "githubusercontent.com", "gitlab.io",
+    "blogspot.com", "blogspot.de", "blogspot.fr", "blogspot.in", "blogspot.jp",
+    "appspot.com", "herokuapp.com", "firebaseapp.com", "web.app",
+    "netlify.app", "vercel.app", "pages.dev", "workers.dev",
+    "azurewebsites.net", "cloudfront.net", "wordpress.com", "tumblr.com",
+    "wixsite.com")
+
+  /** 3-label NORMAL rules: US locality registries (`k12.<state>.us` etc.,
+    * ICANN section), Australian state school registries, and the 3-label
+    * Blogspot ccTLD variants (PRIVATE section). */
+  val Normal3: Seq[String] = Seq(
+    "k12.ca.us", "k12.ny.us", "k12.tx.us", "k12.fl.us", "k12.il.us",
+    "k12.wa.us", "k12.ma.us", "k12.pa.us", "k12.oh.us", "k12.mi.us",
+    "cc.ca.us", "cc.ny.us", "cc.tx.us", "lib.ca.us", "lib.ny.us", "lib.tx.us",
+    "act.edu.au", "nsw.edu.au", "nt.edu.au", "qld.edu.au", "sa.edu.au",
+    "tas.edu.au", "vic.edu.au", "wa.edu.au",
+    "blogspot.co.uk", "blogspot.com.au", "blogspot.com.br", "blogspot.co.nz",
+    "s3.amazonaws.com")
+
+  /** Bases of 1-label wildcard rules (`*.ck` → base `ck`): every direct
+    * child of the base is itself a public suffix. */
+  val WildcardBase1: Seq[String] = Seq("ck", "er", "fk", "jm", "pg")
+
+  /** Bases of 2-label wildcard rules (`*.kawasaki.jp` — the Japanese
+    * designated-city registries, each with a `!city.*` exception). */
+  val WildcardBase2: Seq[String] = Seq(
+    "kawasaki.jp", "kitakyushu.jp", "kobe.jp", "nagoya.jp",
+    "sapporo.jp", "sendai.jp", "yokohama.jp")
+
+  /** Bases of 3-label wildcard rules (PRIVATE section AWS hosting:
+    * `*.compute.amazonaws.com` — every EC2 public hostname is its own
+    * registrable domain). */
+  val WildcardBase3: Seq[String] = Seq(
+    "compute.amazonaws.com", "compute-1.amazonaws.com", "elb.amazonaws.com")
+
+  /** 2-label EXCEPTION rules (`!www.ck`): registrable despite `*.ck`. */
+  val Exception2: Seq[String] = Seq("www.ck")
+
+  /** 3-label EXCEPTION rules (`!city.kawasaki.jp` family). */
+  val Exception3: Seq[String] = Seq(
+    "city.kawasaki.jp", "city.kitakyushu.jp", "city.kobe.jp",
+    "city.nagoya.jp", "city.sapporo.jp", "city.sendai.jp", "city.yokohama.jp")
+
+  /** The complete matcher as (matchLabels, ruleSet, keepLabels) arms in
+    * PSL-precedence order (exceptions first, then longest rule): a host
+    * whose last `matchLabels` labels are in `ruleSet` normalizes to its
+    * last `keepLabels` labels; the first matching arm wins; no match →
+    * the 2-label default. All three evaluation surfaces (Column,
+    * Catalyst SQL function, DuckDB oracle CASE) are generated from THIS
+    * list — edit rules here only. */
+  lazy val RuleChain: Seq[(Int, Seq[String], Int)] = Seq(
+    (3, Exception3, 3),              // !city.kawasaki.jp → city.kawasaki.jp
+    (2, Exception2, 2),              // !www.ck → www.ck
+    (3, WildcardBase3, 5),           // *.compute.amazonaws.com
+    (3, Normal3, 4),                 // k12.ca.us, blogspot.co.uk, …
+    (2, WildcardBase2, 4),           // *.kawasaki.jp
+    (2, MultiLabel ++ Private2, 3),  // co.uk, github.io, …
+    (1, WildcardBase1, 3))           // *.ck
+
+  /** The whole [[RuleChain]] as a DuckDB CASE expression. `lastK(k)` must
+    * render "the last k labels of the host, joined by '.'" in the
+    * caller's CTE vocabulary (hosts shorter than k yield the whole host —
+    * matching `substring_index`'s past-the-end behavior on the Spark
+    * side). Deterministic output: sets are sorted. */
+  def sqlDomainCase(lastK: Int => String): String = {
+    val arms = RuleChain.map { case (m, set, keep) =>
+      val inList = set.sorted.map(s => s"'$s'").mkString(", ")
+      s"WHEN ${lastK(m)} IN ($inList) THEN ${lastK(keep)}"
+    }
+    s"CASE ${arms.mkString(" ")} ELSE ${lastK(2)} END"
+  }
 }

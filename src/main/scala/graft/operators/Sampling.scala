@@ -201,25 +201,35 @@ object Sampling {
   def urlHost(url: Column): Column =
     substring_index(substring_index(url, "://", -1), "/", 1)
 
-  /** Registrable-domain normalization (eTLD+1): the two-label rule,
-    * PSL-corrected for multi-label public suffixes — a host whose last
-    * two labels are themselves a public suffix (`w3.example.co.uk`)
-    * keeps THREE labels (`example.co.uk`) instead of collapsing an
-    * entire country registry to `co.uk` (which would make a domain cap
-    * treat all of `.co.uk` as one domain). The bundled
-    * [[PublicSuffixes.MultiLabel]] subset covers the registries a crawl
-    * actually hits; the full PSL drops into the same parameter.
+  /** Registrable-domain normalization (eTLD+1) under the full PSL rule
+    * semantics — a host whose last labels match a public-suffix rule
+    * keeps one label beyond the suffix (`w3.example.co.uk` →
+    * `example.co.uk`), with all three PSL rule classes expressed since
+    * r14: normal rules of any label count (`co.uk`, `github.io`,
+    * `k12.ca.us`), wildcard rules (`*.ck`, `*.kawasaki.jp`,
+    * `*.compute.amazonaws.com` — every child of the base is itself a
+    * suffix), and exception rules (`!www.ck` — registrable despite the
+    * wildcard). The matcher is generated from
+    * [[PublicSuffixes.RuleChain]] (exceptions first, then longest rule —
+    * the PSL precedence order), so this Column form, the
+    * `registrable_domain` SQL function, and the DuckDB oracle CASE all
+    * share one rule table.
     *
-    * Plan shape: `isInCollection` over the static table compiles to an
-    * `InSet` hash probe inside whole-stage codegen — two substring_index
-    * calls and one O(1) membership test per row, no join, no broadcast
-    * variable. A bare public suffix (`host = "co.uk"`) maps to itself
-    * (substring_index past the label count returns the whole string). */
-  def registrableDomain(host: Column,
-                        suffixes: Seq[String] = PublicSuffixes.MultiLabel): Column =
-    when(substring_index(host, ".", -2).isInCollection(suffixes),
-      substring_index(host, ".", -3))
-      .otherwise(substring_index(host, ".", -2))
+    * Plan shape: each `isInCollection` over a static set compiles to an
+    * `InSet` hash probe inside whole-stage codegen — a few
+    * substring_index calls and O(1) membership tests per row, no join,
+    * no broadcast variable; rule-table size does not change the plan.
+    * A bare public suffix (`host = "co.uk"`, or `foo.kawasaki.jp` under
+    * the wildcard) maps to itself (substring_index past the label count
+    * returns the whole string — the engine's convention for "host IS a
+    * public suffix", where the PSL leaves eTLD+1 undefined). */
+  def registrableDomain(host: Column): Column = {
+    def lastK(k: Int) = substring_index(host, ".", -k)
+    PublicSuffixes.RuleChain.foldRight(lastK(2)) {
+      case ((m, set, keep), els) =>
+        when(lastK(m).isInCollection(set), lastK(keep)).otherwise(els)
+    }
+  }
 
   /** The pre-r13 two-label rule — exact for single-label TLDs only; kept
     * as the explicit no-table fallback. */

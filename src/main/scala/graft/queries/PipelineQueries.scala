@@ -306,8 +306,24 @@ object PipelineQueries {
     // the PSL arm. Under the old two-label rule every *.co.uk host would
     // collapse into ONE "co.uk" domain (capping a whole country registry
     // as a single site); the PSL-backed rule keeps siteN.co.uk distinct.
-    val tld = when(col("doc_id") % 5 === 2, lit(".co.uk"))
-      .when(col("doc_id") % 5 === 3, lit(".com.au"))
+    // r14: the fixture plants EVERY PSL rule class (the r13 semantics
+    // gap), each with a distinct normalization shape the readout proves:
+    //   .co.uk / .com.au   normal 2-label  → siteN.co.uk     (w* collapse)
+    //   .kawasaki.jp       wildcard *.x.jp → wM.siteN.…      (NO collapse:
+    //                      each child of the base is its own suffix)
+    //   .www.ck            exception !www.ck → ONE domain "www.ck" for
+    //                      the whole arm (registrable despite *.ck)
+    //   .ck                wildcard *.ck   → wM.siteN.ck     (no collapse)
+    //   .github.io         PRIVATE section → siteN.github.io (w* collapse
+    //                      — without it ALL of GitHub Pages is 1 domain)
+    //   .k12.ca.us         normal 3-label  → siteN.k12.ca.us (w* collapse)
+    val tld = when(col("doc_id") % 9 === 2, lit(".co.uk"))
+      .when(col("doc_id") % 9 === 3, lit(".com.au"))
+      .when(col("doc_id") % 9 === 4, lit(".kawasaki.jp"))
+      .when(col("doc_id") % 9 === 5, lit(".www.ck"))
+      .when(col("doc_id") % 9 === 6, lit(".ck"))
+      .when(col("doc_id") % 9 === 7, lit(".github.io"))
+      .when(col("doc_id") % 9 === 8, lit(".k12.ca.us"))
       .otherwise(lit(".com"))
     val url = concat(lit("https://w"), (col("doc_id") % 3).cast("string"),
       lit(".site"),
@@ -329,16 +345,23 @@ object PipelineQueries {
       .orderBy("domain")
   }
 
-  /** Oracle: URL build, host split, PSL-corrected eTLD+1 normalization
-    * (the suffix table replayed as an IN-list over the SAME bundled
-    * rules), hash-priority rank and both funnels replayed relationally. */
+  /** Oracle: URL build, host split, PSL eTLD+1 normalization — the ENTIRE
+    * precedence-ordered rule chain (exceptions, wildcards, 3/2-label
+    * normal rules) replayed as a CASE generated from the same
+    * [[graft.operators.PublicSuffixes.RuleChain]] the engine evaluates —
+    * hash-priority rank and both funnels replayed relationally. */
   val qDomainCapSql: String =
     s"""WITH u AS (
        |  SELECT doc_id, text,
        |         'https://w' || CAST(doc_id % 3 AS VARCHAR) || '.site'
        |           || CAST(CAST(floor(sqrt(CAST(doc_id % 961 AS DOUBLE))) AS BIGINT) AS VARCHAR)
-       |           || CASE WHEN doc_id % 5 = 2 THEN '.co.uk'
-       |                   WHEN doc_id % 5 = 3 THEN '.com.au'
+       |           || CASE WHEN doc_id % 9 = 2 THEN '.co.uk'
+       |                   WHEN doc_id % 9 = 3 THEN '.com.au'
+       |                   WHEN doc_id % 9 = 4 THEN '.kawasaki.jp'
+       |                   WHEN doc_id % 9 = 5 THEN '.www.ck'
+       |                   WHEN doc_id % 9 = 6 THEN '.ck'
+       |                   WHEN doc_id % 9 = 7 THEN '.github.io'
+       |                   WHEN doc_id % 9 = 8 THEN '.k12.ca.us'
        |                   ELSE '.com' END
        |           || '/p/' || CAST(doc_id AS VARCHAR) AS url
        |  FROM documents),
@@ -350,10 +373,8 @@ object PipelineQueries {
        |  SELECT doc_id, text, host, string_split(host, '.') AS p FROM h),
        |d AS (
        |  SELECT doc_id, text, host,
-       |         CASE WHEN array_to_string(list_slice(p, greatest(len(p) - 1, 1), len(p)), '.')
-       |                IN (${graft.operators.PublicSuffixes.sqlInList})
-       |              THEN array_to_string(list_slice(p, greatest(len(p) - 2, 1), len(p)), '.')
-       |              ELSE array_to_string(list_slice(p, greatest(len(p) - 1, 1), len(p)), '.') END AS domain
+       |         ${graft.operators.PublicSuffixes.sqlDomainCase(k =>
+                   s"array_to_string(list_slice(p, greatest(len(p) - ${k - 1}, 1), len(p)), '.')")} AS domain
        |  FROM hp),
        |r AS (
        |  SELECT doc_id, domain,

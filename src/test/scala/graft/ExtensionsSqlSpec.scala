@@ -98,16 +98,24 @@ class ExtensionsSqlSpec extends SparkSpec {
   test("url kernels SQL ≡ Column API (r13)") {
     import graft.operators.Sampling
     import TestSpark.spark.implicits._
-    val urls = Seq("https://w3.example.co.uk/p/1", "http://plain.example.com/x")
+    val urls = Seq("https://w3.example.co.uk/p/1", "http://plain.example.com/x",
+      // r14 rule classes: wildcard, exception, private, 3-label normal
+      "https://a.b.site.ck/", "https://sub.www.ck/x",
+      "https://x.y.kawasaki.jp/", "https://ward.city.kawasaki.jp/",
+      "https://www.user1.github.io/p", "https://www.school.k12.ca.us/p")
       .toDF("u")
     urls.createOrReplaceTempView("urls_ext")
     same("SELECT url_host(u), registrable_domain(url_host(u)) FROM urls_ext ORDER BY u",
       urls.select(Sampling.urlHost(col("u")),
         Sampling.registrableDomain(Sampling.urlHost(col("u")))).orderBy("u"))
-    // direct value pin: PSL suffix keeps three labels through pure SQL
-    val r = spark.sql(
-      "SELECT registrable_domain('w3.example.co.uk')").head().getString(0)
-    assert(r == "example.co.uk")
+    // direct value pins through pure SQL: one per PSL rule class
+    def rd(h: String): String =
+      spark.sql(s"SELECT registrable_domain('$h')").head().getString(0)
+    assert(rd("w3.example.co.uk") == "example.co.uk") // normal 2-label
+    assert(rd("a.b.site.ck") == "b.site.ck")          // wildcard *.ck
+    assert(rd("sub.www.ck") == "www.ck")              // exception !www.ck
+    assert(rd("www.user1.github.io") == "user1.github.io") // private section
+    assert(rd("www.school.k12.ca.us") == "school.k12.ca.us") // normal 3-label
   }
 
   test("non-literal integer arg fails with the intended contract message") {

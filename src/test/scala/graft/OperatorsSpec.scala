@@ -733,6 +733,54 @@ class OperatorsSpec extends SparkSpec {
     assert(two == "co.uk")
   }
 
+  test("registrableDomain: wildcard, exception, private, 3-label PSL rules (r14)") {
+    import graft.operators.Sampling
+    val hosts = Seq(
+      // wildcard *.ck: every child of ck is itself a suffix
+      "a.b.site.ck", "b.site.ck", "site.ck",
+      // exception !www.ck beats the wildcard
+      "www.ck", "sub.www.ck", "deep.sub.www.ck",
+      // wildcard *.kawasaki.jp (2-label base) + !city.kawasaki.jp
+      "x.y.kawasaki.jp", "y.kawasaki.jp", "kawasaki.jp",
+      "city.kawasaki.jp", "ward.city.kawasaki.jp",
+      // PRIVATE section 2-label: GitHub Pages is NOT one domain
+      "user1.github.io", "www.user1.github.io", "github.io",
+      // 3-label normal rules: US locality + blogspot ccTLD variants
+      "school.k12.ca.us", "www.school.k12.ca.us",
+      "myblog.blogspot.co.uk", "www.myblog.blogspot.co.uk",
+      // 3-label wildcard base (PRIVATE AWS): each EC2 host own domain
+      "ec2-1-2-3-4.us-east.compute.amazonaws.com",
+      // plain amazonaws.com is NOT a suffix in the table → two-label
+      "s3.amazonaws.com", "bucket.s3.amazonaws.com")
+    val out = hosts.toDF("h")
+      .select(col("h"), Sampling.registrableDomain(col("h")).as("d"))
+      .as[(String, String)].collect().toMap
+    assert(out("a.b.site.ck") == "b.site.ck")   // suffix = site.ck
+    assert(out("b.site.ck") == "b.site.ck")
+    assert(out("site.ck") == "site.ck")         // bare child suffix → itself
+    assert(out("www.ck") == "www.ck")           // exception: registrable
+    assert(out("sub.www.ck") == "www.ck")
+    assert(out("deep.sub.www.ck") == "www.ck")
+    assert(out("x.y.kawasaki.jp") == "x.y.kawasaki.jp") // suffix = y.kawasaki.jp
+    assert(out("y.kawasaki.jp") == "y.kawasaki.jp")     // bare suffix → itself
+    assert(out("kawasaki.jp") == "kawasaki.jp")
+    assert(out("city.kawasaki.jp") == "city.kawasaki.jp") // exception
+    assert(out("ward.city.kawasaki.jp") == "city.kawasaki.jp")
+    assert(out("user1.github.io") == "user1.github.io")
+    assert(out("www.user1.github.io") == "user1.github.io")
+    assert(out("github.io") == "github.io")
+    assert(out("school.k12.ca.us") == "school.k12.ca.us")
+    assert(out("www.school.k12.ca.us") == "school.k12.ca.us")
+    assert(out("myblog.blogspot.co.uk") == "myblog.blogspot.co.uk")
+    assert(out("www.myblog.blogspot.co.uk") == "myblog.blogspot.co.uk")
+    // *.compute.amazonaws.com: the EC2 hostname is its own registrable domain
+    assert(out("ec2-1-2-3-4.us-east.compute.amazonaws.com") ==
+      "ec2-1-2-3-4.us-east.compute.amazonaws.com")
+    // s3.amazonaws.com is a NORMAL rule: bucket.s3.amazonaws.com registrable
+    assert(out("s3.amazonaws.com") == "s3.amazonaws.com")
+    assert(out("bucket.s3.amazonaws.com") == "bucket.s3.amazonaws.com")
+  }
+
   test("argmin expressions compare structurally (canonicalization, ADVICE r10)") {
     import org.apache.spark.sql.graftbridge.ColumnBridge.expression
     import graft.plans.VectorExpressions
