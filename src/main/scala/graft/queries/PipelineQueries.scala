@@ -393,6 +393,142 @@ object PipelineQueries {
        |FROM tot t JOIN kept k ON k.domain = t.domain
        |ORDER BY t.domain""".stripMargin
 
+  /** Crawl-curation URL gate (round 14) — the UT1-blocklist-shaped filter
+    * every web pipeline runs BEFORE content filters
+    * ([[graft.operators.Sampling.urlVerdict]]): scheme/port sanity, then
+    * blocklists by PSL registrable domain (one entry kills every host
+    * under the domain — the gate is PSL-backed for exactly this reason),
+    * host substring, and path substring, first-match precedence. URLs are
+    * the deterministic doc_id generator with a planted arm per rule
+    * class: `ftp://` schemes (%11), `:8080` ports (%13=5) plus ALLOWED
+    * `:443` ports that must pass (%13=6), the full PSL tld rotation (%9 —
+    * so blocking `www.ck` exercises the exception rule), `ads.`
+    * subdomains (%17), and `/ads/` paths (%7). Readout: the funnel —
+    * (stage, n_urls, id_sum) for each reject class + kept — AND a
+    * `kept_capped` row composing the kept side straight into
+    * [[graft.operators.Sampling.domainCap]] (the gate's production
+    * position in front of the quota cap); id sums pin the exact
+    * partition, not just its sizes.
+    *
+    * Scale shape: the verdict is pure string ops + InSet probes inside
+    * whole-stage codegen — row-local, zero shuffle, a free rider on the
+    * ingest scan; the funnel is one map-side-combinable aggregate over a
+    * 7-value key; the cap branch inherits q_domain_cap's WindowGroupLimit
+    * shape (≤ cap rows per domain per map task reach the exchange). A
+    * multi-million-entry UT1 snapshot swaps the InSet for a broadcast
+    * semi-join at the documented seam in [[graft.operators.Sampling.UrlRules]]. */
+  val UrlFilterRules = graft.operators.Sampling.UrlRules(
+    blockedDomains = Seq("site3.com", "site5.co.uk", "www.ck"),
+    blockedHostTokens = Seq("ads."),
+    blockedPathTokens = Seq("/ads/"))
+
+  def qUrlFilter(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.operators.Sampling
+    val site = floor(sqrt((col("doc_id") % 961).cast("double"))).cast("long").cast("string")
+    val tld = when(col("doc_id") % 9 === 2, lit(".co.uk"))
+      .when(col("doc_id") % 9 === 3, lit(".com.au"))
+      .when(col("doc_id") % 9 === 4, lit(".kawasaki.jp"))
+      .when(col("doc_id") % 9 === 5, lit(".www.ck"))
+      .when(col("doc_id") % 9 === 6, lit(".ck"))
+      .when(col("doc_id") % 9 === 7, lit(".github.io"))
+      .when(col("doc_id") % 9 === 8, lit(".k12.ca.us"))
+      .otherwise(lit(".com"))
+    val scheme = when(col("doc_id") % 11 === 4, lit("ftp")).otherwise(lit("https"))
+    val sub = when(col("doc_id") % 17 === 6, lit("ads.w")).otherwise(lit("w"))
+    val port = when(col("doc_id") % 13 === 5, lit(":8080"))
+      .when(col("doc_id") % 13 === 6, lit(":443"))
+      .otherwise(lit(""))
+    val pathc = when(col("doc_id") % 7 === 3,
+        concat(lit("/ads/track/"), col("doc_id").cast("string")))
+      .otherwise(concat(lit("/p/"), col("doc_id").cast("string")))
+    val url = concat(scheme, lit("://"), sub, (col("doc_id") % 3).cast("string"),
+      lit(".site"), site, tld, port, pathc)
+    val judged = graft.CacheScope.cached(
+      t(spark, sfDir, "documents")
+        .select(col("doc_id"), col("text"), url.as("url"))
+        .withColumn("stage", Sampling.urlVerdict(col("url"), UrlFilterRules)))
+    val funnel = judged.groupBy("stage")
+      .agg(count(lit(1)).as("n_urls"), sum(col("doc_id")).as("id_sum"))
+    val capped = Sampling.domainCap(
+        judged.filter(col("stage") === "kept"), "doc_id", "url", "text", DomainCap)
+      .agg(count(lit(1)).as("n_urls"), sum(col("id")).as("id_sum"))
+      .select(lit("kept_capped").as("stage"), col("n_urls"), col("id_sum"))
+    funnel.union(capped).orderBy("stage")
+  }
+
+  /** Oracle: URL build, the split discipline (scheme/hostport/host/port/
+    * path), the PSL CASE generated from the engine's own rule chain, the
+    * first-match verdict CASE, both funnels. */
+  val qUrlFilterSql: String = {
+    def sqlSet(s: Seq[String]) = s.sorted.map(x => s"'$x'").mkString(", ")
+    s"""WITH u AS (
+       |  SELECT doc_id, text,
+       |         (CASE WHEN doc_id % 11 = 4 THEN 'ftp' ELSE 'https' END)
+       |           || '://'
+       |           || (CASE WHEN doc_id % 17 = 6 THEN 'ads.w' ELSE 'w' END)
+       |           || CAST(doc_id % 3 AS VARCHAR) || '.site'
+       |           || CAST(CAST(floor(sqrt(CAST(doc_id % 961 AS DOUBLE))) AS BIGINT) AS VARCHAR)
+       |           || CASE WHEN doc_id % 9 = 2 THEN '.co.uk'
+       |                   WHEN doc_id % 9 = 3 THEN '.com.au'
+       |                   WHEN doc_id % 9 = 4 THEN '.kawasaki.jp'
+       |                   WHEN doc_id % 9 = 5 THEN '.www.ck'
+       |                   WHEN doc_id % 9 = 6 THEN '.ck'
+       |                   WHEN doc_id % 9 = 7 THEN '.github.io'
+       |                   WHEN doc_id % 9 = 8 THEN '.k12.ca.us'
+       |                   ELSE '.com' END
+       |           || CASE WHEN doc_id % 13 = 5 THEN ':8080'
+       |                   WHEN doc_id % 13 = 6 THEN ':443' ELSE '' END
+       |           || CASE WHEN doc_id % 7 = 3 THEN '/ads/track/' || CAST(doc_id AS VARCHAR)
+       |                   ELSE '/p/' || CAST(doc_id AS VARCHAR) END AS url
+       |  FROM documents),
+       |parts AS (
+       |  SELECT doc_id, text, url,
+       |         string_split(url, '://')[1] AS scheme,
+       |         string_split(string_split(url, '://')[2], '/')[1] AS hostport,
+       |         string_split(url, '://')[2] AS rest
+       |  FROM u),
+       |parts2 AS (
+       |  SELECT doc_id, text, url, scheme, hostport,
+       |         string_split(hostport, ':')[1] AS host,
+       |         string_split(hostport, ':')[-1] AS port,
+       |         substr(rest, length(hostport) + 1) AS path
+       |  FROM parts),
+       |judged AS (
+       |  SELECT doc_id, text, url, host,
+       |         ${graft.operators.PublicSuffixes.sqlDomainCase(k =>
+                   s"array_to_string(list_slice(string_split(host, '.'), " +
+                   s"greatest(len(string_split(host, '.')) - ${k - 1}, 1), " +
+                   s"len(string_split(host, '.'))), '.')")} AS domain,
+       |         CASE WHEN scheme NOT IN (${sqlSet(UrlFilterRules.allowedSchemes)}) THEN 'scheme'
+       |              WHEN contains(hostport, ':')
+       |                   AND string_split(hostport, ':')[-1] NOT IN (${sqlSet(UrlFilterRules.allowedPorts)}) THEN 'port'
+       |              ELSE NULL END AS hard
+       |  FROM parts2),
+       |staged AS (
+       |  SELECT doc_id, text, url, host, domain,
+       |         CASE WHEN hard IS NOT NULL THEN hard
+       |              WHEN domain IN (${sqlSet(UrlFilterRules.blockedDomains)}) THEN 'domain'
+       |              WHEN contains(host, 'ads.') THEN 'host'
+       |              WHEN contains(substr(string_split(url, '://')[2],
+       |                     length(string_split(string_split(url, '://')[2], '/')[1]) + 1),
+       |                   '/ads/') THEN 'path'
+       |              ELSE 'kept' END AS stage
+       |  FROM judged),
+       |fun AS (
+       |  SELECT stage, count(*) AS n_urls, CAST(sum(doc_id) AS BIGINT) AS id_sum
+       |  FROM staged GROUP BY stage),
+       |r AS (
+       |  SELECT doc_id, domain,
+       |         row_number() OVER (PARTITION BY domain
+       |                            ORDER BY substr(md5(text), 1, 15), doc_id) AS rnk
+       |  FROM staged WHERE stage = 'kept'),
+       |cap AS (
+       |  SELECT 'kept_capped' AS stage, count(*) AS n_urls,
+       |         CAST(sum(doc_id) AS BIGINT) AS id_sum
+       |  FROM r WHERE rnk <= $DomainCap)
+       |SELECT * FROM fun UNION ALL SELECT * FROM cap ORDER BY stage""".stripMargin
+  }
+
   /** Deterministic global shuffle + sharding — the batch-prep step that
     * turns a curated corpus into N training shards in a rerun-stable
     * pseudo-random order: shard = 32-bit md5 window of doc_id mod
@@ -989,6 +1125,7 @@ object PipelineQueries {
     "q_sample_stratified" -> (qSampleStratified _),
     "q_source_cap" -> (qSourceCap _),
     "q_domain_cap" -> (qDomainCap _),
+    "q_url_filter" -> (qUrlFilter _),
     "q_shard_shuffle" -> (qShardShuffle _))
 
   val oracles: Map[String, String] = Map(
@@ -1005,5 +1142,6 @@ object PipelineQueries {
     "q_sample_stratified" -> qSampleStratifiedSql,
     "q_source_cap" -> qSourceCapSql,
     "q_domain_cap" -> qDomainCapSql,
+    "q_url_filter" -> qUrlFilterSql,
     "q_shard_shuffle" -> qShardShuffleSql)
 }

@@ -781,6 +781,36 @@ class OperatorsSpec extends SparkSpec {
     assert(out("bucket.s3.amazonaws.com") == "bucket.s3.amazonaws.com")
   }
 
+  test("urlVerdict: first-match precedence, every rule class, PSL-backed domain block (r14)") {
+    import graft.operators.Sampling
+    val rules = Sampling.UrlRules(
+      blockedDomains = Seq("bad.com", "www.ck"),
+      blockedHostTokens = Seq("ads."),
+      blockedPathTokens = Seq("/track/"))
+    val cases = Seq(
+      "ftp://ok.com/x" -> "scheme",
+      "nourl" -> "scheme",                       // no :// → whole string is the scheme
+      "https://ok.com:8080/x" -> "port",
+      "https://ok.com:443/x" -> "kept",          // allowed explicit port passes on
+      "https://sub.bad.com/x" -> "domain",       // registrable domain, not host match
+      "https://deep.www.ck/x" -> "domain",       // PSL exception rule feeds the gate
+      "https://ads.ok.com/x" -> "host",
+      "https://ok.com/a/track/1" -> "path",
+      "https://ok.com/p/1" -> "kept",
+      // precedence: scheme beats domain beats path
+      "ftp://sub.bad.com/track/1" -> "scheme",
+      "https://sub.bad.com/track/1" -> "domain")
+    val out = cases.map(_._1).toDF("u")
+      .select(col("u"), Sampling.urlVerdict(col("u"), rules).as("v"))
+      .as[(String, String)].collect().toMap
+    cases.foreach { case (u, want) =>
+      assert(out(u) == want, s"$u → ${out(u)}, want $want") }
+    // empty blocklists never match
+    val none = Seq("https://anything.com/x").toDF("u")
+      .select(Sampling.urlVerdict(col("u"), Sampling.UrlRules())).as[String].head()
+    assert(none == "kept")
+  }
+
   test("argmin expressions compare structurally (canonicalization, ADVICE r10)") {
     import org.apache.spark.sql.graftbridge.ColumnBridge.expression
     import graft.plans.VectorExpressions
