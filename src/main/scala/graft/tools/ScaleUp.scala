@@ -41,6 +41,7 @@ object ScaleUp {
     val n = args.lift(2).map(_.toInt).getOrElse(10)
     val mode = args.lift(3).getOrElse("perturb")
     require(mode == "perturb" || mode == "dup", s"unknown mode $mode")
+    require(n <= 17576, s"n ($n) exceeds the 3-letter base-26 suffix space")
     val Off = 10000000L
 
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -78,11 +79,23 @@ object ScaleUp {
         d.withColumn(k, col(k) + col("__r").cast("long") * Off))
       val bodied =
         if (perturbText && mode == "perturb")
+          // r14: the suffix is a FIXED-LENGTH base-26 LETTER string, not
+          // "~N" — `~` made every perturbed token fail `^[a-z]+$` word
+          // filters, so the tokenizer/unigram family trained on an EMPTY
+          // histogram at perturbed scale fixtures (BASELINE 13b
+          // degeneracy). Fixed length is what keeps the rename collision-
+          // free ACROSS replicas (token+sfx_r = token'+sfx_s with equal-
+          // length suffixes forces r = s and token = token'), preserving
+          // the zero-shared-shingles independence claim.
           shifted
+            .withColumn("__sfx", expr(
+              "concat(char(97 + (__r div 676) % 26), " +
+                "char(97 + (__r div 26) % 26), char(97 + __r % 26))"))
             .withColumn("text", array_join(
               transform(split(col("text"), " "),
-                t => concat(t, lit("~"), col("__r").cast("string"))), " "))
+                t => concat(t, col("__sfx"))), " "))
             .withColumn("n_chars", length(col("text")))
+            .drop("__sfx")
         else if (perturbVec && mode == "perturb")
           // per-replica diagonal ±1 sign flip (replica 0 = identity): norms
           // and INTRA-replica dot products are exactly preserved
