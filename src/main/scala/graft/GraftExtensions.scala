@@ -136,6 +136,9 @@ object GraftExtensions {
     reg("pii_redact",
       "pii_redact(text) - emails/phones/SSNs/IPs replaced by type tags") {
       exprs => PiiRedactExpr(exprs.head) }
+    reg("html_extract",
+      "html_extract(html, minChars, densityNum) - jusText-shape boilerplate removal: (extracted, kept_lines, dropped_lines, boiler_chars)") {
+      exprs => HtmlExtractExpr(exprs.head, intArg(exprs, 1), intArg(exprs, 2)) }
     reg("md5_prefix",
       "md5_prefix(s, n) - first n hex chars of md5(s)") {
       exprs => Md5PrefixExpr(exprs.head, intArg(exprs, 1)) }

@@ -44,25 +44,37 @@ object HtmlExtract {
   val MinChars = 15
   val DensityNum = 3
 
-  /** Stage 1-2: drop script/style elements, then put each block on its own
-    * line. Non-greedy `(?s).*?` spans are RE2-compatible (no backrefs) so
-    * the DuckDB oracle replays the identical patterns. */
+  /** Stage 1-2: drop script/style elements, NORMALIZE WHITESPACE (r14 —
+    * review: real crawl HTML is pretty-printed, and without this every
+    * source newline acted as a block boundary, shredding paragraphs into
+    * per-source-line fragments that minChars then misclassified; runs of
+    * space/tab/CR/LF collapse to one space, so the only `\n` in the
+    * stream are the block sentinels inserted next — and `<a\nhref=…>`
+    * anchors become matchable `<a href=…>`), then put each block on its
+    * own line. Non-greedy `(?s).*?` spans are RE2-compatible (no
+    * backrefs) so the DuckDB oracle replays the identical patterns. */
   def blockLines(html: Column): Column = {
     val noScript = regexp_replace(html, "(?s)<script[^>]*>.*?</script>", "")
     val noStyle = regexp_replace(noScript, "(?s)<style[^>]*>.*?</style>", "")
-    split(regexp_replace(noStyle, s"</($BlockTags)>", "\n"), "\n")
+    val ws = regexp_replace(noStyle, "[ \\t\\r\\n]+", " ")
+    split(regexp_replace(ws, s"</($BlockTags)>", "\n"), "\n")
   }
 
   /** Stage 3-4 per-line stats: visible text (tags stripped, trimmed) and
     * anchor-text character mass measured on the RAW line. Anchors are
-    * `<a …>` with at least one attribute (a bare `<a>` carries no href and
-    * does not occur in markup this stage targets). */
+    * lowercase `<a …>` with at least one attribute (a bare `<a>` carries
+    * no href and uppercase tags do not occur in markup this stage
+    * targets — documented contract); since r14 the anchor BODY is the
+    * non-greedy span to the first `</a>` with inner inline tags stripped
+    * before measuring (review: `<a href=x><b>link</b></a>` counted zero
+    * anchor chars, letting nested-markup link farms through the density
+    * rule). */
   def lineStats(lines: Column): Column =
     transform(lines, l => struct(
       trim(regexp_replace(l, "<[^>]*>", "")).as("clean"),
       coalesce(aggregate(
-        transform(regexp_extract_all(l, lit("<a [^>]*>([^<]*)</a>"), lit(1)),
-          a => length(a).cast("long")),
+        transform(regexp_extract_all(l, lit("(?s)<a [^>]*>(.*?)</a>"), lit(1)),
+          a => length(regexp_replace(a, "<[^>]*>", "")).cast("long")),
         lit(0L), (acc, x) => acc + x), lit(0L)).as("a_chars")))
 
   private def isContent(s: Column, minChars: Int, densityNum: Int): Column =

@@ -927,7 +927,7 @@ object PipelineQueries {
     * |langs|-row aggregate. At 100 TB this fuses into the scan. */
   /** The HTML-wrapper fixture as a Column over (doc_id, text) — shared by
     * [[qHtmlExtract]] and [[qWebPipeline]]. */
-  private[queries] def htmlFixtureCol: org.apache.spark.sql.Column = {
+  private[graft] def htmlFixtureCol: org.apache.spark.sql.Column = {
     import HtmlFixture._
     val toks = tokens(col("text"))
     val half = (size(toks) / lit(2)).cast("int")
@@ -950,7 +950,7 @@ object PipelineQueries {
 
   def qHtmlExtract(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = t(spark, sfDir, "documents")
-    val ex = graft.operators.HtmlExtract.extract(htmlFixtureCol)
+    val ex = graft.plans.HtmlExtractExpressions.htmlExtract(htmlFixtureCol)
     val lowstop = forall(
       graft.plans.TextStatsExpressions
         .textStats(col("ex.extracted"), StopwordLists.map(_._2))
@@ -1003,8 +1003,10 @@ object PipelineQueries {
        |    string_split(
        |      regexp_replace(
        |        regexp_replace(
-       |          regexp_replace(html, '(?s)<script[^>]*>.*?</script>', '', 'g'),
-       |          '(?s)<style[^>]*>.*?</style>', '', 'g'),
+       |          regexp_replace(
+       |            regexp_replace(html, '(?s)<script[^>]*>.*?</script>', '', 'g'),
+       |            '(?s)<style[^>]*>.*?</style>', '', 'g'),
+       |          '[ \t\r\n]+', ' ', 'g'),
        |        '</(title|nav|p|div|aside|footer|li|h[1-6]|tr|blockquote)>', chr(10), 'g'),
        |      chr(10)) AS lines
        |  FROM hhtml),
@@ -1013,8 +1015,8 @@ object PipelineQueries {
        |    list_transform(lines, l -> struct_pack(
        |      clean := trim(regexp_replace(l, '<[^>]*>', '', 'g')),
        |      a := coalesce(list_aggregate(
-       |        list_transform(regexp_extract_all(l, '<a [^>]*>([^<]*)</a>', 1),
-       |          s -> length(s)), 'sum'), 0))) AS ls
+       |        list_transform(regexp_extract_all(l, '(?s)<a [^>]*>(.*?)</a>', 1),
+       |          s -> length(regexp_replace(s, '<[^>]*>', '', 'g'))), 'sum'), 0))) AS ls
        |  FROM hlines),
        |hclass AS (
        |  SELECT doc_id, lang,
@@ -1069,7 +1071,7 @@ object PipelineQueries {
     // this reason — it is a separate corpus-rewrite stage, not a view.
     val web = graft.CacheScope.cached(t(spark, sfDir, "documents")
       .select(col("doc_id"), col("lang"),
-        graft.operators.HtmlExtract.extract(htmlFixtureCol)
+        graft.plans.HtmlExtractExpressions.htmlExtract(htmlFixtureCol)
           .getField("extracted").as("text")))
     val filtered = TextQueries.withLangScores(web)
       .withColumn("pred_lang", TextQueries.predLangCol)

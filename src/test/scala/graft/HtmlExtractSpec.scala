@@ -86,6 +86,95 @@ class HtmlExtractSpec extends SparkSpec {
     assert(bad == 0L)
   }
 
+  test("pretty-printed HTML: source newlines are NOT block boundaries (r14)") {
+    // the r13 reviewer's case: a single paragraph spread over source lines
+    // must stay ONE block (the old code shredded it into per-source-line
+    // fragments that minChars then dropped)
+    val (ex, k, d, _) = run(
+      "<div>\n  <p>\n    a paragraph that real crawl markup\n" +
+        "    pretty-prints across many short source lines\n  </p>\n</div>")
+    assert(k == 1 && d == 0)
+    assert(ex == "a paragraph that real crawl markup pretty-prints across many short source lines")
+    // and an anchor split across source lines still matches
+    val (ex2, _, d2, _) = run(
+      "<nav><a\n   href=\"/\">home page links</a> <a href=\"/x\">more of the same</a></nav>")
+    assert(ex2 == "" && d2 == 1)
+  }
+
+  test("nested inline markup inside anchors counts toward link density (r14)") {
+    // the r13 reviewer's case: <a><b>…</b></a> counted ZERO anchor chars,
+    // so nested-markup link farms survived as content
+    val (ex, _, d, _) = run(
+      "<div><a href=\"/p1\"><b>click here to win</b></a> " +
+        "<a href=\"/p2\"><i>read more articles</i></a> " +
+        "<a href=\"/p3\"><span>best deals today</span></a></div>")
+    assert(ex == "" && d == 1)
+  }
+
+  private val crafted = Seq(
+    "", "plain text with no markup at all, long enough to keep",
+    "<p>ok content line long enough to keep</p>",
+    // unclosed script: the opener passes through to tag stripping
+    "<script>var x = 1; content after an unclosed script element stays",
+    // interleaved unbalanced script/style (pass ORDER is observable)
+    "<style><script></style></script><p>content line long enough to keep here</p>",
+    "<script><style></script></style><p>content line long enough to keep here</p>",
+    // uppercase tags / bare <a> are documented non-matches
+    "<P>UPPER close does not segment</P><p>real content line long enough here</p>",
+    "<div><A HREF=\"/x\">upper anchor not counted as link mass here</A></div>",
+    "<div><a>bare anchor with no attribute is not counted either ok</a></div>",
+    // nested anchors: capture runs to the FIRST </a>
+    "<div><a href=x>outer <a href=y>inner</a> tail</a> filler text</div>",
+    // anchor with no close in the line
+    "<div><a href=x>never closed anchor but the line is long enough</div>",
+    // '<' with no '>' stays literal; later tags still strip
+    "<p>math: a < b and c <b>bold</b> still works as content text</p>",
+    // consecutive boundaries and trailing whitespace
+    "<p></p><p>middle content line long enough to keep</p></div>   ",
+    // double-encoded entities decode exactly once
+    "<p>double encoded &amp;lt;tag&amp;gt; survives as &lt;tag&gt; text</p>",
+    // non-BMP codepoints in content and anchor mass
+    "<p>clef 𝄞 content long enough to keep either way</p>",
+    "<div><a href=x>𝄞𝄞𝄞</a> tiny</div>",
+    // tabs inside tags normalize, making the anchor matchable
+    "<nav><a\thref=\"/\">tabbed anchor link text</a>\t<a href=\"/y\">more link text</a></nav>",
+    // block-close with attributes / unknown names do not segment
+    "<p>alpha</p attr><p>beta content line long enough to keep</p></h7>")
+
+  test("kernel ≡ Column reference on crafted hazards (r14)") {
+    val df = crafted.toDF("h")
+    val both = df.select(
+        HtmlExtract.extract(col("h")).as("ref"),
+        graft.plans.HtmlExtractExpressions.htmlExtract(col("h")).as("ker"))
+      .collect()
+    both.zip(crafted).foreach { case (r, src) =>
+      assert(r.getStruct(0) == r.getStruct(1),
+        s"kernel diverges from Column form on: $src\nref=${r.getStruct(0)}\nker=${r.getStruct(1)}")
+    }
+  }
+
+  test("kernel ≡ Column reference on the generated fixture corpus (r14)") {
+    val docs = graft.Tables.t(spark, TestSpark.Sf0001, "documents")
+    val html = graft.queries.PipelineQueries.htmlFixtureCol
+    val bad = docs.select(
+        HtmlExtract.extract(html).as("ref"),
+        graft.plans.HtmlExtractExpressions.htmlExtract(html).as("ker"))
+      .filter(col("ref") =!= col("ker"))
+      .count()
+    assert(bad == 0L)
+  }
+
+  test("html_extract SQL function ≡ kernel Column API (r14)") {
+    GraftExtensions.register(spark)
+    val df = crafted.toDF("h")
+    df.createOrReplaceTempView("html_ext")
+    val viaSql = spark.sql(
+      "SELECT html_extract(h, 15, 3) AS e FROM html_ext").collect().toSeq
+    val viaCol = df.select(
+      graft.plans.HtmlExtractExpressions.htmlExtract(col("h")).as("e")).collect().toSeq
+    assert(viaSql.map(_.toString) == viaCol.map(_.toString))
+  }
+
   test("q_html_extract is one narrow pass: no exchange before the final aggregate") {
     val p = graft.queries.PipelineQueries
       .qHtmlExtract(spark, TestSpark.Sf0001)
