@@ -70,7 +70,7 @@ object FastxQueries {
     * (~8·parallelism) instead of exploding with the corpus: a fixed 64 KB
     * at 100× would plan ~32 k splits of pure open/resync/scheduling
     * overhead. Directory listing is driver-side metadata — O(files). */
-  private def adaptiveSplitBytes(spark: SparkSession, path: String): Long = {
+  private[queries] def adaptiveSplitBytes(spark: SparkSession, path: String): Long = {
     val files = Option(new File(path).listFiles()).getOrElse(Array.empty)
       .filter(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
     val total = files.map(_.length).sum

@@ -1048,6 +1048,99 @@ object PipelineQueries {
        |FROM hext GROUP BY lang ORDER BY lang""".stripMargin
   }
 
+  /** WARC ingestion (round 14) — the crawl container every public web
+    * corpus actually ships in (Common Crawl is WARC files), under the
+    * oracle gate end to end: documents are wrapped in the shared HTML
+    * fixture ([[htmlFixtureCol]]), framed as HTTP responses, written as
+    * ISO 28500 records by the distributed [[graft.WarcIO.writeWarc]] sink
+    * (one file per partition, CRLF framing, exact Content-Length), read
+    * back through `format("warc")` with FORCED SMALL SPLITS (the
+    * version-line resync + Content-Length walk is exercised on every
+    * run — the q_fastx_roundtrip discipline), composed straight into the
+    * html_extract kernel's front, and reduced per lang. A `request`
+    * record rides along for every doc so the scan proves the pushed
+    * `record_type = 'response'` filter (requests never reach the rows).
+    *
+    * Byte-exactness: `payload_checksum` is the md5 of the FULL response
+    * payload (HTTP headers + html) recomputed by the oracle straight
+    * from `documents` — any framing slip in the container roundtrip
+    * changes it. `checksum` pins the extracted text after the kernel.
+    *
+    * Scale shape: the WARC scan fans out as byte-range splits (128 MB
+    * default — here forced small), the record_type filter and the
+    * 2-column prune are pushed into the reader, extraction is the fused
+    * kernel pass, and the only exchange is the |langs|-row aggregate.
+    * At 100 TB this is exactly the Common-Crawl ingest plan: split →
+    * resync → filter responses → extract → curate, one streaming pass. */
+  def qWarcIngest(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = new java.io.File(
+      "/root/repo/target/warc_ingest/" + new java.io.File(sfDir).getName)
+    val docs = t(spark, sfDir, "documents")
+    val uri = concat(lit("https://fixture.test/"), col("lang"),
+      lit("/"), col("doc_id").cast("string"))
+    val http = concat(lit(HttpHead), htmlFixtureCol)
+    val responses = docs.select(
+      lit("response").as("record_type"),
+      concat(lit("<urn:uuid:doc-"), col("doc_id").cast("string"), lit(">")).as("record_id"),
+      lit("2024-01-01T00:00:00Z").as("warc_date"),
+      uri.as("target_uri"),
+      lit("application/http; msgtype=response").as("content_type"),
+      http.cast("binary").as("payload"))
+    val requests = docs.select(
+      lit("request").as("record_type"),
+      concat(lit("<urn:uuid:req-"), col("doc_id").cast("string"), lit(">")).as("record_id"),
+      lit("2024-01-01T00:00:00Z").as("warc_date"),
+      uri.as("target_uri"),
+      lit("application/http; msgtype=request").as("content_type"),
+      concat(lit("GET /p/"), col("doc_id").cast("string"),
+        lit(" HTTP/1.1\r\nHost: fixture.test\r\n\r\n")).cast("binary").as("payload"))
+    graft.WarcIO.writeWarc(responses.unionAll(requests), dir.getAbsolutePath)
+    val warc = spark.read.format("warc")
+      .option("maxSplitBytes",
+        FastxQueries.adaptiveSplitBytes(spark, dir.getAbsolutePath).toString)
+      .load(dir.getAbsolutePath)
+      .filter(col("record_type") === "response") // pushed into the reader
+    val ex = graft.plans.HtmlExtractExpressions.htmlExtract(
+      graft.WarcIO.httpBody(col("payload")))
+    warc.select(
+        regexp_extract(col("target_uri"), "^https://fixture\\.test/([a-z]+)/", 1).as("lang"),
+        md5(col("payload")).as("pmd5"),
+        ex.as("ex"))
+      .select(col("lang"), col("pmd5"), col("ex.*"))
+      // parse-once boundary before the sortable aggregate (the
+      // q_fastq_roundtrip lesson: range sampling re-executes its child)
+      .repartition(col("lang"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("kept_lines").as("kept_lines"),
+        sum(length(col("extracted"))).cast("long").as("extracted_chars"),
+        sum(conv(substring(col("pmd5"), 1, 10), 16, 10).cast("long")).as("payload_checksum"),
+        sum(conv(graft.plans.HashExpressions.md5Prefix(col("extracted"), 10), 16, 10)
+          .cast("long")).as("checksum"))
+      .orderBy("lang")
+  }
+
+  /** The deterministic HTTP response head in front of every fixture
+    * payload — shared verbatim with the oracle. */
+  val HttpHead = "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+
+  /** Oracle: the SAME html fixture chain ([[htmlExtractSqlCtes]]), payload
+    * md5 over the HTTP head + html, extraction readout — all straight from
+    * `documents`, never touching the container: a roundtrip slip anywhere
+    * in write → split → resync → parse shows up as a hash mismatch. */
+  val qWarcIngestSql: String = {
+    val head = "'HTTP/1.1 200 OK' || chr(13) || chr(10) || " +
+      "'Content-Type: text/html' || chr(13) || chr(10) || chr(13) || chr(10)"
+    s"""WITH $htmlExtractSqlCtes
+       |SELECT h.lang, count(*) AS n_docs,
+       |  CAST(sum(x.kl) AS BIGINT) AS kept_lines,
+       |  CAST(sum(length(x.extracted)) AS BIGINT) AS extracted_chars,
+       |  CAST(sum(CAST('0x' || substr(md5($head || h.html), 1, 10) AS BIGINT)) AS BIGINT) AS payload_checksum,
+       |  CAST(sum(CAST('0x' || substr(md5(x.extracted), 1, 10) AS BIGINT)) AS BIGINT) AS checksum
+       |FROM hhtml h JOIN hext x ON x.doc_id = h.doc_id
+       |GROUP BY h.lang ORDER BY h.lang""".stripMargin
+  }
+
   /** The WEB-corpus composition (round 13): HTML→text extraction feeding
     * the full curation cascade — extract → language-identifiability +
     * quality gate → exact dedup → MinHash-LSH near-dedup → per-lang
@@ -1115,6 +1208,7 @@ object PipelineQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_html_extract" -> (qHtmlExtract _),
+    "q_warc_ingest" -> (qWarcIngest _),
     "q_web_pipeline" -> (qWebPipeline _),
     "q_bootstrap_ci" -> (qBootstrapCi _),
     "q_snapshot_diff" -> (qSnapshotDiff _),
@@ -1132,6 +1226,7 @@ object PipelineQueries {
 
   val oracles: Map[String, String] = Map(
     "q_html_extract" -> qHtmlExtractSql,
+    "q_warc_ingest" -> qWarcIngestSql,
     "q_web_pipeline" -> qWebPipelineSql,
     "q_bootstrap_ci" -> qBootstrapCiSql,
     "q_snapshot_diff" -> qSnapshotDiffSql,

@@ -1,0 +1,290 @@
+package graft.sources.warc
+
+import java.util
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DataSource V2 "warc" format — splittable reads of the web-crawl
+  * container (ISO 28500; what Common Crawl ships), completing the engine's
+  * crawl→text→curation story: `spark.read.format("warc").load(path)` feeds
+  * `response` payloads straight into the html_extract kernel and the
+  * curation cascade behind it.
+  *
+  * Design mirrors the fastx connector ([[graft.sources.fastx.FastxDataSource]]):
+  *  - fixed 7-column schema (record headers + binary payload), column
+  *    pruning pushed into the reader;
+  *  - record-level STRING filter pushdown (`record_type = 'response'` is
+  *    the universal first filter on a crawl scan — pushed, rows for
+  *    request/metadata records are never materialized) plus a partial
+  *    per-partition limit;
+  *  - SPLITTABLE plain files: byte ranges resync on a VALIDATED
+  *    `WARC/1.x` version line ([[WarcParser.records]] — the FASTQ-resync
+  *    discipline), then frame exactly by Content-Length walks. Compressed
+  *    files read whole (one partition per file; Hadoop's gzip codec
+  *    streams the member-concatenated per-record gzip that real crawls
+  *    use as one stream).
+  *
+  * At 100 TB: splits default to 128 MB byte ranges per task over
+  * arbitrarily large files, scan statistics report real byte sizes to
+  * AQE/broadcast planning, and the scan is a streaming single pass —
+  * nothing driver-side but the file listing. */
+class WarcDataSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "warc"
+  override def supportsExternalMetadata(): Boolean = true
+
+  private def paths(options: CaseInsensitiveStringMap): Seq[String] = {
+    val single = Option(options.get("path")).toSeq
+    val multi = Option(options.get("paths")).toSeq.flatMap { json =>
+      json.stripPrefix("[").stripSuffix("]").split(",").toSeq
+        .map(_.trim.stripPrefix("\"").stripSuffix("\"")).filter(_.nonEmpty)
+    }
+    val all = single ++ multi
+    require(all.nonEmpty, "warc: no path specified")
+    all
+  }
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    WarcDataSource.Schema
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table = {
+    val opts = new CaseInsensitiveStringMap(properties)
+    new WarcTable(paths(opts), schema)
+  }
+}
+
+object WarcDataSource {
+  val Schema: StructType = StructType(Seq(
+    StructField("record_type", StringType, nullable = false),
+    StructField("record_id", StringType, nullable = false),
+    StructField("target_uri", StringType, nullable = true),
+    StructField("warc_date", StringType, nullable = false),
+    StructField("content_type", StringType, nullable = true),
+    StructField("content_length", LongType, nullable = false),
+    StructField("payload", BinaryType, nullable = false)))
+}
+
+class WarcTable(paths: Seq[String], tableSchema: StructType)
+  extends Table with SupportsRead {
+  override def name(): String = s"warc(${paths.mkString(",")})"
+  override def schema(): StructType = tableSchema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new WarcScanBuilder(paths, tableSchema, options)
+}
+
+/** Record-level predicate evaluation for the pushed string filters — same
+  * best-effort contract as [[graft.sources.fastx.FastxFilters]]: claimed
+  * filters are evaluated in the reader to skip row materialization early
+  * AND re-applied by Spark post-scan. */
+object WarcFilters {
+  import org.apache.spark.sql.sources._
+
+  private val StringCols = Set("record_type", "record_id", "target_uri",
+    "warc_date", "content_type")
+
+  def evaluable(f: Filter): Boolean = f match {
+    case EqualTo(a, _: String)  => StringCols(a)
+    case StringStartsWith(a, _) => StringCols(a)
+    case StringEndsWith(a, _)   => StringCols(a)
+    case StringContains(a, _)   => StringCols(a)
+    case IsNotNull(a)           => StringCols(a)
+    case IsNull(a)              => StringCols(a)
+    case And(l, r)              => evaluable(l) && evaluable(r)
+    case Or(l, r)               => evaluable(l) && evaluable(r)
+    case Not(c)                 => evaluable(c)
+    case _                      => false
+  }
+
+  private def field(rec: WarcRecord, attr: String): String = attr match {
+    case "record_type"  => rec.recordType
+    case "record_id"    => rec.recordId
+    case "target_uri"   => rec.targetUri
+    case "warc_date"    => rec.warcDate
+    case "content_type" => rec.contentType
+    case _              => null
+  }
+
+  def eval(f: Filter, rec: WarcRecord): Boolean = f match {
+    case EqualTo(a, v: String)  => field(rec, a) == v
+    case StringStartsWith(a, p) => { val s = field(rec, a); s != null && s.startsWith(p) }
+    case StringEndsWith(a, p)   => { val s = field(rec, a); s != null && s.endsWith(p) }
+    case StringContains(a, p)   => { val s = field(rec, a); s != null && s.contains(p) }
+    case IsNotNull(a)           => field(rec, a) != null
+    case IsNull(a)              => field(rec, a) == null
+    case And(l, r)              => eval(l, rec) && eval(r, rec)
+    case Or(l, r)               => eval(l, rec) || eval(r, rec)
+    case Not(c)                 => !eval(c, rec)
+    case _                      => true
+  }
+
+  def predicate(filters: Seq[Filter]): WarcRecord => Boolean =
+    if (filters.isEmpty) _ => true
+    else rec => filters.forall(eval(_, rec))
+}
+
+class WarcScanBuilder(paths: Seq[String], full: StructType,
+                      options: CaseInsensitiveStringMap)
+  extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters with SupportsPushDownLimit {
+  import org.apache.spark.sql.sources.Filter
+
+  private var required: StructType = full
+  private var limit: Int = -1
+  private var pushed: Array[Filter] = Array.empty
+
+  override def pruneColumns(requiredSchema: StructType): Unit = {
+    val names = requiredSchema.fieldNames.toSet
+    required = StructType(full.fields.filter(f => names.contains(f.name)))
+  }
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushed = filters.filter(WarcFilters.evaluable)
+    filters
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pushLimit(n: Int): Boolean = {
+    limit = n
+    false
+  }
+
+  override def build(): Scan = {
+    val maxSplit = Option(options.get("maxSplitBytes")).map(_.toLong)
+      .getOrElse(128L * 1024 * 1024)
+    new WarcScan(paths, full, required, maxSplit, limit, pushed.toSeq)
+  }
+}
+
+final case class WarcInputPartition(file: String, start: Long, length: Long,
+                                    limit: Int,
+                                    filters: Seq[org.apache.spark.sql.sources.Filter])
+  extends InputPartition
+
+class WarcScan(paths: Seq[String], full: StructType, required: StructType,
+               maxSplitBytes: Long, limit: Int,
+               filters: Seq[org.apache.spark.sql.sources.Filter])
+  extends Scan with Batch with SupportsReportStatistics {
+  import graft.sources.fastx.FastxDataSource.{isCompressed, resolveFiles}
+
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"warc ${paths.mkString(",")} cols=${required.fieldNames.mkString(",")}" +
+      (if (limit >= 0) s" limit=$limit" else "") +
+      (if (filters.nonEmpty) s" PushedFilters: [${filters.mkString(", ")}]" else "")
+
+  override def estimateStatistics(): Statistics = new Statistics {
+    private val totalBytes = {
+      val conf = new Configuration()
+      resolveFiles(paths, conf).map(_.getLen).sum
+    }
+    override def sizeInBytes(): java.util.OptionalLong = {
+      val frac = math.max(1, required.size).toDouble / math.max(1, full.size)
+      java.util.OptionalLong.of(math.max(1L, (totalBytes * frac).toLong))
+    }
+    override def numRows(): java.util.OptionalLong = java.util.OptionalLong.empty()
+  }
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val conf = new Configuration()
+    val files = resolveFiles(paths, conf).filter(_.getLen > 0)
+    files.flatMap { st =>
+      val p = st.getPath
+      val splittable = !isCompressed(p, conf) && st.getLen > maxSplitBytes
+      if (splittable)
+        (0L until st.getLen by maxSplitBytes).map { off =>
+          WarcInputPartition(p.toString, off,
+            math.min(maxSplitBytes, st.getLen - off), limit, filters)
+        }
+      else Seq(WarcInputPartition(p.toString, 0L, st.getLen, limit, filters))
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new WarcReaderFactory(required.fieldNames)
+}
+
+class WarcReaderFactory(columns: Array[String]) extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new WarcPartitionReader(partition.asInstanceOf[WarcInputPartition], columns)
+}
+
+/** Per-partition streaming reader: seeks for splits, resyncs on a
+  * validated version line, walks Content-Length frames, emits only the
+  * pruned columns. */
+class WarcPartitionReader(part: WarcInputPartition, columns: Array[String])
+  extends PartitionReader[InternalRow] {
+  import graft.sources.fastx.FastxDataSource.{decompressed, isCompressed}
+
+  private val conf = new Configuration()
+  private val path = new Path(part.file)
+  private val fs = path.getFileSystem(conf)
+  private val compressed = isCompressed(path, conf)
+  private val rawStream = fs.open(path)
+
+  private val records: Iterator[WarcRecord] = {
+    if (compressed) {
+      WarcParser.records(
+        new PosByteReader(decompressed(path, rawStream, conf)))
+    } else if (part.start == 0) {
+      // first split: a true record start; ownership bound only
+      WarcParser.records(new PosByteReader(rawStream),
+        ownedEnd = part.length)
+    } else {
+      // split seek: discard the partial first line (Hadoop convention —
+      // a record starting exactly at `start` belongs to the previous
+      // split), then resync on a validated version line
+      rawStream.seek(part.start)
+      val reader = new PosByteReader(rawStream, part.start)
+      reader.readLine()
+      WarcParser.records(reader, ownedEnd = part.start + part.length,
+        resync = true)
+    }
+  }
+
+  private val pred: WarcRecord => Boolean = WarcFilters.predicate(part.filters)
+  private var current: WarcRecord = _
+  private var emitted = 0
+
+  override def next(): Boolean = {
+    if (part.limit >= 0 && emitted >= part.limit) false
+    else {
+      var found = false
+      while (!found && records.hasNext) {
+        val r = records.next()
+        if (pred(r)) { current = r; found = true }
+      }
+      if (found) emitted += 1
+      found
+    }
+  }
+
+  override def get(): InternalRow = {
+    val values: Array[Any] = columns.map {
+      case "record_type"    => UTF8String.fromString(current.recordType)
+      case "record_id"      => UTF8String.fromString(current.recordId)
+      case "target_uri"     => if (current.targetUri == null) null
+                               else UTF8String.fromString(current.targetUri)
+      case "warc_date"      => UTF8String.fromString(current.warcDate)
+      case "content_type"   => if (current.contentType == null) null
+                               else UTF8String.fromString(current.contentType)
+      case "content_length" => current.contentLength
+      case "payload"        => current.payload
+    }
+    InternalRow.fromSeq(values.toSeq)
+  }
+
+  override def close(): Unit = rawStream.close()
+}

@@ -1,0 +1,123 @@
+package graft
+
+import java.io.File
+
+import org.apache.spark.sql.functions._
+
+/** The WARC connector under forced-split pressure: byte-exact roundtrip
+  * through [[WarcIO.writeWarc]] → `format("warc")`, record-marker resync
+  * with planted false `WARC/1.0` lines inside payloads, compressed
+  * whole-file reads, and the pushdown surface (columns, record_type
+  * filter, partial limit). */
+class WarcSpec extends SparkSpec {
+  import TestSpark.spark.implicits._
+
+  private def fixtureDf = {
+    // payloads deliberately hostile to naive resync: embedded version
+    // lines, header-looking lines, blank lines, CRLFs, high bytes
+    val rows = (0L until 40L).map { i =>
+      val body =
+        if (i % 7 == 3)
+          s"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n<html>doc $i\r\n" +
+            "WARC/1.0\r\nnot: a real record start\r\n\r\nmore</html>"
+        else if (i % 5 == 1)
+          s"HTTP/1.1 200 OK\r\n\r\nbinary-ish ÿ payload $i with trailing newline\n"
+        else
+          s"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n<html>plain doc $i body text long enough</html>"
+      val t = if (i % 3 == 0) "request" else "response"
+      (t, s"<urn:uuid:rec-$i>", "2024-01-01T00:00:00Z",
+        s"https://fixture.test/p/$i", body.getBytes("ISO-8859-1"))
+    }
+    rows.toDF("record_type", "record_id", "warc_date", "target_uri", "payload")
+  }
+
+  private def writeFixture(name: String): String = {
+    val dir = new File(s"/root/repo/target/warc_spec/$name")
+    WarcIO.writeWarc(fixtureDf.repartition(3), dir.getAbsolutePath)
+    dir.getAbsolutePath
+  }
+
+  private def collectAll(path: String, maxSplit: Option[Long]) = {
+    val r = maxSplit.foldLeft(spark.read.format("warc"))((b, m) =>
+      b.option("maxSplitBytes", m.toString))
+    r.load(path)
+      .select(col("record_type"), col("record_id"), col("target_uri"),
+        col("content_length"), md5(col("payload")).as("pmd5"))
+      .collect()
+      .map(x => (x.getString(0), x.getString(1), x.getString(2), x.getLong(3), x.getString(4)))
+      .toSet
+  }
+
+  test("roundtrip: whole-file read returns every record byte-exactly") {
+    val path = writeFixture("whole")
+    val got = collectAll(path, None)
+    val want = fixtureDf.collect().map { r =>
+      val p = r.getAs[Array[Byte]]("payload")
+      val d = java.security.MessageDigest.getInstance("MD5").digest(p)
+      (r.getString(0), r.getString(1), r.getString(3), p.length.toLong,
+        d.map("%02x".format(_)).mkString)
+    }.toSet
+    assert(got == want)
+    assert(got.size == 40)
+  }
+
+  test("forced 256-byte splits: resync yields the same set, no dups or misses") {
+    val path = writeFixture("split")
+    val whole = collectAll(path, None)
+    val split = collectAll(path, Some(256L))
+    assert(split == whole)
+    // and genuinely multi-split: more partitions than files
+    val parts = spark.read.format("warc").option("maxSplitBytes", "256")
+      .load(path).rdd.getNumPartitions
+    assert(parts > 3, s"expected many splits, got $parts")
+  }
+
+  test("every split offset is consistent: sweep split sizes") {
+    val path = writeFixture("sweep")
+    val whole = collectAll(path, None)
+    Seq(64L, 200L, 333L, 1024L, 4096L).foreach { m =>
+      assert(collectAll(path, Some(m)) == whole, s"maxSplitBytes=$m diverged")
+    }
+  }
+
+  test("gzip member read: whole-file parse of a compressed warc") {
+    val src = writeFixture("gz")
+    val gzDir = new File("/root/repo/target/warc_spec/gz_out")
+    gzDir.mkdirs()
+    gzDir.listFiles().foreach(_.delete())
+    new File(src).listFiles().filter(_.getName.endsWith(".warc")).foreach { f =>
+      val out = new java.util.zip.GZIPOutputStream(
+        new java.io.FileOutputStream(new File(gzDir, f.getName + ".gz")))
+      out.write(java.nio.file.Files.readAllBytes(f.toPath)); out.close()
+    }
+    assert(collectAll(gzDir.getAbsolutePath, None) == collectAll(src, None))
+  }
+
+  test("column pruning and record_type filter reach the scan; partial limit") {
+    val path = writeFixture("push")
+    val df = spark.read.format("warc").load(path)
+      .filter(col("record_type") === "response")
+      .select(col("target_uri"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("record_type"),
+      s"filter not pushed:\n$plan")
+    assert(plan.contains("cols=record_type,target_uri"), // pruned read schema
+      s"columns not pruned:\n$plan")
+    assert(df.count() == fixtureDf.filter(col("record_type") === "response").count())
+    // pushed partial limit still yields exactly n rows globally
+    assert(spark.read.format("warc").load(path).limit(5).collect().length == 5)
+  }
+
+  test("split seek landing exactly on a record boundary neither dups nor drops") {
+    // single-partition file, then force splits at every offset granularity
+    val dir = new File("/root/repo/target/warc_spec/boundary")
+    WarcIO.writeWarc(fixtureDf.repartition(1), dir.getAbsolutePath)
+    val whole = collectAll(dir.getAbsolutePath, None)
+    // record sizes vary; sweeping many split sizes guarantees some split
+    // boundary lands exactly on a version line
+    (50L to 400L by 7L).foreach { m =>
+      assert(collectAll(dir.getAbsolutePath, Some(m)) == whole,
+        s"maxSplitBytes=$m diverged")
+    }
+  }
+}
