@@ -29,6 +29,28 @@ object Multimodal {
   case class MediaFeatures(media_id: Long, mime: String, n_bytes: Long,
                            width: Int, height: Int, embedding: Array[Float])
 
+  /** Deterministic grayscale PNG for the codec fixtures: pixel
+    * v = (id·31 + i·7) mod 256 — pure integer arithmetic, so a DuckDB
+    * oracle can rebuild the exact pixel grid without a codec (PNG
+    * truecolor is lossless). Shared by q_image_embed, q_image_neardup and
+    * the round-14 q_crossmodal_knn probes. Caller should have disabled
+    * ImageIO's on-disk cache once per partition. */
+  def synthPng(id: Long, w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val px = new Array[Int](w * h)
+    var i = 0
+    while (i < w * h) {
+      val v = ((id * 31 + i.toLong * 7) % 256).toInt
+      px(i) = (v << 16) | (v << 8) | v
+      i += 1
+    }
+    img.setRGB(0, 0, w, h, px, 0, w) // bulk write, same packed ints
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
   /** Per-partition decoder contract. Implementations may hold heavyweight
     * native state — `open()` runs once per partition, not per row. */
   trait MediaDecoder extends Serializable {

@@ -668,17 +668,40 @@ object Similarity {
     // probe via toMap — fail loudly instead (review r11, bruteTopKBatchQ twin)
     require(probeVecRows.length == pids.length,
       s"duplicate corpus rows for probe ids: ${probeVecRows.map(_._1).groupBy(identity).collect { case (id, g) if g.length > 1 => id }.mkString(", ")}")
+    ivfTopKBatchVecsQ(emb, idCol, vecCol,
+      pids.map(pid => pid -> probeVecs(pid)), k, nCells, iters, nProbe,
+      excludeProbeId = true)
+  }
+
+  /** [[ivfTopKBatchQ]] with EXTERNAL probe vectors (already quantized) —
+    * the cross-modal retrieval shape (round 14): probes that are not
+    * corpus rows (e.g. image block-luminance embeddings projected into
+    * the text-embedding space) search the same shared IVF index through
+    * the identical routing/re-rank plan. `excludeProbeId = false` is the
+    * cross-modal setting: probe ids live in a DIFFERENT id space, so an
+    * accidental id collision with a corpus row must not drop that row. */
+  def ivfTopKBatchVecsQ(emb: DataFrame, idCol: String, vecCol: String,
+                        probes: Seq[(Long, Array[Long])], k: Int,
+                        nCells: Int = 16, iters: Int = 2,
+                        nProbe: Int = 4,
+                        excludeProbeId: Boolean = true): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    require(probes.map(_._1).distinct.length == probes.length,
+      "duplicate probe ids")
+    val (cents, _) = ivfIndexQ(emb, idCol, vecCol, nCells, iters)
+    val sorted = cents.sortBy(_._1)
     // nearest nProbe cells per probe — |probes|·nCells·d driver-side integer
     // ops over data already on the driver; tie → lowest cell id
-    val probeRows: Seq[(Long, Int, Seq[Long], Double)] = pids.flatMap { pid =>
-      val pv = probeVecs(pid)
-      val pn = math.sqrt(pv.foldLeft(0L)((acc, x) => acc + x * x).toDouble)
-      sorted.map { case (cid, c) =>
-        var d = 0L; var i = 0
-        while (i < c.length) { val t = c(i) - pv(i); d += t * t; i += 1 }
-        (d, cid)
-      }.sortBy(identity).take(nProbe)
-        .map { case (_, cid) => (pid, cid, pv.toSeq, pn) }
+    val probeRows: Seq[(Long, Int, Seq[Long], Double)] = probes.flatMap {
+      case (pid, pv) =>
+        val pn = math.sqrt(pv.foldLeft(0L)((acc, x) => acc + x * x).toDouble)
+        sorted.map { case (cid, c) =>
+          var d = 0L; var i = 0
+          while (i < c.length) { val t = c(i) - pv(i); d += t * t; i += 1 }
+          (d, cid)
+        }.sortBy(identity).take(nProbe)
+          .map { case (_, cid) => (pid, cid, pv.toSeq, pn) }
     }
     val probeTbl = probeRows.toDF("probe_id", "cell", "pvq", "pnrm")
     val members = emb
@@ -692,7 +715,9 @@ object Similarity {
     // both engines — a degenerate vector must not displace real
     // neighbors (same guard as semanticDedup; mirrored in the oracle)
     members.join(broadcast(probeTbl), Seq("cell"))
-      .filter(col("vec_id") =!= col("probe_id") && col("pnrm") > 0d)
+      .filter(
+        (if (excludeProbeId) col("vec_id") =!= col("probe_id") else lit(true))
+          && col("pnrm") > 0d)
       .withColumn("nrm", sqrt(graft.plans.VectorExpressions
         .longDot(col("vq"), col("vq")).cast("double")))
       .filter(col("nrm") > 0d)

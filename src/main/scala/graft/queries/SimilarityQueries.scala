@@ -471,6 +471,112 @@ object SimilarityQueries {
        |QUALIFY rnk <= 5
        |ORDER BY probe_id, rnk""".stripMargin
 
+  /** Cross-modal retrieval (round 14) — image-derived probes searching
+    * the TEXT embedding corpus through the shared IVF machinery, with
+    * ZERO new index code ([[graft.operators.Similarity.ivfTopKBatchVecsQ]]
+    * is [[graft.operators.Similarity.ivfTopKBatchQ]]'s routing/re-rank
+    * body taking external probe vectors): 12 documents are rendered as
+    * real PNGs (the q_image_embed generator), decoded through the REAL
+    * javax.imageio codec, their 16-dim block-luminance embeddings tiled
+    * ×4 into the corpus's 64-dim space, quantized with the engine's
+    * floor(v·2^20) convention, and batched through the IVF index
+    * (nCells=16, iters=2, nProbe=4, k=5). `excludeProbeId=false`: probe
+    * ids are doc ids — a DIFFERENT id space from vec_ids, so an id
+    * collision must not drop a corpus row.
+    *
+    * The oracle replays BOTH modalities end to end: the pixel-generator
+    * arithmetic → block luminance → tiling → quantization for the probe
+    * side (no codec — PNG is lossless, the q_image_embed bit-exactness
+    * argument), and the full Lloyd chain + cell routing + cosine re-rank
+    * for the index side. Scale shape: the serving contract — a BOUNDED
+    * probe batch routes driver-side, the corpus is touched once per
+    * probe cell-hit via the broadcast (probe, cell) table, per-probe
+    * top-k is WindowGroupLimit. */
+  val CrossmodalProbes = 12
+  def qCrossmodalKnn(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ids = t(spark, sfDir, "documents").select(col("doc_id"))
+      .filter(col("doc_id") < CrossmodalProbes).as[Long]
+    val media = ids.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map(id => graft.multimodal.Multimodal.MediaRecord(id, "image/png",
+        graft.multimodal.Multimodal.synthPng(id, 48, 32)))
+    }
+    val feats = graft.multimodal.Multimodal
+      .extractFeatures(media, graft.multimodal.Multimodal.ImageIoDecoder)
+      .collect().sortBy(_.media_id) // bounded probe batch — the serving contract
+    val probes: Seq[(Long, Array[Long])] = feats.toIndexedSeq.map { f =>
+      f.media_id -> Array.tabulate(64)(p =>
+        math.floor(f.embedding(p % 16).toDouble * 1048576d).toLong)
+    }
+    graft.operators.Similarity.ivfTopKBatchVecsQ(
+        t(spark, sfDir, "embeddings"), "vec_id", "embedding",
+        probes, k = 5, nCells = 16, iters = 2, nProbe = 4,
+        excludeProbeId = false)
+      .orderBy("probe_id", "rnk")
+  }
+
+  /** Oracle: probe vectors rebuilt from the pixel arithmetic (block
+    * luminance → zero-center → float narrow → tile → floor·2^20), then
+    * the q_ann_batch routing/re-rank chain with probe norms from the
+    * probe table itself. */
+  lazy val qCrossmodalKnnSql: String =
+    s"""WITH $FlatSqlCte,
+       |${lloydSqlCtes(nCells = 16, iters = 2)},
+       |ipx AS (
+       |  SELECT d.doc_id, g.i,
+       |         ((d.doc_id * 31 + g.i * 7) % 256) AS v,
+       |         ((g.i // 48) // 8) * 4 + ((g.i % 48) // 12) AS b
+       |  FROM documents d, generate_series(0, 1535) AS g(i)
+       |  WHERE d.doc_id < $CrossmodalProbes),
+       |iterms AS (
+       |  SELECT doc_id, b, i, (0.299 * v + 0.587 * v + 0.114 * v) / 255.0 AS t
+       |  FROM ipx),
+       |isums AS (
+       |  SELECT doc_id, b, list_reduce(list(t ORDER BY i), (a, x) -> a + x) AS s
+       |  FROM iterms GROUP BY doc_id, b),
+       |imeans AS (SELECT doc_id, b, s / 96 AS m FROM isums),
+       |iov AS (
+       |  SELECT doc_id, list_reduce(list(m ORDER BY b), (a, x) -> a + x) / 16.0 AS o
+       |  FROM imeans GROUP BY doc_id),
+       |probq AS (
+       |  SELECT m.doc_id AS probe_id, g.p AS pos,
+       |         CAST(floor(CAST(CAST(m.m - ov.o AS REAL) AS DOUBLE) * 1048576) AS BIGINT) AS vq
+       |  FROM imeans m JOIN iov ov USING (doc_id), generate_series(1, 64) AS g(p)
+       |  WHERE m.b = (g.p - 1) % 16),
+       |pcells AS (
+       |  SELECT probe_id, cell FROM (
+       |    SELECT q.probe_id, c.cell,
+       |           CAST(sum((q.vq - c.cq) * (q.vq - c.cq)) AS BIGINT) AS d
+       |    FROM cent2 c JOIN probq q ON q.pos = c.pos GROUP BY 1, 2)
+       |  QUALIFY row_number() OVER (PARTITION BY probe_id ORDER BY d, cell) <= 4),
+       |cand AS (
+       |  SELECT p.probe_id, a.vec_id
+       |  FROM afin a JOIN pcells p ON a.cell = p.cell),
+       |norms AS (SELECT vec_id, CAST(sum(vq * vq) AS BIGINT) AS norm2 FROM flat GROUP BY 1),
+       |pnorms AS (SELECT probe_id, CAST(sum(vq * vq) AS BIGINT) AS pnorm2 FROM probq GROUP BY 1),
+       |dots AS (
+       |  SELECT c.probe_id, c.vec_id, CAST(sum(f.vq * q.vq) AS BIGINT) AS dot
+       |  FROM cand c
+       |  JOIN flat f ON f.vec_id = c.vec_id
+       |  JOIN probq q ON q.probe_id = c.probe_id AND q.pos = f.pos
+       |  GROUP BY 1, 2),
+       |scored AS (
+       |  SELECT d.probe_id, d.vec_id,
+       |         CAST(d.dot AS DOUBLE)
+       |           / (sqrt(CAST(n.norm2 AS DOUBLE)) * sqrt(CAST(p.pnorm2 AS DOUBLE))) AS cosine
+       |  FROM dots d
+       |  JOIN norms n ON n.vec_id = d.vec_id
+       |  JOIN pnorms p ON p.probe_id = d.probe_id
+       |  WHERE n.norm2 > 0 AND p.pnorm2 > 0)
+       |SELECT probe_id,
+       |       CAST(row_number() OVER (PARTITION BY probe_id
+       |                               ORDER BY cosine DESC, vec_id) AS BIGINT) AS rnk,
+       |       vec_id, cosine
+       |FROM scored
+       |QUALIFY rnk <= 5
+       |ORDER BY probe_id, rnk""".stripMargin
+
   /** SemDeDup — semantic dedup over the embedding corpus
     * ([[graft.operators.Similarity.semanticDedup]]): quantized-Lloyd
     * k-means cells, within-cell quantized-cosine pruning; of each
@@ -1593,6 +1699,7 @@ object SimilarityQueries {
     "q_simsearch_brute" -> (qSimsearchBrute _),
     "q_ann_ivf" -> (qAnnIvf _),
     "q_ann_batch" -> (qAnnBatch _),
+    "q_crossmodal_knn" -> (qCrossmodalKnn _),
     "q_ann_recall" -> (qAnnRecall _),
     "q_ann_pq" -> (qAnnPq _),
     "q_ann_ivfpq" -> (qAnnIvfpq _),
@@ -1617,6 +1724,7 @@ object SimilarityQueries {
     "q_embed_neardup_rh" -> qEmbedNeardupRhSql,
     "q_ann_ivf" -> qAnnIvfSql,
     "q_ann_batch" -> qAnnBatchSql,
+    "q_crossmodal_knn" -> qCrossmodalKnnSql,
     "q_ann_recall" -> qAnnRecallSql,
     "q_ann_pq" -> qAnnPqSql,
     "q_ann_ivfpq" -> qAnnIvfpqSql,

@@ -1294,19 +1294,8 @@ object TextQueries {
     val media = ids.mapPartitions { it =>
       javax.imageio.ImageIO.setUseCache(false)
       it.map { id =>
-        val img = new java.awt.image.BufferedImage(
-          W, H, java.awt.image.BufferedImage.TYPE_INT_RGB)
-        val px = new Array[Int](W * H)
-        var i = 0
-        while (i < W * H) {
-          val v = ((id * 31 + i.toLong * 7) % 256).toInt
-          px(i) = (v << 16) | (v << 8) | v
-          i += 1
-        }
-        img.setRGB(0, 0, W, H, px, 0, W) // bulk write, same packed ints
-        val bos = new java.io.ByteArrayOutputStream()
-        javax.imageio.ImageIO.write(img, "png", bos)
-        graft.multimodal.Multimodal.MediaRecord(id, "image/png", bos.toByteArray)
+        graft.multimodal.Multimodal.MediaRecord(id, "image/png",
+          graft.multimodal.Multimodal.synthPng(id, W, H))
       }
     }
     graft.multimodal.Multimodal
