@@ -136,6 +136,9 @@ object GraftExtensions {
     reg("pii_redact",
       "pii_redact(text) - emails/phones/SSNs/IPs replaced by type tags") {
       exprs => PiiRedactExpr(exprs.head) }
+    reg("url_canon",
+      "url_canon(url) - canonical URL: lowercase scheme/host, default ports and fragments stripped, tracking params dropped, params byte-sorted, trailing slash normalized") {
+      exprs => UrlCanonExpr(exprs.head) }
     reg("html_extract",
       "html_extract(html, minChars, densityNum) - jusText-shape boilerplate removal: (extracted, kept_lines, dropped_lines, boiler_chars)") {
       exprs => HtmlExtractExpr(exprs.head, intArg(exprs, 1), intArg(exprs, 2)) }

@@ -236,6 +236,64 @@ object Sampling {
   def registrableDomainTwoLabel(host: Column): Column =
     substring_index(host, ".", -2)
 
+  /** Query parameters dropped by [[urlCanon]]: the click-tracking noise
+    * (utm_* by prefix, plus the platform click ids) that makes one page
+    * look like many URLs — the single biggest source of url-alias
+    * duplicates in crawl data. Bounded, public knowledge (the parameters
+    * are documented by their platforms). */
+  val TrackingParams: Seq[String] =
+    Seq("fbclid", "gclid", "msclkid", "mc_cid", "mc_eid", "igshid", "s_kwcid")
+
+  /** URL canonicalization — the alias-collapse step crawl dedup runs on
+    * (one page, many observed URLs): lowercase scheme and host, strip a
+    * DEFAULT port (http:80 / https:443; any other explicit port is
+    * meaningful and kept), strip the fragment, drop tracking parameters
+    * ([[TrackingParams]] by name + the `utm_` name prefix), sort the
+    * surviving parameters byte-lexicographically (both engines' binary
+    * string order; duplicates kept, order made deterministic), strip ONE
+    * trailing slash from a non-root path, and `"" → "/"`. Path and query
+    * VALUES keep their case (only scheme/host are case-insensitive per
+    * RFC 3986 §6.2.2.1). A string with no `://` passes through unchanged
+    * (no structure to canonicalize — the gate upstream rejects it).
+    *
+    * This Column form is the pinned REFERENCE; the hot path is the
+    * byte-scanner kernel ([[graft.plans.UrlExpressions.urlCanon]], the
+    * pii_redact playbook), pinned ≡ this form on crafted + generated
+    * corpora. Row-local, zero shuffle either way. */
+  def urlCanonColumns(url: Column): Column = {
+    val scheme = lower(substring_index(url, "://", 1))
+    val rest = substring_index(url, "://", -1)
+    // authority = up to the first '/', '?' or '#' of the rest
+    val authority = substring_index(substring_index(
+      substring_index(rest, "/", 1), "?", 1), "#", 1)
+    val tail = rest.substr(length(authority) + 1, length(url)) // may be ""
+    val tail2 = substring_index(tail, "#", 1)                  // fragment gone
+    val rawPath = substring_index(tail2, "?", 1)
+    val query = when(instr(tail2, "?") > 0,
+      tail2.substr(length(rawPath) + 2, length(url))).otherwise(lit(""))
+    val path = when(rawPath === "", lit("/"))
+      .when(rawPath =!= "/" && rawPath.endsWith("/"),
+        rawPath.substr(lit(1), length(rawPath) - 1))
+      .otherwise(rawPath)
+    val host = lower(substring_index(authority, ":", 1))
+    // everything after the FIRST colon (a second colon is part of the
+    // malformed "port" and must round-trip — first-colon split, like host)
+    val port = authority.substr(length(host) + 2, length(url))
+    val keepPort = instr(authority, ":") > 0 &&
+      !((scheme === "http" && port === "80") ||
+        (scheme === "https" && port === "443"))
+    val kept = array_sort(filter(split(query, "&"), p => {
+      val name = substring_index(p, "=", 1)
+      p =!= "" && !name.startsWith("utm_") && !name.isInCollection(TrackingParams)
+    }))
+    val q = array_join(kept, "&")
+    when(instr(url, "://") === 0, url).otherwise(concat(
+      scheme, lit("://"), host,
+      when(keepPort, concat(lit(":"), port)).otherwise(lit("")),
+      path,
+      when(size(kept) > 0, concat(lit("?"), q)).otherwise(lit(""))))
+  }
+
   /** Rule table for the crawl-curation URL gate ([[urlVerdict]]) — the
     * UT1-blocklist shape every web pipeline runs BEFORE content filters:
     * scheme/port sanity plus blocklists by registrable domain, host

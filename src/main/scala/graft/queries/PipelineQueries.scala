@@ -529,6 +529,121 @@ object PipelineQueries {
        |SELECT * FROM fun UNION ALL SELECT * FROM cap ORDER BY stage""".stripMargin
   }
 
+  /** URL canonicalization + alias collapse (round 14) — the dedup-prep
+    * step crawl pipelines run between the URL gate and per-domain
+    * capping: one page is observed under many raw URLs (case variants,
+    * default ports, fragments, tracking parameters, trailing slashes,
+    * unsorted query params), and url-level dedup only works on the
+    * canonical form. Fixture: each PAGE (doc_id div 4) appears under 4
+    * planted raw variants — plain, SHOUTED-case + `:443` + fragment,
+    * trailing-slash + utm/fbclid trackers, and unsorted `?b=2&a=1` query
+    * (that one canonicalizes to its own URL with sorted params — proving
+    * the sort without collapsing a genuinely distinct query). Readout
+    * per canonical URL: alias count, distinct raw forms, id sum + min id
+    * (the first-occurrence keep rule) — variants 0-2 MUST collapse to
+    * one row with n_raw = 3.
+    *
+    * Runs the native `url_canon` kernel
+    * ([[graft.plans.UrlExpressions.urlCanon]]); the Column reference is
+    * pinned ≡ kernel in UrlKernelSpec. Scale shape: canonicalization is
+    * row-local in codegen; the collapse is one hash aggregate on the
+    * canonical key — at 100 TB this is the standard pre-shuffle for
+    * url-keyed dedup. */
+  def qUrlCanon(spark: SparkSession, sfDir: String): DataFrame = {
+    val p = expr("doc_id div 4").cast("string")
+    val s = expr("(doc_id div 4) % 37").cast("string")
+    val url = when(col("doc_id") % 4 === 0,
+        concat(lit("https://site"), s, lit(".com/page/"), p))
+      .when(col("doc_id") % 4 === 1,
+        concat(lit("HTTPS://SITE"), s, lit(".COM:443/page/"), p,
+          lit("#sec"), col("doc_id").cast("string")))
+      .when(col("doc_id") % 4 === 2,
+        concat(lit("https://site"), s, lit(".com/page/"), p,
+          lit("/?utm_source=feed&fbclid=x"), col("doc_id").cast("string")))
+      .otherwise(
+        concat(lit("https://site"), s, lit(".com/page/"), p,
+          lit("?b=2&a=1&utm_campaign=c")))
+    t(spark, sfDir, "documents")
+      .select(col("doc_id"), url.as("url"))
+      .select(col("doc_id"), col("url"),
+        graft.plans.UrlExpressions.urlCanon(col("url")).as("curl"))
+      .groupBy("curl")
+      .agg(count(lit(1)).as("n_urls"),
+        countDistinct(col("url")).as("n_raw"),
+        sum(col("doc_id")).as("id_sum"),
+        min(col("doc_id")).as("keep_id"))
+      .orderBy("curl")
+  }
+
+  /** Oracle: the URL build + the ENTIRE canonicalization algorithm
+    * (scheme/host lowering, first-colon port split, default-port strip,
+    * fragment strip, tracker filter, binary-collation param sort,
+    * trailing-slash rule) replayed relationally. */
+  val qUrlCanonSql: String = {
+    val trackers = graft.operators.Sampling.TrackingParams.sorted
+      .map(x => s"'$x'").mkString(", ")
+    s"""WITH b AS (
+       |  SELECT doc_id,
+       |         CAST(doc_id // 4 AS VARCHAR) AS p,
+       |         CAST((doc_id // 4) % 37 AS VARCHAR) AS s
+       |  FROM documents),
+       |u AS (
+       |  SELECT doc_id,
+       |         CASE CAST(doc_id % 4 AS INTEGER)
+       |           WHEN 0 THEN 'https://site' || s || '.com/page/' || p
+       |           WHEN 1 THEN 'HTTPS://SITE' || s || '.COM:443/page/' || p || '#sec' || CAST(doc_id AS VARCHAR)
+       |           WHEN 2 THEN 'https://site' || s || '.com/page/' || p || '/?utm_source=feed&fbclid=x' || CAST(doc_id AS VARCHAR)
+       |           ELSE 'https://site' || s || '.com/page/' || p || '?b=2&a=1&utm_campaign=c'
+       |         END AS url
+       |  FROM b),
+       |c1 AS (
+       |  SELECT doc_id, url,
+       |         lower(string_split(url, '://')[1]) AS scheme,
+       |         string_split(url, '://')[2] AS rest
+       |  FROM u),
+       |c2 AS (
+       |  SELECT *, string_split(string_split(string_split(rest, '/')[1], '?')[1], '#')[1] AS auth
+       |  FROM c1),
+       |c3 AS (
+       |  SELECT *, string_split(substr(rest, length(auth) + 1), '#')[1] AS tail2 FROM c2),
+       |c4 AS (
+       |  SELECT *, string_split(tail2, '?')[1] AS rawpath,
+       |         CASE WHEN contains(tail2, '?')
+       |              THEN substr(tail2, length(string_split(tail2, '?')[1]) + 2)
+       |              ELSE '' END AS query
+       |  FROM c3),
+       |c5 AS (
+       |  SELECT *,
+       |         CASE WHEN rawpath = '' THEN '/'
+       |              WHEN rawpath <> '/' AND rawpath LIKE '%/'
+       |              THEN substr(rawpath, 1, length(rawpath) - 1)
+       |              ELSE rawpath END AS path,
+       |         lower(string_split(auth, ':')[1]) AS host,
+       |         substr(auth, length(string_split(auth, ':')[1]) + 2) AS port
+       |  FROM c4),
+       |c6 AS (
+       |  SELECT *,
+       |         list_sort(list_filter(string_split(query, '&'),
+       |           q -> q <> '' AND NOT starts_with(string_split(q, '=')[1], 'utm_')
+       |                AND string_split(q, '=')[1] NOT IN ($trackers))) AS kept
+       |  FROM c5),
+       |canon AS (
+       |  SELECT doc_id, url,
+       |         scheme || '://' || host
+       |           || CASE WHEN contains(auth, ':')
+       |                    AND NOT ((scheme = 'http' AND port = '80')
+       |                             OR (scheme = 'https' AND port = '443'))
+       |                   THEN ':' || port ELSE '' END
+       |           || path
+       |           || CASE WHEN len(kept) > 0 THEN '?' || array_to_string(kept, '&') ELSE '' END AS curl
+       |  FROM c6)
+       |SELECT curl, count(*) AS n_urls,
+       |       CAST(count(DISTINCT url) AS BIGINT) AS n_raw,
+       |       CAST(sum(doc_id) AS BIGINT) AS id_sum,
+       |       CAST(min(doc_id) AS BIGINT) AS keep_id
+       |FROM canon GROUP BY curl ORDER BY curl""".stripMargin
+  }
+
   /** Deterministic global shuffle + sharding — the batch-prep step that
     * turns a curated corpus into N training shards in a rerun-stable
     * pseudo-random order: shard = 32-bit md5 window of doc_id mod
@@ -1222,6 +1337,7 @@ object PipelineQueries {
     "q_source_cap" -> (qSourceCap _),
     "q_domain_cap" -> (qDomainCap _),
     "q_url_filter" -> (qUrlFilter _),
+    "q_url_canon" -> (qUrlCanon _),
     "q_shard_shuffle" -> (qShardShuffle _))
 
   val oracles: Map[String, String] = Map(
@@ -1240,5 +1356,6 @@ object PipelineQueries {
     "q_source_cap" -> qSourceCapSql,
     "q_domain_cap" -> qDomainCapSql,
     "q_url_filter" -> qUrlFilterSql,
+    "q_url_canon" -> qUrlCanonSql,
     "q_shard_shuffle" -> qShardShuffleSql)
 }
