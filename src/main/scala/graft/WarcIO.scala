@@ -41,7 +41,7 @@ object WarcIO {
     * stream through per-partition Hadoop file writes instead. Task
     * retries are safe: each task recreates its own part file with
     * overwrite. */
-  def writeWarc(df: DataFrame, path: String): Unit = {
+  def writeWarc(df: DataFrame, path: String, recordGzip: Boolean = false): Unit = {
     val spark = df.sparkSession
     val serConf = new org.apache.spark.util.SerializableConfiguration(
       spark.sparkContext.hadoopConfiguration)
@@ -57,7 +57,8 @@ object WarcIO {
       "content_type", "payload")
     withCt.select(cols.head, cols.tail: _*).rdd.foreachPartition { rows =>
       val pid = org.apache.spark.TaskContext.getPartitionId()
-      val file = new org.apache.hadoop.fs.Path(path, f"part-$pid%05d.warc")
+      val ext = if (recordGzip) ".warc.gz" else ".warc"
+      val file = new org.apache.hadoop.fs.Path(path, f"part-$pid%05d$ext")
       val fsw = file.getFileSystem(serConf.value)
       val out = new java.io.BufferedOutputStream(fsw.create(file, true), 1 << 16)
       try {
@@ -73,9 +74,18 @@ object WarcIO {
           if (uri != null) sb.append("WARC-Target-URI: ").append(uri).append("\r\n")
           sb.append("Content-Type: ").append(r.getAs[String]("content_type")).append("\r\n")
           sb.append("Content-Length: ").append(payload.length).append("\r\n\r\n")
-          out.write(sb.toString.getBytes("US-ASCII"))
-          out.write(payload)
-          out.write(crlf); out.write(crlf)
+          // recordGzip: each record its own RFC 1952 member (the Common
+          // Crawl layout) — finish() closes the member, not the stream,
+          // so members concatenate and the file is member-splittable
+          val sink: java.io.OutputStream =
+            if (recordGzip) new java.util.zip.GZIPOutputStream(out, 8192) else out
+          sink.write(sb.toString.getBytes("US-ASCII"))
+          sink.write(payload)
+          sink.write(crlf); sink.write(crlf)
+          sink match {
+            case gz: java.util.zip.GZIPOutputStream => gz.finish()
+            case _ => ()
+          }
         }
       } finally out.close()
     }

@@ -1187,9 +1187,23 @@ object PipelineQueries {
     * kernel pass, and the only exchange is the |langs|-row aggregate.
     * At 100 TB this is exactly the Common-Crawl ingest plan: split →
     * resync → filter responses → extract → curate, one streaming pass. */
-  def qWarcIngest(spark: SparkSession, sfDir: String): DataFrame = {
+  def qWarcIngest(spark: SparkSession, sfDir: String): DataFrame =
+    warcIngest(spark, sfDir, recordGzip = false)
+
+  /** Record-gzipped twin (round 14): the SAME fixture and readout, but the
+    * container is per-record-gzip (`.warc.gz`, the Common Crawl layout)
+    * and the scan reads it with `recordGzipSplit` MEMBER splits — the
+    * gzip-magic + header + `WARC/1.`-prefix resync and exact member
+    * ownership under the oracle gate (the oracle is qWarcIngestSql
+    * verbatim: the container must be invisible to the result). */
+  def qWarcGz(spark: SparkSession, sfDir: String): DataFrame =
+    warcIngest(spark, sfDir, recordGzip = true)
+
+  private def warcIngest(spark: SparkSession, sfDir: String,
+                         recordGzip: Boolean): DataFrame = {
     val dir = new java.io.File(
-      "/root/repo/target/warc_ingest/" + new java.io.File(sfDir).getName)
+      "/root/repo/target/warc_ingest/" + new java.io.File(sfDir).getName +
+        (if (recordGzip) "_gz" else ""))
     val docs = t(spark, sfDir, "documents")
     val uri = concat(lit("https://fixture.test/"), col("lang"),
       lit("/"), col("doc_id").cast("string"))
@@ -1209,10 +1223,12 @@ object PipelineQueries {
       lit("application/http; msgtype=request").as("content_type"),
       concat(lit("GET /p/"), col("doc_id").cast("string"),
         lit(" HTTP/1.1\r\nHost: fixture.test\r\n\r\n")).cast("binary").as("payload"))
-    graft.WarcIO.writeWarc(responses.unionAll(requests), dir.getAbsolutePath)
+    graft.WarcIO.writeWarc(responses.unionAll(requests), dir.getAbsolutePath,
+      recordGzip = recordGzip)
     val warc = spark.read.format("warc")
       .option("maxSplitBytes",
         FastxQueries.adaptiveSplitBytes(spark, dir.getAbsolutePath).toString)
+      .option("recordGzipSplit", recordGzip.toString)
       .load(dir.getAbsolutePath)
       .filter(col("record_type") === "response") // pushed into the reader
     val ex = graft.plans.HtmlExtractExpressions.htmlExtract(
@@ -1324,6 +1340,7 @@ object PipelineQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_html_extract" -> (qHtmlExtract _),
     "q_warc_ingest" -> (qWarcIngest _),
+    "q_warc_gz" -> (qWarcGz _),
     "q_web_pipeline" -> (qWebPipeline _),
     "q_bootstrap_ci" -> (qBootstrapCi _),
     "q_snapshot_diff" -> (qSnapshotDiff _),
@@ -1343,6 +1360,7 @@ object PipelineQueries {
   val oracles: Map[String, String] = Map(
     "q_html_extract" -> qHtmlExtractSql,
     "q_warc_ingest" -> qWarcIngestSql,
+    "q_warc_gz" -> qWarcIngestSql,
     "q_web_pipeline" -> qWebPipelineSql,
     "q_bootstrap_ci" -> qBootstrapCiSql,
     "q_snapshot_diff" -> qSnapshotDiffSql,

@@ -28,10 +28,16 @@ import org.apache.spark.unsafe.types.UTF8String
   *    per-partition limit;
   *  - SPLITTABLE plain files: byte ranges resync on a VALIDATED
   *    `WARC/1.x` version line ([[WarcParser.records]] — the FASTQ-resync
-  *    discipline), then frame exactly by Content-Length walks. Compressed
-  *    files read whole (one partition per file; Hadoop's gzip codec
-  *    streams the member-concatenated per-record gzip that real crawls
-  *    use as one stream).
+  *    discipline), then frame exactly by Content-Length walks;
+  *  - SPLITTABLE per-record-gzipped files (`.warc.gz`, the layout Common
+  *    Crawl actually ships — every record its own RFC 1952 member) with
+  *    `option("recordGzipSplit", "true")`: byte ranges resync on a
+  *    VALIDATED gzip member boundary ([[GzipMembers]] — magic + full
+  *    header parse + `WARC/1.` decompressed-prefix check), exact member
+  *    ownership. Without the option, compressed files read whole (one
+  *    partition per file; Hadoop's gzip codec streams concatenated
+  *    members as one stream — see [[GzipMembers]] for why splitting is
+  *    never inferred from the extension).
   *
   * At 100 TB: splits default to 128 MB byte ranges per task over
   * arbitrarily large files, scan statistics report real byte sizes to
@@ -163,18 +169,21 @@ class WarcScanBuilder(paths: Seq[String], full: StructType,
   override def build(): Scan = {
     val maxSplit = Option(options.get("maxSplitBytes")).map(_.toLong)
       .getOrElse(128L * 1024 * 1024)
-    new WarcScan(paths, full, required, maxSplit, limit, pushed.toSeq)
+    val gzMembers = Option(options.get("recordGzipSplit")).exists(_.toBoolean)
+    new WarcScan(paths, full, required, maxSplit, limit, pushed.toSeq, gzMembers)
   }
 }
 
 final case class WarcInputPartition(file: String, start: Long, length: Long,
                                     limit: Int,
-                                    filters: Seq[org.apache.spark.sql.sources.Filter])
+                                    filters: Seq[org.apache.spark.sql.sources.Filter],
+                                    gzMembers: Boolean = false)
   extends InputPartition
 
 class WarcScan(paths: Seq[String], full: StructType, required: StructType,
                maxSplitBytes: Long, limit: Int,
-               filters: Seq[org.apache.spark.sql.sources.Filter])
+               filters: Seq[org.apache.spark.sql.sources.Filter],
+               recordGzipSplit: Boolean = false)
   extends Scan with Batch with SupportsReportStatistics {
   import graft.sources.fastx.FastxDataSource.{isCompressed, resolveFiles}
 
@@ -202,13 +211,23 @@ class WarcScan(paths: Seq[String], full: StructType, required: StructType,
     val files = resolveFiles(paths, conf).filter(_.getLen > 0)
     files.flatMap { st =>
       val p = st.getPath
-      val splittable = !isCompressed(p, conf) && st.getLen > maxSplitBytes
+      // per-record-gzipped files (the Common Crawl layout) split on gzip
+      // MEMBER boundaries — the explicit `recordGzipSplit` option, never
+      // inferred from the extension: a monolithic single-member gzip
+      // would decompress its whole "member" (= the whole corpus) in
+      // split 0. Without the option, any compressed file reads whole
+      // (Hadoop's codec streams concatenated members transparently).
+      val gzSplit = recordGzipSplit && p.getName.toLowerCase.endsWith(".gz")
+      val splittable =
+        (gzSplit || !isCompressed(p, conf)) && st.getLen > maxSplitBytes
       if (splittable)
         (0L until st.getLen by maxSplitBytes).map { off =>
           WarcInputPartition(p.toString, off,
-            math.min(maxSplitBytes, st.getLen - off), limit, filters)
+            math.min(maxSplitBytes, st.getLen - off), limit, filters, gzSplit)
         }
-      else Seq(WarcInputPartition(p.toString, 0L, st.getLen, limit, filters))
+      else
+        Seq(WarcInputPartition(p.toString, 0L, st.getLen, limit, filters,
+          gzSplit))
     }.toArray
   }
 
@@ -235,7 +254,14 @@ class WarcPartitionReader(part: WarcInputPartition, columns: Array[String])
   private val rawStream = fs.open(path)
 
   private val records: Iterator[WarcRecord] = {
-    if (compressed) {
+    if (part.gzMembers) {
+      // per-record-gzip member walk: exact member ownership [start, end),
+      // resync = magic scan + header parse + WARC/1. prefix validation
+      val fileLen = fs.getFileStatus(path).getLen
+      val raw = new GzipMembers.RawReader(rawStream, fileLen)
+      GzipMembers.records(raw, part.start, part.start + part.length,
+        resync = part.start > 0)
+    } else if (compressed) {
       WarcParser.records(
         new PosByteReader(decompressed(path, rawStream, conf)))
     } else if (part.start == 0) {

@@ -108,6 +108,93 @@ class WarcSpec extends SparkSpec {
     assert(spark.read.format("warc").load(path).limit(5).collect().length == 5)
   }
 
+  test("record-gzip: member-split reads equal the plain-file truth") {
+    val plain = writeFixture("rg_plain")
+    val dir = new File("/root/repo/target/warc_spec/rg")
+    WarcIO.writeWarc(fixtureDf.repartition(2), dir.getAbsolutePath,
+      recordGzip = true)
+    val names = new File(dir.getAbsolutePath).listFiles().map(_.getName)
+    assert(names.forall(n => n.startsWith("_") || n.startsWith(".") ||
+      n.endsWith(".warc.gz")))
+    val whole = collectAll(plain, None)
+    // whole-file codec path (no option): concatenated members stream as one
+    assert(collectAll(dir.getAbsolutePath, None) == whole)
+    // member-split path: sweep split sizes — boundaries land mid-member,
+    // between members, and exactly ON member starts somewhere in the sweep
+    (64L to 600L by 39L).foreach { m =>
+      val got = spark.read.format("warc")
+        .option("recordGzipSplit", "true").option("maxSplitBytes", m.toString)
+        .load(dir.getAbsolutePath)
+        .select(col("record_type"), col("record_id"), col("target_uri"),
+          col("content_length"), md5(col("payload")).as("pmd5"))
+        .collect()
+        .map(x => (x.getString(0), x.getString(1), x.getString(2), x.getLong(3), x.getString(4)))
+        .toSet
+      assert(got == whole, s"recordGzipSplit maxSplitBytes=$m diverged")
+    }
+    // genuinely multi-split
+    val parts = spark.read.format("warc").option("recordGzipSplit", "true")
+      .option("maxSplitBytes", "200").load(dir.getAbsolutePath)
+      .rdd.getNumPartitions
+    assert(parts > 2, s"expected member splits, got $parts")
+  }
+
+  test("record-gzip: FNAME/FEXTRA headers and false magic inside payloads survive") {
+    // hand-write members with optional header fields (real crawl writers
+    // set FNAME) and payloads containing the gzip magic bytes
+    val dir = new File("/root/repo/target/warc_spec/rg_hdr")
+    dir.mkdirs(); dir.listFiles().foreach(_.delete())
+    def record(i: Int, body: Array[Byte]): Array[Byte] = {
+      val h = s"WARC/1.0\r\nWARC-Type: response\r\nWARC-Record-ID: <urn:uuid:h-$i>\r\n" +
+        s"WARC-Date: 2024-01-01T00:00:00Z\r\nWARC-Target-URI: https://x.test/$i\r\n" +
+        s"Content-Type: application/http\r\nContent-Length: ${body.length}\r\n\r\n"
+      h.getBytes("ISO-8859-1") ++ body ++ "\r\n\r\n".getBytes("ISO-8859-1")
+    }
+    val out = new java.io.FileOutputStream(new File(dir, "h.warc.gz"))
+    (0 until 10).foreach { i =>
+      val body =
+        if (i % 3 == 0) Array[Byte](0x1f.toByte, 0x8b.toByte, 0x08, 0x00) ++
+          s"fake gzip magic inside payload $i".getBytes("ISO-8859-1")
+        else s"plain body $i".getBytes("ISO-8859-1")
+      // raw deflate via GZIPOutputStream per member, with a filename field
+      // simulated by wrapping: java's GZIPOutputStream sets FLG=0, so for
+      // FNAME coverage build the header by hand around a raw deflater
+      if (i % 2 == 0) {
+        val bos = new java.io.ByteArrayOutputStream()
+        val gz = new java.util.zip.GZIPOutputStream(bos)
+        gz.write(record(i, body)); gz.finish()
+        out.write(bos.toByteArray)
+      } else {
+        val payload = record(i, body)
+        val d = new java.util.zip.Deflater(java.util.zip.Deflater.DEFAULT_COMPRESSION, true)
+        d.setInput(payload); d.finish()
+        val comp = new Array[Byte](payload.length * 2 + 64)
+        val n = d.deflate(comp); d.end()
+        val crc = new java.util.zip.CRC32(); crc.update(payload)
+        val name = s"rec$i.warc".getBytes("ISO-8859-1")
+        val hdr = Array[Byte](0x1f.toByte, 0x8b.toByte, 8, 0x08, 0, 0, 0, 0, 0, 0) ++
+          name ++ Array[Byte](0)
+        val trailer = java.nio.ByteBuffer.allocate(8)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          .putInt(crc.getValue.toInt).putInt(payload.length).array()
+        out.write(hdr); out.write(comp, 0, n); out.write(trailer)
+      }
+    }
+    out.close()
+    val whole = spark.read.format("warc").load(dir.getAbsolutePath)
+      .select(col("record_id"), col("content_length")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(whole.size == 10)
+    (32L to 300L by 23L).foreach { m =>
+      val got = spark.read.format("warc")
+        .option("recordGzipSplit", "true").option("maxSplitBytes", m.toString)
+        .load(dir.getAbsolutePath)
+        .select(col("record_id"), col("content_length")).collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSet
+      assert(got == whole, s"FNAME sweep maxSplitBytes=$m diverged")
+    }
+  }
+
   test("split seek landing exactly on a record boundary neither dups nor drops") {
     // single-partition file, then force splits at every offset granularity
     val dir = new File("/root/repo/target/warc_spec/boundary")
