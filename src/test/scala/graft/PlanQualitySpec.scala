@@ -1044,6 +1044,40 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("text_stats"), s"stopword diagnostic not the native kernel:\n$p")
   }
 
+  test("q_warc_ingest: response filter + column prune pushed into the warc scan (r14)") {
+    val p = plan("q_warc_ingest")
+    assert(p.contains("PushedFilters") && p.contains("record_type"),
+      s"record_type filter not pushed into the reader:\n$p")
+    // record_type rides along for the post-scan re-application of the
+    // pushed filter (the best-effort contract); the other 4 columns prune
+    assert(p.contains("cols=record_type,target_uri,payload"),
+      s"scan reads more than the 3 needed columns:\n$p")
+    assert(p.contains("html_extract"), s"extraction not the native kernel:\n$p")
+    // container scan → extract is row-local; exchanges = the lang
+    // repartition boundary + agg + output sort
+    val exchanges = p.split("Exchange ").length - 1
+    assert(exchanges <= 3, s"ingest pipeline shuffled beyond agg+sort:\n$p")
+  }
+
+  test("q_url_filter: gate is row-local — funnel agg + union cap only (r14)") {
+    val p = plan("q_url_filter")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+      s"the rule table must be compile-time InSets, not a join:\n$p")
+    // kept-side cap plans as WindowGroupLimit (map-side per-domain k-heaps)
+    assert(p.contains("WindowGroupLimit"), s"cap not group-limited map-side:\n$p")
+  }
+
+  test("q_url_canon: canonicalization in codegen, one hash-agg collapse (r14)") {
+    val p = plan("q_url_canon")
+    assert(p.contains("url_canon"), s"not the native kernel:\n$p")
+    // canon is row-local: exchanges = the countDistinct expansion's
+    // (curl, url) pre-agg + the curl collapse + the output sort
+    val exchanges = p.split("Exchange ").length - 1
+    assert(exchanges <= 3, s"canonicalization shuffled:\n$p")
+    assert(p.split("HashAggregate").length >= 3,
+      s"alias collapse must be two-phase:\n$p")
+  }
+
   test("q_triangle_count: wedge and closing joins equi-keyed, no cartesian") {
     val p = plan("q_triangle_count")
     assert(!p.contains("CartesianProduct"), s"cartesian in triangle census:\n$p")
