@@ -1272,6 +1272,63 @@ object PipelineQueries {
        |GROUP BY h.lang ORDER BY h.lang""".stripMargin
   }
 
+  /** WET export (round 14) — the extracted-text artifact of the crawl
+    * family (Common Crawl ships WARC + WET; WET files ARE WARC files of
+    * `conversion` records whose payload is the extracted plain text):
+    * documents → html fixture → the html_extract kernel → `conversion`
+    * records written RECORD-GZIPPED by the distributed sink → read back
+    * through gzip-MEMBER splits → per-lang readout with the extracted
+    * text's checksum recomputed by the oracle straight from `documents`
+    * (the shared hext chain). This is the WET PRODUCTION job every crawl
+    * pipeline runs after extraction, and its read-back proves the
+    * extracted corpus survives the compressed container byte-exactly.
+    *
+    * Scale shape: extraction is the fused kernel pass; the sink streams
+    * one .warc.gz per partition; the read fans out on member splits with
+    * the `conversion` filter and 2-column prune pushed; the only
+    * exchanges are the lang boundary + aggregate. */
+  def qWetExport(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = new java.io.File(
+      "/root/repo/target/wet_export/" + new java.io.File(sfDir).getName)
+    val docs = t(spark, sfDir, "documents")
+    val ex = graft.plans.HtmlExtractExpressions.htmlExtract(htmlFixtureCol)
+    val convRecs = docs.select(
+      lit("conversion").as("record_type"),
+      concat(lit("<urn:uuid:conv-"), col("doc_id").cast("string"), lit(">")).as("record_id"),
+      lit("2024-01-01T00:00:00Z").as("warc_date"),
+      concat(lit("https://fixture.test/"), col("lang"),
+        lit("/"), col("doc_id").cast("string")).as("target_uri"),
+      lit("text/plain").as("content_type"),
+      ex.getField("extracted").cast("binary").as("payload"))
+    graft.WarcIO.writeWarc(convRecs, dir.getAbsolutePath, recordGzip = true)
+    spark.read.format("warc")
+      .option("maxSplitBytes",
+        FastxQueries.adaptiveSplitBytes(spark, dir.getAbsolutePath).toString)
+      .option("recordGzipSplit", "true")
+      .load(dir.getAbsolutePath)
+      .filter(col("record_type") === "conversion")
+      .select(
+        regexp_extract(col("target_uri"), "^https://fixture\\.test/([a-z]+)/", 1).as("lang"),
+        col("payload").cast("string").as("wet_text"))
+      .repartition(col("lang"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(length(col("wet_text"))).cast("long").as("text_chars"),
+        sum(conv(graft.plans.HashExpressions.md5Prefix(col("wet_text"), 10), 16, 10)
+          .cast("long")).as("checksum"))
+      .orderBy("lang")
+  }
+
+  /** Oracle: extraction replayed from `documents` via the shared hext
+    * chain — any slip in extract → gzip-member write → member-split read
+    * breaks the checksum. */
+  val qWetExportSql: String =
+    s"""WITH $htmlExtractSqlCtes
+       |SELECT lang, count(*) AS n_docs,
+       |  CAST(sum(length(extracted)) AS BIGINT) AS text_chars,
+       |  CAST(sum(CAST('0x' || substr(md5(extracted), 1, 10) AS BIGINT)) AS BIGINT) AS checksum
+       |FROM hext GROUP BY lang ORDER BY lang""".stripMargin
+
   /** The WEB-corpus composition (round 13): HTML→text extraction feeding
     * the full curation cascade — extract → language-identifiability +
     * quality gate → exact dedup → MinHash-LSH near-dedup → per-lang
@@ -1341,6 +1398,7 @@ object PipelineQueries {
     "q_html_extract" -> (qHtmlExtract _),
     "q_warc_ingest" -> (qWarcIngest _),
     "q_warc_gz" -> (qWarcGz _),
+    "q_wet_export" -> (qWetExport _),
     "q_web_pipeline" -> (qWebPipeline _),
     "q_bootstrap_ci" -> (qBootstrapCi _),
     "q_snapshot_diff" -> (qSnapshotDiff _),
@@ -1361,6 +1419,7 @@ object PipelineQueries {
     "q_html_extract" -> qHtmlExtractSql,
     "q_warc_ingest" -> qWarcIngestSql,
     "q_warc_gz" -> qWarcIngestSql,
+    "q_wet_export" -> qWetExportSql,
     "q_web_pipeline" -> qWebPipelineSql,
     "q_bootstrap_ci" -> qBootstrapCiSql,
     "q_snapshot_diff" -> qSnapshotDiffSql,
