@@ -136,6 +136,9 @@ object GraftExtensions {
     reg("pii_redact",
       "pii_redact(text) - emails/phones/SSNs/IPs replaced by type tags") {
       exprs => PiiRedactExpr(exprs.head) }
+    reg("fix_encoding",
+      "fix_encoding(text) - mojibake repair (UTF-8 decoded as sloppy Windows-1252, re-encoded): (fixed, n_runs)") {
+      exprs => FixEncodingExpr(exprs.head) }
     reg("url_canon",
       "url_canon(url) - canonical URL: lowercase scheme/host, default ports and fragments stripped, tracking params dropped, params byte-sorted, trailing slash normalized") {
       exprs => UrlCanonExpr(exprs.head) }

@@ -1194,6 +1194,91 @@ object TextQueries {
       |         (a, b) -> a || b)) AS sample_md5
       |FROM f ORDER BY doc_id""".stripMargin
 
+  /** Mojibake suffixes planted by [[qFixEncoding]] and their repaired
+    * forms — each arm a distinct corruption class of the classic
+    * UTF-8-decoded-as-Windows-1252 failure. Written with unicode escapes
+    * so the source file stays ASCII-stable. */
+  private val MojiArms: Seq[(String, String, Long)] = Seq(
+    // (raw suffix, fixed suffix, repaired runs)
+    ("", "", 0L),                                       // arm 0: clean
+    (" cafÃ© menu", " café menu", 1L),   // Ã© → é
+    (" â€œsmartâ€ quotes",
+      " “smart” quotes", 2L),                 // â€œ/â€(9D) → “ ”
+    (" naÃ¯ve rÃ©sumÃ© â€” ok",
+      " naïve résumé — ok", 4L))    // ï é é + em dash
+
+  /** Encoding repair (round 14) — the ftfy-shape mojibake fix
+    * ([[graft.plans.FixEncoding]]): crawl text frequently arrives as
+    * UTF-8 that was decoded with Windows-1252 and re-encoded (`é` →
+    * `Ã©`, `—` → `â€”`); the kernel inverse-maps sloppy-CP1252 runs and
+    * rewrites only runs whose bytes are strictly valid multi-byte UTF-8,
+    * so genuine accented text is untouched (a lone `é` is an invalid
+    * UTF-8 lead on its own). Fixture: the ASCII corpus plus a planted
+    * corruption arm per doc_id%4 ([[MojiArms]] — Latin-1-block pairs,
+    * CP1252-remapped quotes incl. the unmapped 0x9D control, and a mixed
+    * accents+em-dash arm). Readout per lang: docs, repaired docs, run
+    * count, char shrinkage, md5 checksum of the REPAIRED text — the
+    * oracle builds raw and fixed forms from the same literals, so the
+    * checksum pins the exact rewrite. Row-local one-pass kernel; only
+    * the lang aggregate exchanges. */
+  def qFixEncoding(spark: SparkSession, sfDir: String): DataFrame = {
+    val arm = (col("doc_id") % 4).cast("int")
+    val sfx = MojiArms.zipWithIndex.tail.foldLeft(lit(MojiArms.head._1)) {
+      case (acc, ((raw, _, _), i)) => when(arm === i, lit(raw)).otherwise(acc)
+    }
+    val fixed = graft.plans.EncodingExpressions.fixEncoding(
+      concat(col("text"), sfx))
+    t(spark, sfDir, "documents")
+      .select(col("lang"), col("doc_id"), col("text"))
+      .withColumn("raw_len", length(concat(col("text"), sfx)).cast("long"))
+      .withColumn("f", fixed)
+      .select(col("lang"),
+        col("f.fixed").as("fixed"), col("f.n_runs").as("n_runs"),
+        (col("raw_len") - length(col("f.fixed"))).as("delta"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("n_runs") > 0L, 1L).otherwise(0L)).as("repaired_docs"),
+        sum(col("n_runs")).as("n_runs"),
+        sum(col("delta")).as("char_delta"),
+        sum(conv(graft.plans.HashExpressions.md5Prefix(col("fixed"), 10), 16, 10)
+          .cast("long")).as("checksum"))
+      .orderBy("lang")
+  }
+
+  /** Oracle: raw/fixed suffixes as SQL literals (non-ASCII and control
+    * chars via chr()), counts and checksums recomputed from the fixed
+    * form directly. */
+  lazy val qFixEncodingSql: String = {
+    def sqlLit(s: String): String =
+      if (s.isEmpty) "''"
+      else s.map { c =>
+        if (c >= ' ' && c <= '~' && c != '\'') s"'$c'" else s"chr(${c.toInt})"
+      }.reduce((a, b) => a + " || " + b) match {
+        case e => s"($e)"
+      }
+    val rawCase = MojiArms.zipWithIndex.map { case ((raw, _, _), i) =>
+      s"WHEN ${i} THEN ${sqlLit(raw)}"
+    }.mkString(" ")
+    val fixCase = MojiArms.zipWithIndex.map { case ((_, fx, _), i) =>
+      s"WHEN ${i} THEN ${sqlLit(fx)}"
+    }.mkString(" ")
+    val runCase = MojiArms.zipWithIndex.map { case ((_, _, r), i) =>
+      s"WHEN ${i} THEN $r"
+    }.mkString(" ")
+    s"""WITH m AS (
+       |  SELECT lang,
+       |         text || CASE CAST(doc_id % 4 AS INTEGER) $rawCase END AS raw,
+       |         text || CASE CAST(doc_id % 4 AS INTEGER) $fixCase END AS fixed,
+       |         CAST(CASE CAST(doc_id % 4 AS INTEGER) $runCase END AS BIGINT) AS n_runs
+       |  FROM documents)
+       |SELECT lang, count(*) AS n_docs,
+       |  CAST(sum(CASE WHEN n_runs > 0 THEN 1 ELSE 0 END) AS BIGINT) AS repaired_docs,
+       |  CAST(sum(n_runs) AS BIGINT) AS n_runs,
+       |  CAST(sum(length(raw) - length(fixed)) AS BIGINT) AS char_delta,
+       |  CAST(sum(CAST('0x' || substr(md5(fixed), 1, 10) AS BIGINT)) AS BIGINT) AS checksum
+       |FROM m GROUP BY lang ORDER BY lang""".stripMargin
+  }
+
   /** PII redaction under the oracle gate, via the native
     * [[graft.plans.PiiRedact]] kernel (the regex reference implementation
     * is [[graft.operators.Redact.scrub]]; RedactKernelSpec pins the two
@@ -2730,6 +2815,7 @@ object TextQueries {
     "q_jsonl_ingest" -> (qJsonlIngest _),
     "q_csv_roundtrip" -> (qCsvRoundtrip _),
     "q_pii_redact" -> (qPiiRedact _),
+    "q_fix_encoding" -> (qFixEncoding _),
     "q_frame_sample" -> (qFrameSample _),
     "q_image_neardup" -> (qImageNearDup _),
     "q_temperature_sample" -> (qTemperatureSample _),
@@ -2773,6 +2859,7 @@ object TextQueries {
     "q_jsonl_ingest" -> qJsonlIngestSql,
     "q_csv_roundtrip" -> qCsvRoundtripSql,
     "q_pii_redact" -> qPiiRedactSql,
+    "q_fix_encoding" -> qFixEncodingSql,
     "q_frame_sample" -> qFrameSampleSql,
     "q_image_neardup" -> qImageNearDupSql,
     "q_temperature_sample" -> qTemperatureSampleSql,
