@@ -1199,12 +1199,10 @@ object PipelineQueries {
   def qWarcGz(spark: SparkSession, sfDir: String): DataFrame =
     warcIngest(spark, sfDir, recordGzip = true)
 
-  private def warcIngest(spark: SparkSession, sfDir: String,
-                         recordGzip: Boolean): DataFrame = {
-    val dir = new java.io.File(
-      "/root/repo/target/warc_ingest/" + new java.io.File(sfDir).getName +
-        (if (recordGzip) "_gz" else ""))
-    val docs = t(spark, sfDir, "documents")
+  /** The q_warc_ingest record set (a response + a request per document)
+    * over any slice of `documents` — shared by the batch ingest queries
+    * and the streaming landing waves. */
+  private[queries] def warcRecordsFor(docs: DataFrame): DataFrame = {
     val uri = concat(lit("https://fixture.test/"), col("lang"),
       lit("/"), col("doc_id").cast("string"))
     val http = concat(lit(HttpHead), htmlFixtureCol)
@@ -1223,8 +1221,16 @@ object PipelineQueries {
       lit("application/http; msgtype=request").as("content_type"),
       concat(lit("GET /p/"), col("doc_id").cast("string"),
         lit(" HTTP/1.1\r\nHost: fixture.test\r\n\r\n")).cast("binary").as("payload"))
-    graft.WarcIO.writeWarc(responses.unionAll(requests), dir.getAbsolutePath,
-      recordGzip = recordGzip)
+    responses.unionAll(requests)
+  }
+
+  private def warcIngest(spark: SparkSession, sfDir: String,
+                         recordGzip: Boolean): DataFrame = {
+    val dir = new java.io.File(
+      "/root/repo/target/warc_ingest/" + new java.io.File(sfDir).getName +
+        (if (recordGzip) "_gz" else ""))
+    graft.WarcIO.writeWarc(warcRecordsFor(t(spark, sfDir, "documents")),
+      dir.getAbsolutePath, recordGzip = recordGzip)
     val warc = spark.read.format("warc")
       .option("maxSplitBytes",
         FastxQueries.adaptiveSplitBytes(spark, dir.getAbsolutePath).toString)

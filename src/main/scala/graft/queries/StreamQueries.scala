@@ -680,7 +680,82 @@ object StreamQueries {
        |GROUP BY e.label
        |ORDER BY e.label""".stripMargin
 
+  /** Streaming crawl ingest (round 14) — `readStream.format("warc")`
+    * through the WARC source's MicroBatchStream: the q_warc_ingest
+    * fixture lands in TWO WAVES (doc parity; monotone `a-*`/`b-*` file
+    * names — the source's offset is the largest processed name), each
+    * wave drained by its own Trigger.AvailableNow run over the SAME
+    * checkpoint — so the second run proves offset recovery and
+    * exactly-once across a restart, not just incremental listing. The
+    * stream side is row-local (response filter pushed into the reader,
+    * html_extract kernel, payload md5) appended to a parquet sink; the
+    * final per-lang readout aggregates the sink and must equal the BATCH
+    * oracle verbatim (qWarcIngestSql): the streaming path must be
+    * indistinguishable from one big batch read.
+    *
+    * Scale shape: this IS the production crawl-tail — segments land,
+    * each micro-batch split-plans only the new files (byte-range splits
+    * within a batch, so one giant landed file still fans out), state in
+    * the checkpoint is one file name. */
+  def qStreamWarc(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = workBase(spark, sfDir, "warc")
+    rm(base)
+    val inDir = new File(base, "in"); inDir.mkdirs()
+    val stage = new File(base, "stage")
+    val outDir = new File(base, "out").getAbsolutePath
+    val ckpt = new File(base, "ckpt").getAbsolutePath
+
+    def land(prefix: String, parity: Int): Unit = {
+      val recs = PipelineQueries.warcRecordsFor(
+        t(spark, sfDir, "documents").filter(col("doc_id") % 2 === parity))
+      val tmp = new File(stage, prefix)
+      graft.WarcIO.writeWarc(recs, tmp.getAbsolutePath)
+      tmp.listFiles().filter(_.getName.endsWith(".warc")).foreach { f =>
+        java.nio.file.Files.move(f.toPath,
+          new File(inDir, s"$prefix-${f.getName}").toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+    }
+
+    def drain(): Unit = {
+      val warc = spark.readStream.format("warc")
+        .option("maxSplitBytes", "65536")
+        .load(inDir.getAbsolutePath)
+        .filter(col("record_type") === "response")
+      val ex = graft.plans.HtmlExtractExpressions.htmlExtract(
+        graft.WarcIO.httpBody(col("payload")))
+      val q = warc.select(
+          regexp_extract(col("target_uri"),
+            "^https://fixture\\.test/([a-z]+)/", 1).as("lang"),
+          md5(col("payload")).as("pmd5"),
+          ex.as("ex"))
+        .select(col("lang"), col("pmd5"), col("ex.*"))
+        .writeStream
+        .format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+
+    land("a", 0); drain()   // wave 1
+    land("b", 1); drain()   // wave 2: restart over the same checkpoint
+
+    spark.read.parquet(outDir)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("kept_lines").as("kept_lines"),
+        sum(length(col("extracted"))).cast("long").as("extracted_chars"),
+        sum(conv(substring(col("pmd5"), 1, 10), 16, 10).cast("long")).as("payload_checksum"),
+        sum(conv(graft.plans.HashExpressions.md5Prefix(col("extracted"), 10), 16, 10)
+          .cast("long")).as("checksum"))
+      .orderBy("lang")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stream_warc" -> (qStreamWarc _),
     "q_stream_vec_assign" -> (qStreamVecAssign _),
     "q_stream_semdedup" -> (qStreamSemdedup _),
     "q_stream_enrich" -> (qStreamEnrich _),
@@ -692,6 +767,7 @@ object StreamQueries {
     "q_stream_decontam" -> (qStreamDecontam _))
 
   val oracles: Map[String, String] = Map(
+    "q_stream_warc" -> PipelineQueries.qWarcIngestSql,
     "q_stream_vec_assign" -> qStreamVecAssignSql,
     "q_stream_semdedup" -> qStreamSemdedupSql,
     "q_stream_enrich" -> qStreamEnrichSql,

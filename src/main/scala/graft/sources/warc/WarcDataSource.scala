@@ -84,7 +84,7 @@ class WarcTable(paths: Seq[String], tableSchema: StructType)
   override def name(): String = s"warc(${paths.mkString(",")})"
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new WarcScanBuilder(paths, tableSchema, options)
 }
@@ -233,6 +233,99 @@ class WarcScan(paths: Seq[String], full: StructType, required: StructType,
 
   override def createReaderFactory(): PartitionReaderFactory =
     new WarcReaderFactory(required.fieldNames)
+
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new WarcMicroBatchStream(paths, required.fieldNames, maxSplitBytes,
+      filters, recordGzipSplit)
+}
+
+/** Streaming crawl ingest — `spark.readStream.format("warc")`: each
+  * micro-batch processes the WARC files that LANDED since the last batch.
+  * The offset is the lexicographically-largest processed file name, so
+  * state is O(1) in the checkpoint regardless of corpus size; the
+  * contract is MONOTONE file naming (new files sort after processed
+  * ones — the crawler-segment convention: date/segment-prefixed names),
+  * documented rather than a growing seen-file set. A batch's files go
+  * through the SAME split planning as the batch source (byte-range or
+  * gzip-member splits, pushed filters, pruned columns), so a single
+  * giant landed file still fans out across the cluster within its
+  * micro-batch. Implements SupportsTriggerAvailableNow: the target
+  * listing is pinned at prepare time, so Trigger.AvailableNow drains
+  * exactly the files present at start and terminates. */
+class WarcMicroBatchStream(paths: Seq[String], columns: Array[String],
+                           maxSplitBytes: Long,
+                           filters: Seq[org.apache.spark.sql.sources.Filter],
+                           recordGzipSplit: Boolean)
+  extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+  import org.apache.spark.sql.connector.read.streaming.Offset
+  import graft.sources.fastx.FastxDataSource.{isCompressed, resolveFiles}
+
+  private case class WarcOffset(lastFile: String) extends Offset {
+    override def json(): String = {
+      val quoted = com.fasterxml.jackson.databind.node.JsonNodeFactory
+        .instance.textNode(lastFile).toString
+      s"""{"lastFile":$quoted}"""
+    }
+  }
+
+  private var availableNowTarget: Option[String] = None
+
+  private def listNames(): Seq[(String, org.apache.hadoop.fs.FileStatus)] = {
+    val conf = new Configuration()
+    resolveFiles(paths, conf).filter(_.getLen > 0)
+      .map(st => st.getPath.getName -> st)
+      .sortBy(_._1)
+  }
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowTarget = Some(listNames().lastOption.map(_._1).getOrElse(""))
+
+  override def initialOffset(): Offset = WarcOffset("")
+
+  override def latestOffset(): Offset = availableNowTarget match {
+    case Some(t) => WarcOffset(t)
+    case None => WarcOffset(listNames().lastOption.map(_._1).getOrElse(""))
+  }
+
+  // SupportsTriggerAvailableNow extends SupportsAdmissionControl; this
+  // source applies no read limits — a micro-batch takes everything new
+  override def latestOffset(start: Offset,
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Offset =
+    latestOffset()
+
+  override def deserializeOffset(json: String): Offset = {
+    val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
+    WarcOffset(node.get("lastFile").asText())
+  }
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val from = start.asInstanceOf[WarcOffset].lastFile
+    val to = end.asInstanceOf[WarcOffset].lastFile
+    val conf = new Configuration()
+    listNames()
+      .filter { case (n, _) => n > from && n <= to }
+      .flatMap { case (_, st) =>
+        val p = st.getPath
+        val gzSplit = recordGzipSplit && p.getName.toLowerCase.endsWith(".gz")
+        val splittable =
+          (gzSplit || !isCompressed(p, conf)) && st.getLen > maxSplitBytes
+        if (splittable)
+          (0L until st.getLen by maxSplitBytes).map { off =>
+            WarcInputPartition(p.toString, off,
+              math.min(maxSplitBytes, st.getLen - off), -1, filters, gzSplit)
+          }
+        else
+          Seq(WarcInputPartition(p.toString, 0L, st.getLen, -1, filters, gzSplit))
+      }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new WarcReaderFactory(columns)
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
 }
 
 class WarcReaderFactory(columns: Array[String]) extends PartitionReaderFactory {
