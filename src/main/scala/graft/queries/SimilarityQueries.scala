@@ -1570,6 +1570,53 @@ object SimilarityQueries {
     s"""WITH ${knnGraphSqlCtes(nCells = 32, iters = 2, nProbe = 2, k = 3)}
        |SELECT src, rnk, dst, cosine FROM knng ORDER BY src, rnk""".stripMargin
 
+  /** Hard-negative mining (round 14) — the contrastive-training staple
+    * (DPR/SimCSE practice, public literature): for every anchor, the
+    * most-similar candidates that are NOT near-duplicates — the
+    * similarity BAND τ_low ≤ cos < τ_high carved out of the self-kNN
+    * graph (above τ_high is a duplicate and would poison the negatives;
+    * below τ_low is an easy negative the model learns nothing from).
+    * Zero new index code: one [[graft.operators.Similarity.knnGraphQ]]
+    * pass (k = 8, adaptive cells, nRows from footer metadata), an
+    * integer-quantized band filter (floor(cos·2^20) so the boundary is
+    * engine-exact), and a per-anchor top-2 rank — WindowGroupLimit, the
+    * same map-side k-heap shape as the graph itself. Output: (src, rnk,
+    * dst, cos_q), ≤ 2 rows per anchor with in-band neighbors. */
+  val HardNegLowQ = 209715L   // ≈ 0.2·2^20
+  val HardNegHighQ = 734003L  // ≈ 0.7·2^20
+  def qHardNegatives(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = t(spark, sfDir, "embeddings")
+    val g = graft.operators.Similarity.knnGraphQ(emb, "vec_id", "embedding",
+        k = 8, iters = 2, nProbe = 2,
+        nRows = graft.Tables.parquetRowCount(spark, sfDir, "embeddings"))
+      .withColumn("cos_q", floor(col("cosine") * 1048576).cast("long"))
+      .filter(col("cos_q") >= HardNegLowQ && col("cos_q") < HardNegHighQ)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("src").orderBy(col("cos_q").desc, col("dst").asc)
+    g.withColumn("neg_rnk", row_number().over(w).cast("long"))
+      .filter(col("neg_rnk") <= 2)
+      .select(col("src"), col("neg_rnk"), col("dst"), col("cos_q"))
+      .orderBy("src", "neg_rnk")
+  }
+
+  /** Oracle: the shared kNN chain at k = 8 + the identical quantized band
+    * and per-anchor re-rank. */
+  lazy val qHardNegativesSql: String =
+    s"""WITH ${knnGraphSqlCtes(nCells = 32, iters = 2, nProbe = 2, k = 8)},
+       |band AS (
+       |  SELECT src, dst,
+       |         CAST(floor(cosine * 1048576) AS BIGINT) AS cos_q
+       |  FROM knng
+       |  WHERE CAST(floor(cosine * 1048576) AS BIGINT) >= $HardNegLowQ
+       |    AND CAST(floor(cosine * 1048576) AS BIGINT) < $HardNegHighQ)
+       |SELECT src,
+       |       CAST(row_number() OVER (PARTITION BY src
+       |                               ORDER BY cos_q DESC, dst) AS BIGINT) AS neg_rnk,
+       |       dst, cos_q
+       |FROM band
+       |QUALIFY neg_rnk <= 2
+       |ORDER BY src, neg_rnk""".stripMargin
+
   /** Margin-based bitext mining (round 13) — the CCMatrix/LASER scoring
     * rule (Artetxe & Schwenk 2019, arXiv:1811.01136 — the RATIO margin:
     * a candidate pair is strong when its cosine stands out from BOTH
@@ -1687,6 +1734,7 @@ object SimilarityQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_knn_graph" -> (qKnnGraph _),
+    "q_hard_negatives" -> (qHardNegatives _),
     "q_graph_semdedup" -> (qGraphSemdedup _),
     "q_margin_mining" -> (qMarginMining _),
     "q_vector_quantize" -> (qVectorQuantize _),
@@ -1712,6 +1760,7 @@ object SimilarityQueries {
 
   val oracles: Map[String, String] = Map(
     "q_knn_graph" -> qKnnGraphSql,
+    "q_hard_negatives" -> qHardNegativesSql,
     "q_graph_semdedup" -> qGraphSemdedupSql,
     "q_margin_mining" -> qMarginMiningSql,
     "q_vector_quantize" -> qVectorQuantizeSql,
