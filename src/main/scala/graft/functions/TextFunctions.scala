@@ -24,6 +24,39 @@ object TextFunctions {
   def tokensColumnar(text: Column): Column =
     filter(split(text, " "), t => t =!= "")
 
+  /** Abbreviations protected by [[sentences]] — the bounded guard list of
+    * rule-based splitters (the punkt-family tradeoff: `etc.` can also end
+    * a sentence; a guard list is a precision/recall choice, documented,
+    * and swappable per corpus). */
+  val SentenceAbbrevs: Seq[String] = Seq(
+    "Mr.", "Mrs.", "Ms.", "Dr.", "Prof.", "St.", "vs.", "e.g.", "i.e.", "No.")
+
+  /** Rule-based sentence segmentation — the alignment/bitext prep step
+    * (sentence-level mining needs sentences, not documents): a boundary
+    * is `[.!?]` + space; guarded abbreviations ([[SentenceAbbrevs]]) are
+    * masked before boundary marking and restored after the split, so
+    * `Dr. Smith agreed.` stays one sentence. Pure codegen'd built-ins
+    * (regexp_replace is natively code-generated), row-local, no explode
+    * until the caller chooses one; engine-portable (the DuckDB oracle
+    * replays the identical mask → mark → split → unmask chain).
+    *
+    * Contract: input must not contain the control sentinels U+0001/U+0002
+    * (crawl text post-extraction never does; the html_extract kernel's
+    * whitespace normalization upstream removes control runs too). A text
+    * with no terminator is one sentence; a trailing fragment after the
+    * last terminator is kept as its own sentence. */
+  def sentences(text: Column,
+                abbrevs: Seq[String] = SentenceAbbrevs): Column = {
+    // mask: "Dr. " -> "Dr\u0002 " so the boundary regex cannot fire on it
+    val masked = abbrevs.foldLeft(text) { (c, a) =>
+      regexp_replace(c, java.util.regex.Pattern.quote(a) + " ",
+        java.util.regex.Matcher.quoteReplacement(a.dropRight(1)) + "\u0002 ")
+    }
+    val marked = regexp_replace(masked, "([.!?]) ", "$1\u0001")
+    transform(split(marked, "\u0001"),
+      s => regexp_replace(s, "\u0002", "."))
+  }
+
   /** BPE-ish token segmentation: letter runs, digit runs, or single
     * non-alphanumeric marks — the classic pre-tokenizer regex. */
   val TokenRegex = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"

@@ -1279,6 +1279,96 @@ object TextQueries {
        |FROM m GROUP BY lang ORDER BY lang""".stripMargin
   }
 
+  /** Sentence segmentation (round 14) — the alignment/bitext prep step
+    * ([[graft.functions.TextFunctions.sentences]]): boundaries at
+    * `[.!?]` + space with abbreviation guarding (mask → mark → split →
+    * unmask, every step a codegen'd built-in both engines replay). The
+    * corpus has no sentence structure, so the fixture BUILDS it
+    * deterministically: every 6th token gets a terminator cycling
+    * `. / ! / ?`, and a `Dr. final check done.` tail plants the
+    * abbreviation hazard — `Dr.` must NOT split even though `. ` is the
+    * boundary pattern. Readout per lang: docs, sentences, sentence char
+    * mass, and the md5 checksum of the `|`-joined sentence list (order
+    * and content both pinned).
+    *
+    * Scale shape: construction + segmentation are one row-local pass
+    * (regexp_replace is natively code-generated); no explode — the
+    * sentence array is aggregated per row; only the lang aggregate
+    * exchanges. */
+  def qSentenceSplit(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.TextFunctions
+    val toks = TextFunctions.tokens(col("text"))
+    val pieces = transform(toks, (t, i0) => {
+      val p = i0 + 1
+      concat(t, when(p % 6 === 0,
+        element_at(array(lit(". "), lit("! "), lit("? ")),
+          ((p / 6 - 1) % 3 + 1).cast("int")))
+        .otherwise(lit(" ")))
+    })
+    val built = concat(array_join(pieces, ""), lit("Dr. final check done."))
+    val sents = TextFunctions.sentences(built)
+    t(spark, sfDir, "documents")
+      .select(col("lang"), sents.as("s"))
+      .select(col("lang"),
+        size(col("s")).cast("long").as("n_sent"),
+        aggregate(transform(col("s"), x => length(x).cast("long")),
+          lit(0L), (a, x) => a + x).as("sent_chars"),
+        conv(graft.plans.HashExpressions.md5Prefix(
+          array_join(col("s"), "|"), 10), 16, 10).cast("long").as("ck"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_sent")).as("n_sentences"),
+        sum(col("sent_chars")).as("sent_chars"),
+        sum(col("ck")).as("checksum"))
+      .orderBy("lang")
+  }
+
+  /** Oracle: sentence construction via ordered string_agg over the token
+    * index, then the identical mask → mark → split → unmask chain (the
+    * fixture can only contain the `Dr. ` abbreviation — tokens are
+    * lowercase alpha — so the guard replay is that one literal; the full
+    * guard list is unit-pinned in TextFunctionsSpec). */
+  val qSentenceSplitSql: String =
+    """WITH dt AS (
+      |  SELECT doc_id, lang,
+      |         list_filter(string_split(text, ' '), t -> t <> '') AS toks
+      |  FROM documents),
+      |stoks AS (
+      |  SELECT doc_id, lang, i, toks[i] AS tok
+      |  FROM dt, LATERAL unnest(generate_series(1, len(toks))) AS t(i)),
+      |pieces AS (
+      |  SELECT doc_id, lang, i,
+      |         tok || CASE WHEN i % 6 = 0
+      |                     THEN CASE ((i // 6 - 1) % 3)
+      |                          WHEN 0 THEN '. ' WHEN 1 THEN '! ' ELSE '? ' END
+      |                     ELSE ' ' END AS piece
+      |  FROM stoks),
+      |built AS (
+      |  SELECT doc_id, lang,
+      |         string_agg(piece, '' ORDER BY i) || 'Dr. final check done.' AS whole
+      |  FROM pieces GROUP BY doc_id, lang),
+      |seg AS (
+      |  SELECT doc_id, lang,
+      |         list_transform(
+      |           string_split(
+      |             regexp_replace(
+      |               replace(whole, 'Dr. ', 'Dr' || chr(2) || ' '),
+      |               '([.!?]) ', '\1' || chr(1), 'g'),
+      |             chr(1)),
+      |           s -> replace(s, chr(2), '.')) AS sents
+      |  FROM built),
+      |per AS (
+      |  SELECT doc_id, lang,
+      |         len(sents) AS n_sent,
+      |         coalesce(list_aggregate(list_transform(sents, s -> length(s)), 'sum'), 0) AS sent_chars,
+      |         CAST('0x' || substr(md5(array_to_string(sents, '|')), 1, 10) AS BIGINT) AS ck
+      |  FROM seg)
+      |SELECT lang, count(*) AS n_docs,
+      |       CAST(sum(n_sent) AS BIGINT) AS n_sentences,
+      |       CAST(sum(sent_chars) AS BIGINT) AS sent_chars,
+      |       CAST(sum(ck) AS BIGINT) AS checksum
+      |FROM per GROUP BY lang ORDER BY lang""".stripMargin
+
   /** PII redaction under the oracle gate, via the native
     * [[graft.plans.PiiRedact]] kernel (the regex reference implementation
     * is [[graft.operators.Redact.scrub]]; RedactKernelSpec pins the two
@@ -2816,6 +2906,7 @@ object TextQueries {
     "q_csv_roundtrip" -> (qCsvRoundtrip _),
     "q_pii_redact" -> (qPiiRedact _),
     "q_fix_encoding" -> (qFixEncoding _),
+    "q_sentence_split" -> (qSentenceSplit _),
     "q_frame_sample" -> (qFrameSample _),
     "q_image_neardup" -> (qImageNearDup _),
     "q_temperature_sample" -> (qTemperatureSample _),
@@ -2860,6 +2951,7 @@ object TextQueries {
     "q_csv_roundtrip" -> qCsvRoundtripSql,
     "q_pii_redact" -> qPiiRedactSql,
     "q_fix_encoding" -> qFixEncodingSql,
+    "q_sentence_split" -> qSentenceSplitSql,
     "q_frame_sample" -> qFrameSampleSql,
     "q_image_neardup" -> qImageNearDupSql,
     "q_temperature_sample" -> qTemperatureSampleSql,

@@ -111,5 +111,26 @@ class TextFunctionsSpec extends SparkSpec {
     assert(rows("aaa") == Seq("a", "a", "a"))
     assert(rows("q") == Seq("q"))
   }
+  test("sentences: boundaries, abbreviation guard, fragments (r14)") {
+    import TestSpark.spark.implicits._
+    import org.apache.spark.sql.functions._
+    def run(t: String): Seq[String] =
+      Seq(t).toDF("t")
+        .select(graft.functions.TextFunctions.sentences(col("t")))
+        .head().getSeq[String](0)
+    assert(run("one two. three four! five six? seven") ==
+      Seq("one two.", "three four!", "five six?", "seven"))
+    // every guarded abbreviation survives unsplit
+    graft.functions.TextFunctions.SentenceAbbrevs.foreach { a =>
+      assert(run(s"ask $a smith today. next one.") ==
+        Seq(s"ask $a smith today.", "next one."),
+        s"abbreviation $a split a sentence")
+    }
+    // unguarded dot still splits; no-terminator text is one sentence
+    assert(run("end. start") == Seq("end.", "start"))
+    assert(run("no terminator at all") == Seq("no terminator at all"))
+    // terminator at very end: no trailing empty sentence beyond the split
+    assert(run("a b.") == Seq("a b."))
+    assert(run("") == Seq(""))
+  }
 }
-
