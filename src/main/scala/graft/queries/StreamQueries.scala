@@ -718,8 +718,13 @@ object StreamQueries {
     }
 
     def drain(): Unit = {
+      // split size re-derived per drain from what has LANDED so far —
+      // small enough to exercise multi-split resync at verification SFs,
+      // bounded split COUNT at scale fixtures (the adaptiveSplitBytes
+      // rule; a fixed 64 KB cost ~28 k open/resync rounds at 100×)
       val warc = spark.readStream.format("warc")
-        .option("maxSplitBytes", "65536")
+        .option("maxSplitBytes",
+          FastxQueries.adaptiveSplitBytes(spark, inDir.getAbsolutePath).toString)
         .load(inDir.getAbsolutePath)
         .filter(col("record_type") === "response")
       val ex = graft.plans.HtmlExtractExpressions.htmlExtract(
