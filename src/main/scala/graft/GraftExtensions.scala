@@ -136,6 +136,9 @@ object GraftExtensions {
     reg("pii_redact",
       "pii_redact(text) - emails/phones/SSNs/IPs replaced by type tags") {
       exprs => PiiRedactExpr(exprs.head) }
+    reg("nfc_normalize",
+      "nfc_normalize(text) - Unicode NFC canonical composition: (normalized, changed)") {
+      exprs => NfcNormalizeExpr(exprs.head) }
     reg("fix_encoding",
       "fix_encoding(text) - mojibake repair (UTF-8 decoded as sloppy Windows-1252, re-encoded): (fixed, n_runs)") {
       exprs => FixEncodingExpr(exprs.head) }

@@ -1279,6 +1279,67 @@ object TextQueries {
        |FROM m GROUP BY lang ORDER BY lang""".stripMargin
   }
 
+  /** Decomposed-suffix arms planted by [[qUnicodeNfc]]: combining-mark
+    * sequences (NOT in NFC) that canonical composition must collapse. */
+  private val NfcArms: Seq[String] = Seq(
+    "",                                   // arm 0: clean ASCII (already NFC)
+    " café plan",                   // e + COMBINING ACUTE → é
+    " Ångström units")        // A + RING → Å, o + DIAERESIS → ö
+
+  /** Unicode NFC normalization (round 14) — the canonical-composition
+    * pass every tokenizer-bound corpus runs ([[graft.plans.NfcNormalize]]):
+    * `e`+COMBINING ACUTE and `é` are different byte sequences for the
+    * same text, fragmenting vocab statistics, dedup keys and exact-match
+    * decontamination. The kernel normalizes via the JDK's UAX #15
+    * implementation with an isNormalized fast path; DuckDB's
+    * `nfc_normalize` implements the same standard, so the oracle replays
+    * the normalization itself — a genuine two-engine pin of the Unicode
+    * algorithm, not a literal replay. Readout per lang: docs, changed
+    * docs (corpus-health metric), char shrinkage, checksum of the
+    * normalized text. Row-local one pass; only the lang agg exchanges. */
+  def qUnicodeNfc(spark: SparkSession, sfDir: String): DataFrame = {
+    val arm = (col("doc_id") % 3).cast("int")
+    val sfx = NfcArms.zipWithIndex.tail.foldLeft(lit(NfcArms.head)) {
+      case (acc, (raw, i)) => when(arm === i, lit(raw)).otherwise(acc)
+    }
+    val raw = concat(col("text"), sfx)
+    t(spark, sfDir, "documents")
+      .select(col("lang"), length(raw).cast("long").as("raw_len"),
+        graft.plans.NormalizeExpressions.nfcNormalize(raw).as("n"))
+      .select(col("lang"), col("raw_len"),
+        col("n.normalized").as("norm"), col("n.changed").as("changed"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("changed")).as("changed_docs"),
+        sum(col("raw_len") - length(col("norm"))).as("char_delta"),
+        sum(conv(graft.plans.HashExpressions.md5Prefix(col("norm"), 10), 16, 10)
+          .cast("long")).as("checksum"))
+      .orderBy("lang")
+  }
+
+  /** Oracle: the raw suffixes as chr() literals, normalization via
+    * DuckDB's own nfc_normalize, changed derived as raw <> normalized. */
+  lazy val qUnicodeNfcSql: String = {
+    def sqlLit(s: String): String =
+      if (s.isEmpty) "''"
+      else "(" + s.map { c =>
+        if (c >= ' ' && c <= '~' && c != '\'') s"'$c'" else s"chr(${c.toInt})"
+      }.reduce((a, b) => a + " || " + b) + ")"
+    val rawCase = NfcArms.zipWithIndex.map { case (raw, i) =>
+      s"WHEN $i THEN ${sqlLit(raw)}"
+    }.mkString(" ")
+    s"""WITH m AS (
+       |  SELECT lang,
+       |         text || CASE CAST(doc_id % 3 AS INTEGER) $rawCase END AS raw
+       |  FROM documents),
+       |n AS (SELECT lang, raw, nfc_normalize(raw) AS norm FROM m)
+       |SELECT lang, count(*) AS n_docs,
+       |  CAST(sum(CASE WHEN norm <> raw THEN 1 ELSE 0 END) AS BIGINT) AS changed_docs,
+       |  CAST(sum(length(raw) - length(norm)) AS BIGINT) AS char_delta,
+       |  CAST(sum(CAST('0x' || substr(md5(norm), 1, 10) AS BIGINT)) AS BIGINT) AS checksum
+       |FROM n GROUP BY lang ORDER BY lang""".stripMargin
+  }
+
   /** Sentence segmentation (round 14) — the alignment/bitext prep step
     * ([[graft.functions.TextFunctions.sentences]]): boundaries at
     * `[.!?]` + space with abbreviation guarding (mask → mark → split →
@@ -2906,6 +2967,7 @@ object TextQueries {
     "q_csv_roundtrip" -> (qCsvRoundtrip _),
     "q_pii_redact" -> (qPiiRedact _),
     "q_fix_encoding" -> (qFixEncoding _),
+    "q_unicode_nfc" -> (qUnicodeNfc _),
     "q_sentence_split" -> (qSentenceSplit _),
     "q_frame_sample" -> (qFrameSample _),
     "q_image_neardup" -> (qImageNearDup _),
@@ -2951,6 +3013,7 @@ object TextQueries {
     "q_csv_roundtrip" -> qCsvRoundtripSql,
     "q_pii_redact" -> qPiiRedactSql,
     "q_fix_encoding" -> qFixEncodingSql,
+    "q_unicode_nfc" -> qUnicodeNfcSql,
     "q_sentence_split" -> qSentenceSplitSql,
     "q_frame_sample" -> qFrameSampleSql,
     "q_image_neardup" -> qImageNearDupSql,
