@@ -138,9 +138,23 @@ object GzipMembers {
       }
       if (!validated && out.size > 0) return null // tiny non-WARC member
       if (out.size == 0) return null              // empty member: not a record
-      val compressed = (dStart - pos) + (fed - inf.getRemaining) + 8
+      val deflateLen = fed - inf.getRemaining
+      val compressed = (dStart - pos) + deflateLen + 8
       if (pos + compressed > raw.fileLen) return null // trailer truncated
-      (out.toByteArray, compressed)
+      // RFC 1952 trailer verification (little-endian CRC32 + ISIZE):
+      // a bit-flipped member must fail loudly here, not ship corrupt
+      // payload bytes downstream
+      val data = out.toByteArray
+      val trailer = new Array[Byte](8)
+      if (raw.read(pos + compressed - 8, trailer, 8) != 8) return null
+      def le32(o: Int): Long =
+        (trailer(o) & 0xffL) | ((trailer(o + 1) & 0xffL) << 8) |
+          ((trailer(o + 2) & 0xffL) << 16) | ((trailer(o + 3) & 0xffL) << 24)
+      val crc = new java.util.zip.CRC32()
+      crc.update(data)
+      if (le32(0) != crc.getValue || le32(4) != (data.length & 0xffffffffL))
+        return null
+      (data, compressed)
     } finally inf.end()
   }
 

@@ -195,6 +195,28 @@ class WarcSpec extends SparkSpec {
     }
   }
 
+  test("record-gzip: a bit-flipped member fails loudly (CRC trailer verified)") {
+    val dir = new File("/root/repo/target/warc_spec/rg_crc")
+    WarcIO.writeWarc(fixtureDf.repartition(1), dir.getAbsolutePath,
+      recordGzip = true)
+    val f = new File(dir.getAbsolutePath).listFiles()
+      .filter(_.getName.endsWith(".warc.gz")).head
+    val bytes = java.nio.file.Files.readAllBytes(f.toPath)
+    // flip one byte deep inside the first member's deflate stream; drop
+    // Hadoop's local-FS checksum sidecar so OUR trailer verification is
+    // the layer under test (on HDFS-without-checksums it's the only one)
+    bytes(40) = (bytes(40) ^ 0x01).toByte
+    java.nio.file.Files.write(f.toPath, bytes)
+    new File(f.getParentFile, "." + f.getName + ".crc").delete()
+    val e = intercept[org.apache.spark.SparkException] {
+      spark.read.format("warc").option("recordGzipSplit", "true")
+        .load(dir.getAbsolutePath).count()
+    }
+    assert(e.getMessage.contains("Malformed record-gzipped WARC") ||
+      Option(e.getCause).exists(_.getMessage.contains("Malformed record-gzipped WARC")),
+      s"corruption must fail loudly, got: ${e.getMessage}")
+  }
+
   test("split seek landing exactly on a record boundary neither dups nor drops") {
     // single-partition file, then force splits at every offset granularity
     val dir = new File("/root/repo/target/warc_spec/boundary")
