@@ -3,15 +3,52 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** One gzip MEMBER that releases its zlib state deterministically:
-  * `GZIPOutputStream.finish()` ends the member but NOT the native
-  * Deflater — at one member per record, relying on GC to run
-  * `Deflater.end()` leaks ~hundreds of KB of NATIVE memory per record
-  * (measured: the 100× wet-export run was OOM-killed at 129 GB rss with
-  * a 20 GB heap — the leak is invisible to heap monitoring). */
-private final class MemberGzip(out: java.io.OutputStream)
-  extends java.util.zip.GZIPOutputStream(out, 8192) {
-  def endMember(): Unit = { finish(); `def`.end() }
+/** Per-record gzip member writer with ONE reused Deflater for the whole
+  * partition. Two lessons are baked in:
+  *  - `GZIPOutputStream.finish()` ends the member but NOT the native
+  *    Deflater — at one member per record, relying on GC to run
+  *    `Deflater.end()` leaks ~hundreds of KB of NATIVE memory per record
+  *    (measured: the first 100× wet-export run was OOM-killed at 129 GB
+  *    rss with a 20 GB heap — invisible to heap monitoring);
+  *  - allocating a fresh Deflater + buffers per member (10 M members at
+  *    the 1000× fixture) pays native init/teardown per record; a single
+  *    `reset()` Deflater writes byte-compatible members (the RFC 1952
+  *    framing is written explicitly: fixed header, raw deflate stream,
+  *    CRC32 + ISIZE trailer — exactly what GZIPOutputStream emits with
+  *    FLG=0).
+  * Call [[member]] once per record, [[close]] once per partition. */
+private final class MemberGzipWriter(out: java.io.OutputStream) {
+  private val deflater =
+    new java.util.zip.Deflater(java.util.zip.Deflater.DEFAULT_COMPRESSION, true)
+  private val crc = new java.util.zip.CRC32()
+  private val buf = new Array[Byte](64 * 1024)
+  private val header = Array[Byte](0x1f.toByte, 0x8b.toByte, 8, 0, 0, 0, 0, 0, 0, 0)
+  private val trailer = new Array[Byte](8)
+
+  def member(parts: Array[Byte]*): Unit = {
+    out.write(header)
+    deflater.reset(); crc.reset()
+    var total = 0L
+    parts.foreach { p => deflater.setInput(p); crc.update(p); total += p.length
+      while (!deflater.needsInput()) {
+        val n = deflater.deflate(buf)
+        if (n > 0) out.write(buf, 0, n)
+      }
+    }
+    deflater.finish()
+    while (!deflater.finished()) {
+      val n = deflater.deflate(buf)
+      if (n > 0) out.write(buf, 0, n)
+    }
+    val c = crc.getValue; val isize = total & 0xffffffffL
+    trailer(0) = c.toByte; trailer(1) = (c >> 8).toByte
+    trailer(2) = (c >> 16).toByte; trailer(3) = (c >> 24).toByte
+    trailer(4) = isize.toByte; trailer(5) = (isize >> 8).toByte
+    trailer(6) = (isize >> 16).toByte; trailer(7) = (isize >> 24).toByte
+    out.write(trailer)
+  }
+
+  def close(): Unit = deflater.end()
 }
 
 /** User-facing WARC entry points — the crawl-container twin of
@@ -72,8 +109,9 @@ object WarcIO {
       val file = new org.apache.hadoop.fs.Path(path, f"part-$pid%05d$ext")
       val fsw = file.getFileSystem(serConf.value)
       val out = new java.io.BufferedOutputStream(fsw.create(file, true), 1 << 16)
+      val gz = if (recordGzip) new MemberGzipWriter(out) else null
       try {
-        val crlf = "\r\n".getBytes("US-ASCII")
+        val crlfCrlf = "\r\n\r\n".getBytes("US-ASCII")
         rows.foreach { r =>
           val payload = r.getAs[Array[Byte]]("payload")
           val sb = new java.lang.StringBuilder(256)
@@ -85,20 +123,14 @@ object WarcIO {
           if (uri != null) sb.append("WARC-Target-URI: ").append(uri).append("\r\n")
           sb.append("Content-Type: ").append(r.getAs[String]("content_type")).append("\r\n")
           sb.append("Content-Length: ").append(payload.length).append("\r\n\r\n")
-          // recordGzip: each record its own RFC 1952 member (the Common
-          // Crawl layout) — finish() closes the member, not the stream,
-          // so members concatenate and the file is member-splittable
-          val sink: java.io.OutputStream =
-            if (recordGzip) new MemberGzip(out) else out
-          sink.write(sb.toString.getBytes("US-ASCII"))
-          sink.write(payload)
-          sink.write(crlf); sink.write(crlf)
-          sink match {
-            case gz: MemberGzip => gz.endMember()
-            case _ => ()
-          }
+          val head = sb.toString.getBytes("US-ASCII")
+          if (gz != null) gz.member(head, payload, crlfCrlf)
+          else { out.write(head); out.write(payload); out.write(crlfCrlf) }
         }
-      } finally out.close()
+      } finally {
+        if (gz != null) gz.close()
+        out.close()
+      }
     }
   }
 }

@@ -145,8 +145,17 @@ object GzipMembers {
       // a bit-flipped member must fail loudly here, not ship corrupt
       // payload bytes downstream
       val data = out.toByteArray
+      // byte-wise read: a bulk read can return SHORT when the 8 bytes
+      // straddle the reader's buffer window (bit us at the 100× fixture —
+      // files larger than one 256 KB window)
       val trailer = new Array[Byte](8)
-      if (raw.read(pos + compressed - 8, trailer, 8) != 8) return null
+      var k = 0
+      while (k < 8) {
+        val b = raw.byteAt(pos + compressed - 8 + k)
+        if (b < 0) return null
+        trailer(k) = b.toByte
+        k += 1
+      }
       def le32(o: Int): Long =
         (trailer(o) & 0xffL) | ((trailer(o + 1) & 0xffL) << 8) |
           ((trailer(o + 2) & 0xffL) << 16) | ((trailer(o + 3) & 0xffL) << 24)

@@ -195,6 +195,34 @@ class WarcSpec extends SparkSpec {
     }
   }
 
+  test("record-gzip: files larger than the reader's buffer window walk cleanly") {
+    // regression: the trailer read returned SHORT when the 8 bytes
+    // straddled the 256 KB RawReader window — needs a multi-window file
+    val dir = new File("/root/repo/target/warc_spec/rg_big")
+    val rows = (0L until 1500L).map { i =>
+      ("response", s"<urn:uuid:big-$i>", "2024-01-01T00:00:00Z",
+        s"https://fixture.test/big/$i",
+        (s"HTTP/1.1 200 OK\r\n\r\nbig payload $i " + ("x" * 900)).getBytes("ISO-8859-1"))
+    }
+    WarcIO.writeWarc(
+      rows.toDF("record_type", "record_id", "warc_date", "target_uri", "payload")
+        .repartition(1),
+      dir.getAbsolutePath, recordGzip = true)
+    val f = new File(dir.getAbsolutePath).listFiles()
+      .filter(_.getName.endsWith(".warc.gz")).head
+    assert(f.length > 300 * 1024, s"fixture must span windows, got ${f.length}")
+    def ids(split: Option[Long]) = {
+      val r = split.foldLeft(spark.read.format("warc")
+        .option("recordGzipSplit", "true"))((b, m) =>
+        b.option("maxSplitBytes", m.toString))
+      r.load(dir.getAbsolutePath).select("record_id").collect()
+        .map(_.getString(0)).toSet
+    }
+    val whole = ids(None)
+    assert(whole.size == 1500)
+    assert(ids(Some(100000L)) == whole)
+  }
+
   test("record-gzip: a bit-flipped member fails loudly (CRC trailer verified)") {
     val dir = new File("/root/repo/target/warc_spec/rg_crc")
     WarcIO.writeWarc(fixtureDf.repartition(1), dir.getAbsolutePath,
