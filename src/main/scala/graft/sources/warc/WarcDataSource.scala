@@ -20,7 +20,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * curation cascade behind it.
   *
   * Design mirrors the fastx connector ([[graft.sources.fastx.FastxDataSource]]):
-  *  - fixed 7-column schema (record headers + binary payload), column
+  *  - fixed 9-column schema (record headers + (record_file, record_offset) — the CDX seed for random access — + binary payload), column
   *    pruning pushed into the reader;
   *  - record-level STRING filter pushdown (`record_type = 'response'` is
   *    the universal first filter on a crawl scan — pushed, rows for
@@ -76,6 +76,12 @@ object WarcDataSource {
     StructField("warc_date", StringType, nullable = false),
     StructField("content_type", StringType, nullable = true),
     StructField("content_length", LongType, nullable = false),
+    // (record_file, record_offset) — the CDX seed: the source file and
+    // the byte offset of the record's version line (plain files) or of
+    // its gzip member (record-gzip files), which is what makes a crawl
+    // record randomly addressable without rescanning the container
+    StructField("record_file", StringType, nullable = false),
+    StructField("record_offset", LongType, nullable = false),
     StructField("payload", BinaryType, nullable = false)))
 }
 
@@ -345,6 +351,7 @@ class WarcPartitionReader(part: WarcInputPartition, columns: Array[String])
   private val fs = path.getFileSystem(conf)
   private val compressed = isCompressed(path, conf)
   private val rawStream = fs.open(path)
+  private val fileName = UTF8String.fromString(path.getName)
 
   private val records: Iterator[WarcRecord] = {
     if (part.gzMembers) {
@@ -400,6 +407,8 @@ class WarcPartitionReader(part: WarcInputPartition, columns: Array[String])
       case "content_type"   => if (current.contentType == null) null
                                else UTF8String.fromString(current.contentType)
       case "content_length" => current.contentLength
+      case "record_file"    => fileName
+      case "record_offset"  => current.offset
       case "payload"        => current.payload
     }
     InternalRow.fromSeq(values.toSeq)

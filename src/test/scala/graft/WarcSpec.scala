@@ -245,6 +245,34 @@ class WarcSpec extends SparkSpec {
       s"corruption must fail loudly, got: ${e.getMessage}")
   }
 
+  test("record_offset is the exact container address (plain and gz-member)") {
+    // plain: seeking to record_offset must read THAT record's version line
+    val plain = writeFixture("offsets")
+    val rows = spark.read.format("warc").load(plain)
+      .select(col("record_file"), col("record_offset"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    // (file, offset) is unique — the CDX address
+    assert(rows.distinct.length == rows.length)
+    rows.foreach { case (file, off) =>
+      val bytes = java.nio.file.Files.readAllBytes(
+        new File(plain, file).toPath)
+      assert(new String(bytes, off.toInt, 8, "ISO-8859-1") == "WARC/1.0",
+        s"($file, $off) does not address a version line")
+    }
+    // gz: the offset addresses a gzip member start (magic bytes)
+    val gzDir = new File("/root/repo/target/warc_spec/offsets_gz")
+    WarcIO.writeWarc(fixtureDf.repartition(1), gzDir.getAbsolutePath,
+      recordGzip = true)
+    val gf = gzDir.listFiles().filter(_.getName.endsWith(".warc.gz")).head
+    val gb = java.nio.file.Files.readAllBytes(gf.toPath)
+    spark.read.format("warc").option("recordGzipSplit", "true")
+      .load(gzDir.getAbsolutePath)
+      .select(col("record_offset")).collect().map(_.getLong(0)).foreach { off =>
+        assert((gb(off.toInt) & 0xff) == 0x1f && (gb(off.toInt + 1) & 0xff) == 0x8b,
+          s"offset $off does not address a member start")
+      }
+  }
+
   test("split seek landing exactly on a record boundary neither dups nor drops") {
     // single-partition file, then force splits at every offset granularity
     val dir = new File("/root/repo/target/warc_spec/boundary")
