@@ -1078,6 +1078,15 @@ class PlanQualitySpec extends SparkSpec {
       s"alias collapse must be two-phase:\n$p")
   }
 
+  test("q_crossmodal_knn: broadcast probe routing, group-limited top-k, no cartesian (r14)") {
+    val p = plan("q_crossmodal_knn")
+    assert(p.contains("BroadcastHashJoin"),
+      s"(probe, cell) routing table must broadcast:\n$p")
+    assert(p.contains("WindowGroupLimit"),
+      s"per-probe top-k must run map-side before the probe_id shuffle:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in cross-modal ANN:\n$p")
+  }
+
   test("q_triangle_count: wedge and closing joins equi-keyed, no cartesian") {
     val p = plan("q_triangle_count")
     assert(!p.contains("CartesianProduct"), s"cartesian in triangle census:\n$p")
