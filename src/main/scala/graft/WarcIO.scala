@@ -59,6 +59,33 @@ private final class MemberGzipWriter(out: java.io.OutputStream) {
   */
 object WarcIO {
 
+  /** Sanitize a WARC header value for CRLF-framed US-ASCII emission.
+    * Crawl data is attacker-influenced: a raw CR/LF inside `target_uri`
+    * would inject forged header lines and break the container framing
+    * downstream readers rely on, and a bare `getBytes(US-ASCII)` silently
+    * mangles every non-ASCII codepoint to '?'. Control bytes (< 0x20,
+    * 0x7f) and non-ASCII codepoints are percent-encoded as UTF-8 byte
+    * escapes (RFC 3986 style — loss-free, and what real crawl writers do
+    * to non-ASCII IRIs); printable ASCII, including '%', passes through
+    * untouched so already-percent-encoded URIs round-trip byte-exactly. */
+  private[graft] def headerValue(s: String): String = {
+    var i = 0
+    var clean = true
+    while (clean && i < s.length) {
+      val c = s.charAt(i)
+      if (c < 0x20 || c >= 0x7f) clean = false
+      i += 1
+    }
+    if (clean) return s
+    val sb = new java.lang.StringBuilder(s.length + 8)
+    s.getBytes(java.nio.charset.StandardCharsets.UTF_8).foreach { b =>
+      val u = b & 0xff
+      if (u >= 0x20 && u < 0x7f) sb.append(u.toChar)
+      else sb.append('%').append(f"$u%02X")
+    }
+    sb.toString
+  }
+
   /** Lazy WARC scan: `spark.read.format("warc")` —
     * (record_type, record_id, target_uri, warc_date, content_type,
     * content_length, payload). Splittable on plain files; compressed
@@ -86,9 +113,15 @@ object WarcIO {
     * `target_uri` may be null (warcinfo records carry none). Unlike the
     * FASTA/FASTQ sinks this cannot ride `df.write.text` — the text sink
     * appends LF after every row, corrupting binary CRLF framing — so rows
-    * stream through per-partition Hadoop file writes instead. Task
-    * retries are safe: each task recreates its own part file with
-    * overwrite. */
+    * stream through per-partition Hadoop file writes instead. Commit
+    * protocol: each task attempt writes a hidden per-attempt temp file
+    * (`.part-…-attempt-N` — dot-prefixed, so readers' hidden-file filter
+    * never sees it) and atomically renames onto the final part name on
+    * success; a speculative or retried attempt can therefore never
+    * interleave bytes into a half-written visible file — last completed
+    * rename wins, and every rename installs a COMPLETE file. Header
+    * values pass through [[headerValue]] (CR/LF injection and non-ASCII
+    * mangling are framing hazards, not data). */
   def writeWarc(df: DataFrame, path: String, recordGzip: Boolean = false): Unit = {
     val spark = df.sparkSession
     val serConf = new org.apache.spark.util.SerializableConfiguration(
@@ -104,32 +137,48 @@ object WarcIO {
     val cols = Seq("record_type", "record_id", "warc_date", "target_uri",
       "content_type", "payload")
     withCt.select(cols.head, cols.tail: _*).rdd.foreachPartition { rows =>
-      val pid = org.apache.spark.TaskContext.getPartitionId()
+      val tc = org.apache.spark.TaskContext.get()
+      val pid = tc.partitionId()
       val ext = if (recordGzip) ".warc.gz" else ".warc"
       val file = new org.apache.hadoop.fs.Path(path, f"part-$pid%05d$ext")
+      val tmp = new org.apache.hadoop.fs.Path(path,
+        f".part-$pid%05d$ext.attempt-${tc.taskAttemptId()}")
       val fsw = file.getFileSystem(serConf.value)
-      val out = new java.io.BufferedOutputStream(fsw.create(file, true), 1 << 16)
+      val out = new java.io.BufferedOutputStream(fsw.create(tmp, true), 1 << 16)
       val gz = if (recordGzip) new MemberGzipWriter(out) else null
+      var committed = false
       try {
         val crlfCrlf = "\r\n\r\n".getBytes("US-ASCII")
         rows.foreach { r =>
           val payload = r.getAs[Array[Byte]]("payload")
           val sb = new java.lang.StringBuilder(256)
           sb.append("WARC/1.0\r\n")
-          sb.append("WARC-Type: ").append(r.getAs[String]("record_type")).append("\r\n")
-          sb.append("WARC-Record-ID: ").append(r.getAs[String]("record_id")).append("\r\n")
-          sb.append("WARC-Date: ").append(r.getAs[String]("warc_date")).append("\r\n")
+          sb.append("WARC-Type: ").append(headerValue(r.getAs[String]("record_type"))).append("\r\n")
+          sb.append("WARC-Record-ID: ").append(headerValue(r.getAs[String]("record_id"))).append("\r\n")
+          sb.append("WARC-Date: ").append(headerValue(r.getAs[String]("warc_date"))).append("\r\n")
           val uri = r.getAs[String]("target_uri")
-          if (uri != null) sb.append("WARC-Target-URI: ").append(uri).append("\r\n")
-          sb.append("Content-Type: ").append(r.getAs[String]("content_type")).append("\r\n")
+          if (uri != null) sb.append("WARC-Target-URI: ").append(headerValue(uri)).append("\r\n")
+          sb.append("Content-Type: ").append(headerValue(r.getAs[String]("content_type"))).append("\r\n")
           sb.append("Content-Length: ").append(payload.length).append("\r\n\r\n")
           val head = sb.toString.getBytes("US-ASCII")
           if (gz != null) gz.member(head, payload, crlfCrlf)
           else { out.write(head); out.write(payload); out.write(crlfCrlf) }
         }
-      } finally {
         if (gz != null) gz.close()
         out.close()
+        // commit: install the complete temp file under the final name.
+        // A concurrently-committed speculative twin wrote the same bytes;
+        // delete-then-rename makes the last completed commit win whole.
+        fsw.delete(file, false)
+        if (!fsw.rename(tmp, file))
+          throw new java.io.IOException(s"writeWarc: commit rename $tmp -> $file failed")
+        committed = true
+      } finally {
+        if (!committed) {
+          try { if (gz != null) gz.close() } catch { case _: Throwable => }
+          try out.close() catch { case _: Throwable => }
+          try fsw.delete(tmp, false) catch { case _: Throwable => }
+        }
       }
     }
   }

@@ -275,11 +275,23 @@ object Sampling {
       .when(rawPath =!= "/" && rawPath.endsWith("/"),
         rawPath.substr(lit(1), length(rawPath) - 1))
       .otherwise(rawPath)
-    val host = lower(substring_index(authority, ":", 1))
-    // everything after the FIRST colon (a second colon is part of the
-    // malformed "port" and must round-trip — first-colon split, like host)
-    val port = authority.substr(length(host) + 2, length(url))
-    val keepPort = instr(authority, ":") > 0 &&
+    // IPv6 bracket authorities split host/port at the closing ']' (RFC
+    // 3986 §3.2.2); otherwise first-colon split (a second colon is part
+    // of the malformed "port" and must round-trip). A bracket authority
+    // with no ']:' — portless, or malformed trailing junk — is all-host.
+    val bracket = authority.startsWith("[")
+    val closeIdx = instr(authority, "]") // 1-based; 0 when absent
+    val hasBracketPort = bracket && authority.substr(closeIdx + 1, lit(1)) === ":"
+    val hostRaw = when(hasBracketPort, authority.substr(lit(1), closeIdx))
+      .when(bracket, authority)
+      .otherwise(substring_index(authority, ":", 1))
+    val host = lower(hostRaw)
+    val port = when(hasBracketPort, authority.substr(closeIdx + 2, length(url)))
+      .when(bracket, lit(""))
+      .otherwise(authority.substr(length(hostRaw) + 2, length(url)))
+    val hasPort = when(bracket, hasBracketPort)
+      .otherwise(instr(authority, ":") > 0)
+    val keepPort = hasPort &&
       !((scheme === "http" && port === "80") ||
         (scheme === "https" && port === "443"))
     val kept = array_sort(filter(split(query, "&"), p => {
@@ -326,15 +338,24 @@ object Sampling {
   def urlVerdict(url: Column, rules: UrlRules): Column = {
     val scheme = substring_index(url, "://", 1)
     val hostport = substring_index(substring_index(url, "://", -1), "/", 1)
-    val host = substring_index(hostport, ":", 1)
-    val port = substring_index(hostport, ":", -1)
+    // IPv6 bracket authorities: split host/port at ']' like urlCanon —
+    // a colon inside the brackets is address syntax, not a port separator
+    val bracket = hostport.startsWith("[")
+    val closeIdx = instr(hostport, "]")
+    val hasBracketPort = bracket && hostport.substr(closeIdx + 1, lit(1)) === ":"
+    val host = when(hasBracketPort, hostport.substr(lit(1), closeIdx))
+      .when(bracket, hostport)
+      .otherwise(substring_index(hostport, ":", 1))
+    val port = when(hasBracketPort, hostport.substr(closeIdx + 2, length(hostport)))
+      .otherwise(substring_index(hostport, ":", -1))
+    val hasPort = when(bracket, hasBracketPort).otherwise(hostport.contains(":"))
     def anyToken(c: Column, ts: Seq[String]): Column =
       if (ts.isEmpty) lit(false)
       else ts.map(t => c.contains(t)).reduce(_ || _)
     def inSet(c: Column, s: Seq[String]): Column =
       if (s.isEmpty) lit(false) else c.isInCollection(s)
     when(!inSet(scheme, rules.allowedSchemes), "scheme")
-      .when(hostport.contains(":") && !inSet(port, rules.allowedPorts), "port")
+      .when(hasPort && !inSet(port, rules.allowedPorts), "port")
       .when(inSet(registrableDomain(host), rules.blockedDomains), "domain")
       .when(anyToken(host, rules.blockedHostTokens), "host")
       .when(anyToken(path(url, hostport), rules.blockedPathTokens), "path")

@@ -654,8 +654,10 @@ object Similarity {
     val spark = emb.sparkSession
     import spark.implicits._
     val pids = probeIds.distinct // a repeated id would duplicate routing rows
-    val (cents, _) = ivfIndexQ(emb, idCol, vecCol, nCells, iters)
-    val sorted = cents.sortBy(_._1)
+    // NOTE: the index is trained exactly once, inside ivfTopKBatchVecsQ —
+    // this wrapper only resolves probe ids to corpus vectors (an r14
+    // refactor briefly left a second, dead ivfIndexQ call here, doubling
+    // the Lloyd training jobs for q_ann_batch/q_crossmodal_knn)
     val probeVecRows =
       emb.filter(col(idCol).isInCollection(pids))
         .select(col(idCol), quantize(col(vecCol)))
@@ -978,7 +980,8 @@ object Similarity {
                                 idCol: String, vecCol: String,
                                 nCells: Int = 0, iters: Int = 2,
                                 minCosine: Double = 0.3,
-                                trainSample: Int = 0): DataFrame = {
+                                trainSample: Int = 0,
+                                nRows: Long = -1L): DataFrame = {
     val uni = standing.select(col(idCol).as("id"), col(vecCol).as("__v"))
       .unionByName(batch.select(col(idCol).as("id"), col(vecCol).as("__v")))
     // nCells <= 0: derive k from the union size with the SemDeDup paper's
@@ -987,10 +990,14 @@ object Similarity {
     // shape, so a FIXED k degenerates as the corpus grows (the r11
     // q_semdedup_sampled k=8 lesson, re-hit by the 1000× sweep at k=32:
     // 62.5k-member cells). At the oracle SFs (≤ 5k vectors) the formula
-    // resolves to exactly 32, so oracle literals are unchanged.
+    // resolves to exactly 32, so oracle literals are unchanged. Callers
+    // that already know |standing ∪ batch| pass it via nRows (the footer-
+    // metadata pattern — Tables.parquetRowCount) so construction stays
+    // action-free; the count() is only the self-contained fallback.
     val k =
       if (nCells > 0) nCells
-      else math.max(32, math.ceil(uni.count() / 20000.0).toInt)
+      else math.max(32,
+        math.ceil((if (nRows >= 0L) nRows else uni.count()) / 20000.0).toInt)
     // a bounded training sample must still cover the (possibly adaptive)
     // seed set — scale it to 3 points per centroid when k outgrows it
     // (at the oracle SFs k = 32 ⇒ 3k = 96, the query's literal, so

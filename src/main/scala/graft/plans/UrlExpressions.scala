@@ -21,6 +21,10 @@ import org.apache.spark.unsafe.types.UTF8String
   *    ASCII input, which the spec corpus and every fixture use);
   *  - authority = rest up to the first `/`, `?` or `#`; default ports
   *    http:80/https:443 dropped, any other explicit port kept;
+  *  - IPv6 bracket authorities (`[::1]:8080`) split host/port at the
+  *    closing `]` (RFC 3986 §3.2.2), never at a colon INSIDE the
+  *    brackets; a bracket authority with no `]:` (no port, or malformed
+  *    trailing junk) is treated as all-host and round-trips lowercased;
   *  - fragment (from the first `#` after the authority) stripped;
   *  - path: `"" → "/"`, ONE trailing slash stripped from non-root paths;
   *  - query: params split on `&`, empties dropped, tracking params
@@ -60,8 +64,21 @@ object UrlCanon {
     var aEnd = aStart
     while (aEnd < u.length && { val c = u.charAt(aEnd)
       c != '/' && c != '?' && c != '#' }) aEnd += 1
-    val colon = u.indexOf(':', aStart)
-    val hostEnd = if (colon >= 0 && colon < aEnd) colon else aEnd
+    val hostEnd = {
+      val h0 =
+        if (aEnd > aStart && u.charAt(aStart) == '[') {
+          // IPv6 bracket authority: the port separator is the colon AFTER
+          // the closing ']', never one inside the brackets
+          val close = u.indexOf(']', aStart)
+          if (close >= 0 && close < aEnd) close + 1 else aEnd
+        } else {
+          val colon = u.indexOf(':', aStart)
+          if (colon >= 0 && colon < aEnd) colon else aEnd
+        }
+      // what follows the host must BE a ':' to count as a port (a bracket
+      // authority with trailing junk after ']' is all-host, pass-through)
+      if (h0 < aEnd && u.charAt(h0) != ':') aEnd else h0
+    }
     i = aStart
     while (i < hostEnd) { out.append(lowerAscii(u.charAt(i))); i += 1 }
     if (hostEnd < aEnd) { // explicit port

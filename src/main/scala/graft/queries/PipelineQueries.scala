@@ -461,6 +461,18 @@ object PipelineQueries {
     * first-match verdict CASE, both funnels. */
   val qUrlFilterSql: String = {
     def sqlSet(s: Seq[String]) = s.sorted.map(x => s"'$x'").mkString(", ")
+    // token arms GENERATED from the engine's rule object, like sqlSet for
+    // the set-valued rules — editing UrlFilterRules can never silently
+    // desynchronize the oracle (r14 advice: the host/path tokens were
+    // hardcoded literals here)
+    def anyContains(sqlExpr: String, ts: Seq[String]) =
+      if (ts.isEmpty) "FALSE"
+      else ts.sorted.map(t => s"contains($sqlExpr, '$t')").mkString(" OR ")
+    val hostArm = anyContains("host", UrlFilterRules.blockedHostTokens)
+    val pathArm = anyContains(
+      "substr(string_split(url, '://')[2], " +
+        "length(string_split(string_split(url, '://')[2], '/')[1]) + 1)",
+      UrlFilterRules.blockedPathTokens)
     s"""WITH u AS (
        |  SELECT doc_id, text,
        |         (CASE WHEN doc_id % 11 = 4 THEN 'ftp' ELSE 'https' END)
@@ -508,10 +520,8 @@ object PipelineQueries {
        |  SELECT doc_id, text, url, host, domain,
        |         CASE WHEN hard IS NOT NULL THEN hard
        |              WHEN domain IN (${sqlSet(UrlFilterRules.blockedDomains)}) THEN 'domain'
-       |              WHEN contains(host, 'ads.') THEN 'host'
-       |              WHEN contains(substr(string_split(url, '://')[2],
-       |                     length(string_split(string_split(url, '://')[2], '/')[1]) + 1),
-       |                   '/ads/') THEN 'path'
+       |              WHEN $hostArm THEN 'host'
+       |              WHEN $pathArm THEN 'path'
        |              ELSE 'kept' END AS stage
        |  FROM judged),
        |fun AS (

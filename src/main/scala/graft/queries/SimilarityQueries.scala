@@ -600,7 +600,10 @@ object SimilarityQueries {
   def qSemdedup(spark: SparkSession, sfDir: String): DataFrame =
     graft.operators.Similarity.semanticDedup(
         t(spark, sfDir, "embeddings"), "vec_id", "embedding",
-        iters = 2, minCosine = 0.3)
+        iters = 2, minCosine = 0.3,
+        // corpus size from parquet footer metadata — no count() action at
+        // construction (the knn-family pattern, threaded here in r15)
+        nRows = graft.Tables.parquetRowCount(spark, sfDir, "embeddings"))
       .select(col("id").as("vec_id"), col("cell"), col("kept"))
       .orderBy("vec_id")
 
@@ -707,7 +710,10 @@ object SimilarityQueries {
     // vectors), keeping the within-cell pairing sweep-affordable
     graft.operators.Similarity
       .semanticIncrementalStatus(standing, batch, "vec_id", "embedding",
-        nCells = 0, iters = 2, minCosine = 0.3, trainSample = 96)
+        nCells = 0, iters = 2, minCosine = 0.3, trainSample = 96,
+        // standing ∪ batch partition the embeddings table exactly, so the
+        // union size is the footer row count — no count() at construction
+        nRows = graft.Tables.parquetRowCount(spark, sfDir, "embeddings"))
       .join(batch.select(col("vec_id").as("id"), col("label")), Seq("id"))
       .groupBy("label")
       .agg(count(lit(1)).as("n_batch"),

@@ -268,11 +268,19 @@ class WarcMicroBatchStream(paths: Seq[String], columns: Array[String],
   import org.apache.spark.sql.connector.read.streaming.Offset
   import graft.sources.fastx.FastxDataSource.{isCompressed, resolveFiles}
 
-  private case class WarcOffset(lastFile: String) extends Offset {
+  /** O(1) offset: the lexicographically-largest processed file name PLUS
+    * the number of files named ≤ it at commit time. The count is what
+    * makes out-of-order landings DETECTABLE with constant state (r15):
+    * a late file named ≤ `lastFile` — landed mid-run OR while the stream
+    * was down — changes the ≤-count, so the next admission check fails
+    * loudly instead of skipping the file forever. (A simultaneous
+    * deletion could mask one late arrival; deletions of processed input
+    * violate the same immutable-landing contract.) */
+  private case class WarcOffset(lastFile: String, nFiles: Long) extends Offset {
     override def json(): String = {
       val quoted = com.fasterxml.jackson.databind.node.JsonNodeFactory
         .instance.textNode(lastFile).toString
-      s"""{"lastFile":$quoted}"""
+      s"""{"lastFile":$quoted,"nFiles":$nFiles}"""
     }
   }
 
@@ -285,32 +293,69 @@ class WarcMicroBatchStream(paths: Seq[String], columns: Array[String],
       .sortBy(_._1)
   }
 
+  private def offsetFor(names: Seq[(String, org.apache.hadoop.fs.FileStatus)])
+      : WarcOffset =
+    WarcOffset(names.lastOption.map(_._1).getOrElse(""), names.size.toLong)
+
   override def prepareForTriggerAvailableNow(): Unit =
     availableNowTarget = Some(listNames().lastOption.map(_._1).getOrElse(""))
 
-  override def initialOffset(): Offset = WarcOffset("")
+  override def initialOffset(): Offset = WarcOffset("", 0L)
 
   override def latestOffset(): Offset = availableNowTarget match {
-    case Some(t) => WarcOffset(t)
-    case None => WarcOffset(listNames().lastOption.map(_._1).getOrElse(""))
+    case Some(t) =>
+      // pinned target: count only what is ≤ the pinned name, so files
+      // landing after prepare (monotone, > t) don't skew the count
+      WarcOffset(t, listNames().count(_._1 <= t).toLong)
+    case None => offsetFor(listNames())
+  }
+
+  /** The loud out-of-order check (r15), runnable from BOTH admission
+    * control and planning: when the late file is the only new arrival,
+    * the latest offset never advances past the checkpoint and
+    * planInputPartitions is never called — the silent skip would happen
+    * before planning, so admission control must see it too. A violated
+    * count can't name the late files (the offset is O(1) by design), but
+    * it fails the stream with the ≤-offset listing for triage. */
+  private def detectOutOfOrder(from: WarcOffset,
+      names: Seq[(String, org.apache.hadoop.fs.FileStatus)]): Unit = {
+    if (from.nFiles < 0L) return // legacy checkpoint without a count
+    val atOrBefore = names.collect { case (n, _) if n <= from.lastFile => n }
+    if (atOrBefore.size > from.nFiles)
+      throw new IllegalStateException(
+        s"warc streaming: ${atOrBefore.size - from.nFiles} file(s) landed OUT " +
+          s"OF ORDER — named ≤ the checkpointed offset '${from.lastFile}', " +
+          s"which covered ${from.nFiles} file(s) when committed — and would " +
+          s"be silently skipped forever. Files now at-or-before the offset: " +
+          s"${atOrBefore.takeRight(5).mkString(", ")}${if (atOrBefore.size > 5) ", …" else ""}. " +
+          "The warc streaming offset contract is MONOTONE file naming (new " +
+          "files must sort after processed ones); rename the late files past " +
+          "the offset or restart from a fresh checkpoint.")
   }
 
   // SupportsTriggerAvailableNow extends SupportsAdmissionControl; this
   // source applies no read limits — a micro-batch takes everything new
   override def latestOffset(start: Offset,
-      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Offset =
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Offset = {
+    detectOutOfOrder(start.asInstanceOf[WarcOffset], listNames())
     latestOffset()
+  }
 
   override def deserializeOffset(json: String): Offset = {
     val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
-    WarcOffset(node.get("lastFile").asText())
+    // legacy (pre-r15) checkpoints carry no nFiles → -1 disables the
+    // count check until the next commit writes the full offset
+    val n = if (node.has("nFiles")) node.get("nFiles").asLong() else -1L
+    WarcOffset(node.get("lastFile").asText(), n)
   }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val from = start.asInstanceOf[WarcOffset].lastFile
     val to = end.asInstanceOf[WarcOffset].lastFile
     val conf = new Configuration()
-    listNames()
+    val names = listNames()
+    detectOutOfOrder(start.asInstanceOf[WarcOffset], names)
+    names
       .filter { case (n, _) => n > from && n <= to }
       .flatMap { case (_, st) =>
         val p = st.getPath

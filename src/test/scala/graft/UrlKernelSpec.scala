@@ -41,6 +41,23 @@ class UrlKernelSpec extends SparkSpec {
     assert(canon("https://h.com/p//") == "https://h.com/p/")
   }
 
+  test("IPv6 bracket authorities: port split at ']' (RFC 3986 §3.2.2)") {
+    // a colon inside the brackets is address syntax, never a port split
+    assert(canon("http://[::1]:8080/") == "http://[::1]:8080/")
+    assert(canon("http://[::1]:80/x") == "http://[::1]/x")       // default port
+    assert(canon("https://[2001:DB8::1]:443/p#f") == "https://[2001:db8::1]/p")
+    assert(canon("http://[::1]/a/b/") == "http://[::1]/a/b")     // portless
+    assert(canon("http://[::1]") == "http://[::1]/")
+    // urlVerdict splits the same way: an in-bracket colon is not a port
+    val rules = Sampling.UrlRules()
+    val verdicts = Seq(
+      "http://[::1]/p",        // no port → kept
+      "http://[::1]:443/p",    // allowed port → kept
+      "http://[::1]:8080/p")   // blocked port → port
+      .toDF("u").select(Sampling.urlVerdict(col("u"), rules)).as[String].collect()
+    assert(verdicts.toSeq == Seq("kept", "kept", "port"))
+  }
+
   test("kernel ≡ Column reference on crafted hazards") {
     val crafted = Seq(
       "https://h.com", "https://h.com/", "https://h.com//",
@@ -54,6 +71,11 @@ class UrlKernelSpec extends SparkSpec {
       "https://h.com/p?x=%20&x=+",
       "http://h.com:1:2/p",              // malformed double-colon port
       "noscheme/path?a=1", "",
+      "http://[::1]:8080/p?b=2&a=1",     // IPv6 with port + query
+      "http://[2001:DB8::1]/x",          // IPv6 portless
+      "http://[::1]", "https://[::1]:443/p",
+      "http://[::1/broken",              // unclosed bracket: all-host
+      "http://[::1]junk/p",              // junk after ']': all-host
       "ftp://H.com:21/file/")
     val rows = crafted.toDF("u").select(
         Sampling.urlCanonColumns(col("u")).as("ref"),

@@ -285,4 +285,72 @@ class WarcSpec extends SparkSpec {
         s"maxSplitBytes=$m diverged")
     }
   }
+
+  test("header injection: CR/LF and non-ASCII in values are percent-encoded") {
+    // crawl data is attacker-influenced — a raw CRLF in target_uri would
+    // inject a forged header line and break the container framing
+    val dir = new File("/root/repo/target/warc_spec/inject")
+    val hostile = Seq(
+      ("response", "<urn:uuid:evil-0>", "2024-01-01T00:00:00Z",
+        "https://evil.test/a\r\nWARC-Type: warcinfo\r\nX-Forged: 1",
+        "payload zero".getBytes("US-ASCII")),
+      ("response", "<urn:uuid:evil-1>", "2024-01-01T00:00:00Z",
+        "https://évïl.test/ü", // non-ASCII IRI: must not mangle to '?'
+        "payload one".getBytes("US-ASCII")),
+      ("response", "<urn:uuid:ok-2>", "2024-01-01T00:00:00Z",
+        "https://ok.test/p%20q", // pre-encoded '%' passes through untouched
+        "payload two".getBytes("US-ASCII")))
+      .toDF("record_type", "record_id", "warc_date", "target_uri", "payload")
+    WarcIO.writeWarc(hostile.repartition(1), dir.getAbsolutePath)
+    val got = spark.read.format("warc").load(dir.getAbsolutePath)
+      .select("record_id", "record_type", "target_uri", "payload")
+      .collect().map(r => r.getString(0) ->
+        (r.getString(1), r.getString(2), new String(r.getAs[Array[Byte]](3), "US-ASCII")))
+      .toMap
+    assert(got.size == 3) // framing intact: exactly 3 records, none forged
+    val (t0, u0, p0) = got("<urn:uuid:evil-0>")
+    assert(t0 == "response" && p0 == "payload zero")
+    assert(!u0.contains("\r") && !u0.contains("\n"))
+    assert(u0 == "https://evil.test/a%0D%0AWARC-Type: warcinfo%0D%0AX-Forged: 1")
+    val (_, u1, _) = got("<urn:uuid:evil-1>")
+    assert(u1 == "https://%C3%A9v%C3%AFl.test/%C3%BC") // UTF-8 byte escapes
+    val (_, u2, _) = got("<urn:uuid:ok-2>")
+    assert(u2 == "https://ok.test/p%20q") // clean ASCII: byte-exact
+  }
+
+  test("streaming: a file landing out of order fails loudly, not silently") {
+    import org.apache.spark.sql.streaming.Trigger
+    val base = new File("/root/repo/target/warc_spec/ooo")
+    org.apache.commons.io.FileUtils.deleteQuietly(base)
+    val inDir = new File(base, "in"); inDir.mkdirs()
+    val outDir = new File(base, "out").getAbsolutePath
+    val ckpt = new File(base, "ckpt").getAbsolutePath
+    def land(prefix: String): Unit = {
+      val stage = new File(base, s"stage-$prefix")
+      WarcIO.writeWarc(fixtureDf.repartition(1), stage.getAbsolutePath)
+      stage.listFiles().filter(_.getName.endsWith(".warc")).foreach { f =>
+        java.nio.file.Files.move(f.toPath,
+          new File(inDir, s"$prefix-${f.getName}").toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+    }
+    def drain(): Unit = {
+      val q = spark.readStream.format("warc").load(inDir.getAbsolutePath)
+        .select("record_id")
+        .writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    land("b"); drain() // offset advances to the 'b' file
+    land("a")          // lexicographically BEFORE the checkpointed offset
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      drain()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(ex).exists(c => c.isInstanceOf[IllegalStateException] &&
+      c.getMessage.contains("OUT OF ORDER")),
+      s"expected the loud out-of-order failure, got: $ex")
+  }
 }
