@@ -1288,6 +1288,106 @@ object PipelineQueries {
        |GROUP BY h.lang ORDER BY h.lang""".stripMargin
   }
 
+  /** CDX index + random-access fetch (round 15) — the third leg of the
+    * crawl story: ingest → INDEX → SERVE. Every public-crawl consumer
+    * resolves URLs through a CDX index and seeks straight to one record;
+    * this query builds the whole path and proves the served bytes against
+    * the oracle:
+    *
+    *  1. the q_warc_gz container (response + request per document,
+    *     per-record-gzip) is written by the distributed sink;
+    *  2. ONE member-split scan (record_type filter + column prune pushed)
+    *     derives the index rows — SURT key from the canonicalization
+    *     kernel, capture date, `(record_file, record_offset)` address,
+    *     payload digest — cached, then written as BOTH artifacts:
+    *     globally-sorted CDXJ text shards (the interop format CDX servers
+    *     binary-search) and the key-sorted parquet serving twin;
+    *  3. a bounded probe batch (the 48 lowest-md5 doc_ids — the
+    *     q_pair_mining bounded-serving discipline) looks up through the
+    *     PARQUET twin with the 48-key `In` filter PUSHED to the scan
+    *     (row groups pruned by the sorted layout's min/max zone maps —
+    *     plan-gated in PlanQualitySpec);
+    *  4. each hit seeks its gzip member at the indexed offset and
+    *     inflates EXACTLY ONE record ([[graft.sources.warc.CdxIndex
+    *     .fetchRecords]] — no resync, no container scan);
+    *  5. readout per probe: SURT key, served content_length, served
+    *     payload md5 — all recomputed by the oracle straight from
+    *     `documents`, so any drift anywhere in sink → index → seek →
+    *     inflate shows up as a hash mismatch.
+    *
+    * Scale shape: the index build is one pushed-down container scan + one
+    * range shuffle of address rows (no payload bytes pass the shuffle);
+    * the artifact is ~0.1% of corpus bytes; the lookup touches O(1) row
+    * groups of the index and the fetch reads only the one member's bytes
+    * per probe. At 100 TB this is exactly the CC-index serving plan. */
+  def qCdxFetch(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.sources.warc.CdxIndex
+    val sfName = new java.io.File(sfDir).getName
+    val dir = new java.io.File(s"/root/repo/target/cdx_fetch/$sfName")
+    val idxTxt = new java.io.File(dir.getParentFile, s"$sfName-cdxj").getAbsolutePath
+    val idxPq = new java.io.File(dir.getParentFile, s"$sfName-cdxpq").getAbsolutePath
+    val docs = t(spark, sfDir, "documents")
+    graft.WarcIO.writeWarc(warcRecordsFor(docs), dir.getAbsolutePath,
+      recordGzip = true)
+    val warc = spark.read.format("warc")
+      .option("maxSplitBytes",
+        FastxQueries.adaptiveSplitBytes(spark, dir.getAbsolutePath).toString)
+      .option("recordGzipSplit", "true")
+      .load(dir.getAbsolutePath)
+    // index rows cached: both artifact writes share the single container
+    // scan instead of re-scanning (the q_web_pipeline extraction lesson)
+    val cdx = graft.CacheScope.cached(CdxIndex.cdxRecords(warc))
+    CdxIndex.writeCdxj(cdx, idxTxt)
+    CdxIndex.writeCdxParquet(cdx, idxPq)
+    // bounded probe batch, collected once (48 rows — the ≤64-row serving
+    // batch discipline): ids, langs, and the SURT keys to look up
+    val probeRows = docs
+      .select(col("doc_id"), col("lang"),
+        CdxIndex.surtKey(concat(lit("https://fixture.test/"), col("lang"),
+          lit("/"), col("doc_id").cast("string"))).as("surt"))
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      .limit(48)
+      .collect()
+    val surts = probeRows.map(_.getString(2)).toSeq
+    // point lookup: the 48-key In filter pushes into the parquet index
+    // scan; the key-sorted layout makes row-group zone maps selective
+    val hits = spark.read.parquet(idxPq)
+      .filter(col("surt").isInCollection(surts))
+      .select(col("surt"), col("record_file"), col("record_offset"))
+    import spark.implicits._
+    val probeInfo = probeRows.toSeq
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .toDF("doc_id", "lang", "surt")
+    val addrs = hits.join(broadcast(probeInfo), Seq("surt"))
+      .select(col("doc_id").as("probe_id"), col("record_file"),
+        col("record_offset"))
+      .sortWithinPartitions("record_file", "record_offset")
+    CdxIndex.fetchRecords(addrs, dir.getAbsolutePath, gzMembers = true)
+      .join(broadcast(probeInfo), col("probe_id") === col("doc_id"))
+      .select(col("doc_id"), col("lang"), col("surt"),
+        col("content_length"),
+        substring(md5(col("payload")), 1, 10).as("payload_md5"))
+      .orderBy("doc_id")
+  }
+
+  /** Oracle: probe selection, SURT construction, served length and digest
+    * all replayed from `documents` — the container, both index artifacts,
+    * and the member seek must be collectively invisible to the result. */
+  val qCdxFetchSql: String = {
+    val head = "'HTTP/1.1 200 OK' || chr(13) || chr(10) || " +
+      "'Content-Type: text/html' || chr(13) || chr(10) || chr(13) || chr(10)"
+    s"""WITH $htmlExtractSqlCtes,
+       |cprobes AS (
+       |  SELECT doc_id, lang FROM documents
+       |  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT 48)
+       |SELECT h.doc_id, h.lang,
+       |  'test,fixture)/' || h.lang || '/' || h.doc_id AS surt,
+       |  CAST(strlen($head || h.html) AS BIGINT) AS content_length,
+       |  substr(md5($head || h.html), 1, 10) AS payload_md5
+       |FROM hhtml h JOIN cprobes p ON p.doc_id = h.doc_id
+       |ORDER BY h.doc_id""".stripMargin
+  }
+
   /** WET export (round 14) — the extracted-text artifact of the crawl
     * family (Common Crawl ships WARC + WET; WET files ARE WARC files of
     * `conversion` records whose payload is the extracted plain text):
@@ -1414,6 +1514,7 @@ object PipelineQueries {
     "q_html_extract" -> (qHtmlExtract _),
     "q_warc_ingest" -> (qWarcIngest _),
     "q_warc_gz" -> (qWarcGz _),
+    "q_cdx_fetch" -> (qCdxFetch _),
     "q_wet_export" -> (qWetExport _),
     "q_web_pipeline" -> (qWebPipeline _),
     "q_bootstrap_ci" -> (qBootstrapCi _),
@@ -1435,6 +1536,7 @@ object PipelineQueries {
     "q_html_extract" -> qHtmlExtractSql,
     "q_warc_ingest" -> qWarcIngestSql,
     "q_warc_gz" -> qWarcIngestSql,
+    "q_cdx_fetch" -> qCdxFetchSql,
     "q_wet_export" -> qWetExportSql,
     "q_web_pipeline" -> qWebPipelineSql,
     "q_bootstrap_ci" -> qBootstrapCiSql,

@@ -1087,6 +1087,27 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"cartesian in cross-modal ANN:\n$p")
   }
 
+  test("q_cdx_fetch: index lookup pushes the key filter into the parquet scan (r15)") {
+    // run the query once so the index artifacts exist, and pin the final
+    // plan's serving shape: the 48-row probe table broadcasts onto the
+    // fetched rows, nothing cartesian
+    val p = plan("q_cdx_fetch")
+    assert(p.contains("BroadcastHashJoin"), s"probe attach must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in cdx serve:\n$p")
+    // the point-lookup scan itself feeds the fetch RDD (not visible in the
+    // readout plan) — rebuild it as the query does and pin the pushdown:
+    // the 48-key In filter must reach the parquet index scan, where the
+    // key-sorted layout's row-group zone maps make it selective
+    val idxPq = "/root/repo/target/cdx_fetch/sf0.001-cdxpq"
+    val lookup = spark.read.parquet(idxPq)
+      .filter(org.apache.spark.sql.functions.col("surt")
+        .isInCollection(Seq("test,fixture)/en/7", "test,fixture)/fr/11")))
+    val lp = lookup.queryExecution.executedPlan.toString
+    assert(lp.contains("PushedFilters: [In(surt"),
+      s"lookup key filter not pushed to the index scan:\n$lp")
+    graft.CacheScope.release()
+  }
+
   test("q_triangle_count: wedge and closing joins equi-keyed, no cartesian") {
     val p = plan("q_triangle_count")
     assert(!p.contains("CartesianProduct"), s"cartesian in triangle census:\n$p")

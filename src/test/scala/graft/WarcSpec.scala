@@ -286,6 +286,67 @@ class WarcSpec extends SparkSpec {
     }
   }
 
+  test("cdx: every record fetched THROUGH the index, both container layouts") {
+    import graft.sources.warc.CdxIndex
+    for (gz <- Seq(false, true)) {
+      val tag = if (gz) "gz" else "plain"
+      val dir = new File(s"/root/repo/target/warc_spec/cdx_$tag")
+      WarcIO.writeWarc(fixtureDf.repartition(3), dir.getAbsolutePath, recordGzip = gz)
+      val warc = spark.read.format("warc")
+        .option("recordGzipSplit", gz.toString).load(dir.getAbsolutePath)
+      val cdx = CdxIndex.cdxRecords(warc)
+      val idxDir = new File(s"/root/repo/target/warc_spec/cdx_${tag}_idx").getAbsolutePath
+      CdxIndex.writeCdxj(cdx, idxDir, numShards = 3)
+      val back = CdxIndex.readCdxj(spark, idxDir)
+      // responses only — the index is the response address book
+      val nResp = fixtureDf.filter(col("record_type") === "response").count()
+      assert(back.count() == nResp)
+      // fetch EVERY indexed record through its (file, offset) address and
+      // prove the served payload digest equals the indexed digest AND the
+      // digest of the original dataframe row
+      val addrs = back.select(
+        regexp_extract(col("target_uri"), "/p/(\\d+)$", 1).cast("long").as("probe_id"),
+        col("record_file"), col("record_offset"))
+      val served = CdxIndex.fetchRecords(addrs, dir.getAbsolutePath, gzMembers = gz)
+        .select(col("probe_id"), col("record_id"),
+          md5(col("payload")).as("served_md5"))
+        .collect().map(r => r.getLong(0) -> (r.getString(1), r.getString(2))).toMap
+      val want = fixtureDf.filter(col("record_type") === "response")
+        .select(regexp_extract(col("target_uri"), "/p/(\\d+)$", 1).cast("long"),
+          col("record_id"), md5(col("payload")))
+        .collect().map(r => r.getLong(0) -> (r.getString(1), r.getString(2))).toMap
+      assert(served == want, s"layout=$tag served records diverged")
+    }
+  }
+
+  test("cdx: CDXJ shards are globally sorted; a bad address fails loudly") {
+    import graft.sources.warc.CdxIndex
+    val dir = new File("/root/repo/target/warc_spec/cdx_sort")
+    WarcIO.writeWarc(fixtureDf.repartition(3), dir.getAbsolutePath, recordGzip = true)
+    val warc = spark.read.format("warc")
+      .option("recordGzipSplit", "true").load(dir.getAbsolutePath)
+    val idxDir = new File("/root/repo/target/warc_spec/cdx_sort_idx")
+    CdxIndex.writeCdxj(CdxIndex.cdxRecords(warc), idxDir.getAbsolutePath,
+      numShards = 3)
+    // concatenating part files in NAME order must yield one sorted key
+    // stream (range partitioning gives shards disjoint ascending ranges)
+    val keys = idxDir.listFiles().filter(_.getName.startsWith("part-"))
+      .sortBy(_.getName)
+      .flatMap(f => scala.io.Source.fromFile(f, "UTF-8").getLines()
+        .map(_.split(" ", 3).take(2).mkString(" ")).toArray)
+    assert(keys.nonEmpty && keys.sameElements(keys.sorted),
+      "CDXJ shard concatenation is not globally sorted")
+    // an offset pointing mid-member is index/container drift → loud
+    import TestSpark.spark.implicits._
+    val bogus = Seq((0L, "part-00000.warc.gz", 7L))
+      .toDF("probe_id", "record_file", "record_offset")
+    val e = intercept[org.apache.spark.SparkException] {
+      CdxIndex.fetchRecords(bogus, dir.getAbsolutePath, gzMembers = true).collect()
+    }
+    assert(e.getMessage.contains("drift") ||
+      Option(e.getCause).exists(_.getMessage.contains("drift")))
+  }
+
   test("header injection: CR/LF and non-ASCII in values are percent-encoded") {
     // crawl data is attacker-influenced — a raw CRLF in target_uri would
     // inject a forged header line and break the container framing
