@@ -222,6 +222,50 @@ object HtmlText {
     StructField("boiler_chars", LongType, nullable = false)))
 }
 
+/** Outlink extraction — the WAT-side companion of the text kernel
+  * (round-15 verdict item 2: href targets were framed for link-density
+  * but discarded). Semantics are EXACTLY the regex
+  * `href="([^"]*)"` applied leftmost, non-overlapping over the raw HTML
+  * (the engine-portable contract — DuckDB replays it verbatim with
+  * `regexp_extract_all(html, 'href="([^"]*)"', 1)`): scan for the literal
+  * `href="`, capture to the next `"`, resume after the closing quote; an
+  * opener with no closing quote never matches. Attribute-level on
+  * purpose: real crawl WAT extractors record every href (a/link/area);
+  * element filtering, absolutization, and canonicalization are downstream
+  * row-local stages ([[UrlExpressions.urlCanon]] + the scheme gate). */
+object HtmlOutlinks {
+  def compute(html: UTF8String): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val h = html.toString
+    val out = new java.util.ArrayList[UTF8String](8)
+    var p = h.indexOf("href=\"")
+    while (p >= 0) {
+      val q = h.indexOf('"', p + 6)
+      if (q < 0) p = -1
+      else {
+        out.add(UTF8String.fromString(h.substring(p + 6, q)))
+        p = h.indexOf("href=\"", q + 1)
+      }
+    }
+    val arr = new Array[Any](out.size())
+    var i = 0
+    while (i < arr.length) { arr(i) = out.get(i); i += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(arr)
+  }
+}
+
+/** `html_outlinks(html)` — [[HtmlOutlinks]] as a codegen'd expression. */
+case class HtmlOutlinksExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    HtmlOutlinks.compute(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.HtmlOutlinks.compute($c)")
+  override def prettyName: String = "html_outlinks"
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** `html_extract(html)` — [[HtmlText]] as a codegen'd expression; the
   * thresholds are plan-time constants baked into the generated call. */
 case class HtmlExtractExpr(child: Expression, minChars: Int, densityNum: Int)
@@ -244,4 +288,7 @@ object HtmlExtractExpressions {
                   minChars: Int = graft.operators.HtmlExtract.MinChars,
                   densityNum: Int = graft.operators.HtmlExtract.DensityNum): Column =
     column(HtmlExtractExpr(expression(html), minChars, densityNum))
+
+  def htmlOutlinks(html: Column): Column =
+    column(HtmlOutlinksExpr(expression(html)))
 }

@@ -689,7 +689,10 @@ object DedupQueries {
     } finally graft.CacheScope.release()
   }
 
-  private def pagerankIterSql(prev: String, it: String): String =
+  /** One unrolled integer-PageRank iteration as a CTE — references the
+    * caller's `edges`/`deg`/`tconst`/`nconst` CTEs by name (shared by the
+    * q_source_pagerank and q_link_graph oracles). */
+  private[queries] def pagerankIterSql(prev: String, it: String): String =
     s"""$it AS (
        |  SELECT d.id, d.deg,
        |         CAST(tc.t + (17 * (COALESCE(inf.s, 0)

@@ -1288,6 +1288,204 @@ object PipelineQueries {
        |GROUP BY h.lang ORDER BY h.lang""".stripMargin
   }
 
+  /** The OUTLINK fixture (round 15) — a deterministic link page per
+    * document, shared by [[qWatExport]] and [[qLinkGraph]]. Each page on
+    * host `site(doc_id % 29).com` carries five planted hrefs, one per
+    * downstream rule:
+    *  - `u1` absolute https → site((7·doc_id+3) % 29) — the plain edge;
+    *  - `u2` SHOUTED case + `:443` default port → site((doc_id div 29)
+    *    % 29) — canonicalization must lower + strip before host edges;
+    *  - `u3` (every 3rd doc) → site0 — the hub that gives the graph a
+    *    high-rank node;
+    *  - `u4` = u1 + a utm tracker — canonicalizes ONTO u1 (alias collapse
+    *    before edge dedup);
+    *  - `u5` relative `/local/…` — dropped by the absolute-scheme gate.
+    * Kept separate from [[htmlFixtureCol]] on purpose: the extraction
+    * fixture backs 14 standing oracles; link-graph evolution must not
+    * perturb them. */
+  private[graft] def linkFixtureCol: org.apache.spark.sql.Column = {
+    val d = col("doc_id")
+    val t1 = ((d * 7 + 3) % 29).cast("string")
+    val t2 = (expr("doc_id div 29") % 29).cast("string")
+    val u1 = concat(lit("https://site"), t1, lit(".com/a/"),
+      (d % 7).cast("string"))
+    concat(
+      lit("<html><body><ul><li><a href=\""), u1, lit("\">a</a></li>"),
+      lit("<li><a href=\"HTTPS://SITE"), t2, lit(".COM:443/b\">b</a></li>"),
+      when(d % 3 === 0,
+        lit("<li><a href=\"https://site0.com/\">hub</a></li>")).otherwise(lit("")),
+      lit("<li><a href=\""), u1, lit("?utm_source=x"), d.cast("string"),
+      lit("\">t</a></li>"),
+      lit("<li><a href=\"/local/"), d.cast("string"), lit("\">rel</a></li>"),
+      lit("</ul></body></html>"))
+  }
+
+  /** The link fixture as a DuckDB CTE `lhtml(doc_id, html)` — verbatim
+    * replay of [[linkFixtureCol]]. */
+  // NOTE: no line of this fragment may BEGIN with '||' — the fragment is
+  // interpolated into oracles that run their own .stripMargin, which would
+  // eat the first pipe of a leading '||' (the nested-stripMargin trap)
+  private[queries] val linkFixtureSqlCte: String =
+    """lhtml AS (
+      |  SELECT doc_id,
+      |    '<html><body><ul><li><a href="https://site' || ((doc_id*7+3)%29) ||
+      |      '.com/a/' || (doc_id%7) || '">a</a></li>' ||
+      |    '<li><a href="HTTPS://SITE' || ((doc_id//29)%29) || '.COM:443/b">b</a></li>' ||
+      |    CASE WHEN doc_id%3=0 THEN '<li><a href="https://site0.com/">hub</a></li>' ELSE '' END ||
+      |    '<li><a href="https://site' || ((doc_id*7+3)%29) || '.com/a/' || (doc_id%7) ||
+      |      '?utm_source=x' || doc_id || '">t</a></li>' ||
+      |    '<li><a href="/local/' || doc_id || '">rel</a></li>' ||
+      |    '</ul></body></html>' AS html
+      |  FROM documents)""".stripMargin
+
+  /** WAT export (round 15) — the metadata artifact of the crawl family
+    * (Common Crawl ships WARC + WET + WAT; a WAT record's payload is JSON
+    * metadata — crucially the OUTLINKS — for one capture): the link
+    * fixture runs through the native `html_outlinks` kernel, each page's
+    * href list is framed as a JSON `metadata` record, written RECORD-
+    * GZIPPED by the distributed sink, read back through gzip-member
+    * splits, PARSED BACK from the JSON payload (`from_json` — the readout
+    * counts outlinks from the parsed payload, so the JSON must survive
+    * the container byte-exactly), and reduced per doc_id bucket with a
+    * payload checksum the oracle recomputes straight from `documents`.
+    *
+    * Scale shape: extraction + JSON framing are row-local kernel passes;
+    * the sink streams one .warc.gz per partition; the read fans out on
+    * member splits with the `metadata` filter and column prune pushed;
+    * the only exchange is the 7-row bucket aggregate. */
+  def qWatExport(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = new java.io.File(
+      "/root/repo/target/wat_export/" + new java.io.File(sfDir).getName)
+    val docs = t(spark, sfDir, "documents")
+    val pageUrl = concat(lit("https://site"), (col("doc_id") % 29).cast("string"),
+      lit(".com/p/"), col("doc_id").cast("string"))
+    val links = graft.plans.HtmlExtractExpressions.htmlOutlinks(linkFixtureCol)
+    // JSON framed by explicit concat (NOT to_json) so the oracle can
+    // rebuild the exact bytes; the read side still parses it as real JSON
+    val payload = concat(lit("{\"url\":\""), pageUrl,
+      lit("\",\"outlinks\":[\""), array_join(links, "\",\""), lit("\"]}"))
+    val recs = docs.select(
+      lit("metadata").as("record_type"),
+      concat(lit("<urn:uuid:wat-"), col("doc_id").cast("string"), lit(">")).as("record_id"),
+      lit("2024-01-01T00:00:00Z").as("warc_date"),
+      pageUrl.as("target_uri"),
+      lit("application/json").as("content_type"),
+      payload.cast("binary").as("payload"))
+    graft.WarcIO.writeWarc(recs, dir.getAbsolutePath, recordGzip = true)
+    val watSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("url",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("outlinks",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.StringType))))
+    spark.read.format("warc")
+      .option("maxSplitBytes",
+        FastxQueries.adaptiveSplitBytes(spark, dir.getAbsolutePath).toString)
+      .option("recordGzipSplit", "true")
+      .load(dir.getAbsolutePath)
+      .filter(col("record_type") === "metadata")
+      .select(
+        (regexp_extract(col("target_uri"), "/p/(\\d+)$", 1).cast("long") % 7).as("bucket"),
+        col("payload").cast("string").as("pj"))
+      .select(col("bucket"),
+        size(from_json(col("pj"), watSchema).getField("outlinks")).cast("long").as("n_out"),
+        col("pj"))
+      .repartition(col("bucket"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_records"),
+        sum(col("n_out")).as("n_outlinks"),
+        sum(conv(graft.plans.HashExpressions.md5Prefix(col("pj"), 10), 16, 10)
+          .cast("long")).as("checksum"))
+      .orderBy("bucket")
+  }
+
+  /** Oracle: fixture + regex outlink extraction + JSON framing replayed
+    * from `documents` — any drift in kernel extraction, JSON framing, the
+    * gzip-member roundtrip, or the read-side JSON parse breaks counts or
+    * the checksum. */
+  val qWatExportSql: String =
+    s"""WITH $linkFixtureSqlCte,
+       |lnk AS (
+       |  SELECT doc_id, regexp_extract_all(html, 'href="([^"]*)"', 1) AS links
+       |  FROM lhtml),
+       |wat AS (
+       |  SELECT doc_id, len(links) AS n_out,
+       |    '{"url":"https://site' || (doc_id%29) || '.com/p/' || doc_id
+       |      || '","outlinks":["' || array_to_string(links, '","') || '"]}' AS payload
+       |  FROM lnk)
+       |SELECT doc_id % 7 AS bucket, count(*) AS n_records,
+       |  CAST(sum(n_out) AS BIGINT) AS n_outlinks,
+       |  CAST(sum(CAST('0x' || substr(md5(payload), 1, 10) AS BIGINT)) AS BIGINT) AS checksum
+       |FROM wat GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** REAL link graph + PageRank (round 15) — host-level ranking on the
+    * actual hyperlink graph (q_source_pagerank ranks a synthetic
+    * duplication graph; a crawl ranks hosts on who links whom): the link
+    * fixture → native `html_outlinks` kernel → absolute-scheme gate →
+    * URL canonicalization kernel (the SHOUTED `:443` variant must land on
+    * the same host; the tracker alias must collapse onto u1) → registrable
+    * domain → distinct directed host edges (self-loops dropped) → the
+    * fixed-point integer PageRank ([[graft.operators.LinkAnalysis
+    * .pagerank]], damping 17/20, mass 2^40, 3 iterations) over the full
+    * 29-host universe. Readout (domain, deg, pr) is bit-exact: the oracle
+    * replays extraction by regex, host normalization relationally, and
+    * all three iterations as unrolled integer CTEs.
+    *
+    * Scale shape: extraction/gate/canon are one row-local kernel pass;
+    * the edge build is one distinct on (src, dst); each iteration is one
+    * equi-join + map-side-combinable sum on a |hosts|-node table — the
+    * co-partitioned shape that scales to a 100 TB edge list (the heavy
+    * side, per-capture link rows, passes ONE distinct and never iterates). */
+  def qLinkGraph(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.operators.Sampling
+    val docs = t(spark, sfDir, "documents")
+    val src = concat(lit("site"), (col("doc_id") % 29).cast("string"), lit(".com"))
+    val edges = docs
+      .select(src.as("src"),
+        explode(graft.plans.HtmlExtractExpressions.htmlOutlinks(linkFixtureCol))
+          .as("href"))
+      .filter(instr(col("href"), "://") > 0) // absolute links only
+      .select(col("src"),
+        Sampling.registrableDomain(Sampling.urlHost(
+          graft.plans.UrlExpressions.urlCanon(col("href")))).as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+    val nodes = docs.select(src.as("domain")).distinct()
+    try {
+      graft.operators.LinkAnalysis
+        .pagerank(nodes, edges, "domain", iters = 3)
+        .select(col("id").as("domain"), col("deg"), col("pr"))
+        .orderBy("domain")
+    } finally graft.CacheScope.release()
+  }
+
+  /** Oracle: fixture, regex extraction, host normalization (lower +
+    * port strip — what canon contributes at host level), PSL-free
+    * two-label domains (site hosts), edge distinct, and the three
+    * integer-PageRank iterations unrolled
+    * ([[DedupQueries.pagerankIterSql]]). */
+  val qLinkGraphSql: String =
+    s"""WITH $linkFixtureSqlCte,
+       |raw AS (
+       |  SELECT doc_id, unnest(regexp_extract_all(html, 'href="([^"]*)"', 1)) AS href
+       |  FROM lhtml),
+       |edges0 AS (
+       |  SELECT DISTINCT 'site' || (doc_id % 29) || '.com' AS src,
+       |    string_split(string_split(lower(string_split(href, '://')[2]), '/')[1], ':')[1] AS dst
+       |  FROM raw WHERE contains(href, '://')),
+       |edges AS (SELECT src, dst FROM edges0 WHERE src <> dst),
+       |nodes AS (SELECT DISTINCT 'site' || (doc_id % 29) || '.com' AS id FROM documents),
+       |nconst AS (SELECT count(*) AS n FROM nodes),
+       |tconst AS (SELECT 3 * 1099511627776 // 20 // n AS t FROM nconst),
+       |deg AS (
+       |  SELECT n.id, CAST(count(e.src) AS BIGINT) AS deg
+       |  FROM nodes n LEFT JOIN edges e ON e.src = n.id GROUP BY n.id),
+       |pr0 AS (SELECT id, deg, 1099511627776 // (SELECT n FROM nconst) AS pr FROM deg),
+       |${DedupQueries.pagerankIterSql("pr0", "pr1")},
+       |${DedupQueries.pagerankIterSql("pr1", "pr2")},
+       |${DedupQueries.pagerankIterSql("pr2", "pr3")}
+       |SELECT id AS domain, deg, pr FROM pr3 ORDER BY domain""".stripMargin
+
   /** CDX index + random-access fetch (round 15) — the third leg of the
     * crawl story: ingest → INDEX → SERVE. Every public-crawl consumer
     * resolves URLs through a CDX index and seeks straight to one record;
@@ -1515,6 +1713,8 @@ object PipelineQueries {
     "q_warc_ingest" -> (qWarcIngest _),
     "q_warc_gz" -> (qWarcGz _),
     "q_cdx_fetch" -> (qCdxFetch _),
+    "q_wat_export" -> (qWatExport _),
+    "q_link_graph" -> (qLinkGraph _),
     "q_wet_export" -> (qWetExport _),
     "q_web_pipeline" -> (qWebPipeline _),
     "q_bootstrap_ci" -> (qBootstrapCi _),
@@ -1537,6 +1737,8 @@ object PipelineQueries {
     "q_warc_ingest" -> qWarcIngestSql,
     "q_warc_gz" -> qWarcIngestSql,
     "q_cdx_fetch" -> qCdxFetchSql,
+    "q_wat_export" -> qWatExportSql,
+    "q_link_graph" -> qLinkGraphSql,
     "q_wet_export" -> qWetExportSql,
     "q_web_pipeline" -> qWebPipelineSql,
     "q_bootstrap_ci" -> qBootstrapCiSql,

@@ -184,4 +184,36 @@ class HtmlExtractSpec extends SparkSpec {
     val exchanges = p.split("Exchange ").length - 1
     assert(exchanges <= 2, s"expected ≤2 exchanges (agg + sort), got $exchanges:\n$p")
   }
+
+  test("html_outlinks kernel ≡ the regex contract on crafted hazards (r15)") {
+    import TestSpark.spark.implicits._
+    import org.apache.spark.sql.functions._
+    // the contract: regexp_extract_all(html, 'href="([^"]*)"', 1) —
+    // leftmost, non-overlapping, unclosed quote never matches
+    val crafted = Seq(
+      """<a href="https://a.com/x">a</a>""",
+      """<a href="/rel">r</a><link href="style.css"><area href="#f">""",
+      """no links at all""",
+      """href="unclosed""",                        // no closing quote: none
+      """<a href="">empty</a>""",                  // empty capture kept
+      """<a href="a"b href="c">""",                // resume AFTER the close
+      """<a HREF="upper">case-sensitive</a>""",    // literal lowercase only
+      """text href="x" more href="y" tail""",      // attribute-level scan
+      """<a href="q?a=1&b=2#f">q</a>""")
+    val rows = crafted.toDF("h").select(
+        graft.plans.HtmlExtractExpressions.htmlOutlinks(col("h")).as("ker"),
+        regexp_extract_all(col("h"), lit("href=\"([^\"]*)\""), lit(1)).as("ref"))
+      .as[(Seq[String], Seq[String])].collect()
+    rows.zip(crafted).foreach { case ((ker, ref), src) =>
+      assert(ker == ref, s"diverged on '$src': ker=$ker ref=$ref")
+    }
+    // and on the generated link fixture (every planted href shape)
+    val docs = graft.Tables.t(spark, TestSpark.Sf0001, "documents")
+    val bad = docs.select(graft.queries.PipelineQueries.linkFixtureCol.as("h"))
+      .select(
+        graft.plans.HtmlExtractExpressions.htmlOutlinks(col("h")).as("ker"),
+        regexp_extract_all(col("h"), lit("href=\"([^\"]*)\""), lit(1)).as("ref"))
+      .filter(col("ker") =!= col("ref")).count()
+    assert(bad == 0L)
+  }
 }
