@@ -122,7 +122,9 @@ object WarcIO {
     * rename wins, and every rename installs a COMPLETE file. Header
     * values pass through [[headerValue]] (CR/LF injection and non-ASCII
     * mangling are framing hazards, not data). */
-  def writeWarc(df: DataFrame, path: String, recordGzip: Boolean = false): Unit = {
+  def writeWarc(df: DataFrame, path: String, recordGzip: Boolean = false,
+                recordZstd: Boolean = false): Unit = {
+    require(!(recordGzip && recordZstd), "pick one container codec")
     val spark = df.sparkSession
     val serConf = new org.apache.spark.util.SerializableConfiguration(
       spark.sparkContext.hadoopConfiguration)
@@ -139,13 +141,22 @@ object WarcIO {
     withCt.select(cols.head, cols.tail: _*).rdd.foreachPartition { rows =>
       val tc = org.apache.spark.TaskContext.get()
       val pid = tc.partitionId()
-      val ext = if (recordGzip) ".warc.gz" else ".warc"
+      val ext = if (recordGzip) ".warc.gz"
+        else if (recordZstd) ".warc.zst" else ".warc"
       val file = new org.apache.hadoop.fs.Path(path, f"part-$pid%05d$ext")
       val tmp = new org.apache.hadoop.fs.Path(path,
         f".part-$pid%05d$ext.attempt-${tc.taskAttemptId()}")
       val fsw = file.getFileSystem(serConf.value)
       val out = new java.io.BufferedOutputStream(fsw.create(tmp, true), 1 << 16)
       val gz = if (recordGzip) new MemberGzipWriter(out) else null
+      // one reused native compression context per partition (the Deflater
+      // lesson: deterministic native release, no per-record init); content
+      // size lands in each frame header (single-shot compress of a known
+      // buffer) and setChecksum appends the frame checksum the reader's
+      // decompress verifies
+      val zctx = if (recordZstd)
+        new com.github.luben.zstd.ZstdCompressCtx().setLevel(3).setChecksum(true)
+      else null
       var committed = false
       try {
         val crlfCrlf = "\r\n\r\n".getBytes("US-ASCII")
@@ -162,9 +173,18 @@ object WarcIO {
           sb.append("Content-Length: ").append(payload.length).append("\r\n\r\n")
           val head = sb.toString.getBytes("US-ASCII")
           if (gz != null) gz.member(head, payload, crlfCrlf)
+          else if (zctx != null) {
+            // one frame per record: head + payload + terminator
+            val rec = new Array[Byte](head.length + payload.length + 4)
+            System.arraycopy(head, 0, rec, 0, head.length)
+            System.arraycopy(payload, 0, rec, head.length, payload.length)
+            System.arraycopy(crlfCrlf, 0, rec, head.length + payload.length, 4)
+            out.write(zctx.compress(rec))
+          }
           else { out.write(head); out.write(payload); out.write(crlfCrlf) }
         }
         if (gz != null) gz.close()
+        if (zctx != null) zctx.close()
         out.close()
         // commit: install the complete temp file under the final name.
         // A concurrently-committed speculative twin wrote the same bytes;
@@ -176,6 +196,7 @@ object WarcIO {
       } finally {
         if (!committed) {
           try { if (gz != null) gz.close() } catch { case _: Throwable => }
+          try { if (zctx != null) zctx.close() } catch { case _: Throwable => }
           try out.close() catch { case _: Throwable => }
           try fsw.delete(tmp, false) catch { case _: Throwable => }
         }

@@ -1209,6 +1209,18 @@ object PipelineQueries {
   def qWarcGz(spark: SparkSession, sfDir: String): DataFrame =
     warcIngest(spark, sfDir, recordGzip = true)
 
+  /** Frame-per-record ZSTD twin (round 15): the SAME fixture and readout,
+    * but the container is `.warc.zst` — one zstd frame per record
+    * (content size in the frame header, frame checksum on) — and the scan
+    * reads it with `recordZstdSplit` FRAME splits: zstd-magic resync +
+    * frame-size walk + `WARC/1.` prefix validation + checksum-verified
+    * decompression ([[graft.sources.warc.ZstdMembers]]), exact frame
+    * ownership. The oracle is qWarcIngestSql verbatim: the codec must be
+    * invisible to the result. (zstd is the codec real crawl archives are
+    * migrating to; zstd-jni ships in the Spark classpath.) */
+  def qWarcZst(spark: SparkSession, sfDir: String): DataFrame =
+    warcIngest(spark, sfDir, recordGzip = false, recordZstd = true)
+
   /** The q_warc_ingest record set (a response + a request per document)
     * over any slice of `documents` — shared by the batch ingest queries
     * and the streaming landing waves. */
@@ -1235,16 +1247,18 @@ object PipelineQueries {
   }
 
   private def warcIngest(spark: SparkSession, sfDir: String,
-                         recordGzip: Boolean): DataFrame = {
+                         recordGzip: Boolean,
+                         recordZstd: Boolean = false): DataFrame = {
     val dir = new java.io.File(
       "/root/repo/target/warc_ingest/" + new java.io.File(sfDir).getName +
-        (if (recordGzip) "_gz" else ""))
+        (if (recordGzip) "_gz" else if (recordZstd) "_zst" else ""))
     graft.WarcIO.writeWarc(warcRecordsFor(t(spark, sfDir, "documents")),
-      dir.getAbsolutePath, recordGzip = recordGzip)
+      dir.getAbsolutePath, recordGzip = recordGzip, recordZstd = recordZstd)
     val warc = spark.read.format("warc")
       .option("maxSplitBytes",
         FastxQueries.adaptiveSplitBytes(spark, dir.getAbsolutePath).toString)
       .option("recordGzipSplit", recordGzip.toString)
+      .option("recordZstdSplit", recordZstd.toString)
       .load(dir.getAbsolutePath)
       .filter(col("record_type") === "response") // pushed into the reader
     val ex = graft.plans.HtmlExtractExpressions.htmlExtract(
@@ -1712,6 +1726,7 @@ object PipelineQueries {
     "q_html_extract" -> (qHtmlExtract _),
     "q_warc_ingest" -> (qWarcIngest _),
     "q_warc_gz" -> (qWarcGz _),
+    "q_warc_zst" -> (qWarcZst _),
     "q_cdx_fetch" -> (qCdxFetch _),
     "q_wat_export" -> (qWatExport _),
     "q_link_graph" -> (qLinkGraph _),
@@ -1736,6 +1751,7 @@ object PipelineQueries {
     "q_html_extract" -> qHtmlExtractSql,
     "q_warc_ingest" -> qWarcIngestSql,
     "q_warc_gz" -> qWarcIngestSql,
+    "q_warc_zst" -> qWarcIngestSql,
     "q_cdx_fetch" -> qCdxFetchSql,
     "q_wat_export" -> qWatExportSql,
     "q_link_graph" -> qLinkGraphSql,

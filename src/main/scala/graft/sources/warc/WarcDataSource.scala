@@ -176,20 +176,24 @@ class WarcScanBuilder(paths: Seq[String], full: StructType,
     val maxSplit = Option(options.get("maxSplitBytes")).map(_.toLong)
       .getOrElse(128L * 1024 * 1024)
     val gzMembers = Option(options.get("recordGzipSplit")).exists(_.toBoolean)
-    new WarcScan(paths, full, required, maxSplit, limit, pushed.toSeq, gzMembers)
+    val zstMembers = Option(options.get("recordZstdSplit")).exists(_.toBoolean)
+    new WarcScan(paths, full, required, maxSplit, limit, pushed.toSeq,
+      gzMembers, zstMembers)
   }
 }
 
 final case class WarcInputPartition(file: String, start: Long, length: Long,
                                     limit: Int,
                                     filters: Seq[org.apache.spark.sql.sources.Filter],
-                                    gzMembers: Boolean = false)
+                                    gzMembers: Boolean = false,
+                                    zstMembers: Boolean = false)
   extends InputPartition
 
 class WarcScan(paths: Seq[String], full: StructType, required: StructType,
                maxSplitBytes: Long, limit: Int,
                filters: Seq[org.apache.spark.sql.sources.Filter],
-               recordGzipSplit: Boolean = false)
+               recordGzipSplit: Boolean = false,
+               recordZstdSplit: Boolean = false)
   extends Scan with Batch with SupportsReportStatistics {
   import graft.sources.fastx.FastxDataSource.{isCompressed, resolveFiles}
 
@@ -224,16 +228,18 @@ class WarcScan(paths: Seq[String], full: StructType, required: StructType,
       // split 0. Without the option, any compressed file reads whole
       // (Hadoop's codec streams concatenated members transparently).
       val gzSplit = recordGzipSplit && p.getName.toLowerCase.endsWith(".gz")
+      val zstSplit = recordZstdSplit && p.getName.toLowerCase.endsWith(".zst")
       val splittable =
-        (gzSplit || !isCompressed(p, conf)) && st.getLen > maxSplitBytes
+        (gzSplit || zstSplit || !isCompressed(p, conf)) && st.getLen > maxSplitBytes
       if (splittable)
         (0L until st.getLen by maxSplitBytes).map { off =>
           WarcInputPartition(p.toString, off,
-            math.min(maxSplitBytes, st.getLen - off), limit, filters, gzSplit)
+            math.min(maxSplitBytes, st.getLen - off), limit, filters, gzSplit,
+            zstSplit)
         }
       else
         Seq(WarcInputPartition(p.toString, 0L, st.getLen, limit, filters,
-          gzSplit))
+          gzSplit, zstSplit))
     }.toArray
   }
 
@@ -243,7 +249,7 @@ class WarcScan(paths: Seq[String], full: StructType, required: StructType,
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
     new WarcMicroBatchStream(paths, required.fieldNames, maxSplitBytes,
-      filters, recordGzipSplit)
+      filters, recordGzipSplit, recordZstdSplit)
 }
 
 /** Streaming crawl ingest — `spark.readStream.format("warc")`: each
@@ -262,7 +268,8 @@ class WarcScan(paths: Seq[String], full: StructType, required: StructType,
 class WarcMicroBatchStream(paths: Seq[String], columns: Array[String],
                            maxSplitBytes: Long,
                            filters: Seq[org.apache.spark.sql.sources.Filter],
-                           recordGzipSplit: Boolean)
+                           recordGzipSplit: Boolean,
+                           recordZstdSplit: Boolean = false)
   extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
   import org.apache.spark.sql.connector.read.streaming.Offset
@@ -360,15 +367,18 @@ class WarcMicroBatchStream(paths: Seq[String], columns: Array[String],
       .flatMap { case (_, st) =>
         val p = st.getPath
         val gzSplit = recordGzipSplit && p.getName.toLowerCase.endsWith(".gz")
+        val zstSplit = recordZstdSplit && p.getName.toLowerCase.endsWith(".zst")
         val splittable =
-          (gzSplit || !isCompressed(p, conf)) && st.getLen > maxSplitBytes
+          (gzSplit || zstSplit || !isCompressed(p, conf)) && st.getLen > maxSplitBytes
         if (splittable)
           (0L until st.getLen by maxSplitBytes).map { off =>
             WarcInputPartition(p.toString, off,
-              math.min(maxSplitBytes, st.getLen - off), -1, filters, gzSplit)
+              math.min(maxSplitBytes, st.getLen - off), -1, filters, gzSplit,
+              zstSplit)
           }
         else
-          Seq(WarcInputPartition(p.toString, 0L, st.getLen, -1, filters, gzSplit))
+          Seq(WarcInputPartition(p.toString, 0L, st.getLen, -1, filters,
+            gzSplit, zstSplit))
       }.toArray
   }
 
@@ -405,6 +415,13 @@ class WarcPartitionReader(part: WarcInputPartition, columns: Array[String])
       val fileLen = fs.getFileStatus(path).getLen
       val raw = new GzipMembers.RawReader(rawStream, fileLen)
       GzipMembers.records(raw, part.start, part.start + part.length,
+        resync = part.start > 0)
+    } else if (part.zstMembers) {
+      // frame-per-record zstd walk: magic scan + frame-size walk +
+      // WARC/1. prefix validation; frame checksum verified on decompress
+      val fileLen = fs.getFileStatus(path).getLen
+      val raw = new GzipMembers.RawReader(rawStream, fileLen)
+      ZstdMembers.records(raw, part.start, part.start + part.length,
         resync = part.start > 0)
     } else if (compressed) {
       WarcParser.records(

@@ -286,6 +286,73 @@ class WarcSpec extends SparkSpec {
     }
   }
 
+  test("frame-zstd: frame-split reads equal the plain-file truth; split sweep") {
+    val plain = writeFixture("zst_truth")
+    val dir = new File("/root/repo/target/warc_spec/zst")
+    WarcIO.writeWarc(fixtureDf.repartition(3), dir.getAbsolutePath,
+      recordZstd = true)
+    assert(dir.listFiles().exists(_.getName.endsWith(".warc.zst")))
+    val whole = collectAll(plain, None)
+    def zst(split: Option[Long]) = {
+      val r = split.foldLeft(spark.read.format("warc")
+        .option("recordZstdSplit", "true"))((b, m) =>
+        b.option("maxSplitBytes", m.toString))
+      r.load(dir.getAbsolutePath)
+        .select(col("record_type"), col("record_id"), col("target_uri"),
+          col("content_length"), md5(col("payload")).as("pmd5"))
+        .collect()
+        .map(x => (x.getString(0), x.getString(1), x.getString(2), x.getLong(3), x.getString(4)))
+        .toSet
+    }
+    assert(zst(None) == whole)
+    Seq(64L, 200L, 333L, 1024L).foreach { m =>
+      assert(zst(Some(m)) == whole, s"zst maxSplitBytes=$m diverged")
+    }
+  }
+
+  test("frame-zstd: planted magic inside payloads survives resync; bit-flip fails loudly") {
+    import TestSpark.spark.implicits._
+    val magic = Array(0x28.toByte, 0xb5.toByte, 0x2f.toByte, 0xfd.toByte)
+    val rows = (0L until 12L).map { i =>
+      val pre = s"HTTP/1.1 200 OK\r\n\r\nbody $i ".getBytes("US-ASCII")
+      val post = s" tail $i".getBytes("US-ASCII")
+      // every third payload embeds the raw zstd magic bytes
+      val body = if (i % 3 == 0) pre ++ magic ++ post else pre ++ post
+      ("response", s"<urn:uuid:z-$i>", "2024-01-01T00:00:00Z",
+        s"https://fixture.test/z/$i", body)
+    }.toDF("record_type", "record_id", "warc_date", "target_uri", "payload")
+    val dir = new File("/root/repo/target/warc_spec/zst_magic")
+    WarcIO.writeWarc(rows.repartition(1), dir.getAbsolutePath, recordZstd = true)
+    def ids(split: Option[Long]) = {
+      val r = split.foldLeft(spark.read.format("warc")
+        .option("recordZstdSplit", "true"))((b, m) =>
+        b.option("maxSplitBytes", m.toString))
+      r.load(dir.getAbsolutePath).select("record_id").as[String].collect().toSet
+    }
+    val want = (0L until 12L).map(i => s"<urn:uuid:z-$i>").toSet
+    assert(ids(None) == want)
+    (40L to 200L by 13L).foreach { m =>
+      assert(ids(Some(m)) == want, s"split=$m diverged under planted magic")
+    }
+    // flip one byte mid-file: the frame checksum must reject the frame
+    // loudly (strict walk from a true frame start), never ship bad bytes
+    val f = dir.listFiles().filter(_.getName.endsWith(".warc.zst")).head
+    val bytes = java.nio.file.Files.readAllBytes(f.toPath)
+    bytes(bytes.length / 2) = (bytes(bytes.length / 2) ^ 0x40).toByte
+    java.nio.file.Files.write(f.toPath, bytes)
+    // drop Hadoop's local-FS checksum sidecar so the ZSTD frame checksum
+    // is the layer under test (the gzip twin's discipline)
+    new File(f.getParentFile, "." + f.getName + ".crc").delete()
+    val e = intercept[org.apache.spark.SparkException] {
+      spark.read.format("warc").option("recordZstdSplit", "true")
+        .load(dir.getAbsolutePath).count()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(e).exists(c => c.getMessage != null &&
+      c.getMessage.contains("Malformed frame-zstd")), s"got: $e")
+  }
+
   test("cdx: every record fetched THROUGH the index, both container layouts") {
     import graft.sources.warc.CdxIndex
     for (gz <- Seq(false, true)) {
