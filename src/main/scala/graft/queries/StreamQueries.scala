@@ -759,8 +759,119 @@ object StreamQueries {
       .orderBy("lang")
   }
 
+  /** Streaming crawl→curation composition (round 15) — the two halves
+    * round 14 built but never joined: the WARC streaming source feeds the
+    * FULL curation front INSIDE the stream. Per micro-batch, row-local:
+    * response filter (pushed into the reader), html_extract kernel,
+    * lang-identifiability + quality gates (the q_web_pipeline gates,
+    * verbatim); then STATEFUL exact-dedup admission — `dropDuplicates`
+    * on (lang, text-md5), whose state lives in the checkpoint, so a
+    * duplicate landing in wave 2 of a RESTARTED query is rejected against
+    * wave 1's admissions (exactly-once admission across restart, the
+    * q_stream_warc two-wave discipline). State is one row per distinct
+    * admitted key — the honest crawl semantics (dedup against all
+    * history); a TTL'd production variant swaps in
+    * `dropDuplicatesWithinWatermark` on capture date at this seam.
+    *
+    * The readout aggregates the checkpointed sink per lang over
+    * content-determined values ONLY (counts, chars, text checksums — a
+    * dup group's winner is arbitrary within a wave, so doc identity must
+    * not reach the readout), and must equal the BATCH oracle: fixture →
+    * extraction → gates → per-lang DISTINCT text set, replayed through
+    * the shared hext/scored CTE chains. */
+  def qStreamWebPipeline(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = workBase(spark, sfDir, "webpipe")
+    rm(base)
+    val inDir = new File(base, "in"); inDir.mkdirs()
+    val stage = new File(base, "stage")
+    val outDir = new File(base, "out").getAbsolutePath
+    val ckpt = new File(base, "ckpt").getAbsolutePath
+
+    def land(prefix: String, pick: org.apache.spark.sql.Column): Unit = {
+      val recs = PipelineQueries.warcRecordsFor(
+        t(spark, sfDir, "documents").filter(pick))
+      val tmp = new File(stage, prefix)
+      graft.WarcIO.writeWarc(recs, tmp.getAbsolutePath)
+      tmp.listFiles().filter(_.getName.endsWith(".warc")).foreach { f =>
+        java.nio.file.Files.move(f.toPath,
+          new File(inDir, s"$prefix-${f.getName}").toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+    }
+
+    def drain(): Unit = {
+      val warc = spark.readStream.format("warc")
+        .option("maxSplitBytes",
+          FastxQueries.adaptiveSplitBytes(spark, inDir.getAbsolutePath).toString)
+        .load(inDir.getAbsolutePath)
+        .filter(col("record_type") === "response")
+      val extracted = warc.select(
+          regexp_extract(col("target_uri"),
+            "^https://fixture\\.test/([a-z]+)/", 1).as("lang"),
+          graft.plans.HtmlExtractExpressions.htmlExtract(
+            graft.WarcIO.httpBody(col("payload")))
+            .getField("extracted").as("text"))
+      val gated = TextQueries.withLangScores(extracted)
+        .withColumn("pred_lang", TextQueries.predLangCol)
+        .withColumn("quality",
+          graft.functions.TextFunctions.qualityScore(col("text")))
+        .filter(col("quality") >= PipelineQueries.QualityMin &&
+          col("pred_lang") =!= "und")
+        .select(col("lang"), col("text"),
+          md5(col("text").cast("binary")).as("tmd5"))
+      val admitted = gated.dropDuplicates("lang", "tmd5")
+      val q = admitted.writeStream
+        .format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+
+    // wave 1: even docs. wave 2 (a RESTARTED query over the same
+    // checkpoint): odd docs PLUS a RE-CRAWL of ~20% of wave 1's pages —
+    // identical text landing again, which the checkpointed admission
+    // state must reject (the fixture plants no exact dups of its own, so
+    // without the re-crawl the cross-restart dedup would be vacuous; the
+    // oracle's DISTINCT-text readout is unchanged by re-crawls, so a
+    // double-admission shows up as inflated counts/checksums)
+    land("a", col("doc_id") % 2 === 0); drain()
+    land("b", col("doc_id") % 2 === 1 ||
+      (col("doc_id") % 2 === 0 && col("doc_id") % 5 === 0)); drain()
+
+    spark.read.parquet(outDir)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_admitted"),
+        sum(length(col("text"))).cast("long").as("admitted_chars"),
+        sum(conv(graft.plans.HashExpressions.md5Prefix(col("text"), 10), 16, 10)
+          .cast("long")).as("checksum"))
+      .orderBy("lang")
+  }
+
+  /** Oracle: the batch replay — html fixture → extraction → gates →
+    * per-lang DISTINCT text set (admission order must be invisible). */
+  lazy val qStreamWebPipelineSql: String =
+    s"""WITH ${PipelineQueries.htmlExtractSqlCtes},
+       |wdocs AS (SELECT doc_id, lang, extracted AS text FROM hext),
+       |${TextQueries.langScoredSqlCte("wdocs")},
+       |enriched AS (
+       |  SELECT lang, text,
+       |         ${TextQueries.predLangSqlExpr} AS pred_lang,
+       |         ${TextQueries.qualitySqlExpr} AS quality
+       |  FROM scored),
+       |winners AS (
+       |  SELECT DISTINCT lang, text FROM enriched
+       |  WHERE quality >= ${PipelineQueries.QualityMin} AND pred_lang <> 'und')
+       |SELECT lang, count(*) AS n_admitted,
+       |  CAST(sum(length(text)) AS BIGINT) AS admitted_chars,
+       |  CAST(sum(CAST('0x' || substr(md5(text), 1, 10) AS BIGINT)) AS BIGINT) AS checksum
+       |FROM winners GROUP BY lang ORDER BY lang""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_stream_warc" -> (qStreamWarc _),
+    "q_stream_web_pipeline" -> (qStreamWebPipeline _),
     "q_stream_vec_assign" -> (qStreamVecAssign _),
     "q_stream_semdedup" -> (qStreamSemdedup _),
     "q_stream_enrich" -> (qStreamEnrich _),
@@ -773,6 +884,7 @@ object StreamQueries {
 
   val oracles: Map[String, String] = Map(
     "q_stream_warc" -> PipelineQueries.qWarcIngestSql,
+    "q_stream_web_pipeline" -> qStreamWebPipelineSql,
     "q_stream_vec_assign" -> qStreamVecAssignSql,
     "q_stream_semdedup" -> qStreamSemdedupSql,
     "q_stream_enrich" -> qStreamEnrichSql,
