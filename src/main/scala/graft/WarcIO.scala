@@ -105,6 +105,54 @@ object WarcIO {
       .otherwise(s)
   }
 
+  /** Container-level dedup via WARC `revisit` records (round-15 item 8 —
+    * the convention real crawls ship: a page whose payload is byte-
+    * identical to an earlier capture is stored as a tiny `revisit` record
+    * pointing at that capture instead of repeating the bytes). Per
+    * payload digest the record with the SMALLEST record_id is the
+    * canonical capture; every other member becomes record_type `revisit`
+    * with an EMPTY payload and `refers_to` = the canonical record_id
+    * (the writer adds the identical-payload-digest WARC-Profile header).
+    * One digest-keyed shuffle — the exact-dedup shape; winner selection
+    * is a map-side-combinable min, never a window over payload bytes. */
+  def revisitize(df: DataFrame): DataFrame = {
+    val withD = df.withColumn("__digest", md5(col("payload")))
+    val winners = withD.groupBy("__digest")
+      .agg(min(col("record_id")).as("__winner"))
+    withD.join(winners, Seq("__digest"))
+      .withColumn("refers_to",
+        when(col("record_id") === col("__winner"), lit(null).cast("string"))
+          .otherwise(col("__winner")))
+      .withColumn("record_type",
+        when(col("refers_to").isNull, col("record_type")).otherwise(lit("revisit")))
+      .withColumn("payload",
+        when(col("refers_to").isNull, col("payload"))
+          .otherwise(lit(Array.empty[Byte])))
+      .drop("__digest", "__winner")
+  }
+
+  /** Resolve `revisit` records back to full captures: each revisit joins
+    * its `refers_to` target and takes that record's type and payload,
+    * keeping its own identity (record_id, target_uri, warc_date). Returns
+    * the resolved frame plus a `was_revisit` flag. Scale shape: one
+    * equi-join of the (small) revisit side onto originals keyed by
+    * record_id. */
+  def resolveRevisits(warc: DataFrame): DataFrame = {
+    val cols = Seq("record_type", "record_id", "target_uri", "warc_date",
+      "content_type", "payload")
+    val originals = warc.filter(col("record_type") =!= "revisit")
+      .select(cols.map(col): _*)
+    val body = originals.select(col("record_id").as("__ref"),
+      col("record_type").as("__otype"), col("payload").as("__opayload"))
+    val resolved = warc.filter(col("record_type") === "revisit")
+      .join(body, col("refers_to") === col("__ref"))
+      .select(col("__otype").as("record_type"), col("record_id"),
+        col("target_uri"), col("warc_date"), col("content_type"),
+        col("__opayload").as("payload"))
+    originals.withColumn("was_revisit", lit(false))
+      .unionByName(resolved.withColumn("was_revisit", lit(true)))
+  }
+
   /** WARC sink — fully distributed (one file per partition, nothing on
     * the driver): each row becomes one ISO 28500 record with CRLF framing
     * and an exact Content-Length walk; the output directory scans back
@@ -136,9 +184,12 @@ object WarcIO {
       if (df.columns.contains("content_type")) df
       else df.withColumn("content_type",
         lit("application/http; msgtype=response"))
+    val withRef =
+      if (withCt.columns.contains("refers_to")) withCt
+      else withCt.withColumn("refers_to", lit(null).cast("string"))
     val cols = Seq("record_type", "record_id", "warc_date", "target_uri",
-      "content_type", "payload")
-    withCt.select(cols.head, cols.tail: _*).rdd.foreachPartition { rows =>
+      "content_type", "refers_to", "payload")
+    withRef.select(cols.head, cols.tail: _*).rdd.foreachPartition { rows =>
       val tc = org.apache.spark.TaskContext.get()
       val pid = tc.partitionId()
       val ext = if (recordGzip) ".warc.gz"
@@ -169,6 +220,14 @@ object WarcIO {
           sb.append("WARC-Date: ").append(headerValue(r.getAs[String]("warc_date"))).append("\r\n")
           val uri = r.getAs[String]("target_uri")
           if (uri != null) sb.append("WARC-Target-URI: ").append(headerValue(uri)).append("\r\n")
+          val refersTo = r.getAs[String]("refers_to")
+          if (refersTo != null) {
+            sb.append("WARC-Refers-To: ").append(headerValue(refersTo)).append("\r\n")
+            // revisit records carry the identical-payload-digest profile
+            // (ISO 28500 §6.7.2 convention; the public netpreserve URI)
+            if (r.getAs[String]("record_type") == "revisit")
+              sb.append("WARC-Profile: http://netpreserve.org/warc/1.0/revisit/identical-payload-digest\r\n")
+          }
           sb.append("Content-Type: ").append(headerValue(r.getAs[String]("content_type"))).append("\r\n")
           sb.append("Content-Length: ").append(payload.length).append("\r\n\r\n")
           val head = sb.toString.getBytes("US-ASCII")

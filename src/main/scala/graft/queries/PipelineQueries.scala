@@ -1647,6 +1647,84 @@ object PipelineQueries {
       .orderBy("lang")
   }
 
+  /** WARC `revisit` records (round 15) — the container-level dedup
+    * convention real crawls ship: byte-identical payloads are stored ONCE
+    * and later captures become tiny `revisit` records pointing at the
+    * canonical capture. Fixture: a re-crawl corpus where every group of 3
+    * doc_ids shares one payload (the representative `(doc_id div 3)·3`'s
+    * html under its own unique URL) — so ~⅔ of the records deduplicate.
+    * Pipeline: [[graft.WarcIO.revisitize]] (digest-keyed winner = min
+    * record_id; losers → empty-payload revisit + `refers_to` +
+    * identical-payload-digest profile header) → record-gzip sink →
+    * member-split read-back → [[graft.WarcIO.resolveRevisits]] (each
+    * revisit joins its target and recovers type + payload). Readout per
+    * lang: record count, revisit count, and the md5 checksum over the
+    * RESOLVED payloads — which the oracle computes straight from
+    * `documents` as if no dedup had happened: resolution must be
+    * byte-lossless.
+    *
+    * Scale shape: revisitize is one digest-keyed shuffle (the exact-dedup
+    * shape) and the container then stores each payload once — the point
+    * of the convention; resolution is one equi-join of the (payload-less)
+    * revisit side onto canonical records. */
+  def qWarcRevisit(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = new java.io.File(
+      "/root/repo/target/warc_revisit/" + new java.io.File(sfDir).getName)
+    val docs = t(spark, sfDir, "documents")
+    // re-crawl fixture: each doc captures the REPRESENTATIVE's page
+    val reps = docs
+      .select((expr("doc_id div 3") * 3).as("__rep"),
+        col("doc_id").as("orig_id"), col("lang").as("orig_lang"))
+      .join(docs.select(col("doc_id"), col("text")),
+        col("__rep") === col("doc_id"))
+    val recs = reps.select(
+      lit("response").as("record_type"),
+      concat(lit("<urn:uuid:doc-"), col("orig_id").cast("string"), lit(">")).as("record_id"),
+      lit("2024-01-01T00:00:00Z").as("warc_date"),
+      concat(lit("https://fixture.test/"), col("orig_lang"),
+        lit("/"), col("orig_id").cast("string")).as("target_uri"),
+      lit("application/http; msgtype=response").as("content_type"),
+      concat(lit(HttpHead), htmlFixtureCol).cast("binary").as("payload"))
+    graft.WarcIO.writeWarc(graft.WarcIO.revisitize(recs), dir.getAbsolutePath,
+      recordGzip = true)
+    val back = spark.read.format("warc")
+      .option("maxSplitBytes",
+        FastxQueries.adaptiveSplitBytes(spark, dir.getAbsolutePath).toString)
+      .option("recordGzipSplit", "true")
+      .load(dir.getAbsolutePath)
+    graft.WarcIO.resolveRevisits(back)
+      .select(
+        regexp_extract(col("target_uri"), "^https://fixture\\.test/([a-z]+)/", 1).as("lang"),
+        col("was_revisit"),
+        md5(col("payload")).as("pmd5"))
+      .repartition(col("lang"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_records"),
+        count_if(col("was_revisit")).as("n_revisits"),
+        sum(conv(substring(col("pmd5"), 1, 10), 16, 10).cast("long")).as("payload_checksum"))
+      .orderBy("lang")
+  }
+
+  /** Oracle: the re-crawl fixture, winner selection (min record_id per
+    * digest — string order, replayed verbatim), and the resolved payload
+    * checksum recomputed from `documents` as if no dedup had happened. */
+  val qWarcRevisitSql: String = {
+    val head = "'HTTP/1.1 200 OK' || chr(13) || chr(10) || " +
+      "'Content-Type: text/html' || chr(13) || chr(10) || chr(13) || chr(10)"
+    s"""WITH $htmlExtractSqlCtes,
+       |rrecs AS (
+       |  SELECT d.doc_id, d.lang,
+       |         '<urn:uuid:doc-' || d.doc_id || '>' AS rid,
+       |         md5($head || h.html) AS pmd5
+       |  FROM documents d JOIN hhtml h ON h.doc_id = (d.doc_id // 3) * 3),
+       |rwin AS (SELECT pmd5, min(rid) AS wrid FROM rrecs GROUP BY 1)
+       |SELECT r.lang, count(*) AS n_records,
+       |  CAST(sum(CASE WHEN r.rid <> w.wrid THEN 1 ELSE 0 END) AS BIGINT) AS n_revisits,
+       |  CAST(sum(CAST('0x' || substr(r.pmd5, 1, 10) AS BIGINT)) AS BIGINT) AS payload_checksum
+       |FROM rrecs r JOIN rwin w ON w.pmd5 = r.pmd5
+       |GROUP BY r.lang ORDER BY r.lang""".stripMargin
+  }
+
   /** Oracle: extraction replayed from `documents` via the shared hext
     * chain — any slip in extract → gzip-member write → member-split read
     * breaks the checksum. */
@@ -1731,6 +1809,7 @@ object PipelineQueries {
     "q_wat_export" -> (qWatExport _),
     "q_link_graph" -> (qLinkGraph _),
     "q_wet_export" -> (qWetExport _),
+    "q_warc_revisit" -> (qWarcRevisit _),
     "q_web_pipeline" -> (qWebPipeline _),
     "q_bootstrap_ci" -> (qBootstrapCi _),
     "q_snapshot_diff" -> (qSnapshotDiff _),
@@ -1756,6 +1835,7 @@ object PipelineQueries {
     "q_wat_export" -> qWatExportSql,
     "q_link_graph" -> qLinkGraphSql,
     "q_wet_export" -> qWetExportSql,
+    "q_warc_revisit" -> qWarcRevisitSql,
     "q_web_pipeline" -> qWebPipelineSql,
     "q_bootstrap_ci" -> qBootstrapCiSql,
     "q_snapshot_diff" -> qSnapshotDiffSql,

@@ -82,6 +82,9 @@ object WarcDataSource {
     // record randomly addressable without rescanning the container
     StructField("record_file", StringType, nullable = false),
     StructField("record_offset", LongType, nullable = false),
+    // WARC-Refers-To — the revisit back-pointer: non-null on `revisit`
+    // records (the container-level dedup convention real crawls ship)
+    StructField("refers_to", StringType, nullable = true),
     StructField("payload", BinaryType, nullable = false)))
 }
 
@@ -103,7 +106,7 @@ object WarcFilters {
   import org.apache.spark.sql.sources._
 
   private val StringCols = Set("record_type", "record_id", "target_uri",
-    "warc_date", "content_type")
+    "warc_date", "content_type", "refers_to")
 
   def evaluable(f: Filter): Boolean = f match {
     case EqualTo(a, _: String)  => StringCols(a)
@@ -124,6 +127,7 @@ object WarcFilters {
     case "target_uri"   => rec.targetUri
     case "warc_date"    => rec.warcDate
     case "content_type" => rec.contentType
+    case "refers_to"    => rec.refersTo
     case _              => null
   }
 
@@ -471,6 +475,8 @@ class WarcPartitionReader(part: WarcInputPartition, columns: Array[String])
       case "content_length" => current.contentLength
       case "record_file"    => fileName
       case "record_offset"  => current.offset
+      case "refers_to"      => if (current.refersTo == null) null
+                               else UTF8String.fromString(current.refersTo)
       case "payload"        => current.payload
     }
     InternalRow.fromSeq(values.toSeq)

@@ -15,7 +15,8 @@ import java.io.InputStream
 final case class WarcRecord(recordType: String, recordId: String,
                             targetUri: String, warcDate: String,
                             contentType: String, contentLength: Long,
-                            payload: Array[Byte], offset: Long)
+                            payload: Array[Byte], offset: Long,
+                            refersTo: String = null)
 
 /** Byte reader tracking absolute offsets, with BOTH line reads (WARC
   * headers are ASCII `name: value` lines, CRLF-terminated) and exact raw
@@ -176,7 +177,10 @@ object WarcParser {
       h.getOrElse("warc-target-uri", null),
       h.getOrElse("warc-date", ""),
       h.getOrElse("content-type", null),
-      len, payload, offset)
+      len, payload, offset,
+      // WARC-Refers-To: the revisit back-pointer (item 8) — the id of the
+      // capture whose payload this record deduplicates against
+      h.getOrElse("warc-refers-to", null))
   }
 
   /** Records of the byte range [reader.position, ownedEnd] (version-line

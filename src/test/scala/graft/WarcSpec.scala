@@ -414,6 +414,51 @@ class WarcSpec extends SparkSpec {
       Option(e.getCause).exists(_.getMessage.contains("drift")))
   }
 
+  test("revisit records: dedup round-trip is byte-lossless, profile header present") {
+    import TestSpark.spark.implicits._
+    // 12 captures of 4 distinct payloads (3 captures each)
+    val rows = (0L until 12L).map { i =>
+      // payloads must dwarf the ~200-byte revisit header for the
+      // shrinkage assertion to be meaningful (real pages are KB+)
+      val body = (s"HTTP/1.1 200 OK\r\n\r\n" +
+        s"shared body ${i / 3} content " * 100).getBytes("US-ASCII")
+      ("response", f"<urn:uuid:r-$i%02d>", "2024-01-01T00:00:00Z",
+        s"https://fixture.test/p/$i", body)
+    }.toDF("record_type", "record_id", "warc_date", "target_uri", "payload")
+    val dir = new File("/root/repo/target/warc_spec/revisit")
+    val deduped = WarcIO.revisitize(rows)
+    WarcIO.writeWarc(deduped.repartition(1), dir.getAbsolutePath)
+    val back = spark.read.format("warc").load(dir.getAbsolutePath)
+    // container stores each payload once: 8 revisits with EMPTY payloads,
+    // refers_to = the min-record_id capture of the group
+    val revs = back.filter(col("record_type") === "revisit")
+      .select("record_id", "refers_to", "content_length").collect()
+    assert(revs.length == 8)
+    assert(revs.forall(_.getLong(2) == 0L))
+    revs.foreach { r =>
+      val i = r.getString(0).stripPrefix("<urn:uuid:r-").stripSuffix(">").toInt
+      assert(r.getString(1) == f"<urn:uuid:r-${(i / 3) * 3}%02d>",
+        s"wrong canonical pointer for $i: ${r.getString(1)}")
+    }
+    // the profile header is real container bytes, not just schema
+    val f = dir.listFiles().filter(_.getName.endsWith(".warc")).head
+    val raw = new String(java.nio.file.Files.readAllBytes(f.toPath), "ISO-8859-1")
+    assert(raw.contains(
+      "WARC-Profile: http://netpreserve.org/warc/1.0/revisit/identical-payload-digest"))
+    // resolution reproduces every original payload byte-exactly
+    val resolved = WarcIO.resolveRevisits(back)
+      .select(col("record_id"), md5(col("payload")).as("m"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val want = rows.select(col("record_id"), md5(col("payload")))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(resolved == want)
+    // and the dedup genuinely shrank the container vs writing raw
+    val rawDir = new File("/root/repo/target/warc_spec/revisit_raw")
+    WarcIO.writeWarc(rows.repartition(1), rawDir.getAbsolutePath)
+    def sz(d: File) = d.listFiles().filter(_.getName.endsWith(".warc")).map(_.length).sum
+    assert(sz(dir) < sz(rawDir), s"${sz(dir)} !< ${sz(rawDir)}")
+  }
+
   test("header injection: CR/LF and non-ASCII in values are percent-encoded") {
     // crawl data is attacker-influenced — a raw CRLF in target_uri would
     // inject a forged header line and break the container framing
