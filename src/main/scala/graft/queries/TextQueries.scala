@@ -523,6 +523,148 @@ object TextQueries {
       |FROM bgs JOIN model USING (bg)
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** LM perplexity quality bucketing (round 15) — the CCNet shape every
+    * crawl-curation pipeline runs: TRAIN a smoothed n-gram LM on a
+    * reference split, score every held-out document by its per-token
+    * surprisal under the model, and bucket the corpus into
+    * head/middle/tail at the score tertiles (head = most reference-like).
+    * [[qBigramScore]] pins the document-frequency familiarity shape; this
+    * query adds the actual conditional-probability LM:
+    *
+    *  - model: add-one-smoothed bigram conditionals over the md5-gate
+    *    train split — c12(w1,w2) bigram counts, c1(w1) = Σ_w2 c12 context
+    *    counts, V = distinct continuation types;
+    *  - probability, integer-quantized: p_q = ((c12+1)·2^20) div (c1+V),
+    *    clamped to ≥ 1 (an unseen context at V > 2^20 would floor to 0);
+    *    c12 ≤ c1 and V ≥ 1 bound p_q ≤ 2^20, so p_q ∈ [1, 2^20];
+    *  - surprisal in BITS, integer-exact across engines: ⌊log2(p_q)⌋ =
+    *    length(bin(p_q)) − 1 — `bin` renders the same no-leading-zeros
+    *    binary string in Spark and DuckDB — so s = 21 − length(bin(p_q))
+    *    ∈ [0, 20] is −⌈log2(p)⌉ at 1-bit granularity: a monotone integer
+    *    proxy of log-perplexity (the bucketing signal; no transcendental
+    *    float log enters the hash);
+    *  - per-doc score: ppl_q = (Σ s · 2^20) div n_bigrams — mean
+    *    bits/bigram in Q20; docs with < 2 tokens have no bigrams and drop
+    *    out on both sides;
+    *  - buckets: head/middle/tail by the exact 1/3 and 2/3 percentiles of
+    *    ppl_q (Spark `percentile` ≡ DuckDB `quantile_cont`, the
+    *    q_percentile pin). The exact percentile is the oracle pin; at
+    *    100 TB the cutoffs come from `approx_percentile` on a gated
+    *    sample — CCNet itself applies cutoffs computed ONCE on a
+    *    reference corpus as constants, so the serving plan is a pure
+    *    row-local CASE over broadcast thresholds either way.
+    *
+    * Scale shape: bigram extraction is the narrow all_shingles kernel (no
+    * per-doc window shuffle); c12/c1/V are map-side-combinable aggregates
+    * over the train stream; scoring is one equi-join on the bigram key
+    * (the model shuffles with the corpus — never broadcast; Heaps' law
+    * keeps it sublinear in corpus size) plus one on the context key; the
+    * threshold row broadcasts. Nothing quadratic, nothing driver-side. */
+  def qLmPerplexity(spark: SparkSession, sfDir: String): DataFrame = {
+    val Q = 1048576L
+    val gate = graft.operators.Sampling
+      .gateBelow(col("doc_id").cast("string"), "8")
+    val docs = t(spark, sfDir, "documents").select("doc_id", "text")
+    val scored = graft.CacheScope.cached(
+      lmPerplexityScores(docs.filter(gate), docs.filter(!gate)))
+    val cuts = scored.agg(expr(
+      "percentile(ppl_q, array(CAST(1 AS DOUBLE)/3, CAST(2 AS DOUBLE)/3))")
+      .as("t"))
+      .select(col("t").getItem(0).as("t1"), col("t").getItem(1).as("t2"))
+    try {
+      scored.crossJoin(broadcast(cuts))
+        .select(col("doc_id"), col("n_bg"), col("bits"), col("ppl_q"),
+          when(col("ppl_q") <= col("t1"), lit("head"))
+            .when(col("ppl_q") <= col("t2"), lit("middle"))
+            .otherwise(lit("tail")).as("bucket"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("doc_id")).as("id_sum"),
+          min(col("ppl_q")).as("min_ppl_q"),
+          max(col("ppl_q")).as("max_ppl_q"),
+          sum(col("bits")).as("bits_sum"))
+        .orderBy("bucket")
+    } finally graft.CacheScope.release()
+  }
+
+  /** The LM train/score core — add-one-smoothed quantized bigram
+    * conditionals trained on `train`, bit-surprisal scores for every
+    * `test` doc with ≥ 1 bigram; both frames expose (doc_id, text).
+    * Returns (doc_id, n_bg, bits, ppl_q). Factored out so LmSpec can pin
+    * DISCRIMINATION on a crafted corpus (in-model text must score lower
+    * surprisal than gibberish) and the hand-computed add-one arithmetic —
+    * the driver fixture's oracle verifies machinery, not signal. */
+  private[graft] def lmPerplexityScores(train0: DataFrame, test: DataFrame): DataFrame = {
+    val Q = 1048576L
+    def bigrams(df: DataFrame): DataFrame = df
+      .select(col("doc_id"),
+        explode(graft.plans.ShingleExpressions.allShingles(col("text"), 2))
+          .as("bg"))
+      .select(col("doc_id"), col("bg"),
+        substring_index(col("bg"), " ", 1).as("w1"))
+    val train = graft.CacheScope.cached(bigrams(train0))
+    val c12 = train.groupBy("bg").agg(count(lit(1)).as("c12"))
+    val c1 = train.groupBy("w1").agg(count(lit(1)).as("c1"))
+    val vocab = train.select(substring_index(col("bg"), " ", -1).as("w2"))
+      .agg(countDistinct(col("w2")).as("v")) // one scalar row
+    val pq = greatest(
+      call_function("div",
+        (coalesce(col("c12"), lit(0L)) + 1L) * lit(Q),
+        coalesce(col("c1"), lit(0L)) + col("v")),
+      lit(1L))
+    bigrams(test)
+      .join(c12, Seq("bg"), "left")
+      .join(c1, Seq("w1"), "left")
+      .crossJoin(broadcast(vocab))
+      .select(col("doc_id"), (lit(21) - length(bin(pq))).as("s"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bg"), sum(col("s")).as("bits"))
+      .select(col("doc_id"), col("n_bg"), col("bits"),
+        call_function("div", col("bits") * lit(Q), col("n_bg")).as("ppl_q"))
+  }
+
+  /** Oracle: bigram stream, md5 split, add-one-quantized conditionals,
+    * bin()-length surprisal, Q20 mean, quantile_cont tertile cutoffs,
+    * bucket rollup — all integer-exact except the interpolated cutoffs,
+    * which are the q_percentile bit-identical pin. */
+  val qLmPerplexitySql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS tk
+      |  FROM documents),
+      |bg AS (
+      |  SELECT doc_id, tk[i] AS w1, tk[i+1] AS w2
+      |  FROM toks, LATERAL unnest(generate_series(1, len(tk) - 1)) AS g(i)),
+      |tr AS (SELECT * FROM bg
+      |       WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '8'),
+      |c12 AS (SELECT w1, w2, count(*) AS c12 FROM tr GROUP BY 1, 2),
+      |c1 AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM c12 GROUP BY 1),
+      |vv AS (SELECT count(DISTINCT w2) AS v FROM tr),
+      |sc AS (
+      |  SELECT te.doc_id,
+      |         21 - length(bin(greatest(
+      |           (coalesce(c12.c12, 0) + 1) * 1048576
+      |             // (coalesce(c1.c1, 0) + (SELECT v FROM vv)), 1))) AS s
+      |  FROM bg te
+      |  LEFT JOIN c12 ON c12.w1 = te.w1 AND c12.w2 = te.w2
+      |  LEFT JOIN c1 ON c1.w1 = te.w1
+      |  WHERE NOT substr(md5(CAST(te.doc_id AS VARCHAR)), 1, 1) < '8'),
+      |doc AS (
+      |  SELECT doc_id, count(*) AS n_bg, CAST(sum(s) AS BIGINT) AS bits
+      |  FROM sc GROUP BY 1),
+      |scored AS (
+      |  SELECT doc_id, n_bg, bits, bits * 1048576 // n_bg AS ppl_q FROM doc),
+      |th AS (SELECT quantile_cont(ppl_q, CAST(1 AS DOUBLE)/3) AS t1,
+      |              quantile_cont(ppl_q, CAST(2 AS DOUBLE)/3) AS t2
+      |       FROM scored)
+      |SELECT CASE WHEN ppl_q <= (SELECT t1 FROM th) THEN 'head'
+      |            WHEN ppl_q <= (SELECT t2 FROM th) THEN 'middle'
+      |            ELSE 'tail' END AS bucket,
+      |       count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS id_sum,
+      |       CAST(min(ppl_q) AS BIGINT) AS min_ppl_q,
+      |       CAST(max(ppl_q) AS BIGINT) AS max_ppl_q,
+      |       CAST(sum(bits) AS BIGINT) AS bits_sum
+      |FROM scored GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Gopher-style repetition filter: per-document duplicate-token stats.
     * Flags documents where more than half the tokens are repeats — the
     * intra-document repetition signal (looping generations, boilerplate)
@@ -3134,6 +3276,7 @@ object TextQueries {
     "q_tfidf" -> (qTfidf _),
     "q_bm25" -> (qBm25 _),
     "q_bigram_score" -> (qBigramScore _),
+    "q_lm_perplexity" -> (qLmPerplexity _),
     "q_repetition" -> (qRepetition _),
     "q_decontaminate" -> (qDecontaminate _),
     "q_pack_sequences" -> (qPackSequences _),
@@ -3181,6 +3324,7 @@ object TextQueries {
     "q_tfidf" -> qTfidfSql,
     "q_bm25" -> qBm25Sql,
     "q_bigram_score" -> qBigramScoreSql,
+    "q_lm_perplexity" -> qLmPerplexitySql,
     "q_repetition" -> qRepetitionSql,
     "q_decontaminate" -> qDecontaminateSql,
     "q_pack_sequences" -> qPackSequencesSql,
