@@ -539,6 +539,227 @@ object PipelineQueries {
        |SELECT * FROM fun UNION ALL SELECT * FROM cap ORDER BY stage""".stripMargin
   }
 
+  /** The user-agent q_robots_gate crawls as (lowercased for the match,
+    * per RFC 9309 §2.2.1 case-insensitive product tokens). */
+  val RobotsAgent = "graftbot"
+
+  /** robots.txt gate (round 15) — the politeness filter every crawler
+    * runs BEFORE fetching: parse each host's robots.txt, select the rule
+    * group for OUR agent, and gate URLs by RFC 9309 longest-path-match.
+    * The semantics under test, each with a planted fixture arm:
+    *
+    *  - GROUP STRUCTURE: a group is a run of `User-agent` lines followed
+    *    by rules until the next run; rules BEFORE any user-agent line are
+    *    orphans and bind nothing (hosts h%2=0 plant `Disallow: /orphan/`
+    *    above the first group — it must not fire);
+    *  - GROUP SELECTION: if any group names our agent, ONLY those groups
+    *    apply; else the `*` groups (hosts h%4=2 plant a `GraftBot` group
+    *    disallowing /tmp/ — on those hosts the `*` group's /private/
+    *    rules must STOP applying, so their /private/ URLs fall through to
+    *    default-allow); a `badbot` group disallowing everything (h%3=1)
+    *    must be ignored wholesale; field names and agent tokens match
+    *    case-insensitively (`user-AGENT: GraftBot`);
+    *  - RULE MATCH: literal path-prefix (wildcard-free rules — the
+    *    pre-1996 core every implementation agrees on; RFC 9309 `*`/`$`
+    *    patterns are out of contract here), empty-value `Disallow:`
+    *    matches nothing (h%5=0), unknown fields (`Crawl-delay`) ignored,
+    *    comments and blank lines skipped;
+    *  - PRECEDENCE: longest matching path wins; equal length → Allow wins
+    *    (`Allow: /dual/` + `Disallow: /dual/` both match the %13=7 arm —
+    *    must land allow); `Allow: /private/ok/` out-lengths
+    *    `Disallow: /private/` (the %7=5 arm); no match → default-allow.
+    *
+    * Readout: (verdict, n_urls, id_sum, n_hosts) where verdict is the
+    * winning `typ:path` or `default-allow` — id sums pin the exact
+    * partition per winning rule.
+    *
+    * Scale shape: robots parsing windows partition by HOST (robots files
+    * are ≤ 500 KiB by the RFC's own cap — bounded partitions); the
+    * derived rule table is hosts×rules (tiny vs the URL stream) and
+    * BROADCASTS into a prefix-probe join; the verdict window partitions
+    * by doc_id over ≤ a handful of matched rules per URL. At 100 TB the
+    * URL side never shuffles — gate first, fetch second. */
+  /** RFC 9309 robots.txt parse + group selection — (host, robots) in,
+    * the applicable (host, typ, rpath) rule rows for `agent` out.
+    * Factored from [[qRobotsGate]] so RobotsSpec can pin group-structure
+    * semantics on crafted files; see the query scaladoc for the rules. */
+  private[graft] def robotsRules(robots: DataFrame, agent: String): DataFrame = {
+    val nl = "\n"
+    val lines = robots
+      .select(col("host"), posexplode(split(col("robots"), nl)).as(Seq("pos", "raw")))
+      .select(col("host"), col("pos"), trim(col("raw")).as("line"))
+      .filter(col("line") =!= "" && !col("line").startsWith("#"))
+      .select(col("host"), col("pos"),
+        lower(trim(split_part(col("line"), lit(":"), lit(1)))).as("field"),
+        trim(col("line").substr(
+          length(split_part(col("line"), lit(":"), lit(1))) + 2,
+          length(col("line")))).as("value"))
+      .filter(col("field").isin("user-agent", "allow", "disallow"))
+    val w = Window.partitionBy("host").orderBy("pos")
+    val parsed = lines
+      .withColumn("is_ua", col("field") === "user-agent")
+      .withColumn("grp", sum(
+        when(col("is_ua") &&
+          !coalesce(lag(col("is_ua"), 1).over(w), lit(false)), 1L)
+          .otherwise(0L)).over(w))
+    val agents = parsed.filter(col("is_ua"))
+      .select(col("host"), col("grp"), lower(col("value")).as("agent"))
+    val rules = parsed.filter(!col("is_ua") && col("value") =!= "")
+      .select(col("host"), col("grp"), col("field").as("typ"),
+        col("value").as("rpath"))
+    val grpSel = agents.groupBy("host", "grp").agg(
+      max(when(col("agent") === agent, 1).otherwise(0)).as("has_specific"),
+      max(when(col("agent") === "*", 1).otherwise(0)).as("has_star"))
+    val selected = grpSel
+      .join(grpSel.groupBy("host")
+        .agg(max(col("has_specific")).as("any_specific")), "host")
+      .filter(when(col("any_specific") === 1, col("has_specific") === 1)
+        .otherwise(col("has_star") === 1))
+      .select("host", "grp")
+    rules.join(selected, Seq("host", "grp")).select("host", "typ", "rpath")
+  }
+
+  /** Longest-path-match / allow-wins-tie verdict of (doc_id, host, path)
+    * URLs against [[robotsRules]] output; the rule table broadcasts. */
+  private[graft] def robotsVerdict(urls: DataFrame, rules: DataFrame): DataFrame = {
+    val wv = Window.partitionBy("doc_id")
+      .orderBy(length(col("rpath")).desc, col("typ").asc, col("rpath").asc)
+    urls.join(
+        broadcast(rules.select(col("host").as("rhost"), col("typ"), col("rpath"))),
+        col("host") === col("rhost") && startswith(col("path"), col("rpath")),
+        "left")
+      .withColumn("rnk", row_number().over(wv))
+      .filter(col("rnk") === 1)
+      .select(col("doc_id"), col("host"),
+        when(col("rpath").isNull, lit("default-allow"))
+          .otherwise(concat(col("typ"), lit(":"), col("rpath"))).as("verdict"))
+  }
+
+  def qRobotsGate(spark: SparkSession, sfDir: String): DataFrame = {
+    val nl = "\n"
+    val hosts = spark.range(16).select(
+      col("id").as("h"),
+      concat(lit("h"), col("id").cast("string"), lit(".example.com")).as("host"))
+    val robots = hosts.select(col("host"), concat_ws(nl,
+      lit("# synthetic robots fixture"),
+      when(col("h") % 2 === 0, lit("Disallow: /orphan/")).otherwise(lit("")),
+      when(col("h") % 3 === 1, lit("User-agent: badbot" + nl + "Disallow: /"))
+        .otherwise(lit("")),
+      lit("User-agent: *"),
+      lit("Disallow: /private/"),
+      lit("Allow: /private/ok/"),
+      lit("Allow: /dual/"),
+      lit("Disallow: /dual/"),
+      when(col("h") % 5 === 0, lit("Disallow:")).otherwise(lit("Crawl-delay: 2")),
+      when(col("h") % 4 === 2, lit("user-AGENT: GraftBot" + nl + "disallow: /tmp/"))
+        .otherwise(lit(""))).as("robots"))
+    val applicable = robotsRules(robots, RobotsAgent)
+    val path = when(col("doc_id") % 7 === 3,
+        concat(lit("/private/p/"), col("doc_id").cast("string")))
+      .when(col("doc_id") % 7 === 5,
+        concat(lit("/private/ok/"), col("doc_id").cast("string")))
+      .when(col("doc_id") % 11 === 4,
+        concat(lit("/tmp/"), col("doc_id").cast("string")))
+      .when(col("doc_id") % 13 === 7,
+        concat(lit("/dual/"), col("doc_id").cast("string")))
+      .otherwise(concat(lit("/p/"), col("doc_id").cast("string")))
+    val urls = t(spark, sfDir, "documents").select(
+      col("doc_id"),
+      concat(lit("h"), (col("doc_id") % 16).cast("string"),
+        lit(".example.com")).as("host"),
+      path.as("path"))
+    robotsVerdict(urls, applicable)
+      .groupBy("verdict")
+      .agg(count(lit(1)).as("n_urls"), sum(col("doc_id")).as("id_sum"),
+        countDistinct(col("host")).as("n_hosts"))
+      .orderBy("verdict")
+  }
+
+  /** Oracle: robots text build, line split + trim + comment skip,
+    * field/value split on the first ':', UA-run group numbering (lag +
+    * running sum), group selection with the specific-beats-star rule,
+    * prefix match, longest-path/allow-wins window, funnel. */
+  val qRobotsGateSql: String =
+    s"""WITH hosts AS (
+       |  SELECT h, 'h' || CAST(h AS VARCHAR) || '.example.com' AS host
+       |  FROM generate_series(0, 15) AS g(h)),
+       |rtxt AS (
+       |  SELECT host, concat_ws(chr(10),
+       |    '# synthetic robots fixture',
+       |    CASE WHEN h % 2 = 0 THEN 'Disallow: /orphan/' ELSE '' END,
+       |    CASE WHEN h % 3 = 1 THEN 'User-agent: badbot' || chr(10) || 'Disallow: /'
+       |         ELSE '' END,
+       |    'User-agent: *',
+       |    'Disallow: /private/',
+       |    'Allow: /private/ok/',
+       |    'Allow: /dual/',
+       |    'Disallow: /dual/',
+       |    CASE WHEN h % 5 = 0 THEN 'Disallow:' ELSE 'Crawl-delay: 2' END,
+       |    CASE WHEN h % 4 = 2 THEN 'user-AGENT: GraftBot' || chr(10) || 'disallow: /tmp/'
+       |         ELSE '' END) AS robots
+       |  FROM hosts),
+       |ls AS (SELECT host, string_split(robots, chr(10)) AS arr FROM rtxt),
+       |rawlines AS (
+       |  SELECT host, i AS pos, trim(arr[i]) AS line
+       |  FROM ls, LATERAL unnest(generate_series(1, len(arr))) AS g(i)),
+       |fields AS (
+       |  SELECT host, pos,
+       |         lower(trim(split_part(line, ':', 1))) AS field,
+       |         trim(substr(line, length(split_part(line, ':', 1)) + 2)) AS value
+       |  FROM rawlines
+       |  WHERE line <> '' AND NOT starts_with(line, '#')),
+       |marked AS (
+       |  SELECT host, pos, field, value,
+       |         field = 'user-agent' AS is_ua,
+       |         CASE WHEN field = 'user-agent' AND NOT
+       |                coalesce(lag(field = 'user-agent') OVER
+       |                  (PARTITION BY host ORDER BY pos), FALSE)
+       |              THEN 1 ELSE 0 END AS newgrp
+       |  FROM fields
+       |  WHERE field IN ('user-agent', 'allow', 'disallow')),
+       |parsed AS (
+       |  SELECT host, pos, field, value, is_ua,
+       |         CAST(sum(newgrp) OVER
+       |           (PARTITION BY host ORDER BY pos) AS BIGINT) AS grp
+       |  FROM marked),
+       |grpsel AS (
+       |  SELECT host, grp,
+       |         max(CASE WHEN lower(value) = '$RobotsAgent' THEN 1 ELSE 0 END)
+       |           AS has_specific,
+       |         max(CASE WHEN value = '*' THEN 1 ELSE 0 END) AS has_star
+       |  FROM parsed WHERE is_ua GROUP BY 1, 2),
+       |sel AS (
+       |  SELECT g.host, g.grp FROM grpsel g
+       |  JOIN (SELECT host, max(has_specific) AS any_specific
+       |        FROM grpsel GROUP BY 1) a ON a.host = g.host
+       |  WHERE CASE WHEN a.any_specific = 1 THEN g.has_specific = 1
+       |             ELSE g.has_star = 1 END),
+       |rules AS (
+       |  SELECT p.host, p.field AS typ, p.value AS rpath
+       |  FROM parsed p JOIN sel s ON s.host = p.host AND s.grp = p.grp
+       |  WHERE NOT p.is_ua AND p.value <> ''),
+       |urls AS (
+       |  SELECT doc_id,
+       |         'h' || CAST(doc_id % 16 AS VARCHAR) || '.example.com' AS host,
+       |         CASE WHEN doc_id % 7 = 3 THEN '/private/p/' || CAST(doc_id AS VARCHAR)
+       |              WHEN doc_id % 7 = 5 THEN '/private/ok/' || CAST(doc_id AS VARCHAR)
+       |              WHEN doc_id % 11 = 4 THEN '/tmp/' || CAST(doc_id AS VARCHAR)
+       |              WHEN doc_id % 13 = 7 THEN '/dual/' || CAST(doc_id AS VARCHAR)
+       |              ELSE '/p/' || CAST(doc_id AS VARCHAR) END AS path
+       |  FROM documents),
+       |matched AS (
+       |  SELECT u.doc_id, u.host, r.typ, r.rpath,
+       |         row_number() OVER (PARTITION BY u.doc_id
+       |           ORDER BY length(r.rpath) DESC, r.typ ASC, r.rpath ASC) AS rnk
+       |  FROM urls u LEFT JOIN rules r
+       |    ON r.host = u.host AND starts_with(u.path, r.rpath))
+       |SELECT CASE WHEN rpath IS NULL THEN 'default-allow'
+       |            ELSE typ || ':' || rpath END AS verdict,
+       |       count(*) AS n_urls, CAST(sum(doc_id) AS BIGINT) AS id_sum,
+       |       count(DISTINCT host) AS n_hosts
+       |FROM matched WHERE rnk = 1
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** URL canonicalization + alias collapse (round 14) — the dedup-prep
     * step crawl pipelines run between the URL gate and per-domain
     * capping: one page is observed under many raw URLs (case variants,
@@ -1823,6 +2044,7 @@ object PipelineQueries {
     "q_source_cap" -> (qSourceCap _),
     "q_domain_cap" -> (qDomainCap _),
     "q_url_filter" -> (qUrlFilter _),
+    "q_robots_gate" -> (qRobotsGate _),
     "q_url_canon" -> (qUrlCanon _),
     "q_shard_shuffle" -> (qShardShuffle _))
 
@@ -1849,6 +2071,7 @@ object PipelineQueries {
     "q_source_cap" -> qSourceCapSql,
     "q_domain_cap" -> qDomainCapSql,
     "q_url_filter" -> qUrlFilterSql,
+    "q_robots_gate" -> qRobotsGateSql,
     "q_url_canon" -> qUrlCanonSql,
     "q_shard_shuffle" -> qShardShuffleSql)
 }
