@@ -665,6 +665,104 @@ object TextQueries {
       |       CAST(sum(bits) AS BIGINT) AS bits_sum
       |FROM scored GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Line-level boilerplate removal (round 15) — the C4/RefinedWeb step
+    * between extraction and document dedup: a LINE that recurs across
+    * many documents (nav menus, cookie banners, copyright footers) is
+    * template chrome, not content; drop every line appearing in ≥ K
+    * distinct documents and rebuild the page from the survivors in
+    * original order. Fixture: multi-line pages synthesized from
+    * `documents` with a planted arm per frequency class — a per-site nav
+    * header (site = doc_id%40; df ≫ K, removed), a global cookie banner
+    * on 2/3 of docs (df ≫ K, removed), the doc's own text (unique,
+    * kept), a `promo block` line shared by exactly 2 docs (df = 2 < K,
+    * kept — the threshold is two-sided), and a per-site copyright footer
+    * on even docs only (df ≈ n/80 ≥ K at every SF, removed). Readout per
+    * doc_id%10 bucket: doc count, kept/removed line sums, and the 40-bit
+    * md5 checksum of every REBUILT page — the rebuild order (not just
+    * the partition) is what hashes.
+    *
+    * Scale shape: the line explode is narrow; the frequency table is one
+    * map-side-combinable aggregate on the line key (at 100 TB the join
+    * back is a standard shuffle equi-join on that key — the frequency
+    * side is distinct-lines-sized, Heaps-sublinear; never broadcast);
+    * the rebuild is a doc-local sort inside one aggregation, bounded by
+    * page size. Nothing quadratic, nothing driver-side. */
+  def qBoilerplate(spark: SparkSession, sfDir: String): DataFrame = {
+    val K = 5
+    val site = (col("doc_id") % 40).cast("string")
+    val page = concat_ws("\n",
+      concat(lit("Home | About | Contact site"), site),
+      when(col("doc_id") % 3 =!= 2, lit("This website uses cookies")),
+      col("text"),
+      concat(lit("promo block "), expr("doc_id div 2").cast("string")),
+      when(col("doc_id") % 2 === 0, concat(lit("Copyright site"), site)))
+    removeBoilerplate(
+        t(spark, sfDir, "documents").select(col("doc_id"), page.as("page")), K)
+      .groupBy((col("doc_id") % 10).as("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_kept")).as("kept_lines"),
+        sum(col("n_removed")).as("removed_lines"),
+        sum(conv(substring(md5(col("clean")), 1, 10), 16, 10).cast("long"))
+          .as("checksum"))
+      .orderBy("bucket")
+  }
+
+  /** The boilerplate-removal core — (doc_id, page) in, per-doc
+    * (n_kept, n_removed, clean) out, where `clean` is the page rebuilt
+    * from lines appearing in < `k` distinct documents, original order.
+    * Factored from [[qBoilerplate]] so BoilerplateSpec can pin the
+    * removal decisions and rebuild order on a crafted corpus. */
+  private[graft] def removeBoilerplate(pages: DataFrame, k: Int): DataFrame = {
+    val lines = graft.CacheScope.cached(
+      pages.select(col("doc_id"),
+        posexplode(split(col("page"), "\n")).as(Seq("pos", "line"))))
+    val freq = lines.groupBy("line")
+      .agg(countDistinct(col("doc_id")).as("df"))
+    lines.join(freq, "line")
+      .withColumn("rm", col("df") >= k)
+      .groupBy("doc_id")
+      .agg(
+        sum(when(!col("rm"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("rm"), 1L).otherwise(0L)).as("n_removed"),
+        array_join(
+          transform(
+            array_sort(collect_list(
+              when(!col("rm"), struct(col("pos"), col("line"))))),
+            x => x.getField("line")), "\n").as("clean"))
+  }
+
+  /** Oracle: page synthesis (concat_ws skips the NULL conditional lines
+    * in both engines), line explode, distinct-doc frequency, ≥K removal,
+    * ordered string_agg rebuild, bucket rollup with rebuilt checksums. */
+  val qBoilerplateSql: String =
+    """WITH pages AS (
+      |  SELECT doc_id, concat_ws(chr(10),
+      |    'Home | About | Contact site' || CAST(doc_id % 40 AS VARCHAR),
+      |    CASE WHEN doc_id % 3 <> 2 THEN 'This website uses cookies' END,
+      |    text,
+      |    'promo block ' || CAST(doc_id // 2 AS VARCHAR),
+      |    CASE WHEN doc_id % 2 = 0
+      |         THEN 'Copyright site' || CAST(doc_id % 40 AS VARCHAR) END) AS page
+      |  FROM documents),
+      |arr AS (SELECT doc_id, string_split(page, chr(10)) AS a FROM pages),
+      |lines AS (
+      |  SELECT doc_id, i AS pos, a[i] AS line
+      |  FROM arr, LATERAL unnest(generate_series(1, len(a))) AS g(i)),
+      |freq AS (SELECT line, count(DISTINCT doc_id) AS df FROM lines GROUP BY 1),
+      |reb AS (
+      |  SELECT doc_id,
+      |         CAST(sum(CASE WHEN df < 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      |         CAST(sum(CASE WHEN df >= 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+      |         coalesce(string_agg(line, chr(10) ORDER BY pos)
+      |           FILTER (WHERE df < 5), '') AS clean
+      |  FROM lines JOIN freq USING (line) GROUP BY 1)
+      |SELECT doc_id % 10 AS bucket, count(*) AS n_docs,
+      |       CAST(sum(n_kept) AS BIGINT) AS kept_lines,
+      |       CAST(sum(n_removed) AS BIGINT) AS removed_lines,
+      |       CAST(sum(CAST('0x' || substr(md5(clean), 1, 10) AS BIGINT)) AS BIGINT)
+      |         AS checksum
+      |FROM reb GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Gopher-style repetition filter: per-document duplicate-token stats.
     * Flags documents where more than half the tokens are repeats — the
     * intra-document repetition signal (looping generations, boilerplate)
@@ -3277,6 +3375,7 @@ object TextQueries {
     "q_bm25" -> (qBm25 _),
     "q_bigram_score" -> (qBigramScore _),
     "q_lm_perplexity" -> (qLmPerplexity _),
+    "q_boilerplate" -> (qBoilerplate _),
     "q_repetition" -> (qRepetition _),
     "q_decontaminate" -> (qDecontaminate _),
     "q_pack_sequences" -> (qPackSequences _),
@@ -3325,6 +3424,7 @@ object TextQueries {
     "q_bm25" -> qBm25Sql,
     "q_bigram_score" -> qBigramScoreSql,
     "q_lm_perplexity" -> qLmPerplexitySql,
+    "q_boilerplate" -> qBoilerplateSql,
     "q_repetition" -> qRepetitionSql,
     "q_decontaminate" -> qDecontaminateSql,
     "q_pack_sequences" -> qPackSequencesSql,
