@@ -491,6 +491,68 @@ object Similarity {
       .select(col("probe_id"), col("rnk"), col("vec_id"), col("dist"))
   }
 
+  /** Per-dimension SQ8 stats over the quantized corpus: (mins, ranges),
+    * each `dim` longs. One narrow posexplode + a map-side-combinable
+    * aggregate on the DIMENSION key (≤ a few hundred groups) — the
+    * driver holds 2·dim longs, the bounded-model-state pattern. */
+  private[graft] def sq8StatsQ(q: DataFrame): (Array[Long], Array[Long]) = {
+    val rows = q
+      .select(posexplode(col("vq")).as(Seq("pos", "v")))
+      .groupBy("pos")
+      .agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
+      .orderBy("pos")
+      .collect()
+    val mins = rows.map(_.getLong(1))
+    val ranges = rows.zip(mins).map { case (r, mn) => r.getLong(2) - mn }
+    (mins, ranges)
+  }
+
+  /** Batch SQ8 search (FAISS ScalarQuantizer QT_8bit shape): the corpus
+    * is stored as per-dimension uint8 codes against global (min, range)
+    * stats — 8 bits/dim, the standard 4× memory cut before PQ — and
+    * distances run on the integer RECONSTRUCTION dq = min + code·range/255
+    * (decode is one fused kernel pass per corpus row, then the standard
+    * exact integer L2 against the broadcast probe batch; never the
+    * original vectors — the SQ serving contract). Per-probe top-k is the
+    * rank-filtered window (WindowGroupLimit, map-side k-heap); ties break
+    * by vec_id. Integer-exact end to end: stats, encode (floor div on
+    * non-negative operands), decode, distance — the oracle replays all
+    * four stages relationally. Returns (probe_id, rnk, vec_id, adist).
+    *
+    * Scale shape: stats are one dim-keyed aggregate (bounded driver
+    * state: 2·dim longs riding into the encode/decode kernels as codegen
+    * reference objects); encode+decode are row-local; the scan is
+    * corpus × |probes ≤ 64| with nothing quadratic in the corpus. */
+  def sq8TopKBatchQ(emb: DataFrame, idCol: String, vecCol: String,
+                    probeIds: Seq[Long], k: Int): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val pids = probeIds.distinct
+    val q = graft.CacheScope.cached(
+      emb.select(col(idCol).as("vec_id"), quantize(col(vecCol)).as("vq")))
+    val (mins, ranges) = sq8StatsQ(q)
+    val codes = q.select(col("vec_id"),
+      graft.plans.VectorExpressions.sq8Encode(col("vq"), mins, ranges).as("codes"))
+    val probeVecRows = q.filter(col("vec_id").isInCollection(pids))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq)
+    require(probeVecRows.map(_._1).toSet == pids.toSet,
+      s"probe ids not in the corpus: ${pids.filterNot(probeVecRows.map(_._1).toSet).mkString(", ")}")
+    val probeTbl = probeVecRows.toSeq.toDF("probe_id", "pvq")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("probe_id").orderBy(col("adist").asc, col("vec_id").asc)
+    codes
+      .select(col("vec_id"),
+        graft.plans.VectorExpressions.sq8Decode(col("codes"), mins, ranges).as("dq"))
+      .crossJoin(broadcast(probeTbl))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .withColumn("adist",
+        graft.plans.VectorExpressions.longDist2(col("dq"), col("pvq")))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("probe_id"), col("rnk"), col("vec_id"), col("adist"))
+  }
+
   /** IVF-PQ index (FAISS IVFADC — Jégou et al. TPAMI 2011 §IV, the
     * production structure): a coarse IVF quantizer partitions the corpus
     * into `nCells` cells, and ONE global product quantizer (trained on

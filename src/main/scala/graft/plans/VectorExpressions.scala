@@ -70,6 +70,40 @@ object VectorOps {
     org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
   }
 
+  /** SQ8 scalar-quantization encode of one quantized (Q20 BIGINT) vector
+    * against fixed per-dimension (mins, ranges):
+    * c[i] = clamp(((vq[i] − mins[i]) · 255) div max(ranges[i], 1), 0, 255).
+    * Operands are non-negative (mins are corpus minima), so Scala's
+    * truncating `/` IS floor division — identical to the oracle's `//`. */
+  def sq8Encode(a: ArrayData, mins: Array[Long], ranges: Array[Long]): ArrayData = {
+    val n = a.numElements()
+    require(n == mins.length,
+      s"sq8_encode: dimension mismatch $n vs ${mins.length}")
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      val c = (a.getLong(i) - mins(i)) * 255L / math.max(ranges(i), 1L)
+      out(i) = math.min(math.max(c, 0L), 255L)
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  /** SQ8 decode (reconstruction): dq[i] = mins[i] + (c[i] · ranges[i])
+    * div 255 — the dequantized BIGINT vector the ADC distance runs on. */
+  def sq8Decode(a: ArrayData, mins: Array[Long], ranges: Array[Long]): ArrayData = {
+    val n = a.numElements()
+    require(n == mins.length,
+      s"sq8_decode: dimension mismatch $n vs ${mins.length}")
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      out(i) = mins(i) + a.getLong(i) * ranges(i) / 255L
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
   /** Nearest-centroid assignment against a FIXED centroid matrix: argmin
     * over cells of exact integer squared L2 distance, tie → lowest cell id
     * (`ids` must be sorted ascending; first-win on `<` then equals
@@ -291,6 +325,49 @@ case class LongDist2Expr(left: Expression, right: Expression) extends BinaryExpr
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
+}
+
+/** `sq8_encode(vq)` against fixed per-dim (mins, ranges) —
+  * [[VectorOps.sq8Encode]]. Seq fields for structural equality — see
+  * [[ArgminCellExpr]]. */
+case class Sq8EncodeExpr(child: Expression, mins: Seq[Long], ranges: Seq[Long])
+  extends UnaryExpression {
+  @transient private lazy val minsArr: Array[Long] = mins.toArray
+  @transient private lazy val rangesArr: Array[Long] = ranges.toArray
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    VectorOps.sq8Encode(input.asInstanceOf[ArrayData], minsArr, rangesArr)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val minsRef = ctx.addReferenceObj("sq8Mins", minsArr, "long[]")
+    val rangesRef = ctx.addReferenceObj("sq8Ranges", rangesArr, "long[]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.plans.VectorOps.sq8Encode($c, $minsRef, $rangesRef)")
+  }
+  override def prettyName: String = "sq8_encode"
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `sq8_decode(codes)` — [[VectorOps.sq8Decode]]. Seq fields for
+  * structural equality — see [[ArgminCellExpr]]. */
+case class Sq8DecodeExpr(child: Expression, mins: Seq[Long], ranges: Seq[Long])
+  extends UnaryExpression {
+  @transient private lazy val minsArr: Array[Long] = mins.toArray
+  @transient private lazy val rangesArr: Array[Long] = ranges.toArray
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    VectorOps.sq8Decode(input.asInstanceOf[ArrayData], minsArr, rangesArr)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val minsRef = ctx.addReferenceObj("sq8Mins", minsArr, "long[]")
+    val rangesRef = ctx.addReferenceObj("sq8Ranges", rangesArr, "long[]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.plans.VectorOps.sq8Decode($c, $minsRef, $rangesRef)")
+  }
+  override def prettyName: String = "sq8_decode"
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }
 
 /** `exact_median(arr)` — [[VectorOps.exactMedian]]; null on empty. */
@@ -517,6 +594,16 @@ object VectorExpressions {
                p: Int): Column =
     column(TopCellsExpr(expression(vq), ArraySeq.unsafeWrapArray(ids),
       ArraySeq.unsafeWrapArray(cents.map(ArraySeq.unsafeWrapArray)), p))
+
+  /** SQ8 encode against fixed per-dim stats (see [[VectorOps.sq8Encode]]). */
+  def sq8Encode(vq: Column, mins: Array[Long], ranges: Array[Long]): Column =
+    column(Sq8EncodeExpr(expression(vq), ArraySeq.unsafeWrapArray(mins),
+      ArraySeq.unsafeWrapArray(ranges)))
+
+  /** SQ8 decode / reconstruction (see [[VectorOps.sq8Decode]]). */
+  def sq8Decode(codes: Column, mins: Array[Long], ranges: Array[Long]): Column =
+    column(Sq8DecodeExpr(expression(codes), ArraySeq.unsafeWrapArray(mins),
+      ArraySeq.unsafeWrapArray(ranges)))
 
   /** Fused exact integer dot product (see [[VectorOps.longDot]]). */
   def longDot(a: Column, b: Column): Column =

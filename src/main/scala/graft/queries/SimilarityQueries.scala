@@ -1053,6 +1053,64 @@ object SimilarityQueries {
     * seeds, per-subspace Lloyd rounds), the encoding, the ADC tables, and
     * both top-10s as integer CTEs. The brute arm is deliberately O(n·probes)
     * — it exists to measure the PQ arm (the q_ann_recall convention). */
+  def qAnnSq8(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = t(spark, sfDir, "embeddings")
+    val probes = Seq(0L, 1L, 2L, 3L, 4L)
+    val sq8 = graft.operators.Similarity.sq8TopKBatchQ(
+      emb, "vec_id", "embedding", probes, k = 10)
+      .select(col("probe_id"), col("vec_id"))
+    val brute = graft.operators.Similarity.bruteL2TopKBatchQ(
+      emb, "vec_id", "embedding", probes, k = 10)
+      .select(col("probe_id"), col("vec_id"), lit(1L).as("__hit"))
+    sq8.join(brute, Seq("probe_id", "vec_id"), "left")
+      .groupBy("probe_id")
+      .agg(count(lit(1)).as("n_sq8"),
+        sum(coalesce(col("__hit"), lit(0L))).as("recall_at_10"))
+      .orderBy("probe_id")
+  }
+
+  /** Oracle for [[qAnnSq8]]: per-dim min/range stats, the clamped
+    * encode, the reconstruction, both distance rankings, the recall
+    * join — all integer CTEs over the shared `flat` quantization. */
+  lazy val qAnnSq8Sql: String =
+    s"""WITH $FlatSqlCte,
+       |st AS (
+       |  SELECT pos, CAST(min(vq) AS BIGINT) AS mn,
+       |         CAST(max(vq) - min(vq) AS BIGINT) AS rng
+       |  FROM flat GROUP BY 1),
+       |dqv AS (
+       |  SELECT f.vec_id, f.pos,
+       |         st.mn + (greatest(least(
+       |             (f.vq - st.mn) * 255 // greatest(st.rng, 1), 255), 0)
+       |           * st.rng) // 255 AS dq
+       |  FROM flat f JOIN st USING (pos)),
+       |pr AS (SELECT vec_id AS probe_id, pos, vq AS pv
+       |       FROM flat WHERE vec_id IN (0, 1, 2, 3, 4)),
+       |ad AS (
+       |  SELECT p.probe_id, d.vec_id,
+       |         CAST(sum((d.dq - p.pv) * (d.dq - p.pv)) AS BIGINT) AS adist
+       |  FROM dqv d JOIN pr p ON p.pos = d.pos
+       |  WHERE d.vec_id <> p.probe_id GROUP BY 1, 2),
+       |sq8 AS (
+       |  SELECT probe_id, vec_id FROM ad
+       |  QUALIFY row_number() OVER (PARTITION BY probe_id
+       |                             ORDER BY adist, vec_id) <= 10),
+       |bdist AS (
+       |  SELECT p.probe_id, f.vec_id,
+       |         CAST(sum((f.vq - p.pv) * (f.vq - p.pv)) AS BIGINT) AS d
+       |  FROM flat f JOIN pr p ON p.pos = f.pos
+       |  WHERE f.vec_id <> p.probe_id GROUP BY 1, 2),
+       |brute AS (
+       |  SELECT probe_id, vec_id FROM bdist
+       |  QUALIFY row_number() OVER (PARTITION BY probe_id
+       |                             ORDER BY d, vec_id) <= 10)
+       |SELECT s.probe_id, count(*) AS n_sq8,
+       |       CAST(sum(CASE WHEN b.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+       |         AS BIGINT) AS recall_at_10
+       |FROM sq8 s
+       |LEFT JOIN brute b ON b.probe_id = s.probe_id AND b.vec_id = s.vec_id
+       |GROUP BY s.probe_id ORDER BY s.probe_id""".stripMargin
+
   def qAnnPq(spark: SparkSession, sfDir: String): DataFrame = {
     val emb = t(spark, sfDir, "embeddings")
     val probes = Seq(0L, 1L, 2L, 3L, 4L)
@@ -1756,6 +1814,7 @@ object SimilarityQueries {
     "q_crossmodal_knn" -> (qCrossmodalKnn _),
     "q_ann_recall" -> (qAnnRecall _),
     "q_ann_pq" -> (qAnnPq _),
+    "q_ann_sq8" -> (qAnnSq8 _),
     "q_ann_ivfpq" -> (qAnnIvfpq _),
     "q_pair_mining" -> (qPairMining _),
     "q_semdedup" -> (qSemdedup _),
@@ -1782,6 +1841,7 @@ object SimilarityQueries {
     "q_crossmodal_knn" -> qCrossmodalKnnSql,
     "q_ann_recall" -> qAnnRecallSql,
     "q_ann_pq" -> qAnnPqSql,
+    "q_ann_sq8" -> qAnnSq8Sql,
     "q_ann_ivfpq" -> qAnnIvfpqSql,
     "q_pair_mining" -> qPairMiningSql,
     "q_semdedup" -> qSemdedupSql,
