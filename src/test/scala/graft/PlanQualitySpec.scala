@@ -1108,6 +1108,49 @@ class PlanQualitySpec extends SparkSpec {
     graft.CacheScope.release()
   }
 
+  test("q_robots_gate: rule table broadcasts onto the URL stream, no cartesian (r15)") {
+    val p = plan("q_robots_gate")
+    // the prefix-probe join is equi-keyed on host with the startswith
+    // residual — a broadcast hash join, never a cartesian over the URLs
+    assert(p.contains("BroadcastHashJoin"),
+      s"robots rules must broadcast onto the URL stream:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in the robots gate:\n$p")
+    graft.CacheScope.release()
+  }
+
+  test("q_lm_perplexity: bigram kernel in codegen, two-phase model aggregates (r15)") {
+    val p = plan("q_lm_perplexity")
+    assert(p.contains("all_shingles"), s"bigram stream not the native kernel:\n$p")
+    // c12 / c1 / per-doc score aggregates all combine map-side
+    assert(p.split("HashAggregate").length >= 5,
+      s"model aggregates must be two-phase:\n$p")
+    assert(!p.contains("CartesianProduct") || p.contains("BroadcastNestedLoopJoin"),
+      s"unexpected cartesian beyond the scalar vocab/cuts attaches:\n$p")
+    graft.CacheScope.release()
+  }
+
+  test("q_boilerplate: line-frequency join equi-keyed, rebuild is one doc-local agg (r15)") {
+    val p = plan("q_boilerplate")
+    assert(!p.contains("CartesianProduct"), s"cartesian in boilerplate removal:\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), s"line-frequency join must be keyed:\n$p")
+    // the distinct-doc frequency and the rebuild both combine two-phase
+    assert(p.split("HashAggregate").length >= 3,
+      s"frequency aggregate must be two-phase:\n$p")
+    graft.CacheScope.release()
+  }
+
+  test("q_ann_sq8: encode/decode kernels in codegen, broadcast probes, map-side top-k (r15)") {
+    val p = plan("q_ann_sq8")
+    assert(p.contains("sq8_decode"), s"reconstruction not the native kernel:\n$p")
+    assert(p.contains("long_dist2"), s"distance not the fused kernel:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"probe batch must broadcast:\n$p")
+    assert(p.contains("WindowGroupLimit"),
+      s"per-probe top-k must run map-side:\n$p")
+    graft.CacheScope.release()
+  }
+
   test("q_triangle_count: wedge and closing joins equi-keyed, no cartesian") {
     val p = plan("q_triangle_count")
     assert(!p.contains("CartesianProduct"), s"cartesian in triangle census:\n$p")
