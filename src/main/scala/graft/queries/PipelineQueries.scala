@@ -760,6 +760,114 @@ object PipelineQueries {
        |FROM matched WHERE rnk = 1
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Crawl frontier scheduling (round 15) — the step that turns
+    * discovered outlinks into the next fetch batch, composing four
+    * verified blocks in their production order:
+    *
+    *  1. CANONICALIZE every discovered raw URL (`url_canon` kernel — the
+    *     qUrlCanon fixture's 4 planted variants per page, so tracker/case
+    *     /port aliases collapse BEFORE frontier dedup, not after fetch);
+    *  2. COLLAPSE to distinct canonical URLs (min doc_id = discovery
+    *     order, min depth = shortest discovery path — the BFS rule);
+    *  3. DROP already-fetched pages: anti join against the crawled set
+    *     (canonical URLs whose md5 gate < '4' — any alias of a fetched
+    *     page disqualifies the whole group);
+    *  4. POLITENESS cap: ≤ `FrontierPerHost` URLs per host, priority
+    *     (depth asc, curl asc) — shallow pages first within a host;
+    *  5. GLOBAL batch budget: top `FrontierBatch` by (depth, curl) — a
+    *     bounded TakeOrderedAndProject, never a full global sort spill.
+    *
+    * Readout: the batch itself — (curl, host, depth, disc_id) in batch
+    * order, fully deterministic.
+    *
+    * Scale shape: canon + depth are row-local kernels; the collapse and
+    * the crawled set are map-side-combinable aggregates on the canonical
+    * key; the anti join is equi-keyed on that key (both sides shuffle
+    * once — the crawled set is corpus-sized, never broadcast at 100 TB);
+    * the host cap plans as WindowGroupLimit (map-side k-heaps); the
+    * budget is a bounded top-N. */
+  val FrontierPerHost = 3
+  // below the ~102 rows the 37-host×3 cap passes at every SF, so BOTH
+  // arms (politeness cap and batch budget) provably bind
+  val FrontierBatch = 80
+
+  def qCrawlFrontier(spark: SparkSession, sfDir: String): DataFrame = {
+    val p = expr("doc_id div 4").cast("string")
+    val s = expr("(doc_id div 4) % 37").cast("string")
+    val url = when(col("doc_id") % 4 === 0,
+        concat(lit("https://site"), s, lit(".com/page/"), p))
+      .when(col("doc_id") % 4 === 1,
+        concat(lit("HTTPS://SITE"), s, lit(".COM:443/page/"), p,
+          lit("#sec"), col("doc_id").cast("string")))
+      .when(col("doc_id") % 4 === 2,
+        concat(lit("https://site"), s, lit(".com/page/"), p,
+          lit("/?utm_source=feed&fbclid=x"), col("doc_id").cast("string")))
+      .otherwise(
+        concat(lit("https://site"), s, lit(".com/page/"), p,
+          lit("?b=2&a=1&utm_campaign=c")))
+    val canon = graft.CacheScope.cached(
+      t(spark, sfDir, "documents")
+        .select(col("doc_id"),
+          graft.plans.UrlExpressions.urlCanon(url).as("curl"),
+          (expr("doc_id div 4") % 3).as("depth")))
+    val disc = canon.groupBy("curl")
+      .agg(min(col("doc_id")).as("disc_id"), min(col("depth")).as("depth"))
+    val crawled = canon
+      .filter(graft.operators.Sampling.gateBelow(col("doc_id").cast("string"), "4"))
+      .select("curl").distinct()
+    val host = substring_index(
+      substring_index(col("curl"), "://", -1), "/", 1)
+    val wh = Window.partitionBy("host").orderBy(col("depth").asc, col("curl").asc)
+    disc.join(crawled, Seq("curl"), "left_anti")
+      .withColumn("host", host)
+      .withColumn("rnk", row_number().over(wh))
+      .filter(col("rnk") <= FrontierPerHost)
+      .select(col("curl"), col("host"), col("depth"), col("disc_id"))
+      .orderBy(col("depth").asc, col("curl").asc)
+      .limit(FrontierBatch)
+  }
+
+  /** Oracle: url build + the shared [[urlCanonSqlCtes]] replay, alias
+    * collapse with BFS min rules, the crawled anti join (NOT EXISTS),
+    * per-host cap window, bounded batch. */
+  lazy val qCrawlFrontierSql: String =
+    s"""WITH b AS (
+       |  SELECT doc_id,
+       |         CAST(doc_id // 4 AS VARCHAR) AS p,
+       |         CAST((doc_id // 4) % 37 AS VARCHAR) AS s
+       |  FROM documents),
+       |u AS (
+       |  SELECT doc_id,
+       |         CASE CAST(doc_id % 4 AS INTEGER)
+       |           WHEN 0 THEN 'https://site' || s || '.com/page/' || p
+       |           WHEN 1 THEN 'HTTPS://SITE' || s || '.COM:443/page/' || p || '#sec' || CAST(doc_id AS VARCHAR)
+       |           WHEN 2 THEN 'https://site' || s || '.com/page/' || p || '/?utm_source=feed&fbclid=x' || CAST(doc_id AS VARCHAR)
+       |           ELSE 'https://site' || s || '.com/page/' || p || '?b=2&a=1&utm_campaign=c'
+       |         END AS url
+       |  FROM b),
+       |$urlCanonSqlCtes,
+       |cd AS (
+       |  SELECT c.doc_id, c.curl, (c.doc_id // 4) % 3 AS depth FROM canon c),
+       |disc AS (
+       |  SELECT curl, CAST(min(doc_id) AS BIGINT) AS disc_id,
+       |         CAST(min(depth) AS BIGINT) AS depth
+       |  FROM cd GROUP BY 1),
+       |crawled AS (
+       |  SELECT DISTINCT curl FROM cd
+       |  WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '4'),
+       |fr AS (
+       |  SELECT d.*,
+       |         string_split(string_split(d.curl, '://')[2], '/')[1] AS host
+       |  FROM disc d
+       |  WHERE NOT EXISTS (SELECT 1 FROM crawled w WHERE w.curl = d.curl)),
+       |capped AS (
+       |  SELECT curl, host, depth, disc_id FROM fr
+       |  QUALIFY row_number() OVER (PARTITION BY host
+       |                             ORDER BY depth ASC, curl ASC)
+       |          <= $FrontierPerHost)
+       |SELECT curl, host, depth, disc_id FROM capped
+       |ORDER BY depth ASC, curl ASC LIMIT $FrontierBatch""".stripMargin
+
   /** URL canonicalization + alias collapse (round 14) — the dedup-prep
     * step crawl pipelines run between the URL gate and per-domain
     * capping: one page is observed under many raw URLs (case variants,
@@ -810,24 +918,16 @@ object PipelineQueries {
     * (scheme/host lowering, first-colon port split, default-port strip,
     * fragment strip, tracker filter, binary-collation param sort,
     * trailing-slash rule) replayed relationally. */
-  val qUrlCanonSql: String = {
+  /** The `url_canon` kernel's relational replay — the CTE chain from a
+    * `u(doc_id, url)` CTE to `canon(doc_id, url, curl)`; shared by
+    * [[qUrlCanonSql]] and [[qCrawlFrontierSql]] so the two oracles can
+    * never drift apart. MARGIN-FORMATTED (no stripMargin here): callers
+    * interpolate it before their own stripMargin, which would otherwise
+    * eat one `|` of every line-leading `||` concat. */
+  private def urlCanonSqlCtes: String = {
     val trackers = graft.operators.Sampling.TrackingParams.sorted
       .map(x => s"'$x'").mkString(", ")
-    s"""WITH b AS (
-       |  SELECT doc_id,
-       |         CAST(doc_id // 4 AS VARCHAR) AS p,
-       |         CAST((doc_id // 4) % 37 AS VARCHAR) AS s
-       |  FROM documents),
-       |u AS (
-       |  SELECT doc_id,
-       |         CASE CAST(doc_id % 4 AS INTEGER)
-       |           WHEN 0 THEN 'https://site' || s || '.com/page/' || p
-       |           WHEN 1 THEN 'HTTPS://SITE' || s || '.COM:443/page/' || p || '#sec' || CAST(doc_id AS VARCHAR)
-       |           WHEN 2 THEN 'https://site' || s || '.com/page/' || p || '/?utm_source=feed&fbclid=x' || CAST(doc_id AS VARCHAR)
-       |           ELSE 'https://site' || s || '.com/page/' || p || '?b=2&a=1&utm_campaign=c'
-       |         END AS url
-       |  FROM b),
-       |c1 AS (
+    s"""c1 AS (
        |  SELECT doc_id, url,
        |         lower(string_split(url, '://')[1]) AS scheme,
        |         string_split(url, '://')[2] AS rest
@@ -867,7 +967,25 @@ object PipelineQueries {
        |                   THEN ':' || port ELSE '' END
        |           || path
        |           || CASE WHEN len(kept) > 0 THEN '?' || array_to_string(kept, '&') ELSE '' END AS curl
-       |  FROM c6)
+       |  FROM c6)"""
+  }
+
+  val qUrlCanonSql: String = {
+    s"""WITH b AS (
+       |  SELECT doc_id,
+       |         CAST(doc_id // 4 AS VARCHAR) AS p,
+       |         CAST((doc_id // 4) % 37 AS VARCHAR) AS s
+       |  FROM documents),
+       |u AS (
+       |  SELECT doc_id,
+       |         CASE CAST(doc_id % 4 AS INTEGER)
+       |           WHEN 0 THEN 'https://site' || s || '.com/page/' || p
+       |           WHEN 1 THEN 'HTTPS://SITE' || s || '.COM:443/page/' || p || '#sec' || CAST(doc_id AS VARCHAR)
+       |           WHEN 2 THEN 'https://site' || s || '.com/page/' || p || '/?utm_source=feed&fbclid=x' || CAST(doc_id AS VARCHAR)
+       |           ELSE 'https://site' || s || '.com/page/' || p || '?b=2&a=1&utm_campaign=c'
+       |         END AS url
+       |  FROM b),
+       |$urlCanonSqlCtes
        |SELECT curl, count(*) AS n_urls,
        |       CAST(count(DISTINCT url) AS BIGINT) AS n_raw,
        |       CAST(sum(doc_id) AS BIGINT) AS id_sum,
@@ -2045,6 +2163,7 @@ object PipelineQueries {
     "q_domain_cap" -> (qDomainCap _),
     "q_url_filter" -> (qUrlFilter _),
     "q_robots_gate" -> (qRobotsGate _),
+    "q_crawl_frontier" -> (qCrawlFrontier _),
     "q_url_canon" -> (qUrlCanon _),
     "q_shard_shuffle" -> (qShardShuffle _))
 
@@ -2072,6 +2191,7 @@ object PipelineQueries {
     "q_domain_cap" -> qDomainCapSql,
     "q_url_filter" -> qUrlFilterSql,
     "q_robots_gate" -> qRobotsGateSql,
+    "q_crawl_frontier" -> qCrawlFrontierSql,
     "q_url_canon" -> qUrlCanonSql,
     "q_shard_shuffle" -> qShardShuffleSql)
 }

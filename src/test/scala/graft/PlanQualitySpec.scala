@@ -1151,6 +1151,18 @@ class PlanQualitySpec extends SparkSpec {
     graft.CacheScope.release()
   }
 
+  test("q_crawl_frontier: keyed anti join, map-side host cap, bounded batch (r15)") {
+    val p = plan("q_crawl_frontier")
+    assert(p.contains("url_canon"), s"canonicalization not the native kernel:\n$p")
+    assert(p.contains("LeftAnti"), s"crawled-set drop must be an anti join:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in the frontier:\n$p")
+    assert(p.contains("WindowGroupLimit"),
+      s"host cap must run map-side:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"batch budget must be a bounded top-N, not a global sort:\n$p")
+    graft.CacheScope.release()
+  }
+
   test("q_triangle_count: wedge and closing joins equi-keyed, no cartesian") {
     val p = plan("q_triangle_count")
     assert(!p.contains("CartesianProduct"), s"cartesian in triangle census:\n$p")
