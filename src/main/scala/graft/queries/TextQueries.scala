@@ -3007,6 +3007,226 @@ object TextQueries {
        |FROM aagg ORDER BY lang""".stripMargin
   }
 
+  /** WordPiece tokenizer training (round 15) — the THIRD production
+    * tokenizer family beside BPE and unigram-LM (Schuster & Nakajima
+    * 2012; the BERT tokenizer — public literature and the HuggingFace
+    * tokenizers documentation). Same distributed-histogram +
+    * driver-bounded-model shape as [[bpeTrainMerges]], with the two
+    * WordPiece-specific twists:
+    *
+    *  - symbols are POSITIONAL: the word-initial character is plain,
+    *    every continuation character carries the `##` prefix, and a
+    *    merge concatenates the left symbol with the right symbol's
+    *    `##`-stripped text (so merged continuations stay `##`-marked);
+    *  - the merge objective is the LIKELIHOOD score, not the raw pair
+    *    count: score(a,b) = count(ab) / (count(a)·count(b)) — quantized
+    *    to score_q = count(ab)·2^20 div (count(a)·count(b)) so the
+    *    argmax is pure integer arithmetic, order-free and replayable
+    *    (ties broken (score desc, lhs, rhs) in both engines).
+    *
+    * Scale shape: the corpus cost is ONE word-count aggregate (map-side
+    * combinable); the merge loop is O(topWords·maxWordLen·nMerges)
+    * driver arithmetic on a bounded table — production WordPiece
+    * trainers run on a capped word-type histogram the same way.
+    * Returns (sorted final vocabulary, merge log). */
+  private[graft] def wordpieceTrainModel(docs: DataFrame, textCol: String,
+      topWords: Int, maxWordLen: Int, nMerges: Int)
+      : (Seq[String], Seq[(Int, String, String, Long)]) = {
+    val wc: Array[(String, Long)] = docs
+      .select(explode(split(lower(col(textCol)), "\\s+")).as("w"))
+      .filter(col("w").rlike("^[a-z]+$") && length(col("w")) <= maxWordLen)
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("w").asc)
+      .limit(topWords)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+
+    var states: Array[(String, Long)] = wc.map { case (w, c) =>
+      val syms = w.substring(0, 1) +:
+        w.substring(1).split("").filter(_.nonEmpty).map("##" + _)
+      (syms.mkString("|", "|", "|"), c)
+    }
+    val vocab = scala.collection.mutable.HashSet.empty[String]
+    states.foreach { case (s, _) =>
+      s.split("\\|").filter(_.nonEmpty).foreach(vocab += _)
+    }
+    val merges = scala.collection.mutable.ListBuffer.empty[(Int, String, String, Long)]
+    var step = 1
+    var exhausted = false
+    while (step <= nMerges && !exhausted) {
+      val pc = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      val fc = scala.collection.mutable.HashMap.empty[String, Long]
+      states.foreach { case (s, c) =>
+        val syms = s.split("\\|").filter(_.nonEmpty)
+        syms.foreach(sym => fc.update(sym, fc.getOrElse(sym, 0L) + c))
+        var i = 0
+        while (i + 1 < syms.length) {
+          val k = (syms(i), syms(i + 1))
+          pc.update(k, pc.getOrElse(k, 0L) + c)
+          i += 1
+        }
+      }
+      if (pc.isEmpty) exhausted = true
+      else {
+        val ((a, b), sq) = pc.iterator
+          .map { case ((x, y), n) => ((x, y), n * 1048576L / (fc(x) * fc(y))) }
+          .minBy { case ((x, y), s) => (-s, x, y) }
+        val merged = a + (if (b.startsWith("##")) b.substring(2) else b)
+        merges += ((step, a, b, sq))
+        vocab += merged
+        states = states.map { case (s, c) => (s.replace(s"|$a|$b|", s"|$merged|"), c) }
+        step += 1
+      }
+    }
+    (vocab.toSeq.sorted, merges.toSeq)
+  }
+
+  def qWordpieceTrain(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    wordpieceTrainModel(t(spark, sfDir, "documents"), "text",
+        topWords = 192, maxWordLen = 16, nMerges = 12)._2
+      .toDF("step", "lhs", "rhs", "score_q")
+      .select(col("step").cast("long"), col("lhs"), col("rhs"), col("score_q"))
+      .orderBy("step")
+  }
+
+  /** The full WordPiece training run as a CTE chain (wpwc/wpst0 + per
+    * round wpf_i symbol frequencies, wpp_i pair counts, wpm_i likelihood
+    * argmax, wpst_i replace) — shared by the q_wordpiece_train and
+    * q_wordpiece_encode oracles. MATERIALIZED for the same reason as the
+    * BPE chain (each st_i is referenced multiple times). */
+  private def wordpieceTrainSqlCtes(topWords: Int, maxWordLen: Int,
+                                    nMerges: Int): String = {
+    val rounds = (1 to nMerges).map { i =>
+      s"""wpf$i AS MATERIALIZED (
+         |  SELECT sym, CAST(sum(cnt) AS BIGINT) AS f FROM (
+         |    SELECT unnest(list_filter(string_split(s, '|'), x -> x <> '')) AS sym, cnt
+         |    FROM wpst${i - 1})
+         |  GROUP BY 1),
+         |wpp$i AS MATERIALIZED (
+         |  SELECT syms[u.i] AS lhs, syms[u.i + 1] AS rhs, CAST(sum(cnt) AS BIGINT) AS pair_cnt
+         |  FROM (SELECT list_filter(string_split(s, '|'), x -> x <> '') AS syms, cnt
+         |        FROM wpst${i - 1}) t,
+         |       LATERAL unnest(generate_series(1, len(syms) - 1)) AS u(i)
+         |  GROUP BY 1, 2),
+         |wpm$i AS MATERIALIZED (
+         |  SELECT p.lhs, p.rhs,
+         |         p.lhs || CASE WHEN p.rhs LIKE '##%' THEN substr(p.rhs, 3) ELSE p.rhs END AS merged,
+         |         p.pair_cnt * 1048576 // (fa.f * fb.f) AS score_q
+         |  FROM wpp$i p
+         |  JOIN wpf$i fa ON fa.sym = p.lhs
+         |  JOIN wpf$i fb ON fb.sym = p.rhs
+         |  ORDER BY score_q DESC, p.lhs, p.rhs LIMIT 1),
+         |wpst$i AS MATERIALIZED (
+         |  SELECT replace(s,
+         |           coalesce('|' || (SELECT lhs FROM wpm$i) || '|' || (SELECT rhs FROM wpm$i) || '|', '~~'),
+         |           coalesce('|' || (SELECT merged FROM wpm$i) || '|', '~~')) AS s,
+         |         cnt
+         |  FROM wpst${i - 1})""".stripMargin
+    }.mkString(",\n")
+    s"""wpwc AS MATERIALIZED (
+       |  SELECT lower(t.w) AS w, CAST(count(*) AS BIGINT) AS cnt
+       |  FROM documents d,
+       |       unnest(string_split_regex(d.text, '\\s+')) AS t(w)
+       |  WHERE regexp_matches(lower(t.w), '^[a-z]+$$')
+       |    AND length(t.w) <= $maxWordLen
+       |  GROUP BY 1 ORDER BY cnt DESC, w LIMIT $topWords),
+       |wpst0 AS MATERIALIZED (
+       |  SELECT '|' || substr(w, 1, 1) ||
+       |         CASE WHEN length(w) > 1
+       |              THEN '|##' || array_to_string(string_split(substr(w, 2), ''), '|##')
+       |              ELSE '' END || '|' AS s,
+       |         cnt
+       |  FROM wpwc),
+       |$rounds""".stripMargin
+  }
+
+  val qWordpieceTrainSql: String = {
+    val nMerges = 12
+    val unions = (1 to nMerges).map(i =>
+      s"SELECT CAST($i AS BIGINT) AS step, lhs, rhs, score_q FROM wpm$i").mkString("\nUNION ALL\n")
+    s"""WITH ${wordpieceTrainSqlCtes(topWords = 192, maxWordLen = 16,
+          nMerges = nMerges)}
+       |$unions
+       |ORDER BY step""".stripMargin
+  }
+
+  /** WordPiece train → APPLY (round 15) — the BERT serving loop: learn
+    * the vocabulary on the capped type histogram, then greedy-encode the
+    * WHOLE corpus word stream (longest-match-first, `##` continuations,
+    * unsegmentable words collapsing wholesale to `[UNK]`) and report the
+    * top-40 resulting pieces. The encoder is the native codegen
+    * [[graft.plans.WordPieceOps.encode]] kernel — the bounded vocabulary
+    * rides the plan as a reference object. The `[UNK]` arm is REAL on
+    * the corpus stream: a character that only ever appears word-initially
+    * in the training histogram has no `##` form in the vocabulary, so a
+    * corpus word using it mid-word cannot be segmented. The oracle
+    * re-learns through the shared training CTEs, then replays the greedy
+    * scan as an unrolled max-length chain over the word TYPES (occurrences
+    * of a type share an encoding, so type-weighted counts equal the
+    * per-occurrence stream). */
+  def qWordpieceEncode(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = t(spark, sfDir, "documents")
+    val vocab = wordpieceTrainModel(docs, "text", topWords = 192,
+      maxWordLen = 16, nMerges = 12)._1
+    docs.select(explode(split(lower(col("text")), "\\s+")).as("w"))
+      .filter(col("w").rlike("^[a-z]+$") && length(col("w")) <= 16)
+      .select(explode(graft.plans.WordPieceExpressions
+        .wordpieceEncode(col("w"), vocab)).as("piece"))
+      .groupBy("piece").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("piece").asc)
+      .limit(40)
+  }
+
+  val qWordpieceEncodeSql: String = {
+    val maxWordLen = 16
+    val nMerges = 12
+    val vocabUnions = (1 to nMerges).map(i =>
+      s"  SELECT merged AS piece FROM wpm$i").mkString("\n  UNION\n")
+    val steps = (1 to maxWordLen).map { s =>
+      val prev =
+        if (s == 1) "(SELECT w, 0 AS pos, CAST(NULL AS VARCHAR) AS piece, false AS bad FROM awc)"
+        else s"wpe_${s - 1}"
+      s"""wpe_$s AS MATERIALIZED (
+         |  SELECT b.w,
+         |         CASE WHEN t.bl IS NULL THEN CAST(length(b.w) AS INT)
+         |              ELSE CAST(b.pos + t.bl AS INT) END AS pos,
+         |         CASE WHEN t.bl IS NULL THEN NULL
+         |              WHEN b.pos = 0 THEN substr(b.w, 1, t.bl)
+         |              ELSE '##' || substr(b.w, b.pos + 1, t.bl) END AS piece,
+         |         t.bl IS NULL AS bad
+         |  FROM $prev b, LATERAL (
+         |    SELECT max(u.l) AS bl
+         |    FROM unnest(generate_series(1, $maxWordLen)) AS u(l)
+         |    WHERE b.pos + u.l <= length(b.w)
+         |      AND EXISTS (SELECT 1 FROM wpvocab v WHERE v.piece =
+         |            CASE WHEN b.pos = 0 THEN substr(b.w, 1, u.l)
+         |                 ELSE '##' || substr(b.w, b.pos + 1, u.l) END)) t
+         |  WHERE b.pos < length(b.w) AND NOT b.bad)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${wordpieceTrainSqlCtes(topWords = 192, maxWordLen = maxWordLen,
+          nMerges = nMerges)},
+       |${awcSqlCte(maxWordLen)},
+       |wpvocab AS MATERIALIZED (
+       |  SELECT DISTINCT piece FROM (
+       |  SELECT unnest(list_filter(string_split(s, '|'), x -> x <> '')) AS piece FROM wpst0
+       |  UNION
+       |$vocabUnions)),
+       |$steps,
+       |wpeall AS MATERIALIZED (
+       |  ${(1 to maxWordLen).map(s => s"SELECT w, piece, bad FROM wpe_$s").mkString("\n  UNION ALL ")}),
+       |wpbad AS MATERIALIZED (SELECT DISTINCT w FROM wpeall WHERE bad)
+       |SELECT piece, cnt FROM (
+       |  SELECT e.piece, CAST(sum(c.cnt) AS BIGINT) AS cnt
+       |  FROM wpeall e JOIN awc c ON c.w = e.w
+       |  WHERE e.piece IS NOT NULL AND e.w NOT IN (SELECT w FROM wpbad)
+       |  GROUP BY 1
+       |  UNION ALL
+       |  SELECT '[UNK]' AS piece, CAST(sum(cnt) AS BIGINT) AS cnt
+       |  FROM awc WHERE w IN (SELECT w FROM wpbad)
+       |  HAVING sum(cnt) IS NOT NULL)
+       |ORDER BY cnt DESC, piece LIMIT 40""".stripMargin
+  }
+
   /** JSONL ingestion with poison-line quarantine — the crawl-dump format
     * every large text corpus actually arrives in, where some fraction of
     * lines is always malformed and a single bad line must cost a ROW, not
@@ -3356,6 +3576,8 @@ object TextQueries {
     "q_bpe_train_apply" -> (qBpeTrainApply _),
     "q_unigram_train" -> (qUnigramTrain _),
     "q_unigram_encode" -> (qUnigramEncode _),
+    "q_wordpiece_train" -> (qWordpieceTrain _),
+    "q_wordpiece_encode" -> (qWordpieceEncode _),
     "q_tokenizer_compare" -> (qTokenizerCompare _),
     "q_jsonl_ingest" -> (qJsonlIngest _),
     "q_csv_roundtrip" -> (qCsvRoundtrip _),
@@ -3405,6 +3627,8 @@ object TextQueries {
     "q_bpe_train_apply" -> qBpeTrainApplySql,
     "q_unigram_train" -> qUnigramTrainSql,
     "q_unigram_encode" -> qUnigramEncodeSql,
+    "q_wordpiece_train" -> qWordpieceTrainSql,
+    "q_wordpiece_encode" -> qWordpieceEncodeSql,
     "q_tokenizer_compare" -> qTokenizerCompareSql,
     "q_jsonl_ingest" -> qJsonlIngestSql,
     "q_csv_roundtrip" -> qCsvRoundtripSql,

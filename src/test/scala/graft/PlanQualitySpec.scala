@@ -1163,6 +1163,21 @@ class PlanQualitySpec extends SparkSpec {
     graft.CacheScope.release()
   }
 
+  test("q_wordpiece_encode: vocab rides the plan, kernel in codegen, no join (r15)") {
+    val p = plan("q_wordpiece_encode")
+    // the trained vocabulary is a reference object on the encode kernel —
+    // the corpus stream never joins a model table
+    assert(p.contains("wordpiece_encode"), s"native greedy encoder missing:\n$p")
+    assert(!p.contains("Join"), s"model must not be a join at serve time:\n$p")
+    // word histogram + piece histogram both combine map-side; readout is
+    // a bounded top-N
+    assert(p.split("HashAggregate").length >= 3,
+      s"piece histogram must be two-phase:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-40 readout must be a bounded top-N:\n$p")
+    graft.CacheScope.release()
+  }
+
   test("q_triangle_count: wedge and closing joins equi-keyed, no cartesian") {
     val p = plan("q_triangle_count")
     assert(!p.contains("CartesianProduct"), s"cartesian in triangle census:\n$p")
