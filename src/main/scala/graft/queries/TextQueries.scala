@@ -3227,6 +3227,84 @@ object TextQueries {
        |ORDER BY cnt DESC, piece LIMIT 40""".stripMargin
   }
 
+  /** The fixed blocklist for [[qBadwordsGate]] — sorted, distinct,
+    * border-free (the [[graft.plans.AhoCorasick]] dictionary contract).
+    * The oracle SQL is GENERATED from this list (the qUrlFilterSql
+    * lesson: hand-copied literals silently desynchronize). The planted
+    * arms: a common word (`slow`), a rare word (`dup`), two multi-word
+    * phrases (`customer query`, `the line`), a nested chain
+    * (`slow scan` fires `slow` and `scan` on the same span — the
+    * output-link walk), and a boundary trap (`tab` occurs ONLY inside
+    * `table`, so its boundary-checked count must be zero where a naive
+    * substring count would be in the thousands). */
+  private[graft] val BadwordTerms: Seq[String] = Seq(
+    "customer query", "dup", "scan", "slow", "slow scan", "tab",
+    "the line", "vector")
+
+  /** Badword / gazetteer gate (round 15) — the C4 blocklist step
+    * (Raffel et al. 2020 dropped any page containing a term from a fixed
+    * public word list). ONE [[graft.plans.AhoCorasick]] automaton pass
+    * per document counts every dictionary term simultaneously at word
+    * boundaries — at 100 TB the scan cost is independent of dictionary
+    * size, where the naive per-term regex plan multiplies the corpus
+    * scan by |dict| (real blocklists run to thousands of terms).
+    *
+    * Readout, two row kinds under one schema (kind, key, n_matches,
+    * n_docs): per TERM the corpus-wide match count and the number of
+    * documents hit; per LANG the total matches and the number of
+    * documents the gate would DROP (≥1 match — the C4 verdict). The
+    * oracle replays every term as an independent `\b(term)\b` RE2 scan
+    * over the same lowered text (exact by the border-free dictionary
+    * contract — see the automaton scaladoc). */
+  def qBadwordsGate(spark: SparkSession, sfDir: String): DataFrame = {
+    val terms = BadwordTerms
+    val perDoc = graft.CacheScope.cached(
+      t(spark, sfDir, "documents")
+        .select(col("doc_id"), col("lang"),
+          graft.plans.AhoCorasickExpressions
+            .badwordCounts(lower(col("text")), terms).as("c")))
+    val termArr = array(terms.map(t => lit(t).as("term")): _*)
+    val termRows = perDoc
+      .select(explode(arrays_zip(termArr.as("term"), col("c").as("n"))).as("z"))
+      .select(col("z.term").as("term"), col("z.n").as("n"))
+      .groupBy("term")
+      .agg(sum("n").as("n_matches"),
+        sum(when(col("n") > 0, 1L).otherwise(0L)).as("n_docs"))
+      .select(lit("term").as("kind"), col("term").as("key"),
+        col("n_matches"), col("n_docs"))
+    val langRows = perDoc
+      .select(col("lang"),
+        aggregate(col("c"), lit(0L), (a, x) => a + x).as("tot"))
+      .groupBy("lang")
+      .agg(sum("tot").as("n_matches"),
+        sum(when(col("tot") > 0, 1L).otherwise(0L)).as("n_docs"))
+      .select(lit("lang").as("kind"), col("lang").as("key"),
+        col("n_matches"), col("n_docs"))
+    termRows.unionAll(langRows).orderBy("kind", "key")
+  }
+
+  val qBadwordsGateSql: String = {
+    val termValues = BadwordTerms.map(t => s"('$t')").mkString(", ")
+    s"""WITH terms(term) AS (VALUES $termValues),
+       |bw_hits AS MATERIALIZED (
+       |  SELECT d.doc_id, d.lang, t.term,
+       |         CAST(len(regexp_extract_all(lower(d.text), '\\b' || t.term || '\\b')) AS BIGINT) AS c
+       |  FROM documents d CROSS JOIN terms t),
+       |bw_term_rows AS (
+       |  SELECT 'term' AS kind, term AS key, CAST(sum(c) AS BIGINT) AS n_matches,
+       |         CAST(count(*) FILTER (WHERE c > 0) AS BIGINT) AS n_docs
+       |  FROM bw_hits GROUP BY term),
+       |bw_perdoc AS (
+       |  SELECT doc_id, lang, sum(c) AS tot FROM bw_hits GROUP BY 1, 2),
+       |bw_lang_rows AS (
+       |  SELECT 'lang' AS kind, lang AS key, CAST(sum(tot) AS BIGINT) AS n_matches,
+       |         CAST(count(*) FILTER (WHERE tot > 0) AS BIGINT) AS n_docs
+       |  FROM bw_perdoc GROUP BY lang)
+       |SELECT * FROM bw_term_rows
+       |UNION ALL SELECT * FROM bw_lang_rows
+       |ORDER BY kind, key""".stripMargin
+  }
+
   /** JSONL ingestion with poison-line quarantine — the crawl-dump format
     * every large text corpus actually arrives in, where some fraction of
     * lines is always malformed and a single bad line must cost a ROW, not
@@ -3578,6 +3656,7 @@ object TextQueries {
     "q_unigram_encode" -> (qUnigramEncode _),
     "q_wordpiece_train" -> (qWordpieceTrain _),
     "q_wordpiece_encode" -> (qWordpieceEncode _),
+    "q_badwords_gate" -> (qBadwordsGate _),
     "q_tokenizer_compare" -> (qTokenizerCompare _),
     "q_jsonl_ingest" -> (qJsonlIngest _),
     "q_csv_roundtrip" -> (qCsvRoundtrip _),
@@ -3629,6 +3708,7 @@ object TextQueries {
     "q_unigram_encode" -> qUnigramEncodeSql,
     "q_wordpiece_train" -> qWordpieceTrainSql,
     "q_wordpiece_encode" -> qWordpieceEncodeSql,
+    "q_badwords_gate" -> qBadwordsGateSql,
     "q_tokenizer_compare" -> qTokenizerCompareSql,
     "q_jsonl_ingest" -> qJsonlIngestSql,
     "q_csv_roundtrip" -> qCsvRoundtripSql,

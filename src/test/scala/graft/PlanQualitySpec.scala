@@ -1163,6 +1163,22 @@ class PlanQualitySpec extends SparkSpec {
     graft.CacheScope.release()
   }
 
+  test("q_badwords_gate: one automaton pass, no per-term scan, no join (r15)") {
+    val df = SparkEntry.queries("q_badwords_gate")(spark, TestSpark.Sf0001)
+    val p = df.queryExecution.executedPlan.toString
+    // the dictionary rides the plan as the automaton reference object —
+    // the corpus never joins a term table and never cross-products
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+      s"per-term join leaked into the blocklist gate:\n$p")
+    // the single kernel scan is shared by both readouts through the cache
+    val cached = df.queryExecution.withCachedData.toString
+    assert(cached.contains("badword_counts"),
+      s"native automaton kernel missing:\n$cached")
+    assert(p.split("HashAggregate").length >= 5,
+      s"term and lang readouts must both combine map-side:\n$p")
+    graft.CacheScope.release()
+  }
+
   test("q_wordpiece_encode: vocab rides the plan, kernel in codegen, no join (r15)") {
     val p = plan("q_wordpiece_encode")
     // the trained vocabulary is a reference object on the encode kernel —
