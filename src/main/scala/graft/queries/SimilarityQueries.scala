@@ -1796,6 +1796,156 @@ object SimilarityQueries {
        |       CAST(sum(id) AS BIGINT) AS member_id_sum
        |FROM glabels GROUP BY cluster ORDER BY cluster""".stripMargin
 
+  /** Late-interaction retrieve-and-rerank (round 15) — the ColBERT
+    * architecture (Khattab & Zaharia 2020, arXiv:2004.12832 — public
+    * literature): a cheap first-stage retriever produces a bounded
+    * candidate set per query, then the EXPENSIVE MaxSim score — for each
+    * query token, the max dot product over the candidate's token
+    * embeddings, summed over query tokens — reranks only those
+    * candidates. This is the serving shape every production late-
+    * interaction system runs: MaxSim over the full corpus would be
+    * O(corpus·|q|·|d|·dim); retrieval bounds it to O(candidates).
+    *
+    *  - ColBERT's token embeddings are CONTEXTUAL — the same word embeds
+    *    differently in different surroundings. The deterministic stand-in
+    *    here is a bigram unit: each token is embedded as
+    *    (previous-token, token) via an md5-prefix hash per dimension
+    *    (16 dims in −8..8 — the q_feature_hash convention), so the
+    *    oracle recomputes every vector bit-exactly AND the fixture's
+    *    30-word vocabulary still yields document-specific token sets
+    *    (~900 bigrams vs 30 unigrams — unigram sets are near-identical
+    *    across docs and the readout would tie degenerate); real
+    *    pipelines would read a trained embedding table — the dataflow
+    *    is identical (unit → vector lookup);
+    *  - per doc the first 24 distinct bigrams in document order (first
+    *    8 for the query docs) — the token-cap every late-interaction
+    *    index applies (rank filters lower to WindowGroupLimit, so the
+    *    caps run map-side);
+    *  - stage 1: the 32 query bigrams BROADCAST into the corpus bigram
+    *    stream (inverted-index equi-join — the corpus never shuffles
+    *    against a token table), overlap count, top-16 candidates per
+    *    probe;
+    *  - stage 2: candidates (bounded) broadcast back onto their token
+    *    rows, dots via the native `long_dot` kernel, max-per-query-token
+    *    then sum — two map-side-combinable aggregates; top-5 per probe.
+    *
+    * The probe docs retrieve themselves with full overlap 8 (their 8
+    * query bigrams are a prefix-subset of their 24 doc bigrams) and the
+    * spec pins self-retrieval plus readout non-degeneracy on the real
+    * fixture. */
+  def qMaxsimRerank(spark: SparkSession, sfDir: String): DataFrame =
+    maxsimRerankCore(t(spark, sfDir, "documents"), Seq(3L, 57L, 91L, 142L))
+
+  private[graft] def maxsimRerankCore(docs: DataFrame,
+                                      probes: Seq[Long]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dims = 16
+
+    def tokenVec(tok: Column): Column = array((0 until dims).map { d =>
+      (conv(graft.plans.HashExpressions.md5Prefix(
+          concat(tok, lit("#"), lit(d.toString)), 6), 16, 10)
+        .cast("long") % 17) - 8
+    }: _*)
+
+    def docBigrams(in: DataFrame): DataFrame = in
+      .select(col("doc_id"),
+        posexplode(split(lower(col("text")), "\\s+")).as(Seq("p", "tok")))
+      .filter(col("tok").rlike("^[a-z]+$"))
+      .withColumn("bg", concat(
+        lag("tok", 1, "^").over(Window.partitionBy("doc_id").orderBy("p")),
+        lit(" "), col("tok")))
+      .groupBy("doc_id", "bg").agg(min("p").as("p0"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("doc_id").orderBy("p0", "bg")))
+      .withColumnRenamed("bg", "tok")
+
+    val qtok = docBigrams(docs.filter(col("doc_id").isin(probes: _*)))
+      .filter(col("rk") <= 8)
+      .select(col("doc_id").as("probe_id"), col("tok"))
+    val dtok = docBigrams(docs).filter(col("rk") <= 24)
+      .select("doc_id", "tok")
+
+    val cands = dtok.join(broadcast(qtok), "tok")
+      .groupBy("probe_id", "doc_id").agg(count(lit(1)).as("overlap"))
+      .withColumn("r1", row_number().over(
+        Window.partitionBy("probe_id").orderBy(col("overlap").desc, col("doc_id"))))
+      .filter(col("r1") <= 16)
+      .select("probe_id", "doc_id", "overlap")
+
+    val qvec = qtok.select(col("probe_id"), col("tok").as("qt"),
+      tokenVec(col("tok")).as("qv"))
+    val dvec = dtok.join(broadcast(cands), "doc_id")
+      .select(col("probe_id"), col("doc_id"), col("overlap"),
+        tokenVec(col("tok")).as("dv"))
+
+    dvec.join(broadcast(qvec), "probe_id")
+      .select(col("probe_id"), col("doc_id"), col("overlap"), col("qt"),
+        graft.plans.VectorExpressions.longDot(col("qv"), col("dv")).as("dot"))
+      .groupBy("probe_id", "doc_id", "overlap", "qt").agg(max("dot").as("md"))
+      .groupBy("probe_id", "doc_id", "overlap").agg(sum("md").as("maxsim"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("probe_id").orderBy(col("maxsim").desc, col("doc_id")))
+        .cast("long"))
+      .filter(col("rank") <= 5)
+      .select("probe_id", "rank", "doc_id", "overlap", "maxsim")
+      .orderBy("probe_id", "rank")
+  }
+
+  lazy val qMaxsimRerankSql: String =
+    """WITH mtokp AS MATERIALIZED (
+      |  SELECT doc_id, t.w[i.i] AS tok, i.i AS p
+      |  FROM (SELECT doc_id,
+      |               string_split_regex(lower(text), '\s+') AS w
+      |        FROM documents) t,
+      |       LATERAL unnest(generate_series(1, len(t.w))) AS i(i)
+      |  WHERE regexp_matches(t.w[i.i], '^[a-z]+$')),
+      |mbgp AS MATERIALIZED (
+      |  SELECT doc_id,
+      |         coalesce(lag(tok) OVER (PARTITION BY doc_id ORDER BY p), '^')
+      |           || ' ' || tok AS tok,
+      |         p
+      |  FROM mtokp),
+      |mtok AS MATERIALIZED (
+      |  SELECT doc_id, tok,
+      |         row_number() OVER (PARTITION BY doc_id ORDER BY p0, tok) AS rk
+      |  FROM (SELECT doc_id, tok, min(p) AS p0 FROM mbgp GROUP BY 1, 2)),
+      |mdt AS MATERIALIZED (SELECT doc_id, tok FROM mtok WHERE rk <= 24),
+      |mqt AS MATERIALIZED (
+      |  SELECT doc_id AS probe_id, tok FROM mtok
+      |  WHERE rk <= 8 AND doc_id IN (3, 57, 91, 142)),
+      |mcand AS MATERIALIZED (
+      |  SELECT probe_id, doc_id, overlap FROM (
+      |    SELECT q.probe_id, d.doc_id, CAST(count(*) AS BIGINT) AS overlap
+      |    FROM mdt d JOIN mqt q ON q.tok = d.tok GROUP BY 1, 2)
+      |  QUALIFY row_number() OVER (PARTITION BY probe_id ORDER BY overlap DESC, doc_id) <= 16),
+      |mdims AS (SELECT CAST(u.d AS INT) AS d FROM unnest(generate_series(0, 15)) AS u(d)),
+      |mvq AS MATERIALIZED (
+      |  SELECT probe_id, tok AS qt, d,
+      |         (CAST('0x' || substr(md5(tok || '#' || d), 1, 6) AS BIGINT) % 17) - 8 AS v
+      |  FROM mqt, mdims),
+      |mvd AS MATERIALIZED (
+      |  SELECT c.probe_id, c.doc_id, c.overlap, t.tok AS dt, m.d,
+      |         (CAST('0x' || substr(md5(t.tok || '#' || m.d), 1, 6) AS BIGINT) % 17) - 8 AS v
+      |  FROM mcand c JOIN mdt t ON t.doc_id = c.doc_id, mdims m),
+      |mdots AS MATERIALIZED (
+      |  SELECT q.probe_id, dv.doc_id, dv.overlap, q.qt, dv.dt,
+      |         CAST(sum(q.v * dv.v) AS BIGINT) AS dot
+      |  FROM mvq q
+      |  JOIN mvd dv ON dv.probe_id = q.probe_id AND dv.d = q.d
+      |  GROUP BY 1, 2, 3, 4, 5),
+      |mmax AS (
+      |  SELECT probe_id, doc_id, overlap, qt, max(dot) AS md
+      |  FROM mdots GROUP BY 1, 2, 3, 4),
+      |msim AS (
+      |  SELECT probe_id, doc_id, overlap, CAST(sum(md) AS BIGINT) AS maxsim
+      |  FROM mmax GROUP BY 1, 2, 3)
+      |SELECT probe_id, rank, doc_id, overlap, maxsim FROM (
+      |  SELECT probe_id, doc_id, overlap, maxsim,
+      |         CAST(row_number() OVER (PARTITION BY probe_id ORDER BY maxsim DESC, doc_id) AS BIGINT) AS rank
+      |  FROM msim)
+      |WHERE rank <= 5
+      |ORDER BY probe_id, rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_knn_graph" -> (qKnnGraph _),
     "q_hard_negatives" -> (qHardNegatives _),
@@ -1812,6 +1962,7 @@ object SimilarityQueries {
     "q_ann_ivf" -> (qAnnIvf _),
     "q_ann_batch" -> (qAnnBatch _),
     "q_crossmodal_knn" -> (qCrossmodalKnn _),
+    "q_maxsim_rerank" -> (qMaxsimRerank _),
     "q_ann_recall" -> (qAnnRecall _),
     "q_ann_pq" -> (qAnnPq _),
     "q_ann_sq8" -> (qAnnSq8 _),
@@ -1839,6 +1990,7 @@ object SimilarityQueries {
     "q_ann_ivf" -> qAnnIvfSql,
     "q_ann_batch" -> qAnnBatchSql,
     "q_crossmodal_knn" -> qCrossmodalKnnSql,
+    "q_maxsim_rerank" -> qMaxsimRerankSql,
     "q_ann_recall" -> qAnnRecallSql,
     "q_ann_pq" -> qAnnPqSql,
     "q_ann_sq8" -> qAnnSq8Sql,

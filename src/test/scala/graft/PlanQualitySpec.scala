@@ -1179,6 +1179,21 @@ class PlanQualitySpec extends SparkSpec {
     graft.CacheScope.release()
   }
 
+  test("q_maxsim_rerank: broadcast inverted-index probe, map-side caps, kernel dots (r15)") {
+    val p = plan("q_maxsim_rerank")
+    // query bigrams and the bounded candidate set broadcast — the corpus
+    // token stream never shuffles against either
+    assert(p.contains("BroadcastHashJoin"),
+      s"query/candidate sides must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in the rerank:\n$p")
+    // the per-doc token caps and the final top-5 lower to WindowGroupLimit
+    assert(p.contains("WindowGroupLimit"),
+      s"rank caps must run map-side:\n$p")
+    // dots are the native kernel, not an exploded per-dimension join
+    assert(p.contains("long_dot"), s"dot product not the fused kernel:\n$p")
+    graft.CacheScope.release()
+  }
+
   test("q_wordpiece_encode: vocab rides the plan, kernel in codegen, no join (r15)") {
     val p = plan("q_wordpiece_encode")
     // the trained vocabulary is a reference object on the encode kernel —
