@@ -266,6 +266,121 @@ case class HtmlOutlinksExpr(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Web-table extraction — the structured-data-mining step (WDC Web Table
+  * Corpus family: harvesting relational rows out of crawl HTML). One
+  * left-to-right byte scan yields every `(tbl, row, col, is_header,
+  * cell)` cell of every `<table>` in the page.
+  *
+  * The contract is EXACTLY the oracle's RE2 replay, so the two engines
+  * cannot drift (the html_outlinks discipline):
+  *  - tables: leftmost non-greedy `<table[^>]*>(.*?)</table>` — an
+  *    unterminated table matches nothing; NESTED tables are out of
+  *    contract (the scanner, like the regex, treats the first
+  *    `</table>` as the close);
+  *  - rows within a table body: `<tr[^>]*>(.*?)</tr>`;
+  *  - cells within a row body: `<t[hd][^>]*>(.*?)</t[hd]>` (note the
+  *    regex accepts a mismatched `</th>` close for a `<td>` open — the
+  *    scanner mirrors that: earliest of the two closers wins);
+  *  - `is_header` ⇔ the ROW body contains `<th` (attribute-insensitive
+  *    substring, exactly `LIKE '%<th%'`);
+  *  - cell text: strip inner tags (`<[^>]*>` → ''), decode the five
+  *    basic entities in the pinned order (&lt; &gt; &quot; &#39; then
+  *    &amp; LAST), collapse `\s+` runs to one space, trim.
+  * Indices are 1-based (the oracle's generate_series ordinality). */
+object HtmlTables {
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+  import org.apache.spark.sql.types.{BooleanType, IntegerType, StructField, StructType}
+
+  val schema: StructType = StructType(Seq(
+    StructField("tbl", IntegerType, nullable = false),
+    StructField("row", IntegerType, nullable = false),
+    StructField("col", IntegerType, nullable = false),
+    StructField("is_header", BooleanType, nullable = false),
+    StructField("cell", StringType, nullable = false)))
+
+  /** Leftmost-repeated `(open1|open2)[^>]*>(.*?)(closer1|closer2)` body
+    * spans of `h` within [from, to) — the exact scan the oracle's
+    * non-greedy regex performs: earliest open token wins, its body ends
+    * at the EARLIEST closer token after the open tag's `>`, and the next
+    * search resumes after that closer. */
+  private def spans(h: String, from: Int, to: Int, opens: Seq[String],
+                    closers: Seq[String]): Seq[(Int, Int)] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+    var cur = from
+    var done = false
+    while (!done) {
+      val openHits = opens.map(o => (h.indexOf(o, cur), o))
+        .filter { case (i, _) => i >= 0 && i < to }
+      if (openHits.isEmpty) done = true
+      else {
+        val (p, o) = openHits.minBy(_._1)
+        val gt = h.indexOf('>', p + o.length)
+        if (gt < 0 || gt >= to) done = true
+        else {
+          val closeHits = closers.map(c => (h.indexOf(c, gt + 1), c))
+            .filter { case (i, c) => i >= 0 && i + c.length <= to }
+          if (closeHits.isEmpty) done = true
+          else {
+            val (e, c) = closeHits.minBy(_._1)
+            out += ((gt + 1, e))
+            cur = e + c.length
+          }
+        }
+      }
+    }
+    out.toSeq
+  }
+
+  private def cellText(raw: String): String = {
+    val noTags = raw.replaceAll("<[^>]*>", "")
+    val decoded = noTags
+      .replace("&lt;", "<").replace("&gt;", ">")
+      .replace("&quot;", "\"").replace("&#39;", "'")
+      .replace("&amp;", "&")
+    decoded.replaceAll("\\s+", " ").trim
+  }
+
+  def compute(html: UTF8String): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val h = html.toString
+    val cells = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
+    val tables = spans(h, 0, h.length, Seq("<table"), Seq("</table>"))
+    tables.zipWithIndex.foreach { case ((ts, te), ti) =>
+      val rows = spans(h, ts, te, Seq("<tr"), Seq("</tr>"))
+      rows.zipWithIndex.foreach { case ((rs, re), ri) =>
+        val hdr = h.indexOf("<th", rs) match {
+          case i if i >= 0 && i < re => true
+          case _ => false
+        }
+        val ordered = spans(h, rs, re, Seq("<td", "<th"), Seq("</td>", "</th>"))
+        ordered.zipWithIndex.foreach { case ((cs, ce), ci) =>
+          val row = new GenericInternalRow(5)
+          row.update(0, ti + 1)
+          row.update(1, ri + 1)
+          row.update(2, ci + 1)
+          row.update(3, hdr)
+          row.update(4, UTF8String.fromString(cellText(h.substring(cs, ce))))
+          cells += row
+        }
+      }
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(cells.toArray[Any])
+  }
+}
+
+/** `html_tables(html)` — [[HtmlTables]] as a codegen'd expression. */
+case class HtmlTablesExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(HtmlTables.schema, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    HtmlTables.compute(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.HtmlTables.compute($c)")
+  override def prettyName: String = "html_tables"
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** `html_extract(html)` — [[HtmlText]] as a codegen'd expression; the
   * thresholds are plan-time constants baked into the generated call. */
 case class HtmlExtractExpr(child: Expression, minChars: Int, densityNum: Int)
@@ -291,4 +406,7 @@ object HtmlExtractExpressions {
 
   def htmlOutlinks(html: Column): Column =
     column(HtmlOutlinksExpr(expression(html)))
+
+  def htmlTables(html: Column): Column =
+    column(HtmlTablesExpr(expression(html)))
 }

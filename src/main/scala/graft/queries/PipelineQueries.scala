@@ -2139,8 +2139,129 @@ object PipelineQueries {
        |WHERE doc_id NOT IN (SELECT d2 FROM losers)
        |GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** Web-table mining (round 15) — the structured-data harvest step (the
+    * WDC Web Table Corpus family: crawl HTML → relational rows; table
+    * corpora feed KB construction and table-QA training sets). The
+    * fixture wraps each document in a page carrying a key/value metadata
+    * table, with one planted arm per contract rule:
+    *
+    *  - a `<th>` header row with padded whitespace (` value ` must trim);
+    *  - an entity cell (`words &amp; toks` → `words & toks`);
+    *  - a numeric cell (the char count — harvested as integer mass, the
+    *    web-table numeric-column use case);
+    *  - doc_id % 3 == 0 adds a SECOND table whose cell carries an inner
+    *    `<b>` tag that must strip;
+    *  - doc_id % 5 == 2 omits the metadata table entirely (a page can
+    *    be table-free — those docs must vanish from the readout, not
+    *    emit empty rows).
+    *
+    * Extraction is the ONE-pass native [[graft.plans.HtmlTables]]
+    * byte-scanner whose contract is exactly the oracle's non-greedy RE2
+    * replay (see its scaladoc). Readout per lang: cell-bearing docs,
+    * table/row/cell counts (composite integer keys — rows are ≤ 9 per
+    * table, tables ≤ 9 per doc, so doc_id·100 + tbl·10 + row is
+    * collision-free), header-cell count, harvested numeric mass, and the
+    * 40-bit md5 cell checksum (any cell-text drift breaks the hash).
+    *
+    * Scale shape: fixture build + scan + explode are one narrow per-row
+    * pipeline fused into the parquet scan; the only exchange is the
+    * |langs|-row two-phase aggregate. */
+  private[graft] def htmlTablesFixtureCol: org.apache.spark.sql.Column = {
+    val toks = tokens(col("text"))
+    val meta = concat(
+      lit("<table class=\"meta\"><tr><th>key</th><th> value </th></tr>"),
+      lit("<tr><td>lang</td><td>"), col("lang"), lit("</td></tr>"),
+      lit("<tr><td>chars</td><td>"), length(col("text")).cast("string"),
+      lit("</td></tr>"),
+      lit("<tr><td>words &amp; toks</td><td>"), size(toks).cast("string"),
+      lit("</td></tr></table>"))
+    val extra = when(col("doc_id") % 3 === 0, concat(
+      lit("<table class=\"extra\"><tr><td>note</td><td><b>bold "), col("lang"),
+      lit("</b> cell</td></tr></table>"))).otherwise(lit(""))
+    concat(
+      lit("<html><body><h1>Doc "), col("doc_id").cast("string"), lit("</h1>"),
+      when(col("doc_id") % 5 === 2, lit("")).otherwise(meta),
+      extra, lit("<p>"), col("text"), lit("</p></body></html>"))
+  }
+
+  def qHtmlTables(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "documents")
+      .select(col("doc_id"), col("lang"),
+        explode(graft.plans.HtmlExtractExpressions
+          .htmlTables(htmlTablesFixtureCol)).as("c"))
+      .select(col("doc_id"), col("lang"), col("c.*"))
+      .groupBy("lang")
+      .agg(
+        countDistinct(col("doc_id")).as("n_docs"),
+        countDistinct(col("doc_id") * 10 + col("tbl")).as("n_tables"),
+        countDistinct(col("doc_id") * 100 + col("tbl") * 10 + col("row"))
+          .as("n_rows"),
+        count(lit(1)).as("n_cells"),
+        sum(when(col("is_header"), 1L).otherwise(0L)).as("header_cells"),
+        sum(when(col("cell").rlike("^[0-9]+$"), col("cell").cast("long"))
+          .otherwise(0L)).as("num_mass"),
+        sum(conv(graft.plans.HashExpressions.md5Prefix(col("cell"), 10), 16, 10)
+          .cast("long")).as("cell_checksum"))
+      .orderBy("lang")
+
+  val qHtmlTablesSql: String =
+    """WITH wtfix AS MATERIALIZED (
+      |  SELECT doc_id, lang,
+      |    '<html><body><h1>Doc ' || doc_id || '</h1>' ||
+      |    (CASE WHEN doc_id % 5 = 2 THEN '' ELSE
+      |      '<table class="meta"><tr><th>key</th><th> value </th></tr>' ||
+      |      '<tr><td>lang</td><td>' || lang || '</td></tr>' ||
+      |      '<tr><td>chars</td><td>' || length(text) || '</td></tr>' ||
+      |      '<tr><td>words &amp; toks</td><td>' ||
+      |      len(list_filter(string_split(text, ' '), t -> t <> '')) ||
+      |      '</td></tr></table>' END) ||
+      |    (CASE WHEN doc_id % 3 = 0 THEN
+      |      '<table class="extra"><tr><td>note</td><td><b>bold ' || lang ||
+      |      '</b> cell</td></tr></table>' ELSE '' END) ||
+      |    '<p>' || text || '</p></body></html>' AS html
+      |  FROM documents),
+      |wtt AS (
+      |  SELECT doc_id, lang,
+      |         regexp_extract_all(html, '<table[^>]*>(.*?)</table>', 1) AS tabs
+      |  FROM wtfix),
+      |wttab AS (
+      |  SELECT doc_id, lang, CAST(ti.i AS INT) AS tbl, tabs[ti.i] AS tb
+      |  FROM wtt, LATERAL unnest(generate_series(1, len(tabs))) AS ti(i)),
+      |wtr AS (
+      |  SELECT doc_id, lang, tbl,
+      |         regexp_extract_all(tb, '<tr[^>]*>(.*?)</tr>', 1) AS rws
+      |  FROM wttab),
+      |wtrow AS (
+      |  SELECT doc_id, lang, tbl, CAST(ri.i AS INT) AS rw, rws[ri.i] AS rb
+      |  FROM wtr, LATERAL unnest(generate_series(1, len(rws))) AS ri(i)),
+      |wtc AS (
+      |  SELECT doc_id, lang, tbl, rw, (rb LIKE '%<th%') AS hdr,
+      |         regexp_extract_all(rb, '<t[hd][^>]*>(.*?)</t[hd]>', 1) AS cs
+      |  FROM wtrow),
+      |wtcell AS (
+      |  SELECT doc_id, lang, tbl, rw, hdr,
+      |         trim(regexp_replace(
+      |           replace(replace(replace(replace(replace(
+      |             regexp_replace(cs[ci.i], '<[^>]*>', '', 'g'),
+      |             '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+      |             '&#39;', ''''), '&amp;', '&'),
+      |           '\s+', ' ', 'g')) AS cell
+      |  FROM wtc, LATERAL unnest(generate_series(1, len(cs))) AS ci(i))
+      |SELECT lang,
+      |       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+      |       CAST(count(DISTINCT doc_id * 10 + tbl) AS BIGINT) AS n_tables,
+      |       CAST(count(DISTINCT doc_id * 100 + tbl * 10 + rw) AS BIGINT) AS n_rows,
+      |       CAST(count(*) AS BIGINT) AS n_cells,
+      |       CAST(count(*) FILTER (WHERE hdr) AS BIGINT) AS header_cells,
+      |       CAST(sum(CASE WHEN regexp_matches(cell, '^[0-9]+$')
+      |                     THEN CAST(cell AS BIGINT) ELSE 0 END) AS BIGINT) AS num_mass,
+      |       CAST(sum(CAST('0x' || substr(md5(cell), 1, 10) AS BIGINT)) AS BIGINT) AS cell_checksum
+      |FROM wtcell
+      |GROUP BY lang ORDER BY lang""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_html_extract" -> (qHtmlExtract _),
+    "q_html_tables" -> (qHtmlTables _),
     "q_warc_ingest" -> (qWarcIngest _),
     "q_warc_gz" -> (qWarcGz _),
     "q_warc_zst" -> (qWarcZst _),
@@ -2169,6 +2290,7 @@ object PipelineQueries {
 
   val oracles: Map[String, String] = Map(
     "q_html_extract" -> qHtmlExtractSql,
+    "q_html_tables" -> qHtmlTablesSql,
     "q_warc_ingest" -> qWarcIngestSql,
     "q_warc_gz" -> qWarcIngestSql,
     "q_warc_zst" -> qWarcIngestSql,

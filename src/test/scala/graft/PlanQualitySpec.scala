@@ -1179,6 +1179,15 @@ class PlanQualitySpec extends SparkSpec {
     graft.CacheScope.release()
   }
 
+  test("q_html_tables: one-pass native scanner fused into the scan, no join (r15)") {
+    val p = plan("q_html_tables")
+    assert(p.contains("html_tables"), s"native table scanner missing:\n$p")
+    assert(!p.contains("Join"), s"table mining must not join:\n$p")
+    assert(p.split("HashAggregate").length >= 3,
+      s"per-lang readout must combine map-side:\n$p")
+    graft.CacheScope.release()
+  }
+
   test("q_maxsim_rerank: broadcast inverted-index probe, map-side caps, kernel dots (r15)") {
     val p = plan("q_maxsim_rerank")
     // query bigrams and the bounded candidate set broadcast — the corpus
