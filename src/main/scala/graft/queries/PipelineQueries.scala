@@ -1624,6 +1624,131 @@ object PipelineQueries {
     * payload — shared verbatim with the oracle. */
   val HttpHead = "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
 
+  /** Takedown purge (round 15) — the compliance operation every crawl
+    * archive must run (GDPR erasure / DMCA notices): given a takedown
+    * list of URLs, REWRITE the containers without the listed records,
+    * write a metadata-only TOMBSTONE audit artifact (what was removed,
+    * why, payload digest — the proof regulators ask for; never the
+    * payload itself), and prove both mass conservation (kept + tombstoned
+    * = original) and byte-losslessness of the survivors.
+    *
+    * Pipeline: original record-gzip container → takedown list BROADCAST
+    * (lists are thousands of URLs; the container side never shuffles) →
+    * anti-join survivors re-written through the distributed WARC sink →
+    * semi-join tombstones (uri, record id, reason, digest) as parquet →
+    * readout reads BOTH artifacts back: per lang the kept record count +
+    * kept payload checksum (from the PURGED container — if the purge
+    * didn't actually rewrite bytes, the checksum includes purged docs and
+    * the oracle hash breaks) and the tombstone counts per reason + digest
+    * checksum. The fixture takedown list is doc_id % 17 == 5 (≈6%),
+    * reason copyright/privacy by parity; a takedown hits BOTH the
+    * response and the request record of the URI.
+    *
+    * Scale shape: two container scans (purge write, tombstone write) +
+    * one purged-container scan — each split-parallel with the broadcast
+    * probe fused in; the readout aggregates are |langs|-row. At 100 TB
+    * this is the only sound shape: a takedown never triggers a corpus
+    * shuffle, and containers are rewritten once, sequentially, per
+    * split. */
+  def qTakedownPurge(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = "/root/repo/target/takedown/" + new java.io.File(sfDir).getName
+    val docs = t(spark, sfDir, "documents")
+    graft.WarcIO.writeWarc(warcRecordsFor(docs), base + "/orig",
+      recordGzip = true)
+
+    val takedown = docs.filter(col("doc_id") % 17 === 5)
+      .select(
+        concat(lit("https://fixture.test/"), col("lang"), lit("/"),
+          col("doc_id").cast("string")).as("target_uri"),
+        when(col("doc_id") % 2 === 0, "copyright").otherwise("privacy")
+          .as("reason"))
+
+    def orig = spark.read.format("warc")
+      .option("maxSplitBytes",
+        FastxQueries.adaptiveSplitBytes(spark, base + "/orig").toString)
+      .option("recordGzipSplit", "true")
+      .load(base + "/orig")
+
+    graft.WarcIO.writeWarc(
+      orig.join(broadcast(takedown), Seq("target_uri"), "left_anti")
+        .select("record_type", "record_id", "warc_date", "target_uri",
+          "content_type", "payload"),
+      base + "/purged", recordGzip = true)
+
+    orig.join(broadcast(takedown), Seq("target_uri"))
+      .select(col("target_uri"), col("record_id"), col("reason"),
+        md5(col("payload")).as("digest"))
+      .write.mode("overwrite").parquet(base + "/tombstones")
+
+    val langOf = (uri: org.apache.spark.sql.Column) =>
+      regexp_extract(uri, "^https://fixture\\.test/([a-z]+)/", 1)
+    val kept = spark.read.format("warc")
+      .option("maxSplitBytes",
+        FastxQueries.adaptiveSplitBytes(spark, base + "/purged").toString)
+      .option("recordGzipSplit", "true")
+      .load(base + "/purged")
+      .select(langOf(col("target_uri")).as("lang"),
+        conv(substring(md5(col("payload")), 1, 10), 16, 10).cast("long").as("pc"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("kept_records"),
+        sum("pc").as("kept_payload_checksum"))
+    val tomb = spark.read.parquet(base + "/tombstones")
+      .select(langOf(col("target_uri")).as("lang"), col("reason"),
+        conv(substring(col("digest"), 1, 10), 16, 10).cast("long").as("dc"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("purged_records"),
+        sum(when(col("reason") === "copyright", 1L).otherwise(0L))
+          .as("purged_copyright"),
+        sum(when(col("reason") === "privacy", 1L).otherwise(0L))
+          .as("purged_privacy"),
+        sum("dc").as("purged_digest_checksum"))
+    kept.join(tomb, Seq("lang"), "left_outer")
+      .select(col("lang"), col("kept_records"), col("kept_payload_checksum"),
+        coalesce(col("purged_records"), lit(0L)).as("purged_records"),
+        coalesce(col("purged_copyright"), lit(0L)).as("purged_copyright"),
+        coalesce(col("purged_privacy"), lit(0L)).as("purged_privacy"),
+        coalesce(col("purged_digest_checksum"), lit(0L))
+          .as("purged_digest_checksum"))
+      .orderBy("lang")
+  }
+
+  /** Oracle: kept/purged masses and checksums recomputed straight from
+    * `documents` (response payload = HTTP head + the html fixture,
+    * request payload = the deterministic GET) — the containers never
+    * enter the oracle's path, so any purge or roundtrip slip breaks the
+    * hash. */
+  val qTakedownPurgeSql: String = {
+    val head = "'HTTP/1.1 200 OK' || chr(13) || chr(10) || " +
+      "'Content-Type: text/html' || chr(13) || chr(10) || chr(13) || chr(10)"
+    val req = "'GET /p/' || h.doc_id || ' HTTP/1.1' || chr(13) || chr(10) || " +
+      "'Host: fixture.test' || chr(13) || chr(10) || chr(13) || chr(10)"
+    s"""WITH $htmlExtractSqlCtes,
+       |tdk AS MATERIALIZED (
+       |  SELECT h.doc_id, h.lang,
+       |         CAST('0x' || substr(md5($head || h.html), 1, 10) AS BIGINT)
+       |           + CAST('0x' || substr(md5($req), 1, 10) AS BIGINT) AS pc2,
+       |         (h.doc_id % 17 = 5) AS takedown,
+       |         CASE WHEN h.doc_id % 2 = 0 THEN 'copyright' ELSE 'privacy' END AS reason
+       |  FROM hhtml h),
+       |tdkept AS (
+       |  SELECT lang, CAST(2 * count(*) AS BIGINT) AS kept_records,
+       |         CAST(sum(pc2) AS BIGINT) AS kept_payload_checksum
+       |  FROM tdk WHERE NOT takedown GROUP BY lang),
+       |tdpurged AS (
+       |  SELECT lang, CAST(2 * count(*) AS BIGINT) AS purged_records,
+       |         CAST(2 * count(*) FILTER (WHERE reason = 'copyright') AS BIGINT) AS purged_copyright,
+       |         CAST(2 * count(*) FILTER (WHERE reason = 'privacy') AS BIGINT) AS purged_privacy,
+       |         CAST(sum(pc2) AS BIGINT) AS purged_digest_checksum
+       |  FROM tdk WHERE takedown GROUP BY lang)
+       |SELECT k.lang, k.kept_records, k.kept_payload_checksum,
+       |       coalesce(p.purged_records, 0) AS purged_records,
+       |       coalesce(p.purged_copyright, 0) AS purged_copyright,
+       |       coalesce(p.purged_privacy, 0) AS purged_privacy,
+       |       coalesce(p.purged_digest_checksum, 0) AS purged_digest_checksum
+       |FROM tdkept k LEFT JOIN tdpurged p ON p.lang = k.lang
+       |ORDER BY k.lang""".stripMargin
+  }
+
   /** Oracle: the SAME html fixture chain ([[htmlExtractSqlCtes]]), payload
     * md5 over the HTTP head + html, extraction readout — all straight from
     * `documents`, never touching the container: a roundtrip slip anywhere
@@ -2262,6 +2387,7 @@ object PipelineQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_html_extract" -> (qHtmlExtract _),
     "q_html_tables" -> (qHtmlTables _),
+    "q_takedown_purge" -> (qTakedownPurge _),
     "q_warc_ingest" -> (qWarcIngest _),
     "q_warc_gz" -> (qWarcGz _),
     "q_warc_zst" -> (qWarcZst _),
@@ -2291,6 +2417,7 @@ object PipelineQueries {
   val oracles: Map[String, String] = Map(
     "q_html_extract" -> qHtmlExtractSql,
     "q_html_tables" -> qHtmlTablesSql,
+    "q_takedown_purge" -> qTakedownPurgeSql,
     "q_warc_ingest" -> qWarcIngestSql,
     "q_warc_gz" -> qWarcIngestSql,
     "q_warc_zst" -> qWarcIngestSql,

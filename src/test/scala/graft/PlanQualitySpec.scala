@@ -1179,6 +1179,30 @@ class PlanQualitySpec extends SparkSpec {
     graft.CacheScope.release()
   }
 
+  test("q_takedown_purge: takedown list broadcasts, container side never shuffles (r15)") {
+    import org.apache.spark.sql.functions._
+    val df = SparkEntry.queries("q_takedown_purge")(spark, TestSpark.Sf0001)
+    val p = df.queryExecution.executedPlan.toString
+    // the READOUT joins two tiny per-lang aggregates — keyed, no cartesian
+    assert(!p.contains("CartesianProduct"), s"cartesian in the audit readout:\n$p")
+    // the purge/tombstone scans already ran at construction; re-derive the
+    // anti-join plan to assert the broadcast shape the purge itself uses
+    val base = "/root/repo/target/takedown/sf0.001"
+    val docs = Tables.t(spark, TestSpark.Sf0001, "documents")
+    val takedown = docs.filter(col("doc_id") % 17 === 5)
+      .select(concat(lit("https://fixture.test/"), col("lang"), lit("/"),
+        col("doc_id").cast("string")).as("target_uri"))
+    val anti = spark.read.format("warc").option("recordGzipSplit", "true")
+      .load(base + "/orig")
+      .join(broadcast(takedown), Seq("target_uri"), "left_anti")
+      .queryExecution.executedPlan.toString
+    assert(anti.contains("BroadcastHashJoin") && anti.contains("LeftAnti"),
+      s"takedown anti-join must broadcast the list:\n$anti")
+    assert(!anti.contains("SortMergeJoin"),
+      s"container side must never shuffle for the purge:\n$anti")
+    graft.CacheScope.release()
+  }
+
   test("q_html_tables: one-pass native scanner fused into the scan, no join (r15)") {
     val p = plan("q_html_tables")
     assert(p.contains("html_tables"), s"native table scanner missing:\n$p")

@@ -526,4 +526,47 @@ class WarcSpec extends SparkSpec {
       c.getMessage.contains("OUT OF ORDER")),
       s"expected the loud out-of-order failure, got: $ex")
   }
+
+  test("takedown purge: listed URIs gone, tombstones complete, survivors byte-lossless (r15)") {
+    // run the query once; then audit the artifacts it left behind
+    SparkEntry.queries("q_takedown_purge")(spark, TestSpark.Sf0001).collect()
+    val base = "/root/repo/target/takedown/sf0.001"
+    def read(dir: String) = spark.read.format("warc")
+      .option("recordGzipSplit", "true").load(dir)
+      .select(col("target_uri"), col("record_id"), md5(col("payload")).as("d"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    val orig = read(base + "/orig")
+    val purged = read(base + "/purged")
+    val tomb = spark.read.parquet(base + "/tombstones")
+      .select(col("target_uri"), col("record_id"), col("reason"), col("digest"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3)))
+
+    val listed = orig.map(_._1).distinct
+      .filter(_.matches(".*/(\\d+)$"))
+      .filter(u => u.substring(u.lastIndexOf('/') + 1).toLong % 17 == 5)
+      .toSet
+    assert(listed.nonEmpty, "fixture must contain takedown URIs")
+    // 1) the purged container is LITERALLY free of listed URIs
+    assert(!purged.exists(r => listed.contains(r._1)))
+    // 2) mass conservation: every original record is either kept or tombstoned
+    assert(orig.length == purged.length + tomb.length)
+    // 3) tombstone completeness: each listed URI exactly twice (resp + req),
+    //    with the original payload digests
+    val tombByUri = tomb.groupBy(_._1)
+    assert(tombByUri.keySet == listed)
+    tombByUri.foreach { case (uri, rows) =>
+      assert(rows.length == 2, s"$uri must tombstone both records")
+      val origD = orig.filter(_._1 == uri).map(r => (r._2, r._3)).sorted.toSeq
+      assert(rows.map(r => (r._2, r._4)).sorted.toSeq == origD,
+        s"$uri tombstone digests must match the original payloads")
+      val wantReason =
+        if (uri.substring(uri.lastIndexOf('/') + 1).toLong % 2 == 0) "copyright"
+        else "privacy"
+      assert(rows.forall(_._3 == wantReason))
+    }
+    // 4) survivors are byte-identical (same record ids, same digests)
+    assert(purged.map(r => (r._2, r._3)).sorted.toSeq ==
+      orig.filter(r => !listed.contains(r._1)).map(r => (r._2, r._3)).sorted.toSeq)
+    CacheScope.release()
+  }
 }
