@@ -148,6 +148,12 @@ object GraftExtensions {
     reg("html_extract",
       "html_extract(html, minChars, densityNum) - jusText-shape boilerplate removal: (extracted, kept_lines, dropped_lines, boiler_chars)") {
       exprs => HtmlExtractExpr(exprs.head, intArg(exprs, 1), intArg(exprs, 2)) }
+    reg("html_outlinks",
+      "html_outlinks(html) - href=\"...\" capture list (exact byte-scan contract)") {
+      exprs => HtmlOutlinksExpr(exprs.head) }
+    reg("html_tables",
+      "html_tables(html) - every <table> cell as (tbl, row, col, is_header, cell) under the non-greedy regex contract") {
+      exprs => HtmlTablesExpr(exprs.head) }
     reg("md5_prefix",
       "md5_prefix(s, n) - first n hex chars of md5(s)") {
       exprs => Md5PrefixExpr(exprs.head, intArg(exprs, 1)) }

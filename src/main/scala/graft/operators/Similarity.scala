@@ -462,6 +462,57 @@ object Similarity {
       .select(col("probe_id"), col("rnk"), col("vec_id"), col("adist"))
   }
 
+  /** The deterministic ±1 sign matrix for [[jlTopKBatchQ]] — sign(d, j)
+    * from the md5 parity of "d#j" (j 0-based input dim), so the oracle
+    * recomputes every entry with SQL md5. Signed random projection is
+    * the Johnson–Lindenstrauss / Achlioptas-2003 construction (public
+    * literature): a dense ±1 matrix preserves pairwise L2 up to
+    * 1 ± ε with out-dims = O(log n / ε²), and costs only adds. */
+  private[graft] def jlSigns(outDims: Int, inDims: Int): Array[Array[Long]] = {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    Array.tabulate(outDims, inDims) { (d, j) =>
+      if (java.lang.Long.parseLong(md5hex(s"$d#$j").substring(0, 6), 16) % 2 == 0)
+        1L
+      else -1L
+    }
+  }
+
+  /** Batch top-k in the Johnson–Lindenstrauss projected space: quantized
+    * vectors project through the deterministic ±1 matrix (each output
+    * dim is ONE `long_dot` against a literal sign vector — adds only, no
+    * multiplies at ±1, fully codegen'd), then exact squared-L2 ranking
+    * in the 16-d space. The scale point: the projection is a narrow
+    * per-row map fused into the scan, and every downstream distance
+    * costs outDims instead of dim multiply-adds — the cheap-serving
+    * sibling of SQ8 (which compresses STORAGE; JL compresses COMPUTE). */
+  def jlTopKBatchQ(emb: DataFrame, idCol: String, vecCol: String,
+                   probeIds: Seq[Long], k: Int, outDims: Int): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val inDims = emb.select(size(col(vecCol))).head().getInt(0)
+    val signs = jlSigns(outDims, inDims)
+    def project(vq: Column): Column = array((0 until outDims).map { d =>
+      graft.plans.VectorExpressions.longDot(vq, typedLit(signs(d).toSeq))
+    }: _*)
+    val pids = probeIds.distinct
+    val probeTbl = emb.filter(col(idCol).isInCollection(pids))
+      .select(col(idCol), project(quantize(col(vecCol))))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq)
+      .toSeq.toDF("probe_id", "pjv")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("probe_id").orderBy(col("dist").asc, col("vec_id").asc)
+    emb.select(col(idCol).as("vec_id"), project(quantize(col(vecCol))).as("jv"))
+      .crossJoin(broadcast(probeTbl))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .withColumn("dist", graft.plans.VectorExpressions.longDist2(col("jv"), col("pjv")))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("probe_id"), col("rnk"), col("vec_id"), col("dist"))
+  }
+
   /** Batch brute-force EXACT squared-L2 top-k — the uncompressed baseline
     * [[pqTopKBatchQ]]'s recall is measured against (PQ approximates
     * squared L2, so the baseline must rank by the same metric; the cosine

@@ -84,9 +84,88 @@ case class WordPieceEncodeExpr(child: Expression, vocab: Seq[String])
     copy(child = newChild)
 }
 
+/** Offset-mapping variant — the HuggingFace `offset_mapping` serving
+  * feature: span-labeling pipelines (NER, QA) must map token indices
+  * back to character spans AFTER tokenization, so the encoder emits
+  * `(piece, start, end)` with start/end char offsets within the word
+  * (0-based, end-exclusive). Same greedy contract as [[WordPieceOps]];
+  * a wholesale-`[UNK]` word maps to the single span (0, len) — the
+  * whole-word span, exactly what a span aligner needs to know it lost
+  * sub-word resolution there. */
+object WordPieceOffsetOps {
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+  import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
+
+  val schema: StructType = StructType(Seq(
+    StructField("piece", StringType, nullable = false),
+    StructField("start", IntegerType, nullable = false),
+    StructField("end", IntegerType, nullable = false)))
+
+  def encode(w: UTF8String, vocab: java.util.HashSet[String],
+             maxPieceLen: Int): ArrayData = {
+    val s = w.toString
+    val n = s.length
+    if (n == 0) return new GenericArrayData(Array.empty[Any])
+    def row(p: String, a: Int, b: Int): InternalRow = {
+      val r = new GenericInternalRow(3)
+      r.update(0, UTF8String.fromString(p)); r.update(1, a); r.update(2, b)
+      r
+    }
+    val out = new scala.collection.mutable.ArrayBuffer[InternalRow](n)
+    var pos = 0
+    while (pos < n) {
+      var l = math.min(maxPieceLen, n - pos)
+      var found = 0
+      var piece: String = null
+      while (l >= 1 && found == 0) {
+        val cand =
+          if (pos == 0) s.substring(0, l)
+          else "##" + s.substring(pos, pos + l)
+        if (vocab.contains(cand)) { found = l; piece = cand }
+        l -= 1
+      }
+      if (found == 0)
+        return new GenericArrayData(Array[Any](row(WordPieceOps.Unk, 0, n)))
+      out += row(piece, pos, pos + found)
+      pos += found
+    }
+    new GenericArrayData(out.toArray[Any])
+  }
+}
+
+/** `wordpiece_offsets(word)` → ARRAY<STRUCT<piece, start, end>>. */
+case class WordPieceOffsetsExpr(child: Expression, vocab: Seq[String])
+  extends UnaryExpression {
+  @transient private lazy val vocabSet: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String](vocab.size * 2)
+    vocab.foreach(s.add)
+    s
+  }
+  private def maxPieceLen: Int =
+    vocab.iterator.map(p => if (p.startsWith("##")) p.length - 2 else p.length)
+      .foldLeft(1)(math.max)
+  override def dataType: DataType =
+    ArrayType(WordPieceOffsetOps.schema, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    WordPieceOffsetOps.encode(input.asInstanceOf[UTF8String], vocabSet, maxPieceLen)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val setRef = ctx.addReferenceObj("wordpieceVocab", vocabSet, "java.util.HashSet")
+    val mpl = maxPieceLen
+    defineCodeGen(ctx, ev, c =>
+      s"graft.plans.WordPieceOffsetOps.encode($c, $setRef, $mpl)")
+  }
+  override def prettyName: String = "wordpiece_offsets"
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object WordPieceExpressions {
   import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
 
   def wordpieceEncode(word: Column, vocab: Seq[String]): Column =
     column(WordPieceEncodeExpr(expression(word), vocab))
+
+  def wordpieceOffsets(word: Column, vocab: Seq[String]): Column =
+    column(WordPieceOffsetsExpr(expression(word), vocab))
 }

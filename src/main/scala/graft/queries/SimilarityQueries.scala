@@ -1111,6 +1111,94 @@ object SimilarityQueries {
        |LEFT JOIN brute b ON b.probe_id = s.probe_id AND b.vec_id = s.vec_id
        |GROUP BY s.probe_id ORDER BY s.probe_id""".stripMargin
 
+  /** Johnson–Lindenstrauss signed-projection ANN (round 15) — the fourth
+    * member of the compression family (dim-truncation / PQ / SQ8 / JL):
+    * Achlioptas-2003 dense ±1 projection 64→16 dims (public literature),
+    * deterministic sign matrix from md5 parity so the oracle recomputes
+    * it entry for entry, exact integer L2 ranking in the projected
+    * space, recall@10 against the shared brute baseline. SQ8 compresses
+    * STORAGE (4 bytes→1 per component at full dim); JL compresses
+    * COMPUTE (distances cost 16 adds-squares instead of 64) — the
+    * readout quantifies what that buys in recall on the same probes. */
+  def qAnnJl(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = t(spark, sfDir, "embeddings")
+    val probes = Seq(0L, 1L, 2L, 3L, 4L)
+    val brute = graft.operators.Similarity.bruteL2TopKBatchQ(
+      emb, "vec_id", "embedding", probes, k = 10)
+      .select(col("probe_id"), col("vec_id"), lit(1L).as("__hit"))
+    // the readout is the dimension-tradeoff CURVE (the q_ann_dim_tradeoff
+    // posture): the fixture's random high-d embeddings have concentrated
+    // pairwise distances, so recall is weak at ANY compression — the
+    // measured curve is the honest fact a serving team would tune on
+    Seq(16, 32, 48).map { dims =>
+      graft.operators.Similarity.jlTopKBatchQ(
+          emb, "vec_id", "embedding", probes, k = 10, outDims = dims)
+        .select(col("probe_id"), col("vec_id"))
+        .join(brute, Seq("probe_id", "vec_id"), "left")
+        .groupBy("probe_id")
+        .agg(count(lit(1)).as("n_jl"),
+          sum(coalesce(col("__hit"), lit(0L))).as("recall_at_10"))
+        .select(lit(dims.toLong).as("out_dims"), col("probe_id"),
+          col("n_jl"), col("recall_at_10"))
+    }.reduce(_ unionAll _)
+      .orderBy("out_dims", "probe_id")
+  }
+
+  /** Oracle for [[qAnnJl]]: the sign matrix from md5 parity (j = pos−1,
+    * matching the 0-based Scala input dim), the projection as a
+    * sign-weighted sum per output dim, both rankings, the recall join —
+    * all integer CTEs over the shared `flat` quantization. */
+  lazy val qAnnJlSql: String = {
+    def block(dims: Int): String = {
+      val p = s"j$dims"
+      s"""${p}sign AS MATERIALIZED (
+         |  SELECT dd.d, pp.pos,
+         |         CASE WHEN CAST('0x' || substr(md5(dd.d || '#' || (pp.pos - 1)), 1, 6) AS BIGINT) % 2 = 0
+         |              THEN 1 ELSE -1 END AS sgn
+         |  FROM (SELECT unnest(generate_series(0, ${dims - 1})) AS d) dd,
+         |       (SELECT DISTINCT pos FROM flat) pp),
+         |${p}proj AS MATERIALIZED (
+         |  SELECT f.vec_id, s.d, CAST(sum(s.sgn * f.vq) AS BIGINT) AS jv
+         |  FROM flat f JOIN ${p}sign s ON s.pos = f.pos
+         |  GROUP BY 1, 2),
+         |${p}pr AS (SELECT vec_id AS probe_id, d, jv AS pj
+         |        FROM ${p}proj WHERE vec_id IN (0, 1, 2, 3, 4)),
+         |${p}dist AS (
+         |  SELECT p.probe_id, x.vec_id,
+         |         CAST(sum((x.jv - p.pj) * (x.jv - p.pj)) AS BIGINT) AS jd
+         |  FROM ${p}proj x JOIN ${p}pr p ON p.d = x.d
+         |  WHERE x.vec_id <> p.probe_id GROUP BY 1, 2),
+         |${p}top AS (
+         |  SELECT probe_id, vec_id FROM ${p}dist
+         |  QUALIFY row_number() OVER (PARTITION BY probe_id
+         |                             ORDER BY jd, vec_id) <= 10)""".stripMargin
+    }
+    val selects = Seq(16, 32, 48).map { dims =>
+      s"""SELECT CAST($dims AS BIGINT) AS out_dims, s.probe_id,
+         |       count(*) AS n_jl,
+         |       CAST(sum(CASE WHEN b.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+         |         AS BIGINT) AS recall_at_10
+         |FROM j${dims}top s
+         |LEFT JOIN jbrute b ON b.probe_id = s.probe_id AND b.vec_id = s.vec_id
+         |GROUP BY s.probe_id""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH $FlatSqlCte,
+       |${Seq(16, 32, 48).map(block).mkString(",\n")},
+       |jbpr AS (SELECT vec_id AS probe_id, pos, vq AS pv
+       |         FROM flat WHERE vec_id IN (0, 1, 2, 3, 4)),
+       |jbdist AS (
+       |  SELECT p.probe_id, f.vec_id,
+       |         CAST(sum((f.vq - p.pv) * (f.vq - p.pv)) AS BIGINT) AS d
+       |  FROM flat f JOIN jbpr p ON p.pos = f.pos
+       |  WHERE f.vec_id <> p.probe_id GROUP BY 1, 2),
+       |jbrute AS MATERIALIZED (
+       |  SELECT probe_id, vec_id FROM jbdist
+       |  QUALIFY row_number() OVER (PARTITION BY probe_id
+       |                             ORDER BY d, vec_id) <= 10)
+       |$selects
+       |ORDER BY out_dims, probe_id""".stripMargin
+  }
+
   def qAnnPq(spark: SparkSession, sfDir: String): DataFrame = {
     val emb = t(spark, sfDir, "embeddings")
     val probes = Seq(0L, 1L, 2L, 3L, 4L)
@@ -1963,6 +2051,7 @@ object SimilarityQueries {
     "q_ann_batch" -> (qAnnBatch _),
     "q_crossmodal_knn" -> (qCrossmodalKnn _),
     "q_maxsim_rerank" -> (qMaxsimRerank _),
+    "q_ann_jl" -> (qAnnJl _),
     "q_ann_recall" -> (qAnnRecall _),
     "q_ann_pq" -> (qAnnPq _),
     "q_ann_sq8" -> (qAnnSq8 _),
@@ -1991,6 +2080,7 @@ object SimilarityQueries {
     "q_ann_batch" -> qAnnBatchSql,
     "q_crossmodal_knn" -> qCrossmodalKnnSql,
     "q_maxsim_rerank" -> qMaxsimRerankSql,
+    "q_ann_jl" -> qAnnJlSql,
     "q_ann_recall" -> qAnnRecallSql,
     "q_ann_pq" -> qAnnPqSql,
     "q_ann_sq8" -> qAnnSq8Sql,

@@ -3177,9 +3177,13 @@ object TextQueries {
       .limit(40)
   }
 
-  val qWordpieceEncodeSql: String = {
-    val maxWordLen = 16
-    val nMerges = 12
+  /** The greedy corpus-encode chain over a word-type table `awc(w, cnt)`
+    * with the trained vocabulary: wpvocab (st0 alphabet + merge results),
+    * the unrolled max-length steps `wpe_s(w, pos, piece, bad)` (pos =
+    * offset AFTER the step — so each emitted piece spans
+    * [pos − rawlen(piece), pos)), `wpeall`, and the `wpbad` wholesale-UNK
+    * set — shared by the q_wordpiece_encode and q_tok_align oracles. */
+  private def wordpieceApplyChainSql(maxWordLen: Int, nMerges: Int): String = {
     val vocabUnions = (1 to nMerges).map(i =>
       s"  SELECT merged AS piece FROM wpm$i").mkString("\n  UNION\n")
     val steps = (1 to maxWordLen).map { s =>
@@ -3203,18 +3207,24 @@ object TextQueries {
          |                 ELSE '##' || substr(b.w, b.pos + 1, u.l) END)) t
          |  WHERE b.pos < length(b.w) AND NOT b.bad)""".stripMargin
     }.mkString(",\n")
-    s"""WITH ${wordpieceTrainSqlCtes(topWords = 192, maxWordLen = maxWordLen,
-          nMerges = nMerges)},
-       |${awcSqlCte(maxWordLen)},
-       |wpvocab AS MATERIALIZED (
+    s"""wpvocab AS MATERIALIZED (
        |  SELECT DISTINCT piece FROM (
        |  SELECT unnest(list_filter(string_split(s, '|'), x -> x <> '')) AS piece FROM wpst0
        |  UNION
        |$vocabUnions)),
        |$steps,
        |wpeall AS MATERIALIZED (
-       |  ${(1 to maxWordLen).map(s => s"SELECT w, piece, bad FROM wpe_$s").mkString("\n  UNION ALL ")}),
-       |wpbad AS MATERIALIZED (SELECT DISTINCT w FROM wpeall WHERE bad)
+       |  ${(1 to maxWordLen).map(s => s"SELECT w, pos, piece, bad FROM wpe_$s").mkString("\n  UNION ALL ")}),
+       |wpbad AS MATERIALIZED (SELECT DISTINCT w FROM wpeall WHERE bad)""".stripMargin
+  }
+
+  val qWordpieceEncodeSql: String = {
+    val maxWordLen = 16
+    val nMerges = 12
+    s"""WITH ${wordpieceTrainSqlCtes(topWords = 192, maxWordLen = maxWordLen,
+          nMerges = nMerges)},
+       |${awcSqlCte(maxWordLen)},
+       |${wordpieceApplyChainSql(maxWordLen, nMerges)}
        |SELECT piece, cnt FROM (
        |  SELECT e.piece, CAST(sum(c.cnt) AS BIGINT) AS cnt
        |  FROM wpeall e JOIN awc c ON c.w = e.w
@@ -3225,6 +3235,90 @@ object TextQueries {
        |  FROM awc WHERE w IN (SELECT w FROM wpbad)
        |  HAVING sum(cnt) IS NOT NULL)
        |ORDER BY cnt DESC, piece LIMIT 40""".stripMargin
+  }
+
+  /** Tokenizer offset mapping (round 15) — the `offset_mapping` feature
+    * every production tokenizer serves (HuggingFace tokenizers'
+    * `Encoding.offsets`): span-labeling pipelines (NER, extractive QA)
+    * must map token indices BACK to character spans after tokenization,
+    * so the encoder emits (piece, start, end) per token. The kernel is
+    * [[graft.plans.WordPieceOffsetOps]] — the greedy WordPiece encoder
+    * with spans; a wholesale-`[UNK]` word maps to the single whole-word
+    * span (0, len), exactly what an aligner needs to know it lost
+    * sub-word resolution.
+    *
+    * Readout per lang (type-weighted, ≡ the occurrence stream): word and
+    * piece counts, covered chars (must equal the word-char mass — spans
+    * tile every word exactly, the alignment invariant), wholesale-UNK
+    * words, and an offset checksum Σ(start·31 + end·7 + |piece|) that
+    * breaks if any span drifts by one. The oracle re-learns the vocab
+    * through the shared training CTEs and derives each span from the
+    * shared greedy chain's (piece, pos) — start = pos − rawlen(piece). */
+  def qTokAlign(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = t(spark, sfDir, "documents")
+    val vocab = wordpieceTrainModel(docs, "text", topWords = 192,
+      maxWordLen = 16, nMerges = 12)._1
+    val ps = graft.plans.WordPieceExpressions.wordpieceOffsets(col("w"), vocab)
+    docs.select(col("lang"), explode(split(lower(col("text")), "\\s+")).as("w"))
+      .filter(col("w").rlike("^[a-z]+$") && length(col("w")) <= 16)
+      .select(col("lang"), ps.as("ps"))
+      .select(col("lang"),
+        size(col("ps")).cast("long").as("np"),
+        aggregate(col("ps"), lit(0L), (a, x) =>
+          a + (x.getField("end") - x.getField("start")).cast("long")).as("cov"),
+        when(element_at(col("ps"), 1).getField("piece") === "[UNK]", 1L)
+          .otherwise(0L).as("unk"),
+        aggregate(col("ps"), lit(0L), (a, x) =>
+          a + x.getField("start").cast("long") * 31L
+            + x.getField("end").cast("long") * 7L
+            + length(x.getField("piece")).cast("long")).as("ck"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_words"),
+        sum("np").as("n_pieces"),
+        sum("cov").as("covered_chars"),
+        sum("unk").as("n_unk_words"),
+        sum("ck").as("offset_checksum"))
+      .orderBy("lang")
+  }
+
+  val qTokAlignSql: String = {
+    val maxWordLen = 16
+    val nMerges = 12
+    s"""WITH ${wordpieceTrainSqlCtes(topWords = 192, maxWordLen = maxWordLen,
+          nMerges = nMerges)},
+       |awcl AS MATERIALIZED (
+       |  SELECT lang, lower(t.w) AS w, CAST(count(*) AS BIGINT) AS cnt
+       |  FROM documents d,
+       |       unnest(string_split_regex(d.text, '\\s+')) AS t(w)
+       |  WHERE regexp_matches(lower(t.w), '^[a-z]+$$')
+       |    AND length(t.w) <= $maxWordLen
+       |  GROUP BY 1, 2),
+       |awc AS MATERIALIZED (
+       |  SELECT w, CAST(sum(cnt) AS BIGINT) AS cnt FROM awcl GROUP BY 1),
+       |${wordpieceApplyChainSql(maxWordLen, nMerges)},
+       |taspans AS MATERIALIZED (
+       |  SELECT w, piece,
+       |         CASE WHEN piece LIKE '##%' THEN pos - (length(piece) - 2)
+       |              ELSE pos - length(piece) END AS s,
+       |         pos AS e
+       |  FROM wpeall
+       |  WHERE piece IS NOT NULL AND w NOT IN (SELECT w FROM wpbad)
+       |  UNION ALL
+       |  SELECT w, '[UNK]', 0, CAST(length(w) AS INT) FROM wpbad),
+       |tawagg AS MATERIALIZED (
+       |  SELECT w, CAST(count(*) AS BIGINT) AS np,
+       |         CAST(sum(e - s) AS BIGINT) AS cov,
+       |         CAST(max(CASE WHEN piece = '[UNK]' THEN 1 ELSE 0 END) AS BIGINT) AS unk,
+       |         CAST(sum(s * 31 + e * 7 + length(piece)) AS BIGINT) AS ck
+       |  FROM taspans GROUP BY w)
+       |SELECT l.lang,
+       |       CAST(sum(l.cnt) AS BIGINT) AS n_words,
+       |       CAST(sum(l.cnt * a.np) AS BIGINT) AS n_pieces,
+       |       CAST(sum(l.cnt * a.cov) AS BIGINT) AS covered_chars,
+       |       CAST(sum(l.cnt * a.unk) AS BIGINT) AS n_unk_words,
+       |       CAST(sum(l.cnt * a.ck) AS BIGINT) AS offset_checksum
+       |FROM awcl l JOIN tawagg a ON a.w = l.w
+       |GROUP BY l.lang ORDER BY l.lang""".stripMargin
   }
 
   /** The fixed blocklist for [[qBadwordsGate]] — sorted, distinct,
@@ -3657,6 +3751,7 @@ object TextQueries {
     "q_wordpiece_train" -> (qWordpieceTrain _),
     "q_wordpiece_encode" -> (qWordpieceEncode _),
     "q_badwords_gate" -> (qBadwordsGate _),
+    "q_tok_align" -> (qTokAlign _),
     "q_tokenizer_compare" -> (qTokenizerCompare _),
     "q_jsonl_ingest" -> (qJsonlIngest _),
     "q_csv_roundtrip" -> (qCsvRoundtrip _),
@@ -3709,6 +3804,7 @@ object TextQueries {
     "q_wordpiece_train" -> qWordpieceTrainSql,
     "q_wordpiece_encode" -> qWordpieceEncodeSql,
     "q_badwords_gate" -> qBadwordsGateSql,
+    "q_tok_align" -> qTokAlignSql,
     "q_tokenizer_compare" -> qTokenizerCompareSql,
     "q_jsonl_ingest" -> qJsonlIngestSql,
     "q_csv_roundtrip" -> qCsvRoundtripSql,

@@ -58,6 +58,18 @@ class ExtensionsSqlSpec extends SparkSpec {
     same("SELECT doc_id, damerau_levenshtein(text, lang) FROM docs_ext ORDER BY doc_id",
       docs.select(col("doc_id"), StringDistanceExpressions
         .damerauLevenshtein(col("text"), col("lang"))).orderBy("doc_id"))
+    val page = concat(lit("<p><a href=\"https://x.test/\">l</a></p>" +
+      "<table><tr><th>k</th></tr><tr><td>"), col("text"), lit("</td></tr></table>"))
+    same("SELECT doc_id, html_outlinks('<p><a href=\"https://x.test/\">l</a></p>" +
+      "<table><tr><th>k</th></tr><tr><td>' || text || '</td></tr></table>') " +
+      "FROM docs_ext ORDER BY doc_id",
+      docs.select(col("doc_id"),
+        HtmlExtractExpressions.htmlOutlinks(page)).orderBy("doc_id"))
+    same("SELECT doc_id, html_tables('<p><a href=\"https://x.test/\">l</a></p>" +
+      "<table><tr><th>k</th></tr><tr><td>' || text || '</td></tr></table>') " +
+      "FROM docs_ext ORDER BY doc_id",
+      docs.select(col("doc_id"),
+        HtmlExtractExpressions.htmlTables(page)).orderBy("doc_id"))
   }
 
   test("sequence kernels SQL ≡ Column API (over the synthetic seq surrogate)") {

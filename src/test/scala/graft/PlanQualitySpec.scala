@@ -1179,6 +1179,27 @@ class PlanQualitySpec extends SparkSpec {
     graft.CacheScope.release()
   }
 
+  test("q_tok_align: offsets kernel in codegen, no model join, two-phase readout (r15)") {
+    val p = plan("q_tok_align")
+    assert(p.contains("wordpiece_offsets"), s"native offsets kernel missing:\n$p")
+    assert(!p.contains("Join"), s"model must ride the plan, not a join:\n$p")
+    assert(p.split("HashAggregate").length >= 3,
+      s"per-lang readout must combine map-side:\n$p")
+    graft.CacheScope.release()
+  }
+
+  test("q_ann_jl: projection fused into the scan, broadcast probes, map-side top-k (r15)") {
+    val p = plan("q_ann_jl")
+    assert(p.contains("long_dot"), s"projection not the fused kernel:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"probe batch must broadcast:\n$p")
+    assert(p.contains("WindowGroupLimit"), s"per-probe top-k must run map-side:\n$p")
+    // (the jl↔brute recall join of two ~50-row aggregates may plan as SMJ
+    // pre-AQE — only the corpus-side scan shape is gated here)
+    assert(!p.contains("CartesianProduct"), s"cartesian in the recall join:\n$p")
+    graft.CacheScope.release()
+  }
+
   test("q_takedown_purge: takedown list broadcasts, container side never shuffles (r15)") {
     import org.apache.spark.sql.functions._
     val df = SparkEntry.queries("q_takedown_purge")(spark, TestSpark.Sf0001)

@@ -65,6 +65,49 @@ class WordPieceSpec extends SparkSpec {
     assert(enc(v, "ab") == Seq(Seq("a", "##b")))
   }
 
+  private def encOff(vocab: Seq[String], words: String*): Seq[Seq[(String, Int, Int)]] = {
+    import graft.plans.WordPieceExpressions.wordpieceOffsets
+    words.toDF("w").select(wordpieceOffsets(col("w"), vocab).as("p"))
+      .collect().map(_.getSeq[org.apache.spark.sql.Row](0)
+        .map(r => (r.getString(0), r.getInt(1), r.getInt(2))).toSeq).toSeq
+  }
+
+  test("offsets kernel: spans tile the word; UNK maps to the whole-word span (r15)") {
+    val v = Seq("u", "un", "##n", "##a", "##able", "##b", "##l", "##e")
+    assert(encOff(v, "unable") == Seq(Seq(("un", 0, 2), ("##able", 2, 6))))
+    val v2 = Seq("a", "##b")
+    assert(encOff(v2, "abz") == Seq(Seq(("[UNK]", 0, 3))))
+    // offsets agree with the offset-free encoder on the real trained model
+    val docs = Tables.t(spark, TestSpark.Sf0001, "documents")
+    val vocab = wordpieceTrainModel(docs, "text", 192, 16, 12)._1
+    val rows = docs
+      .select(explode(split(lower(col("text")), "\\s+")).as("w"))
+      .filter(col("w").rlike("^[a-z]+$") && length(col("w")) <= 16)
+      .select(col("w"),
+        graft.plans.WordPieceExpressions.wordpieceEncode(col("w"), vocab).as("p"),
+        graft.plans.WordPieceExpressions.wordpieceOffsets(col("w"), vocab).as("o"))
+      .collect()
+    try {
+      rows.foreach { r =>
+        val w = r.getString(0)
+        val pieces = r.getSeq[String](1)
+        val offs = r.getSeq[org.apache.spark.sql.Row](2)
+          .map(x => (x.getString(0), x.getInt(1), x.getInt(2)))
+        assert(offs.map(_._1) == pieces, s"offset pieces must equal encode for '$w'")
+        // spans tile [0, len) exactly, in order
+        var pos = 0
+        offs.foreach { case (p, a, b) =>
+          assert(a == pos && b > a, s"span gap in '$w': $offs")
+          if (p != "[UNK]")
+            assert((if (pos == 0) w.substring(a, b) else "##" + w.substring(a, b)) == p,
+              s"span text mismatch in '$w': $offs")
+          pos = b
+        }
+        assert(pos == w.length, s"spans must cover '$w' exactly: $offs")
+      }
+    } finally CacheScope.release()
+  }
+
   test("trained model reconstructs the real corpus stream; [UNK] only when unsegmentable") {
     val docs = Tables.t(spark, TestSpark.Sf0001, "documents")
     val (vocab, merges) = wordpieceTrainModel(docs, "text",
