@@ -154,6 +154,9 @@ object GraftExtensions {
     reg("html_tables",
       "html_tables(html) - every <table> cell as (tbl, row, col, is_header, cell) under the non-greedy regex contract") {
       exprs => HtmlTablesExpr(exprs.head) }
+    reg("html_anchors",
+      "html_anchors(html) - (href, text) anchor pairs under the non-greedy regex contract, text cell-cleaned") {
+      exprs => HtmlAnchorsExpr(exprs.head) }
     reg("md5_prefix",
       "md5_prefix(s, n) - first n hex chars of md5(s)") {
       exprs => Md5PrefixExpr(exprs.head, intArg(exprs, 1)) }

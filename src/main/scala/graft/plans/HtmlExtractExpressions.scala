@@ -368,6 +368,82 @@ object HtmlTables {
   }
 }
 
+/** Anchor extraction with TEXT — the input to an anchor-text corpus
+  * (the classic Common-Crawl derivative: anchor text is a labeled
+  * description of the TARGET page, used as a retrieval/training
+  * signal). [[HtmlOutlinks]] captures hrefs only; this kernel captures
+  * `(href, text)` pairs under the exact oracle contract
+  * `<a href="([^"]*)">(.*?)</a>` (leftmost, non-greedy — an anchor
+  * missing the literal `">` or its `</a>` closer matches nothing and
+  * the scan resumes one char later, exactly like the regex engine).
+  * Anchor text gets the [[HtmlTables]] cell cleanup: inner tags strip,
+  * the five entities decode in the pinned order, whitespace collapses,
+  * trim. */
+object HtmlAnchors {
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+  import org.apache.spark.sql.types.{StructField, StructType}
+
+  val schema: StructType = StructType(Seq(
+    StructField("href", StringType, nullable = false),
+    StructField("text", StringType, nullable = false)))
+
+  private val Open = "<a href=\""
+
+  def clean(raw: String): String = {
+    val noTags = raw.replaceAll("<[^>]*>", "")
+    noTags
+      .replace("&lt;", "<").replace("&gt;", ">")
+      .replace("&quot;", "\"").replace("&#39;", "'")
+      .replace("&amp;", "&")
+      .replaceAll("\\s+", " ").trim
+  }
+
+  def compute(html: UTF8String): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val h = html.toString
+    val out = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
+    var cur = 0
+    var done = false
+    while (!done) {
+      val p = h.indexOf(Open, cur)
+      if (p < 0) done = true
+      else {
+        val q = h.indexOf('"', p + Open.length)
+        if (q < 0) done = true
+        else if (q + 1 >= h.length || h.charAt(q + 1) != '>') cur = p + 1
+        else {
+          val e = h.indexOf("</a>", q + 2)
+          // RE2 '.' never matches a newline (negated classes like [^"]
+          // do): a TEXT span containing one cannot match, engine advances
+          if (e < 0) cur = p + 1
+          else if (h.substring(q + 2, e).contains('\n')) cur = p + 1
+          else {
+            val row = new GenericInternalRow(2)
+            row.update(0, UTF8String.fromString(h.substring(p + Open.length, q)))
+            row.update(1, UTF8String.fromString(clean(h.substring(q + 2, e))))
+            out += row
+            cur = e + 4
+          }
+        }
+      }
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray[Any])
+  }
+}
+
+/** `html_anchors(html)` — [[HtmlAnchors]] as a codegen'd expression. */
+case class HtmlAnchorsExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(HtmlAnchors.schema, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    HtmlAnchors.compute(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.HtmlAnchors.compute($c)")
+  override def prettyName: String = "html_anchors"
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** `html_tables(html)` — [[HtmlTables]] as a codegen'd expression. */
 case class HtmlTablesExpr(child: Expression) extends UnaryExpression {
   override def dataType: DataType =
@@ -409,4 +485,7 @@ object HtmlExtractExpressions {
 
   def htmlTables(html: Column): Column =
     column(HtmlTablesExpr(expression(html)))
+
+  def htmlAnchors(html: Column): Column =
+    column(HtmlAnchorsExpr(expression(html)))
 }

@@ -1620,6 +1620,137 @@ object PipelineQueries {
       .orderBy("lang")
   }
 
+  /** The anchor-TEXT fixture (round 15) — a link page per document whose
+    * anchor texts come from the document's own tokens, so targets
+    * accumulate VARIED descriptions. One anchor per downstream rule:
+    *  - `a1` plain https → site((7d+3)%29)/page/(d%11), text = toks 1–2;
+    *  - `a2` SHOUTED + `:443` → site((d div 29)%29)/page/(d%5), text =
+    *    tok 3 + an inner `<b>` around tok 4 (strip arm) — must
+    *    canonicalize onto the plain form of the same target;
+    *  - `a3` (d%4==1) → the site0.com hub with a CONSTANT text (the
+    *    consensus-anchor arm: one text dominates that target);
+    *  - `a4` = a1's target + a utm tracker, text = tok 5 —
+    *    canonicalizes ONTO a1's target (alias collapse before the
+    *    target aggregation).
+    * Kept separate from [[linkFixtureCol]] (its scaladoc pins why). */
+  private[graft] def anchorFixtureCol: org.apache.spark.sql.Column = {
+    val d = col("doc_id")
+    val toks = tokens(col("text"))
+    def tk(i: Int) = coalesce(element_at(toks, i), lit("x"))
+    val t1 = ((d * 7 + 3) % 29).cast("string")
+    val t2 = (expr("doc_id div 29") % 29).cast("string")
+    val u1 = concat(lit("https://site"), t1, lit(".com/page/"),
+      (d % 11).cast("string"))
+    concat(
+      lit("<html><body><p>See <a href=\""), u1, lit("\">"),
+      tk(1), lit(" "), tk(2), lit("</a> and "),
+      lit("<a href=\"HTTPS://SITE"), t2, lit(".COM:443/page/"),
+      (d % 5).cast("string"), lit("\">"), tk(3), lit(" <b>"), tk(4),
+      lit("</b></a>"),
+      when(d % 4 === 1,
+        lit(" <a href=\"https://site0.com/\">the hub page</a>"))
+        .otherwise(lit("")),
+      lit(" <a href=\""), u1, lit("?utm_source=x"), d.cast("string"),
+      lit("\">"), tk(5), lit("</a></p></body></html>"))
+  }
+
+  /** Anchor-text corpus (round 15) — the classic crawl derivative: every
+    * anchor's text is a human-written description of its TARGET page, so
+    * aggregating texts BY TARGET yields a labeled signal used for
+    * retrieval and training (anchor corpora ship beside WAT files).
+    * Pipeline: the native `html_anchors` kernel (exact 2-group regex
+    * contract, cell-style text cleanup) → `url_canon` kernel collapses
+    * aliases (case/port/tracker arms) BEFORE the target key → the
+    * graph-INVERTING shuffle (groupBy target — the one honest exchange:
+    * at 100 TB anchor text only exists distributed this way) → per
+    * target: anchor count, distinct texts, the CONSENSUS text (max
+    * count, tie text asc), and the text checksum; top-40 targets.
+    * The oracle replays extraction with the regex, cleanup with the
+    * pinned chain, and canon via the shared `urlCanonSqlCtes`. */
+  def qAnchorText(spark: SparkSession, sfDir: String): DataFrame = {
+    val anchors = t(spark, sfDir, "documents")
+      .select(explode(graft.plans.HtmlExtractExpressions
+        .htmlAnchors(anchorFixtureCol)).as("a"))
+      .select(graft.plans.UrlExpressions.urlCanon(col("a.href")).as("target"),
+        col("a.text").as("atext"))
+    val cnts = graft.CacheScope.cached(
+      anchors.groupBy("target", "atext").agg(count(lit(1)).as("cnt")))
+    val top = cnts
+      .withColumn("rk", row_number().over(Window.partitionBy("target")
+        .orderBy(col("cnt").desc, col("atext").asc)))
+      .filter(col("rk") === 1)
+      .select(col("target"), col("atext").as("top_text"),
+        col("cnt").as("top_cnt"))
+    val agg = cnts.groupBy("target")
+      .agg(sum("cnt").as("n_anchors"),
+        count(lit(1)).as("n_texts"),
+        sum(col("cnt") *
+          conv(graft.plans.HashExpressions.md5Prefix(col("atext"), 10), 16, 10)
+            .cast("long")).as("text_checksum"))
+    agg.join(top, Seq("target"))
+      .orderBy(col("n_anchors").desc, col("target"))
+      .limit(40)
+      .select("target", "n_anchors", "n_texts", "top_text", "top_cnt",
+        "text_checksum")
+  }
+
+  val qAnchorTextSql: String = {
+    val cleanup = "trim(regexp_replace(" +
+      "replace(replace(replace(replace(replace(" +
+      "regexp_replace(texts[i.i], '<[^>]*>', '', 'g')," +
+      " '&lt;', '<'), '&gt;', '>'), '&quot;', '\"')," +
+      " '&#39;', ''''), '&amp;', '&'), '\\s+', ' ', 'g'))"
+    s"""WITH atoks AS MATERIALIZED (
+       |  SELECT doc_id, lang, text,
+       |         list_filter(string_split(text, ' '), t -> t <> '') AS tk
+       |  FROM documents),
+       |afx AS MATERIALIZED (
+       |  SELECT doc_id,
+       |    '<html><body><p>See <a href="https://site' || CAST((doc_id * 7 + 3) % 29 AS VARCHAR)
+       |      || '.com/page/' || CAST(doc_id % 11 AS VARCHAR) || '">'
+       |      || coalesce(tk[1], 'x') || ' ' || coalesce(tk[2], 'x') || '</a> and '
+       |      || '<a href="HTTPS://SITE' || CAST((doc_id // 29) % 29 AS VARCHAR)
+       |      || '.COM:443/page/' || CAST(doc_id % 5 AS VARCHAR) || '">'
+       |      || coalesce(tk[3], 'x') || ' <b>' || coalesce(tk[4], 'x') || '</b></a>'
+       |      || (CASE WHEN doc_id % 4 = 1
+       |               THEN ' <a href="https://site0.com/">the hub page</a>'
+       |               ELSE '' END)
+       |      || ' <a href="https://site' || CAST((doc_id * 7 + 3) % 29 AS VARCHAR)
+       |      || '.com/page/' || CAST(doc_id % 11 AS VARCHAR)
+       |      || '?utm_source=x' || CAST(doc_id AS VARCHAR) || '">'
+       |      || coalesce(tk[5], 'x') || '</a></p></body></html>' AS html
+       |  FROM atoks),
+       |amatch AS MATERIALIZED (
+       |  SELECT doc_id,
+       |         regexp_extract_all(html, '<a href="([^"]*)">(.*?)</a>', 1) AS hrefs,
+       |         regexp_extract_all(html, '<a href="([^"]*)">(.*?)</a>', 2) AS texts
+       |  FROM afx),
+       |aanch AS MATERIALIZED (
+       |  SELECT doc_id, hrefs[i.i] AS url, $cleanup AS atext
+       |  FROM amatch, LATERAL unnest(generate_series(1, len(hrefs))) AS i(i)),
+       |u AS (SELECT DISTINCT doc_id, url FROM aanch),
+       |$urlCanonSqlCtes,
+       |aj AS MATERIALIZED (
+       |  SELECT c.curl AS target, a.atext
+       |  FROM aanch a JOIN canon c ON c.doc_id = a.doc_id AND c.url = a.url),
+       |acnt AS MATERIALIZED (
+       |  SELECT target, atext, CAST(count(*) AS BIGINT) AS cnt
+       |  FROM aj GROUP BY 1, 2),
+       |atop AS (
+       |  SELECT target, atext AS top_text, cnt AS top_cnt FROM acnt
+       |  QUALIFY row_number() OVER (PARTITION BY target
+       |                             ORDER BY cnt DESC, atext) = 1),
+       |aagg AS (
+       |  SELECT target, CAST(sum(cnt) AS BIGINT) AS n_anchors,
+       |         CAST(count(*) AS BIGINT) AS n_texts,
+       |         CAST(sum(cnt * CAST('0x' || substr(md5(atext), 1, 10) AS BIGINT)) AS BIGINT) AS text_checksum
+       |  FROM acnt GROUP BY 1)
+       |SELECT g.target, g.n_anchors, g.n_texts, t.top_text, t.top_cnt,
+       |       g.text_checksum
+       |FROM aagg g JOIN atop t ON t.target = g.target
+       |ORDER BY g.n_anchors DESC, g.target LIMIT 40""".stripMargin
+  }
+
   /** The deterministic HTTP response head in front of every fixture
     * payload — shared verbatim with the oracle. */
   val HttpHead = "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
@@ -2388,6 +2519,7 @@ object PipelineQueries {
     "q_html_extract" -> (qHtmlExtract _),
     "q_html_tables" -> (qHtmlTables _),
     "q_takedown_purge" -> (qTakedownPurge _),
+    "q_anchor_text" -> (qAnchorText _),
     "q_warc_ingest" -> (qWarcIngest _),
     "q_warc_gz" -> (qWarcGz _),
     "q_warc_zst" -> (qWarcZst _),
@@ -2418,6 +2550,7 @@ object PipelineQueries {
     "q_html_extract" -> qHtmlExtractSql,
     "q_html_tables" -> qHtmlTablesSql,
     "q_takedown_purge" -> qTakedownPurgeSql,
+    "q_anchor_text" -> qAnchorTextSql,
     "q_warc_ingest" -> qWarcIngestSql,
     "q_warc_gz" -> qWarcIngestSql,
     "q_warc_zst" -> qWarcIngestSql,

@@ -70,6 +70,11 @@ class ExtensionsSqlSpec extends SparkSpec {
       "FROM docs_ext ORDER BY doc_id",
       docs.select(col("doc_id"),
         HtmlExtractExpressions.htmlTables(page)).orderBy("doc_id"))
+    same("SELECT doc_id, html_anchors('<p><a href=\"https://x.test/\">l</a></p>" +
+      "<table><tr><th>k</th></tr><tr><td>' || text || '</td></tr></table>') " +
+      "FROM docs_ext ORDER BY doc_id",
+      docs.select(col("doc_id"),
+        HtmlExtractExpressions.htmlAnchors(page)).orderBy("doc_id"))
   }
 
   test("sequence kernels SQL ≡ Column API (over the synthetic seq surrogate)") {

@@ -97,6 +97,66 @@ class HtmlTablesSpec extends SparkSpec {
     }
   }
 
+  private def anchors(html: String): Seq[(String, String)] = {
+    val a = graft.plans.HtmlAnchors.compute(UTF8String.fromString(html))
+    (0 until a.numElements()).map { i =>
+      val r = a.getStruct(i, 2)
+      (r.getUTF8String(0).toString, r.getUTF8String(1).toString)
+    }
+  }
+
+  test("anchors kernel: contract pins (r15)") {
+    assert(anchors("<a href=\"https://x/\">hi <b>there</b></a>") ==
+      Seq(("https://x/", "hi there")))
+    // missing the literal '>' after the quote → no match, scan continues
+    assert(anchors("<a href=\"u\" class=\"z\">t</a><a href=\"v\">w</a>") ==
+      Seq(("v", "w")))
+    // unterminated anchor → nothing
+    assert(anchors("<a href=\"u\">text") == Seq())
+    // a newline inside the TEXT kills the match (RE2 '.'), one inside
+    // the href does not (negated class)
+    assert(anchors("<a href=\"u\">a\nb</a>") == Seq())
+    assert(anchors("<a href=\"u\nv\">t</a>") == Seq(("u\nv", "t")))
+    // entity + ws cleanup in text
+    assert(anchors("<a href=\"u\">  a &amp;\tb </a>") == Seq(("u", "a & b")))
+  }
+
+  test("anchors kernel: agrees with an independent regex replay on generated pages (r15)") {
+    import java.util.regex.Pattern
+    val pat = Pattern.compile("<a href=\"([^\"]*)\">(.*?)</a>")
+    def ref(h: String): Seq[(String, String)] = {
+      val m = pat.matcher(h)
+      val out = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+      while (m.find()) out += ((m.group(1), graft.plans.HtmlAnchors.clean(m.group(2))))
+      out.toSeq
+    }
+    val rng = new scala.util.Random(11)
+    val frags = Array("<a href=\"", "\">", "</a>", "u1", "txt", " ", "\"",
+      "<b>x</b>", "&amp;", "<a href=\"v\" id=\"k\">", "\n", ">")
+    (1 to 300).foreach { _ =>
+      val h = (1 to rng.nextInt(25)).map(_ => frags(rng.nextInt(frags.length))).mkString
+      assert(anchors(h) == ref(h), s"divergence on: ${h.replace("\n", "\\n")}")
+    }
+  }
+
+  test("q_anchor_text: hub consensus and alias collapse live on the fixture (r15)") {
+    val rows = SparkEntry.queries("q_anchor_text")(spark, TestSpark.Sf0001).collect()
+    try {
+      assert(rows.length == 40)
+      val hub = rows.head
+      // the hub target dominates, with ONE consensus text
+      assert(hub.getString(0) == "https://site0.com/")
+      assert(hub.getString(3) == "the hub page")
+      assert(hub.getLong(2) == 1L && hub.getLong(1) == hub.getLong(4))
+      // every target key is canonical: lowercase, no :443, no utm
+      rows.foreach { r =>
+        val t = r.getString(0)
+        assert(t == t.toLowerCase && !t.contains(":443") && !t.contains("utm_"),
+          s"non-canonical target leaked: $t")
+      }
+    } finally CacheScope.release()
+  }
+
   test("q_html_tables: planted arms live on the real fixture") {
     val rows = SparkEntry.queries("q_html_tables")(spark, TestSpark.Sf0001).collect()
     try {

@@ -1224,6 +1224,18 @@ class PlanQualitySpec extends SparkSpec {
     graft.CacheScope.release()
   }
 
+  test("q_anchor_text: kernels fused, one target shuffle, bounded top-N (r15)") {
+    val df = SparkEntry.queries("q_anchor_text")(spark, TestSpark.Sf0001)
+    val p = df.queryExecution.executedPlan.toString
+    val cached = df.queryExecution.withCachedData.toString
+    assert(cached.contains("html_anchors"), s"native anchor scanner missing:\n$cached")
+    assert(cached.contains("url_canon"), s"canonicalization not the kernel:\n$cached")
+    assert(!p.contains("CartesianProduct"), s"cartesian in the anchor corpus:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-40 must be a bounded top-N, not a global sort:\n$p")
+    graft.CacheScope.release()
+  }
+
   test("q_html_tables: one-pass native scanner fused into the scan, no join (r15)") {
     val p = plan("q_html_tables")
     assert(p.contains("html_tables"), s"native table scanner missing:\n$p")
