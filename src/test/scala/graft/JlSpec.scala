@@ -64,6 +64,25 @@ class JlSpec extends SparkSpec {
     assert(out.head.getLong(3) == 0L, "duplicate projects to distance 0")
   }
 
+  test("q_ann_persist: persisted-index serving equals the in-memory path bit-for-bit (r15)") {
+    val persisted = SparkEntry.queries("q_ann_persist")(spark, TestSpark.Sf0001)
+      .collect().map(_.toSeq).toSeq
+    val inMemory = SparkEntry.queries("q_ann_ivf")(spark, TestSpark.Sf0001)
+      .collect().map(_.toSeq).toSeq
+    try {
+      assert(persisted == inMemory,
+        s"persistence must be invisible:\n$persisted\nvs\n$inMemory")
+      // the artifacts are real and the centroid matrix round-trips
+      val base = "/root/repo/target/ann_index/sf0.001"
+      val cents = spark.read.parquet(base + "/centroids").collect()
+      assert(cents.length == 16)
+      assert(cents.forall(_.getSeq[Long](1).nonEmpty))
+      val asg = spark.read.parquet(base + "/assignments")
+      assert(asg.count() == 500L)
+      assert(asg.select("cell").distinct().count() <= 16L)
+    } finally CacheScope.release()
+  }
+
   test("q_ann_jl: the dimension-tradeoff curve is live and rises with dims") {
     val rows = SparkEntry.queries("q_ann_jl")(spark, TestSpark.Sf0001).collect()
     try {

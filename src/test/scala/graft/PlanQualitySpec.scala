@@ -1179,6 +1179,17 @@ class PlanQualitySpec extends SparkSpec {
     graft.CacheScope.release()
   }
 
+  test("q_ann_persist: cell filter pushed into the reloaded assignment scan (r15)") {
+    val p = plan("q_ann_persist")
+    // serving touches only the nProbe candidate cells: the In(cell, …)
+    // predicate must reach the assignment artifact's parquet scan
+    assert(p.contains("PushedFilters: [In(cell"),
+      s"cell routing not pushed into the artifact scan:\n$p")
+    assert(p.contains("LeftSemi"), s"candidate set must semi-join the corpus:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in persisted serving:\n$p")
+    graft.CacheScope.release()
+  }
+
   test("q_tok_align: offsets kernel in codegen, no model join, two-phase readout (r15)") {
     val p = plan("q_tok_align")
     assert(p.contains("wordpiece_offsets"), s"native offsets kernel missing:\n$p")
