@@ -869,8 +869,60 @@ object StreamQueries {
        |  CAST(sum(CAST('0x' || substr(md5(text), 1, 10) AS BIGINT)) AS BIGINT) AS checksum
        |FROM winners GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** STREAMING blocklist gate (round 15) — the Aho-Corasick kernel
+    * inside the micro-batch path, in TWO WAVES over one checkpoint:
+    * wave 1 lands ~56% of the corpus (md5 gate on doc_id), the query
+    * drains with AvailableNow, wave 2 appends the remaining files and a
+    * RESTARTED query over the same checkpoint processes ONLY the new
+    * files (the file source's exactly-once contract — double-processing
+    * would double every count). Each micro-batch runs the codegen
+    * automaton expression per row (the reference-object kernel must
+    * survive the incremental planner's per-run serialization — that is
+    * what this query pins beyond the batch gate), landing per-doc count
+    * rows in the sink; the readout is the SHARED batch aggregation over
+    * the landed rows, and the oracle is qBadwordsGateSql VERBATIM — the
+    * stream must be invisible. */
+  def qStreamBlocklist(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = workBase(spark, sfDir, "blocklist")
+    rm(base)
+    val inDir = new File(base, "in").getAbsolutePath
+    val outDir = new File(base, "out").getAbsolutePath
+    val ckpt = new File(base, "ckpt").getAbsolutePath
+
+    val docs = t(spark, sfDir, "documents")
+      .select(col("doc_id"), col("lang"), col("text"))
+    val gate = graft.operators.Sampling
+      .gateBelow(col("doc_id").cast("string"), "9")
+    docs.filter(gate).write.mode("overwrite").parquet(inDir)
+
+    def drainWave(): Unit = {
+      val stream = spark.readStream
+        .schema("doc_id LONG, lang STRING, text STRING")
+        .parquet(inDir)
+        .select(col("doc_id"), col("lang"),
+          graft.plans.AhoCorasickExpressions
+            .badwordCounts(lower(col("text")), TextQueries.BadwordTerms)
+            .as("c"))
+      val q = stream.writeStream
+        .format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    drainWave()
+    docs.filter(!gate).write.mode("append").parquet(inDir)
+    drainWave() // RESTART over the same checkpoint: only the new files run
+
+    TextQueries.badwordsReadout(
+      graft.CacheScope.cached(spark.read.parquet(outDir)))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_stream_warc" -> (qStreamWarc _),
+    "q_stream_blocklist" -> (qStreamBlocklist _),
     "q_stream_web_pipeline" -> (qStreamWebPipeline _),
     "q_stream_vec_assign" -> (qStreamVecAssign _),
     "q_stream_semdedup" -> (qStreamSemdedup _),
@@ -884,6 +936,7 @@ object StreamQueries {
 
   val oracles: Map[String, String] = Map(
     "q_stream_warc" -> PipelineQueries.qWarcIngestSql,
+    "q_stream_blocklist" -> TextQueries.qBadwordsGateSql,
     "q_stream_web_pipeline" -> qStreamWebPipelineSql,
     "q_stream_vec_assign" -> qStreamVecAssignSql,
     "q_stream_semdedup" -> qStreamSemdedupSql,

@@ -3350,13 +3350,18 @@ object TextQueries {
     * oracle replays every term as an independent `\b(term)\b` RE2 scan
     * over the same lowered text (exact by the border-free dictionary
     * contract — see the automaton scaladoc). */
-  def qBadwordsGate(spark: SparkSession, sfDir: String): DataFrame = {
-    val terms = BadwordTerms
-    val perDoc = graft.CacheScope.cached(
+  def qBadwordsGate(spark: SparkSession, sfDir: String): DataFrame =
+    badwordsReadout(graft.CacheScope.cached(
       t(spark, sfDir, "documents")
         .select(col("doc_id"), col("lang"),
           graft.plans.AhoCorasickExpressions
-            .badwordCounts(lower(col("text")), terms).as("c")))
+            .badwordCounts(lower(col("text")), BadwordTerms).as("c"))))
+
+  /** The (kind, key, n_matches, n_docs) readout over per-doc count rows
+    * (doc_id, lang, c) — shared by the batch gate and the streaming twin
+    * (whose per-doc rows arrive through a checkpointed stream). */
+  private[graft] def badwordsReadout(perDoc: DataFrame): DataFrame = {
+    val terms = BadwordTerms
     val termArr = array(terms.map(t => lit(t).as("term")): _*)
     val termRows = perDoc
       .select(explode(arrays_zip(termArr.as("term"), col("c").as("n"))).as("z"))

@@ -73,6 +73,24 @@ class AhoCorasickSpec extends SparkSpec {
     }
   }
 
+  test("q_stream_blocklist: two-wave restart equals the batch gate exactly (r15)") {
+    val streamed = SparkEntry.queries("q_stream_blocklist")(spark, TestSpark.Sf0001)
+      .collect().map(_.toSeq).toSeq
+    val batch = SparkEntry.queries("q_badwords_gate")(spark, TestSpark.Sf0001)
+      .collect().map(_.toSeq).toSeq
+    try {
+      assert(streamed == batch,
+        s"the stream must be invisible:\n$streamed\nvs\n$batch")
+      // the restart is REAL: the checkpoint committed two micro-batches
+      // (one per wave) — a single-wave run would hide the exactly-once
+      // property the query exists to pin
+      val commits = new java.io.File(
+        "target/stream_oracle/sf0.001_blocklist/ckpt/commits").list()
+      assert(commits != null && commits.count(!_.startsWith(".")) >= 2,
+        s"expected two committed waves, saw: ${Option(commits).map(_.toSeq)}")
+    } finally CacheScope.release()
+  }
+
   test("q_badwords_gate: planted arms live on the real fixture") {
     val rows = SparkEntry.queries("q_badwords_gate")(spark, TestSpark.Sf0001)
       .collect()
