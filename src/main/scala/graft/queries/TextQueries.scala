@@ -3321,6 +3321,60 @@ object TextQueries {
        |GROUP BY l.lang ORDER BY l.lang""".stripMargin
   }
 
+  /** Dataset card (round 15) — the datasheet table every corpus RELEASE
+    * ships (Datasheets for Datasets, Gebru et al. 2018; the composition
+    * tables in the Pile/ROOTS/Dolma papers — public literature): one row
+    * per (source, lang) cell with volume (docs, tokens, chars),
+    * duplication (distinct text digests + the quantized dup rate), the
+    * token-length DISTRIBUTION (exact p50/p90 under the q_percentile ≡
+    * quantile_cont convention, Q20-quantized), and the content checksum
+    * that makes the card verifiable against the corpus it describes.
+    *
+    * Scale shape: one narrow per-row projection into a (source, lang)
+    * keyed two-phase aggregate — ~|sources|·|langs| output rows; the
+    * exact percentiles are per-group sorted buffers over one group's
+    * token counts (at 100 TB swap in approx_percentile: the card's
+    * published numbers are the only consumers). */
+  def qDatasetCard(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "documents")
+      .select(col("source"), col("lang"),
+        size(tokens(col("text"))).cast("long").as("ntok"),
+        length(col("text")).cast("long").as("nchar"),
+        md5(col("text").cast("binary")).as("tmd5"))
+      .groupBy("source", "lang")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("tmd5")).as("n_unique"),
+        sum("ntok").as("token_mass"),
+        sum("nchar").as("char_mass"),
+        expr("percentile(ntok, array(0.5D, 0.9D))").as("tp"),
+        sum(conv(substring(col("tmd5"), 1, 10), 16, 10).cast("long"))
+          .as("text_checksum"))
+      .select(col("source"), col("lang"), col("n_docs"), col("n_unique"),
+        expr("((n_docs - n_unique) * 1048576L) div n_docs").as("dup_pct_q"),
+        col("token_mass"), col("char_mass"),
+        floor(col("tp").getItem(0) * 1048576).cast("long").as("p50_tokens_q"),
+        floor(col("tp").getItem(1) * 1048576).cast("long").as("p90_tokens_q"),
+        col("text_checksum"))
+      .orderBy("source", "lang")
+
+  val qDatasetCardSql: String =
+    """WITH dcard AS (
+      |  SELECT source, lang,
+      |         len(list_filter(string_split(text, ' '), t -> t <> '')) AS ntok,
+      |         length(text) AS nchar,
+      |         md5(text) AS tmd5
+      |  FROM documents)
+      |SELECT source, lang,
+      |       count(*) AS n_docs,
+      |       CAST(count(DISTINCT tmd5) AS BIGINT) AS n_unique,
+      |       ((count(*) - count(DISTINCT tmd5)) * 1048576) // count(*) AS dup_pct_q,
+      |       CAST(sum(ntok) AS BIGINT) AS token_mass,
+      |       CAST(sum(nchar) AS BIGINT) AS char_mass,
+      |       CAST(floor(quantile_cont(ntok, 0.5) * 1048576) AS BIGINT) AS p50_tokens_q,
+      |       CAST(floor(quantile_cont(ntok, 0.9) * 1048576) AS BIGINT) AS p90_tokens_q,
+      |       CAST(sum(CAST('0x' || substr(tmd5, 1, 10) AS BIGINT)) AS BIGINT) AS text_checksum
+      |FROM dcard GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   /** The fixed blocklist for [[qBadwordsGate]] — sorted, distinct,
     * border-free (the [[graft.plans.AhoCorasick]] dictionary contract).
     * The oracle SQL is GENERATED from this list (the qUrlFilterSql
@@ -3757,6 +3811,7 @@ object TextQueries {
     "q_wordpiece_encode" -> (qWordpieceEncode _),
     "q_badwords_gate" -> (qBadwordsGate _),
     "q_tok_align" -> (qTokAlign _),
+    "q_dataset_card" -> (qDatasetCard _),
     "q_tokenizer_compare" -> (qTokenizerCompare _),
     "q_jsonl_ingest" -> (qJsonlIngest _),
     "q_csv_roundtrip" -> (qCsvRoundtrip _),
@@ -3810,6 +3865,7 @@ object TextQueries {
     "q_wordpiece_encode" -> qWordpieceEncodeSql,
     "q_badwords_gate" -> qBadwordsGateSql,
     "q_tok_align" -> qTokAlignSql,
+    "q_dataset_card" -> qDatasetCardSql,
     "q_tokenizer_compare" -> qTokenizerCompareSql,
     "q_jsonl_ingest" -> qJsonlIngestSql,
     "q_csv_roundtrip" -> qCsvRoundtripSql,

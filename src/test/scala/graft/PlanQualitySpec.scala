@@ -1179,6 +1179,17 @@ class PlanQualitySpec extends SparkSpec {
     graft.CacheScope.release()
   }
 
+  test("q_dataset_card: one keyed two-phase aggregate over a narrow scan (r15)") {
+    val p = plan("q_dataset_card")
+    assert(!p.contains("Join"), s"the card is one aggregate, never a join:\n$p")
+    assert(p.split("HashAggregate").length >= 3 ||
+      p.contains("ObjectHashAggregate") || p.contains("SortAggregate"),
+      s"card aggregate must combine map-side where the functions allow:\n$p")
+    assert(p.contains("ReadSchema: struct<text:string,lang:string,source:string"),
+      s"scan must prune to exactly (text, lang, source):\n$p")
+    graft.CacheScope.release()
+  }
+
   test("q_ann_persist: cell filter pushed into the reloaded assignment scan (r15)") {
     val p = plan("q_ann_persist")
     // serving touches only the nProbe candidate cells: the In(cell, …)

@@ -179,6 +179,24 @@ class QueriesSmokeSpec extends SparkSpec {
     }
   }
 
+  test("q_dataset_card: card facets are internally consistent (r15)") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("q_dataset_card")(spark, TestSpark.Sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nDocs, nUniq, dupQ) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(nUniq >= 1L && nUniq <= nDocs)
+      assert(dupQ == (nDocs - nUniq) * 1048576L / nDocs)
+      assert(r.getLong(5) <= r.getLong(6), "token mass cannot exceed char mass")
+      assert(r.getLong(7) <= r.getLong(8), "p50 must not exceed p90")
+    }
+    // the card's volume facets must total to the corpus it describes
+    val corpus = Tables.t(spark, TestSpark.Sf0001, "documents")
+    assert(rows.map(_.getLong(2)).sum == corpus.count())
+    val charMass = corpus.select(sum(length(col("text")))).head().getLong(0)
+    assert(rows.map(_.getLong(6)).sum == charMass)
+  }
+
   test("q_resample: grid is dense per user; fill echoes actual on active days") {
     val rows = SparkEntry.queries("q_resample")(spark, TestSpark.Sf0001).collect()
     rows.filter(_.getAs[Long]("cnt") > 0).foreach { r =>
