@@ -497,11 +497,18 @@ object Similarity {
       graft.plans.VectorExpressions.longDot(vq, typedLit(signs(d).toSeq))
     }: _*)
     val pids = probeIds.distinct
-    val probeTbl = emb.filter(col(idCol).isInCollection(pids))
+    val probeVecRows = emb.filter(col(idCol).isInCollection(pids))
       .select(col(idCol), project(quantize(col(vecCol))))
       .collect()
       .map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq)
-      .toSeq.toDF("probe_id", "pjv")
+    // fail loudly (the bruteL2TopKBatchQ convention): a missing probe id
+    // would silently drop its result group, a duplicate corpus row would
+    // silently double-count every candidate
+    require(probeVecRows.map(_._1).toSet == pids.toSet,
+      s"probe ids not in the corpus: ${pids.filterNot(probeVecRows.map(_._1).toSet).mkString(", ")}")
+    require(probeVecRows.length == pids.length,
+      s"duplicate corpus rows for probe ids: ${probeVecRows.map(_._1).groupBy(identity).collect { case (id, g) if g.length > 1 => id }.mkString(", ")}")
+    val probeTbl = probeVecRows.toSeq.toDF("probe_id", "pjv")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("probe_id").orderBy(col("dist").asc, col("vec_id").asc)
     emb.select(col(idCol).as("vec_id"), project(quantize(col(vecCol))).as("jv"))

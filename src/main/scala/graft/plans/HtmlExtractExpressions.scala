@@ -323,8 +323,13 @@ object HtmlTables {
           if (closeHits.isEmpty) done = true
           else {
             val (e, c) = closeHits.minBy(_._1)
-            out += ((gt + 1, e))
-            cur = e + c.length
+            // RE2 '.' never matches a newline: a BODY containing one
+            // cannot match, and the engine advances one position
+            if (h.substring(gt + 1, e).contains('\n')) cur = p + 1
+            else {
+              out += ((gt + 1, e))
+              cur = e + c.length
+            }
           }
         }
       }
@@ -332,7 +337,10 @@ object HtmlTables {
     out.toSeq
   }
 
-  private def cellText(raw: String): String = {
+  /** The pinned inner-text cleanup (strip tags, the five entities in
+    * order with `&amp;` LAST, collapse `\s+`, trim) — shared with
+    * [[HtmlAnchors]] so the two oracle-pinned contracts cannot drift. */
+  private[plans] def cellText(raw: String): String = {
     val noTags = raw.replaceAll("<[^>]*>", "")
     val decoded = noTags
       .replace("&lt;", "<").replace("&gt;", ">")
@@ -390,14 +398,9 @@ object HtmlAnchors {
 
   private val Open = "<a href=\""
 
-  def clean(raw: String): String = {
-    val noTags = raw.replaceAll("<[^>]*>", "")
-    noTags
-      .replace("&lt;", "<").replace("&gt;", ">")
-      .replace("&quot;", "\"").replace("&#39;", "'")
-      .replace("&amp;", "&")
-      .replaceAll("\\s+", " ").trim
-  }
+  /** Anchor-text cleanup ≡ [[HtmlTables.cellText]] (one shared pinned
+    * transformation — two copies could drift independently). */
+  def clean(raw: String): String = HtmlTables.cellText(raw)
 
   def compute(html: UTF8String): org.apache.spark.sql.catalyst.util.ArrayData = {
     val h = html.toString

@@ -27,6 +27,24 @@ object WordPieceOps {
 
   val Unk = "[UNK]"
 
+  /** The ONE greedy step both encoders share (the contract-carrying
+    * core — a divergence here would desynchronize `wordpiece_encode`
+    * from `wordpiece_offsets`, whose span invariant the q_tok_align
+    * oracle pins): the longest l ≥ 1 whose candidate (word-initial form
+    * at pos 0, `##`-form later) is in vocab, or 0 when greedy is stuck. */
+  @inline private[plans] def matchAt(s: String, pos: Int,
+      vocab: java.util.HashSet[String], maxPieceLen: Int): Int = {
+    var l = math.min(maxPieceLen, s.length - pos)
+    while (l >= 1) {
+      val cand =
+        if (pos == 0) s.substring(0, l)
+        else "##" + s.substring(pos, pos + l)
+      if (vocab.contains(cand)) return l
+      l -= 1
+    }
+    0
+  }
+
   /** Greedy-encode one word; returns the piece array. */
   def encode(w: UTF8String, vocab: java.util.HashSet[String],
              maxPieceLen: Int): ArrayData = {
@@ -36,19 +54,12 @@ object WordPieceOps {
     val out = new scala.collection.mutable.ArrayBuffer[UTF8String](n)
     var pos = 0
     while (pos < n) {
-      var l = math.min(maxPieceLen, n - pos)
-      var found = 0
-      var piece: String = null
-      while (l >= 1 && found == 0) {
-        val cand =
-          if (pos == 0) s.substring(0, l)
-          else "##" + s.substring(pos, pos + l)
-        if (vocab.contains(cand)) { found = l; piece = cand }
-        l -= 1
-      }
+      val found = matchAt(s, pos, vocab, maxPieceLen)
       if (found == 0)
         return new GenericArrayData(Array[Any](UTF8String.fromString(Unk)))
-      out += UTF8String.fromString(piece)
+      out += UTF8String.fromString(
+        if (pos == 0) s.substring(0, found)
+        else "##" + s.substring(pos, pos + found))
       pos += found
     }
     new GenericArrayData(out.toArray[Any])
@@ -66,8 +77,9 @@ case class WordPieceEncodeExpr(child: Expression, vocab: Seq[String])
     vocab.foreach(s.add)
     s
   }
-  // longest raw-character span any piece can cover (## prefix excluded)
-  private def maxPieceLen: Int =
+  // longest raw-character span any piece can cover (## prefix excluded);
+  // lazy val: the interpreted eval path calls this per ROW
+  @transient private lazy val maxPieceLen: Int =
     vocab.iterator.map(p => if (p.startsWith("##")) p.length - 2 else p.length)
       .foldLeft(1)(math.max)
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
@@ -115,18 +127,12 @@ object WordPieceOffsetOps {
     val out = new scala.collection.mutable.ArrayBuffer[InternalRow](n)
     var pos = 0
     while (pos < n) {
-      var l = math.min(maxPieceLen, n - pos)
-      var found = 0
-      var piece: String = null
-      while (l >= 1 && found == 0) {
-        val cand =
-          if (pos == 0) s.substring(0, l)
-          else "##" + s.substring(pos, pos + l)
-        if (vocab.contains(cand)) { found = l; piece = cand }
-        l -= 1
-      }
+      val found = WordPieceOps.matchAt(s, pos, vocab, maxPieceLen)
       if (found == 0)
         return new GenericArrayData(Array[Any](row(WordPieceOps.Unk, 0, n)))
+      val piece =
+        if (pos == 0) s.substring(0, found)
+        else "##" + s.substring(pos, pos + found)
       out += row(piece, pos, pos + found)
       pos += found
     }
@@ -142,7 +148,7 @@ case class WordPieceOffsetsExpr(child: Expression, vocab: Seq[String])
     vocab.foreach(s.add)
     s
   }
-  private def maxPieceLen: Int =
+  @transient private lazy val maxPieceLen: Int =
     vocab.iterator.map(p => if (p.startsWith("##")) p.length - 2 else p.length)
       .foldLeft(1)(math.max)
   override def dataType: DataType =

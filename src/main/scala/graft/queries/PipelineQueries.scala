@@ -1971,8 +1971,12 @@ object PipelineQueries {
     val links = graft.plans.HtmlExtractExpressions.htmlOutlinks(linkFixtureCol)
     // JSON framed by explicit concat (NOT to_json) so the oracle can
     // rebuild the exact bytes; the read side still parses it as real JSON
-    val payload = concat(lit("{\"url\":\""), pageUrl,
-      lit("\",\"outlinks\":[\""), array_join(links, "\",\""), lit("\"]}"))
+    // a link-free page must frame [] — '["" ]' would parse as ONE empty
+    // outlink and desynchronize n_out from the oracle's len(links)
+    val payload = concat(lit("{\"url\":\""), pageUrl, lit("\",\"outlinks\":"),
+      when(size(links) === 0, lit("[]"))
+        .otherwise(concat(lit("[\""), array_join(links, "\",\""), lit("\"]"))),
+      lit("}"))
     val recs = docs.select(
       lit("metadata").as("record_type"),
       concat(lit("<urn:uuid:wat-"), col("doc_id").cast("string"), lit(">")).as("record_id"),
@@ -2020,7 +2024,10 @@ object PipelineQueries {
        |wat AS (
        |  SELECT doc_id, len(links) AS n_out,
        |    '{"url":"https://site' || (doc_id%29) || '.com/p/' || doc_id
-       |      || '","outlinks":["' || array_to_string(links, '","') || '"]}' AS payload
+       |      || '","outlinks":'
+       |      || CASE WHEN len(links) = 0 THEN '[]'
+       |              ELSE '["' || array_to_string(links, '","') || '"]' END
+       |      || '}' AS payload
        |  FROM lnk)
        |SELECT doc_id % 7 AS bucket, count(*) AS n_records,
        |  CAST(sum(n_out) AS BIGINT) AS n_outlinks,

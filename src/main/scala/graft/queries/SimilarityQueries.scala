@@ -1985,8 +1985,11 @@ object SimilarityQueries {
     val qtok = docBigrams(docs.filter(col("doc_id").isin(probes: _*)))
       .filter(col("rk") <= 8)
       .select(col("doc_id").as("probe_id"), col("tok"))
-    val dtok = docBigrams(docs).filter(col("rk") <= 24)
-      .select("doc_id", "tok")
+    // cached: the corpus-wide bigram build (tokenize + dedup aggregate +
+    // window cap) feeds BOTH the stage-1 candidate join and the stage-2
+    // token-vector join — uncached it would execute twice
+    val dtok = graft.CacheScope.cached(
+      docBigrams(docs).filter(col("rk") <= 24).select("doc_id", "tok"))
 
     val cands = dtok.join(broadcast(qtok), "tok")
       .groupBy("probe_id", "doc_id").agg(count(lit(1)).as("overlap"))

@@ -50,6 +50,14 @@ class HtmlTablesSpec extends SparkSpec {
     assert(cells("<table><tr><td>a</tr></table>") == Seq())
   }
 
+  test("a newline inside any body kills the match (RE2 '.' never crosses lines)") {
+    assert(cells("<table><tr><td>a\nb</td></tr></table>") == Seq())
+    assert(cells("<table><tr>\n<td>a</td></tr></table>") == Seq())
+    // recovery: a later clean table still matches
+    assert(cells("<table><tr><td>a\nb</td></tr></table>" +
+      "<table><tr><td>c</td></tr></table>") == Seq((1, 1, 1, false, "c")))
+  }
+
   test("mismatched </th> closes a <td> (exactly like the oracle's regex)") {
     val h = "<table><tr><td>a</th><td>b</td></tr></table>"
     assert(cells(h) == Seq((1, 1, 1, false, "a"), (1, 1, 2, false, "b")))
@@ -90,10 +98,10 @@ class HtmlTablesSpec extends SparkSpec {
     val rng = new scala.util.Random(7)
     val frags = Array("<table>", "</table>", "<tr>", "</tr>", "<td>", "</td>",
       "<th>", "</th>", "word", " ", "&amp;", "<b>x</b>", "<table class=\"z\">",
-      "<td colspan=\"2\">", "7", "&lt;")
+      "<td colspan=\"2\">", "7", "&lt;", "\n")
     (1 to 300).foreach { _ =>
       val h = (1 to rng.nextInt(30)).map(_ => frags(rng.nextInt(frags.length))).mkString
-      assert(cells(h) == ref(h), s"divergence on: $h")
+      assert(cells(h) == ref(h), s"divergence on: ${h.replace("\n", "\\n")}")
     }
   }
 
