@@ -294,6 +294,47 @@ object Dedup {
     * post-cap sizes joined onto the index first — an extra full
     * id-shuffle. Full write-up in BASELINE.md round 11c. Results are
     * value-identical (hints/partitioning change physics only). */
+  /** Broder-1997 CONTAINMENT c(A,B) = |S(A) ∩ S(B)| / |S(A)| —
+    * resemblance's asymmetric sibling (the same public paper that
+    * defines resemblance defines containment): ≈1 when A is an EXCERPT
+    * of B even when the symmetric Jaccard sits far below any near-dup
+    * threshold, which is exactly the quote/syndication/boilerplate-page
+    * duplication symmetric near-dedup misses. Same bucketed
+    * inverted-index shape as [[jaccardPairs]] (equi-join on the shingle
+    * hash, DF cap, never all-pairs); ONE undirected intersection
+    * aggregate per co-shingled pair, then BOTH directed scores derive
+    * row-locally (an explode, not a second pass over the pair join).
+    * Scores are integer-exact Q20: containment_q = inter·2^20 div
+    * |S(src)|. Returns (src, dst, containment_q, jaccard_q, inter)
+    * filtered to containment_q ≥ `minContainmentQ`. */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+                       n: Int = 3, minContainmentQ: Long = 943718L,
+                       maxShingleDF: Int = DefaultMaxShingleDF): DataFrame = {
+    val raw = graft.CacheScope.cached(
+      shingleSets(df, idCol, textCol, n)
+        .select(col("id"), xxhash64(col("sh")).as("h")))
+    val sh = graft.CacheScope.cached(capShingleDF(raw, "h", maxShingleDF))
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
+    val inter = sh.as("a").join(sh.as("b").hint("shuffle_hash"),
+        col("a.h") === col("b.h") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("d1"), col("b.id").as("d2"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("id").as("d1"), col("sz").as("sz1")), "d1")
+      .join(sizes.select(col("id").as("d2"), col("sz").as("sz2")), "d2")
+    val jq = expr("(inter * 1048576) div (sz1 + sz2 - inter)")
+    inter
+      .select(explode(array(
+        struct(col("d1").as("src"), col("d2").as("dst"),
+          expr("(inter * 1048576) div sz1").as("containment_q"),
+          jq.as("jaccard_q"), col("inter")),
+        struct(col("d2").as("src"), col("d1").as("dst"),
+          expr("(inter * 1048576) div sz2").as("containment_q"),
+          jq.as("jaccard_q"), col("inter")))).as("e"))
+      .select(col("e.src"), col("e.dst"), col("e.containment_q"),
+        col("e.jaccard_q"), col("e.inter"))
+      .filter(col("containment_q") >= minContainmentQ)
+  }
+
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
                    n: Int = 3, minJaccard: Double = 0.2,
                    maxShingleDF: Int = DefaultMaxShingleDF,

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{array_join, col, slice}
 import graft.Tables._
 
 /** Near-duplicate detection over `documents` ([ext] dedup rows of SURVEY
@@ -51,6 +52,65 @@ object DedupQueries {
        |JOIN sizes s2 ON s2.doc_id = d2
        |WHERE CAST(inter AS DOUBLE) / (s1.sz + s2.sz - inter) >= 0.2
        |ORDER BY d1, d2""".stripMargin
+
+  /** Containment near-dup detection (round 15) — Broder 1997's
+    * asymmetric measure on a corpus with PLANTED EXCERPTS: for every
+    * doc_id % 13 == 4 the fixture adds a 20-token excerpt (tokens 5–24,
+    * id = parent + 1 000 000) whose shingle set is a strict subset of
+    * its parent's, so containment(excerpt → parent) is EXACTLY 2^20
+    * while the symmetric jaccard_q sits at inter/|parent| — the
+    * quote-inside-a-page pattern symmetric near-dedup misses by
+    * construction. Thin wrapper over
+    * [[graft.operators.Dedup.containmentPairs]] (threshold 0.9 Q20);
+    * the oracle replays shingling, the undirected intersection, and
+    * both directed integer scores over the same excerpt-augmented
+    * corpus CTE. */
+  def qContainment(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = t(spark, sfDir, "documents").select("doc_id", "text")
+    val excerpts = docs.filter(col("doc_id") % 13 === 4)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        array_join(slice(graft.functions.TextFunctions.tokens(col("text")),
+          5, 20), " ").as("text"))
+    graft.operators.Dedup
+      .containmentPairs(docs.unionAll(excerpts), "doc_id", "text",
+        n = 3, minContainmentQ = 943718L)
+      .orderBy("src", "dst")
+  }
+
+  val qContainmentSql: String =
+    s"""WITH corpus AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 1000000,
+       |         array_to_string(list_filter(string_split(text, ' '), t -> t <> '')[5:24], ' ')
+       |  FROM documents WHERE doc_id % 13 = 4),
+       |${shinglesSqlCte("corpus")},
+       |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+       |inter AS (
+       |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+       |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |joined AS (
+       |  SELECT d1, d2, inter, s1.sz AS sz1, s2.sz AS sz2
+       |  FROM inter
+       |  JOIN sizes s1 ON s1.doc_id = d1
+       |  JOIN sizes s2 ON s2.doc_id = d2),
+       |directed AS (
+       |  SELECT d1 AS src, d2 AS dst,
+       |         (inter * 1048576) // sz1 AS containment_q,
+       |         (inter * 1048576) // (sz1 + sz2 - inter) AS jaccard_q,
+       |         inter
+       |  FROM joined
+       |  UNION ALL
+       |  SELECT d2 AS src, d1 AS dst,
+       |         (inter * 1048576) // sz2 AS containment_q,
+       |         (inter * 1048576) // (sz1 + sz2 - inter) AS jaccard_q,
+       |         inter
+       |  FROM joined)
+       |SELECT src, dst, containment_q, jaccard_q, CAST(inter AS BIGINT) AS inter
+       |FROM directed
+       |WHERE containment_q >= 943718
+       |ORDER BY src, dst""".stripMargin
 
   /** MinHash(16) + LSH(4 bands × 4 rows) candidate pairs.
     *
@@ -832,6 +892,7 @@ object DedupQueries {
     "q_substring_rewrite" -> (qSubstringRewrite _),
     "q_source_pagerank" -> (qSourcePagerank _),
     "q_jaccard_pairs" -> (qJaccardPairs _),
+    "q_containment" -> (qContainment _),
     "q_minhash_lsh" -> (qMinhashLsh _),
     "q_minhash_est" -> (qMinhashEst _),
     "q_simhash_pairs" -> (qSimhashPairs _),
@@ -849,6 +910,7 @@ object DedupQueries {
     "q_substring_rewrite" -> qSubstringRewriteSql,
     "q_source_pagerank" -> qSourcePagerankSql,
     "q_jaccard_pairs" -> qJaccardPairsSql,
+    "q_containment" -> qContainmentSql,
     "q_minhash_lsh" -> qMinhashLshSql,
     "q_minhash_est" -> qMinhashEstSql,
     "q_simhash_pairs" -> qSimhashPairsSql,

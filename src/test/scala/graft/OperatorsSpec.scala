@@ -284,6 +284,41 @@ class OperatorsSpec extends SparkSpec {
     CacheScope.release()
   }
 
+  test("containmentPairs: hand arithmetic, asymmetry, and the excerpt arm (r15)") {
+    // A="a b c d e" (3 shingles), B="b c d e f" (3 shingles), inter=2:
+    //   c(A→B) = c(B→A) = 2·2^20 div 3 = 699050; jaccard_q = 2^21 div 4
+    val df = Seq((1L, "a b c d e"), (2L, "b c d e f")).toDF("doc_id", "text")
+    val all = Dedup.containmentPairs(df, "doc_id", "text", n = 3,
+      minContainmentQ = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(all == Set((1L, 2L, 699050L, 524288L), (2L, 1L, 699050L, 524288L)))
+    graft.CacheScope.release()
+    // excerpt: E's shingles ⊂ P's → c(E→P) = 2^20 EXACTLY, c(P→E) < 2^20
+    val df2 = Seq(
+      (1L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"),
+      (2L, "w3 w4 w5 w6 w7")).toDF("doc_id", "text")
+    val ex = Dedup.containmentPairs(df2, "doc_id", "text", n = 3,
+      minContainmentQ = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(ex((2L, 1L)) == 1048576L, "excerpt is fully contained")
+    assert(ex((1L, 2L)) == 3L * 1048576L / 8L, "parent only partially")
+    graft.CacheScope.release()
+    // the fixture query: every planted excerpt reports full containment
+    // toward exactly its parent
+    val fx = SparkEntry.queries("q_containment")(spark, TestSpark.Sf0001).collect()
+    val excerptRows = fx.filter(_.getLong(0) >= 1000000L)
+    assert(excerptRows.nonEmpty)
+    excerptRows.foreach { r =>
+      if (r.getLong(1) == r.getLong(0) - 1000000L)
+        assert(r.getLong(2) == 1048576L,
+          s"excerpt ${r.getLong(0)} not fully contained in its parent")
+    }
+    assert(excerptRows.exists(r => r.getLong(1) == r.getLong(0) - 1000000L),
+      "no excerpt→parent row surfaced")
+    graft.CacheScope.release()
+  }
+
   test("hot-shingle DF cap bounds join fan-out without changing cold pairs") {
     // 20 docs all sharing one boilerplate tail (a hot shingle source) plus
     // two planted near-dups that also overlap in their distinctive heads

@@ -1179,6 +1179,20 @@ class PlanQualitySpec extends SparkSpec {
     graft.CacheScope.release()
   }
 
+  test("q_containment: hash-keyed inverted-index join, no sort of the index (r15)") {
+    val p = plan("q_containment")
+    // the co-shingle self-join must be SHUFFLE_HASH on the shingle hash
+    // (the jaccardPairs lesson: SMJ sorts the multi-billion-row index)
+    assert(p.contains("ShuffledHashJoin"),
+      s"pair join must be hash, not sort-merge:\n$p")
+    assert(!p.contains("CartesianProduct"), s"all-pairs leak:\n$p")
+    // both directed scores come from ONE aggregate — a second pair join
+    // would double the Ω(Σf²) work
+    assert(p.split("ShuffledHashJoin").length == 2,
+      s"exactly one pair join expected:\n$p")
+    graft.CacheScope.release()
+  }
+
   test("q_dataset_card: one keyed two-phase aggregate over a narrow scan (r15)") {
     val p = plan("q_dataset_card")
     assert(!p.contains("Join"), s"the card is one aggregate, never a join:\n$p")
