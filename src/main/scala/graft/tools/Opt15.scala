@@ -1,0 +1,95 @@
+package graft.tools
+
+import java.io.File
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+import org.apache.spark.sql.SparkSession
+
+/** Round-15 optimization harness: per-query wall time (warmup at sf0.001,
+  * then min-of-N noop-sink runs, the Bench methodology) plus stage-level
+  * shuffle/spill totals, and the `.explain("formatted")` dump the round's
+  * deliverable requires (plans/r15/<query>_<suffix>.txt).
+  *
+  * Usage: runMain graft.tools.Opt15 <sfDir> <suffix|-> <q1,q2,...> [reps]
+  *   suffix "-"  → don't write plan files, just time
+  *   reps        → timed repetitions per query (default 2, min kept)
+  */
+object Opt15 {
+
+  final class StageMeter extends SparkListener {
+    @volatile var shuffleWrite = 0L
+    @volatile var shuffleRead = 0L
+    @volatile var memSpill = 0L
+    @volatile var diskSpill = 0L
+    @volatile var stages = 0
+    override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
+      val m = sc.stageInfo.taskMetrics
+      if (m != null) {
+        shuffleWrite += m.shuffleWriteMetrics.bytesWritten
+        shuffleRead += m.shuffleReadMetrics.totalBytesRead
+        memSpill += m.memoryBytesSpilled
+        diskSpill += m.diskBytesSpilled
+        stages += 1
+      }
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val suffix = args(1)
+    val names = args(2).split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    val reps = args.lift(3).map(_.toInt).getOrElse(2)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val planDir = new File(sys.props("user.dir"), "plans/r15")
+    if (suffix != "-") planDir.mkdirs()
+
+    names.foreach { name =>
+      val fn = graft.SparkEntry.queries(name)
+      // warmup at the smallest SF: JIT + codegen compile out of the timings
+      try fn(spark, "/root/testdata/sf0.001").write.format("noop").mode("overwrite").save()
+      catch { case e: Throwable => System.err.println(s"[opt15] warmup $name: ${e.getMessage}") }
+      finally graft.CacheScope.release()
+
+      if (suffix != "-") {
+        try {
+          val df = fn(spark, sfDir)
+          val txt = df.queryExecution.explainString(
+            org.apache.spark.sql.execution.FormattedMode)
+          Files.write(Paths.get(planDir.getPath, s"${name}_$suffix.txt"),
+            txt.getBytes(StandardCharsets.UTF_8))
+        } catch { case e: Throwable =>
+          System.err.println(s"[opt15] explain $name failed: ${e.getMessage}")
+        } finally graft.CacheScope.release()
+      }
+
+      var best = Double.MaxValue
+      var bestMeter: StageMeter = null
+      (1 to reps).foreach { _ =>
+        val meter = new StageMeter
+        spark.sparkContext.addSparkListener(meter)
+        spark.sparkContext.setJobDescription(s"opt15: $name")
+        val t0 = System.nanoTime()
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case e: Throwable => System.err.println(s"[opt15] $name FAILED: ${e.getMessage}") }
+        val dt = (System.nanoTime() - t0) / 1e9
+        spark.sparkContext.removeSparkListener(meter)
+        graft.CacheScope.release()
+        if (dt < best) { best = dt; bestMeter = meter }
+      }
+      println(f"[opt15] $name%-28s $best%7.2f s  stages=${bestMeter.stages}%3d " +
+        f"shufW=${bestMeter.shuffleWrite / 1e6}%8.1f MB shufR=${bestMeter.shuffleRead / 1e6}%8.1f MB " +
+        f"spillMem=${bestMeter.memSpill / 1e6}%8.1f MB spillDisk=${bestMeter.diskSpill / 1e6}%8.1f MB")
+    }
+    spark.stop()
+  }
+}
