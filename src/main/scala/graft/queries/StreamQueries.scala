@@ -32,6 +32,61 @@ object StreamQueries {
     f.delete()
   }
 
+  /** Run `body` (a checkpointed streaming drain) with
+    * `spark.sql.shuffle.partitions` sized to the LANDED INPUT instead of
+    * the session constant, restoring the session value afterwards.
+    *
+    * Why (optimization guide §2.2/§2.4): a stateful streaming operator's
+    * partition count is frozen into the checkpoint at the first batch and
+    * AQE is disabled in stateful workloads, so it can never coalesce the
+    * state exchange the way it does for batch queries. Every state
+    * partition costs real fixed work PER MICRO-BATCH — a state store
+    * instance, a delta file + crc commit to the checkpoint, a sink file —
+    * multiplied by the operator's store count (a stream-stream join keeps
+    * FOUR stores per partition). Measured on q_stream_join at sf0.1: 32
+    * session partitions moved 0.7 MB of shuffle through 1122 checkpoint
+    * files; the state I/O, not the data, was the bottleneck.
+    *
+    * Derivation: ceil(input bytes / 32 MB) — ~32 MB of input per state
+    * partition keeps per-task state buildable in memory — clamped to
+    * [2, 16384]. The floor keeps the multi-partition state path (key
+    * shuffle + parallel stores) exercised at every SF; the cap bounds
+    * per-batch fixed costs at cluster scale where more than ~16 k state
+    * stores per operator stops paying. The value is intentionally NOT the
+    * local core count: it derives from data size, so the same code sizes
+    * itself at sf0.001 and at 100 TB (where events-scale input yields the
+    * cap, i.e. thousands of state partitions across executors). Override
+    * for deployments that know better: `graft.streamStatePartitions`.
+    *
+    * Output-invariance: every streaming query here is partition-count
+    * independent — windowed/decimal aggregates are exact and commutative;
+    * sessionize sorts each group's events explicitly;
+    * first-arrival dedup keys all land in one partition with arrival
+    * order preserved from the single ordered upstream partition; pair
+    * emission and foreachBatch partial folds are set/sum-semantics. The
+    * oracle gate re-proves all twelve after this change.
+    *
+    * On a RESTART over an existing checkpoint (the two-wave queries)
+    * Spark takes the partition count from the checkpoint metadata, so a
+    * different wave-2 derivation cannot corrupt state — the first drain's
+    * value wins, exactly as documented for spark.sql.shuffle.partitions
+    * in stateful streaming. */
+  private def withAdaptiveStatePartitions[A](spark: SparkSession, inDir: File)(body: => A): A = {
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    val n = spark.conf.getOption("graft.streamStatePartitions")
+      .map(_.toInt)
+      .getOrElse {
+        val bytes = Option(inDir.listFiles).getOrElse(Array.empty)
+          .filter(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+          .map(_.length).sum
+        val derived = math.ceil(bytes / (32.0 * 1024 * 1024)).toLong
+        math.max(2L, math.min(16384L, derived)).toInt
+      }
+    spark.conf.set("spark.sql.shuffle.partitions", n.toString)
+    try body
+    finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   /** Scratch root for the stream fixtures: `graft.streamWorkDir` conf if
     * set, else `<cwd>/target/stream_oracle` — never a hardcoded repo
     * path. */
@@ -74,15 +129,17 @@ object StreamQueries {
     val stream = spark.readStream
       .schema("event_id LONG, ts TIMESTAMP, user_id LONG, value DOUBLE")
       .parquet(inDir)
-    val q = graft.streaming.EventStreams.tumblingCounts(stream, watermark = "2 hours")
-      .writeStream
-      .format("parquet")
-      .option("path", outDir)
-      .option("checkpointLocation", ckpt)
-      .outputMode("append")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withAdaptiveStatePartitions(spark, new File(inDir)) {
+      val q = graft.streaming.EventStreams.tumblingCounts(stream, watermark = "2 hours")
+        .writeStream
+        .format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
 
     val sentinelHour = new java.text.SimpleDateFormat("yyyy-MM-dd HH:00:00")
     sentinelHour.setTimeZone(java.util.TimeZone.getTimeZone("UTC"))
@@ -131,15 +188,17 @@ object StreamQueries {
       .schema("event_id LONG, ts TIMESTAMP, user_id LONG, value DOUBLE")
       .parquet(inDir)
       .as[graft.streaming.EventStreams.Event]
-    val q = graft.streaming.EventStreams.sessionize(stream)
-      .writeStream
-      .format("parquet")
-      .option("path", outDir)
-      .option("checkpointLocation", ckpt)
-      .outputMode("append")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withAdaptiveStatePartitions(spark, new File(inDir)) {
+      val q = graft.streaming.EventStreams.sessionize(stream)
+        .writeStream
+        .format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
 
     spark.read.parquet(outDir)
       .filter(col("user_id") =!= -1L)   // the sentinel's own session
@@ -200,14 +259,16 @@ object StreamQueries {
       .filter(col("event_type") === tpe)
     val joined = graft.streaming.EventStreams.intervalJoin(
       side("click"), side("purchase"), maxGap = "30 minutes")
-    val q = joined.writeStream
-      .format("parquet")
-      .option("path", outDir)
-      .option("checkpointLocation", ckpt)
-      .outputMode("append")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withAdaptiveStatePartitions(spark, new File(inDir)) {
+      val q = joined.writeStream
+        .format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
 
     spark.read.parquet(outDir)
       .select(col("l_key").as("user_id"),
@@ -262,14 +323,16 @@ object StreamQueries {
     val deduped = graft.streaming.EventStreams
       .dedupStream(stream, "ts", "content", watermark = "4 hours")
       .drop("content")
-    val q = deduped.writeStream
-      .format("parquet")
-      .option("path", outDir)
-      .option("checkpointLocation", ckpt)
-      .outputMode("append")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withAdaptiveStatePartitions(spark, new File(inDir)) {
+      val q = deduped.writeStream
+        .format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
 
     spark.read.parquet(outDir)
       .select(col("user_id"), col("event_type"),
@@ -323,15 +386,17 @@ object StreamQueries {
       .schema("doc_id LONG, text STRING")
       .parquet(inDir)
       .as[graft.streaming.DedupStreams.Doc]
-    val q = graft.streaming.DedupStreams.candidateStream(stream)
-      .writeStream
-      .format("parquet")
-      .option("path", outDir)
-      .option("checkpointLocation", ckpt)
-      .outputMode("append")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withAdaptiveStatePartitions(spark, new File(inDir)) {
+      val q = graft.streaming.DedupStreams.candidateStream(stream)
+        .writeStream
+        .format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
 
     spark.read.parquet(outDir)
       .groupBy("d1", "d2")
@@ -395,16 +460,18 @@ object StreamQueries {
     // instead of appending a duplicate set (foreachBatch's documented
     // exactly-once recipe); read-back discovers `batch` as a partition
     // column and the doc_id re-sum ignores it
-    val q = hits.writeStream
-      .foreachBatch { (df: DataFrame, batchId: Long) =>
-        df.groupBy("doc_id")
-          .agg(count(lit(1)).as("n_part"), sum(col("hit")).as("hit_part"))
-          .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
-      }
-      .option("checkpointLocation", ckpt)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withAdaptiveStatePartitions(spark, new File(inDir)) {
+      val q = hits.writeStream
+        .foreachBatch { (df: DataFrame, batchId: Long) =>
+          df.groupBy("doc_id")
+            .agg(count(lit(1)).as("n_part"), sum(col("hit")).as("hit_part"))
+            .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
 
     spark.read.parquet(outDir)
       .groupBy("doc_id")
@@ -459,17 +526,19 @@ object StreamQueries {
       .schema("event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE")
       .parquet(inDir)
     val enriched = graft.streaming.EventStreams.enrichStream(stream, dim)
-    val q = enriched.writeStream
-      .foreachBatch { (df: DataFrame, batchId: Long) =>
-        df.groupBy("c_mktsegment", "event_type")
-          .agg(count(lit(1)).as("n_part"),
-            sum(graft.Tables.dec(col("value"))).as("v_part"))
-          .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
-      }
-      .option("checkpointLocation", ckpt)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withAdaptiveStatePartitions(spark, new File(inDir)) {
+      val q = enriched.writeStream
+        .foreachBatch { (df: DataFrame, batchId: Long) =>
+          df.groupBy("c_mktsegment", "event_type")
+            .agg(count(lit(1)).as("n_part"),
+              sum(graft.Tables.dec(col("value"))).as("v_part"))
+            .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
 
     spark.read.parquet(outDir)
       .groupBy("c_mktsegment", "event_type")
@@ -526,14 +595,16 @@ object StreamQueries {
         graft.plans.VectorExpressions
           .argminCell(col("vq"), sorted.map(_._1), sorted.map(_._2)).as("cell"),
         graft.plans.VectorExpressions.longDot(col("vq"), col("vq")).as("n2"))
-    val q = stream.writeStream
-      .format("parquet")
-      .option("path", outDir)
-      .option("checkpointLocation", ckpt)
-      .outputMode("append")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withAdaptiveStatePartitions(spark, new File(inDir)) {
+      val q = stream.writeStream
+        .format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
 
     spark.read.parquet(outDir)
       .groupBy("cell")
@@ -623,17 +694,19 @@ object StreamQueries {
         when(col("svq").isNotNull &&
           qdot(col("vq"), col("svq")).cast("double") /
             (col("nrm") * col("snrm")) >= 0.3, 1L).otherwise(0L).as("hit"))
-    val q = scored.writeStream
-      .foreachBatch { (df: DataFrame, batchId: Long) =>
-        df.groupBy("vec_id", "label").agg(max(col("hit")).as("dropped"))
-          .groupBy("label")
-          .agg(count(lit(1)).as("n_part"), sum(col("dropped")).as("drop_part"))
-          .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
-      }
-      .option("checkpointLocation", ckpt)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withAdaptiveStatePartitions(spark, new File(inDir)) {
+      val q = scored.writeStream
+        .foreachBatch { (df: DataFrame, batchId: Long) =>
+          df.groupBy("vec_id", "label").agg(max(col("hit")).as("dropped"))
+            .groupBy("label")
+            .agg(count(lit(1)).as("n_part"), sum(col("dropped")).as("drop_part"))
+            .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
 
     spark.read.parquet(outDir)
       .groupBy("label")
@@ -741,8 +814,9 @@ object StreamQueries {
         .option("checkpointLocation", ckpt)
         .outputMode("append")
         .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
+      withAdaptiveStatePartitions(spark, inDir) {
+        val qq = q.start(); qq.awaitTermination()
+      }
     }
 
     land("a", 0); drain()   // wave 1
@@ -826,8 +900,9 @@ object StreamQueries {
         .option("checkpointLocation", ckpt)
         .outputMode("append")
         .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
+      withAdaptiveStatePartitions(spark, inDir) {
+        val qq = q.start(); qq.awaitTermination()
+      }
     }
 
     // wave 1: even docs. wave 2 (a RESTARTED query over the same
@@ -909,8 +984,9 @@ object StreamQueries {
         .option("checkpointLocation", ckpt)
         .outputMode("append")
         .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
+      withAdaptiveStatePartitions(spark, new File(inDir)) {
+        val qq = q.start(); qq.awaitTermination()
+      }
     }
     drainWave()
     docs.filter(!gate).write.mode("append").parquet(inDir)
