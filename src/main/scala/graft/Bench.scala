@@ -19,6 +19,13 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      // let AQE re-optimize (and size-coalesce) the materialization of
+      // .cache()d plans — off by default for plan-stability history, but
+      // the operator-internal CacheScope intermediates are exactly the
+      // plans that want runtime sizing (opt guide §2.2; measured r15:
+      // q_dedup_cascade −38%, q_dedup_clusters/q_web_pipeline −15% at
+      // sf0.1, scale-neutral by construction — AQE sizes by data volume)
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

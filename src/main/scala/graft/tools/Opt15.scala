@@ -24,6 +24,7 @@ object Opt15 {
     @volatile var memSpill = 0L
     @volatile var diskSpill = 0L
     @volatile var stages = 0
+    val stageRows = new java.util.concurrent.ConcurrentLinkedQueue[(String, Double, Int)]()
     override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
       val m = sc.stageInfo.taskMetrics
       if (m != null) {
@@ -32,6 +33,11 @@ object Opt15 {
         memSpill += m.memoryBytesSpilled
         diskSpill += m.diskBytesSpilled
         stages += 1
+        val wall = (for {
+          c <- sc.stageInfo.completionTime; s <- sc.stageInfo.submissionTime
+        } yield (c - s) / 1e3).getOrElse(0.0)
+        stageRows.add((sc.stageInfo.name.takeWhile(_ != '\n').take(70),
+          wall, sc.stageInfo.numTasks))
       }
     }
   }
@@ -42,13 +48,16 @@ object Opt15 {
     val names = args(2).split(",").map(_.trim).filter(_.nonEmpty).toSeq
     val reps = args.lift(3).map(_.toInt).getOrElse(2)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    sys.env.get("OPT15_CONF").foreach(_.split(";").filter(_.contains("="))
+      .foreach { kv => val Array(k, v) = kv.split("=", 2); builder.config(k, v) })
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val planDir = new File(sys.props("user.dir"), "plans/r15")
     if (suffix != "-") planDir.mkdirs()
@@ -89,6 +98,12 @@ object Opt15 {
       println(f"[opt15] $name%-28s $best%7.2f s  stages=${bestMeter.stages}%3d " +
         f"shufW=${bestMeter.shuffleWrite / 1e6}%8.1f MB shufR=${bestMeter.shuffleRead / 1e6}%8.1f MB " +
         f"spillMem=${bestMeter.memSpill / 1e6}%8.1f MB spillDisk=${bestMeter.diskSpill / 1e6}%8.1f MB")
+      if (sys.env.contains("OPT15_STAGES")) {
+        import scala.jdk.CollectionConverters._
+        bestMeter.stageRows.asScala.toSeq.sortBy(-_._2).take(15).foreach {
+          case (n, w, t) => println(f"[opt15]    $w%6.2f s  tasks=$t%3d  $n")
+        }
+      }
     }
     spark.stop()
   }
