@@ -608,12 +608,21 @@ object Dedup {
 
     // large-star: per node u over its FULL neighborhood, m = min(N(u)∪{u});
     // emit (v, m) for the strictly larger neighbors v > u. (v > u ≥ m.)
+    // The v > u rows of adj are exactly the (big, sml) rows of ed, so the
+    // emit join probes ed keyed by sml (|E| rows) instead of re-deriving
+    // them from the doubled adj (2|E|) — one less union through the
+    // exchange. No output distinct: the emit is one row per edge (v > u
+    // picks a unique orientation), duplicates are only (v, m) collisions,
+    // and the consumer smallStar is duplicate-insensitive (min aggregate,
+    // join fan-out cleaned by its own terminal distinct) — dropping the
+    // intermediate exchange saves one of the round's shuffles (r15 opt;
+    // labels pinned identical to ccPropagateWithRounds in OperatorsSpec).
     def largeStar(ed: DataFrame): DataFrame = {
       val adj = ed.select(col("big").as("u"), col("sml").as("v"))
         .union(ed.select(col("sml").as("u"), col("big").as("v")))
       val m = adj.groupBy("u").agg(least(min(col("v")), first(col("u"))).as("m"))
-      adj.join(m, "u").filter(col("v") > col("u"))
-        .select(col("v").as("big"), col("m").as("sml")).distinct()
+      ed.join(m, ed("sml") === m("u"))
+        .select(col("big"), col("m").as("sml"))
     }
     // small-star: per node u over its SMALLER neighbors (each (big, sml)
     // edge belongs to exactly its big endpoint's group), m = min(N<(u)∪{u});
@@ -640,13 +649,32 @@ object Dedup {
     var prev = sig(e)
     var rounds = 0
     var converged = prev._1 == 0L
-    while (!converged && rounds < maxIter) {
-      e = smallStar(largeStar(e)).localCheckpoint()
-      val s = sig(e)
-      converged = s == prev
-      prev = s
-      rounds += 1
-    }
+    // Scale-adaptive loop partitioning (opt guide §2.2): each star
+    // half-round is 3 shuffles and the loop runs O(log diameter) rounds,
+    // so the session's static shuffle-partition constant multiplies into
+    // ~6·rounds reduce stages; with AQE's parallelism-first floor those
+    // stay at 32 tasks even for a few hundred edges (measured: 3.6 s for
+    // a 241-edge graph at sf0.1 — pure task overhead). The edge count is
+    // already in hand from the fixpoint signature, so size the loop's
+    // shuffles from it: ~2 M edge rows (~64 MB at 24 B/row) per
+    // partition, floor 2 (keep the distributed path exercised), cap 16384
+    // — at web-scale edge sets the derivation lands in the thousands,
+    // exactly what a cluster run wants. Restored after the loop; label
+    // content is partition-count independent (min aggregates + joins).
+    val sess = pairs.sparkSession
+    val prevParts = sess.conf.get("spark.sql.shuffle.partitions")
+    def loopParts(edges: Long): Int =
+      math.max(2L, math.min(16384L, edges / 2000000L + 1L)).toInt
+    try {
+      while (!converged && rounds < maxIter) {
+        sess.conf.set("spark.sql.shuffle.partitions", loopParts(prev._1).toString)
+        e = smallStar(largeStar(e)).localCheckpoint()
+        val s = sig(e)
+        converged = s == prev
+        prev = s
+        rounds += 1
+      }
+    } finally sess.conf.set("spark.sql.shuffle.partitions", prevParts)
     if (!converged)
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIter star rounds — " +

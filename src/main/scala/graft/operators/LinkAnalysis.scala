@@ -54,22 +54,37 @@ object LinkAnalysis {
           Seq("id"), "left")
         .select(col("id"), coalesce(col("deg"), lit(0L)).as("deg")))
     var pr = deg.select(col("id"), col("deg"), lit(init).as("pr")).localCheckpoint()
-    (1 to iters).foreach { _ =>
-      val dangling = pr.filter(col("deg") === 0L)
-        .agg(coalesce(sum(col("pr")), lit(0L))).first().getLong(0)
-      val dangShare = dangling / n
-      val inflow = pr.filter(col("deg") > 0L)
-        .withColumn("__c", call_function("div", col("pr"), col("deg")))
-        .join(e, col("id") === col("__src"))
-        .groupBy(col("__dst").as("id"))
-        .agg(sum(col("__c")).as("__in"))
-      pr = deg.join(inflow, Seq("id"), "left")
-        .select(col("id"), col("deg"),
-          (lit(teleport) + call_function("div",
-            lit(17L) * (coalesce(col("__in"), lit(0L)) + lit(dangShare)),
-            lit(20L))).as("pr"))
-        .localCheckpoint()
-    }
+    // Scale-adaptive iteration partitioning (r15 opt, the
+    // Dedup.ccStarWithRounds pattern): every iteration pays 2-3 shuffles
+    // whose reduce side AQE floors at the session parallelism even when
+    // the rank/edge tables are a few thousand rows — fixed task overhead
+    // × iters. Size the loop's shuffles from the measured graph instead:
+    // ~2 M rows (~64 MB at rank-row width) per partition, floor 2, cap
+    // 16384. e.count() materializes the edge cache the first iteration
+    // would materialize anyway, so the sizing costs no extra pass.
+    val sess = nodes.sparkSession
+    val prevParts = sess.conf.get("spark.sql.shuffle.partitions")
+    val rows = n + e.count()
+    val loopParts = math.max(2L, math.min(16384L, rows / 2000000L + 1L)).toInt
+    sess.conf.set("spark.sql.shuffle.partitions", loopParts.toString)
+    try {
+      (1 to iters).foreach { _ =>
+        val dangling = pr.filter(col("deg") === 0L)
+          .agg(coalesce(sum(col("pr")), lit(0L))).first().getLong(0)
+        val dangShare = dangling / n
+        val inflow = pr.filter(col("deg") > 0L)
+          .withColumn("__c", call_function("div", col("pr"), col("deg")))
+          .join(e, col("id") === col("__src"))
+          .groupBy(col("__dst").as("id"))
+          .agg(sum(col("__c")).as("__in"))
+        pr = deg.join(inflow, Seq("id"), "left")
+          .select(col("id"), col("deg"),
+            (lit(teleport) + call_function("div",
+              lit(17L) * (coalesce(col("__in"), lit(0L)) + lit(dangShare)),
+              lit(20L))).as("pr"))
+          .localCheckpoint()
+      }
+    } finally sess.conf.set("spark.sql.shuffle.partitions", prevParts)
     pr
   }
 
