@@ -42,8 +42,13 @@ object PipelineQueries {
       .withColumn("quality", qualityScore(col("text")))
       .filter(col("quality") >= QualityMin && col("pred_lang") =!= "und")
       .select("doc_id", "lang", "text", "quality")
-    val exact = Dedup.exactByContent(filtered, "doc_id", "text")
-    val kept = Dedup.dedupeNear(exact, "doc_id", "text", n = 3, minJaccard = JaccardMin)
+    // exact dedup IS dedupeNear's internal exact-collapse (min-id winner
+    // per md5(text) — the identical rule exactByContent applies), so the
+    // cascade feeds `filtered` straight in: a separate exactByContent
+    // stage re-hashed and re-shuffled the corpus to collapse groups the
+    // collapse step inside dedupeNear collapses anyway (r15 opt round;
+    // oracle hash unchanged — the winners CTE replays the same rule).
+    val kept = Dedup.dedupeNear(filtered, "doc_id", "text", n = 3, minJaccard = JaccardMin)
     kept
       .groupBy("lang")
       .agg(count(lit(1)).as("n_kept"), dsum(col("quality")).as("sum_quality"))
@@ -2367,8 +2372,10 @@ object PipelineQueries {
       .withColumn("quality", qualityScore(col("text")))
       .filter(col("quality") >= QualityMin && col("pred_lang") =!= "und")
       .select("doc_id", "lang", "text", "quality")
-    val exact = Dedup.exactByContent(filtered, "doc_id", "text")
-    val kept = Dedup.dedupeNear(exact, "doc_id", "text", n = 3, minJaccard = JaccardMin)
+    // no separate exactByContent stage: dedupeNear's internal
+    // exact-collapse applies the identical min-id-per-md5(text) winner
+    // rule (see qCurationPipeline; oracle hash unchanged)
+    val kept = Dedup.dedupeNear(filtered, "doc_id", "text", n = 3, minJaccard = JaccardMin)
     kept
       .groupBy("lang")
       .agg(count(lit(1)).as("n_kept"),
