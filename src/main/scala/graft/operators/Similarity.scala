@@ -385,11 +385,33 @@ object Similarity {
     val dim = q.select(size(col("vq"))).limit(1).collect()(0).getInt(0)
     require(dim % m == 0, s"dim $dim must split into $m equal subspaces")
     val dsub = dim / m
-    val books: Array[Array[(Int, Array[Long])]] = (0 until m).map { j =>
-      lloydTrainQ(
-        q.select(col("id"), slice(col("vq"), j * dsub + 1, dsub).as("vq")),
-        ksub, iters, trainSample)
-    }.toArray
+    // The m subspace codebooks are INDEPENDENT Lloyd loops over slices of
+    // the same cached frame, but each loop is a chain of small driver
+    // actions (seed top-k + one bounded collect per iteration) — run
+    // sequentially that is m·(iters+1) back-to-back jobs of mostly
+    // scheduling latency. Submit them from a small driver thread pool so
+    // the jobs overlap (opt guide §2.6 — Spark's scheduler runs concurrent
+    // jobs; FIFO back-fill is exactly what we want). 4 in flight bounds
+    // driver/mem pressure; results land by index so `books` ordering (and
+    // every downstream code/oracle) is unchanged. Measured r15 (same-window
+    // A/B, min-of-4): q_ann_pq 2.76 -> 1.37 s at sf0.1.
+    val books: Array[Array[(Int, Array[Long])]] = {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(math.min(m, 4))
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutor(pool)
+      try {
+        val futs = (0 until m).map { j =>
+          scala.concurrent.Future {
+            lloydTrainQ(
+              q.select(col("id"), slice(col("vq"), j * dsub + 1, dsub).as("vq")),
+              ksub, iters, trainSample)
+          }
+        }
+        scala.concurrent.Await.result(
+          scala.concurrent.Future.sequence(futs),
+          scala.concurrent.duration.Duration.Inf).toArray
+      } finally pool.shutdown()
+    }
     val codeCols = (0 until m).map { j =>
       val sorted = books(j).sortBy(_._1)
       graft.plans.VectorExpressions.argminCell(
