@@ -3622,7 +3622,9 @@ object TextQueries {
       .orderBy(col("cnt").desc, col("token").asc)
       .limit(32)
       .collect().map(_.getString(0))
-    val nDocs = docs.count()
+    // corpus size from parquet footer metadata (the knn-family r14
+    // pattern) — not a full-scan count() action at construction
+    val nDocs = graft.Tables.parquetRowCount(spark, sfDir, "documents")
     val present = graft.CacheScope.cached(
       docs.select(col("doc_id"),
           array_intersect(array_distinct(tokens(col("text"))),
