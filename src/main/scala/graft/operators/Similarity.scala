@@ -980,6 +980,14 @@ object Similarity {
       if (nCells > 0) nCells
       else knnCellsFor(if (nRows >= 0L) nRows else emb.count())
     val q = emb.select(col(idCol).as("id"), quantize(col(vecCol)).as("vq"))
+    // trainSample deliberately stays 0 (full-corpus Lloyd): the r15
+    // optimization round A/B'd semanticDedup's sample-bounded derivation
+    // here and measured NO win at any scale — oracle SFs are below the
+    // sample floor by construction (wash), and at the 1000×
+    // embeddings-only fixture the cost is the candidate join + re-rank
+    // (52 GB spill), not the training passes. Sampling would only add
+    // the TakeOrdered machinery. Revisit if a future fixture makes
+    // training dominant.
     val cents = lloydTrainQ(q, cells, iters, trainSample = 0)
     val sorted = cents.sortBy(_._1)
     // one kernel pass feeds BOTH the probe and member branches
