@@ -34,10 +34,11 @@ object LinkAnalysis {
     * Scale shape: each iteration is one equi-join of the rank table onto
     * `edges.src` plus one map-side-combinable `groupBy(dst)` sum — the
     * co-partitioned shape that scales to a 100 TB edge list. The dangling
-    * mass is ONE scalar aggregate to the driver per iteration (the
-    * [[Dedup.connectedComponents]] convergence-check precedent), and
-    * `localCheckpoint` truncates the self-referential lineage each round.
-    * Returns (id, deg, pr). */
+    * mass is a ONE-ROW aggregate folded into the iteration's plan as a
+    * broadcast (r16; it was previously a driver-blocking `.first()` per
+    * iteration — an extra serialized job scanning the full rank table,
+    * VERDICT r15 item 5). `localCheckpoint` truncates the
+    * self-referential lineage each round. Returns (id, deg, pr). */
   def pagerank(nodes: DataFrame, edges: DataFrame, idCol: String,
                srcCol: String = "src", dstCol: String = "dst",
                iters: Int = 3): DataFrame = {
@@ -69,18 +70,26 @@ object LinkAnalysis {
     sess.conf.set("spark.sql.shuffle.partitions", loopParts.toString)
     try {
       (1 to iters).foreach { _ =>
-        val dangling = pr.filter(col("deg") === 0L)
-          .agg(coalesce(sum(col("pr")), lit(0L))).first().getLong(0)
-        val dangShare = dangling / n
+        // dangling mass: sum of deg-0 rank div N — SAME integer math as
+        // the former driver-side scalar (both operands non-negative, so
+        // SQL `div` truncation ≡ the Scala `/` it replaces; the global
+        // agg is exactly one row), but now a broadcast 1-row side input:
+        // the iteration is ONE job (the localCheckpoint) instead of two
+        // serialized ones, and the full-rank-table dangling scan rides
+        // the same job instead of blocking the driver first
+        val dangShare = pr.filter(col("deg") === 0L)
+          .agg(call_function("div",
+            coalesce(sum(col("pr")), lit(0L)), lit(n)).as("__dang"))
         val inflow = pr.filter(col("deg") > 0L)
           .withColumn("__c", call_function("div", col("pr"), col("deg")))
           .join(e, col("id") === col("__src"))
           .groupBy(col("__dst").as("id"))
           .agg(sum(col("__c")).as("__in"))
         pr = deg.join(inflow, Seq("id"), "left")
+          .crossJoin(broadcast(dangShare))
           .select(col("id"), col("deg"),
             (lit(teleport) + call_function("div",
-              lit(17L) * (coalesce(col("__in"), lit(0L)) + lit(dangShare)),
+              lit(17L) * (coalesce(col("__in"), lit(0L)) + col("__dang")),
               lit(20L))).as("pr"))
           .localCheckpoint()
       }

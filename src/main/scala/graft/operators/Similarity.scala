@@ -783,9 +783,10 @@ object Similarity {
     * driver-side from the (bounded, already-collected) centroid matrix;
     * the (probe, cell) table — |probes|·nProbe rows — broadcasts onto the
     * cell-assigned corpus, so each corpus row is touched once per probe
-    * cell-hit, never per probe. The per-probe top-k is a rank-filtered
-    * window (Spark plans it as WindowGroupLimit: the k-heap runs map-side
-    * BEFORE the probe_id shuffle). Quantized-exact end to end, same
+    * cell-hit, never per probe. The per-probe top-k is the bounded heap
+    * aggregate ([[graft.plans.TopKByScore]], k pairs of state per probe,
+    * partial map-side — r16; the rank-filtered window it replaces sorted
+    * the full candidate stream). Quantized-exact end to end, same
     * conventions as [[ivfTopKQ]].
     *
     * Returns (probe_id, rnk, vec_id, cosine), k rows per probe. */
@@ -852,12 +853,15 @@ object Similarity {
       .select(col(idCol).as("vec_id"), quantize(col(vecCol)).as("vq"))
       .withColumn("cell", graft.plans.VectorExpressions
         .argminCell(col("vq"), sorted.map(_._1), sorted.map(_._2)))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("probe_id").orderBy(col("cosine").desc, col("vec_id").asc)
     // nrm/pnrm > 0 guards: a vector whose components all quantize to 0
     // would score 0/0 = NaN, and NaN sorts ABOVE every real cosine in
     // both engines — a degenerate vector must not displace real
-    // neighbors (same guard as semanticDedup; mirrored in the oracle)
+    // neighbors (same guard as semanticDedup; mirrored in the oracle).
+    // Per-probe top-k is the bounded heap aggregate (r16, guide §5) —
+    // the rank-filtered window it replaces (WindowGroupLimit) sorted the
+    // full |probes|·nProbe·(n/nCells)-row candidate stream; the aggregate
+    // holds k pairs per probe and never sorts candidates. Identical rows:
+    // same (cosine DESC, vec_id ASC) order, pinned in OperatorsSpec.
     members.join(broadcast(probeTbl), Seq("cell"))
       .filter(
         (if (excludeProbeId) col("vec_id") =!= col("probe_id") else lit(true))
@@ -868,16 +872,19 @@ object Similarity {
       .withColumn("cosine",
         graft.plans.VectorExpressions.longDot(col("vq"), col("pvq")).cast("double") /
           (col("nrm") * col("pnrm")))
-      .withColumn("rnk", row_number().over(w).cast("long"))
-      .filter(col("rnk") <= k)
-      .select(col("probe_id"), col("rnk"), col("vec_id"), col("cosine"))
+      .groupBy("probe_id")
+      .agg(graft.plans.TopKExpressions
+        .topKByScore(col("cosine"), col("vec_id"), k).as("__nbrs"))
+      .select(col("probe_id"), posexplode(col("__nbrs")).as(Seq("__pos", "__nbr")))
+      .select(col("probe_id"), (col("__pos") + 1).cast("long").as("rnk"),
+        col("__nbr.id").as("vec_id"), col("__nbr.score").as("cosine"))
   }
 
   /** Batch BRUTE-FORCE top-k — the exact baseline [[ivfTopKBatchQ]] is
     * measured against (recall@k = overlap of the two result sets). Same
     * conventions as the IVF batch: quantized-exact scoring, zero-norm
-    * guards, (probe_id, rnk, vec_id, cosine) output, per-probe top-k as a
-    * rank-filtered window (WindowGroupLimit — the k-heap runs map-side).
+    * guards, (probe_id, rnk, vec_id, cosine) output, per-probe top-k via
+    * the bounded heap aggregate ([[graft.plans.TopKByScore]], r16).
     * The probe table broadcasts; each corpus row is scored against every
     * probe (that is the point of the baseline), so keep the probe set
     * bounded. */
@@ -903,8 +910,9 @@ object Similarity {
     require(probeRows.length == pids.length,
       s"duplicate corpus rows for probe ids: ${probeRows.map(_._1).groupBy(identity).collect { case (id, g) if g.length > 1 => id }.mkString(", ")}")
     val probeTbl = probeRows.toDF("probe_id", "pvq", "pnrm")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("probe_id").orderBy(col("cosine").desc, col("vec_id").asc)
+    // per-probe top-k via the bounded heap aggregate (r16, guide §5) —
+    // see ivfTopKBatchVecsQ; the brute baseline scores n·|probes| rows,
+    // which the replaced WindowGroupLimit sorted in full
     emb.select(col(idCol).as("vec_id"), quantize(col(vecCol)).as("vq"))
       .crossJoin(broadcast(probeTbl))
       .filter(col("vec_id") =!= col("probe_id") && col("pnrm") > 0d)
@@ -914,9 +922,12 @@ object Similarity {
       .withColumn("cosine",
         graft.plans.VectorExpressions.longDot(col("vq"), col("pvq")).cast("double") /
           (col("nrm") * col("pnrm")))
-      .withColumn("rnk", row_number().over(w).cast("long"))
-      .filter(col("rnk") <= k)
-      .select(col("probe_id"), col("rnk"), col("vec_id"), col("cosine"))
+      .groupBy("probe_id")
+      .agg(graft.plans.TopKExpressions
+        .topKByScore(col("cosine"), col("vec_id"), k).as("__nbrs"))
+      .select(col("probe_id"), posexplode(col("__nbrs")).as(Seq("__pos", "__nbr")))
+      .select(col("probe_id"), (col("__pos") + 1).cast("long").as("rnk"),
+        col("__nbr.id").as("vec_id"), col("__nbr.score").as("cosine"))
   }
 
   /** Corpus-wide self-kNN graph (round 13) — every row's top-`k`
@@ -939,9 +950,16 @@ object Similarity {
     *      side keeps cells[0]; the candidate set is their EQUI-JOIN on
     *      cell — per-cell-bucketed, never all-pairs (the shuffle carries
     *      each side hashed by cell; AQE's skew split handles a hot cell);
-    *   4. quantized-exact cosine re-rank; per-src top-k is the
-    *      rank-filtered window (WindowGroupLimit — map-side k-heaps
-    *      BEFORE the src shuffle).
+    *   4. quantized-exact cosine re-rank; per-src top-k is a BOUNDED
+    *      HEAP AGGREGATE ([[graft.plans.TopKByScore]], k pairs of state
+    *      per src, partial map-side) + posexplode. The r15-measured
+    *      alternative — rank-filtered window, planned as
+    *      WindowGroupLimit — still SORTS the full candidate stream on
+    *      both sides of the src shuffle: 52 GB memory + 22 GB disk spill
+    *      at the 2 M-vector fixture for state that is only ever k rows
+    *      per src (opt guide §5). Row-for-row identical output: the heap
+    *      order replays (cosine DESC, dst ASC) with
+    *      java.lang.Double.compare ties, pinned in OperatorsSpec.
     *
     * Candidate volume is n·nProbe·(n/nCells) rows — nCells is the knob
     * that holds per-cell population (and so per-row candidate cost)
@@ -998,8 +1016,6 @@ object Similarity {
       element_at(col("cells"), 1).as("cell"))
     val probes = assigned.select(col("id").as("src"), col("vq").as("svq"),
       explode(col("cells")).as("cell"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("src").orderBy(col("cosine").desc, col("dst").asc)
     members.join(probes, Seq("cell"))
       .filter(col("src") =!= col("dst"))
       .withColumn("snrm", sqrt(graft.plans.VectorExpressions
@@ -1010,9 +1026,12 @@ object Similarity {
       .withColumn("cosine",
         graft.plans.VectorExpressions.longDot(col("svq"), col("dvq"))
           .cast("double") / (col("snrm") * col("dnrm")))
-      .withColumn("rnk", row_number().over(w).cast("long"))
-      .filter(col("rnk") <= k)
-      .select(col("src"), col("rnk"), col("dst"), col("cosine"))
+      .groupBy("src")
+      .agg(graft.plans.TopKExpressions
+        .topKByScore(col("cosine"), col("dst"), k).as("__nbrs"))
+      .select(col("src"), posexplode(col("__nbrs")).as(Seq("__pos", "__nbr")))
+      .select(col("src"), (col("__pos") + 1).cast("long").as("rnk"),
+        col("__nbr.id").as("dst"), col("__nbr.score").as("cosine"))
   }
 
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023,

@@ -418,9 +418,10 @@ object SimilarityQueries {
   /** Batch IVF search ([[graft.operators.Similarity.ivfTopKBatchQ]]): five
     * probes retrieve their top-5 through ONE shared index scan — the
     * batch-serving shape (per-probe jobs don't amortize the corpus scan).
-    * The (probe, cell) routing table broadcasts; the per-probe top-k is a
-    * rank-filtered window (WindowGroupLimit — map-side k-heap before the
-    * probe_id shuffle). The oracle replays the index via [[lloydSqlCtes]]
+    * The (probe, cell) routing table broadcasts; the per-probe top-k is
+    * the bounded heap aggregate (r16 — k pairs of state per probe,
+    * partial map-side; the window it replaces sorted the candidate
+    * stream). The oracle replays the index via [[lloydSqlCtes]]
     * and the per-probe cell ranking / scoring as integer-exact CTEs. */
   def qAnnBatch(spark: SparkSession, sfDir: String): DataFrame =
     graft.operators.Similarity.ivfTopKBatchQ(
@@ -491,7 +492,7 @@ object SimilarityQueries {
     * for the index side. Scale shape: the serving contract — a BOUNDED
     * probe batch routes driver-side, the corpus is touched once per
     * probe cell-hit via the broadcast (probe, cell) table, per-probe
-    * top-k is WindowGroupLimit. */
+    * top-k is the bounded heap aggregate (r16). */
   val CrossmodalProbes = 12
   def qCrossmodalKnn(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
@@ -1396,7 +1397,7 @@ object SimilarityQueries {
     * production; the collect is ≤ 64 ids by construction); negatives come
     * from ONE shared IVF index scan for the whole batch
     * ([[graft.operators.Similarity.ivfTopKBatchQ]] — broadcast routing,
-    * WindowGroupLimit top-k). The oracle replays the jaccard pairs, the
+    * bounded-heap top-k). The oracle replays the jaccard pairs, the
     * md5 anchor cap, the full Lloyd chain, the probe routing, the cosine
     * scoring, the mate exclusion and both picks. */
   def qPairMining(spark: SparkSession, sfDir: String): DataFrame = {
@@ -1766,8 +1767,10 @@ object SimilarityQueries {
     * Zero new index code: one [[graft.operators.Similarity.knnGraphQ]]
     * pass (k = 8, adaptive cells, nRows from footer metadata), an
     * integer-quantized band filter (floor(cos·2^20) so the boundary is
-    * engine-exact), and a per-anchor top-2 rank — WindowGroupLimit, the
-    * same map-side k-heap shape as the graph itself. Output: (src, rnk,
+    * engine-exact), and a per-anchor top-2 rank — a rank-filtered window
+    * (WindowGroupLimit) over the graph's ≤ k rows per src, already
+    * bounded so the window sort never sees more than k candidates (the
+    * graph itself uses the r16 bounded heap aggregate). Output: (src, rnk,
     * dst, cos_q), ≤ 2 rows per anchor with in-band neighbors. */
   val HardNegLowQ = 209715L   // ≈ 0.2·2^20
   val HardNegHighQ = 734003L  // ≈ 0.7·2^20

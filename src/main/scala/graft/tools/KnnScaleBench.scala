@@ -29,19 +29,28 @@ object KnnScaleBench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val emb = graft.Tables.t(spark, sfDir, "embeddings")
-    def once(): (Double, Long) = {
+    def once(): (Double, Long, Opt15.StageMeter) = {
+      // stage meter (r16): shuffle + spill totals per rep, so scale
+      // datapoints carry the §5 spill evidence, not just wall seconds
+      val meter = new Opt15.StageMeter
+      spark.sparkContext.addSparkListener(meter)
       val t0 = System.nanoTime()
       val g = graft.operators.Similarity.knnGraphQ(
         emb, "vec_id", "embedding", k, nCells, iters, nProbe)
       val rows = g.count()
       val sec = (System.nanoTime() - t0) / 1e9
+      spark.sparkContext.removeSparkListener(meter)
       graft.CacheScope.release()
-      (sec, rows)
+      (sec, rows, meter)
     }
-    val (s1, rows) = once()
-    val (s2, _) = once()
+    val (s1, rows, m1) = once()
+    val (s2, _, m2) = once()
+    val m = if (s1 <= s2) m1 else m2
     println(s"""{"metric":"knn_graph","sec":${math.min(s1, s2)},"rows":$rows,""" +
-      s""""k":$k,"nCells":$nCells,"iters":$iters,"nProbe":$nProbe,"sf":"$sfDir"}""")
+      s""""k":$k,"nCells":$nCells,"iters":$iters,"nProbe":$nProbe,""" +
+      s""""shuffle_mb":${(m.shuffleWrite / 1e6).round},""" +
+      s""""spill_mem_mb":${(m.memSpill / 1e6).round},""" +
+      s""""spill_disk_mb":${(m.diskSpill / 1e6).round},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

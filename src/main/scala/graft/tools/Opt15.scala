@@ -59,7 +59,10 @@ object Opt15 {
       .foreach { kv => val Array(k, v) = kv.split("=", 2); builder.config(k, v) })
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val planDir = new File(sys.props("user.dir"), "plans/r15")
+    // plan dumps land in the CURRENT optimization round's directory
+    // (override with OPT15_PLAN_DIR); r15 dumps stay untouched history
+    val planDir = new File(sys.props("user.dir"),
+      sys.env.getOrElse("OPT15_PLAN_DIR", "plans/r16"))
     if (suffix != "-") planDir.mkdirs()
 
     names.foreach { name =>
@@ -83,22 +86,32 @@ object Opt15 {
 
       var best = Double.MaxValue
       var bestMeter: StageMeter = null
+      var failures = 0
       (1 to reps).foreach { _ =>
         val meter = new StageMeter
         spark.sparkContext.addSparkListener(meter)
         spark.sparkContext.setJobDescription(s"opt15: $name")
         val t0 = System.nanoTime()
+        var ok = true
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable => System.err.println(s"[opt15] $name FAILED: ${e.getMessage}") }
+        catch { case e: Throwable =>
+          ok = false; failures += 1
+          System.err.println(s"[opt15] $name FAILED: ${e.getMessage}")
+        }
         val dt = (System.nanoTime() - t0) / 1e9
         spark.sparkContext.removeSparkListener(meter)
         graft.CacheScope.release()
-        if (dt < best) { best = dt; bestMeter = meter }
+        // a crashed rep must not report a plausible-looking min time
+        // (r15 ADVICE): only successful reps compete for `best`
+        if (ok && dt < best) { best = dt; bestMeter = meter }
       }
+      if (bestMeter == null) {
+        println(f"[opt15] $name%-28s  FAILED (all $failures%d reps threw)")
+      } else
       println(f"[opt15] $name%-28s $best%7.2f s  stages=${bestMeter.stages}%3d " +
         f"shufW=${bestMeter.shuffleWrite / 1e6}%8.1f MB shufR=${bestMeter.shuffleRead / 1e6}%8.1f MB " +
         f"spillMem=${bestMeter.memSpill / 1e6}%8.1f MB spillDisk=${bestMeter.diskSpill / 1e6}%8.1f MB")
-      if (sys.env.contains("OPT15_STAGES")) {
+      if (sys.env.contains("OPT15_STAGES") && bestMeter != null) {
         import scala.jdk.CollectionConverters._
         bestMeter.stageRows.asScala.toSeq.sortBy(-_._2).take(15).foreach {
           case (n, w, t) => println(f"[opt15]    $w%6.2f s  tasks=$t%3d  $n")

@@ -1843,6 +1843,52 @@ class OperatorsSpec extends SparkSpec {
     assert(bad == 0L, "pieces must concatenate back to every word")
   }
 
+  test("top_k_by_score ≡ rank-filtered window for every k, with score ties (r16)") {
+    // deterministic pseudo-random stream with deliberate ties: ~40 groups,
+    // ~6 distinct scores so (score, id) tie-breaks are exercised, ids
+    // unique per group (the knnGraphQ contract). 7 input partitions so
+    // partial buffers MERGE (the sort_array path), not just update.
+    val rows = (0 until 4000).map { i =>
+      val g = (i * 2654435761L) % 40
+      val id = i.toLong
+      val score = ((i * 40503L) % 6).toDouble / 4.0 - 0.5
+      (g, id, score)
+    }
+    val df = spark.createDataFrame(rows).toDF("g", "id", "score")
+      .repartition(7)
+    for (k <- Seq(1, 3, 8)) {
+      val viaAgg = df.groupBy("g")
+        .agg(graft.plans.TopKExpressions
+          .topKByScore(col("score"), col("id"), k).as("tk"))
+        .select(col("g"), posexplode(col("tk")).as(Seq("pos", "e")))
+        .select(col("g"), (col("pos") + 1).cast("long").as("rnk"),
+          col("e.id").as("id"), col("e.score").as("score"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("g").orderBy(col("score").desc, col("id").asc)
+      val viaWindow = df
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= k)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(3), r.getLong(1), r.getDouble(2)))
+        .toSet
+      assert(viaAgg == viaWindow, s"k=$k: agg and window top-k disagree")
+    }
+    // empty-group edge: a group whose rows are all filtered never appears,
+    // and k > group size yields exactly the group, ranked contiguously
+    val tiny = Seq((1L, 10L, 0.5), (1L, 11L, 0.5), (2L, 20L, -1.0))
+      .toDF("g", "id", "score")
+    val out = tiny.groupBy("g")
+      .agg(graft.plans.TopKExpressions
+        .topKByScore(col("score"), col("id"), 5).as("tk"))
+      .select(col("g"), posexplode(col("tk")).as(Seq("pos", "e")))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getStruct(2).getLong(0)))
+      .toSet
+    assert(out == Set((1L, 0, 10L), (1L, 1, 11L), (2L, 0, 20L)))
+  }
+
   test("q_tok_fertility: BPE-per-word ≥ 1, exact quantized ratios of the sums") {
     val rows = SparkEntry.queries("q_tok_fertility")(spark, TestSpark.Sf0001)
       .collect()

@@ -123,12 +123,16 @@ class PlanQualitySpec extends SparkSpec {
     } finally CacheScope.release()
   }
 
-  test("q_ann_batch: probe routing broadcasts, per-probe top-k is group-limited") {
+  test("q_ann_batch: probe routing broadcasts, per-probe top-k is the bounded heap aggregate") {
     val p = plan("q_ann_batch")
     assert(p.contains("BroadcastHashJoin"),
       s"(probe, cell) routing table must broadcast:\n$p")
-    assert(p.contains("WindowGroupLimit"),
-      s"per-probe top-k must run map-side before the probe_id shuffle:\n$p")
+    // r16: the bounded top-k aggregate replaces the rank-filtered window
+    // — k pairs of state per probe, no sort of the candidate stream
+    assert(p.contains("top_k_by_score"),
+      s"per-probe top-k must be the bounded heap aggregate:\n$p")
+    assert(!p.contains("WindowGroupLimit"),
+      s"candidate stream must not be window-sorted:\n$p")
     assert(!p.contains("CartesianProduct"), s"cartesian in batch ANN:\n$p")
   }
 
@@ -733,6 +737,13 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("damerau_levenshtein"), s"native DL expr missing:\n$p")
     // the DL verify filter must sit inside a codegen span, not a UDF
     assert(!p.contains("ScalaUDF"), s"DL must be the native expression:\n$p")
+    // r16: the canonical variant stream (~20-90× the canonical table) is
+    // bloom-pruned against the probe residue's variant hashes BEFORE its
+    // df-aggregate and the MERGE joins (guide §3.2; measured: stage 2
+    // keeps 4.6% of 1.59 M canonical variant rows at sf0.1)
+    assert(p.contains("might_contain"),
+      s"canonical variants must be bloom-pruned before the exchange:\n$p")
+    CacheScope.release()
   }
 
   test("q_audit_constraints: anti-join integrity checks equi-keyed, denominators broadcast") {
@@ -1029,9 +1040,16 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"non-equi join in knn graph:\n$p")
     assert(p.contains("top_cells"), s"top_cells kernel missing:\n$p")
-    // per-src top-k is the rank-filtered window — Spark plans the
-    // map-side k-heap (WindowGroupLimit) before the src shuffle
-    assert(p.contains("WindowGroupLimit"), s"rank filter not pushed:\n$p")
+    // r16: per-src top-k is the bounded heap aggregate (k pairs of state
+    // per src, partial map-side under HashAggregate) — the r13 shape, a
+    // rank-filtered window planned as WindowGroupLimit, still SORTED the
+    // full n·nProbe·~312-row candidate stream on both sides of the src
+    // shuffle (52 GB memory spill at the 2 M-vector fixture, guide §5)
+    assert(p.contains("top_k_by_score"), s"bounded top-k aggregate missing:\n$p")
+    assert(!p.contains("WindowGroupLimit"),
+      s"candidate stream must not be window-sorted:\n$p")
+    assert(p.split("HashAggregate").length >= 3,
+      s"expected partial+final hash aggregation for the top-k:\n$p")
     graft.CacheScope.release()
   }
 
@@ -1082,8 +1100,12 @@ class PlanQualitySpec extends SparkSpec {
     val p = plan("q_crossmodal_knn")
     assert(p.contains("BroadcastHashJoin"),
       s"(probe, cell) routing table must broadcast:\n$p")
-    assert(p.contains("WindowGroupLimit"),
-      s"per-probe top-k must run map-side before the probe_id shuffle:\n$p")
+    // r16: per-probe top-k is the bounded heap aggregate (k pairs of
+    // state per probe), not a window sort of the candidate stream
+    assert(p.contains("top_k_by_score"),
+      s"per-probe top-k must be the bounded heap aggregate:\n$p")
+    assert(!p.contains("WindowGroupLimit"),
+      s"candidate stream must not be window-sorted:\n$p")
     assert(!p.contains("CartesianProduct"), s"cartesian in cross-modal ANN:\n$p")
   }
 
