@@ -428,8 +428,8 @@ object Similarity {
     * approximate distance is then m table lookups + m−1 adds — never a
     * full-dim scan of the original vectors, which is the PQ serving
     * contract (the corpus is represented by its codes alone). Per-probe
-    * top-k is the rank-filtered window (WindowGroupLimit — map-side
-    * k-heap). Ties break by vec_id, so results are total-ordered and
+    * top-k is the bounded heap aggregate ([[graft.plans.TopKByLongAsc]],
+    * r16). Ties break by vec_id, so results are total-ordered and
     * oracle-replayable. Returns (probe_id, rnk, vec_id, adist).
     *
     * NOTE: this scans the FULL code table per probe (broadcast probes ×
@@ -473,15 +473,18 @@ object Similarity {
     val adist = (0 until m)
       .map(j => element_at(element_at(col("dts"), j + 1), col(s"c$j") + 1))
       .reduce(_ + _)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("probe_id").orderBy(col("adist").asc, col("vec_id").asc)
+    // per-probe top-k via the bounded heap aggregate (r16, guide §5 —
+    // the replaced rank-filtered window sorted the full code-table scan)
     codes.withColumnRenamed("id", "vec_id")
       .crossJoin(broadcast(probeTbl))
       .filter(col("vec_id") =!= col("probe_id"))
       .withColumn("adist", adist)
-      .withColumn("rnk", row_number().over(w).cast("long"))
-      .filter(col("rnk") <= k)
-      .select(col("probe_id"), col("rnk"), col("vec_id"), col("adist"))
+      .groupBy("probe_id")
+      .agg(graft.plans.TopKExpressions
+        .topKByLongAsc(col("adist"), col("vec_id"), k).as("__nbrs"))
+      .select(col("probe_id"), posexplode(col("__nbrs")).as(Seq("__pos", "__nbr")))
+      .select(col("probe_id"), (col("__pos") + 1).cast("long").as("rnk"),
+        col("__nbr.id").as("vec_id"), col("__nbr.dist").as("adist"))
   }
 
   /** The deterministic ±1 sign matrix for [[jlTopKBatchQ]] — sign(d, j)
@@ -531,15 +534,16 @@ object Similarity {
     require(probeVecRows.length == pids.length,
       s"duplicate corpus rows for probe ids: ${probeVecRows.map(_._1).groupBy(identity).collect { case (id, g) if g.length > 1 => id }.mkString(", ")}")
     val probeTbl = probeVecRows.toSeq.toDF("probe_id", "pjv")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("probe_id").orderBy(col("dist").asc, col("vec_id").asc)
     emb.select(col(idCol).as("vec_id"), project(quantize(col(vecCol))).as("jv"))
       .crossJoin(broadcast(probeTbl))
       .filter(col("vec_id") =!= col("probe_id"))
       .withColumn("dist", graft.plans.VectorExpressions.longDist2(col("jv"), col("pjv")))
-      .withColumn("rnk", row_number().over(w).cast("long"))
-      .filter(col("rnk") <= k)
-      .select(col("probe_id"), col("rnk"), col("vec_id"), col("dist"))
+      .groupBy("probe_id")
+      .agg(graft.plans.TopKExpressions
+        .topKByLongAsc(col("dist"), col("vec_id"), k).as("__nbrs"))
+      .select(col("probe_id"), posexplode(col("__nbrs")).as(Seq("__pos", "__nbr")))
+      .select(col("probe_id"), (col("__pos") + 1).cast("long").as("rnk"),
+        col("__nbr.id").as("vec_id"), col("__nbr.dist").as("dist"))
   }
 
   /** Batch brute-force EXACT squared-L2 top-k — the uncompressed baseline
@@ -560,15 +564,16 @@ object Similarity {
     require(probeVecRows.length == pids.length,
       s"duplicate corpus rows for probe ids: ${probeVecRows.map(_._1).groupBy(identity).collect { case (id, g) if g.length > 1 => id }.mkString(", ")}")
     val probeTbl = probeVecRows.toSeq.toDF("probe_id", "pvq")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("probe_id").orderBy(col("dist").asc, col("vec_id").asc)
     emb.select(col(idCol).as("vec_id"), quantize(col(vecCol)).as("vq"))
       .crossJoin(broadcast(probeTbl))
       .filter(col("vec_id") =!= col("probe_id"))
       .withColumn("dist", graft.plans.VectorExpressions.longDist2(col("vq"), col("pvq")))
-      .withColumn("rnk", row_number().over(w).cast("long"))
-      .filter(col("rnk") <= k)
-      .select(col("probe_id"), col("rnk"), col("vec_id"), col("dist"))
+      .groupBy("probe_id")
+      .agg(graft.plans.TopKExpressions
+        .topKByLongAsc(col("dist"), col("vec_id"), k).as("__nbrs"))
+      .select(col("probe_id"), posexplode(col("__nbrs")).as(Seq("__pos", "__nbr")))
+      .select(col("probe_id"), (col("__pos") + 1).cast("long").as("rnk"),
+        col("__nbr.id").as("vec_id"), col("__nbr.dist").as("dist"))
   }
 
   /** Per-dimension SQ8 stats over the quantized corpus: (mins, ranges),
@@ -594,8 +599,8 @@ object Similarity {
     * (decode is one fused kernel pass per corpus row, then the standard
     * exact integer L2 against the broadcast probe batch; never the
     * original vectors — the SQ serving contract). Per-probe top-k is the
-    * rank-filtered window (WindowGroupLimit, map-side k-heap); ties break
-    * by vec_id. Integer-exact end to end: stats, encode (floor div on
+    * bounded heap aggregate ([[graft.plans.TopKByLongAsc]], r16); ties
+    * break by vec_id. Integer-exact end to end: stats, encode (floor div on
     * non-negative operands), decode, distance — the oracle replays all
     * four stages relationally. Returns (probe_id, rnk, vec_id, adist).
     *
@@ -619,8 +624,6 @@ object Similarity {
     require(probeVecRows.map(_._1).toSet == pids.toSet,
       s"probe ids not in the corpus: ${pids.filterNot(probeVecRows.map(_._1).toSet).mkString(", ")}")
     val probeTbl = probeVecRows.toSeq.toDF("probe_id", "pvq")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("probe_id").orderBy(col("adist").asc, col("vec_id").asc)
     codes
       .select(col("vec_id"),
         graft.plans.VectorExpressions.sq8Decode(col("codes"), mins, ranges).as("dq"))
@@ -628,9 +631,12 @@ object Similarity {
       .filter(col("vec_id") =!= col("probe_id"))
       .withColumn("adist",
         graft.plans.VectorExpressions.longDist2(col("dq"), col("pvq")))
-      .withColumn("rnk", row_number().over(w).cast("long"))
-      .filter(col("rnk") <= k)
-      .select(col("probe_id"), col("rnk"), col("vec_id"), col("adist"))
+      .groupBy("probe_id")
+      .agg(graft.plans.TopKExpressions
+        .topKByLongAsc(col("adist"), col("vec_id"), k).as("__nbrs"))
+      .select(col("probe_id"), posexplode(col("__nbrs")).as(Seq("__pos", "__nbr")))
+      .select(col("probe_id"), (col("__pos") + 1).cast("long").as("rnk"),
+        col("__nbr.id").as("vec_id"), col("__nbr.dist").as("adist"))
   }
 
   /** IVF-PQ index (FAISS IVFADC — Jégou et al. TPAMI 2011 §IV, the
@@ -735,15 +741,16 @@ object Similarity {
     val adist = (0 until m)
       .map(j => element_at(element_at(col("dts"), j + 1), col(s"c$j") + 1))
       .reduce(_ + _)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("probe_id").orderBy(col("adist").asc, col("vec_id").asc)
     codes.withColumnRenamed("id", "vec_id")
       .join(broadcast(probeTbl), Seq("cell"))
       .filter(col("vec_id") =!= col("probe_id"))
       .withColumn("adist", adist)
-      .withColumn("rnk", row_number().over(w).cast("long"))
-      .filter(col("rnk") <= k)
-      .select(col("probe_id"), col("rnk"), col("vec_id"), col("adist"))
+      .groupBy("probe_id")
+      .agg(graft.plans.TopKExpressions
+        .topKByLongAsc(col("adist"), col("vec_id"), k).as("__nbrs"))
+      .select(col("probe_id"), posexplode(col("__nbrs")).as(Seq("__pos", "__nbr")))
+      .select(col("probe_id"), (col("__pos") + 1).cast("long").as("rnk"),
+        col("__nbr.id").as("vec_id"), col("__nbr.dist").as("adist"))
   }
 
   /** Quantized IVF probe: rank cells by integer distance from the quantized

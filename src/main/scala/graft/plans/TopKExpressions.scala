@@ -131,6 +131,101 @@ case class TopKByScore(score: Expression, id: Expression, k: Int)
   override def prettyName: String = "top_k_by_score"
 }
 
+/** [[TopKByScore]]'s integer twin for DISTANCE ranking: the group's k
+  * best (id, dist) pairs under (dist ASC, id ASC), best (smallest)
+  * first — the exact rows of `row_number().over(partitionBy(g)
+  * .orderBy(dist.asc, id.asc)).filter(_ <= k)` for the ADC/L2 re-ranks,
+  * whose scores are exact BIGINT squared distances (keeping them LongType
+  * end to end; a double-typed score would silently round past 2^53).
+  * Same flat fixed-width buffer / HashAggregate / no-candidate-sort
+  * rationale as [[TopKByScore]]; empty slots hold (Long.MaxValue,
+  * Long.MaxValue) sentinels, which real candidates always outrank
+  * (integer squared distances are < 2^62 by construction). */
+case class TopKByLongAsc(dist: Expression, id: Expression, k: Int)
+  extends DeclarativeAggregate with BinaryLike[Expression] {
+
+  require(k >= 1, s"top_k_by_long_asc: k ($k) must be >= 1")
+
+  override def left: Expression = dist
+  override def right: Expression = id
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("dist", LongType, nullable = false))),
+    containsNull = false)
+
+  override def nullable: Boolean = false
+
+  private lazy val bufDist: IndexedSeq[AttributeReference] =
+    (0 until k).map(j => AttributeReference(s"topk_d$j", LongType, nullable = false)())
+  private lazy val bufId: IndexedSeq[AttributeReference] =
+    (0 until k).map(j => AttributeReference(s"topk_i$j", LongType, nullable = false)())
+
+  override lazy val aggBufferAttributes: Seq[AttributeReference] = bufDist ++ bufId
+
+  override lazy val initialValues: Seq[Expression] =
+    Seq.fill(2 * k)(Literal(Long.MaxValue))
+
+  /** Strict "candidate (cd, ci) outranks slot (sd, si)" under
+    * (dist ASC, id ASC). */
+  private def outranks(cd: Expression, ci: Expression,
+                       sd: Expression, si: Expression): Expression =
+    Or(LessThan(cd, sd), And(EqualTo(cd, sd), LessThan(ci, si)))
+
+  override lazy val updateExpressions: Seq[Expression] = {
+    val valid = And(IsNotNull(dist), IsNotNull(id))
+    val beats = (0 until k).map(j => outranks(dist, id, bufDist(j), bufId(j)))
+    val newDists = (0 until k).map { j =>
+      val landed = if (j == 0) dist else If(beats(j - 1), bufDist(j - 1), dist)
+      If(And(valid, beats(j)), landed, bufDist(j))
+    }
+    val newIds = (0 until k).map { j =>
+      val landed = if (j == 0) id else If(beats(j - 1), bufId(j - 1), id)
+      If(And(valid, beats(j)), landed, bufId(j))
+    }
+    (newDists ++ newIds).map(KnownNotNull)
+  }
+
+  // merge = sort the 2k-entry union ascending by (dist, id) and keep k;
+  // sentinels sort last naturally
+  override lazy val mergeExpressions: Seq[Expression] = {
+    def entry(d: Expression, i: Expression): Expression =
+      CreateNamedStruct(Seq(Literal("d"), d, Literal("i"), i))
+    val all = (0 until k).flatMap { j =>
+      Seq(entry(bufDist(j).left, bufId(j).left),
+        entry(bufDist(j).right, bufId(j).right))
+    }
+    val sorted = SortArray(CreateArray(all), Literal(true))
+    val newDists = (0 until k).map { j =>
+      KnownNotNull(GetStructField(ElementAt(sorted, Literal(j + 1)), 0, Some("d")))
+    }
+    val newIds = (0 until k).map { j =>
+      KnownNotNull(GetStructField(ElementAt(sorted, Literal(j + 1)), 1, Some("i")))
+    }
+    newDists ++ newIds
+  }
+
+  override lazy val evaluateExpression: Expression = {
+    val structs = (0 until k).map { j =>
+      CreateNamedStruct(Seq(
+        Literal("id"), bufId(j), Literal("dist"), bufDist(j)))
+    }
+    val size = (0 until k)
+      .map[Expression] { j =>
+        If(EqualTo(bufDist(j), Literal(Long.MaxValue)), Literal(0), Literal(1))
+      }
+      .reduce(Add(_, _))
+    Slice(CreateArray(structs), Literal(1), size)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): TopKByLongAsc =
+    copy(dist = newLeft, id = newRight)
+
+  override def prettyName: String = "top_k_by_long_asc"
+}
+
 object TopKExpressions {
   import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
 
@@ -139,4 +234,9 @@ object TopKExpressions {
     * (see [[TopKByScore]]). */
   def topKByScore(score: Column, id: Column, k: Int): Column =
     column(TopKByScore(expression(score), expression(id), k).toAggregateExpression())
+
+  /** Column bridge: per-group array of the k best (id, dist) pairs by
+    * (dist ASC, id ASC), best first (see [[TopKByLongAsc]]). */
+  def topKByLongAsc(dist: Column, id: Column, k: Int): Column =
+    column(TopKByLongAsc(expression(dist), expression(id), k).toAggregateExpression())
 }

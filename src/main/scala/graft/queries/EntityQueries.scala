@@ -141,28 +141,65 @@ object EntityQueries {
     * r16 (opt guide §3.2): the CANONICAL variant relation is the stage's
     * dominant mass — ~20× (τ=1) to ~90× (τ=2) the full canonical table,
     * while the probe side is only the previous stages' unmatched residue.
-    * A Bloom filter over the probe-side variant hashes prunes canonical
-    * variants BEFORE their df-aggregate and the MERGE joins (measured at
-    * sf0.1 in DuckDB: stage 2 keeps 4.6% of 1.59 M canonical variant
-    * rows, stage 1 keeps 42%). Output-identical by construction: the
-    * prune drops whole variant GROUPS (filter and groupBy share the key
-    * `v`), so the df of every surviving variant is unchanged, bloom
-    * false positives only keep extra groups the pv-join discards anyway,
-    * and bloom has no false negatives — same guarantee as q_bloom_prune
-    * and the triangle wedge prune (LinkAnalysis). The oracle replays the
-    * UNPRUNED formulation and hash-pins the equivalence. */
+    * Above `BloomPruneMinCanonRows` canonical rows a Bloom filter over
+    * the probe-side variant hashes prunes canonical variants BEFORE
+    * their df-aggregate and the MERGE joins (measured at sf0.1 in
+    * DuckDB: stage 2 keeps 4.6% of 1.59 M canonical variant rows,
+    * stage 1 keeps 42%). Output-identical by construction: the prune
+    * drops whole variant GROUPS (filter and groupBy share the key `v`),
+    * so the df of every surviving variant is unchanged, bloom false
+    * positives only keep extra groups the pv-join discards anyway, and
+    * bloom has no false negatives — same guarantee as q_bloom_prune and
+    * the triangle wedge prune (LinkAnalysis). The oracle replays the
+    * UNPRUNED formulation and hash-pins the equivalence (replayed with
+    * the gate FORCED ON at the verification SFs — see OPTIMIZATION_r16).
+    *
+    * MEASURED OFF BY DEFAULT (r16) — the LinkAnalysis.triangles
+    * bloomBitsPerKey adjudication repeats here: on one box, lz4
+    * sequential shuffle of the narrow (key, hash) variant rows beats
+    * paying for the filter. sf0.1 A/B (always-on prototype): shuffle
+    * 54.8 → 18.9 MB but wall 6.05 → 10.03 s (the per-stage eager bloom
+    * build serializes the stage cascade). 100× fixture A/B: unpruned
+    * 258.9 s / 5 910 MB shuffle / 5.7 GB spill; pruned 362.3 s /
+    * 3 535 MB / zero spill (cached-pv variant; 512 s for an uncached
+    * coalesced-build variant — the build passes cost more than the
+    * saved shuffle locally, in every configuration tried). On a
+    * network-constrained cluster the trade flips exactly as in the
+    * triangles knob — the filter ships once per executor while the
+    * pruned stream is the dominant shuffle mass — so the machinery
+    * stays available via `graft.entityBloomMinCanonRows` (canonical-row
+    * threshold; 0 forces the prune everywhere, which is how the oracle
+    * gate pins the pruned path's equivalence at both verification SFs).
+    * All numbers in OPTIMIZATION_r16.md §3. */
+  val BloomPruneMinCanonRows = Long.MaxValue
+
   private def stageMatch(probe: DataFrame, canon: DataFrame,
-                         tau: Int): DataFrame = {
+                         tau: Int, canonRows: Long): DataFrame = {
     val spark = probe.sparkSession
-    // pv feeds the bloom build AND the candidate join — cache it (bounded:
-    // residue rows × ~(1 + L + C(L,2)) hashed longs)
-    val pv = graft.CacheScope.cached(variants(probe, "src_key", "dirty_name", tau))
-    val pvRows = pv.count() // materializes the cache the join needs anyway
+    val minRows = spark.conf.getOption("graft.entityBloomMinCanonRows")
+      .map(_.toLong).getOrElse(BloomPruneMinCanonRows)
+    val prune = canonRows >= minRows
+    // NOT cached even under the prune: the hashed variants are a cheap
+    // row-local explode over the (already cached) residue, and a 64 M-row
+    // cache was measured to evict the query's other CacheScope
+    // intermediates at 100×
+    val pv = variants(probe, "src_key", "dirty_name", tau)
     val cvAll = variants(canon, "c_custkey", "c_name", tau)
-    val cv = if (pvRows == 0L) cvAll else {
-      // ~10 bits/key ≈ 1% fpp; clamp to [64 Kbit, 2^31] — one binary of
-      // numBits/8 bytes ships to the probe tasks regardless of key count
-      val bits = math.max(64L * 1024, math.min(10L * pvRows, Integer.MAX_VALUE.toLong))
+    val cv = if (!prune) cvAll else {
+      // size the filter from the ACTUAL probe-variant count (one explode
+      // pass — trivial next to the stage it prunes, and only paid when
+      // the gate is on; it sets numHashFunctions, worth ~5× in fpp over
+      // the static canonRows×fanout bound). ~10 bits/key ≈ 1% fpp,
+      // capped at 2^29 bits (64 MB shipped to probe tasks;
+      // `graft.entityBloomMaxBits` overrides) — sizing from the static
+      // bound was measured fatal at 100× (a 2^31-bit / 256 MB literal
+      // OOMed driver-side task serialization); past the cap the fpp
+      // degrades gracefully toward keep-everything, and bloom false
+      // positives are never wrong, just unpruned.
+      val items = math.max(1L, pv.count())
+      val maxBits = spark.conf.getOption("graft.entityBloomMaxBits")
+        .map(_.toLong).getOrElse(1L << 29)
+      val bits = math.max(64L * 1024, math.min(10L * items, maxBits))
       val maxBitsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
       val maxItemsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
       val prevBits = spark.conf.get(maxBitsKey)
@@ -172,15 +209,21 @@ object EntityQueries {
       // the bloom, nothing later consults the raised values)
       val bf = try {
         if (prevBits.toLong < bits) spark.conf.set(maxBitsKey, bits.toString)
-        if (prevItems.toLong < pvRows) spark.conf.set(maxItemsKey, pvRows.toString)
-        pv.agg(graft.plans.BloomExpressions
-          .bloomFilterAgg(col("v"), pvRows, bits).as("bf"))
+        if (prevItems.toLong < items) spark.conf.set(maxItemsKey, items.toString)
+        // coalesce: a partial aggregation buffer is the WHOLE bits/8-byte
+        // filter per map task — 8 build tasks bound the partial shuffle
+        // at 8 × the filter size while still parallelizing the inserts
+        pv.coalesce(8).agg(graft.plans.BloomExpressions
+          .bloomFilterAgg(col("v"), items, bits).as("bf"))
           .head().getAs[Array[Byte]]("bf")
       } finally {
         spark.conf.set(maxBitsKey, prevBits)
         spark.conf.set(maxItemsKey, prevItems)
       }
-      cvAll.filter(graft.plans.BloomExpressions.mightContain(lit(bf), col("v")))
+      // an empty residue aggregates to a NULL bloom; the stage's answer
+      // is empty either way, so skip the filter rather than probe null
+      if (bf == null) cvAll
+      else cvAll.filter(graft.plans.BloomExpressions.mightContain(lit(bf), col("v")))
     }
     // per-row array_distinct makes count(*) per variant = distinct custkeys
     val cold = cv.groupBy("v").agg(count(lit(1)).as("df"))
@@ -224,6 +267,10 @@ object EntityQueries {
 
   def qEntityMatch(spark: SparkSession, sfDir: String): DataFrame = {
     val customer = t(spark, sfDir, "customer")
+    // canonical row count from the parquet footer (driver-side metadata,
+    // memoized — not an eager count() action): sizes the per-stage bloom
+    // prune and gates it on data volume
+    val canonRows = graft.Tables.parquetRowCount(spark, sfDir, "customer")
     val canon = customer.select("c_custkey", "c_name")
     // the dirty side feeds five consumers (stage-0 join, two residue
     // anti-joins, stage probes, final output join) — cache it
@@ -239,11 +286,11 @@ object EntityQueries {
       dirty.join(m0.select("src_key"), Seq("src_key"), "left_anti"))
 
     // stage 1: radius-1 deletion variants over the stage-0 residue
-    val m1 = graft.CacheScope.cached(stageMatch(r1, canon, 1))
+    val m1 = graft.CacheScope.cached(stageMatch(r1, canon, 1, canonRows))
     val r2 = r1.join(m1.select("src_key"), Seq("src_key"), "left_anti")
 
     // stage 2: full radius over what's still unmatched (the rare tail)
-    val m2 = stageMatch(r2, canon, MaxDistance)
+    val m2 = stageMatch(r2, canon, MaxDistance, canonRows)
 
     val m = m0.unionByName(m1).unionByName(m2)
     dirty.join(m, Seq("src_key"), "left")

@@ -1889,6 +1889,37 @@ class OperatorsSpec extends SparkSpec {
     assert(out == Set((1L, 0, 10L), (1L, 1, 11L), (2L, 0, 20L)))
   }
 
+  test("top_k_by_long_asc ≡ rank-filtered window (dist asc) with ties (r16)") {
+    // integer-distance twin: ~40 groups, ~7 distinct dists for heavy
+    // ties, 7 partitions so partial buffers MERGE
+    val rows = (0 until 4000).map { i =>
+      val g = (i * 2654435761L) % 40
+      (g, i.toLong, ((i * 48271L) % 7) * 1000L)
+    }
+    val df = spark.createDataFrame(rows).toDF("g", "id", "dist")
+      .repartition(7)
+    for (k <- Seq(1, 4, 8)) {
+      val viaAgg = df.groupBy("g")
+        .agg(graft.plans.TopKExpressions
+          .topKByLongAsc(col("dist"), col("id"), k).as("tk"))
+        .select(col("g"), posexplode(col("tk")).as(Seq("pos", "e")))
+        .select(col("g"), (col("pos") + 1).cast("long").as("rnk"),
+          col("e.id").as("id"), col("e.dist").as("dist"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("g").orderBy(col("dist").asc, col("id").asc)
+      val viaWindow = df
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= k)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(3), r.getLong(1), r.getLong(2)))
+        .toSet
+      assert(viaAgg == viaWindow, s"k=$k: agg and window top-k disagree")
+    }
+  }
+
   test("q_tok_fertility: BPE-per-word ≥ 1, exact quantized ratios of the sums") {
     val rows = SparkEntry.queries("q_tok_fertility")(spark, TestSpark.Sf0001)
       .collect()

@@ -737,13 +737,31 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("damerau_levenshtein"), s"native DL expr missing:\n$p")
     // the DL verify filter must sit inside a codegen span, not a UDF
     assert(!p.contains("ScalaUDF"), s"DL must be the native expression:\n$p")
-    // r16: the canonical variant stream (~20-90× the canonical table) is
-    // bloom-pruned against the probe residue's variant hashes BEFORE its
-    // df-aggregate and the MERGE joins (guide §3.2; measured: stage 2
-    // keeps 4.6% of 1.59 M canonical variant rows at sf0.1)
-    assert(p.contains("might_contain"),
-      s"canonical variants must be bloom-pruned before the exchange:\n$p")
+    // default at this SF: the bloom prune is data-size GATED off (the
+    // eager build serializes the cascade, a measured net loss below
+    // ~100 k canonical rows — OPTIMIZATION_r16 §3)
+    assert(!p.contains("might_contain"),
+      s"bloom prune must stay gated off below the canon-row threshold:\n$p")
     CacheScope.release()
+  }
+
+  test("q_entity_match: forced bloom gate prunes the canonical variant stream (r16)") {
+    // r16: above the canon-row threshold (forced here via the conf
+    // override) the canonical variant stream (~20-90× the canonical
+    // table) is bloom-pruned against the probe residue's variant hashes
+    // BEFORE its df-aggregate and the MERGE joins (guide §3.2; measured:
+    // stage 2 keeps 4.6% of 1.59 M canonical variant rows at sf0.1)
+    spark.conf.set("graft.entityBloomMinCanonRows", "0")
+    try {
+      val p = plan("q_entity_match")
+      assert(p.contains("might_contain"),
+        s"canonical variants must be bloom-pruned before the exchange:\n$p")
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"prune must not change the join shapes:\n$p")
+    } finally {
+      spark.conf.unset("graft.entityBloomMinCanonRows")
+      CacheScope.release()
+    }
   }
 
   test("q_audit_constraints: anti-join integrity checks equi-keyed, denominators broadcast") {
@@ -902,8 +920,12 @@ class PlanQualitySpec extends SparkSpec {
       // driver-built tables, never a shuffle of the code table
       assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
         s"probe ADC tables must broadcast:\n$p")
-      assert(p.contains("WindowGroupLimit"),
-        s"per-probe top-k must run map-side:\n$p")
+      // r16: per-probe top-k is the bounded heap aggregate — no sort of
+      // the scanned code table
+      assert(p.contains("top_k_by_long_asc"),
+        s"per-probe top-k must be the bounded heap aggregate:\n$p")
+      assert(!p.contains("WindowGroupLimit"),
+        s"code-table stream must not be window-sorted:\n$p")
       assert(!p.contains("CartesianProduct"), s"unbroadcast cartesian:\n$p")
       // (the recall-comparison join of the two k·|probes|-row top-k sets
       // may plan SMJ pre-AQE — both sides are output-sized, so no gate)
@@ -920,8 +942,10 @@ class PlanQualitySpec extends SparkSpec {
         s"(probe, cell) ADC routing must broadcast-equi-join:\n$p")
       assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
         s"IVFADC must not cross-join the code table:\n$p")
-      assert(p.contains("WindowGroupLimit"),
-        s"per-probe top-k must run map-side:\n$p")
+      assert(p.contains("top_k_by_long_asc"),
+        s"per-probe top-k must be the bounded heap aggregate (r16):\n$p")
+      assert(!p.contains("WindowGroupLimit"),
+        s"candidate stream must not be window-sorted:\n$p")
     } finally CacheScope.release()
   }
 
@@ -1168,8 +1192,10 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("long_dist2"), s"distance not the fused kernel:\n$p")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
       s"probe batch must broadcast:\n$p")
-    assert(p.contains("WindowGroupLimit"),
-      s"per-probe top-k must run map-side:\n$p")
+    assert(p.contains("top_k_by_long_asc"),
+      s"per-probe top-k must be the bounded heap aggregate (r16):\n$p")
+    assert(!p.contains("WindowGroupLimit"),
+      s"candidate stream must not be window-sorted:\n$p")
     graft.CacheScope.release()
   }
 
@@ -1251,7 +1277,10 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("long_dot"), s"projection not the fused kernel:\n$p")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
       s"probe batch must broadcast:\n$p")
-    assert(p.contains("WindowGroupLimit"), s"per-probe top-k must run map-side:\n$p")
+    assert(p.contains("top_k_by_long_asc"),
+      s"per-probe top-k must be the bounded heap aggregate (r16):\n$p")
+    assert(!p.contains("WindowGroupLimit"),
+      s"candidate stream must not be window-sorted:\n$p")
     // (the jl↔brute recall join of two ~50-row aggregates may plan as SMJ
     // pre-AQE — only the corpus-side scan shape is gated here)
     assert(!p.contains("CartesianProduct"), s"cartesian in the recall join:\n$p")
