@@ -107,7 +107,13 @@ object StreamQueries {
       s"events table at $sfDir is empty — the finite-stream fixture needs at least one event")
     val maxTs = maxRow.getTimestamp(0)
     val sentinelTs = new java.sql.Timestamp(maxTs.getTime + 4L * 3600 * 1000)
-    val sentinel = spark.range(1).select(
+    // ONE partition (r16): bare spark.range(1) parallelizes the single
+    // sentinel row over defaultParallelism slices, so the fixture write
+    // ran 33 tasks (32 of them writing empty files) and every drain
+    // listed + split-planned 33 input files for ~2 MB. The events scan
+    // keeps its own partitions (part-00000…) either side, so relative
+    // arrival order of real events is unchanged.
+    val sentinel = spark.range(0, 1, 1, 1).select(
       lit(-1L).as("event_id"), lit(sentinelTs).as("ts"),
       lit(-1L).as("user_id"), lit(0.0).as("value"))
     (ev.unionByName(sentinel), sentinelTs)

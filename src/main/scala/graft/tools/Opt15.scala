@@ -25,6 +25,15 @@ object Opt15 {
     @volatile var diskSpill = 0L
     @volatile var stages = 0
     val stageRows = new java.util.concurrent.ConcurrentLinkedQueue[(String, Double, Int)]()
+    // per-stage task durations (ms) for the §2.5 skew audit: compare
+    // max vs median task time per stage (OPT15_SKEW=1 prints them)
+    val taskDurations = new java.util.concurrent.ConcurrentHashMap[Int, java.util.concurrent.ConcurrentLinkedQueue[Long]]()
+    override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+      if (te.taskInfo != null) {
+        taskDurations
+          .computeIfAbsent(te.stageId, _ => new java.util.concurrent.ConcurrentLinkedQueue[Long]())
+          .add(te.taskInfo.duration)
+      }
     override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
       val m = sc.stageInfo.taskMetrics
       if (m != null) {
@@ -115,6 +124,22 @@ object Opt15 {
         import scala.jdk.CollectionConverters._
         bestMeter.stageRows.asScala.toSeq.sortBy(-_._2).take(15).foreach {
           case (n, w, t) => println(f"[opt15]    $w%6.2f s  tasks=$t%3d  $n")
+        }
+      }
+      // skew audit (guide §2.5): per-stage max/median task duration for
+      // every stage with ≥ 8 tasks, worst ratios first
+      if (sys.env.contains("OPT15_SKEW") && bestMeter != null) {
+        import scala.jdk.CollectionConverters._
+        val rows = bestMeter.taskDurations.asScala.toSeq.flatMap { case (sid, q) =>
+          val ds = q.asScala.toArray.sorted
+          if (ds.length < 8) None
+          else {
+            val med = math.max(1L, ds(ds.length / 2))
+            Some((sid, ds.length, ds.last, med, ds.last.toDouble / med))
+          }
+        }
+        rows.sortBy(-_._5).take(10).foreach { case (sid, n, mx, med, r) =>
+          println(f"[opt15]    skew stage=$sid%4d tasks=$n%4d max=${mx}%6d ms median=${med}%6d ms ratio=$r%5.1f")
         }
       }
     }
